@@ -1,0 +1,491 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Core relational operators (SURVEY.md §2.2-§2.7) re-expressed on the
+  * fixture star schema.
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` function and
+  * has a matching DuckDB oracle in [[Relational.oracle]]. All results carry
+  * an explicit deterministic ORDER BY so Spark and the oracle agree
+  * row-for-row.
+  *
+  * Scale notes (100 TB): joins against `nation`/`region`/`supplier`/`part`
+  * are explicitly `broadcast()` — they are bounded dimensions (like the
+  * reference's EPA_PRODUCTS/EPA_COMPANY_INFO lookup sides). Fact-fact
+  * joins (orders ⋈ lineitem) shuffle on their join key, which is also the
+  * window partition key, so the exchange is reused across join + window.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** q01 — flagship: the reference's signature VW_PDF_TO_DOWNLOAD pattern
+    * (`epa_ingestion.py:447-456`): inner join parent⋈children (J1), keep
+    * latest child per parent via row_number desc (W1/QUALIFY), anti-join
+    * away parents already processed (J3: RIGHT JOIN ... IS NULL).
+    * Fixture transposition: latest lineitem per order, minus orders with
+    * o_orderstatus = 'F' ("already downloaded").
+    */
+  def q01Flagship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    // row_number over (accepted-date desc, tiebreak) exactly like W1; the
+    // tiebreak (l_linenumber) makes the pick deterministic where the
+    // reference's string-date ordering was ambiguous (SURVEY.md §7.3).
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_shipdate".desc, $"l_linenumber".asc,
+        $"l_partkey".asc, $"l_suppkey".asc)
+    val latest = li.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    val processed = o.filter($"o_orderstatus" === "F").select($"o_orderkey")
+    // left_anti = the reference's RIGHT JOIN + IS NULL (J3) without the
+    // extra null-probe pass; broadcast is wrong here (both sides are
+    // fact-sized at scale) so we let AQE pick the shuffle join.
+    latest
+      .join(o.select($"o_orderkey", $"o_orderdate", $"o_totalprice"),
+        $"l_orderkey" === $"o_orderkey", "inner")
+      .join(processed, Seq("o_orderkey"), "left_anti")
+      .select($"o_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_shipdate", $"o_orderdate",
+        $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val q01Oracle: String =
+    """WITH latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |            ORDER BY l_shipdate DESC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC) AS rn
+      |  FROM lineitem
+      |)
+      |SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+      |       l.l_quantity, l.l_extendedprice, l.l_shipdate,
+      |       o.o_orderdate, o.o_totalprice
+      |FROM latest l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.rn = 1
+      |  AND o.o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q02 — J1 inner equi-joins through the dimension chain with explicit
+    * broadcast of the bounded dims (customer→nation→region), P3 filter. */
+  def q02JoinInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA" && $"o_orderstatus" === "O")
+      .select($"o_orderkey", $"c_name", $"n_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val q02Oracle: String =
+    """SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA' AND o.o_orderstatus = 'O'
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q03 — J6 multi-way LEFT OUTER enrichment join (the reference's
+    * 3-way UPDATE source, `epa_ingestion.py:814-823`). */
+  def q03JoinLeftMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey", "left")
+      .select($"c_custkey", $"c_name", $"n_name", $"r_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q03Oracle: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q04 — J3 anti join: customers with no pending order ("not yet
+    * downloaded" in the reference's metadata anti-join). */
+  def q04JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pending = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+    t(s, dir, "customer")
+      .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q04Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q05 — semi join (EXISTS): customers with at least one open order. */
+  def q05JoinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val open = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+    t(s, dir, "customer")
+      .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06 — J4/P6 equi-join on a derived (regexp-extracted) key: the
+    * reference joins directory listings to metadata on
+    * REGEXP_SUBSTR(stage_file_path,...) (`epa_ingestion.py:493-500`).
+    * Here: extract the numeric id out of s_name ('Supplier#000000001')
+    * and join lineitem on it. The extraction happens BEFORE the join so
+    * Catalyst plans a plain equi-join, not a theta join — the 100 TB-safe
+    * form called out in SURVEY.md §2.3 J7.
+    */
+  def q06JoinDerivedKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = t(s, dir, "supplier")
+      .withColumn("sk", regexp_extract($"s_name", "[0-9]+", 0).cast("long"))
+    t(s, dir, "lineitem")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n_items"))
+      .join(broadcast(sup), $"l_suppkey" === $"sk", "inner")
+      .select($"s_suppkey", $"s_name", $"n_items")
+      .orderBy($"s_suppkey")
+  }
+
+  val q06Oracle: String =
+    """SELECT s.s_suppkey, s.s_name, l.n_items
+      |FROM (SELECT l_suppkey, count(*) AS n_items FROM lineitem GROUP BY 1) l
+      |JOIN (SELECT *, CAST(regexp_extract(s_name, '[0-9]+') AS BIGINT) AS sk
+      |      FROM supplier) s
+      |ON l.l_suppkey = s.sk
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q07 — J7 suffix theta join (LIKE '%' || suffix), the reference's
+    * stage-path-to-relative-path match (`epa_ingestion.py:769-774`).
+    * Inputs are deliberately small (the reference's are too): Spark plans
+    * BroadcastNestedLoopJoin. The scale-safe rewrite is q06. */
+  def q07JoinSuffixTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meta = t(s, dir, "orders").filter($"o_orderkey" < 100)
+      .select($"o_orderkey",
+        concat(lit("stage/EPA_LABEL_PDF/"), $"o_orderkey", lit(".pdf"))
+          .as("stage_file_path"))
+    val listing = t(s, dir, "lineitem").filter($"l_orderkey" < 100)
+      .select(concat($"l_orderkey", lit(".pdf")).as("relative_path"))
+      .distinct()
+    meta.join(broadcast(listing),
+        $"stage_file_path".endsWith($"relative_path"))
+      .select($"o_orderkey", $"stage_file_path", $"relative_path")
+      .orderBy($"o_orderkey", $"relative_path")
+  }
+
+  val q07Oracle: String =
+    """WITH meta AS (
+      |  SELECT o_orderkey,
+      |         'stage/EPA_LABEL_PDF/' || o_orderkey || '.pdf' AS stage_file_path
+      |  FROM orders WHERE o_orderkey < 100),
+      |listing AS (
+      |  SELECT DISTINCT l_orderkey || '.pdf' AS relative_path
+      |  FROM lineitem WHERE l_orderkey < 100)
+      |SELECT m.o_orderkey, m.stage_file_path, l.relative_path
+      |FROM meta m JOIN listing l
+      |  ON m.stage_file_path LIKE '%' || l.relative_path
+      |ORDER BY m.o_orderkey, l.relative_path""".stripMargin
+
+  /** q08 — W1 window dedup-to-latest standalone (QUALIFY desugared). */
+  def q08WindowLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_shipdate".desc, $"l_linenumber".asc,
+        $"l_partkey".asc, $"l_suppkey".asc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_shipdate")
+      .orderBy($"l_orderkey")
+  }
+
+  val q08Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_shipdate DESC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC) AS rn FROM lineitem)
+      |WHERE rn = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q09 — top-k per group via rank (generalizes W1 per SURVEY §2.4). */
+  def q09WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+    t(s, dir, "part")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"rk", $"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_brand", $"rk")
+  }
+
+  val q09Oracle: String =
+    """SELECT p_brand, rk, p_partkey, p_name, p_retailprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+      |        ORDER BY p_retailprice DESC, p_partkey ASC) AS rk FROM part)
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** q10 — lag/lead analytics over the event stream (per-user ordering). */
+  def q10WindowLagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .select($"event_id", $"user_id", $"event_type", $"prev_type", $"next_type")
+      .orderBy($"event_id")
+  }
+
+  val q10Oracle: String =
+    """SELECT event_id, user_id, event_type,
+      |       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+      |       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q11 — running sum with an explicit frame (rowsBetween). l_quantity is
+    * integer-valued so the running double sum is exact in both engines. */
+  def q11WindowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("running_qty", sum($"l_quantity").over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+        $"running_qty")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q11Oracle: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** q12 — pricing-summary hash aggregate (the engine's general agg
+    * surface; A1/A2 generalized). Double-valued aggregates are rounded on
+    * both sides so summation order can't flip low bits. Partial (map-side)
+    * aggregation is automatic for all of these. */
+  def q12AggPricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q13 — A1 group-collect: ARRAY_AGG(TYPE) per key
+    * (`epa_ingestion.py:817-823`), sorted for determinism (SURVEY §7.3). */
+  def q13AggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_brand", $"p_type").distinct()
+      .groupBy($"p_brand")
+      .agg(array_sort(collect_list($"p_type")).as("types"))
+      .orderBy($"p_brand")
+  }
+
+  val q13Oracle: String =
+    """SELECT p_brand, list(p_type ORDER BY p_type ASC) AS types
+      |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q14 — distinct aggregates (exact count distinct per group). */
+  def q14AggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q14Oracle: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q15 — set ops: union + intersect + except over key sets (SURVEY §2.6,
+    * derived from the MERGE/DELETE rewrites). */
+  def q15SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withOrders = t(s, dir, "orders").select($"o_custkey".as("custkey")).distinct()
+    val all = t(s, dir, "customer").select($"c_custkey".as("custkey"))
+    val inactive = all.except(withOrders)                 // EXCEPT
+    val active = all.intersect(withOrders)                // INTERSECT
+    active.withColumn("status", lit("active"))
+      .unionByName(inactive.withColumn("status", lit("inactive"))) // UNION ALL
+      .orderBy($"custkey")
+  }
+
+  val q15Oracle: String =
+    """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |  allc AS (SELECT c_custkey AS custkey FROM customer),
+      |  act AS (SELECT custkey FROM allc INTERSECT SELECT custkey FROM wo),
+      |  inact AS (SELECT custkey FROM allc EXCEPT SELECT custkey FROM wo)
+      |SELECT custkey, 'active' AS status FROM act
+      |UNION ALL
+      |SELECT custkey, 'inactive' AS status FROM inact
+      |ORDER BY custkey""".stripMargin
+
+  /** q16 — scalar-function chain (F1-F9): regexp extract, concat,
+    * sanitize (regexp_replace + translate + substring), upper, length. */
+  def q16ScalarChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_name", "[a-z]+$", 0).as("last_word"),      // F1
+        concat_ws("_", $"p_brand", $"p_partkey").as("file_key"),      // F7
+        substring(translate(regexp_replace($"p_name", "[<>:\"/\\\\|?*]", ""),
+          " ", "_"), 1, 200).as("clean_name"),                        // F5
+        upper($"p_type").as("type_uc"),                               // F6
+        length($"p_name").as("name_len"))                             // F9
+      .orderBy($"p_partkey")
+  }
+
+  val q16Oracle: String =
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '[a-z]+$') AS last_word,
+      |       p_brand || '_' || p_partkey AS file_key,
+      |       substring(translate(regexp_replace(p_name, '[<>:"/\\|?*]', '', 'g'), ' ', '_'), 1, 200) AS clean_name,
+      |       upper(p_type) AS type_uc,
+      |       length(p_name) AS name_len
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q17 — F10 JSON field access on the event props payload
+    * (`data['...']` on the API JSON, `epa_ingestion.py:313-393`). */
+  def q17JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val q17Oracle: String =
+    """SELECT event_type,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q18 — P7 ordered limit (top-N). */
+  def q18TopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val q18Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** q19 — time-bucketed aggregation over events (the batch face of the
+    * TARGET_LAG streaming requirement, SURVEY §2.10; streaming twin lives
+    * in graft.streaming). */
+  def q19TimeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val q19Oracle: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |       count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_flagship_latest_anti" -> q01Flagship _,
+    "q02_join_inner_dims" -> q02JoinInner _,
+    "q03_join_left_multi" -> q03JoinLeftMulti _,
+    "q04_join_anti" -> q04JoinAnti _,
+    "q05_join_semi" -> q05JoinSemi _,
+    "q06_join_derived_key" -> q06JoinDerivedKey _,
+    "q07_join_suffix_theta" -> q07JoinSuffixTheta _,
+    "q08_window_latest" -> q08WindowLatest _,
+    "q09_window_topk" -> q09WindowTopK _,
+    "q10_window_lag_lead" -> q10WindowLagLead _,
+    "q11_window_running_sum" -> q11WindowRunningSum _,
+    "q12_agg_pricing" -> q12AggPricing _,
+    "q13_agg_collect" -> q13AggCollect _,
+    "q14_agg_distinct" -> q14AggDistinct _,
+    "q15_set_ops" -> q15SetOps _,
+    "q16_scalar_chain" -> q16ScalarChain _,
+    "q17_json_extract" -> q17JsonExtract _,
+    "q18_top_n" -> q18TopN _,
+    "q19_time_bucket" -> q19TimeBucket _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_flagship_latest_anti" -> q01Oracle,
+    "q02_join_inner_dims" -> q02Oracle,
+    "q03_join_left_multi" -> q03Oracle,
+    "q04_join_anti" -> q04Oracle,
+    "q05_join_semi" -> q05Oracle,
+    "q06_join_derived_key" -> q06Oracle,
+    "q07_join_suffix_theta" -> q07Oracle,
+    "q08_window_latest" -> q08Oracle,
+    "q09_window_topk" -> q09Oracle,
+    "q10_window_lag_lead" -> q10Oracle,
+    "q11_window_running_sum" -> q11Oracle,
+    "q12_agg_pricing" -> q12Oracle,
+    "q13_agg_collect" -> q13Oracle,
+    "q14_agg_distinct" -> q14Oracle,
+    "q15_set_ops" -> q15Oracle,
+    "q16_scalar_chain" -> q16Oracle,
+    "q17_json_extract" -> q17Oracle,
+    "q18_top_n" -> q18Oracle,
+    "q19_time_bucket" -> q19Oracle)
+}

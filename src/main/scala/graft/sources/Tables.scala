@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Role-mapping to the reference star schema (SURVEY.md §1.1, FIXTURES.md):
+  * `orders` ≈ EPA_PRODUCTS (parent with status column), `lineitem` ≈
+  * EPA_PDF_FILES (children with accepted-date for the latest-per-key
+  * window, reference `epa_ingestion.py:447-452`), `part`/`supplier`/
+  * `nation`/`region` ≈ enrichment dimensions, `documents`/`embeddings` ≈
+  * the parsed-PDF chunk/search corpus.
+  *
+  * 100 TB note: these are plain parquet directory scans — Catalyst pushes
+  * filters/projections into the scan (visible as PushedFilters/ReadSchema
+  * in explain). At scale the same loaders work over partitioned
+  * directories; nothing here assumes a single file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as
+    * long and convert to a microsecond TimestampType. Queries never emit
+    * the raw ts (µs truncation would differ from a ns-native oracle);
+    * they emit time buckets or use ts only for ordering/windowing, where
+    * sub-µs differences can't matter (events are ≥1s apart per user). */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
