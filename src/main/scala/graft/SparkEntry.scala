@@ -16,10 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Dml.queries ++ Chunker.queries ++
+      Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
+      Search.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Dml.oracle ++ Chunker.oracle ++
+      Dedup.oracle ++ TextStats.oracle ++ Similarity.oracle ++
+      Search.oracle
 }

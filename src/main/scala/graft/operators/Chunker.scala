@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Text chunking (SURVEY.md §2.8 U1): the reference's TEXT_CHUNKER UDTF
+  * (`epa_ingestion.py:265-294`) wraps the recursive character splitter
+  * with chunk_size=1512, chunk_overlap=256, length=char count
+  * (`epa_ingestion.py:283-284`). This is a pure-Scala port of that public
+  * algorithm (separators "\n\n", "\n", " ", "" — greedy merge to the size
+  * cap with trailing-window overlap), exposed two ways:
+  *
+  *  - [[chunkText]]: pure function for unit tests / driver-side use;
+  *  - [[chunkDocs]]: the lateral-join form (J5) — `posexplode` over a UDF,
+  *    one input row fanning out to N (chunk_index, chunk) rows inside the
+  *    executor task, no extra shuffle. At 100 TB the fan-out (~len/1256)
+  *    is bounded by the 16 MB max cell (`epa_ingestion.py:254-259`).
+  */
+object Chunker {
+
+  val DefaultChunkSize = 1512
+  val DefaultOverlap = 256
+  val DefaultSeparators: Seq[String] = Seq("\n\n", "\n", " ", "")
+
+  /** Split `text` recursively: try the coarsest separator present; pieces
+    * still over the cap are re-split with the remaining separators; sibling
+    * pieces are greedily merged up to `chunkSize` chars, keeping a trailing
+    * window of ≤ `overlap` chars between consecutive chunks. Separators are
+    * kept (prefixed onto the following piece), matching the reference
+    * UDTF's observable output. */
+  def chunkText(text: String,
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap,
+      separators: Seq[String] = DefaultSeparators): Seq[String] =
+    if (text == null || text.isEmpty) Seq.empty
+    else splitRecursive(text, chunkSize, overlap, separators)
+
+  private def splitRecursive(text: String, chunkSize: Int, overlap: Int,
+      separators: Seq[String]): Seq[String] = {
+    // pick the first separator that occurs (or "" as last resort)
+    var separator = separators.lastOption.getOrElse("")
+    var newSeparators: Seq[String] = Seq.empty
+    var i = 0
+    var found = false
+    while (i < separators.length && !found) {
+      val s = separators(i)
+      if (s.isEmpty) { separator = s; found = true }
+      else if (text.contains(s)) {
+        separator = s; newSeparators = separators.drop(i + 1); found = true
+      }
+      i += 1
+    }
+
+    val splits = splitKeepSeparator(text, separator)
+    val finalChunks = ArrayBuffer.empty[String]
+    val goodSplits = ArrayBuffer.empty[String]
+    for (s <- splits) {
+      if (s.length < chunkSize) goodSplits += s
+      else {
+        if (goodSplits.nonEmpty) {
+          finalChunks ++= mergeSplits(goodSplits.toSeq, "", chunkSize, overlap)
+          goodSplits.clear()
+        }
+        if (newSeparators.isEmpty) finalChunks += s
+        else finalChunks ++= splitRecursive(s, chunkSize, overlap, newSeparators)
+      }
+    }
+    if (goodSplits.nonEmpty)
+      finalChunks ++= mergeSplits(goodSplits.toSeq, "", chunkSize, overlap)
+    finalChunks.toSeq
+  }
+
+  /** Split on `sep`, attaching each separator occurrence as a prefix of the
+    * following piece; empty pieces dropped. sep == "" → per-character. */
+  private[operators] def splitKeepSeparator(text: String, sep: String): Seq[String] =
+    if (sep.isEmpty) text.map(_.toString)
+    else {
+      val parts = ArrayBuffer.empty[String]
+      var from = 0
+      var idx = text.indexOf(sep)
+      var first = true
+      while (idx >= 0) {
+        val piece = if (first) text.substring(from, idx)
+          else sep + text.substring(from, idx)
+        parts += piece
+        first = false
+        from = idx + sep.length
+        idx = text.indexOf(sep, from)
+      }
+      parts += (if (first) text.substring(from) else sep + text.substring(from))
+      parts.filter(_.nonEmpty).toSeq
+    }
+
+  /** Greedy merge with trailing-window overlap (the splitter's
+    * merge loop: emit when the next piece would overflow, then drop
+    * leading pieces until ≤ overlap chars remain). */
+  private[operators] def mergeSplits(splits: Seq[String], separator: String,
+      chunkSize: Int, overlap: Int): Seq[String] = {
+    val sepLen = separator.length
+    val docs = ArrayBuffer.empty[String]
+    var current = ArrayBuffer.empty[String]
+    var total = 0
+    def joinDocs(ds: Seq[String]): Option[String] = {
+      val t = ds.mkString(separator).strip()
+      if (t.isEmpty) None else Some(t)
+    }
+    for (d <- splits) {
+      val len = d.length
+      if (total + len + (if (current.nonEmpty) sepLen else 0) > chunkSize) {
+        if (current.nonEmpty) {
+          joinDocs(current.toSeq).foreach(docs += _)
+          while (total > overlap ||
+            (total + len + (if (current.nonEmpty) sepLen else 0) > chunkSize && total > 0)) {
+            total -= current.head.length + (if (current.length > 1) sepLen else 0)
+            current = current.drop(1)
+          }
+        }
+      }
+      current += d
+      total += len + (if (current.length > 1) sepLen else 0)
+    }
+    joinDocs(current.toSeq).foreach(docs += _)
+    docs.toSeq
+  }
+
+  // ---- DataFrame surface ----
+
+  /** Lateral-join chunking (J5/U1): `docs(textCol)` → one row per chunk
+    * with `chunk_index`. Runs inside whole-stage-codegen'd Generate; the
+    * UDF is the only non-codegen hop (acceptable: it is the operator's
+    * payload, not plumbing). */
+  def chunkDocs(docs: DataFrame, textCol: String = "text",
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): DataFrame = {
+    val chunker = udf((t: String) => chunkText(t, chunkSize, overlap))
+    docs.select(
+        docs.columns.map(col).toIndexedSeq :+
+          posexplode(chunker(col(textCol))).as(Seq("chunk_index", "chunk")): _*)
+      .drop(textCol)
+  }
+
+  // ---- fixture-backed query surface ----
+
+  /** q24 — fixed-stride chunker over documents (size 1512, stride 1256 =
+    * size - overlap): the SQL-expressible cousin of the recursive splitter,
+    * oracle-checked; the recursive splitter itself is pinned by ScalaTest
+    * unit vectors (non-SQL-expressible). */
+  def q24ChunkFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val size = DefaultChunkSize
+    val stride = DefaultChunkSize - DefaultOverlap
+    // fixture texts are shorter than one chunk; repeat ×10 (≈3 kB) so the
+    // fan-out (J5's one-row→N-chunks shape) actually exercises
+    Tables.documents(s, dir)
+      .withColumn("body", repeat(concat($"text", lit(" ")), 10))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(lit(0),
+          floor((length($"body") - lit(1)) / lit(stride)).cast("int")))))
+      .select($"doc_id", ($"start" * stride).as("chunk_start"),
+        $"body".substr($"start" * stride + 1, lit(size)).as("chunk"))
+      .withColumn("chunk_len", length($"chunk"))
+      .orderBy($"doc_id", $"chunk_start")
+  }
+
+  val q24Oracle: String =
+    """WITH d AS (SELECT doc_id, repeat(text || ' ', 10) AS body FROM documents)
+      |SELECT d.doc_id, (s.g * 1256) AS chunk_start,
+      |       substring(d.body, s.g * 1256 + 1, 1512) AS chunk,
+      |       length(substring(d.body, s.g * 1256 + 1, 1512)) AS chunk_len
+      |FROM d,
+      |     LATERAL (SELECT unnest(generate_series(0,
+      |        greatest(0, CAST(floor((length(d.body) - 1) / 1256.0) AS INT)))) AS g) s
+      |ORDER BY doc_id, chunk_start""".stripMargin
+
+  /** q25 — recursive chunker stats per document (rows-only driver check;
+    * exact chunk text is pinned by ChunkerSpec). Aggregating to counts
+    * keeps the result schema stable across any future splitter tweak. */
+  def q25ChunkRecursive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("text", repeat(concat($"text", lit(" ")), 10))
+    chunkDocs(docs)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max(length($"chunk")).as("max_len"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_chunk_fixed" -> q24ChunkFixed _,
+    "q25_chunk_recursive" -> q25ChunkRecursive _)
+
+  val oracle: Map[String, String] = Map(
+    "q24_chunk_fixed" -> q24Oracle)
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * surface, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH banding,
+  * SimHash. All run over the `documents` fixture and all are
+  * oracle-checked against DuckDB.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a single hash-partitioned window/groupBy on the text
+  *    digest — the digest (16 B) shuffles, never the document body;
+  *  - MinHash signatures reduce each document to k=8 fixed-size values
+  *    before any join; candidate generation is an equi-join on (band,
+  *    band-signature) buckets — never an all-pairs product;
+  *  - the shingle→pair join only materializes pairs that share ≥1 shingle
+  *    (sparse), and the verify step runs on candidates only.
+  *  - hashes are md5-based (not Spark's xxhash) so any engine — including
+  *    the DuckDB oracle — derives identical signatures; the min over
+  *    lexicographic md5 hex is a valid uniform permutation family.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Word 3-gram shingles, distinct per doc. Element-at based so the
+    * DuckDB oracle can mirror it verbatim. */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2))))""".stripMargin).as("shingle"))
+      .distinct()
+
+  private val shingleSqlCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |       WHERE len(t) >= 3)""".stripMargin
+
+  /** q26 — exact dedup: group by content digest; every doc learns its
+    * canonical (minimum) doc_id and its copy count. */
+  def q26DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"text_hash")
+    docs(s, dir)
+      .select($"doc_id", md5($"text").as("text_hash"))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
+  val q26Oracle: String =
+    """SELECT doc_id, md5(text) AS text_hash,
+      |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |       count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** q27 — n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
+    * (sparse join), Jaccard = |∩| / |∪| over distinct shingle sets,
+    * thresholded. The division is exact-int over exact-int so both
+    * engines produce bit-identical doubles. */
+  def q27NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(docs(s, dir)).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"inter", $"sa.n".as("n_a"), $"sb.n".as("n_b"),
+        ($"inter" / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+      .select($"doc_a", $"doc_b", $"inter", $"n_a", $"n_b",
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q27Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
+      |FROM (SELECT p.doc_a, p.doc_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+      |             p.inter / (sa.n + sb.n - p.inter) AS jaccard
+      |      FROM pairs p
+      |      JOIN sizes sa ON p.doc_a = sa.doc_id
+      |      JOIN sizes sb ON p.doc_b = sb.doc_id)
+      |WHERE jaccard >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q28 — MinHash + LSH banding: k=8 md5-permutation minhashes per doc,
+    * 4 bands × 2 rows; docs sharing a band bucket become candidates;
+    * candidates are verified with estimated similarity = matching
+    * signature fraction. The all-pairs product never materializes. */
+  def q28MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(docs(s, dir))
+    val seeded = sh.select($"doc_id",
+      expr("explode(sequence(0, 7))").as("seed"), $"shingle")
+    val sigs = seeded
+      .groupBy($"doc_id", $"seed")
+      .agg(min(md5(concat($"seed", lit(":"), $"shingle"))).as("mh"))
+    val bands = sigs
+      .withColumn("band", ($"seed" / 2).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"), "|").as("bkey"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val est = cands
+      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sigs.as("sb"),
+        $"doc_b" === $"sb.doc_id" && $"sa.seed" === $"sb.seed")
+      .groupBy($"doc_a", $"doc_b")
+      .agg((sum(when($"sa.mh" === $"sb.mh", 1).otherwise(0)) / 8.0).as("est_sim"))
+    est.select($"doc_a", $"doc_b", round($"est_sim", 6).as("est_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q28Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |sigs AS (SELECT doc_id, seed,
+      |                min(md5(seed || ':' || shingle)) AS mh
+      |         FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
+      |         GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+      |                 string_agg(mh, '|' ORDER BY seed) AS bkey
+      |          FROM sigs GROUP BY 1, 2),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.bkey = y.bkey
+      |           AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0, 6) AS est_sim
+      |FROM cands c
+      |JOIN sigs sa ON c.doc_a = sa.doc_id
+      |JOIN sigs sb ON c.doc_b = sb.doc_id AND sa.seed = sb.seed
+      |GROUP BY c.doc_a, c.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q29 — SimHash: 16-bit signature. Bit j of a token = 1 iff hex digit j
+    * of md5(token) ≥ 8; per-doc bit = sign of the ±1 sum over token
+    * occurrences (multiplicity preserved — classic SimHash weighting). */
+  def q29SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .withColumn("h", md5($"token"))
+    val perBit = toks
+      .select($"doc_id", $"h", expr("explode(sequence(1, 16))").as("j"))
+      .withColumn("contrib", expr(
+        "CASE WHEN substr(h, j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
+    val bits = perBit
+      .groupBy($"doc_id", $"j")
+      .agg(sum($"contrib").as("sgn"))
+      .withColumn("bit",
+        when($"sgn" > 0, expr("CAST(pow(2, j - 1) AS BIGINT)")).otherwise(0L))
+    val sims = bits.groupBy($"doc_id").agg(sum($"bit").as("simhash"))
+    val w = Window.partitionBy($"simhash")
+    sims.withColumn("n_bucket", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
+  val q29Oracle: String =
+    """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |              FROM documents),
+      |perbit AS (SELECT doc_id, j,
+      |             CASE WHEN substr(h, CAST(j AS INT), 1)
+      |                    IN ('8','9','a','b','c','d','e','f')
+      |                  THEN 1 ELSE -1 END AS contrib
+      |           FROM toks, LATERAL (SELECT unnest(generate_series(1, 16)) AS j) g),
+      |bits AS (SELECT doc_id, j, sum(contrib) AS sgn FROM perbit GROUP BY 1, 2),
+      |sims AS (SELECT doc_id,
+      |           sum(CASE WHEN sgn > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS simhash
+      |         FROM bits GROUP BY 1)
+      |SELECT doc_id, simhash,
+      |       count(*) OVER (PARTITION BY simhash) AS n_bucket
+      |FROM sims
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_exact" -> q26DedupExact _,
+    "q27_dedup_ngram_jaccard" -> q27NgramJaccard _,
+    "q28_dedup_minhash_lsh" -> q28MinHashLsh _,
+    "q29_dedup_simhash" -> q29SimHash _)
+
+  val oracle: Map[String, String] = Map(
+    "q26_dedup_exact" -> q26Oracle,
+    "q27_dedup_ngram_jaccard" -> q27Oracle,
+    "q28_dedup_minhash_lsh" -> q28Oracle,
+    "q29_dedup_simhash" -> q29Oracle)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Keyword retrieval — the decomposed form of the reference's managed
+  * search service (SURVEY.md §2.8 U3, `epa_ingestion.py:838-865`):
+  * tokenizer → document/term statistics → BM25 scorer → top-k, built
+  * entirely from codegen'd built-in expressions. The incremental-
+  * maintenance face (TARGET_LAG ≈ 1 minute) lives in graft.streaming.
+  *
+  * Scale notes: the index side (df/dl/avgdl) is two hash aggregates over
+  * the token stream; the per-query scorer touches only postings of the
+  * query terms (an equi-join on token), so query cost is O(df(terms)),
+  * not O(corpus) — the inverted-index access pattern, expressed
+  * relationally.
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokenized corpus: (doc_id, token) with multiplicity. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  /** BM25 score of every document against `terms`, via relational
+    * index-side statistics. Deterministic: all inputs integer-derived. */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = tokens(docs)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val avgdl = dl.select((sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score",
+        col("idf") * col("tf") /
+          (col("tf") + (col("dl") / col("avgdl") * B + (1.0 - B)) * K1))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** q36 — BM25 top-20 for a fixed conjunctive keyword query, with the
+    * rank ordered on the rounded score (ulp-stable across engines). */
+  def q36Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
+      .select($"doc_id", round($"score", 4).as("score"), $"n_terms_hit")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  val q36Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (SELECT tf.doc_id,
+      |             ln((nd.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |               * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+      |               AS term_score
+      |           FROM tf JOIN df ON tf.token = df.token
+      |           JOIN dl ON tf.doc_id = dl.doc_id, nd, ad)
+      |SELECT doc_id, round(sum(term_score), 4) AS score,
+      |       count(*) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_bm25_topk" -> q36Bm25TopK _)
+
+  val oracle: Map[String, String] = Map(
+    "q36_bm25_topk" -> q36Oracle)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor similarity search over the embedding
+  * column (north-star surface): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path. Both oracle-checked against DuckDB (the hyperplanes are derived
+  * from pure integer arithmetic so every engine computes identical
+  * planes).
+  *
+  * Scale design: brute force is O(Q×N) — fine when Q (the query batch) is
+  * small and broadcastable, which is exactly how it's planned here
+  * (`broadcast(queries)`, N never shuffles). The LSH variant buckets both
+  * sides by signature first, so the candidate join is an equi-join on
+  * (bucket) — at 100 TB with 256 buckets the per-bucket product is ~N²/256
+  * and each bucket is processed shuffle-locally. Dot products run inside
+  * codegen'd higher-order functions (no UDF row boundary).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** q34 — brute-force cosine top-k: query batch = vec_id % 50 == 0,
+    * top-5 neighbors each (self excluded). */
+  def q34CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", norm($"v"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q34Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |      WHERE vec_id % 50 = 0),
+      |scored AS (SELECT q.q_id, n.vec_id,
+      |             list_sum(list_transform(generate_series(1, 64),
+      |               i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm) AS cos
+      |           FROM n, q WHERE n.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY cos DESC, vec_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component, pure integer
+    * arithmetic → bit-identical across engines:
+    * hp(h, j) = ((h*64 + j) * 2654435761 mod 1000003) / 1000003 - 0.5. */
+  private val hpExpr =
+    "transform(sequence(0, 63), j -> (CAST((h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0) - 0.5)"
+
+  /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → 256 buckets;
+    * neighbors are searched only within the query's bucket (the classic
+    * recall/candidate-count trade). Output: top-3 in-bucket neighbors per
+    * query vector. */
+  def q35CosineLshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", norm($"v"))
+    val withBits = e
+      .withColumn("h", expr("explode(sequence(0, 7))"))
+      .withColumn("hp", expr(hpExpr))
+      .withColumn("bit",
+        when(dot($"v", $"hp") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
+          .otherwise(0L))
+    val buckets = withBits
+      .groupBy($"vec_id", $"label", $"v", $"nrm")
+      .agg(sum($"bit").as("bucket"))
+    val q2 = buckets.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"bucket")
+    val cands = buckets.join(q2, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"bucket", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q35Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |bits AS (SELECT vec_id,
+      |           CASE WHEN list_sum(list_transform(
+      |             generate_series(0, 63),
+      |             j -> (CAST((h.h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+      |                  * v[j + 1])) > 0
+      |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
+      |         FROM n, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) h),
+      |buckets AS (SELECT n.vec_id, n.v, n.nrm, b.bucket
+      |            FROM n JOIN (SELECT vec_id, sum(bit) AS bucket
+      |                         FROM bits GROUP BY 1) b
+      |              ON n.vec_id = b.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket
+      |      FROM buckets WHERE vec_id % 50 = 0),
+      |cands AS (SELECT q.q_id, c.bucket, c.vec_id,
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> c.v[i] * q.qv[i])) / (c.nrm * q.qnrm) AS cos
+      |          FROM buckets c JOIN q ON c.bucket = q.bucket
+      |          WHERE c.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, bucket, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY cos DESC, vec_id ASC) AS rank
+      |           FROM cands)
+      |SELECT q_id, bucket, rank, vec_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_sim_cosine_topk" -> q34CosineTopK _,
+    "q35_sim_lsh_ann" -> q35CosineLshAnn _)
+
+  val oracle: Map[String, String] = Map(
+    "q34_sim_cosine_topk" -> q34Oracle,
+    "q35_sim_lsh_ann" -> q35Oracle)
+}

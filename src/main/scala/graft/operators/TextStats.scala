@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * surface): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All over `documents`, all oracle-checked.
+  *
+  * Scale notes: every operator here is a narrow per-document map (explode
+  * + re-group on the already-partition-local doc_id, or a pure
+  * projection) — no cross-document shuffle except the final presentation
+  * sort, so they pipeline behind whatever scan feeds them at 100 TB.
+  */
+object TextStats {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** The engine's stopword list for the lang-ID heuristic (top English
+    * function words; the fixture corpus is synthetic so the interesting
+    * part is the ratio machinery, not the list). */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "it")
+
+  private val stopSqlList = EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q30 — language ID via stopword-ratio n-gram heuristic: fraction of
+    * tokens that are English function words; ≥ 3% → 'en'. */
+  def q30LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"lang")
+      .agg((sum(when($"token".isin(EnStopwords: _*), 1).otherwise(0)) /
+        count(lit(1))).as("stop_ratio"))
+      .select($"doc_id", $"lang",
+        when($"stop_ratio" >= 0.03, "en").otherwise("other").as("lang_guess"),
+        round($"stop_ratio", 6).as("stop_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q30Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+      |                unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |        sum(CASE WHEN token IN ($stopSqlList) THEN 1 ELSE 0 END)
+      |          / count(*) AS stop_ratio
+      |      FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, lang,
+      |       CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_guess,
+      |       round(stop_ratio, 6) AS stop_ratio
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q31 — quality scoring: length/punctuation/stopword components folded
+    * into one score (the shape of Gopher/C4-style quality filters). */
+  def q31Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", $"text", explode(split($"text", " ")).as("token"))
+    toks.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(length($"token")) / count(lit(1))).as("avg_token_len"),
+        (sum(when($"token".isin(EnStopwords: _*), 1).otherwise(0)) /
+          count(lit(1))).as("stop_ratio"),
+        max(length($"text")).as("n_chars"),
+        max(length(regexp_replace($"text", "[a-z0-9 ]", ""))).as("n_punct"))
+      .select($"doc_id", $"n_tokens", round($"avg_token_len", 6).as("avg_token_len"),
+        $"n_chars", $"n_punct",
+        round(
+          least($"n_tokens" / 200.0, lit(1.0)) * 0.5 +
+            $"stop_ratio" * 0.3 +
+            when($"n_punct" / $"n_chars" < 0.1, 0.2).otherwise(0.0),
+          6).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val q31Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, text,
+      |                unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |a AS (SELECT doc_id,
+      |        count(*) AS n_tokens,
+      |        sum(length(token)) / count(*) AS avg_token_len,
+      |        sum(CASE WHEN token IN ($stopSqlList) THEN 1 ELSE 0 END)
+      |          / count(*) AS stop_ratio,
+      |        max(length(text)) AS n_chars,
+      |        max(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) AS n_punct
+      |      FROM toks GROUP BY 1)
+      |SELECT doc_id, n_tokens, round(avg_token_len, 6) AS avg_token_len,
+      |       n_chars, n_punct,
+      |       round(least(n_tokens / 200.0, 1.0) * 0.5 + stop_ratio * 0.3 +
+      |             CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END,
+      |             6) AS quality_score
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q32 — token counting: whitespace tokens, regex (BPE-ish pre-token)
+    * matches, and a chars/4 BPE estimate. */
+  def q32TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("re_tokens"),
+        ceil(length(regexp_replace($"text", " ", "")) / 4.0).cast("long")
+          .as("est_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q32Oracle: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+      |       CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** q33 — document fingerprinting: whole-document digest over normalized
+    * text + min/max word-5-gram digests (the winnowing primitive used for
+    * fuzzy containment checks). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir)
+      .select($"doc_id",
+        md5(trim(regexp_replace($"text", " +", " "))).as("doc_fp"),
+        split($"text", " ").as("t"))
+    val grams = base
+      .filter(size($"t") >= 5)
+      .select($"doc_id", $"doc_fp", expr(
+        """explode(transform(sequence(1, size(t) - 4),
+          |  i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |       element_at(t, i + 2), element_at(t, i + 3),
+          |       element_at(t, i + 4)))))""".stripMargin).as("g"))
+    grams.groupBy($"doc_id", $"doc_fp")
+      .agg(min($"g").as("min_gram_fp"), max($"g").as("max_gram_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q33Oracle: String =
+    """WITH base AS (SELECT doc_id,
+      |                md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS doc_fp,
+      |                string_split(text, ' ') AS t
+      |              FROM documents),
+      |grams AS (SELECT doc_id, doc_fp,
+      |            md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |                t[i+3] || ' ' || t[i+4]) AS g
+      |          FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) x
+      |          WHERE len(t) >= 5)
+      |SELECT doc_id, doc_fp, min(g) AS min_gram_fp, max(g) AS max_gram_fp
+      |FROM grams GROUP BY 1, 2
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_langid" -> q30LangId _,
+    "q31_text_quality" -> q31Quality _,
+    "q32_text_tokens" -> q32TokenCount _,
+    "q33_text_fingerprint" -> q33Fingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "q30_text_langid" -> q30Oracle,
+    "q31_text_quality" -> q31Oracle,
+    "q32_text_tokens" -> q32Oracle,
+    "q33_text_fingerprint" -> q33Oracle)
+}
