@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal (image/audio/video) column plumbing (north-star surface).
+  *
+  * Media are opaque `binary` columns with a typed metadata struct — the
+  * same shape the reference uses for its PDF corpus (binary stage +
+  * metadata sidecar, `epa_ingestion.py:235-249,534-549`). The Spark-side
+  * plumbing — schema, batch shape, partition-parallel decode, frame
+  * fan-out — is real and tested; the codec itself is STUBBED with a
+  * deterministic digest-based fake (this environment ships no image/audio
+  * libraries), injected as a function so a real decoder drops in without
+  * touching the plan shape.
+  *
+  * Scale notes: decode runs inside mapPartitions-style UDF batches — one
+  * JVM call per row, no driver round-trip, no shuffle; frame sampling is
+  * a Generate (explode) that fans out inside the task. Media bytes never
+  * shuffle: every op here is scan→project→generate.
+  */
+object Multimodal {
+
+  /** Media-table schema: id, kind, bytes, meta(width, height, duration). */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("media_id"),
+      // deterministic kind from id — stand-in for a real modality column
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+      $"text".cast("binary").as("content"),
+      struct(
+        (length($"text") % 640).cast("int").as("width"),
+        (length($"text") % 480).cast("int").as("height"),
+        ($"n_chars" / 10.0).as("duration_s")).as("meta"))
+  }
+
+  /** STUB decoder: 8 pseudo-features derived from the md5 digest of the
+    * bytes — deterministic, schema-faithful (`array<double>`), swap for a
+    * real `bytes => features` model/codec at deployment. */
+  val decodeFeaturesStub: Array[Byte] => Array[Double] = { bytes =>
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    (0 until 8).map { i =>
+      val v = ((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)
+      v / 65535.0
+    }.toArray
+  }
+
+  /** Decode/feature-extract over the binary column: partition-parallel,
+    * batched through the codegen boundary once per row. */
+  def withFeatures(media: DataFrame): DataFrame = {
+    val dec = udf(decodeFeaturesStub)
+    media.withColumn("features", dec(col("content")))
+  }
+
+  /** Frame sampling: video rows fan out to ceil(duration / `everyS`)
+    * frame rows (frame_no, frame_ts_s); non-video rows keep one row with
+    * frame_no 0. The Generate runs task-local — no shuffle. */
+  def sampleFrames(media: DataFrame, everyS: Double = 10.0): DataFrame =
+    media.withColumn("frame_no",
+        explode(when(col("kind") === "video",
+          sequence(lit(0),
+            greatest(lit(0),
+              ceil(col("meta.duration_s") / everyS).cast("int") - 1)))
+          .otherwise(array(lit(0)))))
+      .withColumn("frame_ts_s", col("frame_no") * everyS)
+
+  /** "Resize": projection over meta producing target dimensions with
+    * aspect preserved — metadata-only, the real pixel op lives behind the
+    * decoder stub. */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame =
+    media.withColumn("scale",
+        when(greatest(col("meta.width"), col("meta.height")) > maxSide,
+          lit(maxSide) / greatest(col("meta.width"), col("meta.height"))
+            .cast("double"))
+          .otherwise(lit(1.0)))
+      .withColumn("out_width", floor(col("meta.width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("meta.height") * col("scale")).cast("int"))
+
+  /** q37 — the multimodal pipeline end-to-end: binary media table →
+    * decode-stub features → frame sampling → per-kind rollup. Oracle:
+    * DuckDB reproduces the md5-derived features on the text (same bytes —
+    * UTF-8 — so digests agree), proving the binary plumbing didn't mangle
+    * content. */
+  def q37MultimodalPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = withFeatures(mediaFromDocuments(s, dir))
+    val frames = sampleFrames(media)
+    frames.select($"media_id", $"kind", $"frame_no",
+        round($"frame_ts_s", 2).as("frame_ts_s"),
+        length($"content").as("n_bytes"),
+        round(element_at($"features", 1), 6).as("f0"),
+        round(element_at($"features", 2), 6).as("f1"))
+      .orderBy($"media_id", $"frame_no")
+  }
+
+  val q37Oracle: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |         text, n_chars / 10.0 AS duration_s,
+      |         md5(text) AS h
+      |  FROM documents),
+      |frames AS (
+      |  SELECT m.*, f.frame_no FROM media m,
+      |    LATERAL (SELECT unnest(CASE WHEN kind = 'video'
+      |      THEN generate_series(0, greatest(0,
+      |             CAST(ceil(duration_s / 10.0) AS INT) - 1))
+      |      ELSE [0] END) AS frame_no) f)
+      |SELECT media_id, kind, frame_no,
+      |       round(frame_no * CAST(10.0 AS DOUBLE), 2) AS frame_ts_s,
+      |       length(text) AS n_bytes,
+      |       round((CAST(('0x' || substr(h, 1, 2))::INT AS BIGINT) * 256
+      |              + ('0x' || substr(h, 3, 2))::INT) / 65535.0, 6) AS f0,
+      |       round((CAST(('0x' || substr(h, 5, 2))::INT AS BIGINT) * 256
+      |              + ('0x' || substr(h, 7, 2))::INT) / 65535.0, 6) AS f1
+      |FROM frames
+      |ORDER BY media_id, frame_no""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_multimodal_pipeline" -> q37MultimodalPipeline _)
+
+  val oracle: Map[String, String] = Map(
+    "q37_multimodal_pipeline" -> q37Oracle)
+}

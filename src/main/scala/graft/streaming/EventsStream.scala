@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming face of the engine (SURVEY.md §2.10): the
+  * reference's only continuous construct is the search service's
+  * `TARGET_LAG = '1 minute'` (`epa_ingestion.py:849`) — a declarative
+  * freshness SLA over an incrementally-maintained derived table. Spark
+  * equivalent: a micro-batch streaming query whose trigger interval is the
+  * target lag, watermarking out late data, in update/append mode.
+  *
+  * Everything here is defined against a streaming DataFrame and shares the
+  * transformation code with its batch twin, so
+  * streaming-result == batch-result is testable with Trigger.AvailableNow
+  * (no wall-clock flakiness — see StreamingSpec).
+  *
+  * Scale notes: the windowed aggregate state is bounded by
+  * (#windows-in-watermark × #event_types); the dedup state by keys within
+  * the watermark. Both are the standard 100 TB streaming patterns —
+  * watermark bounds state, keys hash-partition across executors.
+  */
+object EventsStream {
+
+  /** The events fixture schema as stored (ts = nanos since epoch; see
+    * Tables.loadEvents for why it arrives as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-replay streaming source over the events fixture: one parquet
+    * file treated as an arriving stream. `maxFilesPerTrigger` keeps the
+    * replay micro-batched like a real feed. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory; stage one holding a symlink
+    // to the fixture file (the fixture tree is read-only).
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling-window aggregate with watermark — the maintained "search
+    * freshness" table. Pure function of a (streaming or batch) events
+    * DataFrame, so the batch twin is the same call. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark — the incremental
+    * form of exact dedup (anti-join change detection, SURVEY §2.10 (1)). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Run `transform` over the event stream into an in-memory table named
+    * `queryName`, processing everything currently available (the test /
+    * local-verification harness; a production deploy would use
+    * `Trigger.ProcessingTime("1 minute")` ≈ TARGET_LAG).
+    * In append mode a finite replay never flushes the final open window
+    * (the watermark stops advancing), so aggregate tests use "complete";
+    * row-wise transforms (dedup) use "append". */
+  def runAvailableNow(spark: SparkSession, dir: String, queryName: String,
+      outputMode: String)(
+      transform: DataFrame => DataFrame): StreamingQuery =
+    transform(readEvents(spark, dir))
+      .writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${queryName}_" +
+          java.util.UUID.randomUUID().toString.take(8))
+      .start()
+}
