@@ -29,13 +29,17 @@ object Dedup {
   /** Word 3-gram shingles, distinct per doc. Element-at based so the
     * DuckDB oracle can mirror it verbatim. */
   private def shingles(df: DataFrame): DataFrame =
+    shinglesWithDup(df).distinct()
+
+  /** Same 3-gram stream but with multiplicity (for min-aggregations where
+    * distinct is a wasted shuffle). */
+  private def shinglesWithDup(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(
         """explode(transform(sequence(1, size(t) - 2),
           |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
           |                 element_at(t, i + 2))))""".stripMargin).as("shingle"))
-      .distinct()
 
   private val shingleSqlCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -108,29 +112,34 @@ object Dedup {
     * signature fraction. The all-pairs product never materializes. */
   def q28MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(docs(s, dir))
-    val seeded = sh.select($"doc_id",
-      expr("explode(sequence(0, 7))").as("seed"), $"shingle")
-    val sigs = seeded
-      .groupBy($"doc_id", $"seed")
-      .agg(min(md5(concat($"seed", lit(":"), $"shingle"))).as("mh"))
-    val bands = sigs
-      .withColumn("band", ($"seed" / 2).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"), "|").as("bkey"))
+    // minhash is min over a hash family — duplicates can't change a min,
+    // so the shingle stream needs no distinct (one less shuffle)
+    val sh = shinglesWithDup(docs(s, dir))
+    // ONE aggregation pass computes all 8 minhashes as columns: the
+    // shuffle carries 8×32B per doc, never the shingles; map-side
+    // partial min does the heavy lifting. The wide table then serves
+    // banding AND both sides of the verify join without re-expansion.
+    val mhAggs = (0 to 7).map(k =>
+      min(md5(concat(lit(k), lit(":"), $"shingle"))).as(s"mh$k"))
+    val wide = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*).cache()
+    // 4 bands × 2 rows: band key = concat of its 2 signature values
+    val bands = wide.select($"doc_id", posexplode(array(
+        concat_ws("|", $"mh0", $"mh1"), concat_ws("|", $"mh2", $"mh3"),
+        concat_ws("|", $"mh4", $"mh5"), concat_ws("|", $"mh6", $"mh7")))
+      .as(Seq("band", "bkey")))
     val cands = bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val est = cands
-      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sigs.as("sb"),
-        $"doc_b" === $"sb.doc_id" && $"sa.seed" === $"sb.seed")
-      .groupBy($"doc_a", $"doc_b")
-      .agg((sum(when($"sa.mh" === $"sb.mh", 1).otherwise(0)) / 8.0).as("est_sim"))
-    est.select($"doc_a", $"doc_b", round($"est_sim", 6).as("est_sim"))
+    val matches = (0 to 7).map(k =>
+      when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(wide.as("a"), $"doc_a" === $"a.doc_id")
+      .join(wide.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b", round(matches / 8.0, 6).as("est_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
 

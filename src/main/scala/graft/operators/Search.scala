@@ -29,7 +29,8 @@ object Search {
     * index-side statistics. Deterministic: all inputs integer-derived. */
   def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val toks = tokens(docs)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl feeds avgdl AND the scorer join; one tokenize+agg, reused
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")).cache()
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val avgdl = dl.select((sum(col("dl")) / count(lit(1))).as("avgdl"))
     val tf = toks.filter(col("token").isin(terms: _*))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.{cosine_sim, dot_product}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor similarity search over the embedding
@@ -27,21 +28,18 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** codegen'd native expressions (graft.functions) — identical FP
+    * association to the DuckDB oracle's list_sum/list_transform form. */
 
   /** q34 — brute-force cosine top-k: query batch = vec_id % 50 == 0,
     * top-5 neighbors each (self excluded). */
   def q34CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).withColumn("nrm", norm($"v"))
+    val e = emb(s, dir)
     val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qnrm"))
+      .withColumn("cos", cosine_sim($"v", $"qv"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -79,12 +77,14 @@ object Similarity {
     * query vector. */
   def q35CosineLshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).withColumn("nrm", norm($"v"))
+    // norms are computed once per vector (sqrt of the self-dot) and
+    // reused across every candidate pair; only the dot runs per pair.
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val withBits = e
       .withColumn("h", expr("explode(sequence(0, 7))"))
       .withColumn("hp", expr(hpExpr))
       .withColumn("bit",
-        when(dot($"v", $"hp") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
+        when(dot_product($"v", $"hp") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
           .otherwise(0L))
     val buckets = withBits
       .groupBy($"vec_id", $"label", $"v", $"nrm")
@@ -94,7 +94,7 @@ object Similarity {
         $"bucket")
     val cands = buckets.join(q2, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qnrm"))
+      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     cands.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
