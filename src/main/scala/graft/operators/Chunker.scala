@@ -182,7 +182,9 @@ object Chunker {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .withColumn("text", repeat(concat($"text", lit(" ")), 10))
-    chunkDocs(docs)
+    // native Generator path (ChunkGenerator); chunkDocs is the UDF twin —
+    // ChunkerSpec pins their equivalence
+    graft.functions.ChunkFunctions.chunkDocsNative(docs)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"), max(length($"chunk")).as("max_len"))
       .orderBy($"doc_id")

@@ -204,13 +204,46 @@ object Dedup {
       |FROM sims
       |ORDER BY doc_id""".stripMargin
 
+  /** q40 — embedding-cosine near-dup: rank all candidate pairs by cosine
+    * and keep the top-100 (the fixture has no true near-dups — max pair
+    * cosine ≈ 0.51 — so a threshold would be vacuous; production use sets
+    * `WHERE cos > 0.95`). Norms precomputed per vector; one broadcast side.
+    * At 100 TB the all-pairs product is replaced by the LSH-bucketed
+    * candidate join of q35 — this is the verify kernel it shares. */
+  def q40EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrmb"))
+    e.join(broadcast(b), $"vec_id" < $"vec_b")
+      .select($"vec_id".as("vec_a"), $"vec_b",
+        round(dot_product($"v", $"vb") / ($"nrm" * $"nrmb"), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
+      .limit(100)
+  }
+
+  val q40Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |            round(list_sum(list_transform(generate_series(1, 64),
+      |              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+      |          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos FROM pairs
+      |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_embedding_cosine" -> q40EmbeddingNearDup _,
     "q26_dedup_exact" -> q26DedupExact _,
     "q27_dedup_ngram_jaccard" -> q27NgramJaccard _,
     "q28_dedup_minhash_lsh" -> q28MinHashLsh _,
     "q29_dedup_simhash" -> q29SimHash _)
 
   val oracle: Map[String, String] = Map(
+    "q40_dedup_embedding_cosine" -> q40Oracle,
     "q26_dedup_exact" -> q26Oracle,
     "q27_dedup_ngram_jaccard" -> q27Oracle,
     "q28_dedup_minhash_lsh" -> q28Oracle,

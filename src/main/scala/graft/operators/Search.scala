@@ -80,9 +80,106 @@ object Search {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** q38 — attribute-filtered BM25: the reference's search service scopes
+    * queries by ATTRIBUTES columns (`epa_ingestion.py:846-847`); here the
+    * corpus is restricted by `source` BEFORE indexing/scoring, so the
+    * attribute predicate pushes down to the parquet scan and index stats
+    * (N, df, avgdl) reflect the filtered corpus. */
+  def q38Bm25Filtered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val filtered = Tables.documents(s, dir)
+      .filter($"source".isin("src1", "src2", "src3"))
+    bm25(filtered, Seq("join", "hash", "vector"))
+      .select($"doc_id", round($"score", 4).as("score"), $"n_terms_hit")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  val q38Oracle: String =
+    """WITH corpus AS (SELECT * FROM documents
+      |                WHERE source IN ('src1', 'src2', 'src3')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM corpus),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM corpus),
+      |ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (SELECT tf.doc_id,
+      |             ln((nd.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |               * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+      |               AS term_score
+      |           FROM tf JOIN df ON tf.token = df.token
+      |           JOIN dl ON tf.doc_id = dl.doc_id, nd, ad)
+      |SELECT doc_id, round(sum(term_score), 4) AS score,
+      |       count(*) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** q39 — hybrid retrieval: BM25 keyword score fused with vector cosine
+    * against a query embedding (the keyword+semantic shape of the
+    * reference's managed search, U3). Normalized keyword score (score /
+    * corpus max) and cosine are averaged 50/50; top-10. */
+  def q39HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    import org.apache.spark.sql.expressions.Window
+    val kw = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val qv = e.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val wAll = Window.partitionBy()
+    kw.withColumn("kw_norm", $"score" / max($"score").over(wAll))
+      .join(e, $"doc_id" === $"vec_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
+      .select($"doc_id",
+        round(($"kw_norm" * 0.5 + $"cos" * 0.5), 6).as("hybrid_score"),
+        round($"kw_norm", 6).as("kw_norm"), round($"cos", 6).as("cos"))
+      .orderBy($"hybrid_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  val q39Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |kw AS (SELECT tf.doc_id,
+      |         sum(ln((nd.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS score
+      |       FROM tf JOIN df ON tf.token = df.token
+      |       JOIN dl ON tf.doc_id = dl.doc_id, nd, ad
+      |       GROUP BY tf.doc_id),
+      |kwn AS (SELECT doc_id, score / max(score) OVER () AS kw_norm FROM kw),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |qv AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+      |fused AS (SELECT k.doc_id, k.kw_norm,
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * qv.qv[i])) / (n.nrm * qv.qnrm) AS cos
+      |          FROM kwn k JOIN n ON k.doc_id = n.vec_id, qv)
+      |SELECT doc_id,
+      |       round(kw_norm * 0.5 + cos * 0.5, 6) AS hybrid_score,
+      |       round(kw_norm, 6) AS kw_norm, round(cos, 6) AS cos
+      |FROM fused
+      |ORDER BY hybrid_score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_bm25_topk" -> q36Bm25TopK _)
+    "q36_bm25_topk" -> q36Bm25TopK _,
+    "q38_bm25_filtered" -> q38Bm25Filtered _,
+    "q39_hybrid_search" -> q39HybridSearch _)
 
   val oracle: Map[String, String] = Map(
-    "q36_bm25_topk" -> q36Oracle)
+    "q36_bm25_topk" -> q36Oracle,
+    "q38_bm25_filtered" -> q38Oracle,
+    "q39_hybrid_search" -> q39Oracle)
 }

@@ -78,3 +78,29 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.chunkText(t) == Chunker.chunkText(t))
   }
 }
+
+/** Generator (native UDTF) path ≡ UDF+posexplode path, and the plan
+  * carries a Generate node over text_chunks. */
+class ChunkGeneratorSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("chunkDocsNative equals chunkDocs on fixture documents") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("text", repeat(concat(col("text"), lit(" ")), 10))
+    val a = graft.operators.Chunker.chunkDocs(docs)
+      .select("doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "chunk_index").collect().toSeq
+    val b = graft.functions.ChunkFunctions.chunkDocsNative(docs)
+      .select("doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "chunk_index").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("plan uses a Generate node with text_chunks") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val plan = graft.functions.ChunkFunctions.chunkDocsNative(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate text_chunks"), plan.take(500))
+  }
+}
