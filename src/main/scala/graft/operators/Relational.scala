@@ -447,7 +447,33 @@ object Relational {
       |FROM events GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q41 — skew-safe two-phase (salted) aggregation: event_type has very
+    * low cardinality (heavy skew at scale — all rows of a type land on one
+    * reducer). Phase 1 aggregates (event_type, salt) — 16-way fan-out of
+    * each hot key; phase 2 combines the partials. Result is identical to
+    * the direct groupBy (counts/sums of longs are associative-exact), so
+    * the oracle is the plain form. At 100 TB this is the manual fallback
+    * where AQE skew handling doesn't apply (single-key aggregation). */
+  def q41SkewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("salt", ($"event_id" % 16).cast("int"))
+    val partial = salted.groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"k").as("pk"))
+    partial.groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"pk").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  val q41Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_skew_salted_agg" -> q41SkewSaltedAgg _,
     "q01_flagship_latest_anti" -> q01Flagship _,
     "q02_join_inner_dims" -> q02JoinInner _,
     "q03_join_left_multi" -> q03JoinLeftMulti _,
@@ -469,6 +495,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q41_skew_salted_agg" -> q41Oracle,
     "q01_flagship_latest_anti" -> q01Oracle,
     "q02_join_inner_dims" -> q02Oracle,
     "q03_join_left_multi" -> q03Oracle,
