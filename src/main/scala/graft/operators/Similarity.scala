@@ -132,11 +132,39 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q42 — same retrieval as q34 but through the custom bounded top-k
+    * aggregate (TypedImperativeAggregate) instead of window+row_number:
+    * partial aggregation keeps ≤ k pairs per partition, so the shuffle
+    * carries k per group per partition rather than all Q×N scored pairs.
+    * Oracle identical to q34's (the aggregate uses the same
+    * (score desc, id asc) total order). */
+  def q42TopKAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKFunctions.top_k_by_score
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosine_sim($"v", $"qv"))
+      .groupBy($"q_id")
+      .agg(top_k_by_score($"cos", $"vec_id", 5).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).as("rank"), $"t.id".as("vec_id"),
+        round($"t.score", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q42's oracle is q34's logical query — rank desugar of the same
+    * top-5-per-query — proving aggregate ≡ window forms. */
+  val q42Oracle: String = q34Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sim_cosine_topk" -> q34CosineTopK _,
-    "q35_sim_lsh_ann" -> q35CosineLshAnn _)
+    "q35_sim_lsh_ann" -> q35CosineLshAnn _,
+    "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
     "q34_sim_cosine_topk" -> q34Oracle,
-    "q35_sim_lsh_ann" -> q35Oracle)
+    "q35_sim_lsh_ann" -> q35Oracle,
+    "q42_sim_topk_aggregate" -> q42Oracle)
 }

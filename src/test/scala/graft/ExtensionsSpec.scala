@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration via spark.sql.extensions=graft.GraftExtensions:
+  * the deploy path for clusters where the library is only on the classpath. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("ExtensionsSpec")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("cosine_sim and dot_product usable from SQL") {
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d"""
+        .stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("text_chunks generates lateral chunk rows from SQL") {
+    val rows = spark.sql(
+      "SELECT text_chunks('aaaa bbbb cccc dddd', 10, 4)").collect()
+    assert(rows.length > 1)
+    assert(rows.forall(_.getString(1).length <= 10))
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices)
+  }
+
+  test("bad arity gives a clear error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT text_chunks('x', 10)").collect())
+    assert(e.getMessage.contains("1 or 3"))
+  }
+}
