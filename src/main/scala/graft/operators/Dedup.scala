@@ -119,9 +119,13 @@ object Dedup {
     // shuffle carries 8×32B per doc, never the shingles; map-side
     // partial min does the heavy lifting. The wide table then serves
     // banding AND both sides of the verify join without re-expansion.
+    // one md5 per shingle; the 8 hash functions are its 8 disjoint
+    // 4-hex (16-bit+16-bit=32-bit) slices — an 8x cheaper valid minhash
+    // family (min over independent bit ranges of a uniform digest)
+    val hashed = sh.select($"doc_id", md5($"shingle").as("h"))
     val mhAggs = (0 to 7).map(k =>
-      min(md5(concat(lit(k), lit(":"), $"shingle"))).as(s"mh$k"))
-    val wide = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*).cache()
+      min(substring($"h", 4 * k + 1, 4)).as(s"mh$k"))
+    val wide = hashed.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*).cache()
     // 4 bands × 2 rows: band key = concat of its 2 signature values
     val bands = wide.select($"doc_id", posexplode(array(
         concat_ws("|", $"mh0", $"mh1"), concat_ws("|", $"mh2", $"mh3"),
@@ -146,7 +150,7 @@ object Dedup {
   val q28Oracle: String =
     s"""WITH $shingleSqlCte,
       |sigs AS (SELECT doc_id, seed,
-      |                min(md5(seed || ':' || shingle)) AS mh
+      |                min(substr(md5(shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
       |         FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
       |         GROUP BY doc_id, seed),
       |bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,

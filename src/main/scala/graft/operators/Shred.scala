@@ -99,4 +99,32 @@ object Shred {
     import spark.implicits._
     shred(parse(docs.toDF("json")))
   }
+
+  // ---- Spark 4 Variant (schema-on-read) alternative (SURVEY §1.3) ----
+
+  /** Parse into a VariantType column: no declared schema, fields typed at
+    * extraction. The right choice when the API payload evolves faster
+    * than the declared `productSchema` — unknown fields are retained in
+    * the variant instead of silently dropped. */
+  def parseVariant(docs: DataFrame, jsonCol: String = "json"): DataFrame =
+    docs.withColumn("doc", parse_json(col(jsonCol)))
+
+  /** Parent table extracted lazily from the variant — same shape as
+    * shred()("products"). */
+  def productsFromVariant(parsed: DataFrame): DataFrame =
+    upperCols(parsed.select(parentCols.map(c =>
+      expr(s"variant_get(doc, '$$.$c', 'string')").as(c)): _*))
+
+  /** One child table from the variant: explode the child array variant,
+    * then extract the requested fields (all strings here — the one
+    * double, active_ing_percent, is cast by the caller if needed). */
+  def childFromVariant(parsed: DataFrame, child: String,
+      fields: Seq[String]): DataFrame = {
+    val exploded = parsed.select(
+      expr("variant_get(doc, '$.eparegno', 'string')").as("eparegno"),
+      explode(expr(s"cast(variant_get(doc, '$$.$child') AS array<variant>)"))
+        .as("c"))
+    upperCols(exploded.select(col("eparegno") +: fields.map(f =>
+      expr(s"variant_get(c, '$$.$f', 'string')").as(f)): _*))
+  }
 }

@@ -70,6 +70,27 @@ class ShredSpec extends SparkSuite {
     assert(tables("sites").count() == 2)
   }
 
+  test("variant (schema-on-read) path matches the declared-schema path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parsedS = Shred.parse(Seq(fullDoc).toDF("json"))
+    val parsedV = Shred.parseVariant(Seq(fullDoc).toDF("json"))
+    val pS = Shred.shred(parsedS)("products").collect().head
+    val pV = Shred.productsFromVariant(parsedV).collect().head
+    assert(pS.getAs[String]("EPAREGNO") == pV.getAs[String]("EPAREGNO"))
+    assert(pS.getAs[String]("SIGNAL_WORD") == pV.getAs[String]("SIGNAL_WORD"))
+    val sitesV = Shred.childFromVariant(parsedV, "sites", Seq("site"))
+    assert(sitesV.columns.toSet == Set("EPAREGNO", "SITE"))
+    assert(sitesV.collect().map(_.getAs[String]("SITE")).sorted.toSeq ==
+      Seq("INDOOR", "OUTDOOR"))
+    // schema-on-read keeps fields the declared schema doesn't know about
+    val extraJson = """{"eparegno":"1-1","brand_new_field":42}"""
+    val extra = Shred.parseVariant(Seq(extraJson).toDF("json"))
+    assert(extra.select(
+      expr("variant_get(doc, '$.brand_new_field', 'int')"))
+      .head.getInt(0) == 42)
+  }
+
   test("mixed batch: children union across documents") {
     val doc2 = fullDoc.replace("70051-119", "100-200")
     val tables = Shred.shredJson(spark, Seq(fullDoc, doc2))
