@@ -20,7 +20,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
 
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
@@ -30,16 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"text_chunks $what must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(array<double>, array<double>) - cosine similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(array<double>, array<double>) - dot product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("text_chunks"),
-      info("text_chunks",
-        "text_chunks(text[, chunk_size, overlap]) - recursive character chunks"),
+  /** The engine's SQL function surface, shared by the build-time
+    * extensions path and [[registerAll]]. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      "cosine_sim(array<double>, array<double>) - cosine similarity",
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    ("dot_product",
+      "dot_product(array<double>, array<double>) - dot product",
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("text_chunks",
+      "text_chunks(text[, chunk_size, overlap]) - recursive character chunks",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) =>
           ChunkGenerator(t, Chunker.DefaultChunkSize, Chunker.DefaultOverlap)
@@ -48,5 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "text_chunks expects 1 or 3 arguments")
       }))
-  }
+
+  /** Register on an already-running session (extensions only apply at
+    * session build; this is the late-bind path). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

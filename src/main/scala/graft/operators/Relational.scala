@@ -472,7 +472,36 @@ object Relational {
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q43 — gap-based sessionization (batch face of the custom-state
+    * streaming operator, graft.streaming.Sessionize): 30-min gaps split
+    * each user's event stream into sessions; lag + running-sum windows.
+    * Epoch seconds (unix_timestamp truncation) keep the oracle exact. */
+  def q43Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Sessionize.sessionsBatch(t(s, dir, "events"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val q43Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS tsSec
+      |           FROM events),
+      |b AS (SELECT *, CASE WHEN prev IS NULL OR tsSec - prev >= 1800
+      |                     THEN 1 ELSE 0 END AS boundary
+      |      FROM (SELECT *, lag(tsSec) OVER (PARTITION BY user_id
+      |              ORDER BY tsSec ASC, event_id ASC) AS prev FROM e)),
+      |ss AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+      |         ORDER BY tsSec ASC, event_id ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |       FROM b)
+      |SELECT user_id, session_seq,
+      |       min(tsSec) AS session_start, max(tsSec) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM ss GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_sessionize" -> q43Sessionize _,
     "q41_skew_salted_agg" -> q41SkewSaltedAgg _,
     "q01_flagship_latest_anti" -> q01Flagship _,
     "q02_join_inner_dims" -> q02JoinInner _,
@@ -495,6 +524,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q43_sessionize" -> q43Oracle,
     "q41_skew_salted_agg" -> q41Oracle,
     "q01_flagship_latest_anti" -> q01Oracle,
     "q02_join_inner_dims" -> q02Oracle,

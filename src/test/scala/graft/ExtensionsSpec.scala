@@ -6,13 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 /** SQL-surface registration via spark.sql.extensions=graft.GraftExtensions:
   * the deploy path for clusters where the library is only on the classpath. */
 class ExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("ExtensionsSpec")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // extensions apply only at session build, and under sbt test another
+    // suite usually built the session first — use the late-bind path
+    // (same builders the spark.sql.extensions deploy path injects)
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("ExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.registerAll(s)
+    s
+  }
 
   test("cosine_sim and dot_product usable from SQL") {
     val r = spark.sql(
