@@ -158,12 +158,89 @@ object Similarity {
     * top-5-per-query — proving aggregate ≡ window forms. */
   val q42Oracle: String = q34Oracle
 
+  /** q44 — IVF-style ANN (the inverted-file scale path): ~N/40
+    * deterministic "centroids" (every 40th vector — a stand-in for
+    * k-means centroids that any engine reproduces), every vector assigned
+    * to its nearest centroid's cell, queries probe their nprobe=2 nearest
+    * cells and rank only those cells' members by exact cosine.
+    * At 100 TB: assignment is a broadcast-centroid map pass; the probe
+    * join touches ~nprobe/ncells of the corpus instead of all of it. */
+  def q44IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val cent = e.filter($"vec_id" % 40 === 0)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"ccos".desc, $"c_id".asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot_product($"v", $"cv") / ($"nrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"c_id".as("cell"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wProbe = Window.partitionBy($"q_id")
+      .orderBy($"qcos".desc, $"c_id".asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qcos", dot_product($"qv", $"cv") / ($"qnrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= 2)
+      .select($"q_id", $"qv", $"qnrm", $"c_id".as("cell"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    assigned.join(probes, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q44Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+      |         WHERE vec_id % 40 = 0),
+      |assigned AS (SELECT vec_id, v, nrm, c_id AS cell
+      |  FROM (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM n, cent c)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |      WHERE vec_id % 50 = 0),
+      |probes AS (SELECT q_id, qv, qnrm, c_id AS cell
+      |  FROM (SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+      |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> q.qv[i] * c.cv[i])) / (q.qnrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM q, cent c)
+      |  WHERE rn <= 2),
+      |cands AS (SELECT p.q_id, a.vec_id, a.cell,
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> a.v[i] * p.qv[i])) / (a.nrm * p.qnrm) AS cos
+      |          FROM assigned a JOIN probes p ON a.cell = p.cell
+      |          WHERE a.vec_id <> p.q_id),
+      |ranked AS (SELECT q_id, vec_id, cell, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY cos DESC, vec_id ASC) AS rank
+      |           FROM cands)
+      |SELECT q_id, rank, vec_id, cell, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_sim_ivf_ann" -> q44IvfAnn _,
     "q34_sim_cosine_topk" -> q34CosineTopK _,
     "q35_sim_lsh_ann" -> q35CosineLshAnn _,
     "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
+    "q44_sim_ivf_ann" -> q44Oracle,
     "q34_sim_cosine_topk" -> q34Oracle,
     "q35_sim_lsh_ann" -> q35Oracle,
     "q42_sim_topk_aggregate" -> q42Oracle)
