@@ -40,7 +40,7 @@ object Dml {
   def updateFrom(target: DataFrame, source: DataFrame, keys: Seq[String],
       updates: Map[String, Column]): DataFrame = {
     val marked = source.select(
-      keys.map(col) :+ lit(true).as("__matched") :+ struct(source.columns.map(col): _*).as("__src"): _*)
+      keys.map(col) :+ lit(true).as("__matched"): _*)
     val joined = target.join(marked, keys, "left")
     val outCols = target.columns.map { c =>
       updates.get(c) match {

@@ -111,7 +111,7 @@ object Multimodal {
       |      ELSE [0] END) AS frame_no) f)
       |SELECT media_id, kind, frame_no,
       |       round(frame_no * CAST(10.0 AS DOUBLE), 2) AS frame_ts_s,
-      |       length(text) AS n_bytes,
+      |       octet_length(encode(text)) AS n_bytes,
       |       round((CAST(('0x' || substr(h, 1, 2))::INT AS BIGINT) * 256
       |              + ('0x' || substr(h, 3, 2))::INT) / 65535.0, 6) AS f0,
       |       round((CAST(('0x' || substr(h, 5, 2))::INT AS BIGINT) * 256

@@ -118,14 +118,18 @@ object Pipeline {
   }
 
   /** Status advance PENDING→CHUNKED for just-chunked files, keyed on the
-    * derived relative path (`epa_ingestion.py:769-775`, D3). */
-  def markChunked(metadata: DataFrame, chunkedPaths: Seq[String]): DataFrame = {
+    * derived relative path (`epa_ingestion.py:769-775`, D3). `chunked` is
+    * a DataFrame with a RELATIVE_PATH column (e.g. the processChunks
+    * output) — the update joins distributed, never collecting paths into
+    * a driver-side In(...) literal. */
+  def markChunked(metadata: DataFrame, chunked: DataFrame): DataFrame = {
+    val paths = chunked.select(col("RELATIVE_PATH").as("__rel")).distinct()
     val withKey = metadata.withColumn("__rel",
       regexp_extract(col("STAGE_FILE_PATH"), "EPA_LABEL_PDF/.*$", 0))
-    withKey.withColumn("PROCESSING_STATUS",
-        when(col("__rel").isin(chunkedPaths: _*) &&
-          col("PROCESSING_STATUS") === "PENDING", "CHUNKED")
-          .otherwise(col("PROCESSING_STATUS")))
+    Dml.updateFrom(withKey, paths, Seq("__rel"),
+        Map("PROCESSING_STATUS" ->
+          when(col("PROCESSING_STATUS") === "PENDING", lit("CHUNKED"))
+            .otherwise(col("PROCESSING_STATUS"))))
       .drop("__rel")
   }
 

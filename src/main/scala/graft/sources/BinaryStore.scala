@@ -46,9 +46,12 @@ object BinaryStore {
     * directory(@stage) columns. */
   def directoryTable(spark: SparkSession, storeDir: String): DataFrame = {
     val base = storeDir.stripSuffix("/")
+    // Pattern.quote: store paths with regex metacharacters ('+', '(',
+    // ...) must strip as literals, not patterns
+    val prefix = java.util.regex.Pattern.quote(s"file:$base/")
     spark.read.format("binaryFile").load(base + "/*")
       .select(
-        regexp_replace(col("path"), "^file:" + base + "/", "")
+        regexp_replace(col("path"), "^" + prefix, "")
           .as("relative_path"),
         col("length").as("size"),
         col("modificationTime").as("last_modified"),

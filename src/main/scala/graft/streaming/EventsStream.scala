@@ -67,11 +67,14 @@ object EventsStream {
         col("sum_value"))
 
   /** Streaming dedup on event_id within the watermark — the incremental
-    * form of exact dedup (anti-join change detection, SURVEY §2.10 (1)). */
+    * form of exact dedup (anti-join change detection, SURVEY §2.10 (1)).
+    * dropDuplicatesWithinWatermark (not plain dropDuplicates, whose state
+    * never evicts unless the event-time column is part of the key) keeps
+    * the state store bounded by the watermark horizon. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Run `transform` over the event stream into an in-memory table named
     * `queryName`, processing everything currently available (the test /

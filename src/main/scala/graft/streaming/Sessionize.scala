@@ -24,7 +24,7 @@ object Sessionize {
 
   val DefaultGapSec = 1800L
 
-  case class Ev(user_id: Long, tsSec: Long, value: Double)
+  case class Ev(user_id: Long, event_id: Long, tsSec: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, sum_value: Double)
@@ -59,10 +59,14 @@ object Sessionize {
     import spark.implicits._
     val typed = events
       .withColumn("tsSec", unix_timestamp(col("ts")))
-      .select(col("user_id"), col("tsSec"), col("value")).as[Ev]
+      .select(col("user_id"), col("event_id"), col("tsSec"), col("value"))
+      .as[Ev]
 
     def flush(userId: Long, st: SessionState): Session =
-      Session(userId, st.start, st.end, st.n, st.sum)
+      // round like the batch twin's round(sum(value), 4) (HALF_UP)
+      Session(userId, st.start, st.end, st.n,
+        BigDecimal(st.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
 
     typed
       .groupByKey(_.user_id)
@@ -73,7 +77,7 @@ object Sessionize {
           // call; sort by time and emit all closed sessions + the final
           // one (finite-replay semantics — production would use
           // EventTimeTimeout and keep the last session open).
-          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.value))
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.event_id))
           var out = List.empty[Session]
           var cur: Option[SessionState] = state.getOption
           for (e <- sorted) {

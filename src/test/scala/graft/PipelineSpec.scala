@@ -67,9 +67,7 @@ class PipelineSpec extends SparkSuite {
       bytes => new String(bytes, "UTF-8"))
     assert(chunks.count() >= 2)
     assert(chunks.groupBy($"EPAREGNO").count().count() == 2)
-    val paths = chunks.select($"RELATIVE_PATH").distinct()
-      .as[String].collect().toSeq
-    val meta2 = Pipeline.markChunked(meta1, paths)
+    val meta2 = Pipeline.markChunked(meta1, chunks)
     assert(meta2.filter($"PROCESSING_STATUS" === "CHUNKED").count() == 2)
     assert(meta2.filter($"PROCESSING_STATUS" === "PENDING").count() == 0)
 

@@ -37,6 +37,14 @@ class SearchIndexStreamSpec extends SparkSuite {
     assert(doc.except(batchDoc).isEmpty && batchDoc.except(doc).isEmpty)
     // and it genuinely ran incrementally: at least 2 batches → df summed
     assert(tok.agg(max("df")).head().getLong(0) > 1)
+
+    // re-run idempotency: the stable checkpoint resumes (sees no new
+    // files), so the additive state must not double-count
+    val q2 = SearchIndexStream.maintain(spark, inDir, stateDir)
+    q2.awaitTermination()
+    val (tok2, doc2) = SearchIndexStream.readState(spark, stateDir)
+    assert(tok2.except(batchTok).isEmpty && batchTok.except(tok2).isEmpty)
+    assert(doc2.except(batchDoc).isEmpty && batchDoc.except(doc2).isEmpty)
   }
 
   test("RestSource: throttled fetch isolates failures per key") {
