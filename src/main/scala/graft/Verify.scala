@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark-docs-recommended AQE behavior: respect the advisory size
+      // when coalescing post-shuffle partitions instead of pinning to
+      // parallelism - tiny shuffles collapse to few tasks (local bench),
+      // big shuffles still fan out (cluster scale)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

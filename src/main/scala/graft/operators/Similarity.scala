@@ -24,7 +24,11 @@ import graft.sources.Tables
 object Similarity {
 
   private def emb(s: SparkSession, d: String): DataFrame =
+    // the fixture is one small file -> one partition -> pair joins would
+    // run single-task; spread rows across the executor slots (a real
+    // embeddings table arrives multi-partition and skips this)
     Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
@@ -65,11 +69,11 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component, pure integer
-    * arithmetic → bit-identical across engines:
+  /** Deterministic pseudo-random hyperplane h, pure integer arithmetic →
+    * bit-identical across engines:
     * hp(h, j) = ((h*64 + j) * 2654435761 mod 1000003) / 1000003 - 0.5. */
-  private val hpExpr =
-    "transform(sequence(0, 63), j -> (CAST((h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0) - 0.5)"
+  private def hpExpr(h: Int): String =
+    s"transform(sequence(0, 63), j -> (CAST(($h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0) - 0.5)"
 
   /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → 256 buckets;
     * neighbors are searched only within the query's bucket (the classic
@@ -80,15 +84,12 @@ object Similarity {
     // norms are computed once per vector (sqrt of the self-dot) and
     // reused across every candidate pair; only the dot runs per pair.
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
-    val withBits = e
-      .withColumn("h", expr("explode(sequence(0, 7))"))
-      .withColumn("hp", expr(hpExpr))
-      .withColumn("bit",
-        when(dot_product($"v", $"hp") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
-          .otherwise(0L))
-    val buckets = withBits
-      .groupBy($"vec_id", $"label", $"v", $"nrm")
-      .agg(sum($"bit").as("bucket"))
+    // all 8 sign bits in ONE projection (no explode, no re-group on an
+    // array key): bucket = Σ (dot(v, hp_h) > 0) · 2^h
+    val bucketCol = (0 to 7).map(h =>
+      when(dot_product($"v", expr(hpExpr(h))) > 0, lit(1L << h))
+        .otherwise(0L)).reduce(_ + _)
+    val buckets = e.withColumn("bucket", bucketCol)
     val q2 = buckets.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         $"bucket")
