@@ -500,7 +500,31 @@ object Relational {
       |FROM ss GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q45 — hierarchical aggregation (ROLLUP): per-(flag,status) totals,
+    * per-flag subtotals, and the grand total in one pass — Spark plans a
+    * single Expand + hash aggregate rather than three scans. */
+  def q45Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  val q45Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_rollup" -> q45Rollup _,
     "q43_sessionize" -> q43Sessionize _,
     "q41_skew_salted_agg" -> q41SkewSaltedAgg _,
     "q01_flagship_latest_anti" -> q01Flagship _,
@@ -524,6 +548,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q45_rollup" -> q45Oracle,
     "q43_sessionize" -> q43Oracle,
     "q41_skew_salted_agg" -> q41Oracle,
     "q01_flagship_latest_anti" -> q01Oracle,

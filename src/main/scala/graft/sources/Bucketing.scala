@@ -23,6 +23,13 @@ object Bucketing {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Write `df` partitioned by `partCol` (hive-style directories) — the
+    * layout that turns a date/key predicate into directory pruning and
+    * enables dynamic partition pruning when the predicate arrives through
+    * a dim-side join at runtime. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
   /** Co-locate the orders⋈lineitem spine: both sides bucketed on the
     * order key. Returns the two registered table names. */
   def setupOrderLineitem(spark: SparkSession, sfDir: String,

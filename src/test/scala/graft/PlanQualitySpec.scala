@@ -38,6 +38,34 @@ class PlanQualitySpec extends SparkSuite {
       read)
   }
 
+  test("partitioned store prunes statically and dynamically (DPP)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part_").toString
+    Bucketing.writePartitioned(
+      Tables.orders(spark, sfDir).withColumn("o_year", year($"o_orderdate")),
+      dir, "o_year")
+    val fact = spark.read.parquet(dir)
+
+    // static pruning: a literal partition predicate reads a directory
+    // subset (PartitionFilters, not a data filter)
+    val static = fact.filter($"o_year" === 1995)
+    val sp = static.queryExecution.executedPlan.toString
+    assert(sp.contains("PartitionFilters: [isnotnull(o_year"), sp.take(600))
+
+    // dynamic pruning: the predicate arrives through a filtered dim join
+    // (dim must be a file scan — a local relation folds the filter away
+    // and leaves nothing for the DPP rule to detect)
+    val dimPath = s"$dir-dim"
+    Seq((1995, "keep"), (1996, "drop"), (1997, "drop"))
+      .toDF("o_year", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val dpp = fact.join(dim.filter($"label" === "keep"), Seq("o_year"))
+    val dp = dpp.queryExecution.executedPlan.toString
+    assert(dp.contains("dynamicpruning"), dp.take(800))
+    assert(dpp.count() ==
+      Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1995).count())
+  }
+
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {
     val wh = Files.createTempDirectory("graft_bucketed_").toString
     Bucketing.setupOrderLineitem(spark, sfDir, wh, buckets = 4)
