@@ -523,7 +523,32 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** q46 — exact percentiles (continuous interpolation) per group: the
+    * sort-based quantile surface; Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n-1)·p linear-interpolation definition. */
+  def q46Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("q"))
+      .select($"l_returnflag",
+        round(element_at($"q", 1), 4).as("p25"),
+        round(element_at($"q", 2), 4).as("p50"),
+        round(element_at($"q", 3), 4).as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q46Oracle: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_percentiles" -> q46Percentiles _,
     "q45_rollup" -> q45Rollup _,
     "q43_sessionize" -> q43Sessionize _,
     "q41_skew_salted_agg" -> q41SkewSaltedAgg _,
@@ -548,6 +573,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q46_percentiles" -> q46Oracle,
     "q45_rollup" -> q45Oracle,
     "q43_sessionize" -> q43Oracle,
     "q41_skew_salted_agg" -> q41Oracle,

@@ -76,6 +76,30 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to error events of
+    * the same user within ±10 minutes (the correlation shape of
+    * "did an error precede this purchase"). Watermarks on BOTH sides plus
+    * the time-bound condition let Spark expire join state — without them
+    * a stream-stream join buffers forever. Works identically on batch
+    * DataFrames (the spec's equivalence oracle). */
+  def purchaseErrorJoin(purchasesSrc: DataFrame, errorsSrc: DataFrame): DataFrame = {
+    val purchases = purchasesSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = errorsSrc
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(errors,
+      expr("""p_user = e_user AND
+              e_ts BETWEEN p_ts - INTERVAL 10 MINUTES
+                       AND p_ts + INTERVAL 10 MINUTES"""))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"))
+  }
+
   /** Run `transform` over the event stream into an in-memory table named
     * `queryName`, processing everything currently available (the test /
     * local-verification harness; a production deploy would use
