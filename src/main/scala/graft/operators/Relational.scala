@@ -547,7 +547,76 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q47 — PIVOT: per-flag rows with one count column per line status
+    * (wide denormalization for reporting). Spark's .pivot() plans a
+    * single-pass pivot aggregate; the oracle is the equivalent CASE
+    * aggregation — identical values and column names. */
+  def q47Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot($"l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .na.fill(0L, Seq("n_f", "n_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q47Oracle: String =
+    """SELECT l_returnflag,
+      |       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q48 — fuzzy string matching (edit distance): supplier names scored
+    * against a probe name; the primitive under fuzzy entity resolution /
+    * near-dup on short strings. */
+  def q48FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name",
+        levenshtein($"s_name", lit("Supplier#000000001")).as("dist"))
+      .orderBy($"dist".asc, $"s_suppkey".asc)
+      .limit(10)
+  }
+
+  val q48Oracle: String =
+    """SELECT s_suppkey, s_name,
+      |       levenshtein(s_name, 'Supplier#000000001') AS dist
+      |FROM supplier
+      |ORDER BY dist ASC, s_suppkey ASC LIMIT 10""".stripMargin
+
+  /** q49 — data profiling: per-column completeness/cardinality/range in
+    * one pass (the quality gate a 100 TB ingest runs before promoting a
+    * batch). */
+  def q49Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"o_custkey".isNull, 1).otherwise(0)).as("null_custkey"),
+        countDistinct($"o_custkey").as("distinct_custkey"),
+        countDistinct($"o_orderstatus").as("distinct_status"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        round(avg($"o_totalprice"), 4).as("avg_price"))
+  }
+
+  val q49Oracle: String =
+    """SELECT count(*) AS n_rows,
+      |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+      |       count(DISTINCT o_custkey) AS distinct_custkey,
+      |       count(DISTINCT o_orderstatus) AS distinct_status,
+      |       round(min(o_totalprice), 2) AS min_price,
+      |       round(max(o_totalprice), 2) AS max_price,
+      |       round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_pivot" -> q47Pivot _,
+    "q48_fuzzy_match" -> q48FuzzyMatch _,
+    "q49_profile" -> q49Profile _,
     "q46_percentiles" -> q46Percentiles _,
     "q45_rollup" -> q45Rollup _,
     "q43_sessionize" -> q43Sessionize _,
@@ -573,6 +642,9 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q47_pivot" -> q47Oracle,
+    "q48_fuzzy_match" -> q48Oracle,
+    "q49_profile" -> q49Oracle,
     "q46_percentiles" -> q46Oracle,
     "q45_rollup" -> q45Oracle,
     "q43_sessionize" -> q43Oracle,
