@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Temporal join operators — range (interval) join and as-of join, the
+  * two patterns the brief names among "operators Spark lacks". Both are
+  * composed from built-ins (preference (a) of the custom-operator ladder):
+  * the semantics decompose into bucketize → equi-join → refine, which
+  * keeps Catalyst in charge of distribution and stays codegen'd — no
+  * custom SparkPlan needed.
+  *
+  * Scale design: a naive interval join is a BroadcastNestedLoopJoin
+  * (O(N×M) pairs evaluated). Bucketizing both sides by a time quantum
+  * turns it into an equi-join on (key, bucket) — each event joins only
+  * its ±1 bucket neighborhood, so work is O(matches), the 100 TB form.
+  */
+object Temporal {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Purchases of a user paired with that user's error events within the
+    * preceding 30 minutes (interval/range join), via bucketization:
+    * bucket = floor(epoch/1800); an error at e can only match purchases in
+    * e's bucket or the next, so each error row expands to exactly 2
+    * bucket keys and the join is a plain equi-join on (user, bucket). */
+  def q50RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .withColumn("sec", unix_timestamp($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"sec".as("p_sec"),
+        floor($"sec" / 1800).as("bucket"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("e_id"), $"sec".as("e_sec"))
+      .withColumn("bucket",
+        explode(array(floor($"e_sec" / 1800), floor($"e_sec" / 1800) + 1)))
+    purchases.join(errors, Seq("user_id", "bucket"))
+      .filter($"e_sec" >= $"p_sec" - 1800 && $"e_sec" <= $"p_sec")
+      .select($"user_id", $"p_id", $"e_id", ($"p_sec" - $"e_sec").as("lag_sec"))
+      .distinct()
+      .orderBy($"user_id", $"p_id", $"e_id")
+  }
+
+  /** Oracle = the declarative range predicate (DuckDB plans its own IEJoin
+    * — same semantics, different physical strategy). */
+  val q50Oracle: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |p AS (SELECT user_id, event_id AS p_id, sec AS p_sec FROM ev
+      |      WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, event_id AS e_id, sec AS e_sec FROM ev
+      |      WHERE event_type = 'error')
+      |SELECT DISTINCT p.user_id AS user_id, p.p_id, e.e_id,
+      |       (p.p_sec - e.e_sec) AS lag_sec
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |  AND e.e_sec >= p.p_sec - 1800 AND e.e_sec <= p.p_sec
+      |ORDER BY user_id, p_id, e_id""".stripMargin
+
+  /** As-of join: each purchase picks THE most recent error of the same
+    * user at-or-before it (within 1 hour) — the temporal lookup pattern.
+    * Range-join to candidates (bucketized as q50), then row_number keeps
+    * the latest; left join semantics preserve purchases with no match. */
+  def q51AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .withColumn("sec", unix_timestamp($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"sec".as("p_sec"),
+        floor($"sec" / 3600).as("bucket"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("e_id"), $"sec".as("e_sec"))
+      .withColumn("bucket",
+        explode(array(floor($"e_sec" / 3600), floor($"e_sec" / 3600) + 1)))
+    val cands = purchases.join(errors, Seq("user_id", "bucket"))
+      .filter($"e_sec" >= $"p_sec" - 3600 && $"e_sec" <= $"p_sec")
+      .select($"user_id", $"p_id", $"p_sec", $"e_id", $"e_sec").distinct()
+    val w = Window.partitionBy($"p_id")
+      .orderBy($"e_sec".desc, $"e_id".asc)
+    val best = cands.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p_id", $"e_id".as("asof_e_id"),
+        ($"p_sec" - $"e_sec").as("asof_lag_sec"))
+    purchases.select($"user_id", $"p_id").distinct()
+      .join(best, Seq("p_id"), "left")
+      .select($"user_id", $"p_id",
+        coalesce($"asof_e_id", lit(-1L)).as("asof_e_id"),
+        coalesce($"asof_lag_sec", lit(-1L)).as("asof_lag_sec"))
+      .orderBy($"user_id", $"p_id")
+  }
+
+  val q51Oracle: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |p AS (SELECT user_id, event_id AS p_id, sec AS p_sec FROM ev
+      |      WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, event_id AS e_id, sec AS e_sec FROM ev
+      |      WHERE event_type = 'error'),
+      |cands AS (SELECT p.user_id, p.p_id, p.p_sec, e.e_id, e.e_sec,
+      |            row_number() OVER (PARTITION BY p.p_id
+      |              ORDER BY e.e_sec DESC, e.e_id ASC) AS rn
+      |          FROM p JOIN e ON p.user_id = e.user_id
+      |            AND e.e_sec >= p.p_sec - 3600 AND e.e_sec <= p.p_sec)
+      |SELECT p.user_id AS user_id, p.p_id AS p_id,
+      |       coalesce(c.e_id, -1) AS asof_e_id,
+      |       coalesce(p.p_sec - c.e_sec, -1) AS asof_lag_sec
+      |FROM p LEFT JOIN (SELECT * FROM cands WHERE rn = 1) c
+      |  ON p.p_id = c.p_id
+      |ORDER BY user_id, p_id""".stripMargin
+
+  /** q52 — mergeable HLL sketches: per-segment distinct-part sketches
+    * unioned into region totals — the two-level distinct-counting pattern
+    * a partitioned 100 TB store needs (sketches merge; exact distincts
+    * don't). Approximate → no value-level oracle (driver does the weaker
+    * rows check); TemporalSpec bounds the error against exact counts. */
+  def q52HllSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val perFlag = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    perFlag.groupBy($"l_returnflag")
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS DOUBLE)")
+        .as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_range_join" -> q50RangeJoin _,
+    "q51_asof_join" -> q51AsOfJoin _,
+    "q52_hll_sketch" -> q52HllSketch _)
+
+  val oracle: Map[String, String] = Map(
+    "q50_range_join" -> q50Oracle,
+    "q51_asof_join" -> q51Oracle)
+}

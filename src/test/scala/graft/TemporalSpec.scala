@@ -1,0 +1,31 @@
+package graft
+
+/** Sketch accuracy bound + temporal join sanity (q50/q51 values are
+  * oracle-gated; q52 is approximate so it is bounded here instead). */
+class TemporalSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("HLL union estimate within 5% of exact distinct count per group") {
+    val approx = graft.operators.Temporal.q52HllSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").cast("double").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) / n < 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("as-of join picks the latest at-or-before error only") {
+    val out = graft.operators.Temporal.q51AsOfJoin(spark, sfDir)
+    // one row per purchase, even for purchases with no prior error
+    val purchases = graft.sources.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == purchases)
+    assert(out.filter($"asof_e_id" === -1L).count() >= 0)
+  }
+}
