@@ -142,6 +142,22 @@ object Chunker {
       .drop(textCol)
   }
 
+  /** Typed Dataset face (SURVEY §1.3: typed where flatMap chunking
+    * benefits from compile-time fields): one (id, text) in, N
+    * (id, chunk_index, chunk) out via flatMap. Same fan-out shape as the
+    * Generator path, with case-class safety for pipeline code. */
+  def chunkDocsTyped(ds: org.apache.spark.sql.Dataset[(Long, String)],
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap):
+      org.apache.spark.sql.Dataset[(Long, Int, String)] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { case (id, text) =>
+      chunkText(text, chunkSize, overlap).zipWithIndex.map {
+        case (c, i) => (id, i, c)
+      }
+    }
+  }
+
   // ---- fixture-backed query surface ----
 
   /** q24 — fixed-stride chunker over documents (size 1512, stride 1256 =

@@ -116,15 +116,22 @@ object Shred {
       expr(s"variant_get(doc, '$$.$c', 'string')").as(c)): _*))
 
   /** One child table from the variant: explode the child array variant,
-    * then extract the requested fields (all strings here — the one
-    * double, active_ing_percent, is cast by the caller if needed). */
+    * then extract the requested fields as strings. */
   def childFromVariant(parsed: DataFrame, child: String,
-      fields: Seq[String]): DataFrame = {
+      fields: Seq[String]): DataFrame =
+    childFromVariantTyped(parsed, child, fields.map(f => f -> "string"))
+
+  /** Typed variant extraction: (field, sqlType) pairs — e.g.
+    * `active_ing_percent -> "double"` keeps the reference's one numeric
+    * measure numeric (`epa_ingestion.py:165`). */
+  def childFromVariantTyped(parsed: DataFrame, child: String,
+      fields: Seq[(String, String)]): DataFrame = {
     val exploded = parsed.select(
       expr("variant_get(doc, '$.eparegno', 'string')").as("eparegno"),
       explode(expr(s"cast(variant_get(doc, '$$.$child') AS array<variant>)"))
         .as("c"))
-    upperCols(exploded.select(col("eparegno") +: fields.map(f =>
-      expr(s"variant_get(c, '$$.$f', 'string')").as(f)): _*))
+    upperCols(exploded.select(col("eparegno") +: fields.map { case (f, t) =>
+      expr(s"variant_get(c, '$$.$f', '$t')").as(f)
+    }: _*))
   }
 }

@@ -17,6 +17,17 @@ class BinaryStoreSpec extends SparkSuite {
     assert(BinaryStore.sanitizeFilename(once) == once)
   }
 
+  test("paths with spaces, metacharacters, and subdirectories survive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft store+probe ").toString
+    BinaryStore.put(dir, "sub dir/a file.bin", "x".getBytes)
+    BinaryStore.put(dir, "plain.bin", "y".getBytes)
+    val rows = BinaryStore.directoryTable(spark, dir)
+      .select("relative_path").orderBy("relative_path")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("plain.bin", "sub dir/a file.bin"))
+  }
+
   test("put + directoryTable round-trips content with correct metadata") {
     val dir = Files.createTempDirectory("graft_store_").toString
     BinaryStore.put(dir, "a.bin", "hello".getBytes("UTF-8"))

@@ -97,6 +97,20 @@ class ChunkGeneratorSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("typed Dataset flatMap path equals the untyped paths") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("text", repeat(concat(col("text"), lit(" ")), 10))
+    val typed = graft.operators.Chunker.chunkDocsTyped(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .toDF("doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "chunk_index").collect().toSeq
+    val untyped = graft.operators.Chunker.chunkDocs(docs)
+      .select("doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "chunk_index").collect().toSeq
+    assert(typed.nonEmpty && typed == untyped)
+  }
+
   test("plan uses a Generate node with text_chunks") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val plan = graft.functions.ChunkFunctions.chunkDocsNative(docs)
