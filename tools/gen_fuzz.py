@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Differential-testing query generator.
+
+Emits N random queries in a dialect-neutral SQL subset (valid for both
+Spark SQL and DuckDB over the fixture tables) to fuzz_queries.json.
+Deterministic for a given seed. Every query carries its own ORDER BY on
+all output columns and rounds any double aggregate, following the same
+parity rules as the hand-written oracle suite.
+
+Usage: python3 tools/gen_fuzz.py <out.json> [n] [seed]
+"""
+import json
+import random
+import sys
+
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "doubles": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "strings": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "doubles": ["o_totalprice"],
+        "strings": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "doubles": ["c_acctbal"],
+        "strings": ["c_mktsegment", "c_name"],
+    },
+    "part": {
+        "ints": ["p_partkey", "p_size"],
+        "doubles": ["p_retailprice"],
+        "strings": ["p_brand", "p_type", "p_name"],
+    },
+}
+
+
+def gen_query(rng):
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
+    aggs = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["count", "sum_int", "min_int", "max_int",
+                           "sum_round", "min_d", "max_d", "count_distinct"])
+        i = rng.choice(cols["ints"])
+        d = rng.choice(cols["doubles"])
+        alias = f"a{len(aggs)}"
+        if kind == "count":
+            aggs.append(f"count(*) AS {alias}")
+        elif kind == "sum_int":
+            aggs.append(f"sum({i}) AS {alias}")
+        elif kind == "min_int":
+            aggs.append(f"min({i}) AS {alias}")
+        elif kind == "max_int":
+            aggs.append(f"max({i}) AS {alias}")
+        elif kind == "sum_round":
+            aggs.append(f"round(sum({d}), 2) AS {alias}")
+        elif kind == "min_d":
+            aggs.append(f"round(min({d}), 4) AS {alias}")
+        elif kind == "max_d":
+            aggs.append(f"round(max({d}), 4) AS {alias}")
+        else:
+            aggs.append(f"count(DISTINCT {i}) AS {alias}")
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        which = rng.random()
+        if which < 0.5:
+            c = rng.choice(cols["ints"])
+            op = rng.choice(["<", ">", "<=", ">=", "%"])
+            if op == "%":
+                preds.append(f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}")
+            else:
+                preds.append(f"{c} {op} {rng.randint(1, 5000)}")
+        else:
+            c = rng.choice(cols["doubles"])
+            preds.append(f"{c} {rng.choice(['<', '>'])} {rng.randint(1, 50000)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    gcols = ", ".join(group)
+    sql = (f"SELECT {gcols}, {', '.join(aggs)} FROM {table}{where} "
+           f"GROUP BY {gcols} ORDER BY {gcols}")
+    return sql
+
+
+def main():
+    out = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    rng = random.Random(seed)
+    queries = {f"fuzz{i:04d}": gen_query(rng) for i in range(n)}
+    with open(out, "w") as f:
+        json.dump(queries, f, indent=1)
+    print(f"wrote {n} queries to {out}")
+
+
+if __name__ == "__main__":
+    main()
