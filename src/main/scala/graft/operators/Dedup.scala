@@ -239,7 +239,75 @@ object Dedup {
       |SELECT vec_a, vec_b, cos FROM pairs
       |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 100""".stripMargin
 
+  /** q53 — duplicate clustering: the transitive closure over near-dup
+    * pairs (doc A≈B, B≈C ⇒ {A,B,C} one cluster) — the step that turns
+    * pairwise detection into keep-one-per-cluster dedup. Connected
+    * components by iterative min-label propagation over the symmetric
+    * edge set; each iteration halves the remaining label distance, and
+    * lineage is cut per iteration (localCheckpoint) so the plan doesn't
+    * grow unboundedly — the standard iterative-DataFrame discipline.
+    * Deterministic: converges to the unique per-component minimum
+    * regardless of iteration/join order. */
+  def q53DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id")
+    val pairs = q27NgramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    var labels = d.select($"doc_id", $"doc_id".as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, $"doc_b" === $"doc_id")
+        .groupBy($"doc_a")
+        .agg(min($"label").as("nmin"))
+      val updated = labels
+        .join(neighborMin, $"doc_id" === $"doc_a", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("l"), $"u.doc_id" === $"l.doc_id")
+        .filter($"u.label" =!= $"l.label").count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"label".as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
+  val q53Oracle: String =
+    s"""WITH RECURSIVE $shingleSqlCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jacc AS (SELECT doc_a, doc_b
+      |         FROM pairs p
+      |         JOIN sizes sa ON p.doc_a = sa.doc_id
+      |         JOIN sizes sb ON p.doc_b = sb.doc_id
+      |         WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.2),
+      |edges AS (SELECT doc_a, doc_b FROM jacc
+      |          UNION ALL SELECT doc_b, doc_a FROM jacc),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT r.a, e.doc_b AS b FROM reach r JOIN edges e ON r.b = e.doc_a),
+      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM labels
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_dedup_clusters" -> q53DupClusters _,
     "q40_dedup_embedding_cosine" -> q40EmbeddingNearDup _,
     "q26_dedup_exact" -> q26DedupExact _,
     "q27_dedup_ngram_jaccard" -> q27NgramJaccard _,
@@ -247,6 +315,7 @@ object Dedup {
     "q29_dedup_simhash" -> q29SimHash _)
 
   val oracle: Map[String, String] = Map(
+    "q53_dedup_clusters" -> q53Oracle,
     "q40_dedup_embedding_cosine" -> q40Oracle,
     "q26_dedup_exact" -> q26Oracle,
     "q27_dedup_ngram_jaccard" -> q27Oracle,
