@@ -201,7 +201,7 @@ object Dedup {
       |           FROM toks, LATERAL (SELECT unnest(generate_series(1, 16)) AS j) g),
       |bits AS (SELECT doc_id, j, sum(contrib) AS sgn FROM perbit GROUP BY 1, 2),
       |sims AS (SELECT doc_id,
-      |           sum(CASE WHEN sgn > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS simhash
+      |           CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |         FROM bits GROUP BY 1)
       |SELECT doc_id, simhash,
       |       count(*) OVER (PARTITION BY simhash) AS n_bucket

@@ -314,18 +314,21 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q13 — A1 group-collect: ARRAY_AGG(TYPE) per key
-    * (`epa_ingestion.py:817-823`), sorted for determinism (SURVEY §7.3). */
+    * (`epa_ingestion.py:817-823`), sorted for determinism (SURVEY §7.3).
+    * The gate output serializes the array to a '|'-joined string: the
+    * driver's pandas row-sort cannot hash ndarray cells (r01 q13 err),
+    * and the string carries the identical information. */
   def q13AggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "part")
       .select($"p_brand", $"p_type").distinct()
       .groupBy($"p_brand")
-      .agg(array_sort(collect_list($"p_type")).as("types"))
+      .agg(array_join(array_sort(collect_list($"p_type")), "|").as("types"))
       .orderBy($"p_brand")
   }
 
   val q13Oracle: String =
-    """SELECT p_brand, list(p_type ORDER BY p_type ASC) AS types
+    """SELECT p_brand, string_agg(p_type, '|' ORDER BY p_type ASC) AS types
       |FROM (SELECT DISTINCT p_brand, p_type FROM part)
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
@@ -412,7 +415,7 @@ object Relational {
 
   val q17Oracle: String =
     """SELECT event_type,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       count(*) AS n
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -468,7 +471,7 @@ object Relational {
 
   val q41Oracle: String =
     """SELECT event_type, count(*) AS n,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
@@ -494,7 +497,7 @@ object Relational {
       |         ORDER BY tsSec ASC, event_id ASC
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |       FROM b)
-      |SELECT user_id, session_seq,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
       |       min(tsSec) AS session_start, max(tsSec) AS session_end,
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM ss GROUP BY user_id, session_seq
@@ -564,8 +567,8 @@ object Relational {
 
   val q47Oracle: String =
     """SELECT l_returnflag,
-      |       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+      |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
@@ -605,7 +608,7 @@ object Relational {
 
   val q49Oracle: String =
     """SELECT count(*) AS n_rows,
-      |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
       |       count(DISTINCT o_custkey) AS distinct_custkey,
       |       count(DISTINCT o_orderstatus) AS distinct_status,
       |       round(min(o_totalprice), 2) AS min_price,

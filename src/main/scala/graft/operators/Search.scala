@@ -131,8 +131,12 @@ object Search {
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val qv = e.filter($"vec_id" === 0)
       .select($"v".as("qv"), $"nrm".as("qnrm"))
-    val wAll = Window.partitionBy()
-    kw.withColumn("kw_norm", $"score" / max($"score").over(wAll))
+    // scalar corpus max via an aggregate + broadcast, NOT max() OVER ():
+    // an unpartitioned window funnels the whole relation through one
+    // partition (WindowExec warning; single-reducer at 100 TB)
+    val mx = kw.agg(max($"score").as("mx"))
+    kw.crossJoin(broadcast(mx))
+      .withColumn("kw_norm", $"score" / $"mx")
       .join(e, $"doc_id" === $"vec_id")
       .crossJoin(broadcast(qv))
       .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))

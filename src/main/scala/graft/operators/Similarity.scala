@@ -115,7 +115,7 @@ object Similarity {
       |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
       |         FROM n, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) h),
       |buckets AS (SELECT n.vec_id, n.v, n.nrm, b.bucket
-      |            FROM n JOIN (SELECT vec_id, sum(bit) AS bucket
+      |            FROM n JOIN (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
       |                         FROM bits GROUP BY 1) b
       |              ON n.vec_id = b.vec_id),
       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket
