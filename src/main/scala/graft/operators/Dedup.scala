@@ -67,11 +67,10 @@ object Dedup {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** q27 — n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
-    * (sparse join), Jaccard = |∩| / |∪| over distinct shingle sets,
-    * thresholded. The division is exact-int over exact-int so both
-    * engines produce bit-identical doubles. */
-  def q27NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Thresholded Jaccard near-dup pairs, unsorted — the shared kernel of
+    * q27 (which adds presentation ordering) and q53 (which clusters the
+    * pairs and needs no global sort of them). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(docs(s, dir)).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -85,6 +84,15 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter", $"sa.n".as("n_a"), $"sb.n".as("n_b"),
         ($"inter" / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= 0.2)
+  }
+
+  /** q27 — n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
+    * (sparse join), Jaccard = |∩| / |∪| over distinct shingle sets,
+    * thresholded. The division is exact-int over exact-int so both
+    * engines produce bit-identical doubles. */
+  def q27NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, dir)
       .select($"doc_a", $"doc_b", $"inter", $"n_a", $"n_b",
         round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -250,12 +258,16 @@ object Dedup {
     * regardless of iteration/join order. */
   def q53DupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id")
-    val pairs = q27NgramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .cache()
-    var labels = d.select($"doc_id", $"doc_id".as("label"))
+      .localCheckpoint()
+    // Only nodes with >=1 edge iterate: near-dup components are a
+    // vanishing fraction of the corpus, so loop state is O(|edges|),
+    // not O(|docs|) — every isolated doc is its own cluster and joins
+    // the result once, after convergence.
+    var labels = edges.select($"doc_a".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -263,20 +275,21 @@ object Dedup {
         .join(labels, $"doc_b" === $"doc_id")
         .groupBy($"doc_a")
         .agg(min($"label").as("nmin"))
-      val updated = labels
+      // one checkpointed frame serves BOTH the convergence probe and the
+      // next labels — no second labels-join, no recompute over lineage
+      val joined = labels
         .join(neighborMin, $"doc_id" === $"doc_a", "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .select($"doc_id", $"label", coalesce($"nmin", $"label").as("nm"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), $"u.doc_id" === $"l.doc_id")
-        .filter($"u.label" =!= $"l.label").count()
-      labels = updated
-      converged = changed == 0
+      converged = joined.filter($"nm" < $"label").isEmpty
+      labels = joined.select($"doc_id", least($"label", $"nm").as("label"))
       iter += 1
     }
-    edges.unpersist()
-    labels.select($"doc_id", $"label".as("cluster_id"))
+    val isolated = docs(s, dir).select($"doc_id")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.unionByName(isolated)
+      .select($"doc_id", $"label".as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
