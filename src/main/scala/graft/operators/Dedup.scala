@@ -72,12 +72,28 @@ object Dedup {
     * pairs and needs no global sort of them). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(docs(s, dir)).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // ONE shuffle of the shingle stream replaces distinct + a double
+    // re-shuffle through a self-join: group by shingle (collect_set
+    // dedupes per doc), then expand i<j doc pairs inside the task. The
+    // per-shingle fan-out is quadratic in docs-per-shingle, which stays
+    // bounded for content shingles (3-grams of real text are rare —
+    // the corpus max is ~25 docs); a stop-shingle cap would guard truly
+    // degenerate corpora. Doc sizes come from the same grouped frame,
+    // so the 30-byte shingle text shuffles exactly once.
+    val grouped = shinglesWithDup(docs(s, dir))
+      .groupBy($"shingle").agg(array_sort(collect_set($"doc_id")).as("ds"))
+      .select($"ds")
+      .cache()
+    val sizes = grouped.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = grouped.filter(size($"ds") > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
@@ -285,6 +301,8 @@ object Dedup {
       labels = joined.select($"doc_id", least($"label", $"nm").as("label"))
       iter += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG_ITERS"))
+      System.err.println(s"[q53] converged after $iter iterations")
     val isolated = docs(s, dir).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))

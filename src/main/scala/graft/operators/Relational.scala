@@ -616,7 +616,130 @@ object Relational {
       |       round(avg(o_totalprice), 4) AS avg_price
       |FROM orders""".stripMargin
 
+  /** q54 — bloom-filter join pruning: build a Bloom filter over the small
+    * (filtered) side's keys, prune the fact side BEFORE its shuffle, then
+    * join exactly. At 100 TB this is the difference between shuffling the
+    * full fact table and shuffling only rows that can possibly match
+    * (false positives are removed by the join itself, so the result is
+    * exact — the oracle is the plain join). Spark's own runtime row-level
+    * filtering plays the same trick inside AQE; this is the explicit,
+    * plannable form sized from the build side's observed count. */
+  def q54BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hot = t(s, dir, "orders")
+      .filter($"o_totalprice" > 400000)
+      .select($"o_orderkey", $"o_totalprice")
+    val bf = hot.stat.bloomFilter("o_orderkey", math.max(1024L, hot.count()), 0.01)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    t(s, dir, "lineitem")
+      .filter(mightContain($"l_orderkey"))
+      .join(hot, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q54Oracle: String =
+    """SELECT o.o_orderkey, count(*) AS n_items, sum(l.l_quantity) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 400000
+      |GROUP BY o.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q55 — Spark 4 VariantType schema-on-read (SURVEY §1.3's mapping for
+    * the reference's nested API JSON): parse once into a variant, typed
+    * path extraction via variant_get — the shredded binary encoding reads
+    * paths without re-parsing text, unlike q17's get_json_object. */
+  def q55VariantExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"event_type",
+        variant_get(parse_json($"props"), "$.k", "long").as("k"))
+      .filter($"k" % 7 === 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"k").as("max_k"), min($"k").as("min_k"))
+      .orderBy($"event_type")
+  }
+
+  val q55Oracle: String =
+    """SELECT event_type, count(*) AS n, max(k) AS max_k, min(k) AS min_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k % 7 = 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q56 — distribution-rank window family (ntile / percent_rank /
+    * cume_dist): the quantile-bucketing face of the window module. All
+    * three are rank arithmetic over exact ints — (rank-1)/(n-1) and
+    * rank/n divide identically in both engines, so no rounding needed.
+    * The full orderBy tiebreak chain makes row ranks unique (lineitem
+    * carries duplicate (orderkey, linenumber) pairs in the fixtures). */
+  def q56WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_partkey".asc, $"l_suppkey".asc)
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_returnflag", $"l_extendedprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_partkey", $"l_suppkey")
+  }
+
+  val q56Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       l_returnflag, l_extendedprice,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_extendedprice ASC, l_orderkey ASC,
+      |                      l_linenumber ASC, l_partkey ASC, l_suppkey ASC)
+      |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |         l_partkey, l_suppkey""".stripMargin
+
+  /** q57 — salted skew JOIN (the join twin of q41's salted aggregation):
+    * event_type has 5 values, so a plain shuffle join lands each type on
+    * one reducer. The dim side replicates 16x with a salt column, the
+    * fact side derives salt = event_id % 16, and the join key becomes
+    * (event_type, salt) — each hot key fans across 16 reducers. The
+    * shuffle_hash hint keeps the demo honest (AQE would broadcast a
+    * 5-row dim; at 100 TB the dim that needs salting doesn't broadcast).
+    * Predicate uses exact longs so the oracle matches bit-for-bit. */
+  def q57SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy($"event_type").agg(max($"event_id").as("max_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(15))))
+    val fact = ev.withColumn("salt", ($"event_id" % 16).cast("int"))
+    fact.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .filter($"event_id" * 2 > $"max_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_upper"))
+      .orderBy($"event_type")
+  }
+
+  val q57Oracle: String =
+    """WITH d AS (SELECT event_type, max(event_id) AS max_id
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type AS event_type, count(*) AS n_upper
+      |FROM events e JOIN d ON e.event_type = d.event_type
+      |WHERE e.event_id * 2 > d.max_id
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_bloom_join" -> q54BloomJoin _,
+    "q55_variant_extract" -> q55VariantExtract _,
+    "q56_window_family" -> q56WindowFamily _,
+    "q57_salted_join" -> q57SaltedJoin _,
     "q47_pivot" -> q47Pivot _,
     "q48_fuzzy_match" -> q48FuzzyMatch _,
     "q49_profile" -> q49Profile _,
@@ -645,6 +768,10 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q54_bloom_join" -> q54Oracle,
+    "q55_variant_extract" -> q55Oracle,
+    "q56_window_family" -> q56Oracle,
+    "q57_salted_join" -> q57Oracle,
     "q47_pivot" -> q47Oracle,
     "q48_fuzzy_match" -> q48Oracle,
     "q49_profile" -> q49Oracle,

@@ -66,6 +66,27 @@ class PlanQualitySpec extends SparkSuite {
       Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1995).count())
   }
 
+  test("q54 bloom pruning filters the fact scan below the join") {
+    val exec = SparkEntry.queries("q54_bloom_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the might-contain UDF must sit in a Filter under the join (fact
+    // rows drop before shuffling), and the join itself stays exact
+    val joinPos = exec.indexOf("Join")
+    val udfPos = exec.linesIterator.zipWithIndex.collectFirst {
+      case (l, _) if l.contains("Filter") && l.contains("UDF")
+        && l.contains("l_orderkey") => exec.indexOf(l)
+    }.getOrElse(-1)
+    assert(joinPos >= 0 && udfPos > joinPos,
+      s"bloom filter not below the join:\n${exec.take(900)}")
+  }
+
+  test("q57 salted join shuffle-hash-joins on (event_type, salt)") {
+    val p = plan("q57_salted_join")
+    assert(p.contains("ShuffledHashJoin [event_type"), p.take(600))
+    assert(p.contains("salt"), p.take(600))
+    assert(!p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {
     val wh = Files.createTempDirectory("graft_bucketed_").toString
     Bucketing.setupOrderLineitem(spark, sfDir, wh, buckets = 4)
