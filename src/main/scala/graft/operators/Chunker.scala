@@ -204,9 +204,14 @@ object Chunker {
       |        greatest(0, CAST(floor((length(d.body) - 1) / 1256.0) AS INT)))) AS g) s
       |ORDER BY doc_id, chunk_start""".stripMargin
 
-  /** q25 — recursive chunker stats per document (rows-only driver check;
-    * exact chunk text is pinned by ChunkerSpec). Aggregating to counts
-    * keeps the result schema stable across any future splitter tweak. */
+  /** q25 — recursive chunker stats per document. The DuckDB oracle
+    * replays the greedy merge as a recursive CTE over space-boundary
+    * offsets: every chunk is a trimmed contiguous substring, the next
+    * window start is the first boundary within the overlap-and-capacity
+    * envelope, so the walk is one row per emitted chunk. Valid because
+    * the fixture corpus is single-separator (no newlines, words ≤ 8
+    * chars — every piece under the cap); the general multi-separator
+    * recursion is pinned by ChunkerSpec's unit vectors instead. */
   def q25ChunkRecursive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -219,10 +224,45 @@ object Chunker {
       .orderBy($"doc_id")
   }
 
+  val q25Oracle: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, repeat(text || ' ', 10) AS body FROM documents),
+      |pos AS (SELECT doc_id, g.i - 1 AS b
+      |        FROM d, LATERAL (SELECT unnest(generate_series(1, len(body))) AS i) g
+      |        WHERE substr(body, g.i, 1) = ' '),
+      |bl AS (SELECT doc_id, list_sort(list(b)) AS sp FROM pos GROUP BY doc_id),
+      |bn AS (SELECT d.doc_id, d.body,
+      |              list_concat(list_concat([0], bl.sp), [len(d.body)]) AS bounds
+      |       FROM d JOIN bl USING (doc_id)),
+      |walk AS (
+      |  SELECT doc_id, body, bounds, 1 AS lo, CAST(NULL AS VARCHAR) AS chunk,
+      |         false AS done
+      |  FROM bn
+      |  UNION ALL
+      |  SELECT doc_id, body, bounds,
+      |    CASE WHEN hi = m THEN lo
+      |         ELSE m - len(list_filter(bounds, x -> x >=
+      |                greatest(bounds[hi] - 256,
+      |                         bounds[hi] - 1512 + (bounds[hi + 1] - bounds[hi])))) + 1
+      |    END AS lo,
+      |    trim(substr(body, bounds[lo] + 1, bounds[hi] - bounds[lo])) AS chunk,
+      |    hi = m AS done
+      |  FROM (SELECT doc_id, body, bounds, lo,
+      |               len(bounds) AS m,
+      |               len(list_filter(bounds, x -> x <= bounds[lo] + 1512)) AS hi
+      |        FROM walk WHERE NOT done)
+      |),
+      |chunks AS (SELECT doc_id, chunk FROM walk
+      |           WHERE chunk IS NOT NULL AND chunk <> '')
+      |SELECT doc_id, count(*) AS n_chunks, max(len(chunk)) AS max_len
+      |FROM chunks GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_chunk_fixed" -> q24ChunkFixed _,
     "q25_chunk_recursive" -> q25ChunkRecursive _)
 
   val oracle: Map[String, String] = Map(
-    "q24_chunk_fixed" -> q24Oracle)
+    "q24_chunk_fixed" -> q24Oracle,
+    "q25_chunk_recursive" -> q25Oracle)
 }
