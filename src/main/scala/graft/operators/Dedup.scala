@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -134,40 +134,58 @@ object Dedup {
     * 4 bands × 2 rows; docs sharing a band bucket become candidates;
     * candidates are verified with estimated similarity = matching
     * signature fraction. The all-pairs product never materializes. */
-  def q28MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** 8-slot MinHash signature per doc, as one wide row. ONE aggregation
+    * pass computes all 8 minhashes as columns: the shuffle carries
+    * 8×32B per doc, never the shingles; map-side partial min does the
+    * heavy lifting. One md5 per shingle; the 8 hash functions are its 8
+    * disjoint 4-hex (16-bit+16-bit=32-bit) slices — an 8x cheaper valid
+    * minhash family (min over independent bit ranges of a uniform
+    * digest). Shared by q28 and the incremental index
+    * (graft.streaming.DedupIndexStream). */
+  def minhashWide(documents: DataFrame): DataFrame = {
     // minhash is min over a hash family — duplicates can't change a min,
     // so the shingle stream needs no distinct (one less shuffle)
-    val sh = shinglesWithDup(docs(s, dir))
-    // ONE aggregation pass computes all 8 minhashes as columns: the
-    // shuffle carries 8×32B per doc, never the shingles; map-side
-    // partial min does the heavy lifting. The wide table then serves
-    // banding AND both sides of the verify join without re-expansion.
-    // one md5 per shingle; the 8 hash functions are its 8 disjoint
-    // 4-hex (16-bit+16-bit=32-bit) slices — an 8x cheaper valid minhash
-    // family (min over independent bit ranges of a uniform digest)
-    val hashed = sh.select($"doc_id", md5($"shingle").as("h"))
+    val hashed = shinglesWithDup(documents)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
     val mhAggs = (0 to 7).map(k =>
-      min(substring($"h", 4 * k + 1, 4)).as(s"mh$k"))
-    val wide = hashed.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*).cache()
-    // 4 bands × 2 rows: band key = concat of its 2 signature values
-    val bands = wide.select($"doc_id", posexplode(array(
-        concat_ws("|", $"mh0", $"mh1"), concat_ws("|", $"mh2", $"mh3"),
-        concat_ws("|", $"mh4", $"mh5"), concat_ws("|", $"mh6", $"mh7")))
+      min(substring(col("h"), 4 * k + 1, 4)).as(s"mh$k"))
+    hashed.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** 4 bands × 2 rows over the wide signature: band key = concat of its
+    * 2 signature values. */
+  def lshBands(wide: DataFrame): DataFrame =
+    wide.select(col("doc_id"), posexplode(array(
+        concat_ws("|", col("mh0"), col("mh1")),
+        concat_ws("|", col("mh2"), col("mh3")),
+        concat_ws("|", col("mh4"), col("mh5")),
+        concat_ws("|", col("mh6"), col("mh7"))))
       .as(Seq("band", "bkey")))
+
+  /** Fraction of matching signature slots for a pair frame carrying
+    * a-side and b-side wide signatures. */
+  def signatureMatchFraction: Column =
+    (0 to 7).map(k =>
+      when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
+      .reduce(_ + _) / 8.0
+
+  def q28MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the wide table serves banding AND both sides of the verify join
+    // without re-expansion
+    val wide = minhashWide(docs(s, dir)).cache()
+    val bands = lshBands(wide)
     val cands = bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val matches = (0 to 7).map(k =>
-      when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
-      .reduce(_ + _)
     cands
       .join(wide.as("a"), $"doc_a" === $"a.doc_id")
       .join(wide.as("b"), $"doc_b" === $"b.doc_id")
-      .select($"doc_a", $"doc_b", round(matches / 8.0, 6).as("est_sim"))
+      .select($"doc_a", $"doc_b",
+        round(signatureMatchFraction, 6).as("est_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.DedupIndexStream
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental near-dup index ≡ batch MinHash+LSH: replay the documents
+  * fixture in 3 micro-batches; the accumulated pair table must equal
+  * q28's single-shot candidates over the full corpus, and a resumed run
+  * must not re-derive anything. */
+class DedupIndexStreamSpec extends SparkSuite {
+
+  test("incrementally discovered pairs equal the batch q28 candidates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val inDir = Files.createTempDirectory("graft_didx_in_").toString
+    for (r <- 0 to 2)
+      docs.filter($"doc_id" % 3 === r).coalesce(1)
+        .write.mode("append").parquet(inDir)
+
+    val stateDir = Files.createTempDirectory("graft_didx_state_").toString
+    DedupIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+
+    val (sigs, bands, pairs) = DedupIndexStream.readState(spark, stateDir)
+    val batch = Dedup.queries("q28_dedup_minhash_lsh")(spark, sfDir)
+    assert(sigs.count() == docs.count())
+    assert(bands.count() == 4 * docs.count())
+    assert(pairs.count() == batch.count())
+    assert(pairs.except(batch).isEmpty && batch.except(pairs).isEmpty)
+
+    // resume: no new files → state identical, no double-derivation
+    DedupIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    val (_, _, pairs2) = DedupIndexStream.readState(spark, stateDir)
+    assert(pairs2.except(batch).isEmpty && batch.except(pairs2).isEmpty)
+
+    // late arrival: a near-copy of an existing doc lands in a NEW file;
+    // only the new doc is signed, and it pairs against history
+    val src = docs.orderBy($"doc_id").limit(1).head()
+    val newId = 1000000L
+    Seq((newId, src.getString(1), src.getString(2), src.getString(3),
+        src.getLong(4)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    DedupIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    val (sigs3, _, pairs3) = DedupIndexStream.readState(spark, stateDir)
+    assert(sigs3.count() == docs.count() + 1)
+    // the exact copy shares every band with its source → est_sim 1.0
+    assert(pairs3.filter($"doc_b" === newId && $"est_sim" === 1.0).count() >= 1)
+    // and nothing previously known changed
+    assert(pairs3.filter($"doc_b" =!= newId).except(batch).isEmpty)
+  }
+}
