@@ -616,6 +616,30 @@ object Relational {
       |       round(avg(o_totalprice), 4) AS avg_price
       |FROM orders""".stripMargin
 
+  /** q58 — CUBE: all 2^2 grouping combinations of (flag, status) in one
+    * Expand + hash-agg pass (q45's ROLLUP covers the hierarchy prefix
+    * subsets; CUBE completes the lattice — the reporting shape that
+    * otherwise costs four scans). */
+  def q58Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  val q58Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   /** q54 — bloom-filter join pruning: build a Bloom filter over the small
     * (filtered) side's keys, prune the fact side BEFORE its shuffle, then
     * join exactly. At 100 TB this is the difference between shuffling the
@@ -736,6 +760,7 @@ object Relational {
       |ORDER BY e.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_cube" -> q58Cube _,
     "q54_bloom_join" -> q54BloomJoin _,
     "q55_variant_extract" -> q55VariantExtract _,
     "q56_window_family" -> q56WindowFamily _,
@@ -768,6 +793,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q58_cube" -> q58Oracle,
     "q54_bloom_join" -> q54Oracle,
     "q55_variant_extract" -> q55Oracle,
     "q56_window_family" -> q56Oracle,

@@ -37,7 +37,70 @@ TABLES = {
 }
 
 
+JOINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+]
+
+
+def gen_where(rng, cols):
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        which = rng.random()
+        if which < 0.5:
+            c = rng.choice(cols["ints"])
+            op = rng.choice(["<", ">", "<=", ">=", "%"])
+            if op == "%":
+                preds.append(f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}")
+            else:
+                preds.append(f"{c} {op} {rng.randint(1, 5000)}")
+        else:
+            c = rng.choice(cols["doubles"])
+            preds.append(f"{c} {rng.choice(['<', '>'])} {rng.randint(1, 50000)}")
+    return (" WHERE " + " AND ".join(preds)) if preds else ""
+
+
+def gen_window(rng):
+    """Rank-window query: top-k rows per string group by one ordering
+    column, full-int tiebreak (the int tuple is unique per table in the
+    fixtures, so row_number is deterministic)."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    part = rng.choice(cols["strings"])
+    order = rng.choice(cols["doubles"] + cols["ints"])
+    dirn = rng.choice(["ASC", "DESC"])
+    ties = ", ".join(f"{c} ASC" for c in cols["ints"])
+    proj = ", ".join(cols["ints"])
+    k = rng.randint(1, 5)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    return (f"SELECT {part}, {proj}, rn FROM ("
+            f"SELECT {part}, {proj}, {fn} OVER (PARTITION BY {part} "
+            f"ORDER BY {order} {dirn}, {ties}) AS rn FROM {table}"
+            f"{gen_where(rng, cols)}) WHERE rn <= {k} "
+            f"ORDER BY {part}, rn, {proj}")
+
+
+def gen_join(rng):
+    """Fact⋈dim aggregate over an equi-join key."""
+    fact, dim, cond = rng.choice(JOINS)
+    fc, dc = TABLES[fact], TABLES[dim]
+    g = rng.choice(dc["strings"])
+    d = rng.choice(fc["doubles"])
+    i = rng.choice(fc["ints"])
+    having = (f" HAVING count(*) > {rng.randint(1, 50)}"
+              if rng.random() < 0.4 else "")
+    return (f"SELECT {g}, count(*) AS c, round(sum({d}), 2) AS s, "
+            f"min({i}) AS m FROM {fact} JOIN {dim} ON {cond}"
+            f"{gen_where(rng, fc)} GROUP BY {g}{having} ORDER BY {g}")
+
+
 def gen_query(rng):
+    shape = rng.random()
+    if shape < 0.25:
+        return gen_window(rng)
+    if shape < 0.45:
+        return gen_join(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
@@ -64,20 +127,7 @@ def gen_query(rng):
             aggs.append(f"round(max({d}), 4) AS {alias}")
         else:
             aggs.append(f"count(DISTINCT {i}) AS {alias}")
-    preds = []
-    for _ in range(rng.randint(0, 2)):
-        which = rng.random()
-        if which < 0.5:
-            c = rng.choice(cols["ints"])
-            op = rng.choice(["<", ">", "<=", ">=", "%"])
-            if op == "%":
-                preds.append(f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}")
-            else:
-                preds.append(f"{c} {op} {rng.randint(1, 5000)}")
-        else:
-            c = rng.choice(cols["doubles"])
-            preds.append(f"{c} {rng.choice(['<', '>'])} {rng.randint(1, 50000)}")
-    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    where = gen_where(rng, cols)
     gcols = ", ".join(group)
     sql = (f"SELECT {gcols}, {', '.join(aggs)} FROM {table}{where} "
            f"GROUP BY {gcols} ORDER BY {gcols}")
