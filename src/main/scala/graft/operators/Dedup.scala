@@ -260,6 +260,9 @@ object Dedup {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
     val e = Tables.load(s, dir, "embeddings")
+      // one small fixture file = one partition; spread so the O(N²) dot
+      // kernel uses every core (a real table arrives multi-partition)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrmb"))

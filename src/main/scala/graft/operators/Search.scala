@@ -127,6 +127,7 @@ object Search {
     import org.apache.spark.sql.expressions.Window
     val kw = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
     val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val qv = e.filter($"vec_id" === 0)
