@@ -153,15 +153,49 @@ object TextStats {
       |FROM grams GROUP BY 1, 2
       |ORDER BY doc_id""".stripMargin
 
+  /** q59 — deterministic hash split: every doc lands in train/val/test by
+    * an md5 bucket of its id — stable across runs, machines, and engines
+    * (unlike rand()-seeded sampling, which no two engines reproduce).
+    * 16 buckets: 0-b train (75%), c-d val (12.5%), e-f test (12.5%).
+    * This is how a 100 TB corpus gets reproducible held-out splits: the
+    * assignment is a pure projection (no shuffle, no state), and any
+    * engine that can md5 re-derives the same membership. */
+  def q59HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    docs(s, dir)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  val q59Oracle: String =
+    """WITH b AS (SELECT *, substr(md5('split:' || doc_id), 1, 1) AS bk
+      |           FROM documents)
+      |SELECT CASE WHEN bk IN ('c', 'd') THEN 'val'
+      |            WHEN bk IN ('e', 'f') THEN 'test'
+      |            ELSE 'train' END AS split,
+      |       lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM b
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_langid" -> q30LangId _,
     "q31_text_quality" -> q31Quality _,
     "q32_text_tokens" -> q32TokenCount _,
-    "q33_text_fingerprint" -> q33Fingerprint _)
+    "q33_text_fingerprint" -> q33Fingerprint _,
+    "q59_hash_split" -> q59HashSplit _)
 
   val oracle: Map[String, String] = Map(
     "q30_text_langid" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_text_tokens" -> q32Oracle,
-    "q33_text_fingerprint" -> q33Oracle)
+    "q33_text_fingerprint" -> q33Oracle,
+    "q59_hash_split" -> q59Oracle)
 }
