@@ -307,7 +307,8 @@ object Dedup {
       .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIters = 50
+    while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, $"doc_b" === $"doc_id")
         .groupBy($"doc_a")
@@ -322,6 +323,13 @@ object Dedup {
       labels = joined.select($"doc_id", least($"label", $"nm").as("label"))
       iter += 1
     }
+    // never return silently-split components: a graph whose diameter
+    // exceeds the cap (chains of incremental near-dup revisions) must
+    // fail loudly; the remedy at that shape is pointer-jumping
+    // (label := label-of-label per round, O(log d) convergence)
+    if (!converged) throw new IllegalStateException(
+      s"q53 label propagation did not converge in $maxIters iterations — " +
+        "component diameter exceeds the cap; enable pointer jumping")
     if (sys.env.contains("GRAFT_DEBUG_ITERS"))
       System.err.println(s"[q53] converged after $iter iterations")
     val isolated = docs(s, dir).select($"doc_id")

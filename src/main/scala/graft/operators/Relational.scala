@@ -653,6 +653,7 @@ object Relational {
     val hot = t(s, dir, "orders")
       .filter($"o_totalprice" > 400000)
       .select($"o_orderkey", $"o_totalprice")
+      .cache() // consumed 3x: sizing count, bloom build, probe join
     val bf = hot.stat.bloomFilter("o_orderkey", math.max(1024L, hot.count()), 0.01)
     val bc = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContain(k))

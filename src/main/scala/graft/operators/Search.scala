@@ -125,7 +125,10 @@ object Search {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
     import org.apache.spark.sql.expressions.Window
+    // cached: consumed twice (corpus-max aggregate + scoring join) —
+    // without it the whole BM25 subtree would evaluate twice
     val kw = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
+      .cache()
     val e = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))

@@ -94,22 +94,28 @@ object DedupIndexStream {
     val (sigs, bands, pairs) = readState(spark, stateDir)
     val dSigs = Dedup.minhashWide(batch).cache()
     val dBands = Dedup.lshBands(dSigs)
-    // probe: batch bands against (state ∪ batch) bands — each new doc
-    // meets the whole history through the bucket equi-join, never a scan
-    val probeSide = bands.unionByName(dBands)
+    // last-writer-wins merges: a re-arriving doc_id REPLACES its prior
+    // signature and all 4 band rows (anti-join keeps only non-batch
+    // history), so sigs and bands can never mix two versions of one doc
+    // — and the merge stays idempotent under a partial-crash retry
+    // (re-running yields the same batch-wins result, no double rows)
+    val dDocIds = dSigs.select(col("doc_id"))
+    val allSigs = dSigs.unionByName(
+      sigs.join(dDocIds, Seq("doc_id"), "left_anti"))
+    val allBands = dBands.unionByName(
+      bands.join(dDocIds, Seq("doc_id"), "left_anti"))
+    // probe: batch bands against the POST-replacement band set — each
+    // new doc meets the whole (current-version) history through the
+    // bucket equi-join, never a scan; a superseded version's buckets
+    // can't produce pairs its current signature wouldn't
     val candKeys = dBands.as("x")
-      .join(probeSide.as("y"),
+      .join(allBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    // key-deduped unions make every commit idempotent under a partial
-    // retry (crash between the three commits leaves tables at mixed
-    // versions; the re-run re-merges without double rows)
-    val allSigs = sigs.unionByName(dSigs).dropDuplicates("doc_id")
-    val allBands = probeSide.dropDuplicates("doc_id", "band")
     val newPairs = candKeys
       .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
       .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))

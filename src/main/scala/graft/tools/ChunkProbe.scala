@@ -115,16 +115,19 @@ object ChunkProbe {
     for (t <- texts; (cs, ov) <- Seq((1512, 256), (200, 50), (100, 20))) {
       if (Chunker.chunkText(t, cs, ov) != chunkTextRef(t, cs, ov)) diffs += 1
     }
-    // differential: random word/newline soups incl. giant unbreakable words
+    // differential: random soups MIXING separators within one document
+    // (per-join choice, so "\n\n" regions internally mix "\n" and " " —
+    // exercising the multi-level splitRegion recursion), incl. giant
+    // unbreakable words that fall through to the char split
     val rnd = new scala.util.Random(7)
-    for (n <- 1 to 2000) {
-      val t = Seq.fill(rnd.nextInt(300))(
-        rnd.alphanumeric.take(1 + rnd.nextInt(200)).mkString)
-        .mkString(rnd.nextInt(3) match {
-          case 0 => " "
-          case 1 => "\n"
-          case 2 => "\n\n"
-        })
+    val seps = Array(" ", " ", " ", "\n", "\n", "\n\n")
+    for (n <- 1 to 3000) {
+      val sb = new StringBuilder
+      for (w <- 0 until rnd.nextInt(300)) {
+        if (w > 0) sb.append(seps(rnd.nextInt(seps.length)))
+        sb.append(rnd.alphanumeric.take(1 + rnd.nextInt(200)).mkString)
+      }
+      val t = sb.toString
       val cs = 50 + rnd.nextInt(400)
       val ov = rnd.nextInt(cs / 2)
       if (Chunker.chunkText(t, cs, ov) != chunkTextRef(t, cs, ov)) {

@@ -51,5 +51,23 @@ class DedupIndexStreamSpec extends SparkSuite {
     assert(pairs3.filter($"doc_b" === newId && $"est_sim" === 1.0).count() >= 1)
     // and nothing previously known changed
     assert(pairs3.filter($"doc_b" =!= newId).except(batch).isEmpty)
+
+    // re-arrival with CHANGED text: last writer wins — the stored
+    // signature/bands are the new version's, never a mix
+    val changedText = src.getString(1) + " wholly new tail content words"
+    Seq((newId, changedText, src.getString(2), src.getString(3),
+        changedText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    DedupIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    val (sigs4, bands4, _) = DedupIndexStream.readState(spark, stateDir)
+    assert(sigs4.count() == docs.count() + 1) // replaced, not duplicated
+    assert(bands4.filter($"doc_id" === newId).count() == 4)
+    val expected = Dedup.minhashWide(
+        Seq((newId, changedText)).toDF("doc_id", "text"))
+      .collect().head
+    val stored = sigs4.filter($"doc_id" === newId)
+      .select("doc_id", (0 to 7).map(k => s"mh$k"): _*).collect().head
+    assert(stored == expected)
   }
 }
