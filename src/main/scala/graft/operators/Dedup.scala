@@ -86,6 +86,9 @@ object Dedup {
       .cache()
     val sizes = grouped.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // i<j expansion via codegen'd HOFs: measured head-to-head against a
+    // custom pair Generator (round 2) — indistinguishable, so the
+    // built-in composition stays per the custom-operator ladder
     val pairs = grouped.filter(size($"ds") > 1)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
