@@ -185,7 +185,30 @@ object TextStats {
       |GROUP BY 1, 2
       |ORDER BY split, lang""".stripMargin
 
+  /** q60 — vocabulary heavy hitters: global top-20 tokens by corpus
+    * frequency with doc-frequency alongside. The orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-k then a driver merge of
+    * 20-row heaps, never a global sort; the groupBy shuffles one row
+    * per distinct token (map-side combined), not one per occurrence. */
+  def q60HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token".asc)
+      .limit(20)
+  }
+
+  val q60Oracle: String =
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_heavy_hitters" -> q60HeavyHitters _,
     "q30_text_langid" -> q30LangId _,
     "q31_text_quality" -> q31Quality _,
     "q32_text_tokens" -> q32TokenCount _,
@@ -193,6 +216,7 @@ object TextStats {
     "q59_hash_split" -> q59HashSplit _)
 
   val oracle: Map[String, String] = Map(
+    "q60_heavy_hitters" -> q60Oracle,
     "q30_text_langid" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_text_tokens" -> q32Oracle,
