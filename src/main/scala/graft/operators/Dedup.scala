@@ -296,45 +296,70 @@ object Dedup {
     * grow unboundedly — the standard iterative-DataFrame discipline.
     * Deterministic: converges to the unique per-component minimum
     * regardless of iteration/join order. */
-  def q53DupClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+  /** Connected components over an undirected pair set by min-label
+    * propagation, with pointer jumping (`label := labels[label]`) engaged
+    * from the fourth round on: shallow components (the common case —
+    * near-dup clusters are small) pay nothing extra, while a deep chain
+    * converges in O(log diameter) rounds instead of O(diameter). Only
+    * nodes with ≥1 edge iterate, so loop state is O(|edges|); lineage is
+    * cut per round (localCheckpoint). Deterministic: the unique
+    * per-component minimum id wins regardless of join order.
+    *
+    * @param pairs undirected edges as (doc_a, doc_b), either orientation
+    * @return (doc_id, label) for every node appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    // Only nodes with >=1 edge iterate: near-dup components are a
-    // vanishing fraction of the corpus, so loop state is O(|edges|),
-    // not O(|docs|) — every isolated doc is its own cluster and joins
-    // the result once, after convergence.
-    var labels = edges.select($"doc_a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var iter = 0
-    val maxIters = 50
     while (!converged && iter < maxIters) {
       val neighborMin = edges
-        .join(labels, $"doc_b" === $"doc_id")
-        .groupBy($"doc_a")
-        .agg(min($"label").as("nmin"))
+        .join(labels, col("doc_b") === col("doc_id"))
+        .groupBy(col("doc_a"))
+        .agg(min(col("label")).as("nmin"))
       // one checkpointed frame serves BOTH the convergence probe and the
       // next labels — no second labels-join, no recompute over lineage
       val joined = labels
-        .join(neighborMin, $"doc_id" === $"doc_a", "left")
-        .select($"doc_id", $"label", coalesce($"nmin", $"label").as("nm"))
+        .join(neighborMin, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"), col("label"),
+          coalesce(col("nmin"), col("label")).as("nm"))
         .localCheckpoint()
-      converged = joined.filter($"nm" < $"label").isEmpty
-      labels = joined.select($"doc_id", least($"label", $"nm").as("label"))
+      converged = joined.filter(col("nm") < col("label")).isEmpty
+      labels = joined.select(col("doc_id"),
+        least(col("label"), col("nm")).as("label"))
+      if (!converged && iter >= 2) {
+        // pointer jump for deep components: follow label -> labels[label]
+        labels = labels.as("l")
+          .join(labels.select(col("doc_id").as("j_id"),
+            col("label").as("j_label")).as("m"),
+            col("l.label") === col("m.j_id"), "left")
+          .select(col("l.doc_id"),
+            least(col("l.label"), coalesce(col("j_label"), col("l.label")))
+              .as("label"))
+          .localCheckpoint()
+      }
       iter += 1
     }
-    // never return silently-split components: a graph whose diameter
-    // exceeds the cap (chains of incremental near-dup revisions) must
-    // fail loudly; the remedy at that shape is pointer-jumping
-    // (label := label-of-label per round, O(log d) convergence)
+    // never return silently-split components: fail loudly past the cap
+    // (with jumping, the cap corresponds to components of diameter ~2^47)
     if (!converged) throw new IllegalStateException(
-      s"q53 label propagation did not converge in $maxIters iterations — " +
-        "component diameter exceeds the cap; enable pointer jumping")
+      s"label propagation did not converge in $maxIters iterations")
     if (sys.env.contains("GRAFT_DEBUG_ITERS"))
-      System.err.println(s"[q53] converged after $iter iterations")
+      System.err.println(s"[cc] converged after $iter iterations")
+    labels
+  }
+
+  def q53DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Near-dup components are a vanishing fraction of the corpus; every
+    // isolated doc is its own cluster and joins the result once, after
+    // convergence.
+    val labels =
+      connectedComponents(jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
     val isolated = docs(s, dir).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))
