@@ -207,7 +207,61 @@ object TextStats {
       |GROUP BY token
       |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin
 
+  /** q61 — greedy shard packing: group documents into training shards of
+    * ≤ 4000 estimated tokens per language, closing a shard when the next
+    * doc would overflow (an oversized doc occupies a shard alone) — the
+    * sequence-packing step between curation and tokenization. Sequential
+    * per group, so it runs as a typed `flatMapGroups` (the Dataset face
+    * of per-key imperative logic); each group's docs sort in memory,
+    * bounded by docs-per-lang — the 100 TB form packs per (lang,
+    * date-bucket) so no group outgrows an executor. The oracle replays
+    * the same walk as a per-language recursive CTE. */
+  def q61PackShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 4000L
+    docs(s, dir)
+      .select($"lang", $"doc_id",
+        ceil($"n_chars" / 4.0).cast("long").as("est_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        var shard = 0L
+        var total = 0L
+        it.toSeq.sortBy(_._2).map { case (_, docId, tok) =>
+          if (total > 0 && total + tok > cap) { shard += 1; total = 0 }
+          total += tok
+          (lang, shard, docId, tok)
+        }
+      }
+      .toDF("lang", "shard", "doc_id", "est_tokens")
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"est_tokens").as("sum_tokens"))
+      .orderBy($"lang", $"shard")
+  }
+
+  val q61Oracle: String =
+    """WITH RECURSIVE
+      |d AS (SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+      |             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |      FROM documents),
+      |walk AS (
+      |  SELECT lang, rn, tok, CAST(0 AS BIGINT) AS shard, tok AS total
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.lang, d.rn, d.tok,
+      |         CASE WHEN w.total + d.tok > 4000 THEN w.shard + 1
+      |              ELSE w.shard END,
+      |         CASE WHEN w.total + d.tok > 4000 THEN d.tok
+      |              ELSE w.total + d.tok END
+      |  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+      |)
+      |SELECT lang, shard, count(*) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM walk GROUP BY 1, 2
+      |ORDER BY lang, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_pack_shards" -> q61PackShards _,
     "q60_heavy_hitters" -> q60HeavyHitters _,
     "q30_text_langid" -> q30LangId _,
     "q31_text_quality" -> q31Quality _,
@@ -216,6 +270,7 @@ object TextStats {
     "q59_hash_split" -> q59HashSplit _)
 
   val oracle: Map[String, String] = Map(
+    "q61_pack_shards" -> q61Oracle,
     "q60_heavy_hitters" -> q60Oracle,
     "q30_text_langid" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
