@@ -265,11 +265,18 @@ object Relational {
       |ORDER BY event_id""".stripMargin
 
   /** q11 — running sum with an explicit frame (rowsBetween). l_quantity is
-    * integer-valued so the running double sum is exact in both engines. */
+    * integer-valued so the running double sum is exact in both engines.
+    * The window order tiebreaks through l_partkey and l_quantity: the
+    * fixtures carry duplicate (l_orderkey, l_linenumber) pairs, and a
+    * running aggregate over a non-total order is engine- and
+    * plan-dependent at every tie boundary (bit us at sf0.1 — rows that
+    * remain tied after these keys are full duplicates, whose mutual
+    * order can't change any prefix sum). */
   def q11WindowRunningSum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_partkey".asc, $"l_quantity".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("running_qty", sum($"l_quantity").over(w))
@@ -281,7 +288,8 @@ object Relational {
   val q11Oracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
       |       sum(l_quantity) OVER (PARTITION BY l_suppkey
-      |         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+      |                  l_partkey ASC, l_quantity ASC
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
@@ -640,6 +648,30 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** q62 — null-preserving fan-out (P8's explode_outer face, oracled):
+    * rows whose extracted array is empty survive as a single null row —
+    * the reference's "keep the parent even when a child array is absent"
+    * shredding semantics (`epa_ingestion.py:339-393`), which plain
+    * explode silently drops. */
+  def q62ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        explode_outer(regexp_extract_all($"text", lit("[a-z]{8}"), lit(0)))
+          .as("w"))
+      .groupBy($"doc_id")
+      .agg(count($"w").as("n_matches"), count(lit(1)).as("n_rows"))
+      .orderBy($"doc_id")
+  }
+
+  val q62Oracle: String =
+    """SELECT d.doc_id, count(u.w) AS n_matches, count(*) AS n_rows
+      |FROM documents d LEFT JOIN LATERAL (
+      |  SELECT unnest(regexp_extract_all(d.text, '[a-z]{8}')) AS w) u
+      |  ON true
+      |GROUP BY d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** q54 — bloom-filter join pruning: build a Bloom filter over the small
     * (filtered) side's keys, prune the fact side BEFORE its shuffle, then
     * join exactly. At 100 TB this is the difference between shuffling the
@@ -761,6 +793,7 @@ object Relational {
       |ORDER BY e.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_explode_outer" -> q62ExplodeOuter _,
     "q58_cube" -> q58Cube _,
     "q54_bloom_join" -> q54BloomJoin _,
     "q55_variant_extract" -> q55VariantExtract _,
@@ -794,6 +827,7 @@ object Relational {
     "q19_time_bucket" -> q19TimeBucket _)
 
   val oracle: Map[String, String] = Map(
+    "q62_explode_outer" -> q62Oracle,
     "q58_cube" -> q58Oracle,
     "q54_bloom_join" -> q54Oracle,
     "q55_variant_extract" -> q55Oracle,
