@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dump executed-plan extracts for the plan-evidence doc (PLANS.md). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q01_flagship_latest_anti", "q02_join_inner_dims",
+        "q54_bloom_join", "q57_salted_join", "q24_chunk_fixed",
+        "q28_dedup_minhash_lsh")) {
+      println(s"===== $q =====")
+      println(graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString.take(3500))
+    }
+    spark.stop()
+  }
+}
