@@ -287,18 +287,9 @@ object Dedup {
       |SELECT vec_a, vec_b, cos FROM pairs
       |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 100""".stripMargin
 
-  /** q53 — duplicate clustering: the transitive closure over near-dup
-    * pairs (doc A≈B, B≈C ⇒ {A,B,C} one cluster) — the step that turns
-    * pairwise detection into keep-one-per-cluster dedup. Connected
-    * components by iterative min-label propagation over the symmetric
-    * edge set; each iteration halves the remaining label distance, and
-    * lineage is cut per iteration (localCheckpoint) so the plan doesn't
-    * grow unboundedly — the standard iterative-DataFrame discipline.
-    * Deterministic: converges to the unique per-component minimum
-    * regardless of iteration/join order. */
   /** Connected components over an undirected pair set by min-label
     * propagation, with pointer jumping (`label := labels[label]`) engaged
-    * from the fourth round on: shallow components (the common case —
+    * from the third round on: shallow components (the common case —
     * near-dup clusters are small) pay nothing extra, while a deep chain
     * converges in O(log diameter) rounds instead of O(diameter). Only
     * nodes with ≥1 edge iterate, so loop state is O(|edges|); lineage is
@@ -353,6 +344,10 @@ object Dedup {
     labels
   }
 
+  /** q53 — duplicate clustering: the transitive closure over near-dup
+    * pairs (doc A≈B, B≈C ⇒ {A,B,C} one cluster) — the step that turns
+    * pairwise detection into keep-one-per-cluster dedup, via
+    * [[connectedComponents]] over the q27 pair kernel. */
   def q53DupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Near-dup components are a vanishing fraction of the corpus; every

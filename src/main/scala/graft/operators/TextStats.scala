@@ -227,8 +227,13 @@ object TextStats {
       .flatMapGroups { (lang, it) =>
         var shard = 0L
         var total = 0L
+        var first = true
         it.toSeq.sortBy(_._2).map { case (_, docId, tok) =>
-          if (total > 0 && total + tok > cap) { shard += 1; total = 0 }
+          // close on overflow for every doc but the first — including a
+          // zero-token running total, exactly like the oracle's
+          // unguarded `total + tok > cap` recursion step
+          if (!first && total + tok > cap) { shard += 1; total = 0 }
+          first = false
           total += tok
           (lang, shard, docId, tok)
         }

@@ -7,8 +7,11 @@ import graft.operators.TextStats
   * ids dense from 0 per language. */
 class PackingSpec extends SparkSuite {
 
+  private lazy val packed =
+    TextStats.queries("q61_pack_shards")(spark, sfDir).collect()
+
   test("no shard exceeds the cap unless it is a single oversized doc") {
-    val rows = TextStats.queries("q61_pack_shards")(spark, sfDir).collect()
+    val rows = packed
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (nDocs, sumTok) = (r.getLong(2), r.getLong(3))
@@ -19,8 +22,7 @@ class PackingSpec extends SparkSuite {
   }
 
   test("shard ids are dense from 0 within each language") {
-    val byLang = TextStats.queries("q61_pack_shards")(spark, sfDir).collect()
-      .groupBy(_.getString(0))
+    val byLang = packed.groupBy(_.getString(0))
     byLang.foreach { case (lang, rows) =>
       val shards = rows.map(_.getLong(1)).sorted.toSeq
       assert(shards == (0L until shards.length.toLong),

@@ -66,6 +66,17 @@ class PlanQualitySpec extends SparkSuite {
       Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1995).count())
   }
 
+  test("q01 keeps the partial rank-limit pushdown below the window shuffle") {
+    val p = plan("q01_flagship_latest_anti")
+    val partial = p.indexOf("WindowGroupLimit") match {
+      case -1 => -1
+      case _ => p.indexOf(", Partial")
+    }
+    val exchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    assert(partial >= 0 && exchange >= 0 && partial > exchange,
+      s"partial WindowGroupLimit not below the exchange:\n${p.take(900)}")
+  }
+
   test("q54 bloom pruning filters the fact scan below the join") {
     val exec = SparkEntry.queries("q54_bloom_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
