@@ -365,6 +365,60 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Shared CTE body: shingles → jaccard pairs → symmetric edges →
+    * transitive reach → min-label clusters (the oracle replay of
+    * [[connectedComponents]] over [[jaccardPairs]]). */
+  private val clusterSqlCtes: String =
+    s"""$shingleSqlCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jacc AS (SELECT doc_a, doc_b
+      |         FROM pairs p
+      |         JOIN sizes sa ON p.doc_a = sa.doc_id
+      |         JOIN sizes sb ON p.doc_b = sb.doc_id
+      |         WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.2),
+      |edges AS (SELECT doc_a, doc_b FROM jacc
+      |          UNION ALL SELECT doc_b, doc_a FROM jacc),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT r.a, e.doc_b AS b FROM reach r JOIN edges e ON r.b = e.doc_a),
+      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  /** q63 — dedup retention: the end use of clustering — keep one doc per
+    * cluster (the minimum id), report per-language corpus shrinkage.
+    * Composition of q53's clusters with a keep-one policy and the
+    * documents dimension. */
+  def q63DedupRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels =
+      connectedComponents(jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
+    val d = docs(s, dir).select($"doc_id", $"lang")
+    d.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"label", $"doc_id").as("cluster_id"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("retention",
+        round($"n_kept" / $"n_docs".cast("double"), 6))
+      .orderBy($"lang")
+  }
+
+  val q63Oracle: String =
+    s"""WITH RECURSIVE $clusterSqlCtes
+      |SELECT d.lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN l.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       round(sum(CASE WHEN l.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+      |             / CAST(count(*) AS DOUBLE), 6) AS retention
+      |FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+      |GROUP BY d.lang
+      |ORDER BY lang""".stripMargin
+
   val q53Oracle: String =
     s"""WITH RECURSIVE $shingleSqlCte,
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -390,6 +444,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
     "q40_dedup_embedding_cosine" -> q40EmbeddingNearDup _,
     "q26_dedup_exact" -> q26DedupExact _,
@@ -398,6 +453,7 @@ object Dedup {
     "q29_dedup_simhash" -> q29SimHash _)
 
   val oracle: Map[String, String] = Map(
+    "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,
     "q40_dedup_embedding_cosine" -> q40Oracle,
     "q26_dedup_exact" -> q26Oracle,
