@@ -95,12 +95,50 @@ def gen_join(rng):
             f"{gen_where(rng, fc)} GROUP BY {g}{having} ORDER BY {g}")
 
 
+SETOP_KEYS = [
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def gen_setop(rng):
+    """Key-set algebra between a dimension and the fact referencing it."""
+    t1, k1, t2, k2 = rng.choice(SETOP_KEYS)
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+    return (f"SELECT k FROM ("
+            f"SELECT {k1} AS k FROM {t1}{gen_where(rng, TABLES[t1])} "
+            f"{op} "
+            f"SELECT {k2} AS k FROM {t2}{gen_where(rng, TABLES[t2])}"
+            f") ORDER BY k")
+
+
+def gen_scalar(rng):
+    """Scalar-function projection chain over one table."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    key = cols["ints"][0]
+    s = rng.choice(cols["strings"])
+    d = rng.choice(cols["doubles"])
+    # ORDER BY covers every output column: the LIMIT cut is only
+    # deterministic under a total order of the projection (rows still
+    # tied are identical in all emitted columns, so any pick matches)
+    return (f"SELECT {key}, upper({s}) AS a0, length({s}) AS a1, "
+            f"round({d}, 2) AS a2, substr({s}, 1, {rng.randint(2, 8)}) AS a3, "
+            f"{s} || '_x' AS a4 FROM {table}{gen_where(rng, cols)} "
+            f"ORDER BY {key}, a0, a1, a2, a3, a4 LIMIT 500")
+
+
 def gen_query(rng):
     shape = rng.random()
-    if shape < 0.25:
+    if shape < 0.22:
         return gen_window(rng)
-    if shape < 0.45:
+    if shape < 0.40:
         return gen_join(rng)
+    if shape < 0.52:
+        return gen_setop(rng)
+    if shape < 0.64:
+        return gen_scalar(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
