@@ -126,12 +126,69 @@ object Temporal {
       .orderBy($"l_returnflag")
   }
 
+  /** q64 — KMV (k-minimum-values) distinct sketch, k=64: estimate
+    * |distinct| as (k-1) · 2^52 / v_k where v_k is the k-th smallest
+    * md5-derived 52-bit value. Unlike q52's DataSketches HLL, every step
+    * is engine-independent arithmetic over md5 — so even the APPROXIMATE
+    * estimate hash-matches the DuckDB oracle bit-for-bit, giving the
+    * mergeable-sketch family a value-level gate. (Mergeability: the
+    * union of two KMV sets re-truncated to k is the sketch of the union
+    * — same two-level pattern as q52.) 13 hex chars = 52 bits keeps
+    * every intermediate integer exact in a double on both engines. */
+  def q64KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val k = 64
+    val twoTo52 = 4503599627370496.0 // 2^52
+    val hashed = li
+      .select($"l_returnflag", md5(concat(lit("kmv:"), $"l_partkey")).as("h"))
+      .distinct()
+    val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
+    val kth = hashed.withColumn("rn", row_number().over(w))
+      .filter($"rn" === k)
+      .withColumn("v",
+        expr("cast(conv(substring(h, 1, 13), 16, 10) as double)"))
+      .withColumn("est", lit((k - 1).toDouble) * lit(twoTo52) / $"v")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+    kth.join(exact, "l_returnflag")
+      .select($"l_returnflag",
+        round($"est", 2).as("est_distinct"),
+        $"n_exact",
+        round(abs($"est" - $"n_exact") / $"n_exact", 4).as("rel_err"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q64Oracle: String =
+    """WITH h AS (SELECT DISTINCT l_returnflag,
+      |             md5('kmv:' || l_partkey) AS h FROM lineitem),
+      |r AS (SELECT l_returnflag, h,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      |      FROM h),
+      |k AS (SELECT l_returnflag,
+      |        list_sum(list_transform(generate_series(1, 13),
+      |          i -> (strpos('0123456789abcdef',
+      |                  substr(h, CAST(i AS INT), 1)) - 1)
+      |               * 16.0 ** (13 - i))) AS v
+      |      FROM r WHERE rn = 64),
+      |e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      |      FROM lineitem GROUP BY 1)
+      |SELECT k.l_returnflag,
+      |       round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / v, 2) AS est_distinct,
+      |       e.n_exact,
+      |       round(abs(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / v - e.n_exact)
+      |             / e.n_exact, 4) AS rel_err
+      |FROM k JOIN e USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_range_join" -> q50RangeJoin _,
     "q51_asof_join" -> q51AsOfJoin _,
-    "q52_hll_sketch" -> q52HllSketch _)
+    "q52_hll_sketch" -> q52HllSketch _,
+    "q64_kmv_sketch" -> q64KmvSketch _)
 
   val oracle: Map[String, String] = Map(
     "q50_range_join" -> q50Oracle,
-    "q51_asof_join" -> q51Oracle)
+    "q51_asof_join" -> q51Oracle,
+    "q64_kmv_sketch" -> q64Oracle)
 }
