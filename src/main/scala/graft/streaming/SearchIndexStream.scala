@@ -91,7 +91,13 @@ object SearchIndexStream {
     if (Files.exists(batchMarker(stateDir, batchId))) return
     val spark = batch.sparkSession
     val (tok, doc) = readState(spark, stateDir)
-    val toks = batch.select(col("doc_id"),
+    // first-writer-wins: a doc_id already indexed contributes nothing —
+    // the additive df/dl merge would otherwise double-count a doc that
+    // re-arrives in a NEW file (the checkpoint only guards replays of
+    // the same file). Documents are immutable in the reference (PDFs;
+    // MERGE dedupes on key), so first-wins is the faithful contract.
+    val fresh = batch.join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val toks = fresh.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val dTok = toks.select(col("doc_id"), col("token")).distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))

@@ -45,6 +45,15 @@ class SearchIndexStreamSpec extends SparkSuite {
     val (tok2, doc2) = SearchIndexStream.readState(spark, stateDir)
     assert(tok2.except(batchTok).isEmpty && batchTok.except(tok2).isEmpty)
     assert(doc2.except(batchDoc).isEmpty && batchDoc.except(doc2).isEmpty)
+
+    // an already-indexed doc_id arriving in a NEW file must contribute
+    // nothing (first-writer-wins) — the checkpoint can't catch this one
+    docs.orderBy($"doc_id").limit(1).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    SearchIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    val (tok3, doc3) = SearchIndexStream.readState(spark, stateDir)
+    assert(tok3.except(batchTok).isEmpty && batchTok.except(tok3).isEmpty)
+    assert(doc3.except(batchDoc).isEmpty && batchDoc.except(doc3).isEmpty)
   }
 
   test("RestSource: throttled fetch isolates failures per key") {
