@@ -129,16 +129,37 @@ def gen_scalar(rng):
             f"ORDER BY {key}, a0, a1, a2, a3, a4 LIMIT 500")
 
 
+def gen_rollup(rng):
+    """Hierarchical aggregate over 1-2 string dims (subtotal rows NULL →
+    coalesced so both engines sort them identically)."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    g = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
+    i = rng.choice(cols["ints"])
+    proj = ", ".join(f"coalesce({c}, 'ALL') AS g{n}" for n, c in enumerate(g))
+    order = ", ".join(f"g{n}" for n in range(len(g)))
+    # HAVING c > 0 papers over a real engine divergence this fuzzer
+    # found: over an EMPTY (fully filtered) input, DuckDB/standard SQL
+    # emit the () grouping set's grand-total row (count 0), Spark emits
+    # no rows at all. The guard makes both sides empty.
+    return (f"SELECT {proj}, count(*) AS c, CAST(sum({i}) AS BIGINT) AS s "
+            f"FROM {table}{gen_where(rng, cols)} "
+            f"GROUP BY ROLLUP ({', '.join(g)}) HAVING count(*) > 0 "
+            f"ORDER BY {order}, c, s")
+
+
 def gen_query(rng):
     shape = rng.random()
-    if shape < 0.22:
+    if shape < 0.20:
         return gen_window(rng)
-    if shape < 0.40:
+    if shape < 0.36:
         return gen_join(rng)
-    if shape < 0.52:
+    if shape < 0.48:
         return gen_setop(rng)
-    if shape < 0.64:
+    if shape < 0.58:
         return gen_scalar(rng)
+    if shape < 0.68:
+        return gen_rollup(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
