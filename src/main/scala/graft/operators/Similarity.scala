@@ -234,13 +234,58 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q65 — int8 embedding quantization: per-vector symmetric scale
+    * (127 / max|x|), quantize via floor(x·scale + 0.5) — floor is
+    * engine-identical where round() is not (HALF_UP vs HALF_EVEN) — and
+    * report the L2 reconstruction error. The storage face of ANN at
+    * scale: 64 doubles → 64 bytes (8× smaller shuffle/scan footprint)
+    * before the q35/q44 candidate joins. All arithmetic is identical-
+    * order HOF folds, so even the error column hash-matches DuckDB. */
+  def q65EmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .filter($"mx" > 0)
+      .withColumn("scale", lit(127.0) / $"mx")
+      .withColumn("q",
+        transform($"v", x => floor(x * $"scale" + lit(0.5)).cast("long")))
+      .withColumn("err", expr(
+        """aggregate(zip_with(v, q, (x, qi) ->
+          |  (x - qi / scale) * (x - qi / scale)),
+          |  0D, (acc, e) -> acc + e)""".stripMargin))
+      .select($"vec_id", round($"mx", 6).as("mx"),
+        element_at($"q", 1).as("q1"), element_at($"q", 2).as("q2"),
+        element_at($"q", 3).as("q3"), element_at($"q", 4).as("q4"),
+        round($"err", 8).as("err"))
+      .orderBy($"vec_id")
+  }
+
+  val q65Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |s AS (SELECT vec_id, v, mx, CAST(127 AS DOUBLE) / mx AS scale
+      |      FROM m WHERE mx > 0),
+      |q AS (SELECT vec_id, v, mx, scale,
+      |        list_transform(v, x ->
+      |          CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+      |      FROM s)
+      |SELECT vec_id, round(mx, 6) AS mx,
+      |       qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+      |       round(list_sum(list_transform(generate_series(1, 64),
+      |         i -> (v[i] - qv[i] / scale) * (v[i] - qv[i] / scale))), 8) AS err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_embed_quantize" -> q65EmbedQuantize _,
     "q44_sim_ivf_ann" -> q44IvfAnn _,
     "q34_sim_cosine_topk" -> q34CosineTopK _,
     "q35_sim_lsh_ann" -> q35CosineLshAnn _,
     "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
+    "q65_embed_quantize" -> q65Oracle,
     "q44_sim_ivf_ann" -> q44Oracle,
     "q34_sim_cosine_topk" -> q34Oracle,
     "q35_sim_lsh_ann" -> q35Oracle,
