@@ -92,7 +92,10 @@ object DedupIndexStream {
     if (Files.exists(batchMarker(stateDir, batchId))) return
     val spark = batch.sparkSession
     val (sigs, bands, pairs) = readState(spark, stateDir)
-    val dSigs = Dedup.minhashWide(batch).cache()
+    // intra-batch duplicate ids collapse to one row first — otherwise
+    // minhashWide would blend two copies' shingle streams into one
+    // signature (harmless for identical text, wrong for differing text)
+    val dSigs = Dedup.minhashWide(batch.dropDuplicates("doc_id")).cache()
     val dBands = Dedup.lshBands(dSigs)
     // last-writer-wins merges: a re-arriving doc_id REPLACES its prior
     // signature and all 4 band rows (anti-join keeps only non-batch

@@ -14,19 +14,25 @@ import java.nio.charset.StandardCharsets
   * length) are upserted within the trigger interval, instead of the whole
   * index being rebuilt.
   *
-  * Exactly-once discipline (the additive merge is NOT naturally
-  * idempotent, so both halves matter):
+  * Exactly-once discipline (the additive df merge is NOT naturally
+  * idempotent, so every piece matters):
   *  - the streaming checkpoint lives at a STABLE location inside the
   *    state dir — a re-run resumes from the last committed offset and
   *    only ever sees new files, never a full replay;
-  *  - each micro-batch is guarded by its batchId: a marker commits
-  *    with the state swap, so a foreachBatch retry (at-least-once)
-  *    skips a batch whose delta already landed.
+  *  - BOTH state tables live in ONE versioned directory behind a single
+  *    atomically-replaced CURRENT pointer: a crash at any instant leaves
+  *    the composite state either fully old or fully new — never one
+  *    table updated without the other (the D6 transaction analog). A
+  *    retry before the swap recomputes from the old state; a retry after
+  *    the swap sees every batch doc already indexed, so the first-writer-
+  *    wins anti-join yields an empty delta and nothing double-counts;
+  *  - each fully-applied batch is sealed by a batchId marker.
   *
-  * State tables are versioned directories behind an atomically-replaced
-  * CURRENT pointer file — a crash at any instant leaves either the old or
-  * the new version fully visible (the D6 transaction analog; a plain
-  * move-aside/move-in-place pair has a window where the table vanishes).
+  * First-writer-wins: a doc_id already indexed (or repeated within one
+  * batch) contributes nothing — documents are immutable in the reference
+  * (PDFs; MERGE dedupes on key), and the additive merge would otherwise
+  * double-count a re-arrival the checkpoint can't catch (same id in a
+  * NEW file).
   *
   * Scale notes: each micro-batch shuffles only the batch's tokens (Δ),
   * never the corpus; the state tables are hash-partitionable by token /
@@ -34,33 +40,46 @@ import java.nio.charset.StandardCharsets
   */
 object SearchIndexStream {
 
-  // ---- versioned state tables (pointer-file commit) ----
+  // ---- composite versioned state (single pointer over both tables) ----
 
-  private def currentPointer(path: String): Path = Paths.get(path + ".current")
+  private def currentPointer(stateDir: String): Path =
+    Paths.get(s"$stateDir/CURRENT")
 
-  private def readVersion(path: String): Option[String] = {
-    val p = currentPointer(path)
+  private def readVersion(stateDir: String): Option[Long] = {
+    val p = currentPointer(stateDir)
     if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
     else None
   }
 
-  private def readTable(spark: SparkSession, path: String): Option[DataFrame] =
-    readVersion(path).map(v => spark.read.parquet(s"${path}__$v"))
-
-  /** Write `df` as the next version and atomically repoint CURRENT. */
-  private def commitTable(df: DataFrame, path: String): Unit = {
-    val next = readVersion(path).map(_.toLong + 1).getOrElse(0L).toString
-    df.coalesce(1).write.mode("overwrite").parquet(s"${path}__$next")
-    val tmp = Paths.get(path + s".current.tmp$next")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPointer(path), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the superseded version
-    readVersion(path).filter(_ == next).foreach { _ =>
-      val prev = next.toLong - 1
-      if (prev >= 0) deleteRecursive(Paths.get(s"${path}__$prev"))
+  /** Read current state (empty frames before the first commit). */
+  def readState(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    readVersion(stateDir) match {
+      case Some(v) =>
+        (spark.read.parquet(s"$stateDir/v__$v/token_stats"),
+          spark.read.parquet(s"$stateDir/v__$v/doc_stats"))
+      case None =>
+        (Seq.empty[(String, Long)].toDF("token", "df"),
+          Seq.empty[(Long, Long)].toDF("doc_id", "dl"))
     }
+  }
+
+  /** Write both tables as the next version, then atomically repoint
+    * CURRENT — one swap commits the composite state. */
+  private def commitState(tok: DataFrame, doc: DataFrame,
+      stateDir: String): Unit = {
+    val next = readVersion(stateDir).map(_ + 1).getOrElse(0L)
+    tok.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/v__$next/token_stats")
+    doc.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/v__$next/doc_stats")
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp$next")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPointer(stateDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the superseded version
+    if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
   }
 
   private def deleteRecursive(p: Path): Unit =
@@ -69,34 +88,28 @@ object SearchIndexStream {
         .forEach(f => Files.delete(f))
     }
 
-  /** Read current state (empty frames before the first commit). */
-  def readState(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val tok = readTable(spark, s"$stateDir/token_stats")
-      .getOrElse(Seq.empty[(String, Long)].toDF("token", "df"))
-    val doc = readTable(spark, s"$stateDir/doc_stats")
-      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "dl"))
-    (tok, doc)
-  }
-
   // ---- merge ----
 
   private def batchMarker(stateDir: String, batchId: Long): Path =
     Paths.get(s"$stateDir/_applied_$batchId")
 
   /** Merge one micro-batch of new documents into the state (additive df,
-    * union dl). Idempotent per batchId: a retry of an already-applied
-    * batch is a no-op. */
+    * union dl). Idempotent per batchId AND under partial-crash retries
+    * (see the object doc). */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     if (Files.exists(batchMarker(stateDir, batchId))) return
     val spark = batch.sparkSession
     val (tok, doc) = readState(spark, stateDir)
-    // first-writer-wins: a doc_id already indexed contributes nothing —
-    // the additive df/dl merge would otherwise double-count a doc that
-    // re-arrives in a NEW file (the checkpoint only guards replays of
-    // the same file). Documents are immutable in the reference (PDFs;
-    // MERGE dedupes on key), so first-wins is the faithful contract.
-    val fresh = batch.join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // checkpointed so the commits below can't lazily re-read a deleted
+    // state version, and so the anti-join snapshot is pinned
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    Files.createDirectories(Paths.get(stateDir))
+    if (fresh.isEmpty) { // duplicate-only batch: state already covers it
+      Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)
+      return
+    }
     val toks = fresh.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val dTok = toks.select(col("doc_id"), col("token")).distinct()
@@ -106,9 +119,7 @@ object SearchIndexStream {
       .groupBy("token").agg(sum("df").as("df"))
     val newDoc = doc.unionByName(dDoc)
       .groupBy("doc_id").agg(sum("dl").as("dl"))
-    commitTable(newTok, s"$stateDir/token_stats")
-    commitTable(newDoc, s"$stateDir/doc_stats")
-    Files.createDirectories(Paths.get(stateDir))
+    commitState(newTok, newDoc, stateDir)
     Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)
   }
 

@@ -47,13 +47,25 @@ class SearchIndexStreamSpec extends SparkSuite {
     assert(doc2.except(batchDoc).isEmpty && batchDoc.except(doc2).isEmpty)
 
     // an already-indexed doc_id arriving in a NEW file must contribute
-    // nothing (first-writer-wins) — the checkpoint can't catch this one
-    docs.orderBy($"doc_id").limit(1).coalesce(1)
+    // nothing (first-writer-wins) — the checkpoint can't catch this one;
+    // the file also repeats the id twice (intra-batch duplicate)
+    val dup = docs.orderBy($"doc_id").limit(1)
+    dup.unionByName(dup).coalesce(1)
       .write.mode("append").parquet(inDir)
     SearchIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
     val (tok3, doc3) = SearchIndexStream.readState(spark, stateDir)
     assert(tok3.except(batchTok).isEmpty && batchTok.except(tok3).isEmpty)
     assert(doc3.except(batchDoc).isEmpty && batchDoc.except(doc3).isEmpty)
+
+    // a brand-new doc repeated twice within ONE batch counts once
+    val newDoc9 = Seq((9000000L, "alpha beta beta gamma", "en", "syn", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    newDoc9.unionByName(newDoc9).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    SearchIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    val (_, doc4) = SearchIndexStream.readState(spark, stateDir)
+    val dl9 = doc4.filter($"doc_id" === 9000000L).collect()
+    assert(dl9.length == 1 && dl9.head.getLong(1) == 4L) // 4 tokens, once
   }
 
   test("RestSource: throttled fetch isolates failures per key") {
