@@ -181,13 +181,65 @@ object Temporal {
       |FROM k JOIN e USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q66 — time-series resampling with forward fill: each user's events
+    * collapse to an hourly grid spanning [first, last] active hour; gap
+    * hours carry the last observed hourly sum forward (last_value IGNORE
+    * NULLS over an unbounded-preceding frame — the standard gap-fill).
+    * The grid generates per user via sequence+explode (task-local fan-out,
+    * no shuffle beyond the hourly aggregate), so at scale the cost is
+    * O(active span), not O(global calendar × users). */
+  def q66ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("hour", floor($"sec" / 3600))
+    val hourly = ev.groupBy($"user_id", $"hour")
+      .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("hour"))
+    val w = Window.partitionBy($"user_id").orderBy($"hour".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_filled", last($"v", ignoreNulls = true).over(w))
+      .select($"user_id", $"hour",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"v_filled", lit(0.0)).as("v_filled"))
+      .orderBy($"user_id", $"hour")
+  }
+
+  val q66Oracle: String =
+    """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |              value
+      |            FROM events WHERE user_id < 20),
+      |b AS (SELECT user_id, CAST(floor(sec / 3600) AS BIGINT) AS hour,
+      |        round(sum(value), 4) AS v, count(*) AS n
+      |      FROM ev GROUP BY 1, 2),
+      |r AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |      FROM b GROUP BY 1),
+      |grid AS (SELECT r.user_id, g.hour
+      |         FROM r, LATERAL (SELECT unnest(generate_series(r.h0, r.h1))
+      |                          AS hour) g),
+      |j AS (SELECT grid.user_id, grid.hour, b.v, b.n
+      |      FROM grid LEFT JOIN b USING (user_id, hour))
+      |SELECT user_id, hour, coalesce(n, 0) AS n,
+      |       coalesce(last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         CAST(0 AS DOUBLE)) AS v_filled
+      |FROM j
+      |ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_resample_ffill" -> q66ResampleFfill _,
     "q50_range_join" -> q50RangeJoin _,
     "q51_asof_join" -> q51AsOfJoin _,
     "q52_hll_sketch" -> q52HllSketch _,
     "q64_kmv_sketch" -> q64KmvSketch _)
 
   val oracle: Map[String, String] = Map(
+    "q66_resample_ffill" -> q66Oracle,
     "q50_range_join" -> q50Oracle,
     "q51_asof_join" -> q51Oracle,
     "q64_kmv_sketch" -> q64Oracle)
