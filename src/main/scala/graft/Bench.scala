@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (same contract as Verify); driver leaves unset
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       // warm-up run amortizes codegen/JIT compilation; then take the best
       // of two steady-state executions (min discards scheduler/GC noise,
       // which is +/-30% on a busy box). Caches cleared between runs so
@@ -34,10 +38,14 @@ object Bench {
       once() // warm-up
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) precision keeps the one-line JSON short enough
+    // to survive the driver's bounded tail capture (r2's full-precision
+    // line was truncated mid-JSON and recorded as parsed:null)
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,6 +48,30 @@ object Dedup {
       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
       |       WHERE len(t) >= 3)""".stripMargin
 
+  /** 64-bit shingle id: the first 15 hex digits (60 bits) of md5, parsed
+    * to BIGINT. Derivation is IDENTICAL in both engines (Spark `conv`
+    * base-16→10 ≡ DuckDB `CAST('0x…' AS BIGINT)`), so if two shingles
+    * ever collided (~2⁻⁶⁰ per pair) both engines would agree on the
+    * merged group — parity is structural, not probabilistic. The Jaccard
+    * kernel shuffles these 8-byte longs where round 2 shuffled ~30-char
+    * shingle strings: group-bys, mins and pair joins all compare longs. */
+  private def shingleId(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Same stream as [[shinglesWithDup]] but carrying the 64-bit id. */
+  private def shingleIdsWithDup(df: DataFrame): DataFrame =
+    shinglesWithDup(df).select(col("doc_id"), shingleId(col("shingle")).as("sh64"))
+
+  /** Oracle twin of [[shingleIdsWithDup]].distinct — used by the Jaccard
+    * family (q27/q53/q63); q28's oracle keeps the raw-string CTE because
+    * minhash slices the md5 hex itself. */
+  private val shingleHashSqlCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15) AS BIGINT) AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |       WHERE len(t) >= 3)""".stripMargin
+
   /** q26 — exact dedup: group by content digest; every doc learns its
     * canonical (minimum) doc_id and its copy count. */
   def q26DedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -79,10 +103,20 @@ object Dedup {
     // bounded for content shingles (3-grams of real text are rare —
     // the corpus max is ~25 docs); a stop-shingle cap would guard truly
     // degenerate corpora. Doc sizes come from the same grouped frame,
-    // so the 30-byte shingle text shuffles exactly once.
-    val grouped = shinglesWithDup(docs(s, dir))
-      .groupBy($"shingle").agg(array_sort(collect_set($"doc_id")).as("ds"))
+    // and the group key is the 8-byte shingleId long — the ~30-byte
+    // shingle text never leaves the map task.
+    // The kernel's work is ~50× its input bytes (explode ×52 shingles/doc,
+    // then ×4 pair fan-out), so partition by WORK, not by input size: the
+    // single small fixture file would otherwise run the whole map side in
+    // one task, and AQE's size-based coalesce would shrink the tiny
+    // (~3 MB) post-agg shuffle to one partition right before the
+    // quadratic pair explode. Both repartitions move KBs here; on a real
+    // cluster they are a cheap rebalance of an already-partitioned scan.
+    val par = s.sparkContext.defaultParallelism
+    val grouped = shingleIdsWithDup(docs(s, dir).repartition(par))
+      .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
       .select($"ds")
+      .repartition(par)
       .cache()
     val sizes = grouped.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -118,7 +152,7 @@ object Dedup {
   }
 
   val q27Oracle: String =
-    s"""WITH $shingleSqlCte,
+    s"""WITH $shingleHashSqlCte,
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |          FROM sh a JOIN sh b
@@ -369,7 +403,7 @@ object Dedup {
     * transitive reach → min-label clusters (the oracle replay of
     * [[connectedComponents]] over [[jaccardPairs]]). */
   private val clusterSqlCtes: String =
-    s"""$shingleSqlCte,
+    s"""$shingleHashSqlCte,
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |          FROM sh a JOIN sh b
@@ -420,7 +454,7 @@ object Dedup {
       |ORDER BY lang""".stripMargin
 
   val q53Oracle: String =
-    s"""WITH RECURSIVE $shingleSqlCte,
+    s"""WITH RECURSIVE $shingleHashSqlCte,
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |          FROM sh a JOIN sh b

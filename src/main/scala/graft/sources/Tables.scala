@@ -38,6 +38,24 @@ object Tables {
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
 
+  /** Parallelism for operators whose work is a large multiple of their
+    * input bytes (shingle explodes, pair fan-outs): one task per
+    * `bytesPerTask` of INPUT, capped at the cluster's core count. A tiny
+    * fixture gets a handful of partitions (task-launch overhead would
+    * otherwise dominate 32-way stages over KBs); a 100 TB table saturates
+    * `defaultParallelism`. Size-based like Spark's own file-split policy,
+    * but tuned for the ~50× work amplification these kernels carry. */
+  def fanoutParallelism(s: SparkSession, dir: String, name: String,
+                        bytesPerTask: Long = 64 << 10): Int = {
+    val f = new java.io.File(dir, s"$name.parquet")
+    val bytes = if (f.isDirectory) {
+      val fs = Option(f.listFiles()).getOrElse(Array.empty)
+      fs.map(_.length).sum
+    } else f.length
+    val byBytes = math.max(1L, bytes / bytesPerTask)
+    math.min(s.sparkContext.defaultParallelism.toLong, byBytes).toInt
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

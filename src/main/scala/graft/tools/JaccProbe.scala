@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local-only A/B profiler for q27 kernel variants. Not part of the gate. */
+object JaccProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def shingleStream(par: Int): DataFrame =
+      graft.sources.Tables.documents(spark, sfDir).repartition(par)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr(
+          """explode(transform(sequence(1, size(t) - 2),
+            |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+            |                 element_at(t, i + 2))))""".stripMargin).as("shingle"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sh64"))
+
+    def finish(pairs: DataFrame, sizes: DataFrame): DataFrame =
+      pairs
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select($"doc_a", $"doc_b", $"inter", $"sa.n".as("n_a"), $"sb.n".as("n_b"),
+          ($"inter" / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+
+    def pairExplode(grouped: DataFrame): DataFrame =
+      grouped.filter(size($"ds") > 1)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+        .select($"p.doc_a", $"p.doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+
+    // variant A: current shipped (cache + repartition both sides)
+    def vA(par: Int): DataFrame = {
+      val grouped = shingleStream(par)
+        .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
+        .select($"ds").repartition(par).cache()
+      val sizes = grouped.select(explode($"ds").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      finish(pairExplode(grouped), sizes)
+    }
+    // variant B: no cache — rely on AQE ReusedExchange for the shared agg
+    def vB(par: Int): DataFrame = {
+      val grouped = shingleStream(par)
+        .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
+        .select($"ds").repartition(par)
+      val sizes = grouped.select(explode($"ds").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      finish(pairExplode(grouped), sizes)
+    }
+    // variant C: no cache, sizes straight from the stream (no grouped dep)
+    def vC(par: Int): DataFrame = {
+      val stream = shingleStream(par)
+      val grouped = stream
+        .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
+        .select($"ds").repartition(par)
+      val sizes = stream.groupBy($"doc_id").agg(count_distinct($"sh64").as("n"))
+      finish(pairExplode(grouped), sizes)
+    }
+
+    def timed(label: String)(mk: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); mk.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); dt
+      }
+      once()
+      val best = (0 until 3).map(_ => once()).min
+      println(f"[probe] $label%-30s min3=$best%.3fs")
+    }
+
+    val parAd = graft.sources.Tables.fanoutParallelism(spark, sfDir, "documents")
+    println(s"[probe] adaptive par = $parAd")
+    timed("A cache par=32")(vA(32))
+    timed(s"A cache par=$parAd")(vA(parAd))
+    timed(s"B nocache par=$parAd")(vB(parAd))
+    timed(s"C nocache sizes-direct par=$parAd")(vC(parAd))
+    timed("B nocache par=4")(vB(4))
+    // variant D: B minus the post-agg repartition (explode fuses into the
+    // agg reduce stage; serial there but one less barrier)
+    def vD(par: Int): DataFrame = {
+      val grouped = shingleStream(par)
+        .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
+        .select($"ds")
+      val sizes = grouped.select(explode($"ds").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      finish(pairExplode(grouped), sizes)
+    }
+    timed(s"D nocache norepart par=$parAd")(vD(parAd))
+    spark.stop()
+  }
+}
