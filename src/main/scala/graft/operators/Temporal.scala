@@ -134,18 +134,26 @@ object Temporal {
     * mergeable-sketch family a value-level gate. (Mergeability: the
     * union of two KMV sets re-truncated to k is the sketch of the union
     * — same two-level pattern as q52.) 13 hex chars = 52 bits keeps
-    * every intermediate integer exact in a double on both engines. */
+    * every intermediate integer exact in a double on both engines.
+    *
+    * The sketch state is a bounded [[graft.functions.BottomKDistinct]]
+    * aggregate — ≤ k distinct hashes per partial buffer, so the shuffle
+    * moves k×32 B per (group × partition) and nothing ever sorts the
+    * full distinct hash stream (the row_number()-window form this
+    * replaced sorted ~200k hashes per group on one reducer — a scale
+    * killer in miniature; the oracle is unchanged). */
   def q64KmvSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.BottomKFunctions.bottom_k_distinct
     val li = t(s, dir, "lineitem")
     val k = 64
     val twoTo52 = 4503599627370496.0 // 2^52
-    val hashed = li
+    val kth = li
       .select($"l_returnflag", md5(concat(lit("kmv:"), $"l_partkey")).as("h"))
-      .distinct()
-    val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
-    val kth = hashed.withColumn("rn", row_number().over(w))
-      .filter($"rn" === k)
+      .groupBy($"l_returnflag")
+      .agg(bottom_k_distinct($"h", k).as("sk"))
+      .withColumn("h", element_at($"sk", k))
+      .filter($"h".isNotNull)
       .withColumn("v",
         expr("cast(conv(substring(h, 1, 13), 16, 10) as double)"))
       .withColumn("est", lit((k - 1).toDouble) * lit(twoTo52) / $"v")

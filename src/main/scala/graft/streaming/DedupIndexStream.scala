@@ -20,8 +20,20 @@ import java.nio.charset.StandardCharsets
   *
   * Exactly-once discipline is inherited from the SearchIndexStream
   * pattern: stable checkpoint (resume, never replay), per-batch marker
-  * (retry of an applied batch is a no-op), versioned state directories
-  * behind an atomically-replaced CURRENT pointer.
+  * (retry of an applied batch is a no-op), and ALL THREE state tables
+  * (sigs, bands, pairs) written under ONE versioned directory behind a
+  * single atomically-replaced CURRENT pointer — a crash at any instant
+  * leaves the composite state fully old or fully new, so readState can
+  * never observe new pairs against old signatures (the D6 transaction
+  * analog, same as the search index).
+  *
+  * Last-writer-wins applies to ALL state, pairs included: when a doc_id
+  * re-arrives (possibly with changed text), its signature and band rows
+  * are replaced AND every accumulated pair touching it is retracted and
+  * recomputed from the new signature via the band probe. A doc whose new
+  * text no longer collides with its old partners therefore stops being
+  * marked their near-dup — stale pairs cannot linger to mislead a
+  * downstream keep-one-per-cluster retention pass.
   *
   * State tables (all hash-partitionable at scale):
   *  - sigs  (doc_id, mh0..mh7)     — 8×4 hex chars per doc
@@ -30,31 +42,58 @@ import java.nio.charset.StandardCharsets
   */
 object DedupIndexStream {
 
-  // ---- versioned state tables (pointer-file commit) ----
+  // ---- composite versioned state (single pointer over all 3 tables) ----
 
-  private def currentPointer(path: String): Path = Paths.get(path + ".current")
+  private def currentPointer(stateDir: String): Path =
+    Paths.get(s"$stateDir/CURRENT")
 
-  private def readVersion(path: String): Option[String] = {
-    val p = currentPointer(path)
+  private def readVersion(stateDir: String): Option[Long] = {
+    val p = currentPointer(stateDir)
     if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
     else None
   }
 
-  private def readTable(spark: SparkSession, path: String): Option[DataFrame] =
-    readVersion(path).map(v => spark.read.parquet(s"${path}__$v"))
+  private def emptySigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, String, String, String, String, String)]
+      .toDF("doc_id" +: (0 to 7).map(k => s"mh$k"): _*)
+  }
 
-  private def commitTable(df: DataFrame, path: String): Unit = {
-    val next = readVersion(path).map(_.toLong + 1).getOrElse(0L).toString
-    df.coalesce(1).write.mode("overwrite").parquet(s"${path}__$next")
-    val tmp = Paths.get(path + s".current.tmp$next")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPointer(path), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    readVersion(path).filter(_ == next).foreach { _ =>
-      val prev = next.toLong - 1
-      if (prev >= 0) deleteRecursive(Paths.get(s"${path}__$prev"))
+  /** Read current state (empty frames before the first commit). The
+    * single pointer guarantees the three frames are one consistent
+    * snapshot — never new pairs over old signatures. */
+  def readState(spark: SparkSession, stateDir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    readVersion(stateDir) match {
+      case Some(v) =>
+        (spark.read.parquet(s"$stateDir/v__$v/sigs"),
+          spark.read.parquet(s"$stateDir/v__$v/bands"),
+          spark.read.parquet(s"$stateDir/v__$v/pairs"))
+      case None =>
+        (emptySigs(spark),
+          Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"),
+          Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_sim"))
     }
+  }
+
+  /** Write all three tables as the next version, then atomically repoint
+    * CURRENT — one swap commits the composite state. The writes evaluate
+    * the (lazy) new frames while the prior version still exists on disk;
+    * only after the swap is the superseded version deleted. */
+  private def commitState(sigs: DataFrame, bands: DataFrame, pairs: DataFrame,
+      stateDir: String): Unit = {
+    val next = readVersion(stateDir).map(_ + 1).getOrElse(0L)
+    sigs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/sigs")
+    bands.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/bands")
+    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/pairs")
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp$next")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPointer(stateDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the superseded version
+    if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
   }
 
   private def deleteRecursive(p: Path): Unit =
@@ -63,31 +102,15 @@ object DedupIndexStream {
         .forEach(f => Files.delete(f))
     }
 
-  private def emptySigs(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, String, String, String, String, String, String, String, String)]
-      .toDF("doc_id" +: (0 to 7).map(k => s"mh$k"): _*)
-  }
-
-  /** Read current state (empty frames before the first commit). */
-  def readState(spark: SparkSession, stateDir: String):
-      (DataFrame, DataFrame, DataFrame) = {
-    import spark.implicits._
-    val sigs = readTable(spark, s"$stateDir/sigs").getOrElse(emptySigs(spark))
-    val bands = readTable(spark, s"$stateDir/bands")
-      .getOrElse(Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"))
-    val pairs = readTable(spark, s"$stateDir/pairs")
-      .getOrElse(Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_sim"))
-    (sigs, bands, pairs)
-  }
-
   private def batchMarker(stateDir: String, batchId: Long): Path =
     Paths.get(s"$stateDir/_applied_$batchId")
 
   /** Merge one micro-batch of new documents: Δ signatures, Δ bands,
-    * new candidate pairs (batch×state through the band index, plus
-    * batch-internal), verified by signature-slot fraction. Idempotent
-    * per batchId. */
+    * and pairs recomputed for every batch doc (batch×state through the
+    * band index, plus batch-internal), verified by signature-slot
+    * fraction. Idempotent per batchId AND under partial-crash retries
+    * (the composite commit makes a retry recompute from either the
+    * fully-old or fully-new snapshot — both converge). */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     if (Files.exists(batchMarker(stateDir, batchId))) return
     val spark = batch.sparkSession
@@ -100,8 +123,6 @@ object DedupIndexStream {
     // last-writer-wins merges: a re-arriving doc_id REPLACES its prior
     // signature and all 4 band rows (anti-join keeps only non-batch
     // history), so sigs and bands can never mix two versions of one doc
-    // — and the merge stays idempotent under a partial-crash retry
-    // (re-running yields the same batch-wins result, no double rows)
     val dDocIds = dSigs.select(col("doc_id"))
     val allSigs = dSigs.unionByName(
       sigs.join(dDocIds, Seq("doc_id"), "left_anti"))
@@ -124,14 +145,20 @@ object DedupIndexStream {
       .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(Dedup.signatureMatchFraction, 6).as("est_sim"))
-    val mergedPairs = pairs.unionByName(newPairs)
-      .groupBy("doc_a", "doc_b").agg(max("est_sim").as("est_sim"))
-    // commit in dependency order: pairs reads sigs/pairs state, sigs
-    // reads sigs state, bands reads bands state — every lazy reference
-    // must evaluate before the version it reads is deleted
-    commitTable(mergedPairs, s"$stateDir/pairs")
-    commitTable(allSigs, s"$stateDir/sigs")
-    commitTable(allBands, s"$stateDir/bands")
+    // pairs are last-writer-wins too: RETRACT every accumulated pair
+    // touching a batch doc_id, then take the freshly recomputed set for
+    // those docs. A pair derived from a superseded text version cannot
+    // survive (its key touches the batch and the new probe didn't emit
+    // it), and est_sim always reflects the CURRENT signatures — never a
+    // max() against a stale higher similarity. The two sets are disjoint
+    // by construction (every newPairs key touches a batch doc; no
+    // retained key does), so plain union needs no re-aggregation.
+    val retained = pairs
+      .join(dDocIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(dDocIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("est_sim")) // using-joins front the key
+    val mergedPairs = retained.unionByName(newPairs)
+    commitState(allSigs, allBands, mergedPairs, stateDir)
     dSigs.unpersist()
     Files.createDirectories(Paths.get(stateDir))
     Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)

@@ -60,7 +60,7 @@ class DedupIndexStreamSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("append").parquet(inDir)
     DedupIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
-    val (sigs4, bands4, _) = DedupIndexStream.readState(spark, stateDir)
+    val (sigs4, bands4, pairs4) = DedupIndexStream.readState(spark, stateDir)
     assert(sigs4.count() == docs.count() + 1) // replaced, not duplicated
     assert(bands4.filter($"doc_id" === newId).count() == 4)
     val expected = Dedup.minhashWide(
@@ -69,5 +69,31 @@ class DedupIndexStreamSpec extends SparkSuite {
     val stored = sigs4.filter($"doc_id" === newId)
       .select("doc_id", (0 to 7).map(k => s"mh$k"): _*).collect().head
     assert(stored == expected)
+
+    // …and the PAIRS are last-writer-wins too: every pair touching the
+    // re-signed doc must be recomputable from the STORED (current)
+    // signatures — band-collision membership and est_sim alike. A stale
+    // pair from the exact-copy phase (est_sim 1.0) surviving, or max()
+    // preferring the old higher similarity, fails this oracle.
+    val sigMap = sigs4.collect()
+      .map(r => r.getLong(0) -> (0 to 7).map(k => r.getString(k + 1)))
+      .toMap
+    def bandHit(a: IndexedSeq[String], b: IndexedSeq[String]): Boolean =
+      (0 to 3).exists(k => a(2 * k) == b(2 * k) && a(2 * k + 1) == b(2 * k + 1))
+    def slotFrac(a: IndexedSeq[String], b: IndexedSeq[String]): Double =
+      (0 to 7).count(k => a(k) == b(k)) / 8.0
+    val newSig = sigMap(newId)
+    val expNewPairs = sigMap.iterator
+      .filter { case (id, sig) => id != newId && bandHit(newSig, sig) }
+      .map { case (id, sig) =>
+        (math.min(id, newId), math.max(id, newId), slotFrac(newSig, sig)) }
+      .toSet
+    val gotNewPairs = pairs4
+      .filter($"doc_a" === newId || $"doc_b" === newId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotNewPairs == expNewPairs)
+    // pairs not touching the re-signed doc are untouched
+    assert(pairs4.filter($"doc_a" =!= newId && $"doc_b" =!= newId)
+      .except(batch).isEmpty)
   }
 }

@@ -68,13 +68,30 @@ class PlanQualitySpec extends SparkSuite {
 
   test("q01 keeps the partial rank-limit pushdown below the window shuffle") {
     val p = plan("q01_flagship_latest_anti")
-    val partial = p.indexOf("WindowGroupLimit") match {
-      case -1 => -1
-      case _ => p.indexOf(", Partial")
-    }
+    // locate the Partial marker ON the WindowGroupLimit line itself —
+    // a ', Partial' elsewhere in the plan (e.g. a partial aggregate)
+    // must not satisfy this assertion
+    val partial = p.linesIterator.scanLeft(0)(_ + _.length + 1)
+      .zip(p.linesIterator.toSeq)
+      .collectFirst { case (off, l)
+        if l.contains("WindowGroupLimit") && l.contains("Partial") => off }
+      .getOrElse(-1)
     val exchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
     assert(partial >= 0 && exchange >= 0 && partial > exchange,
       s"partial WindowGroupLimit not below the exchange:\n${p.take(900)}")
+  }
+
+  test("q64 KMV sketch is a bounded aggregate, not a window sort") {
+    val p = plan("q64_kmv_sketch")
+    // the sketch state must aggregate (ObjectHashAggregate hosts the
+    // TypedImperativeAggregate) …
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    // … and NOTHING below the partial aggregate may sort or window the
+    // hash stream (upper operators print first, so "below" = after the
+    // LAST ObjectHashAggregate occurrence)
+    val inputSide = p.substring(p.lastIndexOf("ObjectHashAggregate"))
+    assert(!inputSide.contains("Window"), inputSide.take(600))
+    assert(!inputSide.contains("Sort "), inputSide.take(600))
   }
 
   test("q54 bloom pruning filters the fact scan below the join") {
