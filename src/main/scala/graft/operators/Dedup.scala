@@ -255,16 +255,20 @@ object Dedup {
     val toks = docs(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .withColumn("h", md5($"token"))
-    val perBit = toks
-      .select($"doc_id", $"h", expr("explode(sequence(1, 16))").as("j"))
-      .withColumn("contrib", expr(
-        "CASE WHEN substr(h, j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
-    val bits = perBit
-      .groupBy($"doc_id", $"j")
-      .agg(sum($"contrib").as("sgn"))
-      .withColumn("bit",
-        when($"sgn" > 0, expr("CAST(pow(2, j - 1) AS BIGINT)")).otherwise(0L))
-    val sims = bits.groupBy($"doc_id").agg(sum($"bit").as("simhash"))
+    // all 16 ±1 bit-sums as COLUMNS of one aggregation (the minhashWide
+    // pattern): the token stream is scanned once and never explodes ×16,
+    // and the shuffle carries one 16-column row per doc per partition
+    // (map-side partials) instead of 16 rows per doc
+    val bitAggs = (1 to 16).map { j =>
+      sum(when(expr(
+        s"substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f')"), 1)
+        .otherwise(-1)).as(s"sgn$j")
+    }
+    val sims = toks.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select($"doc_id",
+        (1 to 16).map(j =>
+          when(col(s"sgn$j") > 0, lit(1L << (j - 1))).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val w = Window.partitionBy($"simhash")
     sims.withColumn("n_bucket", count(lit(1)).over(w))
       .orderBy($"doc_id")

@@ -682,15 +682,23 @@ object Relational {
     * plannable form sized from the build side's observed count. */
   def q54BloomJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val hot = t(s, dir, "orders")
       .filter($"o_totalprice" > 400000)
       .select($"o_orderkey", $"o_totalprice")
       .cache() // consumed 3x: sizing count, bloom build, probe join
     val bf = hot.stat.bloomFilter("o_orderkey", math.max(1024L, hot.count()), 0.01)
-    val bc = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    // the NATIVE BloomFilterMightContain expression (what Spark's own
+    // runtime-filter rule injects), not a Scala UDF: it code-gens, so the
+    // probe stays inside the scan's WholeStageCodegen span instead of
+    // boxing every l_orderkey through a lambda
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression($"l_orderkey")))
     t(s, dir, "lineitem")
-      .filter(mightContain($"l_orderkey"))
+      .filter(mightContain)
       .join(hot, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))

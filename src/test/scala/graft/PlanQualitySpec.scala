@@ -97,15 +97,17 @@ class PlanQualitySpec extends SparkSuite {
   test("q54 bloom pruning filters the fact scan below the join") {
     val exec = SparkEntry.queries("q54_bloom_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // the might-contain UDF must sit in a Filter under the join (fact
-    // rows drop before shuffling), and the join itself stays exact
+    // the native might_contain probe must sit in a Filter under the join
+    // (fact rows drop before shuffling), the join stays exact, and no
+    // boxed UDF appears anywhere — the probe code-gens
     val joinPos = exec.indexOf("Join")
-    val udfPos = exec.linesIterator.zipWithIndex.collectFirst {
-      case (l, _) if l.contains("Filter") && l.contains("UDF")
+    val probePos = exec.linesIterator.collectFirst {
+      case l if l.contains("Filter") && l.contains("might_contain")
         && l.contains("l_orderkey") => exec.indexOf(l)
     }.getOrElse(-1)
-    assert(joinPos >= 0 && udfPos > joinPos,
+    assert(joinPos >= 0 && probePos > joinPos,
       s"bloom filter not below the join:\n${exec.take(900)}")
+    assert(!exec.contains("UDF"), exec.take(900))
   }
 
   test("q57 salted join shuffle-hash-joins on (event_type, salt)") {
