@@ -108,22 +108,26 @@ object Dedup {
     // The kernel's work is ~50× its input bytes (explode ×52 shingles/doc,
     // then ×4 pair fan-out), so partition by WORK, not by input size: the
     // single small fixture file would otherwise run the whole map side in
-    // one task, and AQE's size-based coalesce would shrink the tiny
-    // (~3 MB) post-agg shuffle to one partition right before the
-    // quadratic pair explode. Both repartitions move KBs here; on a real
-    // cluster they are a cheap rebalance of an already-partitioned scan.
-    val par = s.sparkContext.defaultParallelism
+    // one task (fanoutParallelism sizes the map fan-out to the input and
+    // saturates the cluster on a real table). The pair stage filters to
+    // multi-doc groups FIRST and only then repartitions: the pair-stage
+    // shuffle moves the colliding groups (a few % of shingles), never the
+    // whole grouped table — at 100 TB that is the difference between
+    // re-shuffling the full distinct-shingle set and re-shuffling only
+    // the collision set. (No cache: AQE exchange reuse shares the
+    // grouped aggregation between the pair and size branches; measured
+    // faster than cache+repartition-everything by ~2× at local[32].)
+    val par = Tables.fanoutParallelism(s, dir, "documents")
     val grouped = shingleIdsWithDup(docs(s, dir).repartition(par))
       .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
       .select($"ds")
-      .repartition(par)
-      .cache()
     val sizes = grouped.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // i<j expansion via codegen'd HOFs: measured head-to-head against a
     // custom pair Generator (round 2) — indistinguishable, so the
     // built-in composition stays per the custom-operator ladder
     val pairs = grouped.filter(size($"ds") > 1)
+      .repartition(par)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)),

@@ -736,6 +736,44 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q67 — variant SHREDDED STORAGE, the write-once/read-many pair to
+    * q55's parse-edge exhibit: `parse_json` runs exactly once at ingest,
+    * the variant column persists to parquet in Spark 4's binary variant
+    * encoding, and every subsequent reader does `variant_get` path
+    * extraction over the stored bytes — no JSON text re-parse, ever.
+    * At 100 TB this is THE variant story: q55 re-tokenizes the raw text
+    * on every query; this path pays the parse once and reads typed
+    * paths at columnar speed thereafter. The oracle extracts the same
+    * values from the raw JSON — storage format changes nothing about
+    * the answer. */
+  def q67VariantStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_varstore_").toString
+    // ingest: parse once, persist the variant column
+    t(s, dir, "events")
+      .select($"event_id", $"event_type", parse_json($"props").as("pv"))
+      .write.mode("overwrite").parquet(store)
+    // read path: typed extraction over stored variant bytes
+    s.read.parquet(store)
+      .select($"event_type", variant_get($"pv", "$.k", "long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        sum(when($"k" % 2 === 0, $"k")).as("sum_even_k"))
+      .orderBy($"event_type")
+  }
+
+  val q67Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(sum(CASE WHEN k % 2 = 0 THEN k END) AS BIGINT) AS sum_even_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q56 — distribution-rank window family (ntile / percent_rank /
     * cume_dist): the quantile-bucketing face of the window module. All
     * three are rank arithmetic over exact ints — (rank-1)/(n-1) and
@@ -805,6 +843,7 @@ object Relational {
     "q58_cube" -> q58Cube _,
     "q54_bloom_join" -> q54BloomJoin _,
     "q55_variant_extract" -> q55VariantExtract _,
+    "q67_variant_store" -> q67VariantStore _,
     "q56_window_family" -> q56WindowFamily _,
     "q57_salted_join" -> q57SaltedJoin _,
     "q47_pivot" -> q47Pivot _,
@@ -839,6 +878,7 @@ object Relational {
     "q58_cube" -> q58Oracle,
     "q54_bloom_join" -> q54Oracle,
     "q55_variant_extract" -> q55Oracle,
+    "q67_variant_store" -> q67Oracle,
     "q56_window_family" -> q56Oracle,
     "q57_salted_join" -> q57Oracle,
     "q47_pivot" -> q47Oracle,
