@@ -52,6 +52,64 @@ object Dml {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** Dense surrogate-id assignment (the reference's `id INTEGER
+    * AUTOINCREMENT`, `epa_ingestion.py:237`): ids `startAt..startAt+N-1`
+    * in `orderCols` order. `orderCols` must be a unique key or ids are
+    * not reproducible.
+    *
+    * Why not `monotonically_increasing_id`: its values encode partition
+    * ids — sparse (gaps of 2^33), layout-dependent, different on every
+    * re-run. When DENSITY and reproducibility matter (state-machine
+    * tables keyed by id, stable references from other tables), the id
+    * must be a function of the DATA's order, not the cluster's layout.
+    *
+    * Why not `row_number() OVER (ORDER BY ...)`: a global window is a
+    * single-reducer sort — the whole table through one task. This is the
+    * scalable form: range-repartition on the order key, sort within
+    * partitions, then `zipWithIndex` (one extra count job over partition
+    * sizes) assigns globally dense ids with no single-task stage. */
+  def withSequentialId(df: DataFrame, orderCols: Seq[String],
+      idCol: String = "ID", startAt: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + startAt)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** MERGE with AUTOINCREMENT semantics for the surrogate id: matched
+    * rows take the source's data but KEEP the target's id; new rows get
+    * dense ids continuing from max(target id), ordered by `orderCols`;
+    * unmatched target rows pass through. Re-merging the same source is
+    * id-stable (idempotent), so downstream references by id never dangle
+    * — the property the reference gets from the warehouse's sequence.
+    * The max-id is joined in lazily (broadcast single-row aggregate),
+    * never collected to the driver. */
+  def mergeWithAutoId(target: DataFrame, source: DataFrame,
+      keys: Seq[String], orderCols: Seq[String],
+      idCol: String = "ID"): DataFrame = {
+    val dataCols = target.columns.filterNot(_ == idCol)
+    val src = source.select(dataCols.map(col): _*)
+    val matched = src
+      .join(target.select((keys :+ idCol).map(col): _*), keys, "inner")
+    val fresh = src.join(target.select(keys.map(col): _*), keys, "left_anti")
+    val maxId = target.agg(coalesce(max(col(idCol)), lit(0L)).as("__maxid"))
+    val freshWithId = withSequentialId(fresh, orderCols, idCol)
+      .crossJoin(broadcast(maxId))
+      .withColumn(idCol, col(idCol) + col("__maxid"))
+      .drop("__maxid")
+    val kept = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+    val cols = target.columns.map(col).toIndexedSeq
+    matched.select(cols: _*)
+      .unionByName(freshWithId.select(cols: _*))
+      .unionByName(kept.select(cols: _*))
+  }
+
   // ---- fixture-backed query surface (driver correctness gate) ----
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)

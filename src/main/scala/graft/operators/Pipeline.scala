@@ -75,10 +75,16 @@ object Pipeline {
       .withColumn("UPLOAD_TIMESTAMP", current_timestamp())
   }
 
-  /** Metadata MERGE on EPAREGNO (`epa_ingestion.py:551-637`, D5). */
+  /** Metadata MERGE on EPAREGNO (`epa_ingestion.py:551-637`, D5) with
+    * the table's AUTOINCREMENT surrogate id (`epa_ingestion.py:237`):
+    * the TABLE assigns ids at merge time (like the warehouse sequence),
+    * so `fresh` arrives id-less, matched rows keep their id, and new
+    * rows extend densely in (EPAREGNO, PDFFILE) order — stable across
+    * re-merges. */
   def mergeMetadata(existing: DataFrame, fresh: DataFrame): DataFrame =
-    Dml.merge(existing, fresh.select(existing.columns.map(col): _*),
-      Seq("EPAREGNO"))
+    Dml.mergeWithAutoId(existing,
+      fresh.select(existing.columns.filterNot(_ == "ID").map(col): _*),
+      Seq("EPAREGNO"), Seq("EPAREGNO", "PDFFILE"))
 
   /** VW_PDF_TO_CHUNK (`epa_ingestion.py:484-501`): binary-store directory
     * table ⋈ PENDING metadata on the derived relative-path key (J4/P6 —

@@ -38,6 +38,7 @@ class PipelineSpec extends SparkSuite {
       "ORIGINAL_URL", "FILE_SIZE_BYTES", "PROCESSING_STATUS", "EPAREGNO",
       "PDF_FILE_NAME", "PDFFILE_ACCEPTED_DATE", "PDFFILE")
       .withColumn("UPLOAD_TIMESTAMP", current_timestamp())
+      .withColumn("ID", lit(null).cast("long"))
     val toDl = Pipeline.pdfToDownload(products, pdffiles, emptyMeta)
     val dl = toDl.collect().map(r =>
       r.getAs[String]("EPAREGNO") -> r.getAs[String]("PDFFILE")).toMap
@@ -51,6 +52,16 @@ class PipelineSpec extends SparkSuite {
     val meta1 = Pipeline.mergeMetadata(emptyMeta, fetched)
     assert(meta1.count() == 2)
     assert(meta1.filter($"PROCESSING_STATUS" === "PENDING").count() == 2)
+
+    // 2b. AUTOINCREMENT surrogate ids: dense 1..N in (EPAREGNO, PDFFILE)
+    // order, and STABLE across a re-merge of the same batch
+    val ids1 = meta1.select($"EPAREGNO", $"ID").as[(String, Long)]
+      .collect().toMap
+    assert(ids1 == Map("100-1" -> 1L, "100-2" -> 2L))
+    val remerged = Pipeline.mergeMetadata(meta1, fetched)
+    val ids1b = remerged.select($"EPAREGNO", $"ID").as[(String, Long)]
+      .collect().toMap
+    assert(ids1b == ids1) // matched rows keep their ids — nothing renumbers
 
     // 3. incremental re-run: nothing left to download (anti-join)
     assert(Pipeline.pdfToDownload(products, pdffiles, meta1).count() == 0)
@@ -84,6 +95,34 @@ class PipelineSpec extends SparkSuite {
     assert(one.getAs[String]("COMPANYNAME") == "ACME ALPHA Corp")
     assert(one.getSeq[String](one.fieldIndex("CATEGORY_EPA_TYPE")) ==
       Seq("HERBICIDE", "INSECTICIDE"))
+  }
+
+  test("surrogate ids extend densely for late batches, never renumber") {
+    val emptyMeta = Seq.empty[(String, String, String, Long, String, String,
+      String, String, String)].toDF("PRODUCT_NAME", "STAGE_FILE_PATH",
+      "ORIGINAL_URL", "FILE_SIZE_BYTES", "PROCESSING_STATUS", "EPAREGNO",
+      "PDF_FILE_NAME", "PDFFILE_ACCEPTED_DATE", "PDFFILE")
+      .withColumn("UPLOAD_TIMESTAMP", current_timestamp())
+      .withColumn("ID", lit(null).cast("long"))
+    val store = Files.createTempDirectory("graft_pipeline_ids_").toString
+    def fetchAndMerge(meta: org.apache.spark.sql.DataFrame,
+        ds: Seq[String]) = {
+      val star = Shred.shredJson(spark, ds)
+      val toDl = Pipeline.pdfToDownload(star("products"), star("pdffiles"),
+        emptyMeta) // re-fetch everything in the batch
+      Pipeline.mergeMetadata(meta,
+        Pipeline.downloadAndStore(toDl, f => s"pdf $f".getBytes, store))
+    }
+    val metaA = fetchAndMerge(emptyMeta, Seq(
+      doc("300-1", "P1", Seq(("p1.pdf", "2020-01-01"))),
+      doc("300-2", "P2", Seq(("p2.pdf", "2020-01-01")))))
+    // batch B re-fetches 300-2 (matched → keeps id) and adds 300-3 (new)
+    val metaB = fetchAndMerge(metaA, Seq(
+      doc("300-2", "P2", Seq(("p2.pdf", "2020-01-01"))),
+      doc("300-3", "P3", Seq(("p3.pdf", "2021-02-02")))))
+    val ids = metaB.select($"EPAREGNO", $"ID").as[(String, Long)]
+      .collect().toMap
+    assert(ids == Map("300-1" -> 1L, "300-2" -> 2L, "300-3" -> 3L))
   }
 
   test("failed fetch isolates per item (FAILED status, run continues)") {
