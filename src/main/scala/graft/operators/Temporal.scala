@@ -239,16 +239,77 @@ object Temporal {
       |FROM j
       |ORDER BY user_id, hour""".stripMargin
 
+  /** q68 — count-min sketch heavy hitters: a d=4 × w=1024 CMS built in
+    * one pass over the token stream, probed with the exact top-20 (q60's
+    * head) so over-estimation is visible next to ground truth. Like q64,
+    * every hash is md5-derived arithmetic mirrored bit-for-bit in the
+    * oracle, so even the APPROXIMATE counts hash-match DuckDB — the
+    * mergeable-sketch family's value-level gate. CMS never
+    * under-counts (overcount ≥ 0 is deterministic), and cells are a
+    * FIXED 4096 rows however large the corpus: the shuffle after the
+    * map-side partial agg carries ≤ d·w rows per partition — the
+    * sketch property that makes 100 TB frequency estimation cheap.
+    * The 4 bucket ids are computed as array elements of one projection
+    * (codegen'd md5 ×4) then posexploded — the token stream is scanned
+    * once. */
+  def q68CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 4
+    val w = 1024
+    def bucketExpr(jCol: String, tokCol: String) =
+      s"pmod(cast(conv(substring(md5(concat('cms', $jCol, ':', $tokCol)), 1, 15), 16, 10) as bigint), $w)"
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+    val cells = toks
+      .select(posexplode(array((0 until d).map(j =>
+        expr(bucketExpr(j.toString, "token"))): _*)).as(Seq("j", "bucket")))
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("tf_exact"))
+      .orderBy($"tf_exact".desc, $"token".asc).limit(20)
+    top
+      .select($"token", $"tf_exact",
+        posexplode(array((0 until d).map(j =>
+          expr(bucketExpr(j.toString, "token"))): _*)).as(Seq("j", "bucket")))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy($"token", $"tf_exact").agg(min($"c").as("tf_est"))
+      .select($"token", $"tf_exact", $"tf_est",
+        ($"tf_est" - $"tf_exact").as("overcount"))
+      .orderBy($"tf_exact".desc, $"token".asc)
+  }
+
+  val q68Oracle: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |cells AS (SELECT j,
+      |            CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 15)
+      |                 AS BIGINT) % 1024 AS bucket,
+      |            count(*) AS c
+      |          FROM toks CROSS JOIN js GROUP BY 1, 2),
+      |top AS (SELECT token, count(*) AS tf_exact FROM toks
+      |        GROUP BY 1 ORDER BY tf_exact DESC, token ASC LIMIT 20),
+      |probe AS (SELECT t.token, t.tf_exact, min(c.c) AS tf_est
+      |          FROM top t CROSS JOIN js
+      |          JOIN cells c ON c.j = js.j
+      |           AND c.bucket = CAST('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || t.token), 1, 15)
+      |                               AS BIGINT) % 1024
+      |          GROUP BY 1, 2)
+      |SELECT token, tf_exact, tf_est, tf_est - tf_exact AS overcount
+      |FROM probe
+      |ORDER BY tf_exact DESC, token ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_resample_ffill" -> q66ResampleFfill _,
     "q50_range_join" -> q50RangeJoin _,
     "q51_asof_join" -> q51AsOfJoin _,
     "q52_hll_sketch" -> q52HllSketch _,
-    "q64_kmv_sketch" -> q64KmvSketch _)
+    "q64_kmv_sketch" -> q64KmvSketch _,
+    "q68_cms_heavy_hitters" -> q68CmsHeavyHitters _)
 
   val oracle: Map[String, String] = Map(
     "q66_resample_ffill" -> q66Oracle,
     "q50_range_join" -> q50Oracle,
     "q51_asof_join" -> q51Oracle,
-    "q64_kmv_sketch" -> q64Oracle)
+    "q64_kmv_sketch" -> q64Oracle,
+    "q68_cms_heavy_hitters" -> q68Oracle)
 }

@@ -20,6 +20,25 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("CMS never under-counts and over-counts within the d·N/w bound") {
+    val rows = graft.operators.Temporal.q68CmsHeavyHitters(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val totalTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("t")).count()
+    // deterministic CMS property: estimates are upper bounds
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"${r.getString(0)}: CMS under-counted") }
+    // expected collision mass per cell is N/w; min over d=4 rows stays
+    // well under the single-row Markov bound — assert the loose 4·N/w
+    val bound = 4.0 * totalTokens / 1024.0
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") <= bound,
+        s"${r.getString(0)}: overcount ${r.getAs[Long]("overcount")} > $bound")
+    }
+  }
+
   test("as-of join picks the latest at-or-before error only") {
     val out = graft.operators.Temporal.q51AsOfJoin(spark, sfDir)
     // one row per purchase, even for purchases with no prior error
