@@ -148,18 +148,90 @@ def gen_rollup(rng):
             f"ORDER BY {order}, c, s")
 
 
+def gen_frame(rng):
+    """Positional window frames (ROWS BETWEEN) + lag/lead over a TOTAL
+    order (the full int tuple is unique per table in the fixtures).
+    Integer aggregates only: a ROWS frame fixes WHICH values aggregate
+    but engines differ in summation ORDER (sliding segment trees vs
+    running sums), so float frame-sums are not parity-safe. Window sums
+    of ints are HUGEINT in DuckDB -> CAST AS BIGINT."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    part = rng.choice(cols["strings"])
+    order = ", ".join(f"{c} ASC" for c in cols["ints"])
+    i = rng.choice(cols["ints"])
+    k = rng.randint(1, 4)
+    frame = rng.choice([
+        f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING",
+    ])
+    fn = rng.choice([
+        f"CAST(sum({i}) OVER w AS BIGINT)",
+        f"min({i}) OVER w",
+        f"max({i}) OVER w",
+        f"count(*) OVER w",
+        f"lag({i}, {k}) OVER w2",
+        f"lead({i}, {k}) OVER w2",
+    ])
+    # lag/lead take no frame: w2 omits it (WINDOW clause parses in both)
+    proj = ", ".join(cols["ints"])
+    return (f"SELECT {part}, {proj}, {fn} AS wv FROM {table}"
+            f"{gen_where(rng, cols)} "
+            f"WINDOW w AS (PARTITION BY {part} ORDER BY {order} {frame}), "
+            f"w2 AS (PARTITION BY {part} ORDER BY {order}) "
+            f"ORDER BY {part}, {proj}")
+
+
+LATERAL_KEYS = [
+    ("customer", "c_custkey", "orders", "o_custkey", "o_totalprice"),
+    ("part", "p_partkey", "lineitem", "l_partkey", "l_quantity"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey", "l_extendedprice"),
+]
+
+
+def gen_lateral(rng):
+    """Correlated LATERAL subquery (SQL-standard form, valid in Spark
+    >= 3.2 and DuckDB): per outer row, aggregate the fact rows matching
+    the key. Rows with no match keep count 0 / NULL aggregates — same in
+    both engines because the lateral aggregate always yields one row."""
+    dim, dk, fact, fk, measure = rng.choice(LATERAL_KEYS)
+    dc = TABLES[dim]
+    # every aggregate is coalesce-wrapped: this fuzzer FOUND that DuckDB
+    # 1.0 DROPS the outer row when a correlated LATERAL aggregate's group
+    # is empty (bare min/max/sum -> 14743 rows from 15000 orders), while
+    # Spark keeps it with a NULL — the standard behavior (an aggregate
+    # subquery always yields one row). coalesce() restores DuckDB's row,
+    # making both engines emit all outer rows. Documented in OPERATORS.md.
+    agg = rng.choice([
+        "count(*) AS n",
+        f"CAST(coalesce(sum({TABLES[fact]['ints'][0]}), 0) AS BIGINT) AS n",
+        f"round(coalesce(sum({measure}), 0), 2) AS n",
+        f"coalesce(min({TABLES[fact]['ints'][0]}), -1) AS n",
+    ])
+    lim = rng.randint(100, 400)
+    return (f"SELECT {dk}, t.n FROM {dim}, "
+            f"LATERAL (SELECT {agg} FROM {fact} WHERE {fk} = {dk}) t"
+            f"{gen_where(rng, dc)} "
+            f"ORDER BY {dk}, t.n LIMIT {lim}")
+
+
 def gen_query(rng):
     shape = rng.random()
-    if shape < 0.20:
+    if shape < 0.18:
         return gen_window(rng)
-    if shape < 0.36:
+    if shape < 0.32:
         return gen_join(rng)
-    if shape < 0.48:
+    if shape < 0.42:
         return gen_setop(rng)
-    if shape < 0.58:
+    if shape < 0.50:
         return gen_scalar(rng)
-    if shape < 0.68:
+    if shape < 0.60:
         return gen_rollup(rng)
+    if shape < 0.70:
+        return gen_frame(rng)
+    if shape < 0.78:
+        return gen_lateral(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
