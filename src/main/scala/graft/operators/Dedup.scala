@@ -177,19 +177,25 @@ object Dedup {
     * signature fraction. The all-pairs product never materializes. */
   /** 8-slot MinHash signature per doc, as one wide row. ONE aggregation
     * pass computes all 8 minhashes as columns: the shuffle carries
-    * 8×32B per doc, never the shingles; map-side partial min does the
+    * 8×4B per doc, never the shingles; map-side partial min does the
     * heavy lifting. One md5 per shingle; the 8 hash functions are its 8
-    * disjoint 4-hex (16-bit+16-bit=32-bit) slices — an 8x cheaper valid
-    * minhash family (min over independent bit ranges of a uniform
-    * digest). Shared by q28 and the incremental index
-    * (graft.streaming.DedupIndexStream). */
+    * disjoint 4-hex (16-bit) slices — an 8x cheaper valid minhash
+    * family (min over independent bit ranges of a uniform digest).
+    * Slots are INTs (the slice parsed base-16): equal-width hex strings
+    * order exactly like their numeric values, so min/equality semantics
+    * are unchanged vs the hex-string form and the oracle needs no edit —
+    * but min(int) aggregates in a codegen'd HashAggregate where
+    * min(string) fell back to SortAggregate, which SORTED the whole
+    * shingle stream by doc_id per partition. Shared by q28 and the
+    * incremental index (graft.streaming.DedupIndexStream). */
   def minhashWide(documents: DataFrame): DataFrame = {
     // minhash is min over a hash family — duplicates can't change a min,
     // so the shingle stream needs no distinct (one less shuffle)
     val hashed = shinglesWithDup(documents)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
     val mhAggs = (0 to 7).map(k =>
-      min(substring(col("h"), 4 * k + 1, 4)).as(s"mh$k"))
+      min(conv(substring(col("h"), 4 * k + 1, 4), 16, 10).cast("int"))
+        .as(s"mh$k"))
     hashed.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
   }
 
@@ -213,8 +219,10 @@ object Dedup {
   def q28MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the wide table serves banding AND both sides of the verify join
-    // without re-expansion
-    val wide = minhashWide(docs(s, dir)).cache()
+    // without re-expansion; the scan spreads by input size so the ×52
+    // shingle explode + md5 never runs single-task on a small file
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val wide = minhashWide(docs(s, dir).repartition(par)).cache()
     val bands = lshBands(wide)
     val cands = bands.as("x")
       .join(bands.as("y"),

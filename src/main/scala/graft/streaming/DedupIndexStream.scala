@@ -36,7 +36,7 @@ import java.nio.charset.StandardCharsets
   * downstream keep-one-per-cluster retention pass.
   *
   * State tables (all hash-partitionable at scale):
-  *  - sigs  (doc_id, mh0..mh7)     — 8×4 hex chars per doc
+  *  - sigs  (doc_id, mh0..mh7)     — 8 ints (16-bit minhash slots) per doc
   *  - bands (doc_id, band, bkey)   — 4 rows per doc, the inverted index
   *  - pairs (doc_a, doc_b, est_sim) — accumulated candidates
   */
@@ -56,7 +56,7 @@ object DedupIndexStream {
 
   private def emptySigs(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Long, String, String, String, String, String, String, String, String)]
+    Seq.empty[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
       .toDF("doc_id" +: (0 to 7).map(k => s"mh$k"): _*)
   }
 

@@ -76,11 +76,11 @@ class DedupIndexStreamSpec extends SparkSuite {
     // pair from the exact-copy phase (est_sim 1.0) surviving, or max()
     // preferring the old higher similarity, fails this oracle.
     val sigMap = sigs4.collect()
-      .map(r => r.getLong(0) -> (0 to 7).map(k => r.getString(k + 1)))
+      .map(r => r.getLong(0) -> (0 to 7).map(k => r.getInt(k + 1)))
       .toMap
-    def bandHit(a: IndexedSeq[String], b: IndexedSeq[String]): Boolean =
+    def bandHit(a: IndexedSeq[Int], b: IndexedSeq[Int]): Boolean =
       (0 to 3).exists(k => a(2 * k) == b(2 * k) && a(2 * k + 1) == b(2 * k + 1))
-    def slotFrac(a: IndexedSeq[String], b: IndexedSeq[String]): Double =
+    def slotFrac(a: IndexedSeq[Int], b: IndexedSeq[Int]): Double =
       (0 to 7).count(k => a(k) == b(k)) / 8.0
     val newSig = sigMap(newId)
     val expNewPairs = sigMap.iterator
