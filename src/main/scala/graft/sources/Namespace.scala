@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DEV/TEST/PROD environment namespacing (reference
+  * `epa_ingestion.py:29-55`: `DatabaseConfig.get_database` →
+  * `{ENV}_{name}` database names + the env-scoped stage path).
+  *
+  * Spark-native form: the same `{ENV}_{name}` convention applied to the
+  * TWO places a Spark deployment names things — catalog databases
+  * (`spark_catalog.DEV_SRC_INGEST.products`) and storage roots for the
+  * path-addressed stores (binary store, checkpoint/state dirs). One
+  * resolver object is threaded through instead of string-formatting at
+  * call sites, so an operator cannot accidentally cross environments:
+  * every identifier it sees is already env-scoped.
+  *
+  * This is deliberately a thin config layer, not an operator — the
+  * reference's is too (SURVEY §2.11) — but it is load-bearing for
+  * isolation: the spec proves a DEV write never lands in PROD's
+  * database or store root.
+  */
+final case class Namespace(env: String, storageRoot: String) {
+  require(Namespace.Envs(env), s"unknown env '$env' (expected DEV|TEST|PROD)")
+
+  /** `{ENV}_{name}` — the reference's database naming rule. */
+  def database(name: String): String = s"${env}_$name"
+
+  /** Fully-qualified catalog identifier for a table. */
+  def table(db: String, name: String): String = s"${database(db)}.$name"
+
+  /** Env-scoped storage path (file-addressed stores, state dirs). */
+  def path(parts: String*): String =
+    (storageRoot +: env +: parts).mkString("/")
+
+  /** The reference's resolved-config surface (`epa_ingestion.py:49-55`). */
+  def config: Map[String, String] = Map(
+    "SRC_INGEST_DB" -> database("SRC_INGEST"),
+    "DP_APP_DB" -> database("DP_APP"),
+    "PDF_STORE_PATH" -> path("SRC_INGEST", "EPA_RAW", "PDF_STORE", "EPA_LABEL_PDF"))
+
+  /** Create this env's databases (idempotent). */
+  def ensureDatabases(spark: SparkSession): Unit =
+    Seq("SRC_INGEST", "DP_APP").foreach { db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(db)}")
+    }
+
+  /** Save a table into this env's namespace (catalog-managed parquet). */
+  def save(df: DataFrame, db: String, name: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .saveAsTable(table(db, name))
+
+  /** Load a table from this env's namespace. */
+  def load(spark: SparkSession, db: String, name: String): DataFrame =
+    spark.table(table(db, name))
+}
+
+object Namespace {
+  val Envs: Set[String] = Set("DEV", "TEST", "PROD")
+}
