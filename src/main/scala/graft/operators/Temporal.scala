@@ -252,18 +252,30 @@ object Temporal {
     * The 4 bucket ids are computed as array elements of one projection
     * (codegen'd md5 ×4) then posexploded — the token stream is scanned
     * once. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  private def cmsBucketExpr(jCol: String, tokCol: String): String =
+    s"pmod(cast(conv(substring(md5(concat('cms', $jCol, ':', $tokCol)), 1, 15), 16, 10) as bigint), $CmsWidth)"
+
+  /** CMS cell grid (j, bucket, c) for a `token` frame. MERGEABLE: cells
+    * of a union of corpora = per-corpus cells summed per (j, bucket) —
+    * the property TemporalSpec pins by splitting the corpus 3 ways and
+    * merging; it is what lets per-partition / per-batch sketches combine
+    * on a cluster without touching raw tokens again. */
+  def cmsCells(toks: DataFrame): DataFrame =
+    toks
+      .select(posexplode(array((0 until CmsDepth).map(j =>
+        expr(cmsBucketExpr(j.toString, "token"))): _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+
   def q68CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = 4
-    val w = 1024
-    def bucketExpr(jCol: String, tokCol: String) =
-      s"pmod(cast(conv(substring(md5(concat('cms', $jCol, ':', $tokCol)), 1, 15), 16, 10) as bigint), $w)"
+    val d = CmsDepth
+    def bucketExpr(jCol: String, tokCol: String) = cmsBucketExpr(jCol, tokCol)
     val toks = Tables.load(s, dir, "documents")
       .select(explode(split($"text", " ")).as("token"))
-    val cells = toks
-      .select(posexplode(array((0 until d).map(j =>
-        expr(bucketExpr(j.toString, "token"))): _*)).as(Seq("j", "bucket")))
-      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    val cells = cmsCells(toks)
     val top = toks.groupBy($"token").agg(count(lit(1)).as("tf_exact"))
       .orderBy($"tf_exact".desc, $"token".asc).limit(20)
     top

@@ -39,6 +39,20 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("CMS sketches merge: 3-way split cells sum to the corpus cells") {
+    import graft.operators.Temporal
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val whole = Temporal.cmsCells(toks.select($"token"))
+    // build one sketch per disjoint corpus slice, merge by summing cells
+    val merged = (0 to 2)
+      .map(r => Temporal.cmsCells(
+        toks.filter($"doc_id" % 3 === r).select($"token")))
+      .reduce(_ unionByName _)
+      .groupBy($"j", $"bucket").agg(sum($"c").as("c"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
   test("as-of join picks the latest at-or-before error only") {
     val out = graft.operators.Temporal.q51AsOfJoin(spark, sfDir)
     // one row per purchase, even for purchases with no prior error
