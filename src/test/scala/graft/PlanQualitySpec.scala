@@ -94,6 +94,14 @@ class PlanQualitySpec extends SparkSuite {
     assert(!inputSide.contains("Sort "), inputSide.take(600))
   }
 
+  test("q28 minhash aggregates hash-based — no sort of the shingle stream") {
+    val p = plan("q28_dedup_minhash_lsh")
+    // int slots keep min() in HashAggregate; min(string) used to fall
+    // back to SortAggregate, sorting every partition's shingles by doc_id
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("SortAggregate"), p.take(600))
+  }
+
   test("q54 bloom pruning filters the fact scan below the join") {
     val exec = SparkEntry.queries("q54_bloom_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
