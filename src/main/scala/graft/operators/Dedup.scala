@@ -493,7 +493,67 @@ object Dedup {
       |FROM labels
       |ORDER BY doc_id""".stripMargin
 
+  /** q70 — train/eval NEAR-DUP contamination: an eval doc sharing an LSH
+    * band bucket with any train doc is a contamination candidate — the
+    * leak that poisons benchmarks, caught BEFORE the eval set ships.
+    * The q59 split assigns by doc_id, so content near-duplicates cross
+    * split boundaries; exact-digest contamination is the trivial variant
+    * (digest semi-join — this fixture has no exact cross-split copies,
+    * so the near-dup form is the one that detects anything). At 100 TB
+    * the probe is a semi-join of eval band keys against the train band
+    * set: bytes ∝ 4 band rows per doc, never text — and the incremental
+    * twin is DedupIndexStream's band index probed with the eval Δ. */
+  def q70Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    val sp = d.select($"doc_id",
+      when(bucket.isin("c", "d"), "val")
+        .when(bucket.isin("e", "f"), "test")
+        .otherwise("train").as("split"))
+    val bands = lshBands(minhashWide(d)).join(sp, "doc_id")
+    val trainBuckets = bands.filter($"split" === "train")
+      .select($"band", $"bkey").distinct()
+    val hits = bands.filter($"split" =!= "train")
+      .join(trainBuckets, Seq("band", "bkey"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    sp.filter($"split" =!= "train")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_near_contaminated"))
+      .orderBy($"split")
+  }
+
+  val q70Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |sigs AS (SELECT doc_id, seed,
+      |                min(substr(md5(shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
+      |         FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
+      |         GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+      |                 string_agg(mh, '|' ORDER BY seed) AS bkey
+      |          FROM sigs GROUP BY 1, 2),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN substr(md5('split:' || doc_id), 1, 1) IN ('c', 'd') THEN 'val'
+      |              WHEN substr(md5('split:' || doc_id), 1, 1) IN ('e', 'f') THEN 'test'
+      |              ELSE 'train' END AS split
+      |       FROM documents),
+      |tb AS (SELECT DISTINCT band, bkey FROM bands JOIN sp USING (doc_id)
+      |       WHERE split = 'train'),
+      |hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN sp USING (doc_id)
+      |         JOIN tb USING (band, bkey) WHERE sp.split <> 'train')
+      |SELECT sp.split, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_near_contaminated
+      |FROM sp LEFT JOIN hits h ON sp.doc_id = h.doc_id
+      |WHERE sp.split <> 'train'
+      |GROUP BY sp.split
+      |ORDER BY sp.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_contamination" -> q70Contamination _,
     "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
     "q40_dedup_embedding_cosine" -> q40EmbeddingNearDup _,
@@ -503,6 +563,7 @@ object Dedup {
     "q29_dedup_simhash" -> q29SimHash _)
 
   val oracle: Map[String, String] = Map(
+    "q70_contamination" -> q70Oracle,
     "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,
     "q40_dedup_embedding_cosine" -> q40Oracle,

@@ -190,6 +190,79 @@ object TextStats {
       |GROUP BY 1, 2
       |ORDER BY split, lang""".stripMargin
 
+  /** q69 — deterministic stratified sampling: ~10% of every language,
+    * membership decided by `md5(doc_id) mod 100 < 10` — a pure
+    * projection any engine re-derives (rand()-based sampling reproduces
+    * on no two engines, and TABLESAMPLE is partition-layout-dependent).
+    * This is curation's workhorse: carve an eval slice / debug subset /
+    * annotation batch out of a 100 TB corpus with no shuffle, no state,
+    * and a membership test that is re-runnable forever. Per-language
+    * accounting shows the realized rate beside the target. */
+  def q69StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampled = expr(
+      "pmod(cast(conv(substring(md5(concat('samp:', doc_id)), 1, 15), 16, 10) as bigint), 100) < 10")
+    docs(s, dir)
+      .withColumn("in_sample", sampled)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sampled"),
+        round(avg(when($"in_sample", 1.0).otherwise(0.0)), 6).as("rate"))
+      .orderBy($"lang")
+  }
+
+  val q69Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       round(avg(CASE WHEN s THEN 1.0 ELSE 0.0 END), 6) AS rate
+      |FROM (SELECT lang,
+      |        CAST('0x' || substr(md5('samp:' || doc_id), 1, 15) AS BIGINT) % 100 < 10 AS s
+      |      FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** q71 — intra-document repetition score (the Gopher/Rae-style
+    * repetition quality filter): fraction of a doc's 3-gram slots
+    * occupied by repeats, 1 − |distinct 3-grams| / |3-grams|. Computed
+    * ENTIRELY task-local — the gram array and its array_distinct never
+    * leave the projection, so the only shuffle is the final per-language
+    * aggregate (one row per doc). Highly repetitive docs are the classic
+    * low-quality training-data signature this filter removes. */
+  def q71Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = expr(
+      """transform(sequence(1, size(t) - 2),
+        |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+        |                 element_at(t, i + 2)))""".stripMargin)
+    docs(s, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", $"lang",
+        (lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams).cast("double")).as("rep"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"rep"), 6).as("avg_repetition"),
+        round(max($"rep"), 6).as("max_repetition"))
+      .orderBy($"lang")
+  }
+
+  val q71Oracle: String =
+    """WITH g AS (SELECT doc_id, lang,
+      |             1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+      |                   / CAST(len(gs) AS DOUBLE) AS rep
+      |           FROM (SELECT doc_id, lang,
+      |                   list_transform(generate_series(1, len(t) - 2),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+      |                 FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |                       FROM documents)
+      |                 WHERE len(t) >= 3) x)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(avg(rep), 6) AS avg_repetition,
+      |       round(max(rep), 6) AS max_repetition
+      |FROM g GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** q60 — vocabulary heavy hitters: global top-20 tokens by corpus
     * frequency with doc-frequency alongside. The orderBy+limit plans as
     * TakeOrderedAndProject — per-partition top-k then a driver merge of
@@ -277,7 +350,9 @@ object TextStats {
     "q31_text_quality" -> q31Quality _,
     "q32_text_tokens" -> q32TokenCount _,
     "q33_text_fingerprint" -> q33Fingerprint _,
-    "q59_hash_split" -> q59HashSplit _)
+    "q59_hash_split" -> q59HashSplit _,
+    "q69_stratified_sample" -> q69StratifiedSample _,
+    "q71_repetition" -> q71Repetition _)
 
   val oracle: Map[String, String] = Map(
     "q61_pack_shards" -> q61Oracle,
@@ -286,5 +361,7 @@ object TextStats {
     "q31_text_quality" -> q31Oracle,
     "q32_text_tokens" -> q32Oracle,
     "q33_text_fingerprint" -> q33Oracle,
-    "q59_hash_split" -> q59Oracle)
+    "q59_hash_split" -> q59Oracle,
+    "q69_stratified_sample" -> q69Oracle,
+    "q71_repetition" -> q71Oracle)
 }
