@@ -511,7 +511,9 @@ object Dedup {
       when(bucket.isin("c", "d"), "val")
         .when(bucket.isin("e", "f"), "test")
         .otherwise("train").as("split"))
-    val bands = lshBands(minhashWide(d)).join(sp, "doc_id")
+    val bands = lshBands(minhashWide(
+      d.repartition(Tables.fanoutParallelism(s, dir, "documents"))))
+      .join(sp, "doc_id")
     val trainBuckets = bands.filter($"split" === "train")
       .select($"band", $"bkey").distinct()
     val hits = bands.filter($"split" =!= "train")

@@ -152,7 +152,11 @@ object Temporal {
       .select($"l_returnflag", md5(concat(lit("kmv:"), $"l_partkey")).as("h"))
       .groupBy($"l_returnflag")
       .agg(bottom_k_distinct($"h", k).as("sk"))
-      .withColumn("h", element_at($"sk", k))
+      // try_element_at: under ANSI mode (Spark 4 default) element_at
+      // THROWS past the array end, so a group with < k distinct values
+      // would abort the query instead of dropping (the window form and
+      // the oracle's rn = k both drop such groups)
+      .withColumn("h", try_element_at($"sk", lit(k)))
       .filter($"h".isNotNull)
       .withColumn("v",
         expr("cast(conv(substring(h, 1, 13), 16, 10) as double)"))
@@ -274,6 +278,7 @@ object Temporal {
     val d = CmsDepth
     def bucketExpr(jCol: String, tokCol: String) = cmsBucketExpr(jCol, tokCol)
     val toks = Tables.load(s, dir, "documents")
+      .repartition(Tables.fanoutParallelism(s, dir, "documents"))
       .select(explode(split($"text", " ")).as("token"))
     val cells = cmsCells(toks)
     val top = toks.groupBy($"token").agg(count(lit(1)).as("tf_exact"))

@@ -38,10 +38,14 @@ final case class Namespace(env: String, storageRoot: String) {
     "DP_APP_DB" -> database("DP_APP"),
     "PDF_STORE_PATH" -> path("SRC_INGEST", "EPA_RAW", "PDF_STORE", "EPA_LABEL_PDF"))
 
-  /** Create this env's databases (idempotent). */
+  /** Create this env's databases (idempotent). Each database is rooted
+    * under the env's storage root — managed tables then live inside the
+    * env's namespace on disk too (catalog AND storage isolation from one
+    * declaration), and nothing leaks into a shared default warehouse. */
   def ensureDatabases(spark: SparkSession): Unit =
     Seq("SRC_INGEST", "DP_APP").foreach { db =>
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(db)}")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(db)} " +
+        s"LOCATION '${path("_catalog", database(db))}'")
     }
 
   /** Save a table into this env's namespace (catalog-managed parquet). */

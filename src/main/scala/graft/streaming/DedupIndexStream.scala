@@ -5,8 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 
 /** Incrementally-maintained near-duplicate index — the dedup twin of
   * [[SearchIndexStream]]'s TARGET_LAG semantics: as new documents arrive,
@@ -42,17 +41,8 @@ import java.nio.charset.StandardCharsets
   */
 object DedupIndexStream {
 
-  // ---- composite versioned state (single pointer over all 3 tables) ----
-
-  private def currentPointer(stateDir: String): Path =
-    Paths.get(s"$stateDir/CURRENT")
-
-  private def readVersion(stateDir: String): Option[Long] = {
-    val p = currentPointer(stateDir)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  // composite versioned state (single pointer over all 3 tables) — the
+  // shared machinery lives in [[VersionedState]]
 
   private def emptySigs(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -66,44 +56,21 @@ object DedupIndexStream {
   def readState(spark: SparkSession, stateDir: String):
       (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    readVersion(stateDir) match {
-      case Some(v) =>
-        (spark.read.parquet(s"$stateDir/v__$v/sigs"),
-          spark.read.parquet(s"$stateDir/v__$v/bands"),
-          spark.read.parquet(s"$stateDir/v__$v/pairs"))
-      case None =>
-        (emptySigs(spark),
-          Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"),
-          Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_sim"))
-    }
+    // fail LOUDLY on a state dir written by the pre-composite layout
+    // (per-table sigs.current pointer files): silently starting from
+    // empty state while the stable checkpoint suppresses replay would
+    // discard all accumulated history without an error
+    if (Files.exists(Paths.get(s"$stateDir/sigs.current")) &&
+        !Files.exists(Paths.get(s"$stateDir/CURRENT")))
+      throw new IllegalStateException(
+        s"$stateDir holds legacy per-table state; migrate or rebuild it")
+    val state = new VersionedState(stateDir)
+    (state.read(spark, "sigs").getOrElse(emptySigs(spark)),
+      state.read(spark, "bands")
+        .getOrElse(Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")),
+      state.read(spark, "pairs")
+        .getOrElse(Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_sim")))
   }
-
-  /** Write all three tables as the next version, then atomically repoint
-    * CURRENT — one swap commits the composite state. The writes evaluate
-    * the (lazy) new frames while the prior version still exists on disk;
-    * only after the swap is the superseded version deleted. */
-  private def commitState(sigs: DataFrame, bands: DataFrame, pairs: DataFrame,
-      stateDir: String): Unit = {
-    val next = readVersion(stateDir).map(_ + 1).getOrElse(0L)
-    sigs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/sigs")
-    bands.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/bands")
-    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v__$next/pairs")
-    val tmp = Paths.get(s"$stateDir/CURRENT.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPointer(stateDir),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the superseded version
-    if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
-  }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-
-  private def batchMarker(stateDir: String, batchId: Long): Path =
-    Paths.get(s"$stateDir/_applied_$batchId")
 
   /** Merge one micro-batch of new documents: Δ signatures, Δ bands,
     * and pairs recomputed for every batch doc (batch×state through the
@@ -112,7 +79,8 @@ object DedupIndexStream {
     * (the composite commit makes a retry recompute from either the
     * fully-old or fully-new snapshot — both converge). */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
-    if (Files.exists(batchMarker(stateDir, batchId))) return
+    val state = new VersionedState(stateDir)
+    if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
     val (sigs, bands, pairs) = readState(spark, stateDir)
     // intra-batch duplicate ids collapse to one row first — otherwise
@@ -158,10 +126,10 @@ object DedupIndexStream {
       .join(dDocIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
       .select(col("doc_a"), col("doc_b"), col("est_sim")) // using-joins front the key
     val mergedPairs = retained.unionByName(newPairs)
-    commitState(allSigs, allBands, mergedPairs, stateDir)
+    state.commit(Seq("sigs" -> allSigs, "bands" -> allBands,
+      "pairs" -> mergedPairs), batchId)
     dSigs.unpersist()
-    Files.createDirectories(Paths.get(stateDir))
-    Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)
+    state.mark(batchId)
   }
 
   /** Maintain the index over a document stream; stable checkpoint under

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
 
 /** Incrementally-maintained search-index statistics — the engine's
   * faithful form of the reference's `CORTEX SEARCH SERVICE ... TARGET_LAG
@@ -40,64 +38,27 @@ import java.nio.charset.StandardCharsets
   */
 object SearchIndexStream {
 
-  // ---- composite versioned state (single pointer over both tables) ----
-
-  private def currentPointer(stateDir: String): Path =
-    Paths.get(s"$stateDir/CURRENT")
-
-  private def readVersion(stateDir: String): Option[Long] = {
-    val p = currentPointer(stateDir)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  // composite versioned state (single pointer over both tables) — the
+  // shared machinery lives in [[VersionedState]]
 
   /** Read current state (empty frames before the first commit). */
   def readState(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    readVersion(stateDir) match {
-      case Some(v) =>
-        (spark.read.parquet(s"$stateDir/v__$v/token_stats"),
-          spark.read.parquet(s"$stateDir/v__$v/doc_stats"))
-      case None =>
-        (Seq.empty[(String, Long)].toDF("token", "df"),
-          Seq.empty[(Long, Long)].toDF("doc_id", "dl"))
-    }
+    val state = new VersionedState(stateDir)
+    (state.read(spark, "token_stats")
+      .getOrElse(Seq.empty[(String, Long)].toDF("token", "df")),
+      state.read(spark, "doc_stats")
+        .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "dl")))
   }
-
-  /** Write both tables as the next version, then atomically repoint
-    * CURRENT — one swap commits the composite state. */
-  private def commitState(tok: DataFrame, doc: DataFrame,
-      stateDir: String): Unit = {
-    val next = readVersion(stateDir).map(_ + 1).getOrElse(0L)
-    tok.coalesce(1).write.mode("overwrite")
-      .parquet(s"$stateDir/v__$next/token_stats")
-    doc.coalesce(1).write.mode("overwrite")
-      .parquet(s"$stateDir/v__$next/doc_stats")
-    val tmp = Paths.get(s"$stateDir/CURRENT.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPointer(stateDir),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the superseded version
-    if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
-  }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-
-  // ---- merge ----
-
-  private def batchMarker(stateDir: String, batchId: Long): Path =
-    Paths.get(s"$stateDir/_applied_$batchId")
 
   /** Merge one micro-batch of new documents into the state (additive df,
     * union dl). Idempotent per batchId AND under partial-crash retries
-    * (see the object doc). */
+    * (see the object doc): the first-writer-wins anti-join already makes
+    * a post-swap replay a no-op delta, and VersionedState's in-state
+    * batchId short-circuits it outright. */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
-    if (Files.exists(batchMarker(stateDir, batchId))) return
+    val state = new VersionedState(stateDir)
+    if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
     val (tok, doc) = readState(spark, stateDir)
     // checkpointed so the commits below can't lazily re-read a deleted
@@ -105,9 +66,8 @@ object SearchIndexStream {
     val fresh = batch.dropDuplicates("doc_id")
       .join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    Files.createDirectories(Paths.get(stateDir))
     if (fresh.isEmpty) { // duplicate-only batch: state already covers it
-      Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)
+      state.mark(batchId)
       return
     }
     val toks = fresh.select(col("doc_id"),
@@ -119,8 +79,8 @@ object SearchIndexStream {
       .groupBy("token").agg(sum("df").as("df"))
     val newDoc = doc.unionByName(dDoc)
       .groupBy("doc_id").agg(sum("dl").as("dl"))
-    commitState(newTok, newDoc, stateDir)
-    Files.write(batchMarker(stateDir, batchId), Array.emptyByteArray)
+    state.commit(Seq("token_stats" -> newTok, "doc_stats" -> newDoc), batchId)
+    state.mark(batchId)
   }
 
   /** Run the maintenance query over a document stream (micro-batched via

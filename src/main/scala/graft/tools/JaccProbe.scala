@@ -269,6 +269,10 @@ object JaccProbe {
         .groupBy($"doc_id").agg(count(lit(1)).as("n"))
       finish(pairs, sizes)
     }
+    // vI is the negative exhibit: md5 INSIDE the interpreted HOF lambda
+    // ran ~4x slower than md5-after-explode — kept measurable under the
+    // full run so the finding stays reproducible
+    if (full) timed(s"I localsizes m=$parAd")(vI(parAd, parAd))
     timed(s"J struct-filterfirst m=$parAd")(vJ(parAd, parAd))
     timed(s"G again m=$parAd")(vG(parAd, parAd))
     timedCc(s"q53 shape: J kernel + cc")(

@@ -45,4 +45,24 @@ class CmsStreamSpec extends SparkSuite {
     assert(streamed3.except(batchCells).isEmpty
       && batchCells.except(streamed3).isEmpty)
   }
+
+  test("crash between state swap and marker write cannot double-count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft_cms_crash_").toString
+    CmsStream.mergeBatch(docs, stateDir, 0L)
+    // materialized: if the retry (buggily) re-committed, the lazy frame's
+    // underlying version directory would be deleted out from under it
+    val once = CmsStream.readCells(spark, stateDir).collect().toSet
+    // simulate the crash window: the state swap survived but the applied
+    // marker was never written — the streaming retry re-invokes the same
+    // batchId. The additive merge must NOT apply again (the batchId
+    // recorded inside the committed version is the backstop).
+    Files.delete(java.nio.file.Paths.get(s"$stateDir/_applied_0"))
+    CmsStream.mergeBatch(docs, stateDir, 0L)
+    val retried = CmsStream.readCells(spark, stateDir).collect().toSet
+    assert(retried == once)
+    // and the marker is restored for the fast path
+    assert(Files.exists(java.nio.file.Paths.get(s"$stateDir/_applied_0")))
+  }
 }

@@ -20,6 +20,18 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("KMV groups with fewer than k distinct values drop, not throw") {
+    // ANSI mode (Spark 4 default) makes element_at throw past the array
+    // end; the sketch must DROP under-filled groups like the window/rn=k
+    // form does. 10 distinct values < k=64 → empty result, no exception.
+    import graft.functions.BottomKFunctions.bottom_k_distinct
+    val df = (1 to 10).map(i => ("g", f"$i%02d")).toDF("g", "h")
+    val r = df.groupBy($"g").agg(bottom_k_distinct($"h", 64).as("sk"))
+      .withColumn("v", try_element_at($"sk", lit(64)))
+      .filter($"v".isNotNull)
+    assert(r.isEmpty)
+  }
+
   test("CMS never under-counts and over-counts within the d·N/w bound") {
     val rows = graft.operators.Temporal.q68CmsHeavyHitters(spark, sfDir)
       .collect()
