@@ -688,17 +688,23 @@ object Relational {
     val hot = t(s, dir, "orders")
       .filter($"o_totalprice" > 400000)
       .select($"o_orderkey", $"o_totalprice")
-      .cache() // consumed 2x: bloom-build subquery, probe join
+      .cache() // consumed 3x: sizing count, bloom-build subquery, probe join
     // EXACTLY Spark's own runtime-row-filter shape (InjectRuntimeFilter):
     // might_contain(<scalar subquery: bloom_filter_agg over the build
     // side>, xxhash64(probe key)). The bloom is built DISTRIBUTED with
-    // map-side partial aggregation inside the same DAG — no driver-side
-    // sizing count, no collected filter re-shipped as a plan literal —
-    // and the probe code-gens in the scan's WholeStageCodegen span.
+    // map-side partial aggregation inside the same DAG — no collected
+    // filter re-shipped as a plan literal — and the probe code-gens in
+    // the scan's WholeStageCodegen span. Sizing stays ADAPTIVE to the
+    // observed build-side count (one cheap action on the cached dim):
+    // a statically-capped bloom saturates to fpp→1 at 100× scale, which
+    // quietly turns the pre-shuffle prune into a no-op.
+    val nKeys = math.max(1024L, hot.count())
+    val nBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nKeys, 0.01)
     val bloomDf = hot.select(GraftColumnBridge.column(
       new BloomFilterAggregate(
         new XxHash64(Seq(GraftColumnBridge.expression(hot("o_orderkey")))),
-        Literal(1000000L), Literal(8L * 1024 * 1024)).toAggregateExpression())
+        Literal(nKeys), Literal(nBits)).toAggregateExpression())
       .as("bf"))
     val li = t(s, dir, "lineitem")
     val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
@@ -754,14 +760,23 @@ object Relational {
     * the answer. */
   def q67VariantStore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the store is keyed by the SOURCE dir and reused if already built:
-    // write-once/read-many means repeated invocations (bench iterations,
-    // plan inspections) pay only the read path, and /tmp does not
-    // accumulate one copy per call
+    // the store is keyed by the source dir AND a fingerprint of the
+    // source files (sizes + mtimes): reuse serves repeated invocations
+    // (bench iterations, plan inspections) the read path only, while
+    // regenerated source data at the same path gets a fresh store
+    // instead of silently stale results
+    val srcFile = new java.io.File(dir, "events.parquet")
+    val srcParts =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty).toSeq
+      else Seq(srcFile)
+    val fingerprint = dir +
+      srcParts.sortBy(_.getName)
+        .map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
     val store = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft_varstore_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString)
     if (!store.exists()) {
       // ingest: parse once, persist the variant column; build under a
       // scratch name and promote with an atomic rename so a crashed
@@ -769,18 +784,22 @@ object Relational {
       // would trust
       val scratch = new java.io.File(store.getParent,
         store.getName + s".build${ProcessHandle.current.pid}")
-      t(s, dir, "events")
-        .select($"event_id", $"event_type", parse_json($"props").as("pv"))
-        .write.mode("overwrite").parquet(scratch.toString)
-      try java.nio.file.Files.move(scratch.toPath, store.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the race to a concurrent builder: theirs is complete
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.FileSystemException =>
-          java.nio.file.Files.walk(scratch.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
+      try {
+        t(s, dir, "events")
+          .select($"event_id", $"event_type", parse_json($"props").as("pv"))
+          .write.mode("overwrite").parquet(scratch.toString)
+        try java.nio.file.Files.move(scratch.toPath, store.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            // only a concurrent builder that already promoted its store
+            // excuses the failed rename; anything else must surface, not
+            // silently leave the query with no store at all
+            if (!store.exists()) throw e
+        }
+      } finally // drop the scratch both after losing the race and on a
+                // failed write — never orphan a half-build in /tmp
+        graft.streaming.VersionedState.deleteTree(scratch.toPath)
     }
     // read path: typed extraction over stored variant bytes
     s.read.parquet(store.toString)

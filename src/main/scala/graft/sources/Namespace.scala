@@ -41,11 +41,26 @@ final case class Namespace(env: String, storageRoot: String) {
   /** Create this env's databases (idempotent). Each database is rooted
     * under the env's storage root — managed tables then live inside the
     * env's namespace on disk too (catalog AND storage isolation from one
-    * declaration), and nothing leaks into a shared default warehouse. */
+    * declaration), and nothing leaks into a shared default warehouse.
+    *
+    * `CREATE DATABASE IF NOT EXISTS ... LOCATION` silently keeps the OLD
+    * location for a pre-existing database (e.g. one created by earlier
+    * code at the default warehouse), so the location is verified after
+    * the fact and a mismatch fails LOUDLY — isolation that silently
+    * isn't is worse than an error. */
   def ensureDatabases(spark: SparkSession): Unit =
     Seq("SRC_INGEST", "DP_APP").foreach { db =>
+      val loc = path("_catalog", database(db))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(db)} " +
-        s"LOCATION '${path("_catalog", database(db))}'")
+        s"LOCATION '${loc.replace("'", "''")}'")
+      val actual = new java.io.File(
+        java.net.URI.create(
+          spark.catalog.getDatabase(database(db)).locationUri))
+        .getAbsolutePath
+      val expected = new java.io.File(loc).getAbsolutePath
+      if (actual != expected) throw new IllegalStateException(
+        s"database ${database(db)} exists at '$actual', not the env root " +
+          s"'$expected' — environments are NOT isolated; drop or relocate it")
     }
 
   /** Save a table into this env's namespace (catalog-managed parquet). */

@@ -68,11 +68,7 @@ final class VersionedState(stateDir: String) {
     if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
   }
 
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+  private def deleteRecursive(p: Path): Unit = VersionedState.deleteTree(p)
 
   // ---- per-batch applied markers (fast path; the in-state batchId is
   // the crash-window backstop) ----
@@ -92,4 +88,14 @@ final class VersionedState(stateDir: String) {
     * crashed between the swap and the marker write). */
   def isApplied(batchId: Long): Boolean =
     isMarked(batchId) || appliedBatch.contains(batchId)
+}
+
+object VersionedState {
+  /** Recursive delete — the one shared implementation (also used by the
+    * write-once stores, e.g. q67's variant store scratch cleanup). */
+  def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
 }
