@@ -216,6 +216,29 @@ def gen_lateral(rng):
             f"ORDER BY {dk}, t.n LIMIT {lim}")
 
 
+def gen_exists(rng):
+    """Correlated EXISTS / NOT EXISTS and uncorrelated IN / NOT IN
+    (decorrelation + anti/semi-join planning differ per engine — the
+    LATERAL shape found a real divergence here, so this probes the same
+    machinery from the quantified-predicate side). Key columns are
+    NOT NULL in the fixtures, so NOT IN's null semantics don't bite."""
+    dim, dk, fact, fk, _ = rng.choice(LATERAL_KEYS)
+    dc = TABLES[dim]
+    neg = rng.choice(["", "NOT "])
+    inner_where = gen_where(rng, TABLES[fact])
+    if rng.random() < 0.5:
+        sub = (f"{neg}EXISTS (SELECT 1 FROM {fact} WHERE {fk} = {dk}"
+               f"{inner_where.replace(' WHERE ', ' AND ', 1)})")
+    else:
+        sub = (f"{dk} {neg}IN (SELECT {fk} FROM {fact}{inner_where})")
+    outer = gen_where(rng, dc)
+    glue = " AND " if outer else " WHERE "
+    proj = ", ".join(dc["ints"])
+    lim = rng.randint(100, 400)
+    return (f"SELECT {proj} FROM {dim}{outer}{glue}{sub} "
+            f"ORDER BY {proj} LIMIT {lim}")
+
+
 def gen_query(rng):
     shape = rng.random()
     if shape < 0.18:
@@ -232,6 +255,8 @@ def gen_query(rng):
         return gen_frame(rng)
     if shape < 0.78:
         return gen_lateral(rng)
+    if shape < 0.86:
+        return gen_exists(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
