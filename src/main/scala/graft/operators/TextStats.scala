@@ -263,6 +263,55 @@ object TextStats {
       |FROM g GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q72 — unigram-LM perplexity (the CCNet-style quality filter): a
+    * unigram model with add-one smoothing is fit on the corpus itself,
+    * then every document is scored by exp(−mean ln p(token)). High
+    * perplexity = tokens the corpus finds surprising = likely noise;
+    * the classic cheap LM filter before an expensive neural one. Plan
+    * shape at 100 TB: the model is ONE vocabulary-sized aggregate
+    * (bounded, broadcast); scoring is a broadcast equi-join on token +
+    * one per-doc aggregate — no corpus-sized shuffle beyond the
+    * tokenize. Deterministic: ln/exp over integer-derived ratios,
+    * rounded on both engines. */
+  def q72UnigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+    val model = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+    val totals = model.agg(
+      sum($"c").as("n_total"), count(lit(1)).as("v_size"))
+    val scored = toks
+      .join(broadcast(model), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        log(($"c" + 1.0) / ($"n_total" + $"v_size")))
+      .groupBy($"doc_id", $"lang")
+      .agg(exp(-avg($"lp")).as("ppl"))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"ppl"), 2).as("avg_ppl"),
+        round(max($"ppl"), 2).as("max_ppl"))
+      .orderBy($"lang")
+  }
+
+  val q72Oracle: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |                unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |model AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+      |               CAST(count(*) AS DOUBLE) AS v_size FROM model),
+      |scored AS (SELECT t.doc_id, t.lang,
+      |             exp(-avg(ln((m.c + 1.0) / (tot.n_total + tot.v_size))))
+      |               AS ppl
+      |           FROM toks t JOIN model m ON t.token = m.token, tot
+      |           GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(avg(ppl), 2) AS avg_ppl,
+      |       round(max(ppl), 2) AS max_ppl
+      |FROM scored GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** q60 — vocabulary heavy hitters: global top-20 tokens by corpus
     * frequency with doc-frequency alongside. The orderBy+limit plans as
     * TakeOrderedAndProject — per-partition top-k then a driver merge of
@@ -352,7 +401,8 @@ object TextStats {
     "q33_text_fingerprint" -> q33Fingerprint _,
     "q59_hash_split" -> q59HashSplit _,
     "q69_stratified_sample" -> q69StratifiedSample _,
-    "q71_repetition" -> q71Repetition _)
+    "q71_repetition" -> q71Repetition _,
+    "q72_unigram_perplexity" -> q72UnigramPerplexity _)
 
   val oracle: Map[String, String] = Map(
     "q61_pack_shards" -> q61Oracle,
@@ -363,5 +413,6 @@ object TextStats {
     "q33_text_fingerprint" -> q33Oracle,
     "q59_hash_split" -> q59Oracle,
     "q69_stratified_sample" -> q69Oracle,
-    "q71_repetition" -> q71Oracle)
+    "q71_repetition" -> q71Oracle,
+    "q72_unigram_perplexity" -> q72Oracle)
 }
