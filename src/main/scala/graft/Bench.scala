@@ -36,13 +36,28 @@ object Bench {
         dt
       }
       once() // warm-up
-      name -> math.min(once(), once())
+      // min-of-2, plus ONE extra sample when the two disagree by >25%:
+      // a transient box-contention window (r4 recorded 4.4s for a query
+      // that measures 0.74s in isolation) can hit BOTH samples of a
+      // plain min-of-2; a disagreement that large means at least one
+      // sample is noise, so buy a third. Agreeing samples stay at 2 —
+      // the common case costs nothing extra.
+      val a = once(); val b = once()
+      val best =
+        if (math.abs(a - b) <= 0.25 * math.min(a, b)) math.min(a, b)
+        else math.min(math.min(a, b), once())
+      name -> best
     }
     // 4-decimal (0.1 ms) precision keeps the one-line JSON short enough
     // to survive the driver's bounded tail capture (r2's full-precision
-    // line was truncated mid-JSON and recorded as parsed:null)
+    // line was truncated mid-JSON and recorded as parsed:null).
+    // Keys are the qNN prefix only: r4's 72 full names pushed the line to
+    // ~2.2 kB while the driver's tail window is 2000 chars — the line was
+    // cut mid-JSON and BENCH_r04 recorded parsed:null. 72 short keys keep
+    // the line under ~1 kB with headroom for ~100 more queries.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -41,6 +41,19 @@ case class BottomKDistinct(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType)
 
+  // analysis-time guards: a non-string child would otherwise surface as a
+  // runtime ClassCastException in update(), and k < 1 as a
+  // NoSuchElementException on buf.last — fail both at plan time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"$prettyName requires a STRING child, got " +
+        child.dataType.catalogString)
+    else if (k < 1)
+      TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): mutable.TreeSet[String] =
     mutable.TreeSet.empty[String]
 

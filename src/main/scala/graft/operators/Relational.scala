@@ -773,10 +773,30 @@ object Relational {
     val fingerprint = dir +
       srcParts.sortBy(_.getName)
         .map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
-    val store = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_varstore_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the store lives under the session's OWN warehouse dir (never a
+    // world-shared tmpdir where a stale or foreign directory at the
+    // hashed path would be trusted as a valid store), two-level keyed:
+    // source-dir hash / fingerprint hash. Superseded fingerprints of the
+    // same source dir are swept after a successful build, so regenerated
+    // source data can't leak an unbounded trail of old stores.
+    val whUri = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    val whLocal =
+      if (whUri.getScheme == null) new java.io.File(whUri.toString)
+      else if (whUri.getScheme == "file") new java.io.File(whUri.getPath)
+      else // non-local warehouse: the store is a node-local cache; scope
+           // it per-user under tmp rather than failing the query
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_" + System.getProperty("user.name", "anon"))
+    val srcRoot = new java.io.File(
+      new java.io.File(whLocal, "graft_varstore"), md5hex(dir))
+    val store = new java.io.File(srcRoot, md5hex(fingerprint))
+    // trust only a COMPLETE store: parquet's _SUCCESS marker gates reuse,
+    // so a directory that exists for any other reason is rebuilt, not read
+    if (store.exists() && !new java.io.File(store, "_SUCCESS").exists())
+      graft.streaming.VersionedState.deleteTree(store.toPath)
     if (!store.exists()) {
       // ingest: parse once, persist the variant column; build under a
       // scratch name and promote with an atomic rename so a crashed
@@ -798,8 +818,15 @@ object Relational {
             if (!store.exists()) throw e
         }
       } finally // drop the scratch both after losing the race and on a
-                // failed write — never orphan a half-build in /tmp
+                // failed write — never orphan a half-build
         graft.streaming.VersionedState.deleteTree(scratch.toPath)
+      // sweep superseded fingerprints of this source dir (best-effort:
+      // losing a delete race with a concurrent builder is harmless)
+      Option(srcRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != store.getName)
+        .foreach(f =>
+          try graft.streaming.VersionedState.deleteTree(f.toPath)
+          catch { case _: java.io.IOException => () })
     }
     // read path: typed extraction over stored variant bytes
     s.read.parquet(store.toString)

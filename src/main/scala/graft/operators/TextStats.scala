@@ -268,10 +268,16 @@ object TextStats {
     * then every document is scored by exp(−mean ln p(token)). High
     * perplexity = tokens the corpus finds surprising = likely noise;
     * the classic cheap LM filter before an expensive neural one. Plan
-    * shape at 100 TB: the model is ONE vocabulary-sized aggregate
-    * (bounded, broadcast); scoring is a broadcast equi-join on token +
-    * one per-doc aggregate — no corpus-sized shuffle beyond the
-    * tokenize. Deterministic: ln/exp over integer-derived ratios,
+    * shape at 100 TB: the model is ONE vocabulary-sized aggregate;
+    * scoring joins tokens to it + one per-doc aggregate — no
+    * corpus-sized shuffle beyond the tokenize. The model join is NOT
+    * hint-forced to broadcast: vocabulary grows with corpus size
+    * (Heaps' law, ~K·N^0.5), so a web-scale corpus's unigram table can
+    * exceed executor memory — the planner (with AQE runtime sizes)
+    * picks broadcast while the model fits and falls back to a shuffle
+    * hash join past the autoBroadcastJoinThreshold instead of OOMing.
+    * The totals join stays an explicit broadcast: it is one row by
+    * construction. Deterministic: ln/exp over integer-derived ratios,
     * rounded on both engines. */
   def q72UnigramPerplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -281,7 +287,7 @@ object TextStats {
     val totals = model.agg(
       sum($"c").as("n_total"), count(lit(1)).as("v_size"))
     val scored = toks
-      .join(broadcast(model), "token")
+      .join(model, "token")
       .crossJoin(broadcast(totals))
       .withColumn("lp",
         log(($"c" + 1.0) / ($"n_total" + $"v_size")))

@@ -53,11 +53,14 @@ final case class Namespace(env: String, storageRoot: String) {
       val loc = path("_catalog", database(db))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(db)} " +
         s"LOCATION '${loc.replace("'", "''")}'")
-      val actual = new java.io.File(
-        java.net.URI.create(
-          spark.catalog.getDatabase(database(db)).locationUri))
-        .getAbsolutePath
-      val expected = new java.io.File(loc).getAbsolutePath
+      // compare normalized (scheme, authority, path) triples rather
+      // than round-tripping through java.io.File — the catalog reports
+      // hdfs:// or s3:// locations on a real cluster, and File(URI)
+      // throws IllegalArgumentException for any non-file scheme
+      val actual =
+        Namespace.normalizeLocation(
+          spark.catalog.getDatabase(database(db)).locationUri)
+      val expected = Namespace.normalizeLocation(loc)
       if (actual != expected) throw new IllegalStateException(
         s"database ${database(db)} exists at '$actual', not the env root " +
           s"'$expected' — environments are NOT isolated; drop or relocate it")
@@ -75,4 +78,23 @@ final case class Namespace(env: String, storageRoot: String) {
 
 object Namespace {
   val Envs: Set[String] = Set("DEV", "TEST", "PROD")
+
+  /** Normalize a catalog/storage location to a comparable
+    * `(scheme, authority, path)` triple. Scheme-less locations are local
+    * paths (made absolute against the working dir, like Spark's own
+    * warehouse resolution); `file:` URIs take the same absolute-path
+    * normalization; remote schemes (hdfs/s3a/...) keep their authority
+    * and path verbatim — never forced through java.io.File. */
+  def normalizeLocation(loc: String): (String, String, String) = {
+    val uri = java.net.URI.create(loc)
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val rawPath =
+      Option(uri.getPath).filter(_.nonEmpty)
+        .getOrElse(uri.getSchemeSpecificPart)
+    val path =
+      if (scheme == "file")
+        java.nio.file.Paths.get(rawPath).toAbsolutePath.normalize.toString
+      else rawPath.stripSuffix("/")
+    (scheme, Option(uri.getAuthority).getOrElse(""), path)
+  }
 }

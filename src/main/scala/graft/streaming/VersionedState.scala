@@ -64,8 +64,28 @@ final class VersionedState(stateDir: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentPointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the superseded version
-    if (next > 0) deleteRecursive(Paths.get(s"$stateDir/v__${next - 1}"))
+    // best-effort GC after the swap: EVERY v__M below the committed
+    // version (not just next-1 — a crash between a past swap and its
+    // cleanup orphans that version forever otherwise), and applied
+    // markers older than the committed batch (they only exist to
+    // short-circuit a retry of THEIR batch; once a later batch is
+    // committed those retries can no longer arrive)
+    gc(next, batchId)
+  }
+
+  private def gc(currentVersion: Long, committedBatch: Long): Unit = {
+    val root = Paths.get(stateDir)
+    if (!Files.isDirectory(root)) return
+    val it = Files.list(root)
+    try it.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v__") &&
+          name.stripPrefix("v__").toLongOption.exists(_ < currentVersion))
+        deleteRecursive(p)
+      else if (name.startsWith("_applied_") &&
+          name.stripPrefix("_applied_").toLongOption.exists(_ < committedBatch))
+        Files.deleteIfExists(p)
+    } finally it.close()
   }
 
   private def deleteRecursive(p: Path): Unit = VersionedState.deleteTree(p)
@@ -84,10 +104,15 @@ final class VersionedState(stateDir: String) {
   }
 
   /** True iff this batch is already folded into the state: marker file
-    * (normal path) OR the current version records it (a retry that
-    * crashed between the swap and the marker write). */
+    * (fast path) OR the current version records a batch >= it. The `>=`
+    * leans on Structured Streaming's contract that foreachBatch ids are
+    * monotonically increasing — a batch can only be retried BEFORE any
+    * later batch commits, so an id at or below the committed one is
+    * already folded in. That is also what lets gc() drop old markers:
+    * they are a fast path for the CURRENT batch, never the only record
+    * of an older one. */
   def isApplied(batchId: Long): Boolean =
-    isMarked(batchId) || appliedBatch.contains(batchId)
+    isMarked(batchId) || appliedBatch.exists(_ >= batchId)
 }
 
 object VersionedState {
