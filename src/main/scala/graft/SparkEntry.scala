@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dml.queries ++ Chunker.queries ++
       Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
-      Search.queries ++ Multimodal.queries ++ Temporal.queries
+      Search.queries ++ Multimodal.queries ++ Temporal.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dml.oracle ++ Chunker.oracle ++
       Dedup.oracle ++ TextStats.oracle ++ Similarity.oracle ++
-      Search.oracle ++ Multimodal.oracle ++ Temporal.oracle
+      Search.oracle ++ Multimodal.oracle ++ Temporal.oracle ++
+      Curation.oracle
 }

@@ -1,0 +1,376 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines, round 5 of
+  * the north-star surface (reference scope: AjjayK/sf-epa-data-ingestion
+  * processes documents for RAG; these are the curation stages a trainer
+  * runs before/after that ingestion): PII redaction, TF-IDF term salience,
+  * duplicate-block fraction (the Gopher/RefinedWeb "fraction of duplicated
+  * paragraphs" filter), interpolated bigram-LM perplexity, lexical
+  * diversity, and per-slice distribution drift (KL divergence).
+  *
+  * Scale notes: q73/q77 are pure per-document projections/local re-groups
+  * (no cross-document shuffle beyond presentation); q74/q76/q78 shuffle
+  * one row per distinct token / bigram — vocabulary-sized, sub-linear in
+  * corpus size (Heaps' law) — with model joins left UN-hinted so AQE
+  * broadcasts while the model fits and shuffle-hash-joins past the
+  * threshold (same reasoning as q72); q75 shuffles one row per 10-word
+  * block digest, map-side combined.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ---------------------------------------------------------------- q73
+
+  /** Shared regexes — [0-9] spelled out (not \d) so the Java (Spark) and
+    * RE2 (DuckDB) dialects agree by construction. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** q73 — PII redaction: scrub email addresses and IPv4 literals from
+    * text, reporting per-document redaction counts and a fingerprint of
+    * the scrubbed text. The fixture corpus is letter-only word salad, so
+    * the PII is planted deterministically from fixture columns (doc_id /
+    * source) — the operator under test is the scrub, not the data.
+    * Plan shape: a single codegen'd projection (regexp_replace +
+    * regexp_count), zero shuffles before the presentation sort — at
+    * 100 TB this pipelines behind the scan at I/O speed, the ideal shape
+    * for a scrubbing pass. IPs are counted AFTER email redaction so a
+    * digit-laden email domain can never double-count. */
+  def q73PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com from 10.0."), ($"doc_id" % 256).cast("string"),
+      lit("."), ($"doc_id" % 100).cast("string"), lit(" ref "), $"source")
+    docs(s, dir)
+      .withColumn("full", full)
+      .withColumn("r1", regexp_replace($"full", EmailRe, "<EMAIL>"))
+      .withColumn("r2", regexp_replace($"r1", Ipv4Re, "<IP>"))
+      .select($"doc_id",
+        regexp_count($"full", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"r1", lit(Ipv4Re)).cast("long").as("n_ips"),
+        md5($"r2").as("redacted_fp"),
+        length($"r2").cast("long").as("n_chars_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val q73Oracle: String =
+    """WITH f AS (SELECT doc_id,
+      |             text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |                  || '@example.com from 10.0.'
+      |                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |                  || CAST(doc_id % 100 AS VARCHAR)
+      |                  || ' ref ' || source AS ftext
+      |           FROM documents),
+      |r AS (SELECT doc_id, ftext,
+      |        regexp_replace(ftext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+      |                       '<EMAIL>', 'g') AS r1
+      |      FROM f),
+      |r2 AS (SELECT doc_id, ftext, r1,
+      |         regexp_replace(r1,
+      |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+      |           '<IP>', 'g') AS r2
+      |       FROM r)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(ftext,
+      |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(r1,
+      |         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |       md5(r2) AS redacted_fp,
+      |       CAST(length(r2) AS BIGINT) AS n_chars_redacted
+      |FROM r2
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+
+  /** q74 — TF-IDF top-3 salient terms per document. tf is a per-(doc,
+    * token) count, df a per-token count over the tf table (one row per
+    * distinct pair — never re-reads the corpus), idf = ln(N/df). Ranking
+    * keys are (round(score, 6) DESC, token ASC): rounding BEFORE ranking
+    * makes the order immune to last-ulp ln() differences between engines,
+    * and the token tiebreak makes it total. Plan shape at 100 TB: the df
+    * model is vocabulary-sized (un-hinted join, same AQE story as q72);
+    * the per-doc window ranks ≤|doc vocabulary| rows per partition key —
+    * no global sort anywhere. */
+  def q74TfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nd = docs(s, dir).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        round($"tf" * log($"nd".cast("double") / $"df"), 6))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"token".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"token", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val q74Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.token,
+      |             round(tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df), 6) AS score
+      |           FROM tf JOIN df ON tf.token = df.token, nd),
+      |ranked AS (SELECT doc_id, token, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, token ASC) AS rnk
+      |           FROM scored)
+      |SELECT doc_id, rnk, token, score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+
+  /** q75 — duplicate-block fraction (the Gopher/RefinedWeb "fraction of
+    * chars in duplicated paragraphs" quality filter, over fixed 10-word
+    * blocks since the fixture has no paragraph marks): a block is
+    * duplicated when it appears verbatim in more than one document; each
+    * document reports the fraction of its block slots occupied by
+    * duplicated blocks. Plan shape: blocks never leave their task until
+    * reduced to one row per DISTINCT block (map-side combine on the
+    * groupBy), the shared set is the join probe — at 100 TB the block
+    * digests would be hashed to 64-bit longs exactly like the q27 shingle
+    * kernel; at fixture scale the raw strings keep the oracle trivially
+    * identical. */
+  def q75DupBlockFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocks = docs(s, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 10)
+      .select($"doc_id", $"lang", explode(expr(
+        """transform(sequence(0, CAST(floor(size(t) / 10.0) AS INT) - 1),
+          |  i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))""".stripMargin))
+        .as("blk"))
+    val shared = blocks.groupBy($"blk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"blk", lit(1L).as("dup"))
+    val perDoc = blocks.join(shared, Seq("blk"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce($"dup", lit(0L))).as("n_dup"))
+      .withColumn("frac", $"n_dup".cast("double") / $"n_blocks")
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_dup").cast("long").as("total_dup_blocks"),
+        round(avg($"frac"), 6).as("avg_dup_frac"),
+        round(max($"frac"), 6).as("max_dup_frac"))
+      .orderBy($"lang")
+  }
+
+  val q75Oracle: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |             unnest(list_transform(
+      |               generate_series(0, CAST(floor(len(t) / 10.0) AS BIGINT) - 1),
+      |               i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')))
+      |               AS blk
+      |           FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |                 FROM documents)
+      |           WHERE len(t) >= 10),
+      |shared AS (SELECT blk, 1 AS dup FROM b
+      |           GROUP BY blk HAVING count(DISTINCT doc_id) > 1),
+      |perdoc AS (SELECT b.doc_id, b.lang, count(*) AS n_blocks,
+      |             CAST(sum(coalesce(s.dup, 0)) AS BIGINT) AS n_dup
+      |           FROM b LEFT JOIN shared s ON b.blk = s.blk
+      |           GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_dup) AS BIGINT) AS total_dup_blocks,
+      |       round(avg(CAST(n_dup AS DOUBLE) / n_blocks), 6) AS avg_dup_frac,
+      |       round(max(CAST(n_dup AS DOUBLE) / n_blocks), 6) AS max_dup_frac
+      |FROM perdoc GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+
+  /** q76 — interpolated bigram-LM perplexity (the step up from q72's
+    * unigram filter; the KenLM-shaped cheap quality model): p(cur|prev) =
+    * 0.7·c(prev,cur)/c(prev) + 0.3·(c(cur)+1)/(N+V), document score
+    * exp(−mean ln p). c(prev) is the plain unigram count (documented: it
+    * includes document-final tokens). Both models are aggregates over the
+    * token/bigram stream — vocabulary- and bigram-vocabulary-sized, both
+    * joins un-hinted (AQE broadcast-vs-shuffle, the q72 story); every
+    * probability is evaluated in the same association order in both
+    * engines, so per-document scores are bit-identical before the final
+    * rounding. */
+  def q76BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+    val toks = base.select(explode($"t").as("token"))
+    val uni = toks.groupBy($"token").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum($"cu").as("n_total"), count(lit(1)).as("v_size"))
+    val pairs = base.filter(size($"t") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS prev,
+          |              element_at(t, i + 1) AS cur))""".stripMargin)).as("p"))
+      .select($"doc_id", $"lang", $"p.prev".as("prev"), $"p.cur".as("cur"))
+    val bi = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c_bi"))
+    val scored = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select($"token".as("prev"), $"cu".as("c_prev")), Seq("prev"))
+      .join(uni.select($"token".as("cur"), $"cu".as("c_cur")), Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(
+        lit(0.7) * $"c_bi" / $"c_prev" +
+          lit(0.3) * ($"c_cur" + lit(1.0)) / ($"n_total" + $"v_size")))
+      .groupBy($"doc_id", $"lang")
+      .agg(exp(-avg($"lp")).as("ppl"))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"ppl"), 2).as("avg_ppl"),
+        round(max($"ppl"), 2).as("max_ppl"))
+      .orderBy($"lang")
+  }
+
+  val q76Oracle: String =
+    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |              FROM documents),
+      |toks AS (SELECT unnest(t) AS token FROM base),
+      |uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(cu) AS n_total, count(*) AS v_size FROM uni),
+      |prs AS (SELECT doc_id, lang,
+      |          unnest(list_transform(generate_series(1, len(t) - 1),
+      |            i -> {'prev': t[i], 'cur': t[i + 1]})) AS p
+      |        FROM base WHERE len(t) >= 2),
+      |pairs AS (SELECT doc_id, lang, p.prev AS prev, p.cur AS cur FROM prs),
+      |bi AS (SELECT prev, cur, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+      |scored AS (SELECT pa.doc_id, pa.lang,
+      |             exp(-avg(ln(
+      |               CAST(0.7 AS DOUBLE) * b.c_bi / up.cu +
+      |               CAST(0.3 AS DOUBLE) * (uc.cu + CAST(1.0 AS DOUBLE))
+      |                 / (tot.n_total + tot.v_size)))) AS ppl
+      |           FROM pairs pa
+      |           JOIN bi b ON pa.prev = b.prev AND pa.cur = b.cur
+      |           JOIN uni up ON pa.prev = up.token
+      |           JOIN uni uc ON pa.cur = uc.token, tot
+      |           GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(avg(ppl), 2) AS avg_ppl,
+      |       round(max(ppl), 2) AS max_ppl
+      |FROM scored GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+
+  /** q77 — lexical diversity: type-token ratio and hapax-legomenon ratio
+    * per document, aggregated per language (low diversity = templated /
+    * machine-generated text, the complement of q71's repetition filter).
+    * The (doc, token) re-group is partition-local after the per-doc
+    * explode (map-side combined); one row per document reaches the
+    * language rollup. */
+  def q77LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = docs(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"lang", $"token")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = tc.groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"doc_id", $"lang",
+        ($"n_types".cast("double") / $"n_tokens").as("ttr"),
+        ($"n_hapax".cast("double") / $"n_types").as("hapax_ratio"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"ttr"), 6).as("avg_ttr"),
+        round(min($"ttr"), 6).as("min_ttr"),
+        round(avg($"hapax_ratio"), 6).as("avg_hapax"))
+      .orderBy($"lang")
+  }
+
+  val q77Oracle: String =
+    """WITH tc AS (SELECT doc_id, lang, token, count(*) AS c
+      |            FROM (SELECT doc_id, lang,
+      |                    unnest(string_split(text, ' ')) AS token
+      |                  FROM documents)
+      |            GROUP BY 1, 2, 3),
+      |perdoc AS (SELECT doc_id, lang,
+      |             CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+      |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |               / count(*) AS hapax_ratio
+      |           FROM tc GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(avg(ttr), 6) AS avg_ttr,
+      |       round(min(ttr), 6) AS min_ttr,
+      |       round(avg(hapax_ratio), 6) AS avg_hapax
+      |FROM perdoc GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+
+  /** q78 — distribution drift per corpus slice: KL(P_lang ‖ P_corpus)
+    * over unigram distributions — the dataset-mixing diagnostic (is a
+    * slice's token distribution diverging from the corpus it's being
+    * blended into?). Two vocabulary-sized aggregates joined on token;
+    * KL terms are summed per language. Every p_lang > 0 implies
+    * p_corpus > 0 (the corpus model contains every slice token), so no
+    * smoothing is needed — documented, not accidental. */
+  def q78LangKlDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val corpus = toks.groupBy($"token").agg(count(lit(1)).as("c_c"))
+    val nCorpus = corpus.agg(sum($"c_c").as("n_c"))
+    val slice = toks.groupBy($"lang", $"token").agg(count(lit(1)).as("c_l"))
+    val nSlice = slice.groupBy($"lang").agg(sum($"c_l").as("n_l"))
+    slice.join(corpus, "token")
+      .join(nSlice, "lang")
+      .crossJoin(broadcast(nCorpus))
+      .withColumn("pl", $"c_l".cast("double") / $"n_l")
+      .withColumn("pc", $"c_c".cast("double") / $"n_c")
+      .groupBy($"lang")
+      .agg(sum($"c_l").cast("long").as("n_tokens"),
+        round(sum($"pl" * log($"pl" / $"pc")), 6).as("kl"))
+      .orderBy($"lang")
+  }
+
+  val q78Oracle: String =
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |corpus AS (SELECT token, count(*) AS c_c FROM toks GROUP BY 1),
+      |nc AS (SELECT sum(c_c) AS n_c FROM corpus),
+      |slice AS (SELECT lang, token, count(*) AS c_l FROM toks GROUP BY 1, 2),
+      |ns AS (SELECT lang, sum(c_l) AS n_l FROM slice GROUP BY 1),
+      |t AS (SELECT s.lang, s.c_l,
+      |        (CAST(s.c_l AS DOUBLE) / ns.n_l) AS pl,
+      |        (CAST(c.c_c AS DOUBLE) / nc.n_c) AS pc
+      |      FROM slice s JOIN corpus c ON s.token = c.token
+      |      JOIN ns ON s.lang = ns.lang, nc)
+      |SELECT lang, CAST(sum(c_l) AS BIGINT) AS n_tokens,
+      |       round(sum(pl * ln(pl / pc)), 6) AS kl
+      |FROM t GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_pii_redact" -> q73PiiRedact _,
+    "q74_tfidf_topk" -> q74TfidfTopK _,
+    "q75_dup_block_fraction" -> q75DupBlockFraction _,
+    "q76_bigram_perplexity" -> q76BigramPerplexity _,
+    "q77_lexical_diversity" -> q77LexicalDiversity _,
+    "q78_lang_kl_divergence" -> q78LangKlDivergence _)
+
+  val oracle: Map[String, String] = Map(
+    "q73_pii_redact" -> q73Oracle,
+    "q74_tfidf_topk" -> q74Oracle,
+    "q75_dup_block_fraction" -> q75Oracle,
+    "q76_bigram_perplexity" -> q76Oracle,
+    "q77_lexical_diversity" -> q77Oracle,
+    "q78_lang_kl_divergence" -> q78Oracle)
+}

@@ -277,7 +277,70 @@ object Similarity {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** q79 — ANN over int8-quantized vectors: the search face of q65's
+    * storage story. Vectors are quantized per-vector (symmetric scale,
+    * floor(x·s + 0.5) — the engine-identical rounding), then candidates
+    * are ranked by the cosine of the QUANTIZED vectors: dot(qa,qb) /
+    * (√dot(qa,qa)·√dot(qb,qb)). The per-vector scales cancel out of the
+    * cosine, so the entire ranking key derives from INTEGER dot products
+    * (≤ 64·127² ≈ 10⁶, exact in both engines) — no transcendental-
+    * function parity risk anywhere in the order. At 100 TB this is the
+    * memory-bound win: the candidate side streams 64-byte codes instead
+    * of 512-byte doubles (8× less shuffle/scan), and SimilaritySpec
+    * measures the recall cost vs exact q34 (≥ 0.9 on the fixture). */
+  def q79Int8Ann(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = emb(s, dir)
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .filter($"mx" > 0)
+      .withColumn("q", transform($"v",
+        x => floor(x * (lit(127.0) / $"mx") + lit(0.5)).cast("long")))
+      .withColumn("self", expr(
+        "aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      .select($"vec_id", $"q", $"self")
+    val qs = quant.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"q".as("qq"), $"self".as("qself"))
+    val scored = quant.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"))
+      .withColumn("acos",
+        $"dot" / (sqrt($"self".cast("double")) * sqrt($"qself".cast("double"))))
+    val w = Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", round($"acos", 6).as("acos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q79Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(
+      |          x * (CAST(127 AS DOUBLE) / mx) + CAST(0.5 AS DOUBLE))
+      |          AS BIGINT)) AS q
+      |      FROM m WHERE mx > 0),
+      |sf AS (SELECT vec_id, q,
+      |         list_sum(list_transform(q, x -> x * x)) AS self FROM q),
+      |qs AS (SELECT vec_id AS q_id, q AS qq, self AS qself FROM sf
+      |       WHERE vec_id % 50 = 0),
+      |scored AS (SELECT qs.q_id, sf.vec_id,
+      |             CAST(list_sum(list_transform(generate_series(1, 64),
+      |               i -> sf.q[i] * qs.qq[i])) AS DOUBLE)
+      |               / (sqrt(CAST(sf.self AS DOUBLE))
+      |                  * sqrt(CAST(qs.qself AS DOUBLE))) AS acos
+      |           FROM sf, qs WHERE sf.vec_id <> qs.q_id),
+      |ranked AS (SELECT q_id, vec_id, acos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY acos DESC, vec_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id, rank, vec_id, round(acos, 6) AS acos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_int8_ann" -> q79Int8Ann _,
     "q65_embed_quantize" -> q65EmbedQuantize _,
     "q44_sim_ivf_ann" -> q44IvfAnn _,
     "q34_sim_cosine_topk" -> q34CosineTopK _,
@@ -285,6 +348,7 @@ object Similarity {
     "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
+    "q79_int8_ann" -> q79Oracle,
     "q65_embed_quantize" -> q65Oracle,
     "q44_sim_ivf_ann" -> q44Oracle,
     "q34_sim_cosine_topk" -> q34Oracle,

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.Curation
+
+/** Properties of the round-5 curation operators that the DuckDB oracles
+  * can't express: invariants (KL ≥ 0, ratios in bounds, redaction
+  * completeness) and a hand-computed bigram-LM replay on a corpus small
+  * enough to evaluate by hand. */
+class CurationSpec extends SparkSuite {
+
+  /** Write a minimal documents.parquet with the fixture schema. */
+  private def tinyCorpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curfix_").toString
+    rows.map { case (id, text, lang, src) =>
+      (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q73 redaction is complete: every planted email and IP is found and scrubbed") {
+    val rows = Curation.q73PiiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L,
+        s"doc ${r.get(0)}: expected exactly the planted email")
+      assert(r.getAs[Long]("n_ips") == 1L,
+        s"doc ${r.get(0)}: expected exactly the planted IP")
+    }
+    // the scrub must strictly shrink the text: '<EMAIL>'/'<IP>' are
+    // shorter than any planted 'userN@example.com' / '10.0.x.y'
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", org.apache.spark.sql.functions.length($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("n").longValue).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("n_chars_redacted") < docs(id) + 60,
+        s"doc $id: redacted length suggests the PII survived")
+    }
+  }
+
+  test("q74 ranks are dense and scores non-increasing within each document") {
+    val rows = Curation.q74TfidfTopK(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length),
+        s"doc $doc: ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"doc $doc: scores increase down the ranking")
+    }
+  }
+
+  test("q75 dup-block accounting matches an independent pair-join recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Curation.q75DupBlockFraction(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("avg_dup_frac") >= 0.0 &&
+        r.getAs[Double]("avg_dup_frac") <= r.getAs[Double]("max_dup_frac") &&
+        r.getAs[Double]("max_dup_frac") <= 1.0)
+    }
+    // independent recount of total duplicated block slots, formulated
+    // the opposite way round (per-block occurrence table joined to the
+    // distinct-doc counts, no per-doc stage)
+    val blocks = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 10)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, CAST(floor(size(t) / 10.0) AS INT) - 1),
+          |  i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))""".stripMargin))
+        .as("blk"))
+    val expected = blocks
+      .join(blocks.groupBy("blk").agg(countDistinct($"doc_id").as("nd")), "blk")
+      .filter($"nd" > 1).count()
+    assert(out.map(_.getAs[Long]("total_dup_blocks")).sum == expected)
+  }
+
+  test("q76 bigram perplexity matches a hand-evaluated model on a tiny corpus") {
+    val dir = tinyCorpus(Seq(
+      (0L, "a b a b a", "en", "s0"),
+      (1L, "a b c", "en", "s0"),
+      (2L, "c c c c", "fr", "s1")))
+    // replicate the model by hand
+    val docs = Seq(
+      (0L, "en", Seq("a", "b", "a", "b", "a")),
+      (1L, "en", Seq("a", "b", "c")),
+      (2L, "fr", Seq("c", "c", "c", "c")))
+    val uni = docs.flatMap(_._3).groupBy(identity).map { case (t, o) => t -> o.size }
+    val nTotal = uni.values.sum
+    val vSize = uni.size
+    val bi = docs.flatMap(d => d._3.zip(d._3.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.size }
+    def ppl(toks: Seq[String]): Double = {
+      val lps = toks.zip(toks.drop(1)).map { case (p, c) =>
+        math.log(0.7 * bi((p, c)) / uni(p) +
+          0.3 * (uni(c) + 1.0) / (nTotal + vSize)) }
+      math.exp(-lps.sum / lps.size)
+    }
+    val expect = docs.groupBy(_._2).map { case (lang, ds) =>
+      val ps = ds.map(d => ppl(d._3))
+      lang -> ((ds.size.toLong,
+        BigDecimal(ps.sum / ps.size).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(ps.max).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    }
+    val got = Curation.q76BigramPerplexity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        BigDecimal(r.getAs[Double]("avg_ppl")),
+        BigDecimal(r.getAs[Double]("max_ppl"))))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (lang, (n, avg, mx)) =>
+      val (gn, gavg, gmx) = got(lang)
+      assert(gn == n, s"$lang n_docs")
+      assert((gavg - avg).abs <= BigDecimal("0.01"), s"$lang avg_ppl $gavg vs $avg")
+      assert((gmx - mx).abs <= BigDecimal("0.01"), s"$lang max_ppl $gmx vs $mx")
+    }
+  }
+
+  test("q77 diversity ratios are bounded; an all-distinct doc scores ttr 1") {
+    val rows = Curation.q77LexicalDiversity(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_ttr") > 0.0 && r.getAs[Double]("avg_ttr") <= 1.0)
+      assert(r.getAs[Double]("min_ttr") > 0.0 &&
+        r.getAs[Double]("min_ttr") <= r.getAs[Double]("avg_ttr"))
+      assert(r.getAs[Double]("avg_hapax") >= 0.0 && r.getAs[Double]("avg_hapax") <= 1.0)
+    }
+    val dir = tinyCorpus(Seq((0L, "x y z", "en", "s0")))
+    val tiny = Curation.q77LexicalDiversity(spark, dir).collect()
+    assert(tiny.length == 1 && tiny(0).getAs[Double]("avg_ttr") == 1.0 &&
+      tiny(0).getAs[Double]("avg_hapax") == 1.0)
+  }
+
+  test("q78 KL is non-negative per slice and exactly zero for a single-slice corpus") {
+    val rows = Curation.q78LangKlDivergence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("kl") >= 0.0,
+      s"Gibbs violated for ${r.getString(0)}: ${r.getAs[Double]("kl")}"))
+    // one slice == the corpus -> identical distributions -> KL = 0
+    val dir = tinyCorpus(Seq(
+      (0L, "a b a", "en", "s0"), (1L, "b c", "en", "s0")))
+    val tiny = Curation.q78LangKlDivergence(spark, dir).collect()
+    assert(tiny.length == 1 && tiny(0).getAs[Double]("kl") == 0.0)
+  }
+}

@@ -62,6 +62,21 @@ class SimilaritySpec extends SparkSuite {
 
   private def librate(k: Int): Long = 7919L + 13L * k
 
+  test("int8 ANN (q79) is near-lossless vs exact cosine ranking") {
+    // int8 symmetric quantization perturbs each coordinate by <= mx/254,
+    // so cosines move by O(1e-2) at worst — on the fixture the top-5
+    // sets should be nearly identical to the exact ranking. A recall
+    // drop below 0.9 means the quantized kernel is broken (wrong scale,
+    // overflow, off-by-one slice), not merely lossy.
+    val dir = "/root/testdata/sf0.01"
+    val exact = topSets(Similarity.q34CosineTopK(spark, dir).collect(), 5)
+    val int8 = topSets(Similarity.q79Int8Ann(spark, dir).collect(), 5)
+    val r = recall(exact, int8)
+    info(f"fixture int8 recall@5: $r%.3f")
+    assert(r >= 0.9, s"int8 ANN recall@5 degraded: $r")
+    assert(int8.forall { case (q, s) => !s.contains(q) })
+  }
+
   test("IVF ANN holds its recall floor on the shipped fixture") {
     val dir = "/root/testdata/sf0.01"
     val exact = topSets(Similarity.q34CosineTopK(spark, dir).collect(), 3)
