@@ -270,9 +270,10 @@ object Curation {
   /** q77 — lexical diversity: type-token ratio and hapax-legomenon ratio
     * per document, aggregated per language (low diversity = templated /
     * machine-generated text, the complement of q71's repetition filter).
-    * The (doc, token) re-group is partition-local after the per-doc
-    * explode (map-side combined); one row per document reaches the
-    * language rollup. */
+    * The (doc, token) count is map-side combined before its exchange, so
+    * the first shuffle carries one row per distinct (doc, token) — the
+    * same volume as any token-model build — and each later stage reduces
+    * a further order of magnitude (per-doc, then per-lang). */
   def q77LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tc = docs(s, dir)

@@ -125,6 +125,31 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("q73 PII scrub is a pure scan-side projection (zero shuffles)") {
+    // the whole scrub must pipeline behind the parquet scan — a shuffle
+    // here means someone broke the projection into a wide stage, which
+    // at 100 TB turns an I/O-bound pass into a cluster-wide move
+    val p = plan("q73_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(!p.contains("UDF"), p.take(600))
+  }
+
+  test("q75 block count is map-side combined before its exchange") {
+    val p = plan("q75_dup_block_fraction")
+    assert(p.contains("partial_"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q79 int8 kernel ranks without UDFs and without a global sort") {
+    val p = plan("q79_int8_ann")
+    assert(!p.contains("UDF"), p.take(800))
+    // the only Sort allowed is the windowed per-q_id rank + presentation
+    // order; a global Sort over the candidate stream would mean the
+    // window lost its partitioning
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      p.take(800))
+  }
+
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {
     val wh = Files.createTempDirectory("graft_bucketed_").toString
     Bucketing.setupOrderLineitem(spark, sfDir, wh, buckets = 4)
