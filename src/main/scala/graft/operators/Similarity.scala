@@ -339,7 +339,52 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q80 — metadata-filtered ANN (the vector-DB "filtered search"
+    * surface: neighbors constrained to the query's tenant/class): top-3
+    * cosine neighbors sharing the query's label. The constraint is
+    * composed INTO candidate generation as an equi-join on label — the
+    * candidate set shrinks ~|label|-fold before any dot product runs and
+    * the join is an ordinary hash join on the label key — rather than
+    * post-filtering a label-blind top-k (which can return FEWER than k
+    * valid neighbors, the classic filtered-ANN correctness bug). At
+    * 100 TB this is the partition-pruning form: a corpus bucketed by
+    * label turns the equi-join into a co-located per-bucket search. */
+  def q80FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"label", $"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val cands = e.join(broadcast(q), Seq("label"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"label", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q80Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT label, vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |      WHERE vec_id % 50 = 0),
+      |scored AS (SELECT q.q_id, q.label, n.vec_id,
+      |             list_sum(list_transform(generate_series(1, 64),
+      |               i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm) AS cos
+      |           FROM n JOIN q ON n.label = q.label
+      |           WHERE n.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, label, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY cos DESC, vec_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id, label, rank, vec_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_filtered_ann" -> q80FilteredAnn _,
     "q79_int8_ann" -> q79Int8Ann _,
     "q65_embed_quantize" -> q65EmbedQuantize _,
     "q44_sim_ivf_ann" -> q44IvfAnn _,
@@ -348,6 +393,7 @@ object Similarity {
     "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
+    "q80_filtered_ann" -> q80Oracle,
     "q79_int8_ann" -> q79Oracle,
     "q65_embed_quantize" -> q65Oracle,
     "q44_sim_ivf_ann" -> q44Oracle,

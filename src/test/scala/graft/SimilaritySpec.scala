@@ -77,6 +77,28 @@ class SimilaritySpec extends SparkSuite {
     assert(int8.forall { case (q, s) => !s.contains(q) })
   }
 
+  test("q80 filtered ANN returns full k where post-filtering falls short") {
+    val dir = "/root/testdata/sf0.01"
+    val filtered = Similarity.q80FilteredAnn(spark, dir).collect()
+    // every query must get its full k=3 same-label neighbors (each label
+    // has ~50 members in the fixture, so candidates always suffice)
+    val perQuery = filtered.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 3),
+      s"filtered ANN under-filled: ${perQuery.filter(_._2 != 3)}")
+    // the naive alternative — post-filter a label-blind top-5 — must
+    // demonstrably under-fill (labels are ~10-way, so a blind top-5
+    // rarely contains 3 same-label hits); this pins WHY the label is
+    // composed into candidate generation instead of applied after
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blind = Similarity.q34CosineTopK(spark, dir).collect()
+    val postFiltered = blind.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      q -> rs.count(r => labels(r.getAs[Long]("vec_id")) == labels(q)) }
+    assert(postFiltered.values.count(_ < 3) > postFiltered.size / 2,
+      "fixture unexpectedly lets post-filtering fill k — spec premise broken")
+  }
+
   test("IVF ANN holds its recall floor on the shipped fixture") {
     val dir = "/root/testdata/sf0.01"
     val exact = topSets(Similarity.q34CosineTopK(spark, dir).collect(), 3)
