@@ -206,30 +206,59 @@ object Curation {
     * probability is evaluated in the same association order in both
     * engines, so per-document scores are bit-identical before the final
     * rounding. */
-  def q76BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = docs(s, dir)
-      .select($"doc_id", $"lang", split($"text", " ").as("t"))
-    val toks = base.select(explode($"t").as("token"))
-    val uni = toks.groupBy($"token").agg(count(lit(1)).as("cu"))
-    val totals = uni.agg(sum($"cu").as("n_total"), count(lit(1)).as("v_size"))
-    val pairs = base.filter(size($"t") >= 2)
-      .select($"doc_id", $"lang", explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> struct(element_at(t, i) AS prev,
-          |              element_at(t, i + 1) AS cur))""".stripMargin)).as("p"))
-      .select($"doc_id", $"lang", $"p.prev".as("prev"), $"p.cur".as("cur"))
-    val bi = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c_bi"))
-    val scored = pairs
-      .join(bi, Seq("prev", "cur"))
-      .join(uni.select($"token".as("prev"), $"cu".as("c_prev")), Seq("prev"))
-      .join(uni.select($"token".as("cur"), $"cu".as("c_cur")), Seq("cur"))
+  /** Within-document adjacent-pair expression over a token-array column
+    * `t` — THE bigram definition, shared by q76 and the incremental model
+    * maintainer (`streaming/LmModelStream`) so the streamed-model ≡
+    * batch-model equivalence can't silently diverge. */
+  private[graft] val BigramPairsExpr: String =
+    """transform(sequence(1, size(t) - 1),
+      |  i -> struct(element_at(t, i) AS prev,
+      |              element_at(t, i + 1) AS cur))""".stripMargin
+
+  /** (keyCols..., prev, cur) pairs from a `text` column. */
+  private[graft] def bigramPairs(df: DataFrame, keyCols: String*): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys :+ split(col("text"), " ").as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select(keys :+ explode(expr(BigramPairsExpr)).as("p"): _*)
+      .select(keys :+ col("p.prev").as("prev") :+ col("p.cur").as("cur"): _*)
+  }
+
+  /** Interpolated-bigram scoring join (q76's formula) of pairs against a
+    * (uni: token, cu) + (bi: prev, cur, c_bi) model. Joins are LEFT with
+    * coalesce backoff so a document the model has never seen still gets
+    * its well-defined probability: an unseen bigram contributes only the
+    * 0.3·(c(cur)+1)/(N+V) smoothing term (c_bi → 0; c_prev only divides
+    * a zero numerator, so its coalesce(…, 1) never changes a real
+    * division), an unseen token backs off to the +1 smoothing alone. On
+    * the fit corpus itself every coalesce is a no-op, so q76's oracle
+    * (inner joins — equivalent there) still hash-matches. */
+  private[graft] def scoreAgainstModel(pairs: DataFrame, uni: DataFrame,
+      bi: DataFrame): DataFrame = {
+    val totals = uni.agg(sum(col("cu")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    pairs
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("token").as("prev"), col("cu").as("c_prev")),
+        Seq("prev"), "left")
+      .join(uni.select(col("token").as("cur"), col("cu").as("c_cur")),
+        Seq("cur"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lp", log(
-        lit(0.7) * $"c_bi" / $"c_prev" +
-          lit(0.3) * ($"c_cur" + lit(1.0)) / ($"n_total" + $"v_size")))
-      .groupBy($"doc_id", $"lang")
-      .agg(exp(-avg($"lp")).as("ppl"))
+        lit(0.7) * coalesce(col("c_bi"), lit(0L)) / coalesce(col("c_prev"), lit(1L)) +
+          lit(0.3) * (coalesce(col("c_cur"), lit(0L)) + lit(1.0))
+            / (col("n_total") + col("v_size"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(exp(-avg(col("lp"))).as("ppl"))
+  }
+
+  def q76BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select(explode(split($"text", " ")).as("token"))
+    val uni = toks.groupBy($"token").agg(count(lit(1)).as("cu"))
+    val pairs = bigramPairs(docs(s, dir), "doc_id", "lang")
+    val bi = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c_bi"))
+    val scored = scoreAgainstModel(pairs, uni, bi)
     scored.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         round(avg($"ppl"), 2).as("avg_ppl"),

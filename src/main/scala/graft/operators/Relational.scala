@@ -820,13 +820,19 @@ object Relational {
       } finally // drop the scratch both after losing the race and on a
                 // failed write — never orphan a half-build
         graft.streaming.VersionedState.deleteTree(scratch.toPath)
-      // sweep superseded fingerprints of this source dir (best-effort:
-      // losing a delete race with a concurrent builder is harmless)
+      // sweep superseded fingerprints of this source dir — ONLY bare
+      // 32-hex fingerprint names: a concurrent builder's in-progress
+      // "<fp>.build<pid>" scratch must never be deleted out from under
+      // its running parquet job (the scratch owner cleans itself up in
+      // its own finally). Best-effort: a lost delete race surfaces as
+      // NoSuchFile wrapped in UncheckedIOException by Files.walk, so
+      // the guard is NonFatal, not IOException alone.
       Option(srcRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName != store.getName)
+        .filter(f => f.isDirectory && f.getName != store.getName &&
+          f.getName.matches("[0-9a-f]{32}"))
         .foreach(f =>
           try graft.streaming.VersionedState.deleteTree(f.toPath)
-          catch { case _: java.io.IOException => () })
+          catch { case scala.util.control.NonFatal(_) => () })
     }
     // read path: typed extraction over stored variant bytes
     s.read.parquet(store.toString)

@@ -86,15 +86,32 @@ object Namespace {
     * normalization; remote schemes (hdfs/s3a/...) keep their authority
     * and path verbatim — never forced through java.io.File. */
   def normalizeLocation(loc: String): (String, String, String) = {
-    val uri = java.net.URI.create(loc)
-    val scheme = Option(uri.getScheme).getOrElse("file")
-    val rawPath =
-      Option(uri.getPath).filter(_.nonEmpty)
-        .getOrElse(uri.getSchemeSpecificPart)
-    val path =
-      if (scheme == "file")
-        java.nio.file.Paths.get(rawPath).toAbsolutePath.normalize.toString
-      else rawPath.stripSuffix("/")
-    (scheme, Option(uri.getAuthority).getOrElse(""), path)
+    // Only strings that LOOK like URIs go through the URI parser: a raw
+    // local path with a space or '%' is URI-illegal (URI.create throws)
+    // or would mis-decode, while the catalog's reported locationUri IS
+    // encoded (file:/data/ware%20house) — so the URI side is %-decoded
+    // via getPath and the raw-path side is taken verbatim, making the
+    // two representations of the same location compare equal.
+    val hasScheme = loc.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+    val parsed =
+      if (hasScheme)
+        try Some(new java.net.URI(loc))
+        catch { case _: java.net.URISyntaxException => None }
+      else None
+    parsed match {
+      case Some(uri) if uri.getScheme != null =>
+        val scheme = uri.getScheme
+        val rawPath = // getPath %-decodes; opaque URIs fall back raw
+          Option(uri.getPath).filter(_.nonEmpty)
+            .getOrElse(uri.getSchemeSpecificPart)
+        val path =
+          if (scheme == "file")
+            java.nio.file.Paths.get(rawPath).toAbsolutePath.normalize.toString
+          else rawPath.stripSuffix("/")
+        (scheme, Option(uri.getAuthority).getOrElse(""), path)
+      case _ => // scheme-less: a plain local path, never URI-parsed
+        ("file", "",
+          java.nio.file.Paths.get(loc).toAbsolutePath.normalize.toString)
+    }
   }
 }

@@ -44,15 +44,12 @@ object LmModelStream {
     batch.select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cu"))
 
-  /** Δ bigram counts — within-document adjacency only. */
+  /** Δ bigram counts — within-document adjacency only; the pair
+    * definition is [[graft.operators.Curation.bigramPairs]] itself, so
+    * the batch scorer and this maintainer can never disagree on what a
+    * bigram is. */
   private[streaming] def biDelta(batch: DataFrame): DataFrame =
-    batch.select(split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> struct(element_at(t, i) AS prev,
-          |              element_at(t, i + 1) AS cur))""".stripMargin)).as("p"))
-      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+    graft.operators.Curation.bigramPairs(batch)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
 
   /** Merge one micro-batch additively. Exactly-once per batchId under
@@ -91,29 +88,14 @@ object LmModelStream {
   /** Score documents against the CURRENT accumulated model with q76's
     * interpolated-bigram formula — model reuse is the whole point of
     * incremental maintenance (scoring never refits). Returns one row per
-    * (doc_id, lang) with the document perplexity. */
+    * (doc_id, lang) with the document perplexity. Scoring is shared with
+    * the batch scorer ([[graft.operators.Curation.scoreAgainstModel]]),
+    * whose left-join backoff gives NEW documents — unseen bigrams, even
+    * wholly unseen tokens — their well-defined smoothed probability
+    * instead of silently dropping them. */
   def scoreDocs(spark: SparkSession, stateDir: String, docs: DataFrame):
-      DataFrame = {
-    val uni = readUnigrams(spark, stateDir)
-    val bi = readBigrams(spark, stateDir)
-    val totals = uni.agg(sum(col("cu")).as("n_total"),
-      count(lit(1)).as("v_size"))
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> struct(element_at(t, i) AS prev,
-          |              element_at(t, i + 1) AS cur))""".stripMargin)).as("p"))
-      .select(col("doc_id"), col("lang"),
-        col("p.prev").as("prev"), col("p.cur").as("cur"))
-      .join(bi, Seq("prev", "cur"))
-      .join(uni.select(col("token").as("prev"), col("cu").as("c_prev")), Seq("prev"))
-      .join(uni.select(col("token").as("cur"), col("cu").as("c_cur")), Seq("cur"))
-      .crossJoin(broadcast(totals))
-      .withColumn("lp", log(
-        lit(0.7) * col("c_bi") / col("c_prev") +
-          lit(0.3) * (col("c_cur") + lit(1.0)) / (col("n_total") + col("v_size"))))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(exp(-avg(col("lp"))).as("ppl"))
-  }
+      DataFrame =
+    graft.operators.Curation.scoreAgainstModel(
+      graft.operators.Curation.bigramPairs(docs, "doc_id", "lang"),
+      readUnigrams(spark, stateDir), readBigrams(spark, stateDir))
 }

@@ -59,6 +59,26 @@ class LmModelStreamSpec extends SparkSuite {
     assert(got == want, s"streamed-model scoring diverged: $got vs $want")
   }
 
+  test("scoring a document the model never saw backs off, not drops") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_lmnew_").toString
+    LmModelStream.mergeBatch(docs, state, batchId = 0L)
+    // 'table' is in the corpus; 'zzznew' is not: the (table, zzznew)
+    // bigram must score as the pure smoothing term 0.3*(0+1)/(N+V),
+    // giving ppl = (N+V)/0.3 — computable by hand from the model
+    val newDoc = Seq((999L, "table zzznew", "en", "sX", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LmModelStream.scoreDocs(spark, state, newDoc).collect()
+    assert(out.length == 1, "unseen-bigram document was dropped from scoring")
+    val uni = LmModelStream.readUnigrams(spark, state).collect()
+    val n = uni.map(_.getLong(1)).sum
+    val v = uni.length.toLong
+    val expected = (n + v) / 0.3
+    val got = out(0).getAs[Double]("ppl")
+    assert(math.abs(got - expected) / expected < 1e-9,
+      s"backoff ppl $got != smoothing-only $expected")
+  }
+
   test("replaying a committed batch is a no-op (additive exactly-once)") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft_lmreplay_").toString

@@ -41,4 +41,21 @@ class NamespaceSpec extends SparkSuite {
     assert(prod.load(spark, "SRC_INGEST", "region").count() == 1)
     assert(dev.load(spark, "SRC_INGEST", "region").count() == products.count())
   }
+
+  test("location normalization equates encoded URIs with raw paths") {
+    import graft.sources.Namespace.normalizeLocation
+    // the catalog reports %-ENCODED URIs while the configured storage
+    // root is a RAW path — the same location must compare equal, and a
+    // URI-illegal raw path (space, %) must not crash the parser
+    assert(normalizeLocation("file:/data/ware%20house/x") ==
+      normalizeLocation("/data/ware house/x"))
+    assert(normalizeLocation("/data/100%done/x")._3 == "/data/100%done/x")
+    // remote schemes keep authority + path verbatim, never java.io.File'd
+    assert(normalizeLocation("hdfs://nn:8020/wh/db") ==
+      (("hdfs", "nn:8020", "/wh/db")))
+    assert(normalizeLocation("s3a://bucket/wh/") ==
+      (("s3a", "bucket", "/wh")))
+    // scheme-less relative paths absolutize like Spark's own resolution
+    assert(normalizeLocation("wh/db")._3.startsWith("/"))
+  }
 }
