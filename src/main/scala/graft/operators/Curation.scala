@@ -386,6 +386,114 @@ object Curation {
       |FROM t GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+
+  /** q81 — EXACT n-gram cross-split contamination (the GPT-3-style
+    * decontamination audit; q70 is the near-dup MinHash form): for each
+    * held-out split of q59's deterministic hash split, the fraction of
+    * its distinct 5-grams that also occur verbatim in train. Plan shape:
+    * both sides reduce to DISTINCT gram sets map-side before the
+    * left-semi probe on the gram key — the probe moves |distinct grams|,
+    * never gram instances; at 100 TB the gram strings would be hashed to
+    * 64-bit longs exactly like the q27 shingle kernel (2⁻⁶⁴ collisions),
+    * and train's distinct-gram set is the natural bloom-filter input if
+    * even that set outgrows a shuffle. */
+  def q81NgramContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    val grams = docs(s, dir)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test")
+          .otherwise("train"))
+      .select($"split", split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"split", explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+    val train = grams.filter($"split" === "train").select($"gram").distinct()
+    val eval_ = grams.filter($"split" =!= "train")
+      .select($"split", $"gram").distinct()
+    val tot = eval_.groupBy($"split").agg(count(lit(1)).as("n_grams"))
+    val cont = eval_.join(train, Seq("gram"), "left_semi")
+      .groupBy($"split").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(cont, Seq("split"), "left")
+      .select($"split", $"n_grams",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        round(coalesce($"n_contaminated", lit(0L)).cast("double") / $"n_grams", 6)
+          .as("frac"))
+      .orderBy($"split")
+  }
+
+  val q81Oracle: String =
+    """WITH g AS (SELECT CASE WHEN bk IN ('c', 'd') THEN 'val'
+      |                       WHEN bk IN ('e', 'f') THEN 'test'
+      |                       ELSE 'train' END AS split,
+      |             unnest(list_transform(generate_series(1, len(t) - 4),
+      |               i -> array_to_string(t[i : i + 4], ' '))) AS gram
+      |           FROM (SELECT substr(md5('split:' || doc_id), 1, 1) AS bk,
+      |                   string_split(text, ' ') AS t
+      |                 FROM documents)
+      |           WHERE len(t) >= 5),
+      |train AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+      |ev AS (SELECT DISTINCT split, gram FROM g WHERE split <> 'train'),
+      |tot AS (SELECT split, count(*) AS n_grams FROM ev GROUP BY 1),
+      |cont AS (SELECT ev.split, count(*) AS n_contaminated
+      |         FROM ev WHERE gram IN (SELECT gram FROM train)
+      |         GROUP BY 1)
+      |SELECT t.split, t.n_grams,
+      |       coalesce(c.n_contaminated, 0) AS n_contaminated,
+      |       round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / t.n_grams, 6)
+      |         AS frac
+      |FROM tot t LEFT JOIN cont c ON t.split = c.split
+      |ORDER BY t.split""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+
+  /** q82 — temperature-weighted mixture sampling (the multilingual /
+    * multi-source data-mixing recipe: w_s ∝ p_s^α with α = 0.5 flattens
+    * the source distribution so small sources aren't drowned): per-source
+    * token shares, α-tempered normalized weights, and the expected
+    * document draw per source for a 1000-doc budget. √ is used for p^0.5
+    * (IEEE-correctly-rounded in both engines, unlike a general pow).
+    * One aggregate over sources (bounded), two scalar broadcasts — the
+    * corpus-sized work is only the per-source count/sum, map-side
+    * combined. */
+  def q82MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil($"n_chars" / 4.0).cast("long")).as("est_tokens"))
+    val tot = bySrc.agg(sum($"est_tokens").as("tot_tokens"))
+    val withP = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", $"est_tokens".cast("double") / $"tot_tokens")
+      .withColumn("w_raw", sqrt($"p"))
+    val wsum = withP.agg(sum($"w_raw").as("w_sum"))
+    withP.crossJoin(broadcast(wsum))
+      .select($"source", $"n_docs", $"est_tokens",
+        round($"p", 6).as("p"),
+        round($"w_raw" / $"w_sum", 6).as("w"),
+        round(lit(1000.0) * $"w_raw" / $"w_sum", 2).as("expected_docs"))
+      .orderBy($"source")
+  }
+
+  val q82Oracle: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+      |               AS est_tokens
+      |           FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS tot_tokens FROM s),
+      |p AS (SELECT s.*, CAST(s.est_tokens AS DOUBLE) / tot.tot_tokens AS p,
+      |        sqrt(CAST(s.est_tokens AS DOUBLE) / tot.tot_tokens) AS w_raw
+      |      FROM s, tot),
+      |ws AS (SELECT sum(w_raw) AS w_sum FROM p)
+      |SELECT source, n_docs, est_tokens,
+      |       round(p, 6) AS p,
+      |       round(w_raw / ws.w_sum, 6) AS w,
+      |       round(CAST(1000.0 AS DOUBLE) * w_raw / ws.w_sum, 2) AS expected_docs
+      |FROM p, ws
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -394,7 +502,9 @@ object Curation {
     "q75_dup_block_fraction" -> q75DupBlockFraction _,
     "q76_bigram_perplexity" -> q76BigramPerplexity _,
     "q77_lexical_diversity" -> q77LexicalDiversity _,
-    "q78_lang_kl_divergence" -> q78LangKlDivergence _)
+    "q78_lang_kl_divergence" -> q78LangKlDivergence _,
+    "q81_ngram_contamination" -> q81NgramContamination _,
+    "q82_mixture_weights" -> q82MixtureWeights _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -402,5 +512,7 @@ object Curation {
     "q75_dup_block_fraction" -> q75Oracle,
     "q76_bigram_perplexity" -> q76Oracle,
     "q77_lexical_diversity" -> q77Oracle,
-    "q78_lang_kl_divergence" -> q78Oracle)
+    "q78_lang_kl_divergence" -> q78Oracle,
+    "q81_ngram_contamination" -> q81Oracle,
+    "q82_mixture_weights" -> q82Oracle)
 }

@@ -132,6 +132,51 @@ class CurationSpec extends SparkSuite {
       tiny(0).getAs[Double]("avg_hapax") == 1.0)
   }
 
+  test("q81 contamination recount via inner-join agrees; bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Curation.q81NgramContamination(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("test", "val"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Double]("frac") >= 0.0 && r.getAs[Double]("frac") <= 1.0)
+    }
+    // independent recount: distinct (split, gram) inner-joined to the
+    // train gram set and counted — no semi-join, no left join
+    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    val grams = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test").otherwise("train"))
+      .select($"split", split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"split", explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+    val recount = grams.filter($"split" =!= "train").distinct()
+      .join(grams.filter($"split" === "train").select($"gram").distinct(),
+        "gram")
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") ==
+        recount.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: semi-join and inner-join recounts disagree")
+    }
+  }
+
+  test("q82 weights normalize and temperature flattens the distribution") {
+    val rows = Curation.q82MixtureWeights(spark, sfDir).collect()
+    val ws = rows.map(_.getAs[Double]("w"))
+    val ps = rows.map(_.getAs[Double]("p"))
+    assert(math.abs(ws.sum - 1.0) < 1e-3, s"weights sum to ${ws.sum}")
+    assert(math.abs(ps.sum - 1.0) < 1e-3, s"shares sum to ${ps.sum}")
+    assert(math.abs(rows.map(_.getAs[Double]("expected_docs")).sum - 1000.0) < 1.0)
+    // α = 0.5 tempering must strictly flatten a non-uniform distribution
+    assert(ws.max / ws.min < ps.max / ps.min,
+      s"tempering failed to flatten: w-ratio ${ws.max / ws.min} vs p-ratio ${ps.max / ps.min}")
+  }
+
   test("q78 KL is non-negative per slice and exactly zero for a single-slice corpus") {
     val rows = Curation.q78LangKlDivergence(spark, sfDir).collect()
     assert(rows.nonEmpty)
