@@ -448,6 +448,62 @@ object Curation {
       |FROM tot t LEFT JOIN cont c ON t.split = c.split
       |ORDER BY t.split""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+
+  /** q83 — BLOOM-filter decontamination: the 100 TB form of q81. When
+    * even train's distinct-gram SET is too large to move into a semi-join
+    * build side, it compresses into a bloom filter (~1.2 GB for 10⁹ grams
+    * at 1% fpp vs hundreds of GB of strings) built with map-side partial
+    * aggregation in the same DAG — Spark's own runtime-row-filter shape
+    * (might_contain ∘ scalar-subquery bloom_filter_agg ∘ xxhash64), the
+    * q54 machinery pointed at grams instead of join keys. The answer is
+    * ONE-SIDED: every truly contaminated gram is flagged (no false
+    * negatives), overcount is bounded by the fpp — CurationSpec pins both
+    * against exact q81. No DuckDB oracle is possible (the sketch bytes
+    * have no cross-engine replay, like q52's HLL) — driver records
+    * rows-only; the spec is the value gate. */
+  def q83BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    val grams = docs(s, dir)
+      .withColumn("split",
+        when(bucket.isin("c", "d"), "val")
+          .when(bucket.isin("e", "f"), "test")
+          .otherwise("train"))
+      .select($"split", split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"split", explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+    val train = grams.filter($"split" === "train").select($"gram")
+      .distinct().cache() // consumed twice: sizing count + bloom build
+    val nKeys = math.max(1024L, train.count())
+    val nBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nKeys, 0.01)
+    val bloomDf = train.select(GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(GraftColumnBridge.expression(train("gram")))),
+        Literal(nKeys), Literal(nBits)).toAggregateExpression())
+      .as("bf"))
+    val eval_ = grams.filter($"split" =!= "train")
+      .select($"split", $"gram").distinct()
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      new XxHash64(Seq(GraftColumnBridge.expression(eval_("gram"))))))
+    val tot = eval_.groupBy($"split").agg(count(lit(1)).as("n_grams"))
+    val flagged = eval_.filter(mightContain)
+      .groupBy($"split").agg(count(lit(1)).as("n_flagged"))
+    tot.join(flagged, Seq("split"), "left")
+      .select($"split", $"n_grams",
+        coalesce($"n_flagged", lit(0L)).as("n_flagged"),
+        round(coalesce($"n_flagged", lit(0L)).cast("double") / $"n_grams", 6)
+          .as("frac"))
+      .orderBy($"split")
+  }
+
   // ---------------------------------------------------------------- q82
 
   /** q82 — temperature-weighted mixture sampling (the multilingual /
@@ -504,7 +560,8 @@ object Curation {
     "q77_lexical_diversity" -> q77LexicalDiversity _,
     "q78_lang_kl_divergence" -> q78LangKlDivergence _,
     "q81_ngram_contamination" -> q81NgramContamination _,
-    "q82_mixture_weights" -> q82MixtureWeights _)
+    "q82_mixture_weights" -> q82MixtureWeights _,
+    "q83_bloom_contamination" -> q83BloomContamination _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,

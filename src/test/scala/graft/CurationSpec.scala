@@ -165,6 +165,28 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q83 bloom decontamination is one-sided and fpp-bounded vs exact q81") {
+    val exact = Curation.q81NgramContamination(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_contaminated")))).toMap
+    val bloom = Curation.q83BloomContamination(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_flagged")))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (split, (nGrams, nCont)) =>
+      val (bGrams, bFlagged) = bloom(split)
+      assert(bGrams == nGrams, s"$split: gram universes differ")
+      // one-sided: a bloom filter has NO false negatives — every truly
+      // contaminated gram must be flagged
+      assert(bFlagged >= nCont, s"$split: bloom missed true positives")
+      // overcount bounded by fpp (1% target; 3x slack for a small
+      // clean-gram population where the binomial variance is visible)
+      val clean = nGrams - nCont
+      assert(bFlagged - nCont <= math.max(5L, (clean * 0.03).toLong),
+        s"$split: ${bFlagged - nCont} false positives on $clean clean grams")
+    }
+  }
+
   test("q82 weights normalize and temperature flattens the distribution") {
     val rows = Curation.q82MixtureWeights(spark, sfDir).collect()
     val ws = rows.map(_.getAs[Double]("w"))
