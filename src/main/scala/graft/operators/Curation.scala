@@ -398,10 +398,14 @@ object Curation {
     * 64-bit longs exactly like the q27 shingle kernel (2⁻⁶⁴ collisions),
     * and train's distinct-gram set is the natural bloom-filter input if
     * even that set outgrows a shuffle. */
-  def q81NgramContamination(s: SparkSession, dir: String): DataFrame = {
+  /** (split, gram) stream shared by q81/q83: q59's deterministic
+    * md5-bucket split assignment + overlapping 5-grams. ONE definition so
+    * the exact audit and its bloom approximation (whose spec compares
+    * them) can never disagree on what a gram or a split is. */
+  private[graft] def splitGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
-    val grams = docs(s, dir)
+    docs(s, dir)
       .withColumn("split",
         when(bucket.isin("c", "d"), "val")
           .when(bucket.isin("e", "f"), "test")
@@ -411,6 +415,11 @@ object Curation {
       .select($"split", explode(expr(
         """transform(sequence(1, size(t) - 4),
           |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+  }
+
+  def q81NgramContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = splitGrams(s, dir)
     val train = grams.filter($"split" === "train").select($"gram").distinct()
     val eval_ = grams.filter($"split" =!= "train")
       .select($"split", $"gram").distinct()
@@ -467,22 +476,24 @@ object Curation {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
-    val grams = docs(s, dir)
-      .withColumn("split",
-        when(bucket.isin("c", "d"), "val")
-          .when(bucket.isin("e", "f"), "test")
-          .otherwise("train"))
-      .select($"split", split($"text", " ").as("t"))
-      .filter(size($"t") >= 5)
-      .select($"split", explode(expr(
-        """transform(sequence(1, size(t) - 4),
-          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+    val grams = splitGrams(s, dir)
     val train = grams.filter($"split" === "train").select($"gram")
       .distinct().cache() // consumed twice: sizing count + bloom build
     val nKeys = math.max(1024L, train.count())
     val nBits =
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nKeys, 0.01)
+    // BloomFilterAggregate silently clamps BOTH literals to the session
+    // ceilings (spark.sql.optimizer.runtime.bloomFilter.maxNumItems,
+    // default 4M items / maxNumBits, default 8 MiB) — fine for q54's join
+    // prune, where the exact join removes false positives, but FATAL
+    // here: might_contain IS the answer, so a saturated filter inflates
+    // n_flagged toward n_grams. Raise the ceilings to the computed size
+    // so the 1% fpp contract holds at any corpus scale instead of
+    // silently degrading past ~4M distinct grams.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (s.conf.get(itemsKey).toLong < nKeys) s.conf.set(itemsKey, nKeys.toString)
+    if (s.conf.get(bitsKey).toLong < nBits) s.conf.set(bitsKey, nBits.toString)
     val bloomDf = train.select(GraftColumnBridge.column(
       new BloomFilterAggregate(
         new XxHash64(Seq(GraftColumnBridge.expression(train("gram")))),

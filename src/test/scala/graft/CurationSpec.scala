@@ -142,7 +142,10 @@ class CurationSpec extends SparkSuite {
       assert(r.getAs[Double]("frac") >= 0.0 && r.getAs[Double]("frac") <= 1.0)
     }
     // independent recount: distinct (split, gram) inner-joined to the
-    // train gram set and counted — no semi-join, no left join
+    // train gram set and counted — no semi-join, no left join. The gram
+    // derivation is re-declared here ON PURPOSE (not via Curation
+    // .splitGrams): this is the differential check that the shared
+    // helper computes what the spec says it computes.
     val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
     val grams = graft.sources.Tables.documents(spark, sfDir)
       .withColumn("split",
