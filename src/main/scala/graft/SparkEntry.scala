@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.queries ++ Dml.queries ++ Chunker.queries ++
       Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
       Search.queries ++ Multimodal.queries ++ Temporal.queries ++
-      Curation.queries
+      Curation.queries ++ Spans.queries ++ Clustering.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     Relational.oracle ++ Dml.oracle ++ Chunker.oracle ++
       Dedup.oracle ++ TextStats.oracle ++ Similarity.oracle ++
       Search.oracle ++ Multimodal.oracle ++ Temporal.oracle ++
-      Curation.oracle
+      Curation.oracle ++ Spans.oracle ++ Clustering.oracle ++
+      Analytics.oracle
 }

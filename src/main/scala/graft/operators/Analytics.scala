@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-layout and behavioral-analytics operators:
+  *
+  *  - q87: Z-order (Morton-curve) layout — the multi-dimensional
+  *    clustering trick behind Delta OPTIMIZE ZORDER BY / Iceberg sort
+  *    orders: interleave the bits of two filter dimensions so a sort on
+  *    the single Z value co-locates rows that are close in BOTH
+  *    dimensions, making per-file min/max ranges tight enough for scan
+  *    pruning on either column.
+  *  - q88: funnel analysis (view → click → purchase with strict
+  *    temporal ordering), cohorted by the week of the user's first view.
+  *  - q89: cohort retention — users bucketed by first-activity week,
+  *    counted in each subsequent week they return.
+  *
+  * Scale shape: q87's presentation ntile is the fixture stand-in for
+  * `repartitionByRange($"z")` + per-task file writes — at 100 TB the
+  * range exchange samples Z values and writes one file per range, no
+  * global window anywhere; min/max-per-file is exactly the parquet
+  * footer stats the layout exists to tighten. q88/q89 shuffle once on
+  * user_id (every per-user reduction pipelines into the same exchange)
+  * and then once more on week keys whose cardinality is the calendar,
+  * not the corpus.
+  */
+object Analytics {
+
+  /** Morton interleave of two 8-bit bucketed ints, built from shift/and
+    * primitives that exist verbatim in both engines. */
+  private def zExpr(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) | " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"
+    }.mkString(" | ")
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87 — Z-order layout quality: bucket lineitem's two join/filter
+    * dimensions to 8 bits, interleave into a Morton code, lay rows out
+    * in Z order across 16 files, and report each file's (min, max)
+    * envelope per dimension. The honest figure of merit — measured, not
+    * assumed — is NOT total envelope area (at a coarse 16-file split
+    * both layouts tile ~the same total area): it is the WORST-DIMENSION
+    * pruning factor. A linear sort is perfect on its sort column and
+    * useless on the other (every file spans the full second dimension,
+    * so a predicate on it hits all 16 files); the Z layout bounds both,
+    * cutting worst-dimension expected-files-hit from ~16 to ~6 at this
+    * geometry (LayoutAnalyticsSpec pins the comparison). That balanced
+    * bound is why Delta OPTIMIZE ZORDER / Iceberg sort orders exist.
+    * Tiebreak (l_orderkey, l_linenumber) makes the layout total and the
+    * oracle exact. */
+  def q87ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
+        ($"l_partkey" % 256).cast("int").as("x"),
+        ($"l_orderkey" % 256).cast("int").as("y"))
+      .withColumn("z", expr(zExpr("x", "y")))
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture — x and
+    // l_suppkey extend the tiebreak; rows still tied are full-payload
+    // duplicates, interchangeable for every per-file stat
+    val w = Window.orderBy($"z", $"l_orderkey", $"l_linenumber", $"x",
+      $"l_suppkey")
+    li.withColumn("file_id", ntile(16).over(w))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .withColumn("envelope_area",
+        (($"max_x" - $"min_x" + 1) * ($"max_y" - $"min_y" + 1)).cast("long"))
+      .orderBy($"file_id")
+  }
+
+  val q87Oracle: String = {
+    val z = (0 until 8).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+       |             CAST(l_partkey % 256 AS INT) AS x,
+       |             CAST(l_orderkey % 256 AS INT) AS y
+       |           FROM lineitem),
+       |z AS (SELECT l_orderkey, l_linenumber, l_suppkey, x, y, ($z) AS z
+       |      FROM b),
+       |f AS (SELECT x, y,
+       |        ntile(16) OVER (ORDER BY z, l_orderkey, l_linenumber, x,
+       |          l_suppkey) AS file_id
+       |      FROM z)
+       |SELECT file_id, count(*) AS n_rows,
+       |       min(x) AS min_x, max(x) AS max_x,
+       |       min(y) AS min_y, max(y) AS max_y,
+       |       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+       |         AS envelope_area
+       |FROM f GROUP BY file_id
+       |ORDER BY file_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — three-step funnel with strict temporal ordering and a 24 h
+    * conversion window per step: first view, then the first click
+    * within 24 h after it, then the first purchase within 24 h after
+    * that click, cohorted by the week of the first view. (Unwindowed,
+    * this fixture's month of dense activity converts every user —
+    * the window is what makes the funnel a funnel.) Each step is a
+    * per-user min-reduction joined forward — three aggregations and two
+    * user-key joins that all share one user_id exchange; no window
+    * function over the full event stream. Counts and
+    * exactly-representable rounded ratios only, so the oracle is
+    * exact. */
+  def q88Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val day = expr("INTERVAL 24 HOURS")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val wk = s1
+      .join(s2.select($"user_id", lit(1L).as("clicked")), Seq("user_id"), "left")
+      .join(s3.select($"user_id", lit(1L).as("purchased")), Seq("user_id"), "left")
+      .withColumn("cohort_week",
+        floor(datediff(to_date($"t1"), lit("1970-01-01")) / 7.0).cast("long"))
+    wk.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_view"),
+        sum(coalesce($"clicked", lit(0L))).as("n_click"),
+        sum(coalesce($"purchased", lit(0L))).as("n_purchase"))
+      .withColumn("conv_click",
+        round($"n_click".cast("double") / $"n_view", 4))
+      .withColumn("conv_purchase",
+        round($"n_purchase".cast("double") / $"n_view", 4))
+      .orderBy($"cohort_week")
+  }
+
+  val q88Oracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1),
+      |wk AS (SELECT s1.user_id,
+      |         CAST(floor(date_diff('day', DATE '1970-01-01',
+      |           CAST(s1.t1 AS DATE)) / 7.0) AS BIGINT) AS cohort_week,
+      |         CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS clicked,
+      |         CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS purchased
+      |       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |               LEFT JOIN s3 ON s1.user_id = s3.user_id)
+      |SELECT cohort_week, count(*) AS n_view,
+      |       CAST(sum(clicked) AS BIGINT) AS n_click,
+      |       CAST(sum(purchased) AS BIGINT) AS n_purchase,
+      |       round(CAST(sum(clicked) AS DOUBLE) / count(*), 4) AS conv_click,
+      |       round(CAST(sum(purchased) AS DOUBLE) / count(*), 4)
+      |         AS conv_purchase
+      |FROM wk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+
+  /** q89 — cohort retention: users bucketed by the week of their FIRST
+    * PURCHASE; for every later week in which they purchase again, they
+    * count toward (cohort_week, week_offset). Purchases, not all
+    * events: this fixture's users emit some event every week, so an
+    * any-event cohort is flat 100% — the purchase cohorts actually
+    * decay. The distinct-collapse happens BEFORE the presentation
+    * rollup (one row per user-week), so the heavy reduction rides the
+    * same user_id exchange as the first-purchase scan. */
+  def q89CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    ev.join(first, "user_id")
+      .select($"user_id",
+        floor($"d0" / 7.0).cast("long").as("cohort_week"),
+        floor(($"d" - $"d0") / 7.0).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q89Oracle: String =
+    """WITH ev AS (SELECT user_id,
+      |              CAST(date_diff('day', DATE '1970-01-01',
+      |                CAST(ts AS DATE)) AS BIGINT) AS d
+      |            FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+      |x AS (SELECT DISTINCT ev.user_id,
+      |        CAST(floor(f.d0 / 7.0) AS BIGINT) AS cohort_week,
+      |        CAST(floor((ev.d - f.d0) / 7.0) AS BIGINT) AS week_offset
+      |      FROM ev JOIN f ON ev.user_id = f.user_id)
+      |SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_zorder_layout" -> q87ZorderLayout _,
+    "q88_funnel" -> q88Funnel _,
+    "q89_cohort_retention" -> q89CohortRetention _)
+
+  val oracle: Map[String, String] = Map(
+    "q87_zorder_layout" -> q87Oracle,
+    "q88_funnel" -> q88Oracle,
+    "q89_cohort_retention" -> q89Oracle)
+}

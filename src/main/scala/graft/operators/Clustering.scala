@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Embedding-space clustering — the semantic-dedup / diversity-sampling
+  * primitive (SemDeDup, arXiv:2303.09540, clusters embeddings then
+  * prunes within clusters; data-mixing recipes cluster to balance
+  * topics). One operator: fixed-point QUANTIZED k-means, engineered so
+  * every arithmetic step is exact integer math (or a deterministic
+  * double division of two integers) and therefore bit-identical across
+  * engines — the same trick that makes distributed training-data
+  * pipelines reproducible across cluster sizes: centroid accumulation
+  * in integers is associative/commutative, so partial aggregation
+  * order can't change the result (a float centroid mean would differ
+  * run-to-run with partition order).
+  *
+  * Scale shape: assignment is a JOIN-FREE projection against centroid
+  * literals (k·64 longs of driver-held model state, the MLlib k-means
+  * pattern — the vectors never shuffle, never fan out); the update
+  * step shuffles one (cluster, dim) integer partial sum per input
+  * partition after map-side combine — k·64 rows total, independent of
+  * corpus size. Lloyd iterations compose by repeating the two stages;
+  * two iterations here keep the cross-engine oracle tractable while
+  * exercising the full assign→update→reassign cycle.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Scale = 1000.0
+
+  /** q86 — quantized k-means, two Lloyd iterations over the 64-dim
+    * embedding fixture. Embeddings quantize to integers via
+    * floor(e·1000) (floor, not round: round's tie behavior differs
+    * across engines; floor is unambiguous). Initial centroids are the
+    * quantized vectors of the K smallest vec_ids (deterministic,
+    * engine-independent init — the standard reproducibility trick when
+    * k-means++ randomness can't be replayed cross-engine).
+    *
+    * Iteration-2 distance to a mean centroid (sum_d/cnt per dim) is
+    * computed as Σ(v·cnt − sum_d)²/cnt² — numerator pure int64
+    * (|v|·cnt ≤ 5·10⁵ at fixture scale, squared 2.5·10¹¹, ×64 dims
+    * ≈ 10¹³ ≪ 2⁶³), so the only float op is one division of two exact
+    * integers, which IEEE 754 makes identical everywhere. (The integer
+    * numerator exists for cross-engine oracle parity; it overflows past
+    * cnt ≈ 10⁷ members — a production run at that scale would switch to
+    * double mean centroids, keeping determinism per-row because each
+    * 64-dim reduction is an ORDERED fold, and losing only the
+    * cross-engine bit-equality this gate needs.) Ties broken
+    * by centroid id. Output: per-cluster membership after each
+    * iteration plus how many members arrived from a different
+    * iteration-1 cluster. */
+  def q86KmeansQuantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        expr("transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT))")
+          .as("q"))
+
+    // Assignment is a PURE PROJECTION against centroid literals — the
+    // MLlib k-means shape: model state (k·64 longs) lives on the driver
+    // between iterations, vectors never shuffle, join-free plan
+    // (PlanQualitySpec pins zero Join nodes). argmin via array_min over
+    // (distance, cid) structs: struct ordering compares d first, cid
+    // breaks ties.
+    def argmin(dists: Seq[(Int, Column)]): Column =
+      array_min(array(dists.map { case (cid, d) =>
+        struct(d.as("d"), lit(cid).as("cid")) }: _*)).getField("cid")
+    def sqDist(c: Seq[Long]): Column =
+      aggregate(
+        zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+
+    val c0: Seq[(Int, Seq[Long])] = qv.filter($"vec_id" < K).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    val assign1 = qv.withColumn("cid1",
+      argmin(c0.map { case (cid, c) => cid -> sqDist(c) }))
+
+    // update step: the ONLY corpus-sized reduction — k×64 integer
+    // partial sums per partition cross the wire, nothing else
+    val cent1: Seq[(Int, Long, Seq[Long])] = assign1
+      .select($"cid1", posexplode($"q").as(Seq("dim", "v")))
+      .groupBy($"cid1", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getAs[Int]("cid1")).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.head.getAs[Long]("cnt"),
+          rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("sv")).toSeq)
+      }.sortBy(_._1)
+
+    // iteration-2 distance to the mean centroid (sv/cnt per dim) in the
+    // integer-numerator form Σ(v·cnt − sv)²/cnt²: exact int64 numerator,
+    // one deterministic double division
+    def sqDist2(sv: Seq[Long], cnt: Long): Column =
+      aggregate(
+        zip_with($"q", typedLit(sv),
+          (v, sd) => (v * lit(cnt) - sd) * (v * lit(cnt) - sd)),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit(cnt * cnt)
+
+    val assign2 = assign1.withColumn("cid2",
+      argmin(cent1.map { case (cid, cnt, sv) => cid -> sqDist2(sv, cnt) }))
+
+    // join-free rollup: tag each assignment row once per iteration and
+    // sum — keeps the WHOLE query plan free of Join nodes (pinned)
+    assign2.select($"cid1".as("cid"), lit(1L).as("i1"), lit(0L).as("i2"),
+        lit(0L).as("mv"))
+      .union(assign2.select($"cid2".as("cid"), lit(0L), lit(1L),
+        when($"cid1" =!= $"cid2", 1L).otherwise(0L)))
+      .groupBy($"cid")
+      .agg(sum($"i1").as("n_iter1"), sum($"i2").as("n_iter2"),
+        sum($"mv").as("n_moved_in"))
+      .orderBy($"cid")
+  }
+
+  val q86Oracle: String =
+    """WITH qv AS (SELECT vec_id,
+      |              list_transform(embedding,
+      |                e -> CAST(floor(e * 1000.0) AS BIGINT)) AS q
+      |            FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |vd AS (SELECT vec_id, dim, q[dim] AS v FROM qv, dims),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, q[dim] AS cv
+      |       FROM qv, dims WHERE vec_id < 8),
+      |d1 AS (SELECT vd.vec_id, c0.cid,
+      |         sum((vd.v - c0.cv) * (vd.v - c0.cv)) AS d
+      |       FROM vd JOIN c0 USING (dim) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid AS cid1 FROM (
+      |         SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid1 AS cid, vd.dim,
+      |         sum(vd.v) AS sv, count(*) AS cnt
+      |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT vd.vec_id, a1.cid1, c1.cid,
+      |         CAST(sum((vd.v * c1.cnt - c1.sv) * (vd.v * c1.cnt - c1.sv))
+      |              AS DOUBLE) / (max(c1.cnt) * max(c1.cnt)) AS d
+      |       FROM vd JOIN a1 USING (vec_id) JOIN c1 USING (dim)
+      |       GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, cid1, cid AS cid2 FROM (
+      |         SELECT vec_id, cid1, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |n1 AS (SELECT cid1 AS cid, count(*) AS n_iter1 FROM a1 GROUP BY 1),
+      |n2 AS (SELECT cid2 AS cid, count(*) AS n_iter2,
+      |         sum(CASE WHEN cid1 <> cid2 THEN 1 ELSE 0 END) AS n_moved_in
+      |       FROM a2 GROUP BY 1)
+      |SELECT coalesce(n1.cid, n2.cid) AS cid,
+      |       CAST(coalesce(n1.n_iter1, 0) AS BIGINT) AS n_iter1,
+      |       CAST(coalesce(n2.n_iter2, 0) AS BIGINT) AS n_iter2,
+      |       CAST(coalesce(n2.n_moved_in, 0) AS BIGINT) AS n_moved_in
+      |FROM n1 FULL OUTER JOIN n2 ON n1.cid = n2.cid
+      |ORDER BY cid""".stripMargin
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_kmeans_quantized" -> q86KmeansQuantized _)
+
+  val oracle: Map[String, String] = Map(
+    "q86_kmeans_quantized" -> q86Oracle)
+}

@@ -140,6 +140,22 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q86 k-means assignment is join-free: vectors never fan out") {
+    // the model is driver-held literal state (k·64 longs); if a Join of
+    // any kind appears, someone reintroduced the crossJoin fan-out that
+    // ships every vector k times — the shape that dies at 100 TB
+    val p = plan("q86_kmeans_quantized")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("UDF"), p.take(800))
+  }
+
+  test("q84 duplicate-gram reduction is map-side combined, scan pruned") {
+    val p = plan("q84_dup_span_coverage")
+    assert(p.contains("partial_"), p.take(800))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
   test("q79 int8 kernel ranks without UDFs and without a global sort") {
     val p = plan("q79_int8_ann")
     assert(!p.contains("UDF"), p.take(800))
