@@ -561,6 +561,74 @@ object Curation {
       |FROM p, ws
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+
+  /** q92 — quota-filled mixture draw: the EXECUTION of q82's recipe.
+    * q82 computes the α-tempered weights; this turns them into integer
+    * per-source quotas for a 200-doc budget (floor — unambiguous
+    * cross-engine, unlike banker's-rounding ties) and then DRAWS the
+    * sample deterministically: each source's docs ranked by
+    * md5(doc_id), the first `quota` taken. Hash-ranking is the
+    * engine-independent substitute for rand() sampling (same trick as
+    * q59/q69) — any engine, any partitioning, any run produces the
+    * same sample, which is what makes a training-data draw auditable.
+    * Scale shape: weights are one bounded per-source aggregate; the
+    * draw is one window ranked per source partition — and at a real
+    * 10⁹-doc scale the rank-then-filter would become a per-source
+    * bottom-k aggregate (the BottomKDistinct machinery) instead of a
+    * full per-source sort. */
+  def q92MixtureDraw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil($"n_chars" / 4.0).cast("long")).as("est_tokens"))
+    val tot = bySrc.agg(sum($"est_tokens").as("tot_tokens"))
+    val withW = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w_raw", sqrt($"est_tokens".cast("double") / $"tot_tokens"))
+    val wsum = withW.agg(sum($"w_raw").as("w_sum"))
+    val quotas = withW.crossJoin(broadcast(wsum))
+      .select($"source", $"n_docs",
+        floor(lit(200.0) * $"w_raw" / $"w_sum").cast("long").as("quota"))
+    val ranked = docs(s, dir)
+      .select($"source", $"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+    ranked.join(broadcast(quotas), "source")
+      .filter($"rn" <= $"quota")
+      .groupBy($"source", $"n_docs", $"quota")
+      .agg(count(lit(1)).as("n_taken"),
+        md5(concat_ws(",", array_sort(collect_list($"doc_id".cast("string")))))
+          .as("sample_digest"))
+      .orderBy($"source")
+  }
+
+  val q92Oracle: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+      |               AS est_tokens
+      |           FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS tot_tokens FROM s),
+      |p AS (SELECT s.*,
+      |        sqrt(CAST(s.est_tokens AS DOUBLE) / tot.tot_tokens) AS w_raw
+      |      FROM s, tot),
+      |ws AS (SELECT sum(w_raw) AS w_sum FROM p),
+      |q AS (SELECT source, n_docs,
+      |        CAST(floor(CAST(200.0 AS DOUBLE) * w_raw / ws.w_sum) AS BIGINT)
+      |          AS quota
+      |      FROM p, ws),
+      |r AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |SELECT q.source, q.n_docs, q.quota,
+      |       count(*) AS n_taken,
+      |       md5(string_agg(CAST(r.doc_id AS VARCHAR), ','
+      |         ORDER BY CAST(r.doc_id AS VARCHAR))) AS sample_digest
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE r.rn <= q.quota
+      |GROUP BY q.source, q.n_docs, q.quota
+      |ORDER BY q.source""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -572,7 +640,8 @@ object Curation {
     "q78_lang_kl_divergence" -> q78LangKlDivergence _,
     "q81_ngram_contamination" -> q81NgramContamination _,
     "q82_mixture_weights" -> q82MixtureWeights _,
-    "q83_bloom_contamination" -> q83BloomContamination _)
+    "q83_bloom_contamination" -> q83BloomContamination _,
+    "q92_mixture_draw" -> q92MixtureDraw _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -582,5 +651,6 @@ object Curation {
     "q77_lexical_diversity" -> q77Oracle,
     "q78_lang_kl_divergence" -> q78Oracle,
     "q81_ngram_contamination" -> q81Oracle,
-    "q82_mixture_weights" -> q82Oracle)
+    "q82_mixture_weights" -> q82Oracle,
+    "q92_mixture_draw" -> q92Oracle)
 }

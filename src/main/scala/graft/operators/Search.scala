@@ -181,13 +181,97 @@ object Search {
       |FROM fused
       |ORDER BY hybrid_score DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** q90 — reciprocal-rank fusion (the rank-based sibling of q39's
+    * score-based fusion; the Elasticsearch/Vespa hybrid default,
+    * Cormack/Clarke/Buettcher SIGIR'09): each retriever contributes
+    * 1/(60+rank), which needs no score normalization and is immune to
+    * the two retrievers' incomparable score scales. Candidate sets are
+    * cut to top-50 PER RETRIEVER first — orderBy().limit() plans as a
+    * TakeOrdered top-k reduction (per-partition k, then merge-of-k),
+    * so ranking never globally sorts the corpus; the window that
+    * assigns ranks runs over 50 broadcast-sized rows. Ranks order on
+    * ROUNDED scores (ulp-stable) with doc_id tiebreaks; RRF
+    * contributions are divisions of exact integers. */
+  def q90RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    import org.apache.spark.sql.expressions.Window
+    val kwTop = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
+      .select($"doc_id", round($"score", 4).as("s4"))
+      .orderBy($"s4".desc, $"doc_id".asc).limit(50)
+      .withColumn("rank_kw",
+        row_number().over(Window.orderBy($"s4".desc, $"doc_id".asc)))
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val qv = e.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val cosTop = e.crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(dot_product($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("c6"))
+      .orderBy($"c6".desc, $"doc_id".asc).limit(50)
+      .withColumn("rank_cos",
+        row_number().over(Window.orderBy($"c6".desc, $"doc_id".asc)))
+    kwTop.select($"doc_id", $"rank_kw")
+      .join(cosTop.select($"doc_id", $"rank_cos"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"rank_kw", lit(0)).as("rank_kw"),
+        coalesce($"rank_cos", lit(0)).as("rank_cos"),
+        round(
+          coalesce(lit(1.0) / ($"rank_kw" + 60), lit(0.0)) +
+            coalesce(lit(1.0) / ($"rank_cos" + 60), lit(0.0)), 6).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  val q90Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |kw AS (SELECT tf.doc_id,
+      |         round(sum(ln((nd.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))), 4)
+      |           AS s4
+      |       FROM tf JOIN df ON tf.token = df.token
+      |       JOIN dl ON tf.doc_id = dl.doc_id, nd, ad
+      |       GROUP BY tf.doc_id),
+      |kwtop AS (SELECT doc_id,
+      |            row_number() OVER (ORDER BY s4 DESC, doc_id ASC) AS rank_kw
+      |          FROM kw ORDER BY s4 DESC, doc_id ASC LIMIT 50),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |qv AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+      |cs AS (SELECT n.vec_id AS doc_id,
+      |         round(list_sum(list_transform(generate_series(1, 64),
+      |           i -> n.v[i] * qv.qv[i])) / (n.nrm * qv.qnrm), 6) AS c6
+      |       FROM n, qv),
+      |costop AS (SELECT doc_id,
+      |             row_number() OVER (ORDER BY c6 DESC, doc_id ASC) AS rank_cos
+      |           FROM cs ORDER BY c6 DESC, doc_id ASC LIMIT 50)
+      |SELECT coalesce(k.doc_id, c.doc_id) AS doc_id,
+      |       coalesce(k.rank_kw, 0) AS rank_kw,
+      |       coalesce(c.rank_cos, 0) AS rank_cos,
+      |       round(coalesce(CAST(1.0 AS DOUBLE) / (k.rank_kw + 60), 0.0)
+      |             + coalesce(CAST(1.0 AS DOUBLE) / (c.rank_cos + 60), 0.0), 6)
+      |         AS rrf
+      |FROM kwtop k FULL OUTER JOIN costop c ON k.doc_id = c.doc_id
+      |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_bm25_topk" -> q36Bm25TopK _,
     "q38_bm25_filtered" -> q38Bm25Filtered _,
-    "q39_hybrid_search" -> q39HybridSearch _)
+    "q39_hybrid_search" -> q39HybridSearch _,
+    "q90_rrf_fusion" -> q90RrfFusion _)
 
   val oracle: Map[String, String] = Map(
     "q36_bm25_topk" -> q36Oracle,
     "q38_bm25_filtered" -> q38Oracle,
-    "q39_hybrid_search" -> q39Oracle)
+    "q39_hybrid_search" -> q39Oracle,
+    "q90_rrf_fusion" -> q90Oracle)
 }

@@ -398,7 +398,69 @@ object TextStats {
       |FROM walk GROUP BY 1, 2
       |ORDER BY lang, shard""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+
+  /** q91 — PMI collocations (pointwise mutual information over adjacent
+    * token pairs — the classic collocation-mining statistic, Church &
+    * Hanks 1990; in training-data pipelines it surfaces boilerplate
+    * phrases and templated text that per-token stats miss).
+    * pmi(a,b) = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram slots
+    * and p(·) over unigrams; a min-count ≥ 5 floor drops the unstable
+    * tail. Every input to ln() is a product/quotient of exact integer
+    * counts written IDENTICALLY in both engines (left-to-right
+    * evaluation), and ranking orders on round(pmi, 6) with a (w1, w2)
+    * tiebreak so ln ulps can't flip the cut. Scale shape: one shuffle
+    * of distinct bigrams, one of distinct unigrams (both vocabulary-
+    * sized, map-side combined); the two scalar totals broadcast. */
+  def q91PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val big = toks.filter(size($"t") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> named_struct('w1', element_at(t, i),
+          |                    'w2', element_at(t, i + 1)))""".stripMargin))
+        .as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val uni = toks.select(explode($"t").as("w"))
+    val cab = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 5)
+    val ca = uni.groupBy($"w").agg(count(lit(1)).as("c"))
+    val nb = big.agg(count(lit(1)).as("n_bi"))
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    cab
+      .join(ca.select($"w".as("w1"), $"c".as("c_a")), "w1")
+      .join(ca.select($"w".as("w2"), $"c".as("c_b")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select($"w1", $"w2", $"c_ab",
+        round(log($"c_ab".cast("double") * $"n_uni" * $"n_uni" /
+          ($"n_bi".cast("double") * $"c_a" * $"c_b")), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1".asc, $"w2".asc)
+      .limit(20)
+  }
+
+  val q91Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |        FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |        WHERE len(t) >= 2),
+      |uni AS (SELECT unnest(t) AS w FROM t),
+      |cab AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2
+      |        HAVING count(*) >= 5),
+      |ca AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |nb AS (SELECT count(*) AS n_bi FROM big),
+      |nu AS (SELECT count(*) AS n_uni FROM uni)
+      |SELECT cab.w1, cab.w2, cab.c_ab,
+      |       round(ln(CAST(cab.c_ab AS DOUBLE) * nu.n_uni * nu.n_uni /
+      |         (CAST(nb.n_bi AS DOUBLE) * a.c * b.c)), 6) AS pmi
+      |FROM cab
+      |JOIN ca a ON cab.w1 = a.w
+      |JOIN ca b ON cab.w2 = b.w, nb, nu
+      |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_pmi_collocations" -> q91PmiCollocations _,
     "q61_pack_shards" -> q61PackShards _,
     "q60_heavy_hitters" -> q60HeavyHitters _,
     "q30_text_langid" -> q30LangId _,
@@ -411,6 +473,7 @@ object TextStats {
     "q72_unigram_perplexity" -> q72UnigramPerplexity _)
 
   val oracle: Map[String, String] = Map(
+    "q91_pmi_collocations" -> q91Oracle,
     "q61_pack_shards" -> q61Oracle,
     "q60_heavy_hitters" -> q60Oracle,
     "q30_text_langid" -> q30Oracle,
