@@ -8,9 +8,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_flagship_latest_anti", "q02_join_inner_dims",
+    // GRAFT_PLANS=q84,q86 overrides the default set for doc refreshes
+    val qs = sys.env.get("GRAFT_PLANS").map(_.split(",").toSeq)
+      .getOrElse(Seq("q01_flagship_latest_anti", "q02_join_inner_dims",
         "q54_bloom_join", "q57_salted_join", "q24_chunk_fixed",
-        "q28_dedup_minhash_lsh")) {
+        "q28_dedup_minhash_lsh"))
+    for (q <- qs.flatMap(p =>
+        graft.SparkEntry.queries.keys.filter(_.startsWith(p)))) {
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString.take(3500))
