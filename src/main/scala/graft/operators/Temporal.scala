@@ -315,7 +315,105 @@ object Temporal {
       |FROM probe
       |ORDER BY tf_exact DESC, token ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** q93 — KMV set-operation estimates: pairwise Jaccard similarity
+    * between sources from their KMV sketches ALONE (Beyer et al.,
+    * SIGMOD'07 — "k minimum values" sketches support union natively
+    * and intersection via the inclusion filter). Per source the sketch
+    * is the k=64 smallest distinct md5(token) values (the bounded
+    * [[graft.functions.BottomKDistinct]] aggregate, q64's machinery);
+    * for a pair (a, b) the bottom-k of the UNION is the bottom-k of
+    * the two sketches' merge, and J ≈ |{h ∈ bottomk(a∪b) : h ∈ a ∧
+    * h ∈ b}| / k. The point at 100 TB: corpus-pair similarity without
+    * any corpus-pair scan — sketches are 64×16 B per source, the
+    * pairwise stage touches ≤ 2k rows per pair however large the
+    * corpora. Everything is md5-derived integers/strings → the
+    * ESTIMATE itself hash-matches the DuckDB replay (like q64/q68).
+    * Restricted to 5 sources (10 pairs) to keep the oracle readable. */
+  def q93KmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BottomKFunctions.bottom_k_distinct
+    val k = 64
+    val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+    // 3-token shingles, not tokens: the fixture's ~31-word vocabulary
+    // would leave every sketch UNDER-filled (the sketch would be the
+    // exact set and every J = 1); ~1300 distinct shingles per source
+    // puts k = 64 in the true estimating regime (TemporalSpec bounds
+    // the estimate against the exact Jaccard)
+    val sk = Tables.documents(s, dir)
+      .filter($"source".isin(srcs: _*))
+      .select($"source", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"source", explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', slice(t, i, 3)))""".stripMargin)).as("g"))
+      .select($"source", md5(concat(lit("kmv:"), $"g")).as("h"))
+      .groupBy($"source").agg(bottom_k_distinct($"h", k).as("sk"))
+      .select($"source", explode($"sk").as("h"))
+      .cache() // ≤ 5×64 rows; consumed by both sides of the pair union
+    // explicit (a < b) pair list; each pair's union sketch = ALL hashes
+    // of both member sketches (a hash in one sketch only still belongs
+    // to the union bottom-k candidates)
+    val pairList = srcs.combinations(2).map { case Seq(a, b) => (a, b) }
+      .toSeq.toDF("src_a", "src_b")
+    val u = pairList.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select($"src_a", $"src_b", $"h", lit("a").as("side"))
+      .union(pairList.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+        .select($"src_a", $"src_b", $"h", lit("b").as("side")))
+    // bottom-k of the union sketch per pair, then the inclusion count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src_a", $"src_b").orderBy($"h")
+    u.groupBy($"src_a", $"src_b", $"h")
+      .agg(countDistinct($"side").as("n_sides"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .groupBy($"src_a", $"src_b")
+      .agg(sum(when($"n_sides" === 2, 1L).otherwise(0L)).as("n_both"),
+        count(lit(1)).as("k_union"))
+      .select($"src_a", $"src_b", $"n_both",
+        round($"n_both".cast("double") / $"k_union", 4).as("j_est"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q93Oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS t
+      |           FROM documents
+      |           WHERE source IN ('src0','src1','src2','src3','src4')
+      |             AND len(string_split(text, ' ')) >= 3),
+      |toks AS (SELECT source, array_to_string(t[i : i + 2], ' ') AS g
+      |         FROM t, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |h AS (SELECT DISTINCT source, md5('kmv:' || g) AS h FROM toks),
+      |sk AS (SELECT source, h FROM (
+      |         SELECT source, h,
+      |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |         FROM h) WHERE rn <= 64),
+      |pl AS (SELECT a.source AS src_a, b.source AS src_b
+      |       FROM (SELECT DISTINCT source FROM sk) a,
+      |            (SELECT DISTINCT source FROM sk) b
+      |       WHERE a.source < b.source),
+      |u AS (SELECT pl.src_a, pl.src_b, sk.h, 'a' AS side
+      |      FROM pl JOIN sk ON sk.source = pl.src_a
+      |      UNION ALL
+      |      SELECT pl.src_a, pl.src_b, sk.h, 'b' AS side
+      |      FROM pl JOIN sk ON sk.source = pl.src_b),
+      |g AS (SELECT src_a, src_b, h, count(DISTINCT side) AS n_sides
+      |      FROM u GROUP BY 1, 2, 3),
+      |ranked AS (SELECT src_a, src_b, h, n_sides,
+      |             row_number() OVER (PARTITION BY src_a, src_b
+      |               ORDER BY h) AS rn
+      |           FROM g)
+      |SELECT src_a, src_b,
+      |       CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_both,
+      |       round(CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*), 4) AS j_est
+      |FROM ranked WHERE rn <= 64
+      |GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_kmv_jaccard" -> q93KmvJaccard _,
     "q66_resample_ffill" -> q66ResampleFfill _,
     "q50_range_join" -> q50RangeJoin _,
     "q51_asof_join" -> q51AsOfJoin _,
@@ -324,6 +422,7 @@ object Temporal {
     "q68_cms_heavy_hitters" -> q68CmsHeavyHitters _)
 
   val oracle: Map[String, String] = Map(
+    "q93_kmv_jaccard" -> q93Oracle,
     "q66_resample_ffill" -> q66Oracle,
     "q50_range_join" -> q50Oracle,
     "q51_asof_join" -> q51Oracle,

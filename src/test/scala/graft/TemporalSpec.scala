@@ -20,6 +20,33 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("q93 KMV Jaccard estimates track the exact pairwise Jaccard") {
+    // exact pairwise Jaccard over the same 3-gram shingle sets; KMV
+    // stddev is sqrt(J(1-J)/k) ~ 0.02 at J ~ 0.03, k = 64 — bound at
+    // ~4 sd. Also pins the estimator's structural range.
+    val est = graft.operators.Temporal.q93KmvJaccard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("j_est"))
+      .toMap
+    assert(est.nonEmpty)
+    val grams = graft.sources.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1", "src2", "src3", "src4"))
+      .select($"source", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
+        .as("g"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    est.foreach { case ((a, b), j) =>
+      assert(j >= 0.0 && j <= 1.0)
+      for (ga <- grams.get(a); gb <- grams.get(b)) {
+        val exact = (ga & gb).size.toDouble / (ga | gb).size
+        assert(math.abs(j - exact) <= 0.08,
+          s"($a,$b): est $j vs exact $exact drifts past 4 sd")
+      }
+    }
+  }
+
   test("KMV groups with fewer than k distinct values drop, not throw") {
     // ANSI mode (Spark 4 default) makes element_at throw past the array
     // end; the sketch must DROP under-filled groups like the window/rn=k
