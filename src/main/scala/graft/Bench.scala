@@ -48,14 +48,14 @@ object Bench {
         else math.min(math.min(a, b), once())
       name -> best
     }
-    // 4-decimal (0.1 ms) precision keeps the one-line JSON short enough
+    // 3-decimal (1 ms) precision keeps the one-line JSON short enough
     // to survive the driver's bounded tail capture (r2's full-precision
     // line was truncated mid-JSON and recorded as parsed:null).
     // Keys are the qNN prefix only: r4's 72 full names pushed the line to
     // ~2.2 kB while the driver's tail window is 2000 chars — the line was
-    // cut mid-JSON and BENCH_r04 recorded parsed:null. 72 short keys keep
-    // the line under ~1 kB with headroom for ~100 more queries.
-    def fmt(v: Double): String = f"$v%.4f"
+    // cut mid-JSON and BENCH_r04 recorded parsed:null. 93 short keys at
+    // 3 decimals ≈ 1.5 kB; sub-ms digits are noise on this box anyway.
+    def fmt(v: Double): String = f"$v%.3f"
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")

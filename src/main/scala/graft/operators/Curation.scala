@@ -526,7 +526,11 @@ object Curation {
     * One aggregate over sources (bounded), two scalar broadcasts — the
     * corpus-sized work is only the per-source count/sum, map-side
     * combined. */
-  def q82MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+  /** Shared α=0.5 tempered-weight derivation — q82 REPORTS it, q92
+    * EXECUTES it; one implementation keeps the reported weights and the
+    * drawn sample locked to the same recipe. Emits per source:
+    * n_docs, est_tokens, p, w_raw, w_sum. */
+  private def temperedWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bySrc = docs(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
@@ -537,6 +541,11 @@ object Curation {
       .withColumn("w_raw", sqrt($"p"))
     val wsum = withP.agg(sum($"w_raw").as("w_sum"))
     withP.crossJoin(broadcast(wsum))
+  }
+
+  def q82MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    temperedWeights(s, dir)
       .select($"source", $"n_docs", $"est_tokens",
         round($"p", 6).as("p"),
         round($"w_raw" / $"w_sum", 6).as("w"),
@@ -579,14 +588,7 @@ object Curation {
     * full per-source sort. */
   def q92MixtureDraw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bySrc = docs(s, dir).groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(ceil($"n_chars" / 4.0).cast("long")).as("est_tokens"))
-    val tot = bySrc.agg(sum($"est_tokens").as("tot_tokens"))
-    val withW = bySrc.crossJoin(broadcast(tot))
-      .withColumn("w_raw", sqrt($"est_tokens".cast("double") / $"tot_tokens"))
-    val wsum = withW.agg(sum($"w_raw").as("w_sum"))
-    val quotas = withW.crossJoin(broadcast(wsum))
+    val quotas = temperedWeights(s, dir)
       .select($"source", $"n_docs",
         floor(lit(200.0) * $"w_raw" / $"w_sum").cast("long").as("quota"))
     val ranked = docs(s, dir)

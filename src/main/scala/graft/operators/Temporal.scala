@@ -325,7 +325,9 @@ object Temporal {
     * [[graft.functions.BottomKDistinct]] aggregate, q64's machinery);
     * for a pair (a, b) the bottom-k of the UNION is the bottom-k of
     * the two sketches' merge, and J ≈ |{h ∈ bottomk(a∪b) : h ∈ a ∧
-    * h ∈ b}| / k. The point at 100 TB: corpus-pair similarity without
+    * h ∈ b}| / k_union, where k_union = |bottomk(a∪b)| — equal to k
+    * when the union sketch fills, smaller (and the estimate exact)
+    * when it doesn't. The point at 100 TB: corpus-pair similarity without
     * any corpus-pair scan — sketches are 64×16 B per source, the
     * pairwise stage touches ≤ 2k rows per pair however large the
     * corpora. Everything is md5-derived integers/strings → the

@@ -13,8 +13,14 @@ object PlanDump {
       .getOrElse(Seq("q01_flagship_latest_anti", "q02_join_inner_dims",
         "q54_bloom_join", "q57_salted_join", "q24_chunk_fixed",
         "q28_dedup_minhash_lsh"))
-    for (q <- qs.flatMap(p =>
-        graft.SparkEntry.queries.keys.filter(_.startsWith(p)))) {
+    val resolved = qs.map(p =>
+      p -> graft.SparkEntry.queries.keys.filter(_.startsWith(p)).toSeq)
+    resolved.collect { case (p, Seq()) => p } match {
+      case Seq() =>
+      case bad => sys.error(
+        s"GRAFT_PLANS prefixes match no query: ${bad.mkString(", ")}")
+    }
+    for (q <- resolved.flatMap(_._2)) {
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString.take(3500))
