@@ -30,8 +30,10 @@ import graft.sources.Tables
 object Analytics {
 
   /** Morton interleave of two 8-bit bucketed ints, built from shift/and
-    * primitives that exist verbatim in both engines. */
-  private def zExpr(x: String, y: String): String =
+    * primitives that exist verbatim in both engines. (private[graft]:
+    * LayoutAnalyticsSpec reuses it to prove the repartitionByRange form
+    * keeps the balanced-envelope property.) */
+  private[graft] def zExpr(x: String, y: String): String =
     (0 until 8).map { i =>
       s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) | " +
         s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"

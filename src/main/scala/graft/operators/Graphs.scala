@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics beyond connected components (q53):
+  * PageRank in FIXED-POINT integer arithmetic, engineered (like q86's
+  * quantized k-means) so every step is exact integer math and the
+  * result is bit-identical across engines, partitionings, and cluster
+  * sizes — float PageRank sums contributions in partition order and
+  * drifts run-to-run; integer sums are associative and cannot.
+  *
+  * Graph: the supplier–part bipartite graph of lineitem (distinct
+  * (l_suppkey, l_partkey) pairs), symmetrized — every node then has
+  * out-degree ≥ 1, so there is no dangling mass to redistribute.
+  *
+  * Scale shape: one distinct-edge reduction (map-side combined), then
+  * per iteration ONE shuffle keyed by dst for the contribution sum
+  * (the rank⋈edges join co-partitions on src with the degree join
+  * before it). Two iterations here keep the cross-engine oracle
+  * readable; the loop discipline for many iterations (localCheckpoint
+  * lineage cuts, loud non-convergence) is demonstrated by q53's
+  * connected-components kernel.
+  */
+object Graphs {
+
+  private val Scale = 1000000L // rank fixed-point: r0 = 1.0 ≡ 10⁶
+
+  /** q94 — two fixed-point PageRank iterations (d = 0.85 as the exact
+    * rational 85/100: contributions are `r div deg`, the damped sum is
+    * `150000 + (85·Σ) div 100` — floor division both engines). Output:
+    * top-20 nodes by final rank with both iterations' ranks. */
+  def q94Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, dir)
+      .select(concat(lit("s:"), $"l_suppkey").as("sn"),
+        concat(lit("p:"), $"l_partkey").as("pn"))
+      .distinct()
+    val edges = pairs.select($"sn".as("src"), $"pn".as("dst"))
+      .union(pairs.select($"pn".as("src"), $"sn".as("dst")))
+      .cache() // consumed 3×: degrees + one join per iteration
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select($"src".as("node"), $"deg")
+
+    def step(ranks: DataFrame): DataFrame =
+      nodes
+        .join(ranks, Seq("node"))
+        .join(edges, $"node" === $"src")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("cs"))
+        .select($"dst".as("node"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+
+    val r1 = step(nodes.select($"node", lit(Scale).as("r")))
+    val r2 = step(r1)
+    r2.select($"node", $"r".as("rank2"))
+      .join(r1.select($"node", $"r".as("rank1")), Seq("node"))
+      .select($"node", $"rank1", $"rank2")
+      .orderBy($"rank2".desc, $"node".asc)
+      .limit(20)
+  }
+
+  val q94Oracle: String =
+    """WITH pairs AS (SELECT DISTINCT 's:' || l_suppkey AS sn,
+      |                 'p:' || l_partkey AS pn
+      |               FROM lineitem),
+      |edges AS (SELECT sn AS src, pn AS dst FROM pairs
+      |          UNION ALL SELECT pn AS src, sn AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      |r0 AS (SELECT src AS node, 1000000 AS r FROM deg),
+      |c1 AS (SELECT e.dst, sum(r0.r // d.deg) AS cs
+      |       FROM r0 JOIN deg d ON r0.node = d.src
+      |       JOIN edges e ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT dst AS node,
+      |         CAST(150000 + (85 * cs) // 100 AS BIGINT) AS r FROM c1),
+      |c2 AS (SELECT e.dst, sum(r1.r // d.deg) AS cs
+      |       FROM r1 JOIN deg d ON r1.node = d.src
+      |       JOIN edges e ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT dst AS node,
+      |         CAST(150000 + (85 * cs) // 100 AS BIGINT) AS r FROM c2)
+      |SELECT r2.node AS node, r1.r AS rank1, r2.r AS rank2
+      |FROM r2 JOIN r1 ON r2.node = r1.node
+      |ORDER BY rank2 DESC, r2.node ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_pagerank" -> q94Pagerank _)
+
+  val oracle: Map[String, String] = Map(
+    "q94_pagerank" -> q94Oracle)
+}

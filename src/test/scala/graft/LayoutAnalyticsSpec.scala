@@ -88,6 +88,34 @@ class LayoutAnalyticsSpec extends SparkSuite {
       s"Z worst-dim ${math.max(zx, zy)} not < half of linear ${math.max(lx, ly)}")
   }
 
+  test("z-order via repartitionByRange (the at-scale form) keeps balanced envelopes") {
+    // q87's ntile is the oracle-exact exhibit; production lays out via a
+    // sampled range exchange on z + one file per task — no global
+    // window. The balanced-envelope property must survive that form.
+    import spark.implicits._
+    val parts = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(($"l_partkey" % 256).cast("int").as("x"),
+        ($"l_orderkey" % 256).cast("int").as("y"))
+      .withColumn("z", expr(Analytics.zExpr("x", "y")))
+      .repartitionByRange(16, $"z")
+      .select($"x", $"y",
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy($"pid")
+      .agg(min($"x").as("lx"), max($"x").as("hx"),
+        min($"y").as("ly"), max($"y").as("hy"))
+      .collect()
+    assert(parts.length > 1, "range exchange produced a single partition")
+    def eFilesDim(widths: Seq[Long]): Double = widths.map(_.toDouble / 256).sum
+    val ex = eFilesDim(parts.toSeq.map(r =>
+      (r.getAs[Int]("hx") - r.getAs[Int]("lx") + 1).toLong))
+    val ey = eFilesDim(parts.toSeq.map(r =>
+      (r.getAs[Int]("hy") - r.getAs[Int]("ly") + 1).toLong))
+    // a linear x-sort's worst dimension hits ALL files (E = #files);
+    // the z range-layout must bound both dims well under that
+    assert(math.max(ex, ey) < 0.5 * parts.length,
+      s"range-partitioned z layout unbalanced: E_x=$ex E_y=$ey over ${parts.length} files")
+  }
+
   test("q88 funnel is monotone within every cohort") {
     val rows = Analytics.q88Funnel(spark, sfDir).collect()
     assert(rows.nonEmpty)
