@@ -33,14 +33,21 @@ object Graphs {
     * top-20 nodes by final rank with both iterations' ranks. */
   def q94Pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // LONG node ids (parts offset by 10⁵), not "s:"/"p:" strings: every
+    // join/shuffle key in the hot path compares 8 bytes instead of
+    // variable-length strings; the readable label is rebuilt on the 20
+    // output rows only. The pre-union pair table is what's cached —
+    // half the rows of the symmetrized edge list; union reads it twice.
     val pairs = Tables.lineitem(s, dir)
-      .select(concat(lit("s:"), $"l_suppkey").as("sn"),
-        concat(lit("p:"), $"l_partkey").as("pn"))
+      .select($"l_suppkey".cast("long").as("sn"),
+        ($"l_partkey" + 100000L).as("pn"))
       .distinct()
+      .cache()
     val edges = pairs.select($"sn".as("src"), $"pn".as("dst"))
       .union(pairs.select($"pn".as("src"), $"sn".as("dst")))
-      .cache() // consumed 3×: degrees + one join per iteration
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // deg is read by BOTH sides of every iteration's join (nodes ⋈
+    // ranks) — uncached it recomputes the 2|pairs|-row aggregate ~5×
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
     val nodes = deg.select($"src".as("node"), $"deg")
 
     def step(ranks: DataFrame): DataFrame =
@@ -52,11 +59,18 @@ object Graphs {
         .select($"dst".as("node"),
           (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
 
-    val r1 = step(nodes.select($"node", lit(Scale).as("r")))
+    // each rank table is |nodes|-sized (tiny next to edges) and is
+    // consumed twice (the next iteration's lineage + the final report
+    // join) — cache it or iteration i recomputes iterations 1..i-1
+    // (the same lineage-cut discipline as q53's localCheckpoint)
+    val r1 = step(nodes.select($"node", lit(Scale).as("r"))).cache()
     val r2 = step(r1)
     r2.select($"node", $"r".as("rank2"))
       .join(r1.select($"node", $"r".as("rank1")), Seq("node"))
-      .select($"node", $"rank1", $"rank2")
+      .select(
+        when($"node" < 100000L, concat(lit("s:"), $"node"))
+          .otherwise(concat(lit("p:"), $"node" - 100000L)).as("node"),
+        $"rank1", $"rank2")
       .orderBy($"rank2".desc, $"node".asc)
       .limit(20)
   }
