@@ -28,3 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Spark shuffle/spill scratch space must live somewhere nothing else
+// cleans: round 5's bench died mid-run when its temp_shuffle files under
+// the inherited SPARK_LOCAL_DIRS (/tmp/spark-local) disappeared — the
+// executor's task-completion listener threw, Spark's uncaught-exception
+// handler exited the JVM, and the round's bench+verify artifacts were
+// recorded empty. SPARK_LOCAL_DIRS (env) has higher precedence than
+// spark.local.dir (conf), so the override must happen at the fork env.
+// Same filesystem (single root mount), so disk-space behavior is
+// unchanged; target/ is only removed by `sbt clean`, never mid-run.
+run / envVars += ("SPARK_LOCAL_DIRS" -> ((baseDirectory.value / "target" / "spark-local").getAbsolutePath))
+Test / envVars += ("SPARK_LOCAL_DIRS" -> ((baseDirectory.value / "target" / "spark-local").getAbsolutePath))

@@ -29,15 +29,6 @@ object Verify {
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // release any cache() a query pinned (they are per-query scratch)
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,10 +41,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump the oracle map BEFORE running any query: if this process is
+    // killed partway (driver timeout, external /tmp cleanup — round 5's
+    // entire correctness artifact came back `{}` from exactly such a
+    // death), the queries that DID finish still grade against their SQL.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // release any cache() a query pinned (they are per-query scratch)
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
