@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed BPE tokenizer training (Sennrich et al., arXiv:1508.07909
+  * — the subword vocabulary algorithm behind GPT-2/LLaMA tokenizers).
+  * A training-data engine that tokenizes 100 TB needs the MERGE TABLE
+  * first, and producing it is a corpus-scale aggregation problem.
+  *
+  * Scale shape — the classic two-tier trick that makes BPE training
+  * tractable at corpus scale:
+  *   1. ONE pass over the corpus builds the weighted word-frequency
+  *      vocabulary (map-side-combined groupBy; output is vocab-sized,
+  *      i.e. millions of rows at web scale, independent of corpus TB).
+  *   2. Every merge iteration then runs on the VOCAB table only:
+  *      adjacent-pair counts weighted by word frequency, global argmax,
+  *      replace. Cost per iteration is O(|vocab| · word_len) — the
+  *      corpus is never rescanned. The vocab table is cached; the
+  *      per-iteration global top-1 is a single tiny collect (the
+  *      "model state on the driver" pattern shared with q86 k-means).
+  *
+  * Cross-engine determinism: the symbol sequence is encoded with a
+  * LEADING separator per token (`~f~a~s~t`), so a merge is a plain
+  * `replace(seq, '~l~r', '~lr')`. With a leading (not surrounding)
+  * separator, consecutive occurrences share no boundary character, so
+  * the left-to-right non-rescanning scan of `replace` — identical in
+  * Spark (Java) and DuckDB — IS exact greedy BPE application. Argmax
+  * ties break on (count DESC, left ASC, right ASC).
+  */
+object Bpe {
+
+  private val Sep = "~"
+  private val Iters = 3
+
+  /** q95 — three BPE merge-training iterations over the `documents`
+    * corpus: emits (step, merge_left, merge_right, pair_count) — the
+    * head of the merge table a tokenizer trained on this corpus would
+    * ship. Pair extraction guards single-char words (no pairs) and the
+    * argmax is fully deterministic, so the result hash-matches the
+    * DuckDB replay of the same derivation. */
+  /** Core trainer: `words` is a one-column DataFrame of raw word
+    * occurrences (duplicates = weight). Returns up to `iters` merges as
+    * (step, left, right, weighted pair count); stops early if the vocab
+    * runs out of adjacent pairs. */
+  def trainMerges(words: DataFrame, iters: Int = Iters)
+      : Seq[(Int, String, String, Long)] = {
+    val s = words.sparkSession
+    import s.implicits._
+    // tier 1: the only corpus-scale pass — word -> weighted count
+    val wc = words.toDF("w")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace($"w", "(.)", s"$Sep$$1").as("seq"), $"cnt")
+      .cache()
+    wc.count() // materialize once; iterations reuse the cached vocab
+
+    var vocab = wc
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= iters && !exhausted) {
+      // tier 2: pair counts over the vocab only. split('~f~a~s~t') =
+      // ['', f, a, s, t]; with Spark's 0-based a[j], pairs are
+      // (a[j], a[j+1]) for j in 1..size-2. sequence() would DESCEND
+      // when size-2 < 1, so single-char words are filtered out first.
+      val best = vocab
+        .withColumn("a", split($"seq", Sep))
+        .filter(size($"a") >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(a)-2), j -> struct(a[j] AS l, a[j+1] AS r))"))
+          .as("p"), $"cnt")
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("pc"))
+        .orderBy($"pc".desc, $"l".asc, $"r".asc)
+        .limit(1).collect().headOption
+      best match {
+        case Some(row) =>
+          val (l, r, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+          vocab = vocab.withColumn("seq",
+            expr(s"replace(seq, '$Sep$l$Sep$r', '$Sep$l$r')"))
+          merges += ((step, l, r, pc))
+          step += 1
+        case None => exhausted = true // no adjacent pairs left anywhere
+      }
+    }
+    wc.unpersist()
+    merges.result()
+  }
+
+  def q95BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+    trainMerges(words, Iters)
+      .toDF("step", "merge_left", "merge_right", "pair_count")
+      .orderBy($"step")
+  }
+
+  /** DuckDB replay: identical derivation, three iterations unrolled.
+    * string_split 1-based: s[1]='' and pairs are (s[j], s[j+1]) for
+    * j in 2..len-1 (generate_series yields an empty list when the
+    * range is inverted, so single-char words vanish for free). */
+  val q95Oracle: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(c) AS BIGINT) AS pc
+        |       FROM (SELECT string_split(seq, '~') AS s, c FROM v${i - 1}) t,
+        |            LATERAL (SELECT unnest(generate_series(2, len(t.s) - 1)) AS j) u
+        |       GROUP BY 1, 2),
+        |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+        |v$i AS (SELECT replace(seq, '~' || l || '~' || r, '~' || l || r) AS seq, c
+        |       FROM v${i - 1}, b$i)""".stripMargin
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      |v0 AS (SELECT regexp_replace(w, '(.)', '~\\1', 'g') AS seq, c FROM wc),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT step, merge_left, merge_right, pair_count FROM (
+      |  SELECT 1 AS step, l AS merge_left, r AS merge_right, pc AS pair_count FROM b1
+      |  UNION ALL SELECT 2, l, r, pc FROM b2
+      |  UNION ALL SELECT 3, l, r, pc FROM b3)
+      |ORDER BY step""".stripMargin
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_bpe_merges" -> q95BpeMerges _)
+
+  val oracle: Map[String, String] = Map(
+    "q95_bpe_merges" -> q95Oracle)
+}

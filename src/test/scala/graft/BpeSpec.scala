@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE merge training (q95) — pins the greedy-merge semantics the
+  * cross-engine oracle relies on: weighted argmax with deterministic
+  * tie-break, exact left-to-right merge application (the leading-
+  * separator encoding), and early stop when the vocab runs dry. */
+class BpeSpec extends SparkSuite {
+
+  private def words(ws: String*) = {
+    import spark.implicits._
+    ws.toDF("w")
+  }
+
+  test("classic corpus: merge order and weighted counts by hand") {
+    // Sennrich's running example shape: low×2, lower×1, newest×3.
+    // Hand derivation: iter1 best = (w,e,4); after merging, six pairs
+    // tie at 3 and the (left ASC, right ASC) break picks (e,we); then
+    // ('ewe','s') wins the next tie the same way.
+    val corpus = Seq.fill(2)("low") ++ Seq("lower") ++ Seq.fill(3)("newest")
+    val m = Bpe.trainMerges(words(corpus: _*), 3)
+    assert(m == Seq((1, "w", "e", 4L), (2, "e", "we", 3L), (3, "ewe", "s", 3L)))
+  }
+
+  test("consecutive occurrences merge greedily left-to-right") {
+    // 'xyxyxy': (x,y) appears 3 times -> after the merge the word must
+    // be exactly [xy, xy, xy] (every occurrence merged — the case the
+    // leading-separator encoding exists for: with a SURROUNDING
+    // separator, replace would skip every second occurrence). Then
+    // (xy,xy) merges greedily from the left: [xyxy, xy], not [xy, xyxy].
+    val m = Bpe.trainMerges(words("xyxyxy"), 3)
+    assert(m == Seq((1, "x", "y", 3L), (2, "xy", "xy", 2L),
+      (3, "xyxy", "xy", 1L)))
+  }
+
+  test("single-char words contribute no pairs; training stops when dry") {
+    // 'a' has no adjacent pairs; after (b,c) merges there is nothing
+    // left to merge, so asking for 3 iterations yields 1 row.
+    val m = Bpe.trainMerges(words("a", "a", "bc", "bc"), 3)
+    assert(m == Seq((1, "b", "c", 2L)))
+  }
+
+  test("q95 shape: three deterministic merges over the fixture corpus") {
+    val rows = graft.operators.Bpe.q95BpeMerges(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // merged symbols grow: step-2/3 operands may be multi-char
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+}
