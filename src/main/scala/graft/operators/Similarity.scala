@@ -383,7 +383,154 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q96 — product-quantization ANN (Jégou et al., TPAMI 2011 — the
+    * compression half of FAISS's IVF-PQ): 64-dim vectors split into
+    * m = 4 subspaces of 16 dims, each subspace quantized against its own
+    * 16-centroid codebook (one Lloyd iteration from the deterministic
+    * lowest-16-vec_id init, the q86 recipe), so a vector stores as 4
+    * small codes. Queries score candidates by ADC — asymmetric distance
+    * computation: per query, a 4×16 lookup table of
+    * (query-subvector ↔ centroid) distances is built ONCE, and every
+    * candidate costs 4 array lookups + 3 adds, never touching the
+    * original vectors.
+    *
+    * Cross-engine exactness: embeddings quantize to floor(e·1000)+1000
+    * (positive domain, so floor-vs-truncate division can't diverge),
+    * codebook centroids are floor(sum/cnt) integers, hence EVERY
+    * distance — training and ADC — is pure int64 arithmetic: the result
+    * hash-matches bit-for-bit. Ties break on centroid id (training) and
+    * vec_id (ranking).
+    *
+    * Scale shape: both assignment passes are join-free projections
+    * against codebook literals (4·16·16 longs of driver model state);
+    * the only corpus reductions are the k·m·subdim integer partial sums
+    * of the update step. ADC scoring broadcasts Q queries (each carrying
+    * its 4×16 table) against the codes table — O(m) per candidate, and
+    * at 100 TB it composes with q44's IVF pruning: probe cells first,
+    * ADC only inside them. */
+  def q96PqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 4; val SubDim = 16; val K = 16
+    val qv = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        expr("transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000L)")
+          .as("q"))
+
+    def sub(c: Column, sp: Int): Column = slice(c, sp * SubDim + 1, SubDim)
+    def sqDistLit(v: Column, cent: Seq[Long]): Column =
+      aggregate(zip_with(v, typedLit(cent), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    def argmin(dists: Seq[(Int, Column)]): Column =
+      array_min(array(dists.map { case (cid, d) =>
+        struct(d.as("d"), lit(cid).as("cid")) }: _*)).getField("cid")
+
+    // init codebooks: subvectors of the 16 smallest vec_ids
+    val init: Map[Int, Seq[(Int, Seq[Long])]] = {
+      val seeds = qv.filter($"vec_id" < K).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).sortBy(_._1)
+      (0 until M).map(sp => sp ->
+        seeds.map { case (cid, q) =>
+          (cid, q.slice(sp * SubDim, (sp + 1) * SubDim)) }.toSeq).toMap
+    }
+    val assign1 = (0 until M).foldLeft(qv) { (df, sp) =>
+      df.withColumn(s"a$sp", argmin(init(sp).map { case (cid, c) =>
+        cid -> sqDistLit(sub($"q", sp), c) }))
+    }
+    // update: the only corpus-sized reductions — M·K·SubDim integer
+    // partial sums; centroid dim = floor(sum/cnt) keeps codes integer.
+    // A seed cluster can go empty only if two seeds share a subvector
+    // (tie-broken to the lower cid) — missing (sub, cid) cells simply
+    // drop out of the codebook, both here and in the oracle's join.
+    val trained: Map[Int, Seq[(Int, Seq[Long])]] = (0 until M).map { sp =>
+      sp -> assign1
+        .select(col(s"a$sp").as("cid"),
+          posexplode(sub($"q", sp)).as(Seq("dim", "v")))
+        .groupBy($"cid", $"dim")
+        .agg(floor(sum($"v") / count(lit(1))).cast("long").as("cv"))
+        .collect()
+        .groupBy(_.getAs[Int]("cid")).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("cv")).toSeq) }
+        .sortBy(_._1)
+    }.toMap
+    val codes = (0 until M).foldLeft(qv) { (df, sp) =>
+      df.withColumn(s"c$sp", argmin(trained(sp).map { case (cid, c) =>
+        cid -> sqDistLit(sub($"q", sp), c) }))
+    }.select($"vec_id", $"c0", $"c1", $"c2", $"c3")
+
+    // ADC: per query, a K-slot distance table per subspace (missing
+    // cids hold 0 — no candidate carries their code, so the slot is
+    // never read); candidate distance = 4 lookups + 3 adds
+    val withTabs = (0 until M).foldLeft(
+      qv.filter($"vec_id" % 50 === 0).select($"vec_id".as("q_id"), $"q")) {
+      (df, sp) =>
+        val cmap = trained(sp).toMap
+        df.withColumn(s"t$sp", array((0 until K).map { cid =>
+          cmap.get(cid) match {
+            case Some(c) => sqDistLit(sub($"q", sp), c)
+            case None => lit(0L)
+          }
+        }: _*))
+    }.drop("q")
+    val scored = codes.join(broadcast(withTabs), $"vec_id" =!= $"q_id")
+      .withColumn("adist",
+        element_at($"t0", $"c0" + 1) + element_at($"t1", $"c1" + 1) +
+          element_at($"t2", $"c2" + 1) + element_at($"t3", $"c3" + 1))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"adist")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q96Oracle: String =
+    """WITH qv AS (SELECT vec_id,
+      |              list_transform(embedding,
+      |                e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000) AS q
+      |            FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |vd AS (SELECT vec_id, CAST((dim - 1) // 16 AS INT) AS sub, dim,
+      |         q[dim] AS v FROM qv, dims),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, dim, v AS cv
+      |       FROM vd WHERE vec_id < 16),
+      |d1 AS (SELECT vd.vec_id, vd.sub, c0.cid,
+      |         sum((vd.v - c0.cv) * (vd.v - c0.cv)) AS d
+      |       FROM vd JOIN c0 ON vd.sub = c0.sub AND vd.dim = c0.dim
+      |       GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, cid FROM (
+      |         SELECT vec_id, sub, cid, row_number() OVER (
+      |           PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.sub, a1.cid, vd.dim,
+      |         CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |       FROM vd JOIN a1 ON vd.vec_id = a1.vec_id AND vd.sub = a1.sub
+      |       GROUP BY 1, 2, 3),
+      |d2 AS (SELECT vd.vec_id, vd.sub, c1.cid,
+      |         sum((vd.v - c1.cv) * (vd.v - c1.cv)) AS d
+      |       FROM vd JOIN c1 ON vd.sub = c1.sub AND vd.dim = c1.dim
+      |       GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, sub, cid FROM (
+      |            SELECT vec_id, sub, cid, row_number() OVER (
+      |              PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |            FROM d2) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, sub, dim, v FROM vd
+      |       WHERE vec_id % 50 = 0),
+      |ad AS (SELECT qs.q_id, codes.vec_id,
+      |         CAST(sum((qs.v - c1.cv) * (qs.v - c1.cv)) AS BIGINT) AS adist
+      |       FROM qs
+      |       JOIN codes ON qs.q_id <> codes.vec_id AND qs.sub = codes.sub
+      |       JOIN c1 ON c1.sub = codes.sub AND c1.cid = codes.cid
+      |                  AND c1.dim = qs.dim
+      |       GROUP BY 1, 2),
+      |ranked AS (SELECT q_id, vec_id, adist, row_number() OVER (
+      |             PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+      |           FROM ad)
+      |SELECT q_id, rank, vec_id, adist
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_pq_ann" -> q96PqAnn _,
     "q80_filtered_ann" -> q80FilteredAnn _,
     "q79_int8_ann" -> q79Int8Ann _,
     "q65_embed_quantize" -> q65EmbedQuantize _,
@@ -393,6 +540,7 @@ object Similarity {
     "q42_sim_topk_aggregate" -> q42TopKAggregate _)
 
   val oracle: Map[String, String] = Map(
+    "q96_pq_ann" -> q96Oracle,
     "q80_filtered_ann" -> q80Oracle,
     "q79_int8_ann" -> q79Oracle,
     "q65_embed_quantize" -> q65Oracle,
