@@ -22,17 +22,30 @@ import graft.sources.Tables
   *      "model state on the driver" pattern shared with q86 k-means).
   *
   * Cross-engine determinism: the symbol sequence is encoded with a
-  * LEADING separator per token (`~f~a~s~t`), so a merge is a plain
-  * `replace(seq, '~l~r', '~lr')`. With a leading (not surrounding)
-  * separator, consecutive occurrences share no boundary character, so
-  * the left-to-right non-rescanning scan of `replace` — identical in
-  * Spark (Java) and DuckDB — IS exact greedy BPE application. Argmax
-  * ties break on (count DESC, left ASC, right ASC).
+  * LEADING separator per token (`fast`), so a
+  * merge is a plain `replace(seq, SEP+l+SEP+r, SEP+l+r)`. With a
+  * leading (not surrounding) separator, consecutive occurrences share
+  * no boundary character, so the left-to-right non-rescanning scan of
+  * `replace` — identical in Spark (Java) and DuckDB — IS exact greedy
+  * BPE application. Argmax ties break on (count DESC, left ASC,
+  * right ASC). The separator is the non-printable  (corpus text
+  * cannot plausibly contain it, unlike the previous '~'), the
+  * char-splitting regex is dotall on both engines (words carrying
+  * embedded newlines encode correctly), and the per-iteration merge is
+  * applied with the COLUMN form of replace — merge tokens are bound as
+  * values, never interpolated into SQL text, so apostrophes and
+  * backslashes in real corpora cannot alter parsing or semantics.
   */
 object Bpe {
 
-  private val Sep = "~"
+  private val Sep = ""
   private val Iters = 3
+  // lineage cut cadence: each merge layers one withColumn on the vocab;
+  // unchecked, iteration k re-applies all k-1 earlier replaces from the
+  // cached base (quadratic work, and eventually an analyzer stack
+  // overflow). A localCheckpoint every few merges keeps per-iteration
+  // cost flat for realistic merge-table sizes (10k+).
+  private val CheckpointEvery = 8
 
   /** q95 — three BPE merge-training iterations over the `documents`
     * corpus: emits (step, merge_left, merge_right, pair_count) — the
@@ -51,7 +64,7 @@ object Bpe {
     // tier 1: the only corpus-scale pass — word -> weighted count
     val wc = words.toDF("w")
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace($"w", "(.)", s"$Sep$$1").as("seq"), $"cnt")
+      .select(regexp_replace($"w", "(?s)(.)", s"$Sep$$1").as("seq"), $"cnt")
       .cache()
     wc.count() // materialize once; iterations reuse the cached vocab
 
@@ -77,8 +90,13 @@ object Bpe {
       best match {
         case Some(row) =>
           val (l, r, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+          // column-form replace: l/r are corpus-derived strings — bound
+          // as VALUES (never spliced into SQL text), so quotes and
+          // backslashes in tokens cannot break parsing or semantics
           vocab = vocab.withColumn("seq",
-            expr(s"replace(seq, '$Sep$l$Sep$r', '$Sep$l$r')"))
+            replace($"seq", lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r")))
+          if (step % CheckpointEvery == 0)
+            vocab = vocab.localCheckpoint()
           merges += ((step, l, r, pc))
           step += 1
         case None => exhausted = true // no adjacent pairs left anywhere
@@ -104,15 +122,15 @@ object Bpe {
   val q95Oracle: String = {
     def iter(i: Int): String =
       s"""p$i AS (SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(c) AS BIGINT) AS pc
-        |       FROM (SELECT string_split(seq, '~') AS s, c FROM v${i - 1}) t,
+        |       FROM (SELECT string_split(seq, '$Sep') AS s, c FROM v${i - 1}) t,
         |            LATERAL (SELECT unnest(generate_series(2, len(t.s) - 1)) AS j) u
         |       GROUP BY 1, 2),
         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
-        |v$i AS (SELECT replace(seq, '~' || l || '~' || r, '~' || l || r) AS seq, c
+        |v$i AS (SELECT replace(seq, '$Sep' || l || '$Sep' || r, '$Sep' || l || r) AS seq, c
         |       FROM v${i - 1}, b$i)""".stripMargin
     s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
-      |v0 AS (SELECT regexp_replace(w, '(.)', '~\\1', 'g') AS seq, c FROM wc),
+      |v0 AS (SELECT regexp_replace(w, '(.)', '$Sep\\1', 'gs') AS seq, c FROM wc),
       |${iter(1)},
       |${iter(2)},
       |${iter(3)}

@@ -41,6 +41,27 @@ class BpeSpec extends SparkSuite {
     assert(m == Seq((1, "b", "c", 2L)))
   }
 
+  test("tokens with quotes and backslashes merge safely (bound as values)") {
+    // "don't" ×3: the four pairs tie at 3; (left ASC, right ASC) picks
+    // ("'", t) first (ASCII 39 < letters), then (d, o), then (do, n).
+    // Before the column-form replace fix, the apostrophe broke the
+    // interpolated expr() SQL outright.
+    val m = Bpe.trainMerges(words("don't", "don't", "don't"), 3)
+    assert(m == Seq((1, "'", "t", 3L), (2, "d", "o", 3L), (3, "do", "n", 3L)))
+    // backslit token: '\' (92) < 'a' (97) so ("\\", b) merges first,
+    // then (a, "\\b") completes the word and training runs dry.
+    val b = Bpe.trainMerges(words("a\\b", "a\\b"), 3)
+    assert(b == Seq((1, "\\", "b", 2L), (2, "a", "\\b", 2L)))
+  }
+
+  test("tokens containing newlines and the old '~' separator are safe") {
+    // a word carrying an embedded newline must char-split fully (dotall
+    // regex); '~' is an ordinary symbol now that the separator is 
+    val m = Bpe.trainMerges(words("x\ny", "x\ny", "p~q"), 2)
+    assert(m.head == ((1, "\n", "y", 2L)))
+    assert(m(1) == ((2, "x", "\ny", 2L)))
+  }
+
   test("q95 shape: three deterministic merges over the fixture corpus") {
     val rows = graft.operators.Bpe.q95BpeMerges(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
