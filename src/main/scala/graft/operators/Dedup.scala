@@ -24,6 +24,21 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Stop-shingle document-frequency cap for the Jaccard/LSH kernels.
+    * The in-task i<j pair expansion is quadratic in docs-per-shingle:
+    * content 3-grams of real text are rare (fixture max ~25 docs), but
+    * one boilerplate shingle — a license header, a nav bar — shared by
+    * 10⁶ docs would mean 10¹² pairs in a single group at corpus scale.
+    * A shingle present in more than `MaxShingleDf` documents carries no
+    * dedup signal (it cannot distinguish its documents) and is dropped
+    * from BOTH the intersection and the set sizes, exactly like a
+    * stopword in retrieval — the oracle CTEs apply the same df filter,
+    * so the cap is part of the operator's semantics, not a lossy
+    * approximation bolted on. 128² = 16k pairs bounds any one group's
+    * fan-out. (Defined before [[shingleHashSqlCte]]: the oracle CTE
+    * interpolates it at val-init time.) */
+  private[graft] val MaxShingleDf = 128
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Word 3-gram shingles, distinct per doc. Element-at based so the
@@ -62,15 +77,22 @@ object Dedup {
   private def shingleIdsWithDup(df: DataFrame): DataFrame =
     shinglesWithDup(df).select(col("doc_id"), shingleId(col("shingle")).as("sh64"))
 
-  /** Oracle twin of [[shingleIdsWithDup]].distinct — used by the Jaccard
-    * family (q27/q53/q63); q28's oracle keeps the raw-string CTE because
-    * minhash slices the md5 hex itself. */
+  /** Oracle twin of [[shingleIdsWithDup]].distinct + the [[MaxShingleDf]]
+    * stop-shingle cap — used by the Jaccard family (q27/q53/q63); q28's
+    * oracle keeps the raw-string CTE because minhash slices the md5 hex
+    * itself (signatures must see every shingle — q28's cap applies to
+    * band BUCKETS instead). */
   private val shingleHashSqlCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id,
       |         CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15) AS BIGINT) AS shingle
       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
-      |       WHERE len(t) >= 3)""".stripMargin
+      |       WHERE len(t) >= 3),
+      |sh AS (SELECT doc_id, shingle FROM (
+      |         SELECT doc_id, shingle,
+      |                count(*) OVER (PARTITION BY shingle) AS df
+      |         FROM sh0)
+      |       WHERE df <= $MaxShingleDf)""".stripMargin
 
   /** q26 — exact dedup: group by content digest; every doc learns its
     * canonical (minimum) doc_id and its copy count. */
@@ -93,8 +115,12 @@ object Dedup {
 
   /** Thresholded Jaccard near-dup pairs, unsorted — the shared kernel of
     * q27 (which adds presentation ordering) and q53 (which clusters the
-    * pairs and needs no global sort of them). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    * pairs and needs no global sort of them). `maxDf` is the
+    * [[MaxShingleDf]] stop-shingle guard (parameterized for the
+    * adversarial DedupSpec case). */
+  private[graft] def jaccardPairsFrom(documents: DataFrame, par: Int,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
     // ONE shuffle of the shingle stream replaces distinct + a double
     // re-shuffle through a self-join: group by shingle (collect_set
@@ -117,9 +143,11 @@ object Dedup {
     // the collision set. (No cache: AQE exchange reuse shares the
     // grouped aggregation between the pair and size branches; measured
     // faster than cache+repartition-everything by ~2× at local[32].)
-    val par = Tables.fanoutParallelism(s, dir, "documents")
-    val grouped = shingleIdsWithDup(docs(s, dir).repartition(par))
+    // the df cap applies BEFORE both branches: a stop-shingle neither
+    // expands into pairs nor counts toward any document's set size
+    val grouped = shingleIdsWithDup(documents)
       .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
+      .filter(size($"ds") <= maxDf)
       .select($"ds")
     val sizes = grouped.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -141,6 +169,11 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter", $"sa.n".as("n_a"), $"sb.n".as("n_b"),
         ($"inter" / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= 0.2)
+  }
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    jaccardPairsFrom(docs(s, dir).repartition(par), par)
   }
 
   /** q27 — n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
@@ -223,7 +256,17 @@ object Dedup {
     // shingle explode + md5 never runs single-task on a small file
     val par = Tables.fanoutParallelism(s, dir, "documents")
     val wide = minhashWide(docs(s, dir).repartition(par)).cache()
+    // stop-BUCKET cap (the banding twin of the jaccardPairs stop-shingle
+    // guard): the self-join below is quadratic in docs-per-bucket, and a
+    // degenerate band bucket (e.g. every empty-ish doc minhashing to the
+    // same signature slice) would expand |bucket|² candidates in one
+    // task. A bucket larger than MaxShingleDf has no discriminating
+    // power; both engines drop it before candidate generation.
+    val bucketW = Window.partitionBy($"band", $"bkey")
     val bands = lshBands(wide)
+      .withColumn("bn", count(lit(1)).over(bucketW))
+      .filter($"bn" <= MaxShingleDf)
+      .drop("bn")
     val cands = bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
@@ -244,9 +287,14 @@ object Dedup {
       |                min(substr(md5(shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
       |         FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
       |         GROUP BY doc_id, seed),
-      |bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+      |bands0 AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
       |                 string_agg(mh, '|' ORDER BY seed) AS bkey
       |          FROM sigs GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, band, bkey FROM (
+      |            SELECT doc_id, band, bkey,
+      |                   count(*) OVER (PARTITION BY band, bkey) AS bn
+      |            FROM bands0)
+      |          WHERE bn <= $MaxShingleDf),
       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |          FROM bands x JOIN bands y
       |            ON x.band = y.band AND x.bkey = y.bkey

@@ -26,6 +26,17 @@ import java.nio.file.{Files, Paths}
   * never observe new pairs against old signatures (the D6 transaction
   * analog, same as the search index).
   *
+  * Hot-bucket note: the per-batch probe is LINEAR in batch size (each
+  * batch band row equi-joins its bucket), so unlike batch q28 no
+  * quadratic expansion happens per trigger — but a degenerate bucket
+  * still accrues |bucket| pairs per arriving member over time. Batch
+  * q28 drops buckets larger than [[graft.operators.Dedup.MaxShingleDf]]
+  * outright; the incremental twin intentionally does NOT (a bucket
+  * crossing the cap mid-stream would require retracting already-emitted
+  * pairs). Deployments expecting boilerplate-heavy corpora should
+  * periodically rebuild from batch q28, which the versioned-state
+  * single-pointer commit makes a drop-in swap.
+  *
   * Last-writer-wins applies to ALL state, pairs included: when a doc_id
   * re-arrives (possibly with changed text), its signature and band rows
   * are replaced AND every accumulated pair touching it is retracted and

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+/** The stop-shingle (document-frequency) cap in the Jaccard pair kernel —
+  * the guard that keeps the in-task i<j pair expansion from going
+  * quadratic on a degenerate corpus where one boilerplate shingle
+  * appears in (nearly) every document. */
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** `n` docs all sharing the boilerplate 4-token prefix "B0 B1 B2 B3"
+    * (shingles (B0,B1,B2) and (B1,B2,B3) with df = n) plus one unique
+    * trailing token (shingle (B2,B3,u_i) with df = 1). */
+  private def boilerplateCorpus(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong, s"B0 B1 B2 B3 u$i"))
+      .toDF("doc_id", "text")
+
+  test("uncapped, a universal shingle fans out quadratically") {
+    // 60 docs, 3 shingles each, 2 shared by all: inter=2, union=4,
+    // jaccard=0.5 ≥ 0.2 → every i<j pair survives = 60·59/2.
+    val pairs = Dedup.jaccardPairsFrom(boilerplateCorpus(60), par = 4,
+      maxDf = Int.MaxValue)
+    assert(pairs.count() == 60L * 59 / 2)
+  }
+
+  test("the df cap prunes boilerplate pairs to zero") {
+    // With maxDf=16 the two df=60 shingles are stop-shingles; each doc's
+    // remaining set is its single unique shingle, so the pair stage
+    // provably emits nothing (not merely a post-threshold filter: the
+    // quadratic expansion itself never runs on the capped groups).
+    val pairs = Dedup.jaccardPairsFrom(boilerplateCorpus(60), par = 4,
+      maxDf = 16)
+    assert(pairs.isEmpty)
+  }
+
+  test("true near-dups via low-df shingles survive the cap") {
+    // Two docs share a rare 5-token run (3 shingles of df=2) on top of
+    // the universal boilerplate; the cap removes only the boilerplate,
+    // and the pair still reports with jaccard over the capped sets.
+    val near = Seq(
+      (1000L, "B0 B1 B2 B3 R0 R1 R2 R3 R4"),
+      (1001L, "B0 B1 B2 B3 R0 R1 R2 R3 R4 x"))
+      .toDF("doc_id", "text")
+    val corpus = boilerplateCorpus(60).unionByName(near)
+    val pairs = Dedup.jaccardPairsFrom(corpus, par = 4, maxDf = 16)
+      .collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1001L)
+    // capped sets: doc 1000 keeps its 5 non-boilerplate-df shingles
+    // shared run; jaccard must clear the 0.2 threshold comfortably
+    assert(r.getDouble(5) >= 0.2)
+  }
+
+  test("fixture results are unchanged by the production cap") {
+    // fixture max docs-per-shingle ~25 « 128: the cap is semantics-
+    // neutral on real content shingles at this scale, so q27 at the
+    // production MaxShingleDf equals the fully uncapped run.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val capped = Dedup.jaccardPairsFrom(docs, par = 4)
+    val uncapped = Dedup.jaccardPairsFrom(docs, par = 4,
+      maxDf = Int.MaxValue)
+    assert(capped.exceptAll(uncapped).isEmpty &&
+      uncapped.exceptAll(capped).isEmpty)
+  }
+}
