@@ -53,8 +53,20 @@ object Analytics {
     * cutting worst-dimension expected-files-hit from ~16 to ~6 at this
     * geometry (LayoutAnalyticsSpec pins the comparison). That balanced
     * bound is why Delta OPTIMIZE ZORDER / Iceberg sort orders exist.
-    * Tiebreak (l_orderkey, l_linenumber) makes the layout total and the
-    * oracle exact. */
+    *
+    * Scale shape — NO global window anywhere (the round-7 form ran a
+    * single-partition ntile over the whole fact table): the global Z
+    * position of a row decomposes as `prefix(z) + rank-within-z`,
+    * where rank-within-z is a PARTITIONED window (≤ 2¹⁶ Morton keys)
+    * and prefix(z) is a running sum over the z HISTOGRAM — at most
+    * 65536 rows regardless of corpus size, i.e. bounded driver model
+    * state (the q86-centroid pattern), broadcast back. The file split
+    * is equal-width in position: `file = (pos-1)·16 div N + 1` — the
+    * same ±1-row balance as ntile, exact in integer arithmetic on both
+    * engines. Tiebreak (l_orderkey, l_linenumber, x, l_suppkey) makes
+    * the position total ((l_orderkey, l_linenumber) is NOT unique in
+    * the fixture); rows still tied are full-payload duplicates,
+    * interchangeable for every per-file stat. */
   def q87ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
@@ -62,12 +74,21 @@ object Analytics {
         ($"l_partkey" % 256).cast("int").as("x"),
         ($"l_orderkey" % 256).cast("int").as("y"))
       .withColumn("z", expr(zExpr("x", "y")))
-    // (l_orderkey, l_linenumber) is NOT unique in the fixture — x and
-    // l_suppkey extend the tiebreak; rows still tied are full-payload
-    // duplicates, interchangeable for every per-file stat
-    val w = Window.orderBy($"z", $"l_orderkey", $"l_linenumber", $"x",
-      $"l_suppkey")
-    li.withColumn("file_id", ntile(16).over(w))
+    val wz = Window.partitionBy($"z")
+      .orderBy($"l_orderkey", $"l_linenumber", $"x", $"l_suppkey")
+    val ranked = li.withColumn("rz", row_number().over(wz))
+    // z histogram: ≤ 2¹⁶ (z, count) rows however large the table —
+    // prefix-summed on the driver, broadcast back as (z, cum-before)
+    val hist = li.groupBy($"z").agg(count(lit(1)).as("c"))
+      .orderBy($"z").collect()
+    val n = hist.iterator.map(_.getLong(1)).sum
+    var running = 0L
+    val offsets = hist.toSeq.map { r =>
+      val o = (r.getInt(0), running); running += r.getLong(1); o
+    }.toDF("z", "cum")
+    ranked.join(broadcast(offsets), Seq("z"))
+      .withColumn("file_id",
+        expr(s"cast(((cum + rz - 1) * 16) div ${math.max(n, 1L)} as int) + 1"))
       .groupBy($"file_id")
       .agg(count(lit(1)).as("n_rows"),
         min($"x").as("min_x"), max($"x").as("max_x"),
@@ -87,10 +108,18 @@ object Analytics {
        |           FROM lineitem),
        |z AS (SELECT l_orderkey, l_linenumber, l_suppkey, x, y, ($z) AS z
        |      FROM b),
+       |rz AS (SELECT x, y, z,
+       |         row_number() OVER (PARTITION BY z ORDER BY l_orderkey,
+       |           l_linenumber, x, l_suppkey) AS rz
+       |       FROM z),
+       |hist AS (SELECT z AS hz, count(*) AS c FROM z GROUP BY 1),
+       |cum AS (SELECT hz, COALESCE(sum(c) OVER (ORDER BY hz
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |        FROM hist),
+       |n AS (SELECT count(*) AS n FROM z),
        |f AS (SELECT x, y,
-       |        ntile(16) OVER (ORDER BY z, l_orderkey, l_linenumber, x,
-       |          l_suppkey) AS file_id
-       |      FROM z)
+       |        CAST(((cum.cum + rz.rz - 1) * 16) // n.n AS INT) + 1 AS file_id
+       |      FROM rz JOIN cum ON rz.z = cum.hz CROSS JOIN n)
        |SELECT file_id, count(*) AS n_rows,
        |       min(x) AS min_x, max(x) AS max_x,
        |       min(y) AS min_y, max(y) AS max_y,
