@@ -31,6 +31,11 @@ object Bench {
     val softDeadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOFT_SEC", "600").toDouble
     val hardDeadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_SEC", "900").toDouble
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every raw sample per query (warmup first) — regressions are only
+    // attributable when the sample count that produced a number is on
+    // record (r7 flagged five "regressions" that were all one-bad-sample
+    // noise; see PLANS.md round-8 audit)
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     // If an external kill (driver timeout, SIGTERM) lands mid-run, still
     // emit whatever was measured: the driver greps the stdout tail for
     // this one JSON line, and a partial line grades better than none.
@@ -42,8 +47,24 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // deg = deadline-degraded queries: fewer than 2 steady-state
+      // samples behind the reported number (warmup excluded) — any name
+      // here means its figure is a single cold/warm read, not a min
+      val deg = samples.collect {
+        case (k, ss) if ss.size < 3 => "\"" + shortKey(k) + "\""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"sf":"$sfDir"}""")
       Console.out.flush()
+      // full raw-sample dump (small, one line per query) — the audit
+      // trail the one-line headline can't carry; the round-end snapshot
+      // commit picks it up
+      try {
+        val detail = samples.map { case (k, ss) =>
+          s"\"$k\":[" + ss.map(fmt).mkString(",") + "]"
+        }.mkString("{\"samples_warmup_first\":{", ",", s"},\"sf\":\"$sfDir\"}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_detail.json"), detail)
+      } catch { case _: Throwable => () }
     }}
     val hook = new Thread(() => emit())
     Runtime.getRuntime.addShutdownHook(hook)
@@ -59,6 +80,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        samples(name) = samples.getOrElse(name, Nil) :+ dt
         dt
       }
       val best =
