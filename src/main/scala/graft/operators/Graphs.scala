@@ -97,6 +97,62 @@ object Graphs {
       |FROM r2 JOIN r1 ON r2.node = r1.node
       |ORDER BY rank2 DESC, r2.node ASC LIMIT 20""".stripMargin
 
+  /** General N-iteration fixed-point PageRank over an arbitrary edge
+    * list (the loop discipline q94's readable 2-iteration oracle form
+    * demonstrates in miniature, generalized the way q53's
+    * connected-components kernel generalizes min-label propagation).
+    *
+    * Requirements: `edges(src: long, dst: long)` with every node having
+    * out-degree ≥ 1 (a symmetrized graph satisfies this — q94's
+    * construction) so no dangling mass needs redistribution.
+    *
+    * Loop discipline for many iterations:
+    *  - each iteration's rank table (|nodes|-sized, tiny next to edges)
+    *    is `localCheckpoint`ed — lineage is CUT per round, so iteration
+    *    k never re-executes iterations 1..k-1 and the analyzer never
+    *    sees an O(k)-deep plan;
+    *  - the degree table is cached once and read by every iteration;
+    *  - integer fixed-point arithmetic makes each iteration's result
+    *    bit-identical across partitionings (associative integer sums),
+    *    so a converged state is detectable EXACTLY: the loop stops the
+    *    first time an iteration changes no rank, rather than chasing
+    *    float epsilons.
+    *
+    * @return (final ranks (node, r), iterations actually executed —
+    *         `< maxIters` iff an exact fixed point was reached early)
+    */
+  def pagerank(edges: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    val nodes = deg.select($"src".as("node"), $"deg")
+    def step(ranks: DataFrame): DataFrame =
+      nodes
+        .join(ranks, Seq("node"))
+        .join(edges, $"node" === $"src")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("cs"))
+        .select($"dst".as("node"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+    var ranks = nodes.select($"node", lit(Scale).as("r")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = step(ranks).localCheckpoint()
+      // exact-integer convergence probe on two |nodes|-sized
+      // checkpointed frames — one cheap job per iteration
+      converged = next.as("n").join(ranks.as("p"), Seq("node"))
+        .filter($"n.r" =!= $"p.r").isEmpty
+      ranks = next
+      it += 1
+    }
+    deg.unpersist()
+    if (sys.env.contains("GRAFT_DEBUG_ITERS"))
+      System.err.println(s"[pagerank] ran $it/$maxIters iterations" +
+        (if (converged) " (fixed point)" else ""))
+    (ranks, it)
+  }
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+import graft.sources.Tables
+
+/** The generalized N-iteration PageRank loop (Graphs.pagerank):
+  * determinism across partitionings at depth, exact fixed-point early
+  * stop, and agreement with q94's hand-unrolled 2-iteration form. */
+class GraphsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** q94's edge construction: supplier–part bipartite pairs of
+    * lineitem, long-keyed and symmetrized. */
+  private def q94Edges: DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".cast("long").as("sn"),
+        ($"l_partkey" + 100000L).as("pn"))
+      .distinct()
+    pairs.select($"sn".as("src"), $"pn".as("dst"))
+      .union(pairs.select($"pn".as("src"), $"sn".as("dst")))
+  }
+
+  test("iteration-10 integer ranks are identical across partitionings") {
+    // fixed-point arithmetic: partial sums are associative integers, so
+    // two different physical partitionings must agree on every bit
+    val (a, itA) = Graphs.pagerank(q94Edges.repartition(3), 10)
+    val (b, itB) = Graphs.pagerank(q94Edges.repartition(7), 10)
+    assert(itA == itB)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("a 2-cycle reaches its exact fixed point and stops early") {
+    // 1↔2: each node passes its whole rank across; 150000 + 85% of 10⁶
+    // is 10⁶ again, so iteration 1 changes nothing and the probe stops
+    // the loop long before the cap
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (r, it) = Graphs.pagerank(e, 10)
+    assert(it < 10)
+    assert(r.collect().forall(_.getLong(1) == 1000000L))
+  }
+
+  test("two generalized iterations reproduce q94's rank2 top-20") {
+    val (r, _) = Graphs.pagerank(q94Edges, 2)
+    val top = r.select(
+        when($"node" < 100000L, concat(lit("s:"), $"node"))
+          .otherwise(concat(lit("p:"), $"node" - 100000L)).as("node"),
+        $"r".as("rank2"))
+      .orderBy($"rank2".desc, $"node".asc)
+      .limit(20)
+    val q94 = Graphs.q94Pagerank(spark, sfDir).select($"node", $"rank2")
+    assert(top.exceptAll(q94).isEmpty && q94.exceptAll(top).isEmpty)
+  }
+}
