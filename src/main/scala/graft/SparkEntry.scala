@@ -20,7 +20,8 @@ object SparkEntry {
       Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
       Search.queries ++ Multimodal.queries ++ Temporal.queries ++
       Curation.queries ++ Spans.queries ++ Clustering.queries ++
-      Analytics.queries ++ Graphs.queries ++ Bpe.queries
+      Analytics.queries ++ Graphs.queries ++ Bpe.queries ++
+      Evolution.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Dedup.oracle ++ TextStats.oracle ++ Similarity.oracle ++
       Search.oracle ++ Multimodal.oracle ++ Temporal.oracle ++
       Curation.oracle ++ Spans.oracle ++ Clustering.oracle ++
-      Analytics.oracle ++ Graphs.oracle ++ Bpe.oracle
+      Analytics.oracle ++ Graphs.oracle ++ Bpe.oracle ++
+      Evolution.oracle
 }
