@@ -107,10 +107,15 @@ object Pipeline {
   /** Chunk-processing transaction (`epa_ingestion.py:732-789`, D1+D2+J5):
     * delete chunks of files being re-chunked (idempotency), fan each
     * document out through the native ChunkGenerator, append. `parse` is
-    * the injectable PARSE_DOCUMENT edge (bytes → text). Returns the new
+    * the injectable PARSE_DOCUMENT edge (bytes → text); it DEFAULTS to
+    * the real pure-JVM extractor ([[graft.sources.PdfText.extract]] —
+    * FlateDecode + literal-string Tj/TJ, proven against the reference's
+    * own label PDFs in PdfTextSpec), with injection retained for
+    * documents needing a richer parser (CMap'd fonts). Returns the new
     * chunk table. */
   def processChunks(chunks: DataFrame, toChunk: DataFrame,
-      parse: Array[Byte] => String): DataFrame = {
+      parse: Array[Byte] => String = graft.sources.PdfText.extract)
+      : DataFrame = {
     val parseUdf = udf(parse)
     val fresh = graft.functions.ChunkFunctions.chunkDocsNative(
       toChunk.withColumn("TEXT", parseUdf(col("content")))
