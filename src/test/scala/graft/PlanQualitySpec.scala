@@ -166,6 +166,19 @@ class PlanQualitySpec extends SparkSuite {
       p.take(800))
   }
 
+  test("q87 has no unpartitioned window anywhere in its plan") {
+    // the round-7 form ran ntile(16) OVER (ORDER BY …) — a single-task
+    // global sort of the whole fact table ("WindowExec: No Partition
+    // Defined"). The shipped decomposition must keep every window
+    // partitioned (per-z rank), whatever refactors come later.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q87_zorder_layout")(spark, sfDir)
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {
     val wh = Files.createTempDirectory("graft_bucketed_").toString
     Bucketing.setupOrderLineitem(spark, sfDir, wh, buckets = 4)
