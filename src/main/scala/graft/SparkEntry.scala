@@ -21,7 +21,7 @@ object SparkEntry {
       Search.queries ++ Multimodal.queries ++ Temporal.queries ++
       Curation.queries ++ Spans.queries ++ Clustering.queries ++
       Analytics.queries ++ Graphs.queries ++ Bpe.queries ++
-      Evolution.queries
+      Evolution.queries ++ Embedding.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       Search.oracle ++ Multimodal.oracle ++ Temporal.oracle ++
       Curation.oracle ++ Spans.oracle ++ Clustering.oracle ++
       Analytics.oracle ++ Graphs.oracle ++ Bpe.oracle ++
-      Evolution.oracle
+      Evolution.oracle ++ Embedding.oracle
 }
