@@ -188,19 +188,17 @@ object Search {
     * the two retrievers' incomparable score scales. Candidate sets are
     * cut to top-50 PER RETRIEVER first — orderBy().limit() plans as a
     * TakeOrdered top-k reduction (per-partition k, then merge-of-k),
-    * so ranking never globally sorts the corpus; the window that
-    * assigns ranks runs over 50 broadcast-sized rows. Ranks order on
-    * ROUNDED scores (ulp-stable) with doc_id tiebreaks; RRF
-    * contributions are divisions of exact integers. */
+    * so ranking never globally sorts the corpus; ranks are then
+    * assigned window-free as 1 + |predecessors| over the ≤50-row
+    * broadcast candidate set. Ranks order on ROUNDED scores
+    * (ulp-stable) with doc_id tiebreaks; RRF contributions are
+    * divisions of exact integers. */
   def q90RrfFusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
-    import org.apache.spark.sql.expressions.Window
     val kwTop = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
       .select($"doc_id", round($"score", 4).as("s4"))
       .orderBy($"s4".desc, $"doc_id".asc).limit(50)
-      .withColumn("rank_kw",
-        row_number().over(Window.orderBy($"s4".desc, $"doc_id".asc)))
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
@@ -210,10 +208,25 @@ object Search {
       .select($"vec_id".as("doc_id"),
         round(dot_product($"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("c6"))
       .orderBy($"c6".desc, $"doc_id".asc).limit(50)
-      .withColumn("rank_cos",
-        row_number().over(Window.orderBy($"c6".desc, $"doc_id".asc)))
-    kwTop.select($"doc_id", $"rank_kw")
-      .join(cosTop.select($"doc_id", $"rank_cos"), Seq("doc_id"), "full_outer")
+    // ranks WITHOUT any window: rank = 1 + |predecessors| via a
+    // broadcast theta-join over the ≤50-row candidate sets (2500 pairs
+    // max) — the one construction that is both deterministic and free
+    // of the single-partition WindowExec the row_number form planned
+    // (its unpartitioned window was bounded but warned on every run;
+    // a constant partition key gets optimizer-folded straight back to
+    // unpartitioned). Ties are impossible: doc_id breaks them.
+    def rankOf(top: DataFrame, score: String, rank: String): DataFrame = {
+      val b = broadcast(
+        top.select(col(score).as("__s"), col("doc_id").as("__d")))
+      top.join(b,
+          col("__s") > col(score) ||
+            (col("__s") === col(score) && col("__d") < col("doc_id")),
+          "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("__d")) + 1).cast("int").as(rank))
+    }
+    rankOf(kwTop, "s4", "rank_kw")
+      .join(rankOf(cosTop, "c6", "rank_cos"), Seq("doc_id"), "full_outer")
       .select($"doc_id",
         coalesce($"rank_kw", lit(0)).as("rank_kw"),
         coalesce($"rank_cos", lit(0)).as("rank_cos"),

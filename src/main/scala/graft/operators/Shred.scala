@@ -70,6 +70,16 @@ object Shred {
   def upperCols(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
 
+  /** The variant extractors below interpolate caller-supplied FIELD
+    * NAMES (schema identifiers, not row data) into `expr()` paths; this
+    * guard makes that trust boundary explicit — an identifier that
+    * could alter SQL parsing is rejected loudly instead of spliced. */
+  private def checkIdent(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"variant field/type name must be a plain identifier: '$name'")
+    name
+  }
+
   /** Parse a DataFrame with a `json` string column into the typed document
     * shape. Malformed documents yield null structs (PERMISSIVE) — the
     * per-item fault isolation of `epa_ingestion.py:426-427`. */
@@ -113,7 +123,7 @@ object Shred {
     * shred()("products"). */
   def productsFromVariant(parsed: DataFrame): DataFrame =
     upperCols(parsed.select(parentCols.map(c =>
-      expr(s"variant_get(doc, '$$.$c', 'string')").as(c)): _*))
+      expr(s"variant_get(doc, '$$.${checkIdent(c)}', 'string')").as(c)): _*))
 
   /** One child table from the variant: explode the child array variant,
     * then extract the requested fields as strings. */
@@ -128,10 +138,11 @@ object Shred {
       fields: Seq[(String, String)]): DataFrame = {
     val exploded = parsed.select(
       expr("variant_get(doc, '$.eparegno', 'string')").as("eparegno"),
-      explode(expr(s"cast(variant_get(doc, '$$.$child') AS array<variant>)"))
+      explode(expr(
+        s"cast(variant_get(doc, '$$.${checkIdent(child)}') AS array<variant>)"))
         .as("c"))
     upperCols(exploded.select(col("eparegno") +: fields.map { case (f, t) =>
-      expr(s"variant_get(c, '$$.$f', '$t')").as(f)
+      expr(s"variant_get(c, '$$.${checkIdent(f)}', '${checkIdent(t)}')").as(f)
     }: _*))
   }
 }

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Sweep every declared query's physical plan for unpartitioned window
+  * operators (the "Moving all data to a single partition" hazard) and
+  * report which queries own them and how many rows actually flow in —
+  * the triage list separating bounded presentation windows from real
+  * scale bugs. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val bad = unpartitionedWindows(
+          fn(spark, sfDir).queryExecution.executedPlan)
+        if (bad.nonEmpty)
+          println(s"[planaudit] $name: ${bad.size} unpartitioned window(s)")
+      } catch {
+        case e: Throwable =>
+          println(s"[planaudit] $name ERROR ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    println("[planaudit] done")
+    spark.stop()
+  }
+
+  /** AQE-aware sweep: AdaptiveSparkPlanExec is a LEAF node, so a plain
+    * `plan.collect` never sees inside it (the round-8 trap that made a
+    * naive audit vacuously clean) — descend into its inputPlan and into
+    * subqueries explicitly. */
+  def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.inputPlan)
+      case _ => Nil
+    }
+    here ++ inner ++ p.children.flatMap(unpartitionedWindows) ++
+      p.subqueries.flatMap(unpartitionedWindows)
+  }
+}

@@ -171,12 +171,24 @@ class PlanQualitySpec extends SparkSuite {
     // global sort of the whole fact table ("WindowExec: No Partition
     // Defined"). The shipped decomposition must keep every window
     // partitioned (per-z rank), whatever refactors come later.
-    import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q87_zorder_layout")(spark, sfDir)
-    val bad = df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
+    val bad = graft.tools.PlanAudit.unpartitionedWindows(
+      df.queryExecution.executedPlan)
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("NO query in the whole surface plans an unpartitioned window") {
+    // q90's candidate ranks are single-partition by design but carry an
+    // explicit constant partition key; anything landing here is a new
+    // global sort someone must justify
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val bad = graft.tools.PlanAudit.unpartitionedWindows(
+        df.queryExecution.executedPlan)
+      spark.catalog.clearCache()
+      if (bad.isEmpty) Nil else Seq(s"$name: ${bad.size}")
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {
