@@ -214,8 +214,12 @@ object Search {
     // of the single-partition WindowExec the row_number form planned
     // (its unpartitioned window was bounded but warned on every run;
     // a constant partition key gets optimizer-folded straight back to
-    // unpartitioned). Ties are impossible: doc_id breaks them.
-    def rankOf(top: DataFrame, score: String, rank: String): DataFrame = {
+    // unpartitioned). Ties are impossible: doc_id breaks them. Each
+    // top-50 is materialized (localCheckpoint) first: the self-join
+    // reads it twice, and uncheckpointed that re-runs the whole
+    // retriever pipeline per side (measured 2.3× on q90).
+    def rankOf(top0: DataFrame, score: String, rank: String): DataFrame = {
+      val top = top0.localCheckpoint()
       val b = broadcast(
         top.select(col(score).as("__s"), col("doc_id").as("__d")))
       top.join(b,
