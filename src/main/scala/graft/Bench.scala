@@ -77,7 +77,11 @@ object Bench {
       // only code warmth carries, never data.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // conf snapshot/restore: a query's session-conf tuning must not
+        // leak into later samples or later queries (ConfGuard doc)
+        try graft.tools.ConfGuard.withConfSnapshot(spark) {
+          fn(spark, sfDir).count()
+        } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         samples(name) = samples.getOrElse(name, Nil) :+ dt

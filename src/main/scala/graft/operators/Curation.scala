@@ -463,9 +463,10 @@ object Curation {
     * even train's distinct-gram SET is too large to move into a semi-join
     * build side, it compresses into a bloom filter (~1.2 GB for 10⁹ grams
     * at 1% fpp vs hundreds of GB of strings) built with map-side partial
-    * aggregation in the same DAG — Spark's own runtime-row-filter shape
-    * (might_contain ∘ scalar-subquery bloom_filter_agg ∘ xxhash64), the
-    * q54 machinery pointed at grams instead of join keys. The answer is
+    * aggregation — Spark's own runtime-row-filter machinery
+    * (might_contain ∘ bloom_filter_agg ∘ xxhash64, the q54 parts pointed
+    * at grams instead of join keys), built eagerly under a conf scope
+    * and probed as a literal sketch. The answer is
     * ONE-SIDED: every truly contaminated gram is flagged (no false
     * negatives), overcount is bounded by the fpp — CurationSpec pins both
     * against exact q81. No DuckDB oracle is possible (the sketch bytes
@@ -474,35 +475,56 @@ object Curation {
   def q83BloomContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val grams = splitGrams(s, dir)
     val train = grams.filter($"split" === "train").select($"gram")
       .distinct().cache() // consumed twice: sizing count + bloom build
-    val nKeys = math.max(1024L, train.count())
-    val nBits =
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nKeys, 0.01)
     // BloomFilterAggregate silently clamps BOTH literals to the session
     // ceilings (spark.sql.optimizer.runtime.bloomFilter.maxNumItems,
     // default 4M items / maxNumBits, default 8 MiB) — fine for q54's join
     // prune, where the exact join removes false positives, but FATAL
     // here: might_contain IS the answer, so a saturated filter inflates
-    // n_flagged toward n_grams. Raise the ceilings to the computed size
-    // so the 1% fpp contract holds at any corpus scale instead of
-    // silently degrading past ~4M distinct grams.
+    // n_flagged toward n_grams. The ceilings are raised ONLY around the
+    // eager bloom build below and snapshot-restored in a finally — the
+    // round-8 form left them raised for the rest of the session, a
+    // cross-query contamination channel for every later runtime-filter
+    // join (and the prime suspect in the BENCH_r08 q83 anomaly).
+    // The clamp reads SQLConf thread-locally AT AGGREGATE EXECUTION, so
+    // a lazily-returned plan cannot be conf-scoped — the build must run
+    // inside the scope. That costs nothing extra at any scale: Spark
+    // executes a ScalarSubquery by collecting its single row to the
+    // driver anyway, so materializing the sketch bytes here is the same
+    // data movement, and it lets the train cache release deterministically
+    // instead of pinning executor storage until someone clears it. (Past
+    // driver-literal comfort — a multi-GB sketch at ~10⁹ grams — the
+    // probe side would ship the bytes as a broadcast variable instead;
+    // the build/probe shape is unchanged.)
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (s.conf.get(itemsKey).toLong < nKeys) s.conf.set(itemsKey, nKeys.toString)
-    if (s.conf.get(bitsKey).toLong < nBits) s.conf.set(bitsKey, nBits.toString)
-    val bloomDf = train.select(GraftColumnBridge.column(
-      new BloomFilterAggregate(
-        new XxHash64(Seq(GraftColumnBridge.expression(train("gram")))),
-        Literal(nKeys), Literal(nBits)).toAggregateExpression())
-      .as("bf"))
+    val prevItems = s.conf.get(itemsKey)
+    val prevBits = s.conf.get(bitsKey)
+    val bloomBytes =
+      try {
+        val nKeys = math.max(1024L, train.count())
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nKeys, 0.01)
+        if (prevItems.toLong < nKeys) s.conf.set(itemsKey, nKeys.toString)
+        if (prevBits.toLong < nBits) s.conf.set(bitsKey, nBits.toString)
+        train.select(GraftColumnBridge.column(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(GraftColumnBridge.expression(train("gram")))),
+            Literal(nKeys), Literal(nBits)).toAggregateExpression())
+          .as("bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        s.conf.set(itemsKey, prevItems)
+        s.conf.set(bitsKey, prevBits)
+        train.unpersist()
+      }
     val eval_ = grams.filter($"split" =!= "train")
       .select($"split", $"gram").distinct()
     val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
-      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      Literal(bloomBytes),
       new XxHash64(Seq(GraftColumnBridge.expression(eval_("gram"))))))
     val tot = eval_.groupBy($"split").agg(count(lit(1)).as("n_grams"))
     val flagged = eval_.filter(mightContain)

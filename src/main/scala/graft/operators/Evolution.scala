@@ -31,11 +31,19 @@ import graft.sources.Tables
   */
 object Evolution {
 
-  /** Deterministic per-SF scratch path under the repo's target dir (the
-    * same store can be rebuilt concurrently for different SFs). */
+  /** Per-JVM scratch root: absolute (CWD-independent) under the system
+    * temp dir, with a per-process token so two sessions rebuilding the
+    * same SF concurrently cannot race each other's delete+write (the
+    * round-8 CWD-relative `target/q97_store` did both — an ADVICE find). */
+  private lazy val scratchRoot: String = {
+    val tok = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "_") // pid@host — stable per JVM
+    s"${System.getProperty("java.io.tmpdir")}/graft_q97_store_$tok"
+  }
+
   private def storeDir(dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"target/q97_store/$tag"
+    s"$scratchRoot/$tag"
   }
 
   /** q97 — two-generation store: gen=1 holds the v1 schema (custkey,

@@ -65,7 +65,7 @@ object Graphs {
     // (the same lineage-cut discipline as q53's localCheckpoint)
     val r1 = step(nodes.select($"node", lit(Scale).as("r"))).cache()
     val r2 = step(r1)
-    r2.select($"node", $"r".as("rank2"))
+    val top = r2.select($"node", $"r".as("rank2"))
       .join(r1.select($"node", $"r".as("rank1")), Seq("node"))
       .select(
         when($"node" < 100000L, concat(lit("s:"), $"node"))
@@ -73,6 +73,16 @@ object Graphs {
         $"rank1", $"rank2")
       .orderBy($"rank2".desc, $"node".asc)
       .limit(20)
+    // Materialize the answer (bounded: ≤20 rows by the limit above),
+    // then RELEASE every cache this query pinned — a library user
+    // composing operators in a long-lived session must not accumulate
+    // executor storage (the general pagerank()'s deg.unpersist()
+    // discipline; GraphsSpec pins zero persisted RDDs after the call).
+    val rows = top.collect()
+    pairs.unpersist()
+    deg.unpersist()
+    r1.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
   val q94Oracle: String =
@@ -126,6 +136,22 @@ object Graphs {
     import s.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
     val nodes = deg.select($"src".as("node"), $"deg")
+    // Validate the out-degree ≥ 1 precondition ONCE up front: a node
+    // that only ever appears as dst (non-symmetrized input) has no deg
+    // row, silently vanishes from the rank table through the inner
+    // joins below, and the exact-convergence probe would then declare a
+    // fixed point over the shrunken node set — precondition violations
+    // must surface as errors, not as quietly wrong ranks. One cheap
+    // distinct-dst anti-join against the already-cached degree table.
+    val dangling = edges.select($"dst").distinct()
+      .join(nodes.select($"node"), $"dst" === $"node", "left_anti")
+    if (!dangling.isEmpty) {
+      deg.unpersist()
+      throw new IllegalArgumentException(
+        "pagerank requires every node to have out-degree >= 1 " +
+          "(symmetrize the edge list); found sink-only nodes, e.g. " +
+          dangling.limit(5).collect().map(_.get(0)).mkString(", "))
+    }
     def step(ranks: DataFrame): DataFrame =
       nodes
         .join(ranks, Seq("node"))

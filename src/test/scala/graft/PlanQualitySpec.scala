@@ -102,6 +102,15 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), p.take(600))
   }
 
+  test("q28 stop-bucket cap aggregates, it does not window the band table") {
+    // the cap was once count().over(Window.partitionBy(band, bkey)) — a
+    // per-partition SORT of the full band table (measured 2.2× on this
+    // query). The shipped form is groupBy(band, bkey) + broadcast anti
+    // join; any WindowExec reappearing in q28 is that regression
+    val p = plan("q28_dedup_minhash_lsh")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("q54 bloom pruning filters the fact scan below the join") {
     val exec = SparkEntry.queries("q54_bloom_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
