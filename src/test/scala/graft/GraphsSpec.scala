@@ -53,4 +53,25 @@ class GraphsSpec extends SparkSuite {
     val q94 = Graphs.q94Pagerank(spark, sfDir).select($"node", $"rank2")
     assert(top.exceptAll(q94).isEmpty && q94.exceptAll(top).isEmpty)
   }
+
+  test("q94 releases its caches: no persisted-RDD growth across two calls") {
+    // a library user composing operators in a long-lived session must not
+    // accumulate executor storage; q94 materializes its bounded top-20
+    // and unpersists pairs/deg/r1 before returning
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graphs.q94Pagerank(spark, sfDir).count()
+    Graphs.q94Pagerank(spark, sfDir).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"leaked persisted RDDs: ${after -- before}")
+  }
+
+  test("pagerank rejects sink-only nodes loudly instead of dropping them") {
+    // node 2 appears only as dst: with out-degree 0 it would silently
+    // vanish through the inner joins and the probe could declare a false
+    // fixed point over the shrunken node set
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] { Graphs.pagerank(e, 5) }
+    assert(ex.getMessage.contains("out-degree"))
+  }
 }
