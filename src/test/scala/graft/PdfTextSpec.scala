@@ -51,6 +51,41 @@ class PdfTextSpec extends SparkSuite {
     assert(PdfText.extract(null) == "")
   }
 
+  test("Identity-H hex strings decode through embedded ToUnicode CMaps") {
+    // LifeGard_Technical_Liquid is the corpus's all-Identity-H file:
+    // 44 chars before the CMap walk, full label text after
+    val t = PdfText.extract(pdf("LifeGard_Technical_Liquid.pdf"))
+    assert(t.contains("Bacillus mycoides"))
+    assert(t.contains("MASTER LABEL"))
+    assert(t.contains("KEEP OUT OF REACH OF CHILDREN"))
+    // SoilGard mixes WinAnsi literals with CMap'd hex (873 -> 49k chars)
+    val sg = PdfText.extract(pdf("SoilGard_WDG.pdf"))
+    assert(sg.length > 10000)
+  }
+
+  test("octal overflow masks to one byte per ISO 32000-1 7.3.4.2") {
+    val doc = ("%PDF-1.4\n1 0 obj\n<<>>\nstream\n" +
+      "BT (\\777) Tj ET\nendstream\nendobj").getBytes("ISO-8859-1")
+    // \777 = 511; spec: ignore high-order overflow -> 511 & 0xFF = 0xFF
+    assert(PdfText.extract(doc) == "ÿ")
+  }
+
+  test("decompression bomb is truncated, not inflated unboundedly") {
+    // ~80 MB of zeros deflates to ~80 KB; the 64 MB cap must stop the
+    // inflate loop (partial text for the row, never an executor OOM)
+    val d = new java.util.zip.Deflater()
+    val zeros = new Array[Byte](1 << 20)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    for (_ <- 0 until 80) { d.setInput(zeros); while (!d.needsInput()) out.write(buf, 0, d.deflate(buf)) }
+    d.finish(); while (!d.finished()) out.write(buf, 0, d.deflate(buf)); d.end()
+    val z = out.toByteArray
+    val doc = ("%PDF-1.4\n1 0 obj\n<</Length " + z.length +
+      "/Filter/FlateDecode>>\nstream\n").getBytes("ISO-8859-1") ++ z ++
+      "\nendstream\nendobj".getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc) == "") // total, bounded, no throw
+  }
+
   test("processChunks default parse chunks a real PDF end-to-end") {
     import spark.implicits._
     val bytes = pdf("ACCORD_XL_HERBICIDE.pdf")
