@@ -115,11 +115,12 @@ object Bpe {
       .orderBy($"step")
   }
 
-  /** DuckDB replay: identical derivation, three iterations unrolled.
-    * string_split 1-based: s[1]='' and pairs are (s[j], s[j+1]) for
-    * j in 2..len-1 (generate_series yields an empty list when the
-    * range is inverted, so single-char words vanish for free). */
-  val q95Oracle: String = {
+  /** DuckDB replay of the training derivation, three iterations
+    * unrolled, shared by the q95 and q99 oracles. string_split 1-based:
+    * s[1]='' and pairs are (s[j], s[j+1]) for j in 2..len-1
+    * (generate_series yields an empty list when the range is inverted,
+    * so single-char words vanish for free). */
+  private val TrainCte: String = {
     def iter(i: Int): String =
       s"""p$i AS (SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(c) AS BIGINT) AS pc
         |       FROM (SELECT string_split(seq, '$Sep') AS s, c FROM v${i - 1}) t,
@@ -133,19 +134,102 @@ object Bpe {
       |v0 AS (SELECT regexp_replace(w, '(.)', '$Sep\\1', 'gs') AS seq, c FROM wc),
       |${iter(1)},
       |${iter(2)},
-      |${iter(3)}
+      |${iter(3)}""".stripMargin
+  }
+
+  val q95Oracle: String =
+    s"""$TrainCte
       |SELECT step, merge_left, merge_right, pair_count FROM (
       |  SELECT 1 AS step, l AS merge_left, r AS merge_right, pc AS pair_count FROM b1
       |  UNION ALL SELECT 2, l, r, pc FROM b2
       |  UNION ALL SELECT 3, l, r, pc FROM b3)
       |ORDER BY step""".stripMargin
+
+  // ----------------------------------------------------------- encoding
+
+  /** q99 — BPE ENCODING, the other half of the tokenizer pipeline: apply
+    * the trained merge table to the corpus and emit the top-30 tokens by
+    * weighted occurrence as (token_id, token, token_count).
+    *
+    * Scale shape mirrors training: the corpus-scale pass is the weighted
+    * word-vocabulary groupBy; every distinct word is then encoded ONCE
+    * (its count is the weight), by folding the ordered merge list —
+    * broadcast-sized driver state, 10k-100k entries for a real
+    * tokenizer, 3 here — over the leading-separator symbol sequence with
+    * the same column-form `replace` used in training. Left-to-right
+    * non-rescanning `replace` in merge order IS deterministic greedy BPE
+    * application, and is engine-identical, so DuckDB replays it exactly.
+    *
+    * Token ids follow the canonical BPE vocab layout: the corpus
+    * alphabet sorted by codepoint gets ids 0..k-1, then each merge
+    * product takes id k+step-1 in training order (duplicate product
+    * strings keep their first id). The alphabet is collected to the
+    * driver — bounded by construction (distinct codepoints in the
+    * corpus, ≤ a few thousand at any scale; the q86-centroid pattern) —
+    * and sorted by codepoint sequence, which equals DuckDB's binary
+    * collation order, not UTF-16 code-unit order. The final top-30 is a
+    * TakeOrdered reduction (no window); the cached vocab is released
+    * after the bounded result materializes (q94's pattern). */
+  def q99BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+    val merges = trainMerges(words, Iters)
+    val wc = words.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace($"w", "(?s)(.)", s"$Sep$$1").as("seq"), $"cnt")
+      .cache()
+    // the corpus alphabet, driver-side (bounded by construction)
+    val chars = wc.select(explode(split($"seq", Sep)).as("c"))
+      .filter($"c" =!= "").distinct().as[String].collect()
+      .sortBy(c => c.codePoints().toArray.toSeq)(
+        math.Ordering.Implicits.seqOrdering[Seq, Int])
+    val vocab = (chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+      merges.map { case (step, l, r, _) => (l + r, chars.length + step - 1L) })
+      .toSeq.toDF("token", "tid")
+      .groupBy($"token").agg(min($"tid").as("token_id"))
+    val encodedSeq = merges.foldLeft($"seq": org.apache.spark.sql.Column) {
+      case (c, (_, l, r, _)) =>
+        replace(c, lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r"))
+    }
+    val out = wc.select(explode(split(encodedSeq, Sep)).as("token"), $"cnt")
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(sum($"cnt").cast("long").as("token_count"))
+      .join(broadcast(vocab), Seq("token"))
+      .select($"token_id", $"token", $"token_count")
+      .orderBy($"token_count".desc, $"token".asc)
+      .limit(30)
+    val rows = out.collect() // bounded: 30 rows
+    wc.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  val q99Oracle: String =
+    s"""$TrainCte,
+      |chars AS (SELECT DISTINCT c FROM (
+      |    SELECT unnest(string_split(seq, '$Sep')) AS c FROM v0) t WHERE c <> ''),
+      |charids AS (SELECT c AS token,
+      |    CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS tid FROM chars),
+      |mergeids AS (SELECT l || r AS token,
+      |    CAST((SELECT count(*) FROM chars) + step - 1 AS BIGINT) AS tid FROM (
+      |      SELECT 1 AS step, l, r FROM b1
+      |      UNION ALL SELECT 2, l, r FROM b2
+      |      UNION ALL SELECT 3, l, r FROM b3) m),
+      |vocab AS (SELECT token, CAST(min(tid) AS BIGINT) AS token_id FROM (
+      |    SELECT * FROM charids UNION ALL SELECT * FROM mergeids) u GROUP BY token),
+      |tc AS (SELECT token, CAST(sum(c) AS BIGINT) AS token_count FROM (
+      |    SELECT unnest(string_split(seq, '$Sep')) AS token, c FROM v3) e
+      |  WHERE token <> '' GROUP BY token)
+      |SELECT v.token_id, t.token, t.token_count
+      |FROM tc t JOIN vocab v ON t.token = v.token
+      |ORDER BY t.token_count DESC, t.token ASC LIMIT 30""".stripMargin
 
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q95_bpe_merges" -> q95BpeMerges _)
+    "q95_bpe_merges" -> q95BpeMerges _,
+    "q99_bpe_encode" -> q99BpeEncode _)
 
   val oracle: Map[String, String] = Map(
-    "q95_bpe_merges" -> q95Oracle)
+    "q95_bpe_merges" -> q95Oracle,
+    "q99_bpe_encode" -> q99Oracle)
 }

@@ -62,6 +62,22 @@ class BpeSpec extends SparkSuite {
     assert(m(1) == ((2, "x", "\ny", 2L)))
   }
 
+  test("q99 encode: canonical vocab ids and greedy token counts by hand") {
+    // corpus 'abab' ×2, 'ab' ×1, 'cc' ×1: merge1 = (a,b) weight 5,
+    // merge2 = (ab,ab) weight 2, merge3 = (c,c) weight 1. Alphabet
+    // sorted = [a,b,c] -> ids 0,1,2; merge products ab=3, abab=4, cc=5.
+    // Encoded corpus: abab×2 -> [abab]×2, ab -> [ab], cc -> [cc].
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    Seq((1L, "abab abab ab cc"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Bpe.q99BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // counts: abab 2, ab 1, cc 1; order (count desc, token asc)
+    assert(rows == Seq((4L, "abab", 2L), (3L, "ab", 1L), (5L, "cc", 1L)))
+  }
+
   test("q95 shape: three deterministic merges over the fixture corpus") {
     val rows = graft.operators.Bpe.q95BpeMerges(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
