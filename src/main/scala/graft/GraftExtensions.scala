@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProduct}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProduct, DotProductLong}
 import graft.operators.Chunker
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,6 +49,9 @@ object GraftExtensions {
     ("dot_product",
       "dot_product(array<double>, array<double>) - dot product",
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("dot_product_long",
+      "dot_product_long(array<bigint>, array<bigint>) - exact integer dot",
+      (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))),
     ("text_chunks",
       "text_chunks(text[, chunk_size, overlap]) - recursive character chunks",
       (exprs: Seq[Expression]) => exprs match {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 private object VectorTypeCheck {
   def check(name: String, exprs: Seq[Expression]): TypeCheckResult = {
@@ -130,6 +130,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact-integer dot for quantized vectors (array<bigint> → bigint) —
+  * the determinism-critical kernel of q100's within-cluster cosine:
+  * int64 accumulation has no FP order sensitivity at all, and the
+  * codegen'd loop replaces the interpreted `aggregate(zip_with(...))`
+  * higher-order pair (which never enters whole-stage codegen) on the
+  * O(pairs×dim) hot path. Caller guarantees no overflow (|v|≤10⁶,
+  * dim=64 → |dot| ≤ 6.4·10¹³ ≪ 2⁶³). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level entry points (the engine's public vector API). */
   def cosine_sim(a: Column, b: Column): Column =
@@ -140,11 +197,18 @@ object VectorFunctions {
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  def dot_product_long(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductLong(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** SQL registration so `spark.sql("SELECT cosine_sim(a, b) ...")` works. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "builtin")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "builtin")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product_long", exprs => DotProductLong(exprs.head, exprs(1)),
+      "builtin")
   }
 }

@@ -116,6 +116,158 @@ object Clustering {
       .orderBy($"cid")
   }
 
+  /** q100 — SemDeDup (Abbas et al., arXiv:2303.09540) composed end-to-end
+    * from in-engine parts: q98's hashed embeddings → q86-style quantized
+    * k-means (assign → integer-mean update → reassign) → WITHIN-CLUSTER
+    * cosine near-dup pruning with q40's dot kernel. A doc is pruned when
+    * a smaller-id doc in the SAME final cluster has quantized cosine
+    * ≥ 0.9 (vectors are L2-normalized ×10⁶, so cosine is the exact
+    * integer dot against a 9·10¹¹ threshold — no float drift anywhere:
+    * components ≤10⁶ in magnitude, dot ≤ 64·10¹² ≪ 2⁶³).
+    *
+    * Scale shape — the whole point of SemDeDup: pair generation is an
+    * EQUI-join on the cluster id (plus doc_id< as a post-filter), never a
+    * global cross product (PlanQualitySpec pins no
+    * CartesianProduct/NestedLoop in the plan). At fixture scale k=8 cuts
+    * the pair space 5.6× (22,456 vs 124,750); production sets k ∝ corpus
+    * size so clusters stay bounded and the join stays shuffle-local.
+    * Cross-cluster near-dups are deliberately NOT found — the paper's
+    * documented approximation (here 53 of 111 global ≥0.9 pairs fall
+    * within-cluster). Driver state is bounded by construction: the k·64
+    * seed components and k·64 centroid sums (k=8).
+    *
+    * Centroid means are TRUNCATED integer division (sum div count):
+    * Scala `Long./`, Spark `div`, and DuckDB `//` all truncate toward
+    * zero, so the iteration-2 centroids are bit-identical across all
+    * three engines — and distances stay pure int64 (diff ≤2·10⁶,
+    * squared ×64 ≈ 2.6·10¹⁴), avoiding q86's float-division step
+    * entirely. */
+  def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Tau = 900000000000L // 0.9 × (10⁶)² — quantized-cosine threshold
+    val qc = Embedding.hashedComponents(s, dir)
+      .select($"doc_id", $"bucket", $"qv")
+    val vecs0 = qc.groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"bucket", $"qv"))),
+        p => p.getField("qv")).as("q"))
+
+    def argmin(dists: Seq[(Int, Column)]): Column =
+      array_min(array(dists.map { case (cid, d) =>
+        struct(d.as("d"), lit(cid).as("cid")) }: _*)).getField("cid")
+    def sqDist(c: Seq[Long]): Column =
+      aggregate(
+        zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+
+    // seeds: the K smallest doc_ids' vectors (deterministic init; K·64
+    // longs of driver-held model state — the q86 pattern)
+    val c0: Seq[(Int, Seq[Long])] = vecs0.filter($"doc_id" < K).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    val assign1 = vecs0.withColumn("cid1",
+      argmin(c0.map { case (cid, c) => cid -> sqDist(c) }))
+
+    // Lloyd update: k×64 integer partial sums after map-side combine —
+    // the only corpus-sized reduction; mean = truncated integer division
+    val c1: Seq[(Int, Seq[Long])] = qc
+      .join(assign1.select($"doc_id", $"cid1"), Seq("doc_id"))
+      .groupBy($"cid1", $"bucket")
+      .agg(sum($"qv").as("sv"), count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getAs[Int]("cid1")).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getAs[Int]("bucket"))
+          .map(r => r.getAs[Long]("sv") / r.getAs[Long]("cnt")).toSeq)
+      }.sortBy(_._1)
+    // materialize once: the self-join below would otherwise recompute the
+    // whole embed→assign chain on BOTH pair sides plus the output side
+    // (3× — visible in the pre-checkpoint plan); at 100 TB this is the
+    // "persist the vectors before pairing" step every SemDeDup run does.
+    // localCheckpoint (distributed, per-executor blocks — not driver
+    // state) also cuts the argmin-literal lineage. LAZY so that
+    // plan-only inspection (PlanAudit sweep) stays free of corpus-sized
+    // construction-time jobs; the first real action materializes it once.
+    val vecs = assign1.withColumn("cid",
+        argmin(c1.map { case (cid, cv) => cid -> sqDist(cv) }))
+      .select($"doc_id", $"cid", $"q")
+      .localCheckpoint(eager = false)
+
+    // within-cluster pairs ONLY: equi-join on cid, doc_id< as the
+    // dedup-direction filter; exact integer dot = quantized cosine
+    val b = vecs.select($"doc_id".as("doc_b"), $"cid".as("cid_b"),
+      $"q".as("qb"))
+    // codegen'd exact-integer dot (DotProductLong) — the interpreted
+    // aggregate(zip_with(...)) pair would keep the O(pairs×64) hot loop
+    // out of whole-stage codegen
+    val dups = vecs.join(b, $"cid" === $"cid_b" && $"doc_id" < $"doc_b")
+      .select($"doc_b",
+        graft.functions.VectorFunctions.dot_product_long($"q", $"qb")
+          .as("dot"))
+      .filter($"dot" >= Tau)
+      .groupBy($"doc_b").agg(count(lit(1)).as("n"))
+    vecs.join(dups, $"doc_id" === $"doc_b", "left")
+      .select($"doc_id", $"cid",
+        coalesce($"n", lit(0L)).as("n_dups"),
+        when($"n".isNull, 1).otherwise(0).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val q100Oracle: String =
+    """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |              FROM documents),
+      |w AS (SELECT doc_id,
+      |        CAST('0x' || substr(h, 1, 2) AS INT) % 64 AS bucket,
+      |        CAST(sum(CASE WHEN substr(h, 3, 1)
+      |                        IN ('8','9','a','b','c','d','e','f')
+      |                      THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |      FROM toks GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |grid AS (SELECT d.doc_id, g.bucket
+      |         FROM documents d,
+      |              LATERAL (SELECT unnest(generate_series(0, 63))
+      |                       AS bucket) g),
+      |qc AS (SELECT grid.doc_id, grid.bucket,
+      |        CASE WHEN nrm.nrm = 0 THEN 0
+      |             ELSE CAST(round(COALESCE(w.w, 0) * 1000000.0 / nrm.nrm, 0)
+      |                       AS BIGINT) END AS qv
+      |      FROM grid
+      |      LEFT JOIN w ON grid.doc_id = w.doc_id AND grid.bucket = w.bucket
+      |      JOIN nrm ON grid.doc_id = nrm.doc_id),
+      |c0 AS (SELECT CAST(doc_id AS INT) AS cid, bucket, qv AS cv
+      |       FROM qc WHERE doc_id < 8),
+      |d1 AS (SELECT qc.doc_id, c0.cid,
+      |         sum((qc.qv - c0.cv) * (qc.qv - c0.cv)) AS d
+      |       FROM qc JOIN c0 USING (bucket) GROUP BY 1, 2),
+      |a1 AS (SELECT doc_id, cid AS cid1 FROM (
+      |         SELECT doc_id, cid,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid1 AS cid, qc.bucket,
+      |         CAST(sum(qc.qv) // count(*) AS BIGINT) AS cv
+      |       FROM qc JOIN a1 USING (doc_id) GROUP BY 1, 2),
+      |d2 AS (SELECT qc.doc_id, c1.cid,
+      |         sum((qc.qv - c1.cv) * (qc.qv - c1.cv)) AS d
+      |       FROM qc JOIN c1 USING (bucket) GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, cid AS cid2 FROM (
+      |         SELECT doc_id, cid,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |vecs AS (SELECT qc.doc_id, a2.cid2 AS cid,
+      |           list(qc.qv ORDER BY qc.bucket) AS q
+      |         FROM qc JOIN a2 USING (doc_id) GROUP BY 1, 2),
+      |pairs AS (SELECT b.doc_id AS doc_b,
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> a.q[i] * b.q[i])) AS dot
+      |          FROM vecs a JOIN vecs b
+      |            ON a.cid = b.cid AND a.doc_id < b.doc_id),
+      |dups AS (SELECT doc_b AS doc_id, count(*) AS n FROM pairs
+      |         WHERE dot >= 900000000000 GROUP BY 1)
+      |SELECT v.doc_id, v.cid,
+      |       CAST(coalesce(d.n, 0) AS BIGINT) AS n_dups,
+      |       CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM vecs v LEFT JOIN dups d ON v.doc_id = d.doc_id
+      |ORDER BY v.doc_id""".stripMargin
+
   val q86Oracle: String =
     """WITH qv AS (SELECT vec_id,
       |              list_transform(embedding,
@@ -158,8 +310,10 @@ object Clustering {
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q86_kmeans_quantized" -> q86KmeansQuantized _)
+    "q86_kmeans_quantized" -> q86KmeansQuantized _,
+    "q100_semdedup" -> q100SemDedup _)
 
   val oracle: Map[String, String] = Map(
-    "q86_kmeans_quantized" -> q86Oracle)
+    "q86_kmeans_quantized" -> q86Oracle,
+    "q100_semdedup" -> q100Oracle)
 }

@@ -32,12 +32,13 @@ object Embedding {
 
   private val Dim = 64
 
-  /** q98 — 64-dim signed-hash embeddings for every document:
-    * bucket = first byte of md5(token) mod 64, sign = third hex digit's
-    * high bit, component = Σ sign over token occurrences, L2-normalized
-    * and quantized ×10⁶. Also reports token count and the pre-norm
-    * vector magnitude as plain columns. */
-  def q98HashEmbed(s: SparkSession, dir: String): DataFrame = {
+  /** The per-component hashed-embedding table: one row per
+    * (doc_id, bucket ∈ [0,64)) with the L2-normalized ×10⁶-quantized
+    * integer component `qv` (and the pre-norm magnitude `nrm`). q98
+    * assembles it into per-doc vectors; q100 (SemDeDup) clusters and
+    * pair-joins on it — same computation, shared so the two stay
+    * bit-identical by construction. */
+  def hashedComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val toks = docs
@@ -63,6 +64,16 @@ object Embedding {
         when($"nrm" === 0.0, 0L)
           .otherwise(round(coalesce($"w", lit(0L)) * 1000000.0 / $"nrm", 0)
             .cast("long")).as("qv"))
+  }
+
+  /** q98 — 64-dim signed-hash embeddings for every document:
+    * bucket = first byte of md5(token) mod 64, sign = third hex digit's
+    * high bit, component = Σ sign over token occurrences, L2-normalized
+    * and quantized ×10⁶. Also reports token count and the pre-norm
+    * vector magnitude as plain columns. */
+  def q98HashEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hashedComponents(s, dir)
       .groupBy($"doc_id")
       .agg(
         round(max($"nrm"), 4).as("magnitude"),

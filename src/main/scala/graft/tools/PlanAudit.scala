@@ -9,7 +9,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   * operators (the "Moving all data to a single partition" hazard) and
   * report which queries own them and how many rows actually flow in —
   * the triage list separating bounded presentation windows from real
-  * scale bugs. */
+  * scale bugs.
+  *
+  * Blind spot (by design): queries with construction-time actions (q87's
+  * z-histogram, q86/q100's centroid collects, q83's eager bloom build)
+  * run those jobs while the DataFrame is being BUILT — they never appear
+  * in the returned plan, so this sweep cannot see them. All are bounded
+  * by construction and documented at the collect site. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -29,6 +29,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("dot_product_long: exact integer dot, codegen ≡ interpreted ≡ HOF") {
+    val r = spark.sql(
+      """SELECT dot_product_long(array(1000000L, -2L), array(3L, 4000000L)) AS d,
+        |       aggregate(zip_with(array(1000000L, -2L), array(3L, 4000000L),
+        |         (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS hof"""
+        .stripMargin).head()
+    assert(r.getLong(0) == 3000000L - 8000000L)
+    assert(r.getLong(0) == r.getLong(1))
+    // wrong element type is a clear analysis error, not a wrong answer
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_product_long(array(1.0d), array(2.0d))").collect())
+    assert(e.getMessage.contains("array<bigint>"))
+  }
+
   test("text_chunks generates lateral chunk rows from SQL") {
     val rows = spark.sql(
       "SELECT text_chunks('aaaa bbbb cccc dddd', 10, 4)").collect()

@@ -186,10 +186,28 @@ class PlanQualitySpec extends SparkSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q100 generates pairs per-cluster: keyed join, no cross product") {
+    // SemDeDup's entire value is that the near-dup pair space is bucketed
+    // by the k-means cluster id — the pair join must be an EQUI-join on
+    // cid (doc_id< is a post-filter). A CartesianProduct or
+    // BroadcastNestedLoopJoin here means the clustering stopped gating
+    // pair generation and the query degenerated to global all-pairs.
+    val p = plan("q100_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("NO query in the whole surface plans an unpartitioned window") {
     // q90's candidate ranks are single-partition by design but carry an
     // explicit constant partition key; anything landing here is a new
-    // global sort someone must justify
+    // global sort someone must justify.
+    // CAVEAT (ADVICE r8): queries with construction-TIME actions — q87's
+    // bounded z-histogram collect, q86/q100's k·64 centroid collects,
+    // q83's eager bloom build — run jobs BEFORE the returned DataFrame
+    // exists, so those pre-plan jobs are invisible to this sweep (and to
+    // PlanAudit's main). Each is bounded by construction and documented
+    // at its collect site; a new construction-time action must add
+    // itself to this list.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val bad = graft.tools.PlanAudit.unpartitionedWindows(
