@@ -459,6 +459,90 @@ object TextStats {
       |JOIN ca b ON cab.w2 = b.w, nb, nu
       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
 
+  /** q101 — the Gopher repetition-filter pair (Rae et al.,
+    * arXiv:2112.11446 §A1.1) complementing q71's slot-fraction and q84's
+    * span coverage with the paper's CHARACTER-MASS weighted signals:
+    * (a) fraction of doc characters contributed by occurrences of the
+    * single most frequent word bigram; (b) fraction of n-gram character
+    * mass lying in DUPLICATED n-grams (n=3 here — the paper's n=5..10
+    * is vacuous on the 10–99-token fixture docs, every 5-gram is
+    * unique; the statistic is the same). A doc passes when
+    * top_bigram_frac ≤ 0.20 (the paper's top-2-gram threshold) and
+    * dup_trigram_frac ≤ 0.10. Ties for the top bigram break
+    * lexicographically (min over (-count, gram) structs — the engine's
+    * deterministic-argmax idiom).
+    *
+    * Scale shape: two gram streams explode and re-group on
+    * (doc_id, gram) — hash-partitioned, map-side combinable, the same
+    * cost class as every other gram operator here; the per-doc rollups
+    * then group on doc_id alone. No windows, no driver state. */
+  def q101GopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("t"),
+        length($"text").as("nc"))
+    val bigrams = t.select($"doc_id", $"nc", explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"""
+          .stripMargin)).as("g"))
+      .groupBy($"doc_id", $"nc", $"g").agg(count(lit(1)).as("cnt"))
+    val top2 = bigrams.groupBy($"doc_id")
+      .agg(max($"nc").as("nc"),
+        min(struct((-$"cnt").as("neg"), $"g".as("g"))).as("m"))
+      .select($"doc_id",
+        $"m.g".as("top_bigram"),
+        round((-$"m.neg") * length($"m.g") / $"nc", 6)
+          .as("top_bigram_frac"))
+    val trigrams = t.select($"doc_id", explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2)))""".stripMargin)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    val dup3 = trigrams.groupBy($"doc_id")
+      .agg(round(
+        sum(when($"cnt" > 1, $"cnt" * length($"g")).otherwise(0L))
+          .cast("double") / sum($"cnt" * length($"g")), 6)
+        .as("dup_trigram_frac"))
+    top2.join(dup3, Seq("doc_id"))
+      .withColumn("pass",
+        when($"top_bigram_frac" <= 0.20 && $"dup_trigram_frac" <= 0.10, 1)
+          .otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  val q101Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |             length(text) AS nc FROM documents),
+      |bc AS (SELECT doc_id, g, count(*) AS cnt FROM (
+      |         SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, len(t) - 1),
+      |             i -> t[i] || ' ' || t[i+1])) AS g
+      |         FROM t) GROUP BY 1, 2),
+      |top2 AS (SELECT doc_id, g AS top_bigram, cnt FROM (
+      |           SELECT doc_id, g, cnt, row_number() OVER (
+      |             PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+      |           FROM bc) WHERE rn = 1),
+      |fc AS (SELECT doc_id, g, count(*) AS cnt FROM (
+      |         SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, len(t) - 2),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |         FROM t) GROUP BY 1, 2),
+      |d3 AS (SELECT doc_id,
+      |         round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(g)
+      |                             ELSE 0 END) AS DOUBLE)
+      |               / sum(cnt * length(g)), 6) AS dup_trigram_frac
+      |       FROM fc GROUP BY 1)
+      |SELECT t.doc_id, top2.top_bigram,
+      |       round(CAST(top2.cnt * length(top2.top_bigram) AS DOUBLE)
+      |             / t.nc, 6) AS top_bigram_frac,
+      |       d3.dup_trigram_frac,
+      |       CASE WHEN round(CAST(top2.cnt * length(top2.top_bigram)
+      |                            AS DOUBLE) / t.nc, 6) <= 0.20
+      |                 AND d3.dup_trigram_frac <= 0.10
+      |            THEN 1 ELSE 0 END AS pass
+      |FROM t JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pmi_collocations" -> q91PmiCollocations _,
     "q61_pack_shards" -> q61PackShards _,
