@@ -41,7 +41,8 @@ object Evolution {
     s"${System.getProperty("java.io.tmpdir")}/graft_q97_store_$tok"
   }
 
-  private def storeDir(dir: String): String = {
+  /** Exposed for EvolutionSpec, which asserts on-disk generation layout. */
+  private[graft] def storeDir(dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     s"$scratchRoot/$tag"
   }

@@ -25,17 +25,49 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * long and convert to a microsecond TimestampType. Queries never emit
-    * the raw ts (µs truncation would differ from a ns-native oracle);
-    * they emit time buckets or use ts only for ordering/windowing, where
-    * sub-µs differences can't matter (events are ≥1s apart per user). */
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** The events fixture has shipped with two on-disk shapes for `ts`:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 refuses by default —
+    * PARQUET_TYPE_ILLEGAL — so it is read as long via `nanosAsLong` and
+    * converted), and, since the round-10 regeneration, plain
+    * `timestamp[us]` (which Spark reads natively as TIMESTAMP_NTZ).
+    * Branch on the footer's actual type so either generation loads; all
+    * branches land on a microsecond TimestampType, the shape every
+    * downstream query was verified against. Queries never emit the raw
+    * ts (µs truncation would differ from a ns-native oracle); they emit
+    * time buckets or use ts only for ordering/windowing. The NTZ→TZ cast
+    * uses the session timezone — every verifying entry point pins UTC. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(rawEvents(spark, dir))
+
+  /** Raw footer-faithful read of the events fixture; falls back to the
+    * nanos-as-long legacy mode only when the plain read refuses the
+    * footer (TIMESTAMP(NANOS) fixtures). */
+  private[graft] def rawEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    try {
+      val df = spark.read.parquet(path)
+      df.schema // force analysis so an illegal footer type throws here
+      df
+    } catch {
+      case _: Throwable =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+  }
+
+  /** Normalize whatever `ts` type the fixture carries to TimestampType
+    * (µs). Shared by the batch loader and the streaming file-replay
+    * source so both stay in lockstep with fixture drift. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as nanos-since-epoch
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ (timestamp[us] footer): same micros value
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Parallelism for operators whose work is a large multiple of their

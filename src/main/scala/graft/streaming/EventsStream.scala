@@ -24,21 +24,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventsStream {
 
-  /** The events fixture schema as stored (ts = nanos since epoch; see
-    * Tables.loadEvents for why it arrives as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-replay streaming source over the events fixture: one parquet
-    * file treated as an arriving stream. `maxFilesPerTrigger` keeps the
-    * replay micro-batched like a real feed. */
+    * file treated as an arriving stream. The readStream schema is taken
+    * from a footer-only batch read (FileStreamSource needs a declared
+    * schema), so fixture drift in the ts type (nanos-as-long vs
+    * timestamp[us]) is absorbed by the same branch as the batch loader
+    * (`Tables.normalizeEventsTs`). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema: StructType = graft.sources.Tables.rawEvents(spark, dir).schema
     // FileStreamSource requires a directory; stage one holding a symlink
     // to the fixture file (the fixture tree is read-only).
     val staged = java.nio.file.Paths.get(
@@ -49,10 +42,10 @@ object EventsStream {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(staged.toString))
   }
 
   /** Tumbling-window aggregate with watermark — the maintained "search

@@ -28,13 +28,12 @@ class EvolutionSpec extends SparkSuite {
     Evolution.q97SchemaEvolution(spark, sfDir).count()
     // the gen=1 files on disk still have the NARROW v1 schema — the
     // "ALTER TABLE ADD COLUMN without rewriting history" property
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val v1Schema = spark.read.parquet(s"target/q97_store/$tag/gen=1")
+    val store = Evolution.storeDir(sfDir)
+    val v1Schema = spark.read.parquet(s"$store/gen=1")
       .schema.fieldNames.toSet
     assert(v1Schema == Set("c_custkey", "c_name", "c_nationkey"))
     // and the raw merged read (no backfill) sees them as NULL
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(s"target/q97_store/$tag")
+    val merged = spark.read.option("mergeSchema", "true").parquet(store)
     assert(merged.filter($"gen" === 1).filter($"c_acctbal".isNotNull).isEmpty)
   }
 }
