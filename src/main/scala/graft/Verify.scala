@@ -61,6 +61,9 @@ object Verify {
       }
       // release any cache() a query pinned (they are per-query scratch)
       spark.catalog.clearCache()
+      // …and any localCheckpoint blocks, which clearCache does NOT touch
+      // (the BENCH_r10 block-leak backstop; result is fully written out)
+      graft.tools.Checkpoints.sweep(spark)
     }
     spark.stop()
   }

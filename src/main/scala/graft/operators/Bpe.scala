@@ -69,6 +69,10 @@ object Bpe {
     wc.count() // materialize once; iterations reuse the cached vocab
 
     var vocab = wc
+    // release handle for the checkpointed frame currently backing `vocab`
+    // (no-op until the first checkpoint); superseded frames are freed as
+    // soon as their successor is materialized — see Checkpoints doc
+    var freeVocab: () => Unit = () => ()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -95,14 +99,19 @@ object Bpe {
           // backslashes in tokens cannot break parsing or semantics
           vocab = vocab.withColumn("seq",
             replace($"seq", lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r")))
-          if (step % CheckpointEvery == 0)
-            vocab = vocab.localCheckpoint()
+          if (step % CheckpointEvery == 0) {
+            val (ck, free) = graft.tools.Checkpoints.tracked(vocab)
+            freeVocab() // superseded once the new frame is materialized
+            vocab = ck
+            freeVocab = free
+          }
           merges += ((step, l, r, pc))
           step += 1
         case None => exhausted = true // no adjacent pairs left anywhere
       }
     }
     wc.unpersist()
+    freeVocab() // only the driver-side merge list leaves this function
     merges.result()
   }
 

@@ -407,11 +407,17 @@ object Dedup {
     * @return (doc_id, label) for every node appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    import graft.tools.Checkpoints
+    val (edges, freeEdges) = Checkpoints.tracked(
+      pairs.select(col("doc_a"), col("doc_b"))
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // `freeLabels` always releases the checkpointed frame backing the
+    // CURRENT `labels`; it is called only once the next round's frame is
+    // materialized, so peak residency is O(1) frames instead of O(iters)
+    // (the BENCH_r10 block-leak fix — see Checkpoints doc)
+    var (labels, freeLabels) = Checkpoints.tracked(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -421,27 +427,33 @@ object Dedup {
         .agg(min(col("label")).as("nmin"))
       // one checkpointed frame serves BOTH the convergence probe and the
       // next labels — no second labels-join, no recompute over lineage
-      val joined = labels
+      val (joined, freeJoined) = Checkpoints.tracked(labels
         .join(neighborMin, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"), col("label"),
-          coalesce(col("nmin"), col("label")).as("nm"))
-        .localCheckpoint()
+          coalesce(col("nmin"), col("label")).as("nm")))
       converged = joined.filter(col("nm") < col("label")).isEmpty
+      freeLabels() // superseded: `joined` is materialized and independent
       labels = joined.select(col("doc_id"),
         least(col("label"), col("nm")).as("label"))
+      freeLabels = freeJoined
       if (!converged && iter >= 2) {
         // pointer jump for deep components: follow label -> labels[label]
-        labels = labels.as("l")
+        val (jumped, freeJumped) = Checkpoints.tracked(labels.as("l")
           .join(labels.select(col("doc_id").as("j_id"),
             col("label").as("j_label")).as("m"),
             col("l.label") === col("m.j_id"), "left")
           .select(col("l.doc_id"),
             least(col("l.label"), coalesce(col("j_label"), col("l.label")))
-              .as("label"))
-          .localCheckpoint()
+              .as("label")))
+        freeLabels() // frees `joined`, which only backed the jump input
+        labels = jumped
+        freeLabels = freeJumped
       }
       iter += 1
     }
+    // the final labels derive solely from the last checkpointed frame;
+    // the edge table is no longer reachable from the returned plan
+    freeEdges()
     // never return silently-split components: fail loudly past the cap
     // (with jumping, the cap corresponds to components of diameter ~2^47)
     if (!converged) throw new IllegalStateException(

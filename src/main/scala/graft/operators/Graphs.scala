@@ -160,16 +160,19 @@ object Graphs {
         .groupBy($"dst").agg(sum($"c").as("cs"))
         .select($"dst".as("node"),
           (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
-    var ranks = nodes.select($"node", lit(Scale).as("r")).localCheckpoint()
+    var (ranks, freeRanks) = graft.tools.Checkpoints.tracked(
+      nodes.select($"node", lit(Scale).as("r")))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val next = step(ranks).localCheckpoint()
+      val (next, freeNext) = graft.tools.Checkpoints.tracked(step(ranks))
       // exact-integer convergence probe on two |nodes|-sized
       // checkpointed frames — one cheap job per iteration
       converged = next.as("n").join(ranks.as("p"), Seq("node"))
         .filter($"n.r" =!= $"p.r").isEmpty
+      freeRanks() // superseded: `next` is materialized and the probe ran
       ranks = next
+      freeRanks = freeNext
       it += 1
     }
     deg.unpersist()

@@ -62,25 +62,31 @@ object SearchIndexStream {
     val spark = batch.sparkSession
     val (tok, doc) = readState(spark, stateDir)
     // checkpointed so the commits below can't lazily re-read a deleted
-    // state version, and so the anti-join snapshot is pinned
-    val fresh = batch.dropDuplicates("doc_id")
-      .join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    if (fresh.isEmpty) { // duplicate-only batch: state already covers it
+    // state version, and so the anti-join snapshot is pinned; released
+    // before returning — a long-lived stream would otherwise pin one
+    // dead frame per micro-batch (the BENCH_r10 leak class)
+    val (fresh, freeFresh) = graft.tools.Checkpoints.tracked(
+      batch.dropDuplicates("doc_id")
+        .join(doc.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    try {
+      if (fresh.isEmpty) { // duplicate-only batch: state already covers it
+        state.mark(batchId)
+        return
+      }
+      val toks = fresh.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val dTok = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val dDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val newTok = tok.unionByName(dTok)
+        .groupBy("token").agg(sum("df").as("df"))
+      val newDoc = doc.unionByName(dDoc)
+        .groupBy("doc_id").agg(sum("dl").as("dl"))
+      // commit WRITES both tables (an action), so nothing lazy outlives
+      // the checkpoint once it returns
+      state.commit(Seq("token_stats" -> newTok, "doc_stats" -> newDoc), batchId)
       state.mark(batchId)
-      return
-    }
-    val toks = fresh.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-    val dTok = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val dDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val newTok = tok.unionByName(dTok)
-      .groupBy("token").agg(sum("df").as("df"))
-    val newDoc = doc.unionByName(dDoc)
-      .groupBy("doc_id").agg(sum("dl").as("dl"))
-    state.commit(Seq("token_stats" -> newTok, "doc_stats" -> newDoc), batchId)
-    state.mark(batchId)
+    } finally freeFresh()
   }
 
   /** Run the maintenance query over a document stream (micro-batched via

@@ -37,6 +37,7 @@ object PlanAudit {
           println(s"[planaudit] $name ERROR ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      Checkpoints.sweep(spark) // construction-time localCheckpoints
     }
     println("[planaudit] done")
     spark.stop()

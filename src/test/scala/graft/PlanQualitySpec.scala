@@ -213,6 +213,7 @@ class PlanQualitySpec extends SparkSuite {
       val bad = graft.tools.PlanAudit.unpartitionedWindows(
         df.queryExecution.executedPlan)
       spark.catalog.clearCache()
+      graft.tools.Checkpoints.sweep(spark) // construction-time checkpoints
       if (bad.isEmpty) Nil else Seq(s"$name: ${bad.size}")
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
