@@ -31,6 +31,11 @@ object Bench {
     val softDeadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOFT_SEC", "600").toDouble
     val hardDeadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_SEC", "900").toDouble
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // queries that THREW (name -> first error): excluded from `queries`
+    // and `total` — BENCH_r10 recorded the 13 broken events queries as
+    // 0.05-0.28s "timings" (their analysis-crash time), polluting the
+    // total and masking the breakage from every later regression audit
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // every raw sample per query (warmup first) — regressions are only
     // attributable when the sample count that produced a number is on
     // record (r7 flagged five "regressions" that were all one-bad-sample
@@ -51,17 +56,29 @@ object Bench {
       // samples behind the reported number (warmup excluded) — any name
       // here means its figure is a single cold/warm read, not a min
       val deg = samples.collect {
-        case (k, ss) if ss.size < 3 => "\"" + shortKey(k) + "\""
+        case (k, ss) if ss.size < 3 && !failed.contains(k) =>
+          "\"" + shortKey(k) + "\""
       }.mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"sf":"$sfDir"}""")
+      val fl = failed.keys.map(k => "\"" + shortKey(k) + "\"")
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"failed":$fl,"sf":"$sfDir"}""")
       Console.out.flush()
       // full raw-sample dump (small, one line per query) — the audit
       // trail the one-line headline can't carry; the round-end snapshot
       // commit picks it up
       try {
+        def jstr(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
         val detail = samples.map { case (k, ss) =>
           s"\"$k\":[" + ss.map(fmt).mkString(",") + "]"
-        }.mkString("{\"samples_warmup_first\":{", ",", s"},\"sf\":\"$sfDir\"}")
+        }.mkString("{\"samples_warmup_first\":{", ",", "}") +
+          failed.map { case (k, e) => s"\"$k\":${jstr(e)}" }
+            .mkString(",\"failed\":{", ",", "}") +
+          s",\"sf\":\"$sfDir\"}"
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_detail.json"), detail)
       } catch { case _: Throwable => () }
@@ -74,35 +91,49 @@ object Bench {
       // warm-up run amortizes codegen/JIT compilation; then take the best
       // of two steady-state executions (min discards scheduler/GC noise,
       // which is +/-30% on a busy box). Caches cleared between runs so
-      // only code warmth carries, never data.
-      def once(): Double = {
+      // only code warmth carries, never data. A throwing query goes to
+      // `failed` (first error kept) and takes no further samples — its
+      // crash time must never masquerade as a timing.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         // conf snapshot/restore: a query's session-conf tuning must not
         // leak into later samples or later queries (ConfGuard doc)
-        try graft.tools.ConfGuard.withConfSnapshot(spark) {
-          fn(spark, sfDir).count()
-        } catch { case _: Throwable => -1L }
+        val ok = try {
+          graft.tools.ConfGuard.withConfSnapshot(spark) {
+            fn(spark, sfDir).count()
+          }
+          true
+        } catch { case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        samples(name) = samples.getOrElse(name, Nil) :+ dt
-        dt
+        // localCheckpoint blocks survive clearCache (Checkpoints doc) —
+        // without this sweep they compound across the suite and produced
+        // the BENCH_r10 rising-sample regressions (q01 1.9→18.5s)
+        graft.tools.Checkpoints.sweep(spark)
+        if (ok) {
+          samples(name) = samples.getOrElse(name, Nil) :+ dt
+          Some(dt)
+        } else None
       }
-      val best =
+      val best: Option[Double] =
         if (elapsed() > hardDeadline) once()
-        else if (elapsed() > softDeadline) { once(); once() }
-        else {
-          once() // warm-up
+        else if (elapsed() > softDeadline) once().flatMap(_ => once())
+        else once().flatMap { _ => // warm-up succeeded
           // min-of-2, plus ONE extra sample when the two disagree by >25%:
           // a transient box-contention window (r4 recorded 4.4s for a query
           // that measures 0.74s in isolation) can hit BOTH samples of a
           // plain min-of-2; a disagreement that large means at least one
           // sample is noise, so buy a third. Agreeing samples stay at 2 —
           // the common case costs nothing extra.
-          val a = once(); val b = once()
-          if (math.abs(a - b) <= 0.25 * math.min(a, b)) math.min(a, b)
-          else math.min(math.min(a, b), once())
+          for (a <- once(); b <- once()) yield
+            if (math.abs(a - b) <= 0.25 * math.min(a, b)) math.min(a, b)
+            else math.min(math.min(a, b), once().getOrElse(Double.MaxValue))
         }
-      results(name) = best
+      if (!failed.contains(name)) best.foreach(results(name) = _)
     }
     // 3-decimal (1 ms) precision and qNN-prefix short keys keep the
     // one-line JSON short enough to survive the driver's ~2000-char tail

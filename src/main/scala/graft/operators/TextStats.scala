@@ -554,7 +554,8 @@ object TextStats {
     "q59_hash_split" -> q59HashSplit _,
     "q69_stratified_sample" -> q69StratifiedSample _,
     "q71_repetition" -> q71Repetition _,
-    "q72_unigram_perplexity" -> q72UnigramPerplexity _)
+    "q72_unigram_perplexity" -> q72UnigramPerplexity _,
+    "q101_gopher_repetition" -> q101GopherRepetition _)
 
   val oracle: Map[String, String] = Map(
     "q91_pmi_collocations" -> q91Oracle,
@@ -567,5 +568,6 @@ object TextStats {
     "q59_hash_split" -> q59Oracle,
     "q69_stratified_sample" -> q69Oracle,
     "q71_repetition" -> q71Oracle,
-    "q72_unigram_perplexity" -> q72Oracle)
+    "q72_unigram_perplexity" -> q72Oracle,
+    "q101_gopher_repetition" -> q101Oracle)
 }
