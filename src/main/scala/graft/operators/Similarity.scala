@@ -441,18 +441,25 @@ object Similarity {
     // A seed cluster can go empty only if two seeds share a subvector
     // (tie-broken to the lower cid) — missing (sub, cid) cells simply
     // drop out of the codebook, both here and in the oracle's join.
-    val trained: Map[Int, Seq[(Int, Seq[Long])]] = (0 until M).map { sp =>
-      sp -> assign1
-        .select(col(s"a$sp").as("cid"),
-          posexplode(sub($"q", sp)).as(Seq("dim", "v")))
-        .groupBy($"cid", $"dim")
-        .agg(floor(sum($"v") / count(lit(1))).cast("long").as("cv"))
-        .collect()
-        .groupBy(_.getAs[Int]("cid")).toSeq
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("cv")).toSeq) }
-        .sortBy(_._1)
-    }.toMap
+    // All M subspaces train in ONE job (explode each row into its 4
+    // (subspace, cid, subvector) slices, then one M·K·SubDim-group
+    // aggregate) — the per-subspace form ran 4 separate corpus scans.
+    val trained: Map[Int, Seq[(Int, Seq[Long])]] = assign1
+      .select(explode(array((0 until M).map(sp =>
+        struct(lit(sp).as("sp"), col(s"a$sp").as("cid"),
+          sub($"q", sp).as("sv"))): _*)).as("e"))
+      .select($"e.sp".as("sp"), $"e.cid".as("cid"),
+        posexplode($"e.sv").as(Seq("dim", "v")))
+      .groupBy($"sp", $"cid", $"dim")
+      .agg(floor(sum($"v") / count(lit(1))).cast("long").as("cv"))
+      .collect()
+      .groupBy(_.getAs[Int]("sp")).map { case (sp, spRows) =>
+        sp -> spRows.groupBy(_.getAs[Int]("cid")).toSeq
+          .map { case (cid, rows) =>
+            (cid,
+              rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("cv")).toSeq) }
+          .sortBy(_._1)
+      }
     val codes = (0 until M).foldLeft(qv) { (df, sp) =>
       df.withColumn(s"c$sp", argmin(trained(sp).map { case (cid, c) =>
         cid -> sqDistLit(sub($"q", sp), c) }))
