@@ -653,6 +653,71 @@ object Curation {
       |GROUP BY q.source, q.n_docs, q.quota
       |ORDER BY q.source""".stripMargin
 
+  // --------------------------------------------------------------- q102
+
+  /** q102 — deterministic corpus shuffle + shard manifest: the "shuffle
+    * the corpus before training" step every epoch pipeline runs. Each
+    * doc's position in the training order is the rank of
+    * `md5(doc_id ‖ ':' ‖ seed)` (a fixed pseudorandom permutation —
+    * reproducible across runs AND engines), docs are cut into 8
+    * contiguous equal-width shards of that order, and the manifest
+    * reports per-shard doc/token totals plus the first/last doc — what a
+    * trainer's data loader consumes.
+    *
+    * Scale shape — global order WITHOUT a global window (the q87
+    * pattern): the hash's first byte buckets rows 256 ways; rank within
+    * a bucket is a PARTITIONED window, and each bucket's starting offset
+    * is a prefix sum over the 256-row bucket histogram (bounded driver
+    * model state, broadcast back). Lowercase fixed-width hex compares
+    * identically as a string and as an int, so bucket-number order IS
+    * hash order. At 100 TB the same decomposition is how a corpus
+    * shuffle actually ships: `repartitionByRange` on the hash (range
+    * exchange ≈ the bucket split) + `sortWithinPartitions` + one
+    * manifest row per output shard. */
+  def q102CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Shards = 8
+    val h = docs(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"),
+        md5(concat($"doc_id".cast("string"), lit(":42"))).as("h"))
+      .withColumn("b", conv(substring($"h", 1, 2), 16, 10).cast("int"))
+    val wb = Window.partitionBy($"b").orderBy($"h", $"doc_id")
+    val ranked = h.withColumn("rb", row_number().over(wb))
+    // 256-row histogram → driver prefix sum → (bucket, cum-before)
+    val hist = h.groupBy($"b").agg(count(lit(1)).as("c"))
+      .orderBy($"b").collect()
+    val n = math.max(1L, hist.iterator.map(_.getLong(1)).sum)
+    var running = 0L
+    val offsets = hist.toSeq.map { r =>
+      val o = (r.getInt(0), running); running += r.getLong(1); o
+    }.toDF("b", "cum")
+    ranked.join(broadcast(offsets), Seq("b"))
+      .withColumn("pos", $"cum" + $"rb")
+      .withColumn("shard_id",
+        expr(s"cast((pos - 1) * $Shards div $n as int)"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+        min_by($"doc_id", $"pos").as("first_doc"),
+        max_by($"doc_id", $"pos").as("last_doc"))
+      .orderBy($"shard_id")
+  }
+
+  val q102Oracle: String =
+    """WITH h AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |             md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+      |           FROM documents),
+      |p AS (SELECT doc_id, ntok,
+      |        row_number() OVER (ORDER BY h, doc_id) AS pos,
+      |        count(*) OVER () AS n
+      |      FROM h)
+      |SELECT CAST(((pos - 1) * 8) // n AS INT) AS shard_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |       arg_min(doc_id, pos) AS first_doc,
+      |       arg_max(doc_id, pos) AS last_doc
+      |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -665,7 +730,8 @@ object Curation {
     "q81_ngram_contamination" -> q81NgramContamination _,
     "q82_mixture_weights" -> q82MixtureWeights _,
     "q83_bloom_contamination" -> q83BloomContamination _,
-    "q92_mixture_draw" -> q92MixtureDraw _)
+    "q92_mixture_draw" -> q92MixtureDraw _,
+    "q102_corpus_shuffle" -> q102CorpusShuffle _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -676,5 +742,6 @@ object Curation {
     "q78_lang_kl_divergence" -> q78Oracle,
     "q81_ngram_contamination" -> q81Oracle,
     "q82_mixture_weights" -> q82Oracle,
-    "q92_mixture_draw" -> q92Oracle)
+    "q92_mixture_draw" -> q92Oracle,
+    "q102_corpus_shuffle" -> q102Oracle)
 }
