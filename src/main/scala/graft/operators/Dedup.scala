@@ -562,6 +562,50 @@ object Dedup {
       |FROM labels
       |ORDER BY doc_id""".stripMargin
 
+  /** q103 — cluster representative selection: what a dedup pipeline
+    * actually EMITS. q63's keep-one policy is "minimum id"; production
+    * pipelines keep the best-quality member (longest text is the
+    * standard heuristic — e.g. RefinedWeb keeps the longest of a dup
+    * pair). One row per multi-member near-dup cluster: the
+    * representative (max n_chars, ties to the smaller doc_id via a
+    * struct-ordered max_by — deterministic), member count, and the
+    * character mass dropped by keeping only the representative.
+    *
+    * Scale shape: the CC labels (O(|docs with an edge|)) join the
+    * documents dimension on doc_id and reduce per cluster — one
+    * hash-partitioned aggregate, no windows over the corpus. The oracle
+    * replays CC with the shared recursive CTE; its labels cover ALL docs
+    * (reach seeds from `documents`), so it filters to n_members ≥ 2 —
+    * exactly the clusters the edge-seeded Spark labels contain. */
+  def q103ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels =
+      connectedComponents(jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
+    labels.join(docs(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by($"doc_id", struct($"n_chars", -$"doc_id")).as("rep_doc"),
+        max($"n_chars").as("rep_chars"),
+        sum($"n_chars").as("total_chars"))
+      .select($"cluster_id", $"n_members", $"rep_doc", $"rep_chars",
+        ($"total_chars" - $"rep_chars").as("chars_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  val q103Oracle: String =
+    s"""WITH RECURSIVE $clusterSqlCtes,
+      |m AS (SELECT l.cluster_id, d.doc_id, d.n_chars,
+      |        row_number() OVER (PARTITION BY l.cluster_id
+      |          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+      |        count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+      |        sum(d.n_chars) OVER (PARTITION BY l.cluster_id) AS total_chars
+      |      FROM labels l JOIN documents d USING (doc_id))
+      |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+      |       doc_id AS rep_doc, n_chars AS rep_chars,
+      |       CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+      |FROM m WHERE rn = 1 AND n_members >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   /** q70 — train/eval NEAR-DUP contamination: an eval doc sharing an LSH
     * band bucket with any train doc is a contamination candidate — the
     * leak that poisons benchmarks, caught BEFORE the eval set ships.
@@ -631,7 +675,8 @@ object Dedup {
     "q26_dedup_exact" -> q26DedupExact _,
     "q27_dedup_ngram_jaccard" -> q27NgramJaccard _,
     "q28_dedup_minhash_lsh" -> q28MinHashLsh _,
-    "q29_dedup_simhash" -> q29SimHash _)
+    "q29_dedup_simhash" -> q29SimHash _,
+    "q103_cluster_rep" -> q103ClusterRep _)
 
   val oracle: Map[String, String] = Map(
     "q70_contamination" -> q70Oracle,
@@ -641,5 +686,6 @@ object Dedup {
     "q26_dedup_exact" -> q26Oracle,
     "q27_dedup_ngram_jaccard" -> q27Oracle,
     "q28_dedup_minhash_lsh" -> q28Oracle,
-    "q29_dedup_simhash" -> q29Oracle)
+    "q29_dedup_simhash" -> q29Oracle,
+    "q103_cluster_rep" -> q103Oracle)
 }

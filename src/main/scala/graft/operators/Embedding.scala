@@ -111,9 +111,73 @@ object Embedding {
 
   // ------------------------------------------------------------- wiring
 
+  /** q105 — embedding drift monitor: per-label cosine between the mean
+    * embedding of two corpus halves (even vs odd vec_id — standing in
+    * for "last week's snapshot vs this week's"). The data-quality check
+    * a production embedding pipeline runs continuously: a label whose
+    * halves' centroids diverge signals upstream drift (encoder change,
+    * source shift) before it poisons retrieval.
+    *
+    * Cross-engine exactness (the q86/q100 discipline): components
+    * quantize to floor(e·1000) BEFORE any aggregation, centroid means
+    * are truncated integer division (Spark `div` ≡ DuckDB `//`), so the
+    * cosine inputs are bit-identical int64 on both engines; the single
+    * double division + sqrt at the end is IEEE-correctly-rounded, then
+    * round(6). Scale shape: one (label × 64)-group integer aggregate
+    * over the exploded components (map-side combinable), then a
+    * label-sized rollup — no corpus-sized shuffle beyond the first
+    * reduce, no windows, no driver state. */
+  def q105EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"label", ($"vec_id" % 2 === 0).as("even"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+    val m = e.groupBy($"label", $"dim")
+      .agg(
+        expr("sum(CASE WHEN even THEN q ELSE 0L END)").as("se"),
+        expr("sum(CASE WHEN even THEN 1L ELSE 0L END)").as("ce"),
+        expr("sum(CASE WHEN even THEN 0L ELSE q END)").as("so"),
+        expr("sum(CASE WHEN even THEN 0L ELSE 1L END)").as("co"))
+      .select($"label",
+        expr("se div ce").as("me"), expr("so div co").as("mo"))
+    m.groupBy($"label")
+      .agg(sum($"me" * $"mo").as("dot"),
+        sum($"me" * $"me").as("ne"), sum($"mo" * $"mo").as("no"))
+      .select($"label",
+        round($"dot" / (sqrt($"ne".cast("double")) * sqrt($"no".cast("double"))), 6)
+          .as("drift_cos"))
+      .orderBy($"label")
+  }
+
+  val q105Oracle: String =
+    """WITH c AS (SELECT label, vec_id % 2 = 0 AS even,
+      |             CAST(floor(e.x * 1000.0) AS BIGINT) AS q,
+      |             e.dim
+      |           FROM embeddings,
+      |             LATERAL (SELECT unnest(embedding) AS x,
+      |                        generate_subscripts(embedding, 1) AS dim) e),
+      |m AS (SELECT label,
+      |        sum(CASE WHEN even THEN q ELSE 0 END)
+      |          // sum(CASE WHEN even THEN 1 ELSE 0 END) AS me,
+      |        sum(CASE WHEN even THEN 0 ELSE q END)
+      |          // sum(CASE WHEN even THEN 0 ELSE 1 END) AS mo
+      |      FROM c GROUP BY label, dim),
+      |r AS (SELECT label, sum(me * mo) AS dot,
+      |        sum(me * me) AS ne, sum(mo * mo) AS no
+      |      FROM m GROUP BY label)
+      |SELECT label,
+      |       round(CAST(dot AS DOUBLE)
+      |             / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE))), 6)
+      |         AS drift_cos
+      |FROM r ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q98_hash_embed" -> q98HashEmbed _)
+    "q98_hash_embed" -> q98HashEmbed _,
+    "q105_embedding_drift" -> q105EmbeddingDrift _)
 
   val oracle: Map[String, String] = Map(
-    "q98_hash_embed" -> q98Oracle)
+    "q98_hash_embed" -> q98Oracle,
+    "q105_embedding_drift" -> q105Oracle)
 }

@@ -543,6 +543,46 @@ object TextStats {
       |FROM t JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q104 — length-bucketed batching efficiency: bucket docs by token
+    * count (width 16), and report per bucket the padding waste a trainer
+    * pays when every sequence in a batch pads to the bucket's longest
+    * member — the number q61's greedy packing exists to drive down, here
+    * measured instead of assumed (the "why length-bucket your
+    * dataloader" table). waste_frac = 1 − sum(len)/(n·max_len), exact
+    * integer inputs so only the final division is floating point.
+    *
+    * Scale shape: one projection + one hash aggregate on a ≤few-hundred
+    * key space (token counts are bounded by sequence length); map-side
+    * combine collapses the corpus before the shuffle. */
+  def q104LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(size(split($"text", " ")).cast("long").as("ntok"))
+      .withColumn("bucket_lo", expr("(ntok div 16) * 16"))
+      .groupBy($"bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+        max($"ntok").as("max_len"))
+      .select($"bucket_lo", $"n_docs", $"n_tokens", $"max_len",
+        ($"n_docs" * $"max_len" - $"n_tokens").as("pad_tokens"),
+        round(lit(1.0) - $"n_tokens" /
+          ($"n_docs" * $"max_len").cast("double"), 6).as("waste_frac"))
+      .orderBy($"bucket_lo")
+  }
+
+  val q104Oracle: String =
+    """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+      |             AS ntok FROM documents),
+      |b AS (SELECT (ntok // 16) * 16 AS bucket_lo,
+      |        CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |        max(ntok) AS max_len
+      |      FROM t GROUP BY 1)
+      |SELECT bucket_lo, n_docs, n_tokens, max_len,
+      |       CAST(n_docs * max_len - n_tokens AS BIGINT) AS pad_tokens,
+      |       round(1.0 - CAST(n_tokens AS DOUBLE)
+      |             / CAST(n_docs * max_len AS DOUBLE), 6) AS waste_frac
+      |FROM b ORDER BY bucket_lo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pmi_collocations" -> q91PmiCollocations _,
     "q61_pack_shards" -> q61PackShards _,
@@ -555,7 +595,8 @@ object TextStats {
     "q69_stratified_sample" -> q69StratifiedSample _,
     "q71_repetition" -> q71Repetition _,
     "q72_unigram_perplexity" -> q72UnigramPerplexity _,
-    "q101_gopher_repetition" -> q101GopherRepetition _)
+    "q101_gopher_repetition" -> q101GopherRepetition _,
+    "q104_length_buckets" -> q104LengthBuckets _)
 
   val oracle: Map[String, String] = Map(
     "q91_pmi_collocations" -> q91Oracle,
@@ -569,5 +610,6 @@ object TextStats {
     "q69_stratified_sample" -> q69Oracle,
     "q71_repetition" -> q71Oracle,
     "q72_unigram_perplexity" -> q72Oracle,
-    "q101_gopher_repetition" -> q101Oracle)
+    "q101_gopher_repetition" -> q101Oracle,
+    "q104_length_buckets" -> q104Oracle)
 }
