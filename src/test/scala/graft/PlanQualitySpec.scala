@@ -197,7 +197,22 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
-  test("NO query in the whole surface plans an unpartitioned window") {
+  // Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+  // every one broadcasts a PROVABLY-TINY side — a 1-row query vector
+  // (q34/q40/q42/q79/q96), a 1-row corpus statistic (avgdl/totals:
+  // q36/q38/q39/q44/q72/q74/q76/q78/q91), or a bounded source-weight /
+  // rank table (q82/q92, q90, q07's suffix-theta dims). Regenerate with
+  // `runMain graft.tools.JoinAudit` after adding a query here.
+  private val nljAllowed = Set(
+    "q07_join_suffix_theta", "q34_sim_cosine_topk", "q36_bm25_topk",
+    "q38_bm25_filtered", "q39_hybrid_search", "q40_dedup_embedding_cosine",
+    "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q72_unigram_perplexity",
+    "q74_tfidf_topk", "q76_bigram_perplexity", "q78_lang_kl_divergence",
+    "q79_int8_ann", "q82_mixture_weights", "q90_rrf_fusion",
+    "q91_pmi_collocations", "q92_mixture_draw", "q96_pq_ann")
+
+  test("whole surface: no unpartitioned window, no cartesian product, " +
+    "nested-loop joins only on the tiny-broadcast allowlist") {
     // q90's candidate ranks are single-partition by design but carry an
     // explicit constant partition key; anything landing here is a new
     // global sort someone must justify.
@@ -210,11 +225,17 @@ class PlanQualitySpec extends SparkSuite {
     // itself to this list.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val bad = graft.tools.PlanAudit.unpartitionedWindows(
-        df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan
+      val badWin = graft.tools.PlanAudit.unpartitionedWindows(plan)
+      val (cart, nlj) = graft.tools.JoinAudit.scan(plan)
       spark.catalog.clearCache()
       graft.tools.Checkpoints.sweep(spark) // construction-time checkpoints
-      if (bad.isEmpty) Nil else Seq(s"$name: ${bad.size}")
+      Seq(
+        if (badWin.nonEmpty) Seq(s"$name: ${badWin.size} unpartitioned window(s)") else Nil,
+        if (cart > 0) Seq(s"$name: $cart CartesianProduct(s)") else Nil,
+        if (nlj > 0 && !nljAllowed(name))
+          Seq(s"$name: $nlj unallowlisted BroadcastNestedLoopJoin(s)") else Nil
+      ).flatten
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
