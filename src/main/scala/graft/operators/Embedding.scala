@@ -127,29 +127,41 @@ object Embedding {
     * over the exploded components (map-side combinable), then a
     * label-sized rollup — no corpus-sized shuffle beyond the first
     * reduce, no windows, no driver state. */
-  def q105EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"label", ($"vec_id" % 2 === 0).as("even"),
-        posexplode(expr(
-          "transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT))"))
-          .as(Seq("dim", "q")))
-    val m = e.groupBy($"label", $"dim")
+  def q105EmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    driftReport(driftSums(Tables.embeddings(s, dir)))
+
+  /** Per-(label, dim) integer component sums/counts for the two corpus
+    * halves — the ADDITIVE drift state: sums from disjoint batches merge
+    * by plain addition, which is what lets DriftStream maintain this
+    * incrementally with O(batch) work per trigger. */
+  private[graft] def driftSums(emb: DataFrame): DataFrame =
+    emb.select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+      posexplode(expr(
+        "transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT))"))
+        .as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
       .agg(
         expr("sum(CASE WHEN even THEN q ELSE 0L END)").as("se"),
         expr("sum(CASE WHEN even THEN 1L ELSE 0L END)").as("ce"),
         expr("sum(CASE WHEN even THEN 0L ELSE q END)").as("so"),
         expr("sum(CASE WHEN even THEN 0L ELSE 1L END)").as("co"))
-      .select($"label",
+
+  /** Centroid means (truncated integer division) → per-label cosine.
+    * Pure function of the sums table, shared by the batch query and the
+    * streaming maintainer's report face. */
+  private[graft] def driftReport(sums: DataFrame): DataFrame =
+    sums
+      .select(col("label"),
         expr("se div ce").as("me"), expr("so div co").as("mo"))
-    m.groupBy($"label")
-      .agg(sum($"me" * $"mo").as("dot"),
-        sum($"me" * $"me").as("ne"), sum($"mo" * $"mo").as("no"))
-      .select($"label",
-        round($"dot" / (sqrt($"ne".cast("double")) * sqrt($"no".cast("double"))), 6)
+      .groupBy(col("label"))
+      .agg(sum(col("me") * col("mo")).as("dot"),
+        sum(col("me") * col("me")).as("ne"),
+        sum(col("mo") * col("mo")).as("no"))
+      .select(col("label"),
+        round(col("dot") /
+          (sqrt(col("ne").cast("double")) * sqrt(col("no").cast("double"))), 6)
           .as("drift_cos"))
-      .orderBy($"label")
-  }
+      .orderBy(col("label"))
 
   val q105Oracle: String =
     """WITH c AS (SELECT label, vec_id % 2 = 0 AS even,
