@@ -383,6 +383,55 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q106 — hard-negative mining for contrastive training (the DPR /
+    * SimCSE data-prep step): for each anchor in the query set, the top-3
+    * most-similar vectors whose label DIFFERS from the anchor's — the
+    * negatives that actually move a contrastive loss, as opposed to the
+    * easy random ones. The complement of q80's filtered ANN (same-label
+    * candidates there, cross-label here).
+    *
+    * Scale shape: the anchor set broadcasts (bounded — 1-in-50 sampling,
+    * each row 64 floats + label); candidates stream past it map-side
+    * with the codegen'd dot kernel, and per-anchor top-3 is a window
+    * over ≤|anchors| partitions. The label-inequality join is a
+    * BroadcastNestedLoopJoin by construction — allowlisted in the plan
+    * fence because the broadcast side is the bounded anchor set; at
+    * 100 TB the same shape composes with IVF/PQ pruning (probe cells
+    * first, mine negatives inside). */
+  def q106HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"label".as("q_label"), $"vec_id".as("q_id"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val cands = e.join(broadcast(q), $"label" =!= $"q_label")
+      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"q_label", $"rank", $"vec_id",
+        $"label".as("neg_label"), round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q106Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT label AS q_label, vec_id AS q_id, v AS qv, nrm AS qnrm
+      |      FROM n WHERE vec_id % 50 = 0),
+      |scored AS (SELECT q.q_id, q.q_label, n.vec_id, n.label AS neg_label,
+      |             list_sum(list_transform(generate_series(1, 64),
+      |               i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm) AS cos
+      |           FROM n JOIN q ON n.label <> q.q_label),
+      |ranked AS (SELECT q_id, q_label, vec_id, neg_label, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY cos DESC, vec_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id, q_label, rank, vec_id, neg_label, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   /** q96 — product-quantization ANN (Jégou et al., TPAMI 2011 — the
     * compression half of FAISS's IVF-PQ): 64-dim vectors split into
     * m = 4 subspaces of 16 dims, each subspace quantized against its own
@@ -544,7 +593,8 @@ object Similarity {
     "q44_sim_ivf_ann" -> q44IvfAnn _,
     "q34_sim_cosine_topk" -> q34CosineTopK _,
     "q35_sim_lsh_ann" -> q35CosineLshAnn _,
-    "q42_sim_topk_aggregate" -> q42TopKAggregate _)
+    "q42_sim_topk_aggregate" -> q42TopKAggregate _,
+    "q106_hard_negatives" -> q106HardNegatives _)
 
   val oracle: Map[String, String] = Map(
     "q96_pq_ann" -> q96Oracle,
@@ -554,5 +604,6 @@ object Similarity {
     "q44_sim_ivf_ann" -> q44Oracle,
     "q34_sim_cosine_topk" -> q34Oracle,
     "q35_sim_lsh_ann" -> q35Oracle,
-    "q42_sim_topk_aggregate" -> q42Oracle)
+    "q42_sim_topk_aggregate" -> q42Oracle,
+    "q106_hard_negatives" -> q106Oracle)
 }

@@ -209,7 +209,8 @@ class PlanQualitySpec extends SparkSuite {
     "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q72_unigram_perplexity",
     "q74_tfidf_topk", "q76_bigram_perplexity", "q78_lang_kl_divergence",
     "q79_int8_ann", "q82_mixture_weights", "q90_rrf_fusion",
-    "q91_pmi_collocations", "q92_mixture_draw", "q96_pq_ann")
+    "q91_pmi_collocations", "q92_mixture_draw", "q96_pq_ann",
+    "q106_hard_negatives")
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {
