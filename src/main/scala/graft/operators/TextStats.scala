@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -583,6 +584,74 @@ object TextStats {
       |             / CAST(n_docs * max_len AS DOUBLE), 6) AS waste_frac
       |FROM b ORDER BY bucket_lo""".stripMargin
 
+  /** q107 — vocabulary coverage curve (the Zipf table a tokenizer/vocab
+    * design starts from): what fraction of corpus token OCCURRENCES is
+    * covered by the top-N most frequent types, N ∈ {1,10,100,1000}. The
+    * "how big must the vocab be" number — complements q95 (which builds
+    * the vocab) and q60 (which lists the head).
+    *
+    * Scale shape: global frequency rank WITHOUT a global window (the
+    * q102 decomposition, keyed differently): types bucket by
+    * floor(log2(cnt)) — counts in a higher bucket strictly exceed every
+    * count in a lower one, and cnt-ties land in the SAME bucket, so
+    * offset(bucket) + rank-within-bucket IS the global (cnt desc, tok)
+    * rank; the bucket histogram is ≤64 rows of driver state however
+    * large the vocabulary grows. One conditional-sum aggregate then
+    * emits all four coverage levels in a single pass (stack unpivots
+    * it). Total-occurrence count rides in the same aggregate — no
+    * second corpus scan. */
+  def q107VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = docs(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("lb", floor(log2($"cnt")).cast("int"))
+    val wb = Window.partitionBy($"lb").orderBy($"cnt".desc, $"tok".asc)
+    val ranked = tc.withColumn("rb", row_number().over(wb))
+    // ≤64-row histogram, DESCENDING bucket order (higher counts first)
+    val hist = tc.groupBy($"lb").agg(count(lit(1)).as("c"))
+      .orderBy($"lb".desc).collect()
+    var running = 0L
+    val offsets = hist.toSeq.map { r =>
+      val o = (r.getInt(0), running); running += r.getLong(1); o
+    }.toDF("lb", "cum")
+    val agg = ranked.join(broadcast(offsets), Seq("lb"))
+      .withColumn("rank", $"cum" + $"rb")
+      .agg(
+        sum(when($"rank" <= 1, $"cnt")).as("c1"),
+        sum(when($"rank" <= 10, $"cnt")).as("c10"),
+        sum(when($"rank" <= 100, $"cnt")).as("c100"),
+        sum(when($"rank" <= 1000, $"cnt")).as("c1000"),
+        sum($"cnt").as("tot"), count(lit(1)).as("ntypes"))
+    agg.select(
+        expr("stack(4, 1, c1, 10, c10, 100, c100, 1000, c1000) AS (n_top, covered)"),
+        $"tot", $"ntypes")
+      .select($"n_top", least($"n_top", $"ntypes").as("n_types_used"),
+        $"covered", $"tot".as("total_tokens"),
+        round($"covered" / $"tot".cast("double"), 6).as("coverage"))
+      .orderBy($"n_top")
+  }
+
+  val q107Oracle: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      |r AS (SELECT tok, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      |      FROM c),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+      |          count(*) AS ntypes FROM c),
+      |lv AS (SELECT unnest([1, 10, 100, 1000]) AS n_top),
+      |cov AS (SELECT lv.n_top,
+      |          CAST(sum(CASE WHEN r.rank <= lv.n_top THEN r.cnt
+      |                        ELSE 0 END) AS BIGINT) AS covered
+      |        FROM lv CROSS JOIN r GROUP BY lv.n_top)
+      |SELECT cov.n_top,
+      |       CAST(least(cov.n_top, tot.ntypes) AS BIGINT) AS n_types_used,
+      |       cov.covered, tot.tot AS total_tokens,
+      |       round(CAST(cov.covered AS DOUBLE) / tot.tot, 6) AS coverage
+      |FROM cov CROSS JOIN tot ORDER BY n_top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pmi_collocations" -> q91PmiCollocations _,
     "q61_pack_shards" -> q61PackShards _,
@@ -596,7 +665,8 @@ object TextStats {
     "q71_repetition" -> q71Repetition _,
     "q72_unigram_perplexity" -> q72UnigramPerplexity _,
     "q101_gopher_repetition" -> q101GopherRepetition _,
-    "q104_length_buckets" -> q104LengthBuckets _)
+    "q104_length_buckets" -> q104LengthBuckets _,
+    "q107_vocab_coverage" -> q107VocabCoverage _)
 
   val oracle: Map[String, String] = Map(
     "q91_pmi_collocations" -> q91Oracle,
@@ -611,5 +681,6 @@ object TextStats {
     "q71_repetition" -> q71Oracle,
     "q72_unigram_perplexity" -> q72Oracle,
     "q101_gopher_repetition" -> q101Oracle,
-    "q104_length_buckets" -> q104Oracle)
+    "q104_length_buckets" -> q104Oracle,
+    "q107_vocab_coverage" -> q107Oracle)
 }
