@@ -119,7 +119,7 @@ object Dedup {
     * [[MaxShingleDf]] stop-shingle guard (parameterized for the
     * adversarial DedupSpec case). */
   private[graft] def jaccardPairsFrom(documents: DataFrame, par: Int,
-      maxDf: Int = MaxShingleDf): DataFrame = {
+      maxDf: Int = MaxShingleDf, minJaccard: Double = 0.2): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     // ONE shuffle of the shingle stream replaces distinct + a double
@@ -168,7 +168,7 @@ object Dedup {
       .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .select($"doc_a", $"doc_b", $"inter", $"sa.n".as("n_a"), $"sb.n".as("n_b"),
         ($"inter" / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
-      .filter($"jaccard" >= 0.2)
+      .filter($"jaccard" >= minJaccard)
   }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -315,6 +315,119 @@ object Dedup {
       |JOIN sigs sb ON c.doc_b = sb.doc_id AND sa.seed = sb.seed
       |GROUP BY c.doc_a, c.doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q108 — LSH quality evaluation: precision/recall of q28's REAL
+    * candidate generator (bands, stop-bucket cap and all) against the
+    * exact Jaccard ground truth, at thresholds 0.1/0.2/0.3/0.5 — the
+    * "measure, don't guess" table behind choosing b×r banding
+    * parameters before a 100 TB dedup run. recall_t = fraction of truly
+    * ≥t pairs that banding surfaces; precision_t = fraction of surfaced
+    * candidates that are truly ≥t.
+    *
+    * Scale shape: both sides are the existing bounded kernels (capped
+    * band buckets, capped shingle groups); the eval joins them on the
+    * pair key and reduces to 4 rows in one conditional-sum aggregate
+    * (stack unpivots). The candidate count is a bounded driver scalar
+    * (one count() over the candidate set — same class as q87's
+    * histogram collect). */
+  def q108LshEvaluation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val wide = minhashWide(docs(s, dir).repartition(par))
+    val bands0 = lshBands(wide)
+    val bigBuckets = bands0.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" > MaxShingleDf)
+      .select($"band", $"bkey")
+    val bands = bands0.join(broadcast(bigBuckets), Seq("band", "bkey"),
+      "left_anti")
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val nCand = cands.count() // bounded scalar (capped candidate set)
+    // ground truth below the operating threshold too (0.05 floor), so
+    // precision at low t is measured, not assumed
+    val truth = jaccardPairsFrom(docs(s, dir).repartition(par), par,
+        minJaccard = 0.05)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val flagged = truth.join(cands.withColumn("cand", lit(1L)),
+      Seq("doc_a", "doc_b"), "left")
+    val ts = Seq("0.1" -> 10, "0.2" -> 20, "0.3" -> 30, "0.5" -> 50)
+    val sums = ts.flatMap { case (t, pct) => Seq(
+      sum(when($"jaccard" >= t.toDouble, 1L)).as(s"truth$pct"),
+      sum(when($"jaccard" >= t.toDouble && $"cand".isNotNull, 1L))
+        .as(s"hit$pct")) }
+    val agg = flagged.agg(sums.head, sums.tail: _*)
+    agg.select(expr(
+        "stack(4, " + ts.map { case (t, pct) =>
+          s"CAST($t AS DOUBLE), truth$pct, hit$pct" }.mkString(", ") +
+        ") AS (threshold, n_truth, n_hit)"))
+      .select($"threshold",
+        coalesce($"n_truth", lit(0L)).as("n_truth"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        lit(nCand).as("n_candidates"),
+        round(coalesce($"n_hit", lit(0L)) /
+          greatest($"n_truth", lit(1L)).cast("double"), 6).as("recall"),
+        round(coalesce($"n_hit", lit(0L)) /
+          lit(math.max(nCand, 1L)).cast("double"), 6).as("precision"))
+      .orderBy($"threshold")
+  }
+
+  val q108Oracle: String =
+    s"""WITH $shingleHashSqlCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |truth AS (SELECT doc_a, doc_b,
+      |            p.inter / (sa.n + sb.n - p.inter) AS jaccard
+      |          FROM pairs p
+      |          JOIN sizes sa ON p.doc_a = sa.doc_id
+      |          JOIN sizes sb ON p.doc_b = sb.doc_id
+      |          WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.05),
+      |stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ssh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |        FROM stoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |        WHERE len(t) >= 3),
+      |sigs AS (SELECT doc_id, seed,
+      |                min(substr(md5(shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
+      |         FROM ssh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
+      |         GROUP BY doc_id, seed),
+      |bands0 AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+      |                 string_agg(mh, '|' ORDER BY seed) AS bkey
+      |          FROM sigs GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, band, bkey FROM (
+      |            SELECT doc_id, band, bkey,
+      |                   count(*) OVER (PARTITION BY band, bkey) AS bn
+      |            FROM bands0)
+      |          WHERE bn <= $MaxShingleDf),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.bkey = y.bkey
+      |           AND x.doc_id < y.doc_id),
+      |nc AS (SELECT count(*) AS n_candidates FROM cands),
+      |fl AS (SELECT t.jaccard, c.doc_a IS NOT NULL AS hit
+      |       FROM truth t LEFT JOIN cands c
+      |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+      |lv AS (SELECT unnest([0.1, 0.2, 0.3, 0.5]) AS threshold),
+      |ag AS (SELECT lv.threshold,
+      |         CAST(sum(CASE WHEN fl.jaccard >= lv.threshold
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+      |         CAST(sum(CASE WHEN fl.jaccard >= lv.threshold AND fl.hit
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |       FROM lv CROSS JOIN fl GROUP BY lv.threshold)
+      |SELECT CAST(ag.threshold AS DOUBLE) AS threshold, ag.n_truth, ag.n_hit,
+      |       CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+      |       round(CAST(ag.n_hit AS DOUBLE)
+      |             / greatest(ag.n_truth, 1), 6) AS recall,
+      |       round(CAST(ag.n_hit AS DOUBLE)
+      |             / greatest(nc.n_candidates, 1), 6) AS precision
+      |FROM ag CROSS JOIN nc ORDER BY threshold""".stripMargin
 
   /** q29 — SimHash: 16-bit signature. Bit j of a token = 1 iff hex digit j
     * of md5(token) ≥ 8; per-doc bit = sign of the ±1 sum over token
@@ -676,7 +789,8 @@ object Dedup {
     "q27_dedup_ngram_jaccard" -> q27NgramJaccard _,
     "q28_dedup_minhash_lsh" -> q28MinHashLsh _,
     "q29_dedup_simhash" -> q29SimHash _,
-    "q103_cluster_rep" -> q103ClusterRep _)
+    "q103_cluster_rep" -> q103ClusterRep _,
+    "q108_lsh_evaluation" -> q108LshEvaluation _)
 
   val oracle: Map[String, String] = Map(
     "q70_contamination" -> q70Oracle,
@@ -687,5 +801,6 @@ object Dedup {
     "q27_dedup_ngram_jaccard" -> q27Oracle,
     "q28_dedup_minhash_lsh" -> q28Oracle,
     "q29_dedup_simhash" -> q29Oracle,
-    "q103_cluster_rep" -> q103Oracle)
+    "q103_cluster_rep" -> q103Oracle,
+    "q108_lsh_evaluation" -> q108Oracle)
 }
