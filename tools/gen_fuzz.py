@@ -270,7 +270,11 @@ def gen_query(rng):
         if kind == "count":
             aggs.append(f"count(*) AS {alias}")
         elif kind == "sum_int":
-            aggs.append(f"sum({i}) AS {alias}")
+            # integer sums are HUGEINT in DuckDB -> float through the
+            # driver's pandas path ("5" vs "5.0" hash-mismatch); CAST is
+            # a no-op for Spark's BIGINT sum (caught by seed 4242's
+            # fuzz0088 in round 11)
+            aggs.append(f"CAST(sum({i}) AS BIGINT) AS {alias}")
         elif kind == "min_int":
             aggs.append(f"min({i}) AS {alias}")
         elif kind == "max_int":
