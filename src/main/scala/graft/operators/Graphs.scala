@@ -182,11 +182,71 @@ object Graphs {
     (ranks, it)
   }
 
+  /** q109 — bipartite co-occurrence projection: collapse the
+    * supplier–part bipartite graph onto suppliers, weighting each
+    * supplier pair by the number of parts both supply — the
+    * "related items" / co-purchase network builder (the same projection
+    * that powers co-citation and co-viewership graphs), and the
+    * relational-star application of the dedup family's pair-expansion
+    * kernel.
+    *
+    * Scale shape: ONE shuffle groups the distinct (part, supplier)
+    * edges by part; i<j pairs expand INSIDE each task from the sorted
+    * per-part supplier set and re-group map-side-combined on the pair
+    * key. A hub cap (parts with > [[MaxProjDf]] suppliers are dropped,
+    * both engines) bounds the quadratic fan-out exactly like the
+    * stop-shingle guard — a degenerate "everything supplies this"
+    * part cannot expand |suppliers|² pairs. Top-20 lands in
+    * TakeOrderedAndProject (per-partition top-k), never a global sort
+    * of the edge table. */
+  val MaxProjDf = 128
+
+  def q109CooccurrenceGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the pair explode amplifies each grouped row ~|ss|²/2× — partition
+    // by WORK before it (the jaccardPairs discipline): AQE would
+    // otherwise coalesce the byte-small grouped frame to one task and
+    // run the whole quadratic expansion single-threaded (measured 8.3 s
+    // → ~1 s at sf0.1)
+    val par = Tables.fanoutParallelism(s, dir, "lineitem")
+    val pairs = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(array_sort(collect_set($"l_suppkey")).as("ss"))
+      .filter(size($"ss") > 1 && size($"ss") <= MaxProjDf)
+      .repartition(par)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
+        .as("p"))
+      .groupBy($"p.s_a".as("s_a"), $"p.s_b".as("s_b"))
+      .agg(count(lit(1)).as("shared_parts"))
+    pairs
+      .orderBy($"shared_parts".desc, $"s_a".asc, $"s_b".asc)
+      .limit(20)
+  }
+
+  val q109Oracle: String =
+    s"""WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (SELECT l_partkey FROM e GROUP BY 1
+      |       HAVING count(*) BETWEEN 2 AND $MaxProjDf),
+      |p AS (SELECT a.l_suppkey AS s_a, b.l_suppkey AS s_b,
+      |        CAST(count(*) AS BIGINT) AS shared_parts
+      |      FROM e a JOIN e b ON a.l_partkey = b.l_partkey
+      |                       AND a.l_suppkey < b.l_suppkey
+      |      JOIN ok ON a.l_partkey = ok.l_partkey
+      |      GROUP BY 1, 2)
+      |SELECT s_a, s_b, shared_parts FROM p
+      |ORDER BY shared_parts DESC, s_a ASC, s_b ASC LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q94_pagerank" -> q94Pagerank _)
+    "q94_pagerank" -> q94Pagerank _,
+    "q109_cooccurrence_graph" -> q109CooccurrenceGraph _)
 
   val oracle: Map[String, String] = Map(
-    "q94_pagerank" -> q94Oracle)
+    "q94_pagerank" -> q94Oracle,
+    "q109_cooccurrence_graph" -> q109Oracle)
 }
