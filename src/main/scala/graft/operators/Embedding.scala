@@ -185,11 +185,84 @@ object Embedding {
       |         AS drift_cos
       |FROM r ORDER BY label""".stripMargin
 
+  /** q110 — linear quality-classifier application (the fastText-style
+    * model-based filter every web-scale pipeline runs — CCNet, GPT-3's
+    * WebText classifier): score = w·x over the q98 hashed features,
+    * keep score ≥ 0, report the verdict per document with its source.
+    * The "model" is a fixed 64-weight vector derived deterministically
+    * from md5 (standing in for trained parameters — the ENGINE-side
+    * operator under test is the distributed application, which is
+    * exactly one projection + one per-doc sum however the weights were
+    * obtained).
+    *
+    * Cross-engine exactness: components are the q98 integer qv
+    * (|qv| ≤ 10⁶), weights are integers in [-128, 127], so the score is
+    * pure int64 (≤ 6.4·10⁹) — no sigmoid needed for the THRESHOLD
+    * decision (sigmoid is monotone; score ≥ 0 ⇔ prob ≥ 0.5), which
+    * keeps the whole filter bit-exact across engines.
+    *
+    * Scale shape: weights broadcast as a 64-element literal; scoring is
+    * a map-side multiply + per-doc sum over ≤64 rows/doc (the q98
+    * shuffle), then a broadcast-joined source label. No model state
+    * beyond 64 longs on the driver. */
+  def q110QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w: Seq[Long] = (0 until Dim).map { b =>
+      val h = md.digest(s"w:$b".getBytes("UTF-8"))
+      ((h(0) & 0xff) - 128).toLong
+    }
+    val scores = hashedComponents(s, dir)
+      .select($"doc_id",
+        ($"qv" * element_at(typedLit(w), $"bucket" + 1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("score"))
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(scores, Seq("doc_id"))
+      .select($"doc_id", $"source", $"score",
+        when($"score" >= 0L, 1).otherwise(0).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val q110Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |              FROM documents),
+      |w AS (SELECT doc_id,
+      |        CAST('0x' || substr(h, 1, 2) AS INT) % $Dim AS bucket,
+      |        CAST(sum(CASE WHEN substr(h, 3, 1)
+      |                        IN ('8','9','a','b','c','d','e','f')
+      |                      THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |      FROM toks GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |grid AS (SELECT d.doc_id, g.bucket
+      |         FROM documents d,
+      |              LATERAL (SELECT unnest(generate_series(0, ${Dim - 1}))
+      |                       AS bucket) g),
+      |qc AS (SELECT grid.doc_id, grid.bucket,
+      |         CASE WHEN nrm.nrm = 0 THEN 0
+      |              ELSE CAST(round(COALESCE(w.w, 0) * 1000000.0 / nrm.nrm,
+      |                              0) AS BIGINT) END AS qv
+      |       FROM grid
+      |       LEFT JOIN w ON grid.doc_id = w.doc_id AND grid.bucket = w.bucket
+      |       JOIN nrm ON grid.doc_id = nrm.doc_id),
+      |wt AS (SELECT b AS bucket,
+      |         CAST(CAST('0x' || substr(md5('w:' || b), 1, 2) AS INT) - 128
+      |              AS BIGINT) AS wt
+      |       FROM (SELECT unnest(generate_series(0, ${Dim - 1})) AS b)),
+      |sc AS (SELECT qc.doc_id, CAST(sum(qc.qv * wt.wt) AS BIGINT) AS score
+      |       FROM qc JOIN wt ON qc.bucket = wt.bucket
+      |       GROUP BY qc.doc_id)
+      |SELECT d.doc_id, d.source, sc.score,
+      |       CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS kept
+      |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_hash_embed" -> q98HashEmbed _,
-    "q105_embedding_drift" -> q105EmbeddingDrift _)
+    "q105_embedding_drift" -> q105EmbeddingDrift _,
+    "q110_quality_classifier" -> q110QualityClassifier _)
 
   val oracle: Map[String, String] = Map(
     "q98_hash_embed" -> q98Oracle,
-    "q105_embedding_drift" -> q105Oracle)
+    "q105_embedding_drift" -> q105Oracle,
+    "q110_quality_classifier" -> q110Oracle)
 }
