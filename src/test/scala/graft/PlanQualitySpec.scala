@@ -219,11 +219,12 @@ class PlanQualitySpec extends SparkSuite {
     // global sort someone must justify.
     // CAVEAT (ADVICE r8): queries with construction-TIME actions — q87's
     // bounded z-histogram collect, q86/q100's k·64 centroid collects,
-    // q83's eager bloom build — run jobs BEFORE the returned DataFrame
-    // exists, so those pre-plan jobs are invisible to this sweep (and to
-    // PlanAudit's main). Each is bounded by construction and documented
-    // at its collect site; a new construction-time action must add
-    // itself to this list.
+    // q83's eager bloom build, q96's one-job codebook train, q102/q107's
+    // ≤256-row bucket-histogram collects, q108's candidate count() —
+    // run jobs BEFORE the returned DataFrame exists, so those pre-plan
+    // jobs are invisible to this sweep (and to PlanAudit's main). Each
+    // is bounded by construction and documented at its collect site; a
+    // new construction-time action must add itself to this list.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan
