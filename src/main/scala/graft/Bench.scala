@@ -128,12 +128,23 @@ object Bench {
           // that measures 0.74s in isolation) can hit BOTH samples of a
           // plain min-of-2; a disagreement that large means at least one
           // sample is noise, so buy a third. Agreeing samples stay at 2 —
-          // the common case costs nothing extra.
-          for (a <- once(); b <- once()) yield
-            if (math.abs(a - b) <= 0.25 * math.min(a, b)) math.min(a, b)
-            else math.min(math.min(a, b), once().getOrElse(Double.MaxValue))
+          // the common case costs nothing extra. Any sample that DID
+          // succeed survives a later sample's transient crash.
+          (once(), once()) match {
+            case (Some(a), Some(b)) => Some(
+              if (math.abs(a - b) <= 0.25 * math.min(a, b)) math.min(a, b)
+              else math.min(math.min(a, b), once().getOrElse(Double.MaxValue)))
+            case (a, b) => a.orElse(b)
+          }
         }
-      if (!failed.contains(name)) best.foreach(results(name) = _)
+      best match {
+        // a valid measurement wins even if a LATER extra sample threw
+        // transiently (review find: the noise-buying 3rd sample crashing
+        // must not discard two agreeing good samples) — `failed` means
+        // "no measurement obtained", nothing else
+        case Some(b) => results(name) = b; failed.remove(name)
+        case None => ()
+      }
     }
     // 3-decimal (1 ms) precision and qNN-prefix short keys keep the
     // one-line JSON short enough to survive the driver's ~2000-char tail

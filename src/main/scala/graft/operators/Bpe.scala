@@ -76,6 +76,10 @@ object Bpe {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // released in the finally: nothing distributed outlives this call —
+    // only the driver-side merge list leaves it (exception included;
+    // review find on exception-path checkpoint leaks)
+    try {
     while (step <= iters && !exhausted) {
       // tier 2: pair counts over the vocab only. split('~f~a~s~t') =
       // ['', f, a, s, t]; with Spark's 0-based a[j], pairs are
@@ -110,8 +114,7 @@ object Bpe {
         case None => exhausted = true // no adjacent pairs left anywhere
       }
     }
-    wc.unpersist()
-    freeVocab() // only the driver-side merge list leaves this function
+    } finally { wc.unpersist(); freeVocab() }
     merges.result()
   }
 

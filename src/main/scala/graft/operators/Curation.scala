@@ -677,10 +677,14 @@ object Curation {
   def q102CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val Shards = 8
+    // cached: consumed by the histogram collect AND the ranked plan —
+    // uncached, the corpus scan + md5 would run twice per evaluation
+    // (review find); the harness sweep releases it post-query
     val h = docs(s, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"),
         md5(concat($"doc_id".cast("string"), lit(":42"))).as("h"))
       .withColumn("b", conv(substring($"h", 1, 2), 16, 10).cast("int"))
+      .cache()
     val wb = Window.partitionBy($"b").orderBy($"h", $"doc_id")
     val ranked = h.withColumn("rb", row_number().over(wb))
     // 256-row histogram → driver prefix sum → (bucket, cum-before)

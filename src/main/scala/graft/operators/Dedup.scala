@@ -269,25 +269,33 @@ object Dedup {
     // query), where the aggregate form reduces each bucket to one count
     // before anything shuffles and the anti side is empty-to-tiny by
     // construction (it only holds degenerate buckets).
-    val bands0 = lshBands(wide)
-    val bigBuckets = bands0.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bn"))
-      .filter($"bn" > MaxShingleDf)
-      .select($"band", $"bkey")
-    val bands = bands0.join(broadcast(bigBuckets), Seq("band", "bkey"),
-      "left_anti")
-    val cands = bands.as("x")
-      .join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .distinct()
+    val cands = cappedBandCandidates(lshBands(wide))
     cands
       .join(wide.as("a"), $"doc_a" === $"a.doc_id")
       .join(wide.as("b"), $"doc_b" === $"b.doc_id")
       .select($"doc_a", $"doc_b",
         round(signatureMatchFraction, 6).as("est_sim"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The capped band-bucket candidate pairs — q28's generator, shared
+    * with its evaluator q108 so the evaluation can never drift from the
+    * operator it measures. See the stop-bucket comment in
+    * [[q28MinHashLsh]] for why oversized buckets drop and why the cap is
+    * an aggregate + broadcast anti-join rather than a window. */
+  private[graft] def cappedBandCandidates(bands0: DataFrame): DataFrame = {
+    val bigBuckets = bands0.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MaxShingleDf)
+      .select(col("band"), col("bkey"))
+    val bands = bands0.join(broadcast(bigBuckets), Seq("band", "bkey"),
+      "left_anti")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   val q28Oracle: String =
@@ -334,19 +342,11 @@ object Dedup {
     import s.implicits._
     val par = Tables.fanoutParallelism(s, dir, "documents")
     val wide = minhashWide(docs(s, dir).repartition(par))
-    val bands0 = lshBands(wide)
-    val bigBuckets = bands0.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bn"))
-      .filter($"bn" > MaxShingleDf)
-      .select($"band", $"bkey")
-    val bands = bands0.join(broadcast(bigBuckets), Seq("band", "bkey"),
-      "left_anti")
-    val cands = bands.as("x")
-      .join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .distinct()
+    // cached: consumed by the sizing count AND the truth join below —
+    // uncached, the whole shingle→minhash→band→self-join pipeline would
+    // run twice per evaluation (review find; the q100 single-pass
+    // discipline). The harness sweep releases it post-query.
+    val cands = cappedBandCandidates(lshBands(wide)).cache()
     val nCand = cands.count() // bounded scalar (capped candidate set)
     // ground truth below the operating threshold too (0.05 floor), so
     // precision at low t is measured, not assumed
@@ -533,44 +533,53 @@ object Dedup {
         .select(col("doc_id"), col("doc_id").as("label")))
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, col("doc_b") === col("doc_id"))
-        .groupBy(col("doc_a"))
-        .agg(min(col("label")).as("nmin"))
-      // one checkpointed frame serves BOTH the convergence probe and the
-      // next labels — no second labels-join, no recompute over lineage
-      val (joined, freeJoined) = Checkpoints.tracked(labels
-        .join(neighborMin, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"), col("label"),
-          coalesce(col("nmin"), col("label")).as("nm")))
-      converged = joined.filter(col("nm") < col("label")).isEmpty
-      freeLabels() // superseded: `joined` is materialized and independent
-      labels = joined.select(col("doc_id"),
-        least(col("label"), col("nm")).as("label"))
-      freeLabels = freeJoined
-      if (!converged && iter >= 2) {
-        // pointer jump for deep components: follow label -> labels[label]
-        val (jumped, freeJumped) = Checkpoints.tracked(labels.as("l")
-          .join(labels.select(col("doc_id").as("j_id"),
-            col("label").as("j_label")).as("m"),
-            col("l.label") === col("m.j_id"), "left")
-          .select(col("l.doc_id"),
-            least(col("l.label"), coalesce(col("j_label"), col("l.label")))
-              .as("label")))
-        freeLabels() // frees `joined`, which only backed the jump input
-        labels = jumped
-        freeLabels = freeJumped
+    // any exception — including the non-convergence throw below — must
+    // release the frames this call pinned, or a failing call leaks
+    // |nodes|-sized blocks per invocation in a long-lived non-harness
+    // session (review find: the harness sweep is a backstop, not the
+    // owner). Success keeps only the final labels frame alive.
+    var ok = false
+    try {
+      while (!converged && iter < maxIters) {
+        val neighborMin = edges
+          .join(labels, col("doc_b") === col("doc_id"))
+          .groupBy(col("doc_a"))
+          .agg(min(col("label")).as("nmin"))
+        // one checkpointed frame serves BOTH the convergence probe and the
+        // next labels — no second labels-join, no recompute over lineage
+        val (joined, freeJoined) = Checkpoints.tracked(labels
+          .join(neighborMin, col("doc_id") === col("doc_a"), "left")
+          .select(col("doc_id"), col("label"),
+            coalesce(col("nmin"), col("label")).as("nm")))
+        converged = joined.filter(col("nm") < col("label")).isEmpty
+        freeLabels() // superseded: `joined` is materialized and independent
+        labels = joined.select(col("doc_id"),
+          least(col("label"), col("nm")).as("label"))
+        freeLabels = freeJoined
+        if (!converged && iter >= 2) {
+          // pointer jump for deep components: follow label -> labels[label]
+          val (jumped, freeJumped) = Checkpoints.tracked(labels.as("l")
+            .join(labels.select(col("doc_id").as("j_id"),
+              col("label").as("j_label")).as("m"),
+              col("l.label") === col("m.j_id"), "left")
+            .select(col("l.doc_id"),
+              least(col("l.label"), coalesce(col("j_label"), col("l.label")))
+                .as("label")))
+          freeLabels() // frees `joined`, which only backed the jump input
+          labels = jumped
+          freeLabels = freeJumped
+        }
+        iter += 1
       }
-      iter += 1
-    }
+      // never return silently-split components: fail loudly past the cap
+      // (with jumping, the cap corresponds to components of diameter ~2^47)
+      if (!converged) throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters iterations")
+      ok = true
+    } finally if (!ok) { freeEdges(); freeLabels() }
     // the final labels derive solely from the last checkpointed frame;
     // the edge table is no longer reachable from the returned plan
     freeEdges()
-    // never return silently-split components: fail loudly past the cap
-    // (with jumping, the cap corresponds to components of diameter ~2^47)
-    if (!converged) throw new IllegalStateException(
-      s"label propagation did not converge in $maxIters iterations")
     if (sys.env.contains("GRAFT_DEBUG_ITERS"))
       System.err.println(s"[cc] converged after $iter iterations")
     labels

@@ -164,17 +164,23 @@ object Graphs {
       nodes.select($"node", lit(Scale).as("r")))
     var it = 0
     var converged = false
-    while (it < maxIters && !converged) {
-      val (next, freeNext) = graft.tools.Checkpoints.tracked(step(ranks))
-      // exact-integer convergence probe on two |nodes|-sized
-      // checkpointed frames — one cheap job per iteration
-      converged = next.as("n").join(ranks.as("p"), Seq("node"))
-        .filter($"n.r" =!= $"p.r").isEmpty
-      freeRanks() // superseded: `next` is materialized and the probe ran
-      ranks = next
-      freeRanks = freeNext
-      it += 1
-    }
+    // exception path releases the loop's pinned state (review find) —
+    // success keeps only the final ranks frame for the returned plan
+    var ok = false
+    try {
+      while (it < maxIters && !converged) {
+        val (next, freeNext) = graft.tools.Checkpoints.tracked(step(ranks))
+        // exact-integer convergence probe on two |nodes|-sized
+        // checkpointed frames — one cheap job per iteration
+        converged = next.as("n").join(ranks.as("p"), Seq("node"))
+          .filter($"n.r" =!= $"p.r").isEmpty
+        freeRanks() // superseded: `next` is materialized and the probe ran
+        ranks = next
+        freeRanks = freeNext
+        it += 1
+      }
+      ok = true
+    } finally if (!ok) { freeRanks(); deg.unpersist() }
     deg.unpersist()
     if (sys.env.contains("GRAFT_DEBUG_ITERS"))
       System.err.println(s"[pagerank] ran $it/$maxIters iterations" +

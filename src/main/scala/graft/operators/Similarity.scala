@@ -390,14 +390,16 @@ object Similarity {
     * easy random ones. The complement of q80's filtered ANN (same-label
     * candidates there, cross-label here).
     *
-    * Scale shape: the anchor set broadcasts (bounded — 1-in-50 sampling,
-    * each row 64 floats + label); candidates stream past it map-side
-    * with the codegen'd dot kernel, and per-anchor top-3 is a window
-    * over ≤|anchors| partitions. The label-inequality join is a
-    * BroadcastNestedLoopJoin by construction — allowlisted in the plan
-    * fence because the broadcast side is the bounded anchor set; at
-    * 100 TB the same shape composes with IVF/PQ pruning (probe cells
-    * first, mine negatives inside). */
+    * Scale shape: the broadcast side is the anchor BATCH. At fixture
+    * scale that batch is a 1-in-50 sample (corpus-proportional — fine
+    * here, NOT the 100 TB contract); a production run chunks mining
+    * over bounded anchor batches, so the broadcast is batch-sized by
+    * construction. Candidates stream past it map-side with the
+    * codegen'd dot kernel, per-anchor top-3 is a window over ≤|anchors|
+    * partitions, and the label-inequality BroadcastNestedLoopJoin is
+    * allowlisted in the plan fence under exactly that batch-bounded
+    * contract; at 100 TB the same shape composes with IVF/PQ pruning
+    * (probe cells first, mine negatives inside). */
   def q106HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))

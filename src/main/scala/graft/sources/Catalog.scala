@@ -7,14 +7,21 @@ import org.apache.spark.sql.SparkSession
   * its pipeline is embedded SQL) can drive the whole engine with
   * `spark.sql(...)` and compose library results with plain SQL joins.
   *
-  * Most views are pure lazy plans. The handful of queries with
-  * documented construction-time actions (q83's bloom build, the
-  * codebook/histogram collects of q86/q96/q100/q102/q107, q108's
-  * candidate count) run those bounded jobs AT REGISTRATION, because
-  * building the DataFrame is what runs them — use `only` to register a
-  * subset when that cost is unwanted up front. Registration is
-  * idempotent (createOrReplaceTempView) and session-scoped, so two
-  * sessions can point at different scale factors without interference.
+  * Cost honesty: most views are pure lazy plans, but building a
+  * DataFrame IS running its construction-time work — the bounded
+  * collects of q83/q86/q96/q100/q102/q107/q108, and, heavier, the FULL
+  * iterative kernels behind q53/q63/q94/q95/q103 (connected components,
+  * PageRank, BPE training run to completion at registration). Use
+  * `only` to register a subset when that upfront cost is unwanted.
+  *
+  * Lifetime: the kernel-backed views are SNAPSHOTS pinned by
+  * localCheckpoint blocks. `Checkpoints.sweep` (the harness's
+  * between-queries cleaner) destroys those blocks and a swept local
+  * checkpoint cannot be recomputed — a later SELECT on such a view
+  * throws. Do not mix a sweeping harness with a registered catalog in
+  * one session; re-register after any sweep. Registration is idempotent
+  * (createOrReplaceTempView) and session-scoped, so two sessions can
+  * point at different scale factors without interference.
   */
 object Catalog {
 

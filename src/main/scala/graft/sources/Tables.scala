@@ -40,8 +40,11 @@ object Tables {
     normalizeEventsTs(rawEvents(spark, dir))
 
   /** Raw footer-faithful read of the events fixture; falls back to the
-    * nanos-as-long legacy mode only when the plain read refuses the
-    * footer (TIMESTAMP(NANOS) fixtures). */
+    * nanos-as-long legacy mode ONLY when the plain read refuses the
+    * footer TYPE (TIMESTAMP(NANOS) fixtures). Any other failure — path
+    * missing, corrupt file — rethrows untouched: a catch-all here would
+    * mask the real error behind a second read AND leave the session-wide
+    * `nanosAsLong` conf flipped for unrelated reads (review find). */
   private[graft] def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     try {
@@ -49,7 +52,9 @@ object Tables {
       df.schema // force analysis so an illegal footer type throws here
       df
     } catch {
-      case _: Throwable =>
+      case e: Throwable if Option(e.getMessage).exists(m =>
+          m.contains("ILLEGAL_PARQUET_TYPE") ||
+            m.contains("Illegal Parquet type")) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
     }
