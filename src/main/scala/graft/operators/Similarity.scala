@@ -400,12 +400,27 @@ object Similarity {
     * allowlisted in the plan fence under exactly that batch-bounded
     * contract; at 100 TB the same shape composes with IVF/PQ pruning
     * (probe cells first, mine negatives inside). */
+  /** Hard upper bound on q106's broadcast anchor batch: 4096 anchors ×
+    * 64 dims × 8 B ≈ 2 MB — comfortably broadcastable. The plan fence
+    * allowlists q106's BroadcastNestedLoopJoin under a "tiny broadcast
+    * side" contract; this `require` makes that contract ENFORCED, not
+    * assumed (advisor find): an over-cap batch aborts before the
+    * broadcast instead of OOMing executors. Production mining chunks
+    * anchors into ≤[[MaxAnchorBatch]] batches. */
+  private[graft] val MaxAnchorBatch = 4096L
+
   def q106HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"label".as("q_label"), $"vec_id".as("q_id"),
         $"v".as("qv"), $"nrm".as("qnrm"))
+    // enforce the tiny-broadcast contract before broadcasting (column-
+    // pruned count: one cheap vec_id scan, no vector math)
+    val nAnchors = q.count()
+    require(nAnchors <= MaxAnchorBatch,
+      s"q106 anchor batch ($nAnchors) exceeds the broadcast contract " +
+        s"($MaxAnchorBatch); chunk the anchor set into bounded batches")
     val cands = e.join(broadcast(q), $"label" =!= $"q_label")
       .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)

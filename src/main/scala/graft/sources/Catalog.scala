@@ -17,13 +17,29 @@ import org.apache.spark.sql.SparkSession
   * Lifetime: the kernel-backed views are SNAPSHOTS pinned by
   * localCheckpoint blocks. `Checkpoints.sweep` (the harness's
   * between-queries cleaner) destroys those blocks and a swept local
-  * checkpoint cannot be recomputed — a later SELECT on such a view
-  * throws. Do not mix a sweeping harness with a registered catalog in
-  * one session; re-register after any sweep. Registration is idempotent
+  * checkpoint cannot be recomputed — so sweep() DROPS every registered
+  * query view in that session (via [[invalidateRegistered]]): a later
+  * SELECT fails explicitly with TABLE_OR_VIEW_NOT_FOUND at the view
+  * name, not a confusing block-not-found error deep in a scan.
+  * Re-register after any sweep. Registration is idempotent
   * (createOrReplaceTempView) and session-scoped, so two sessions can
   * point at different scale factors without interference.
   */
 object Catalog {
+
+  /** Query views registered per session (base-table views excluded —
+    * they are plain recomputable scans and survive a sweep). */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Set[String]]()
+
+  /** Drop every query view [[registerViews]] created in this session and
+    * forget them; returns the dropped names. Called by
+    * `Checkpoints.sweep` so checkpoint-backed views cannot outlive their
+    * blocks as silent time bombs. */
+  def invalidateRegistered(spark: SparkSession): Seq[String] = {
+    val views = Option(registered.remove(spark)).getOrElse(Set.empty)
+    views.toSeq.sorted.map { v => spark.catalog.dropTempView(v); v }
+  }
 
   /** Register the raw fixture tables (`region` … `embeddings`) plus one
     * `<prefix><query>` view per library query, all bound to `dir`.
@@ -35,12 +51,14 @@ object Catalog {
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val views = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
         val view = s"$prefix$name"
         fn(spark, dir).createOrReplaceTempView(view)
         view
       }
+    registered.merge(spark, views.toSet, (a, b) => a ++ b)
+    views
   }
 }

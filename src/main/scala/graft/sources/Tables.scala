@@ -55,6 +55,16 @@ object Tables {
       case e: Throwable if Option(e.getMessage).exists(m =>
           m.contains("ILLEGAL_PARQUET_TYPE") ||
             m.contains("Illegal Parquet type")) =>
+        // INTENTIONAL ONE-WAY FLIP: the returned frame is lazy, and the
+        // scan consults this conf at execution time — restoring it here
+        // would break the very read we are constructing. Consequence: a
+        // LATER unrelated nanos-typed parquet read in the same session
+        // reads nanos as long instead of failing loudly. Accepted because
+        // (a) the flag only changes behavior for footers Spark would
+        // otherwise REFUSE, so nothing silently changes type vs default,
+        // and (b) it flips only in sessions that actually met a
+        // nanos-footer events fixture. Callers needing strictness back
+        // can unset after fully materializing this frame.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
     }

@@ -33,7 +33,19 @@ object Checkpoints {
     * internals; callers are single-threaded per session (Verify/Bench run
     * queries sequentially), so the diff is precise. After release the
     * frame is NOT recomputable — only release a frame no live DataFrame
-    * depends on. */
+    * depends on.
+    *
+    * Caveats of the id-diff (advisor find, accepted trade-off):
+    *  - if `df`'s plan contains a not-yet-materialized `.cache()`
+    *    upstream, materializing the checkpoint ALSO pins that cache, so
+    *    release() unpersists it too. That cache is recomputable (unlike
+    *    the checkpoint), so the effect is perf-only — a consumer still
+    *    holding the cached frame recomputes instead of reading blocks;
+    *  - the diff is imprecise under CONCURRENT persists in the same
+    *    session (e.g. two streaming maintainers interleaving): an RDD
+    *    pinned by the other thread inside the window is attributed to
+    *    this checkpoint. Single-threaded-per-session use is the
+    *    documented contract; nothing enforces it. */
   def tracked(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -46,10 +58,17 @@ object Checkpoints {
   }
 
   /** Unpersist every RDD the context still holds — caches AND local
-    * checkpoints. Harness use only, between fully-consumed queries. */
-  def sweep(spark: SparkSession): Unit =
+    * checkpoints. Harness use only, between fully-consumed queries.
+    * Also drops any Catalog-registered query views in this session:
+    * kernel-backed views are pinned by the very blocks this destroys,
+    * and a dropped view fails a later SELECT explicitly
+    * (TABLE_OR_VIEW_NOT_FOUND) instead of a block-not-found error
+    * mid-scan (advisor find). */
+  def sweep(spark: SparkSession): Unit = {
+    graft.sources.Catalog.invalidateRegistered(spark)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+  }
 
   /** Number of RDDs currently pinned (spec assertion hook). */
   def pinnedCount(spark: SparkSession): Int =
