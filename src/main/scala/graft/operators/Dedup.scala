@@ -519,7 +519,10 @@ object Dedup {
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrmb"))
-    e.join(broadcast(b), $"vec_id" < $"vec_b")
+    // the all-pairs verify kernel is only valid on a corpus slice that
+    // fits the tiny-broadcast contract — enforced, not assumed: beyond
+    // the cap you want q35's LSH candidates, and this aborts loudly
+    e.join(Similarity.boundedBroadcast(b, "q40 candidate"), $"vec_id" < $"vec_b")
       .select($"vec_id".as("vec_a"), $"vec_b",
         round(dot_product($"v", $"vb") / ($"nrm" * $"nrmb"), 6).as("cos"))
       .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)

@@ -220,8 +220,12 @@ object Search {
     // retriever pipeline per side (measured 2.3× on q90).
     def rankOf(top0: DataFrame, score: String, rank: String): DataFrame = {
       val top = top0.localCheckpoint()
+      // the re-applied limit(50) is a no-op on the already-≤50-row
+      // checkpoint, but the checkpoint erased the producer's limit from
+      // the plan (Scan ExistingRDD) — this keeps the broadcast side's
+      // bound VISIBLE to the join fence's structural evidence scan
       val b = broadcast(
-        top.select(col(score).as("__s"), col("doc_id").as("__d")))
+        top.select(col(score).as("__s"), col("doc_id").as("__d")).limit(50))
       top.join(b,
           col("__s") > col(score) ||
             (col("__s") === col(score) && col("__d") < col("doc_id")),

@@ -23,6 +23,33 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Hard upper bound on any NLJ-broadcast batch in this family (query
+    * sets, IVF centroids, mining anchors): 4096 rows × 64 dims × 8 B ≈
+    * 2 MB — comfortably broadcastable. The plan fence allowlists these
+    * queries' BroadcastNestedLoopJoins under a "tiny broadcast side"
+    * contract; [[boundedBroadcast]] makes that contract ENFORCED, not
+    * assumed (advisor find). The fixture batches are corpus-proportional
+    * samples (1-in-50 queries, 1-in-40 centroids) — fine at test scale;
+    * a production run chunks work into ≤cap batches, and an over-cap
+    * batch aborts BEFORE broadcasting instead of OOMing executors. */
+  private[graft] val MaxBroadcastBatch = 4096L
+
+  /** `broadcast()` with the tiny-side contract enforced at runtime:
+    * probe `limit(cap+1).count()` — the limit short-circuits, so the
+    * guard does O(cap) work however large the side is (a plain count
+    * would scan the full corpus to report a number we only need to know
+    * exceeds the cap) — then abort or broadcast. Shared by every
+    * brute-force / ANN / mining scorer whose broadcast side has no
+    * structural bound (no limit/aggregate) in its plan — the runtime
+    * half of the PlanQualitySpec join fence. */
+  private[graft] def boundedBroadcast(df: DataFrame, what: String): DataFrame = {
+    val n = df.limit(MaxBroadcastBatch.toInt + 1).count()
+    require(n <= MaxBroadcastBatch,
+      s"$what broadcast side (>$MaxBroadcastBatch rows) exceeds the " +
+        s"tiny-broadcast contract ($MaxBroadcastBatch); chunk into bounded batches")
+    broadcast(df)
+  }
+
   private def emb(s: SparkSession, d: String): DataFrame =
     // the fixture is one small file -> one partition -> pair joins would
     // run single-task; spread rows across the executor slots (a real
@@ -42,7 +69,7 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+    val scored = e.join(boundedBroadcast(q, "q34 query"), $"vec_id" =!= $"q_id")
       .withColumn("cos", cosine_sim($"v", $"qv"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -145,7 +172,7 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    e.join(broadcast(q), $"vec_id" =!= $"q_id")
+    e.join(boundedBroadcast(q, "q42 query"), $"vec_id" =!= $"q_id")
       .withColumn("cos", cosine_sim($"v", $"qv"))
       .groupBy($"q_id")
       .agg(top_k_by_score($"cos", $"vec_id", 5).as("top"))
@@ -173,7 +200,7 @@ object Similarity {
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"ccos".desc, $"c_id".asc)
-    val assigned = e.crossJoin(broadcast(cent))
+    val assigned = e.crossJoin(boundedBroadcast(cent, "q44 centroid"))
       .withColumn("ccos", dot_product($"v", $"cv") / ($"nrm" * $"cnrm"))
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
@@ -182,7 +209,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val wProbe = Window.partitionBy($"q_id")
       .orderBy($"qcos".desc, $"c_id".asc)
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(boundedBroadcast(cent, "q44 centroid"))
       .withColumn("qcos", dot_product($"qv", $"cv") / ($"qnrm" * $"cnrm"))
       .withColumn("rn", row_number().over(wProbe))
       .filter($"rn" <= 2)
@@ -300,7 +327,7 @@ object Similarity {
       .select($"vec_id", $"q", $"self")
     val qs = quant.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"q".as("qq"), $"self".as("qself"))
-    val scored = quant.join(broadcast(qs), $"vec_id" =!= $"q_id")
+    val scored = quant.join(boundedBroadcast(qs, "q79 query"), $"vec_id" =!= $"q_id")
       .withColumn("dot", expr(
         "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"))
       .withColumn("acos",
@@ -354,7 +381,7 @@ object Similarity {
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"label", $"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val cands = e.join(broadcast(q), Seq("label"))
+    val cands = e.join(boundedBroadcast(q, "q80 query"), Seq("label"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
@@ -400,28 +427,13 @@ object Similarity {
     * allowlisted in the plan fence under exactly that batch-bounded
     * contract; at 100 TB the same shape composes with IVF/PQ pruning
     * (probe cells first, mine negatives inside). */
-  /** Hard upper bound on q106's broadcast anchor batch: 4096 anchors ×
-    * 64 dims × 8 B ≈ 2 MB — comfortably broadcastable. The plan fence
-    * allowlists q106's BroadcastNestedLoopJoin under a "tiny broadcast
-    * side" contract; this `require` makes that contract ENFORCED, not
-    * assumed (advisor find): an over-cap batch aborts before the
-    * broadcast instead of OOMing executors. Production mining chunks
-    * anchors into ≤[[MaxAnchorBatch]] batches. */
-  private[graft] val MaxAnchorBatch = 4096L
-
   def q106HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"label".as("q_label"), $"vec_id".as("q_id"),
         $"v".as("qv"), $"nrm".as("qnrm"))
-    // enforce the tiny-broadcast contract before broadcasting (column-
-    // pruned count: one cheap vec_id scan, no vector math)
-    val nAnchors = q.count()
-    require(nAnchors <= MaxAnchorBatch,
-      s"q106 anchor batch ($nAnchors) exceeds the broadcast contract " +
-        s"($MaxAnchorBatch); chunk the anchor set into bounded batches")
-    val cands = e.join(broadcast(q), $"label" =!= $"q_label")
+    val cands = e.join(boundedBroadcast(q, "q106 anchor"), $"label" =!= $"q_label")
       .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     cands.withColumn("rank", row_number().over(w))
@@ -545,7 +557,7 @@ object Similarity {
           }
         }: _*))
     }.drop("q")
-    val scored = codes.join(broadcast(withTabs), $"vec_id" =!= $"q_id")
+    val scored = codes.join(boundedBroadcast(withTabs, "q96 query"), $"vec_id" =!= $"q_id")
       .withColumn("adist",
         element_at($"t0", $"c0" + 1) + element_at($"t1", $"c1" + 1) +
           element_at($"t2", $"c2" + 1) + element_at($"t3", $"c3" + 1))

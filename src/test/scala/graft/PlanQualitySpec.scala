@@ -197,26 +197,36 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
-  // Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
-  // every one broadcasts a PROVABLY-TINY side — a 1-row query vector
-  // (q34/q40/q42/q79/q96), a 1-row corpus statistic (avgdl/totals:
-  // q36/q38/q39/q44/q72/q74/q76/q78/q91), or a bounded source-weight /
-  // rank table (q82/q92, q90, q07's suffix-theta dims) — EXCEPT q106,
-  // whose broadcast side is the anchor BATCH (1-in-50 of embeddings
-  // here, so corpus-proportional at fixture scale): a production
-  // deployment bounds the per-run anchor batch — mining is chunked over
-  // anchor batches by construction — so the broadcast is batch-sized,
-  // not corpus-sized; it is allowlisted under that documented contract.
-  // Regenerate with `runMain graft.tools.JoinAudit` after adding a
-  // query here.
+  // Queries whose plans legitimately contain a BroadcastNestedLoopJoin.
+  // Membership is NOT the guarantee — the whole-surface fence below
+  // asserts, per NLJ, that the broadcast side is actually bounded, in
+  // one of two lanes:
+  //  - STRUCTURAL: JoinAudit.nljBroadcastEvidence finds a limit /
+  //    ungrouped aggregate (1-row corpus stat: avgdl/totals) / grouped
+  //    aggregate over a bounded domain / driver local table /
+  //    attr=literal point filter in the side's plan;
+  //  - RUNTIME-CAPPED (`nljRuntimeCapped`): the side is a
+  //    corpus-proportional SAMPLE at fixture scale (1-in-50 query
+  //    batches, 1-in-40 IVF centroids, q106's anchors, q40's verify
+  //    slice) with no structural bound — each site broadcasts through
+  //    Similarity.boundedBroadcast, which `require`s ≤MaxBroadcastBatch
+  //    rows before the broadcast exists. Production chunks these
+  //    batches; over-cap aborts loudly instead of OOMing executors.
+  // A NEW nested-loop query must pick a lane consciously: structural
+  // evidence, or boundedBroadcast + this set. Regenerate the evidence
+  // table with `runMain graft.tools.JoinAudit`.
+  private val nljRuntimeCapped = Set(
+    "q34_sim_cosine_topk", "q40_dedup_embedding_cosine",
+    "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q79_int8_ann",
+    "q96_pq_ann", "q106_hard_negatives")
+
   private val nljAllowed = Set(
-    "q07_join_suffix_theta", "q34_sim_cosine_topk", "q36_bm25_topk",
-    "q38_bm25_filtered", "q39_hybrid_search", "q40_dedup_embedding_cosine",
-    "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q72_unigram_perplexity",
+    "q07_join_suffix_theta", "q36_bm25_topk",
+    "q38_bm25_filtered", "q39_hybrid_search",
+    "q72_unigram_perplexity",
     "q74_tfidf_topk", "q76_bigram_perplexity", "q78_lang_kl_divergence",
-    "q79_int8_ann", "q82_mixture_weights", "q90_rrf_fusion",
-    "q91_pmi_collocations", "q92_mixture_draw", "q96_pq_ann",
-    "q106_hard_negatives")
+    "q82_mixture_weights", "q90_rrf_fusion",
+    "q91_pmi_collocations", "q92_mixture_draw") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {
@@ -236,16 +246,44 @@ class PlanQualitySpec extends SparkSuite {
       val plan = df.queryExecution.executedPlan
       val badWin = graft.tools.PlanAudit.unpartitionedWindows(plan)
       val (cart, nlj) = graft.tools.JoinAudit.scan(plan)
+      // allowlisted NLJs must PROVE their tiny-broadcast contract: a
+      // structural bound in the side's plan, or membership in the
+      // runtime-capped lane (boundedBroadcast require at the site)
+      val unproven =
+        if (nlj > 0 && nljAllowed(name) && !nljRuntimeCapped(name))
+          graft.tools.JoinAudit.nljBroadcastEvidence(plan)
+            .count(_.isEmpty)
+        else 0
       spark.catalog.clearCache()
       graft.tools.Checkpoints.sweep(spark) // construction-time checkpoints
       Seq(
         if (badWin.nonEmpty) Seq(s"$name: ${badWin.size} unpartitioned window(s)") else Nil,
         if (cart > 0) Seq(s"$name: $cart CartesianProduct(s)") else Nil,
         if (nlj > 0 && !nljAllowed(name))
-          Seq(s"$name: $nlj unallowlisted BroadcastNestedLoopJoin(s)") else Nil
+          Seq(s"$name: $nlj unallowlisted BroadcastNestedLoopJoin(s)") else Nil,
+        if (unproven > 0)
+          Seq(s"$name: $unproven allowlisted NLJ broadcast side(s) with no " +
+            "structural bound (limit/agg/local-table/point-filter) — add " +
+            "boundedBroadcast + nljRuntimeCapped, or restore the bound") else Nil
       ).flatten
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("runtime-capped NLJ queries reject an over-cap broadcast batch") {
+    // the runtime lane's contract is the require inside
+    // Similarity.boundedBroadcast — prove it actually fires: a frame
+    // larger than MaxBroadcastBatch must abort, a small one must pass
+    import spark.implicits._
+    val big = spark.range(graft.operators.Similarity.MaxBroadcastBatch + 1)
+      .toDF("vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.boundedBroadcast(big, "fence-probe")
+    }
+    assert(ex.getMessage.contains("tiny-broadcast"), ex.getMessage)
+    val small = spark.range(3).toDF("vec_id")
+    assert(graft.operators.Similarity.boundedBroadcast(small, "fence-probe")
+      .count() == 3)
   }
 
   test("bucketed orders⋈lineitem joins without any shuffle Exchange") {

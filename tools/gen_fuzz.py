@@ -62,23 +62,28 @@ def gen_where(rng, cols):
 
 
 def gen_window(rng):
-    """Rank-window query: top-k rows per string group by one ordering
-    column, full-int tiebreak (the int tuple is unique per table in the
-    fixtures, so row_number is deterministic)."""
+    """Rank-window query: top-k rows per group by one ordering column,
+    full-int tiebreak (the int tuple is unique per table in the fixtures,
+    so row_number is deterministic). The partition is RANDOM: a string
+    column or a derived int-modulo expression (probing partition-clause
+    planning, not just categorical keys)."""
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
-    part = rng.choice(cols["strings"])
+    if rng.random() < 0.6:
+        part = rng.choice(cols["strings"])
+    else:
+        part = f"{rng.choice(cols['ints'])} % {rng.randint(2, 9)}"
     order = rng.choice(cols["doubles"] + cols["ints"])
     dirn = rng.choice(["ASC", "DESC"])
     ties = ", ".join(f"{c} ASC" for c in cols["ints"])
     proj = ", ".join(cols["ints"])
     k = rng.randint(1, 5)
     fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
-    return (f"SELECT {part}, {proj}, rn FROM ("
-            f"SELECT {part}, {proj}, {fn} OVER (PARTITION BY {part} "
+    return (f"SELECT pk, {proj}, rn FROM ("
+            f"SELECT {part} AS pk, {proj}, {fn} OVER (PARTITION BY {part} "
             f"ORDER BY {order} {dirn}, {ties}) AS rn FROM {table}"
             f"{gen_where(rng, cols)}) WHERE rn <= {k} "
-            f"ORDER BY {part}, rn, {proj}")
+            f"ORDER BY pk, rn, {proj}")
 
 
 def gen_join(rng):
@@ -93,6 +98,70 @@ def gen_join(rng):
     return (f"SELECT {g}, count(*) AS c, round(sum({d}), 2) AS s, "
             f"min({i}) AS m FROM {fact} JOIN {dim} ON {cond}"
             f"{gen_where(rng, fc)} GROUP BY {g}{having} ORDER BY {g}")
+
+
+def gen_left_join(rng):
+    """Row-level LEFT OUTER fact→dim (N:1, so output stays fact-sized)
+    with an extra dim-side predicate INSIDE the ON clause — the shape
+    where pushing the predicate below the join (inner-join rewrite) is
+    WRONG; a planner doing so loses the null-extended rows. Every
+    nullable output is coalesced so ordering parity never meets the
+    engines' differing NULL sort defaults."""
+    fact, dim, cond = rng.choice(JOINS)
+    fc, dc = TABLES[fact], TABLES[dim]
+    ds = rng.choice(dc["strings"])
+    di = rng.choice(dc["ints"])
+    extra = f" AND {di} % {rng.randint(2, 5)} = 0"
+    proj = ", ".join(fc["ints"])
+    lim = rng.randint(200, 500)
+    return (f"SELECT {proj}, coalesce({ds}, '~none~') AS dv "
+            f"FROM {fact} LEFT JOIN {dim} ON {cond}{extra}"
+            f"{gen_where(rng, fc)} "
+            f"ORDER BY {proj}, dv LIMIT {lim}")
+
+
+def gen_anti_join(rng):
+    """Anti join in its LEFT JOIN … IS NULL spelling (dialect-neutral
+    where LEFT ANTI JOIN is not), on a RANDOM DERIVED key — the
+    dim key matched against fact-key arithmetic (fk % m or fk + k), so
+    the anti set depends on the derived-key planning both engines must
+    agree on. Output is one row per unmatched dim row (non-null ints
+    only)."""
+    dim, dk, fact, fk, _ = rng.choice(LATERAL_KEYS)
+    dc = TABLES[dim]
+    derived = rng.choice([
+        f"{fk} % {rng.randint(500, 3000)}",
+        f"{fk} + {rng.randint(1, 200)}",
+        fk,
+    ])
+    inner_where = gen_where(rng, TABLES[fact])
+    proj = ", ".join(dc["ints"])
+    outer = gen_where(rng, dc)
+    glue = " AND " if outer else " WHERE "
+    lim = rng.randint(200, 500)
+    return (f"SELECT {proj} FROM {dim} LEFT JOIN "
+            f"(SELECT DISTINCT {derived} AS jk FROM {fact}{inner_where}) f "
+            f"ON {dk} = f.jk{outer}{glue}f.jk IS NULL "
+            f"ORDER BY {proj} LIMIT {lim}")
+
+
+def gen_derived_join(rng):
+    """Aggregate over an equi-join whose key is DERIVED on the fact side
+    (fk % m / fk + k against the dim key): random arithmetic keys probe
+    expression-keyed join planning (hash of a projection, not a column).
+    N:1 by construction, so output is bounded by the fact row count."""
+    dim, dk, fact, fk, measure = rng.choice(LATERAL_KEYS)
+    fc, dc = TABLES[fact], TABLES[dim]
+    derived = rng.choice([
+        f"{fk} % {rng.randint(500, 3000)}",
+        f"{fk} + {rng.randint(1, 200)}",
+    ])
+    g = rng.choice(dc["strings"])
+    i = rng.choice(fc["ints"])
+    return (f"SELECT {g}, count(*) AS c, CAST(sum({i}) AS BIGINT) AS s, "
+            f"round(sum({measure}), 2) AS m "
+            f"FROM {fact} JOIN {dim} ON {derived} = {dk}"
+            f"{gen_where(rng, fc)} GROUP BY {g} ORDER BY {g}")
 
 
 SETOP_KEYS = [
@@ -241,22 +310,28 @@ def gen_exists(rng):
 
 def gen_query(rng):
     shape = rng.random()
-    if shape < 0.18:
+    if shape < 0.13:
         return gen_window(rng)
-    if shape < 0.32:
+    if shape < 0.23:
         return gen_join(rng)
-    if shape < 0.42:
+    if shape < 0.30:
         return gen_setop(rng)
-    if shape < 0.50:
+    if shape < 0.36:
         return gen_scalar(rng)
-    if shape < 0.60:
+    if shape < 0.43:
         return gen_rollup(rng)
-    if shape < 0.70:
+    if shape < 0.51:
         return gen_frame(rng)
-    if shape < 0.78:
+    if shape < 0.58:
         return gen_lateral(rng)
-    if shape < 0.86:
+    if shape < 0.65:
         return gen_exists(rng)
+    if shape < 0.73:
+        return gen_left_join(rng)
+    if shape < 0.81:
+        return gen_anti_join(rng)
+    if shape < 0.89:
+        return gen_derived_join(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group = rng.sample(cols["strings"], rng.randint(1, min(2, len(cols["strings"]))))
