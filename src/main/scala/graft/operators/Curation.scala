@@ -722,6 +722,81 @@ object Curation {
       |       arg_max(doc_id, pos) AS last_doc
       |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // --------------------------------------------------------------- q111
+
+  /** q111 — DSIR-style importance weighting (Xie et al., NeurIPS 2023:
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed-bigram feature
+    * distribution resembles a TARGET corpus (here lang='en' — the
+    * "quality" domain) relative to the raw corpus. DSIR's recipe:
+    * bigrams hash into B buckets; the target and raw corpora each fit a
+    * smoothed bucket multinomial; a document's log importance weight is
+    * Σ_b n_db·(ln p_target(b) − ln p_raw(b)). The deterministic face of
+    * the resampling step is the weight itself (production adds Gumbel
+    * noise and keeps top-k; rank-by-weight is the noise-free selection).
+    *
+    * Cross-engine exactness: the bucket hash slices md5 exactly like the
+    * dedup family (both engines derive identical buckets); all counts are
+    * exact longs; each per-bucket term evaluates in the same association
+    * order; the only float reduction is the final per-doc sum of ≤B
+    * terms, masked by round(…,4) (the q76 precedent — drift ~1e-13 vs a
+    * 1e-4 grid).
+    *
+    * Scale shape: feature hashing is map-side; both bucket models are
+    * B-row aggregates (broadcast); the per-doc reduction shuffles
+    * (doc_id, bucket) partial counts — ≤B rows per document however long
+    * the document is. At 100 TB: one map-combinable shuffle of bounded
+    * fan-in plus two broadcast-sized model joins. */
+  def q111DsirImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 64
+    val pb = bigramPairs(docs(s, dir), "doc_id", "lang")
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(concat_ws(" ", $"prev", $"cur")), 1, 15), 16, 10)
+          .cast("long") % B).as("b"))
+    val dbk = pb.groupBy($"doc_id", $"lang", $"b")
+      .agg(count(lit(1)).as("n"))
+    val tgt = pb.filter($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("tc"))
+    val raw = pb.groupBy($"b").agg(count(lit(1)).as("rc"))
+    val tot = tgt.agg((sum($"tc") + B).as("tt"))
+      .crossJoin(raw.agg((sum($"rc") + B).as("rt")))
+    dbk
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", $"n" *
+        (log((coalesce($"tc", lit(0L)) + lit(1.0)) / $"tt") -
+          log((coalesce($"rc", lit(0L)) + lit(1.0)) / $"rt")))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"n").as("n_bigrams"), round(sum($"term"), 4).as("log_weight"))
+      .orderBy($"doc_id")
+  }
+
+  val q111Oracle: String =
+    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |              FROM documents),
+      |prs AS (SELECT doc_id, lang,
+      |          unnest(list_transform(generate_series(1, len(t) - 1),
+      |            i -> t[i] || ' ' || t[i + 1])) AS bg
+      |        FROM base WHERE len(t) >= 2),
+      |pb AS (SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % 64 AS b
+      |       FROM prs),
+      |dbk AS (SELECT doc_id, lang, b, count(*) AS n FROM pb GROUP BY 1, 2, 3),
+      |tgt AS (SELECT b, count(*) AS tc FROM pb WHERE lang = 'en' GROUP BY 1),
+      |raw AS (SELECT b, count(*) AS rc FROM pb GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(tc) FROM tgt) + 64 AS tt,
+      |               (SELECT sum(rc) FROM raw) + 64 AS rt)
+      |SELECT d.doc_id, d.lang, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+      |       round(sum(d.n * (ln((coalesce(t.tc, 0) + CAST(1.0 AS DOUBLE)) / tot.tt)
+      |                      - ln((coalesce(r.rc, 0) + CAST(1.0 AS DOUBLE)) / tot.rt))), 4)
+      |         AS log_weight
+      |FROM dbk d
+      |LEFT JOIN tgt t ON d.b = t.b
+      |LEFT JOIN raw r ON d.b = r.b, tot
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -735,7 +810,8 @@ object Curation {
     "q82_mixture_weights" -> q82MixtureWeights _,
     "q83_bloom_contamination" -> q83BloomContamination _,
     "q92_mixture_draw" -> q92MixtureDraw _,
-    "q102_corpus_shuffle" -> q102CorpusShuffle _)
+    "q102_corpus_shuffle" -> q102CorpusShuffle _,
+    "q111_dsir_importance" -> q111DsirImportance _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -747,5 +823,6 @@ object Curation {
     "q81_ngram_contamination" -> q81Oracle,
     "q82_mixture_weights" -> q82Oracle,
     "q92_mixture_draw" -> q92Oracle,
-    "q102_corpus_shuffle" -> q102Oracle)
+    "q102_corpus_shuffle" -> q102Oracle,
+    "q111_dsir_importance" -> q111Oracle)
 }

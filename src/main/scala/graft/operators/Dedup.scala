@@ -829,7 +829,67 @@ object Dedup {
       |GROUP BY sp.split
       |ORDER BY sp.split""".stripMargin
 
+  /** q112 — n-gram novelty saturation curve (the "is more data still
+    * new?" acquisition question): a shingle's OWNER is the minimum
+    * doc_id containing it (arrival-order proxy — the fixture assigns ids
+    * in generation order); a document's novelty is the fraction of its
+    * distinct shingles it owns. Documents bucket into 10 arrival deciles
+    * and the curve of average novelty per decile shows whether late data
+    * still contributes unseen n-grams — the relational form of the
+    * "fraction of new tokens" curves in dataset-scaling studies (e.g.
+    * Lee et al. 2022's duplicate-growth analysis).
+    *
+    * Decile boundaries derive from min/max doc_id ARITHMETICALLY (a
+    * 1-row broadcast aggregate) — no corpus-wide ntile window, the q87
+    * lesson. Scale shape: one distinct-shingle shuffle keyed by the
+    * 8-byte shingle id, a min-reduction to owners (map-combinable), and
+    * a shingle-keyed equi-join the AQE exchange reuse shares with the
+    * reduction's shuffle. All counts exact longs until one final
+    * rounded division. */
+  def q112NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val sh = shingleIdsWithDup(docs(s, dir).repartition(par)).distinct()
+    val owners = sh.groupBy($"sh64").agg(min($"doc_id").as("owner"))
+    val perDoc = sh.join(owners, Seq("sh64"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when($"doc_id" === $"owner", 1L).otherwise(0L)).as("n_new"))
+    val bounds = perDoc.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+    perDoc.crossJoin(broadcast(bounds))
+      .withColumn("decile", least(lit(9),
+        floor(($"doc_id" - $"mn") * 10 / ($"mx" - $"mn" + 1)).cast("int")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_sh").as("n_shingles"),
+        sum($"n_new").as("n_novel"),
+        round(avg($"n_new".cast("double") / $"n_sh"), 6).as("avg_novelty"))
+      .orderBy($"decile")
+  }
+
+  val q112Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |ish AS (SELECT DISTINCT doc_id,
+      |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      |        FROM sh),
+      |owners AS (SELECT sh64, min(doc_id) AS owner FROM ish GROUP BY 1),
+      |perdoc AS (SELECT i.doc_id, count(*) AS n_sh,
+      |             CAST(sum(CASE WHEN i.doc_id = o.owner THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS n_new
+      |           FROM ish i JOIN owners o ON i.sh64 = o.sh64
+      |           GROUP BY 1),
+      |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM perdoc)
+      |SELECT CAST(least(9, floor((doc_id - mn) * 10 / (mx - mn + 1))) AS INT)
+      |         AS decile,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+      |       CAST(sum(n_new) AS BIGINT) AS n_novel,
+      |       round(avg(CAST(n_new AS DOUBLE) / n_sh), 6) AS avg_novelty
+      |FROM perdoc, bounds
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_ngram_novelty" -> q112NgramNovelty _,
     "q70_contamination" -> q70Contamination _,
     "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
@@ -842,6 +902,7 @@ object Dedup {
     "q108_lsh_evaluation" -> q108LshEvaluation _)
 
   val oracle: Map[String, String] = Map(
+    "q112_ngram_novelty" -> q112Oracle,
     "q70_contamination" -> q70Oracle,
     "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,

@@ -213,4 +213,23 @@ class CurationSpec extends SparkSuite {
     val tiny = Curation.q78LangKlDivergence(spark, dir).collect()
     assert(tiny.length == 1 && tiny(0).getAs[Double]("kl") == 0.0)
   }
+
+  test("q111 importance weights separate the target domain from the rest") {
+    // DSIR's whole premise: documents FROM the target distribution score
+    // higher than documents from elsewhere. With target = lang 'en', the
+    // mean log-weight of en docs must exceed the mean of every other
+    // language (hashed-bigram features at B=64 keep plenty of signal at
+    // fixture scale), and weights must cover every bigram-bearing doc.
+    val rows = Curation.q111DsirImportance(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> rs.map(_.getAs[Double]("log_weight")).sum / rs.length
+    }
+    val en = byLang("en")
+    byLang.filterNot(_._1 == "en").foreach { case (l, m) =>
+      assert(en > m, f"mean log-weight en=$en%.3f not above $l=$m%.3f")
+    }
+    // weights are finite (smoothing leaves no -inf buckets)
+    rows.foreach(r => assert(!r.getAs[Double]("log_weight").isInfinite))
+  }
 }

@@ -66,4 +66,28 @@ class DedupSpec extends SparkSuite {
     assert(capped.exceptAll(uncapped).isEmpty &&
       uncapped.exceptAll(capped).isEmpty)
   }
+
+  test("q112 novelty: ownership partitions the shingle space exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q112NgramNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every distinct shingle has exactly ONE owner, so the novel counts
+    // across deciles must sum to the corpus's distinct-shingle count —
+    // an exact integer invariant of first-occurrence attribution
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2)))""".stripMargin)).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    assert(totalNovel == d, s"novel sum $totalNovel != distinct shingles $d")
+    // the earliest decile sees the most unseen n-grams
+    val nov = rows.sortBy(_.getAs[Int]("decile"))
+      .map(_.getAs[Double]("avg_novelty"))
+    assert(nov.head == nov.max, s"decile 0 not the novelty peak: ${nov.toSeq}")
+    nov.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
 }

@@ -226,7 +226,8 @@ class PlanQualitySpec extends SparkSuite {
     "q72_unigram_perplexity",
     "q74_tfidf_topk", "q76_bigram_perplexity", "q78_lang_kl_divergence",
     "q82_mixture_weights", "q90_rrf_fusion",
-    "q91_pmi_collocations", "q92_mixture_draw") ++ nljRuntimeCapped
+    "q91_pmi_collocations", "q92_mixture_draw",
+    "q111_dsir_importance", "q112_ngram_novelty") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {
