@@ -888,8 +888,72 @@ object Dedup {
       |FROM perdoc, bounds
       |GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** q114 — per-source marginal-novelty attribution (the data-acquisition
+    * ledger: which sources still pay for themselves?): a distinct shingle
+    * is OWNED by its minimum doc_id (first arrival — q112's attribution
+    * rule); a source's novelty ratio is shingles-it-introduced over
+    * distinct-shingles-it-contains. A source near 0 is re-crawling what
+    * the corpus already has; near 1 it is contributing genuinely new
+    * text — the per-source form of q112's arrival-decile curve, and the
+    * number a 100 TB pipeline uses to deprioritize a feed.
+    *
+    * Scale shape: two shingle-id-keyed shuffles (the min-owner reduction
+    * and the per-(source, shingle) distinct — both map-combinable over
+    * 8-byte longs), one doc_id-keyed equi-join to recover the owner's
+    * source, then source-sized rollups. No windows, no driver state; all
+    * counts exact longs until one final rounded division. */
+  def q114SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val d = docs(s, dir)
+    val src = d.select($"doc_id", $"source")
+    val ish = shingleIdsWithDup(d.repartition(par)).distinct()
+    val owned = ish.groupBy($"sh64").agg(min($"doc_id").as("doc_id"))
+      .join(src, Seq("doc_id"))
+      .groupBy($"source").agg(count(lit(1)).as("owned"))
+    val appearing = ish.join(src, Seq("doc_id"))
+      .select($"source", $"sh64").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("appearing"))
+    src.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(appearing, Seq("source"), "left")
+      .join(owned, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"appearing", lit(0L)).as("appearing"),
+        coalesce($"owned", lit(0L)).as("owned"),
+        when(coalesce($"appearing", lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(coalesce($"owned", lit(0L)).cast("double")
+            / $"appearing", 6)).as("novelty_ratio"))
+      .orderBy($"source")
+  }
+
+  val q114Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |ish AS (SELECT DISTINCT doc_id,
+      |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      |        FROM sh),
+      |own AS (SELECT d.source, count(*) AS owned
+      |        FROM (SELECT sh64, min(doc_id) AS doc_id FROM ish GROUP BY 1) o
+      |        JOIN documents d ON o.doc_id = d.doc_id
+      |        GROUP BY 1),
+      |app AS (SELECT source, count(*) AS appearing
+      |        FROM (SELECT DISTINCT d.source, i.sh64
+      |              FROM ish i JOIN documents d ON i.doc_id = d.doc_id)
+      |        GROUP BY 1),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT nd.source, nd.n_docs,
+      |       COALESCE(app.appearing, 0) AS appearing,
+      |       COALESCE(own.owned, 0) AS owned,
+      |       CASE WHEN COALESCE(app.appearing, 0) = 0 THEN 0.0
+      |            ELSE round(CAST(COALESCE(own.owned, 0) AS DOUBLE)
+      |                       / app.appearing, 6) END AS novelty_ratio
+      |FROM nd
+      |LEFT JOIN app ON nd.source = app.source
+      |LEFT JOIN own ON nd.source = own.source
+      |ORDER BY nd.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ngram_novelty" -> q112NgramNovelty _,
+    "q114_source_novelty" -> q114SourceNovelty _,
     "q70_contamination" -> q70Contamination _,
     "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
@@ -903,6 +967,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q112_ngram_novelty" -> q112Oracle,
+    "q114_source_novelty" -> q114Oracle,
     "q70_contamination" -> q70Oracle,
     "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,

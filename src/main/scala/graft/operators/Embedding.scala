@@ -256,13 +256,98 @@ object Embedding {
       |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q113 — label-noise / embedding-outlier detection: the vectors least
+    * like their own label's centroid are the mislabeled or off-manifold
+    * examples a classifier-training pipeline should audit first (the
+    * confident-learning / "prune by distance to class prototype"
+    * recipe). Reports the bottom-5 cosines per label with a dense rank.
+    *
+    * Cross-engine exactness (the q105 discipline): components quantize
+    * to floor(x·1000) int64 BEFORE aggregation, centroids are truncated
+    * integer division (`div` ≡ DuckDB `//`, both toward zero), so dot
+    * and both norms are bit-identical int64 on either engine; one IEEE
+    * division + sqrt at the end, then round(6). Ordering ties on the
+    * ROUNDED cosine break by vec_id, so rank is engine-independent.
+    *
+    * Scale shape: centroids are a (labels × 64)-row integer aggregate —
+    * map-side combinable, assembled into |labels| broadcast rows; the
+    * scoring pass is map-side (BroadcastHashJoin + codegen'd
+    * dot_product_long, no corpus shuffle); the bottom-k window shuffles
+    * once, partitioned BY LABEL. One label owning the corpus would skew
+    * that exchange — at 100 TB swap the window for the q42-style
+    * per-partition top-k aggregate; at ≤10⁶ rows/label the window is
+    * the simpler correct plan. */
+  def q113LabelOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product_long
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(s, dir).select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT))")
+        .as("qv"))
+    val cen = q
+      .select($"label", posexplode($"qv").as(Seq("dim", "c")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"c").as("sc"), count(lit(1)).as("n"))
+      .select($"label", $"dim", expr("sc div n").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        p => p.getField("m")).as("cen"))
+    val scored = q.join(broadcast(cen), Seq("label"))
+      .select($"label", $"vec_id",
+        dot_product_long($"qv", $"cen").as("dot"),
+        dot_product_long($"qv", $"qv").as("nv"),
+        dot_product_long($"cen", $"cen").as("nc"))
+      .select($"label", $"vec_id",
+        when($"nv" === 0L || $"nc" === 0L, lit(0.0))
+          .otherwise(round($"dot" /
+            (sqrt($"nv".cast("double")) * sqrt($"nc".cast("double"))), 6))
+          .as("cos_centroid"))
+    val w = Window.partitionBy($"label")
+      .orderBy($"cos_centroid".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"label", $"rank", $"vec_id", $"cos_centroid")
+      .orderBy($"label", $"rank")
+  }
+
+  val q113Oracle: String =
+    """WITH q AS (SELECT vec_id, label,
+      |             list_transform(embedding,
+      |               x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, label, d.dim, d.c
+      |      FROM q, LATERAL (SELECT unnest(qv) AS c,
+      |                         generate_subscripts(qv, 1) AS dim) d),
+      |m AS (SELECT label, dim, sum(c) // count(*) AS m
+      |      FROM e GROUP BY 1, 2),
+      |s AS (SELECT e.vec_id, e.label,
+      |        sum(e.c * m.m) AS dot, sum(e.c * e.c) AS nv,
+      |        sum(m.m * m.m) AS nc
+      |      FROM e JOIN m ON e.label = m.label AND e.dim = m.dim
+      |      GROUP BY 1, 2),
+      |c AS (SELECT vec_id, label,
+      |        CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+      |             ELSE round(CAST(dot AS DOUBLE)
+      |                    / (sqrt(CAST(nv AS DOUBLE))
+      |                       * sqrt(CAST(nc AS DOUBLE))), 6) END
+      |          AS cos_centroid
+      |      FROM s),
+      |r AS (SELECT label, vec_id, cos_centroid,
+      |        CAST(row_number() OVER (PARTITION BY label
+      |               ORDER BY cos_centroid ASC, vec_id ASC) AS INT) AS rank
+      |      FROM c)
+      |SELECT label, rank, vec_id, cos_centroid FROM r
+      |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_hash_embed" -> q98HashEmbed _,
     "q105_embedding_drift" -> q105EmbeddingDrift _,
-    "q110_quality_classifier" -> q110QualityClassifier _)
+    "q110_quality_classifier" -> q110QualityClassifier _,
+    "q113_label_outliers" -> q113LabelOutliers _)
 
   val oracle: Map[String, String] = Map(
     "q98_hash_embed" -> q98Oracle,
     "q105_embedding_drift" -> q105Oracle,
-    "q110_quality_classifier" -> q110Oracle)
+    "q110_quality_classifier" -> q110Oracle,
+    "q113_label_outliers" -> q113Oracle)
 }

@@ -90,4 +90,31 @@ class DedupSpec extends SparkSuite {
     assert(nov.head == nov.max, s"decile 0 not the novelty peak: ${nov.toSeq}")
     nov.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
+
+  test("q114 source novelty: owned counts partition the shingle space") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q114SourceNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // same attribution rule as q112, rolled up by source instead of
+    // arrival decile: every distinct shingle is owned exactly once, so
+    // Σ owned across sources = corpus distinct-shingle count
+    val totalOwned = rows.map(_.getAs[Long]("owned")).sum
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2)))""".stripMargin)).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    assert(totalOwned == d, s"owned sum $totalOwned != distinct shingles $d")
+    rows.foreach { r =>
+      val owned = r.getAs[Long]("owned")
+      val appearing = r.getAs[Long]("appearing")
+      // a source can only own shingles it contains
+      assert(owned <= appearing, r.toString)
+      val ratio = r.getAs[Double]("novelty_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0, r.toString)
+    }
+  }
 }

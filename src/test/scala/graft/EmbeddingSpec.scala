@@ -37,4 +37,52 @@ class EmbeddingSpec extends SparkSuite {
     val b = Embedding.q98HashEmbed(spark, sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("q113 label outliers: bottom-5 per label, ranked, below label mean") {
+    val rows = Embedding.q113LabelOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (label, rs) =>
+      // dense ranks 1..k with cosine non-decreasing in rank (these ARE
+      // the k vectors least like their centroid, in order)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to rs.length).toSeq, s"label $label ranks")
+      val cos = sorted.map(_.getAs[Double]("cos_centroid"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x <= y },
+        s"label $label not sorted: ${cos.toSeq}")
+      cos.foreach(c => assert(c >= -1.000001 && c <= 1.000001))
+    }
+    // the flagged outliers sit strictly below their label's mean
+    // cosine-to-centroid — otherwise they would not be outliers
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dot_product_long
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT))")
+          .as("qv"))
+    // label means of the same quantized cosine, computed independently
+    val cen = q.select(col("label"),
+        posexplode(col("qv")).as(Seq("dim", "c")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("c")).as("sc"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("sc div n").as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("cen"))
+    val mean = q.join(broadcast(cen), Seq("label"))
+      .select(col("label"),
+        (dot_product_long(col("qv"), col("cen")) /
+          (sqrt(dot_product_long(col("qv"), col("qv")).cast("double")) *
+            sqrt(dot_product_long(col("cen"), col("cen")).cast("double"))))
+          .as("cos"))
+      .groupBy(col("label")).agg(avg(col("cos")).as("mu"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("mu"))
+      .toMap
+    byLabel.foreach { case (label, rs) =>
+      val worst = rs.map(_.getAs[Double]("cos_centroid")).min
+      assert(worst < mean(label),
+        s"label $label worst $worst !< mean ${mean(label)}")
+    }
+  }
 }

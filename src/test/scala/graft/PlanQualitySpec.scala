@@ -38,6 +38,31 @@ class PlanQualitySpec extends SparkSuite {
       read)
   }
 
+  test("q113 scores map-side: broadcast centroids, no corpus pre-shuffle") {
+    val p = plan("q113_label_outliers")
+    // the scoring pass joins the corpus to |labels| centroid rows — that
+    // MUST be a broadcast hash join (an SMJ here would shuffle the whole
+    // vector table before a single cosine is computed)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    // exactly one window, partitioned by label (the bottom-k rank) —
+    // cheap structural proof the corpus shuffles once, keyed
+    val wins = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(wins.exists(_.contains("partitionBy")) ||
+      p.contains("windowspecdefinition(label"), wins.mkString("\n"))
+  }
+
+  test("q114 rollups are map-side combined hash aggregates") {
+    val p = plan("q114_source_novelty")
+    // distinct-shingle reduction + min-owner + source rollups: all hash
+    // aggregates with partial (map-side) phases, never a sort aggregate
+    assert(!p.contains("SortAggregate"), p.take(600))
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("partitioned store prunes statically and dynamically (DPP)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part_").toString
