@@ -797,6 +797,82 @@ object Curation {
       |LEFT JOIN raw r ON d.b = r.b, tot
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q116
+
+  /** q116 — length-outlier trimming with nearest-rank percentile bounds
+    * per language (the "drop the truncation stubs and the concatenation
+    * monsters" curation filter — C4/RefinedWeb both gate on length):
+    * keep docs with p05 ≤ n_chars ≤ p95 of their language, report per
+    * lang the bounds, trim count, and surviving character fraction.
+    *
+    * Percentiles are NEAREST-RANK over a VALUE HISTOGRAM, not a corpus
+    * sort: group to (lang, n_chars) counts, cumulative-sum over the
+    * histogram rows (a window over ≤|distinct lengths| rows per lang —
+    * bounded by the value range, NOT the corpus; the q87 no-corpus-window
+    * lesson), bound = min value whose cumulative count reaches
+    * ceil(q·n). Everything is exact integer arithmetic until the final
+    * rounded fraction, so the DuckDB replay is bit-identical — no
+    * interpolated-quantile float drift. The bounds table is |langs| rows,
+    * broadcast back across the corpus for the trim verdict. */
+  def q116LengthTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"lang", $"n_chars")
+    val hist = d.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum($"c").over(Window.partitionBy($"lang").orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = hist.groupBy($"lang").agg(sum($"c").as("n_docs"))
+    val bounds = cum.join(n, Seq("lang"))
+      .groupBy($"lang", $"n_docs")
+      .agg(
+        // ceil(q·n) in pure integer ceil-division: ceil(n/20) and
+        // ceil(19n/20). A float literal here is a cross-engine trap —
+        // DuckDB parses 0.05 as exact DECIMAL, Spark as double, and
+        // ceil(500 * 0.05) is 25 vs 26 across that difference.
+        min(when($"cum" >= expr("(n_docs + 19) div 20"), $"n_chars"))
+          .as("lo"),
+        min(when($"cum" >= expr("(19 * n_docs + 19) div 20"), $"n_chars"))
+          .as("hi"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .groupBy($"lang", $"n_docs", $"lo", $"hi")
+      .agg(
+        sum(when($"n_chars" < $"lo" || $"n_chars" > $"hi", 1L)
+          .otherwise(0L)).as("n_trimmed"),
+        sum($"n_chars").as("total_chars"),
+        sum(when($"n_chars".between($"lo", $"hi"), $"n_chars")
+          .otherwise(0L)).as("kept_chars"))
+      .select($"lang", $"n_docs", $"lo", $"hi", $"n_trimmed",
+        round($"kept_chars".cast("double") / $"total_chars", 6)
+          .as("kept_char_frac"))
+      .orderBy($"lang")
+  }
+
+  val q116Oracle: String =
+    """WITH hist AS (SELECT lang, n_chars, count(*) AS c
+      |              FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT lang, n_chars, c,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM hist),
+      |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs
+      |      FROM hist GROUP BY 1),
+      |bounds AS (SELECT cum.lang, n.n_docs,
+      |             min(CASE WHEN cum.cum >= (n.n_docs + 19) // 20
+      |                      THEN cum.n_chars END) AS lo,
+      |             min(CASE WHEN cum.cum >= (19 * n.n_docs + 19) // 20
+      |                      THEN cum.n_chars END) AS hi
+      |           FROM cum JOIN n ON cum.lang = n.lang
+      |           GROUP BY 1, 2)
+      |SELECT d.lang, b.n_docs, b.lo, b.hi,
+      |       CAST(sum(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+      |       round(CAST(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+      |                          THEN d.n_chars ELSE 0 END) AS DOUBLE)
+      |             / sum(d.n_chars), 6) AS kept_char_frac
+      |FROM documents d JOIN bounds b ON d.lang = b.lang
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -811,7 +887,8 @@ object Curation {
     "q83_bloom_contamination" -> q83BloomContamination _,
     "q92_mixture_draw" -> q92MixtureDraw _,
     "q102_corpus_shuffle" -> q102CorpusShuffle _,
-    "q111_dsir_importance" -> q111DsirImportance _)
+    "q111_dsir_importance" -> q111DsirImportance _,
+    "q116_length_trim" -> q116LengthTrim _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -824,5 +901,6 @@ object Curation {
     "q82_mixture_weights" -> q82Oracle,
     "q92_mixture_draw" -> q92Oracle,
     "q102_corpus_shuffle" -> q102Oracle,
-    "q111_dsir_importance" -> q111Oracle)
+    "q111_dsir_importance" -> q111Oracle,
+    "q116_length_trim" -> q116Oracle)
 }

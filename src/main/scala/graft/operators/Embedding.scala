@@ -205,17 +205,25 @@ object Embedding {
     * a map-side multiply + per-doc sum over ≤64 rows/doc (the q98
     * shuffle), then a broadcast-joined source label. No model state
     * beyond 64 longs on the driver. */
-  def q110QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc int64 classifier score w·x over the q98 hashed
+    * features — shared by q110 (the filter verdict) and q115 (the
+    * quality×duplication quadrant), so the two report the SAME model. */
+  private[graft] def classifierScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")
     val w: Seq[Long] = (0 until Dim).map { b =>
       val h = md.digest(s"w:$b".getBytes("UTF-8"))
       ((h(0) & 0xff) - 128).toLong
     }
-    val scores = hashedComponents(s, dir)
+    hashedComponents(s, dir)
       .select($"doc_id",
         ($"qv" * element_at(typedLit(w), $"bucket" + 1)).as("c"))
       .groupBy($"doc_id").agg(sum($"c").as("score"))
+  }
+
+  def q110QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = classifierScores(s, dir)
     Tables.documents(s, dir).select($"doc_id", $"source")
       .join(scores, Seq("doc_id"))
       .select($"doc_id", $"source", $"score",
@@ -223,8 +231,11 @@ object Embedding {
       .orderBy($"doc_id")
   }
 
-  val q110Oracle: String =
-    s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+  /** Shared oracle CTE chain replaying [[classifierScores]]: q98's
+    * hashed-feature pipeline + the md5-derived weight table + the per-doc
+    * int64 score, ending in `sc(doc_id, score)`. */
+  private val scoreSqlCte: String =
+    s"""toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
       |              FROM documents),
       |w AS (SELECT doc_id,
       |        CAST('0x' || substr(h, 1, 2) AS INT) % $Dim AS bucket,
@@ -250,11 +261,63 @@ object Embedding {
       |       FROM (SELECT unnest(generate_series(0, ${Dim - 1})) AS b)),
       |sc AS (SELECT qc.doc_id, CAST(sum(qc.qv * wt.wt) AS BIGINT) AS score
       |       FROM qc JOIN wt ON qc.bucket = wt.bucket
-      |       GROUP BY qc.doc_id)
+      |       GROUP BY qc.doc_id)""".stripMargin
+
+  val q110Oracle: String =
+    s"""WITH $scoreSqlCte
       |SELECT d.doc_id, d.source, sc.score,
       |       CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS kept
       |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q115 — quality × duplication quadrant, per source: every curation
+    * pipeline's budget dashboard. Crosses the q110 classifier verdict
+    * (kept = score ≥ 0) with exact-duplicate status (is_copy = not the
+    * minimum doc_id of the md5(text) group — q26's canonicalization
+    * rule) and reports document count and character mass per
+    * (source, kept, is_copy) cell. "Unique-good" is what survives the
+    * pipeline; "dup-good" is what dedup alone reclaims; a source that is
+    * mostly "dup-bad" is paying storage for nothing — the attribution a
+    * 100 TB acquisition review starts from.
+    *
+    * Scale shape: the classifier side is q110's map-side scoring (≤64
+    * rows/doc shuffle); the dup side is one digest-keyed min-aggregate
+    * joined back on doc_id (both map-combinable — the min table could
+    * broadcast only if dups were rare, so it stays a shuffle join);
+    * final rollup is sources×4 rows. All counts exact int64. */
+  def q115CurationQuadrant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val canon = d.select($"doc_id", md5($"text").as("dg"))
+    val copies = canon
+      .join(canon.groupBy($"dg").agg(min($"doc_id").as("canon")), Seq("dg"))
+      .select($"doc_id", ($"doc_id" =!= $"canon").cast("int").as("is_copy"))
+    d.select($"doc_id", $"source", $"n_chars")
+      .join(classifierScores(s, dir), Seq("doc_id"))
+      .join(copies, Seq("doc_id"))
+      .groupBy($"source",
+        when($"score" >= 0L, 1).otherwise(0).as("kept"), $"is_copy")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("char_mass"))
+      .orderBy($"source", $"kept", $"is_copy")
+  }
+
+  val q115Oracle: String =
+    s"""WITH $scoreSqlCte,
+      |cn AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      |mn AS (SELECT dg, min(doc_id) AS canon FROM cn GROUP BY 1),
+      |cp AS (SELECT cn.doc_id,
+      |         CASE WHEN cn.doc_id <> mn.canon THEN 1 ELSE 0 END AS is_copy
+      |       FROM cn JOIN mn ON cn.dg = mn.dg)
+      |SELECT d.source,
+      |       CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS kept,
+      |       cp.is_copy,
+      |       count(*) AS n_docs,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS char_mass
+      |FROM documents d
+      |JOIN sc ON d.doc_id = sc.doc_id
+      |JOIN cp ON d.doc_id = cp.doc_id
+      |GROUP BY 1, 2, 3
+      |ORDER BY source, kept, is_copy""".stripMargin
 
   /** q113 — label-noise / embedding-outlier detection: the vectors least
     * like their own label's centroid are the mislabeled or off-manifold
@@ -343,11 +406,13 @@ object Embedding {
     "q98_hash_embed" -> q98HashEmbed _,
     "q105_embedding_drift" -> q105EmbeddingDrift _,
     "q110_quality_classifier" -> q110QualityClassifier _,
-    "q113_label_outliers" -> q113LabelOutliers _)
+    "q113_label_outliers" -> q113LabelOutliers _,
+    "q115_curation_quadrant" -> q115CurationQuadrant _)
 
   val oracle: Map[String, String] = Map(
     "q98_hash_embed" -> q98Oracle,
     "q105_embedding_drift" -> q105Oracle,
     "q110_quality_classifier" -> q110Oracle,
-    "q113_label_outliers" -> q113Oracle)
+    "q113_label_outliers" -> q113Oracle,
+    "q115_curation_quadrant" -> q115Oracle)
 }

@@ -232,4 +232,23 @@ class CurationSpec extends SparkSuite {
     // weights are finite (smoothing leaves no -inf buckets)
     rows.foreach(r => assert(!r.getAs[Double]("log_weight").isInfinite))
   }
+
+  test("q116 trims at most the outlier tails, never the body") {
+    val rows = Curation.q116LengthTrim(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (n, lo, hi, trimmed) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+        r.getAs[Long]("n_trimmed"))
+      assert(lo <= hi, r.toString)
+      // nearest-rank p05/p95: strictly-below-lo docs < ceil(n/20) and
+      // strictly-above-hi docs ≤ n - ceil(19n/20), so the trim can never
+      // exceed 10% of the language (the filter drops tails, not body)
+      assert(trimmed <= n / 10 + 2, s"trimmed $trimmed of $n: $r")
+      val frac = r.getAs[Double]("kept_char_frac")
+      assert(frac > 0.0 && frac <= 1.0, r.toString)
+    }
+  }
 }

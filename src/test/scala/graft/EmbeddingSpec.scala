@@ -85,4 +85,22 @@ class EmbeddingSpec extends SparkSuite {
         s"label $label worst $worst !< mean ${mean(label)}")
     }
   }
+
+  test("q115 quadrant cells partition the corpus exactly") {
+    val rows = Embedding.q115CurationQuadrant(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    // the quadrant is a PARTITION of the corpus: doc counts and char
+    // mass both sum back to the table's totals
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val totalChars = d.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("n_chars"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("char_mass")).sum == totalChars)
+    // the kept margin must agree with q110's verdict column
+    val keptHere = rows.filter(_.getAs[Int]("kept") == 1)
+      .map(_.getAs[Long]("n_docs")).sum
+    val keptQ110 = Embedding.q110QualityClassifier(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("kept") === 1).count()
+    assert(keptHere == keptQ110, s"$keptHere != $keptQ110")
+  }
 }
