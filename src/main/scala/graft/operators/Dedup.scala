@@ -73,8 +73,11 @@ object Dedup {
   private def shingleId(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
-  /** Same stream as [[shinglesWithDup]] but carrying the 64-bit id. */
-  private def shingleIdsWithDup(df: DataFrame): DataFrame =
+  /** Same stream as [[shinglesWithDup]] but carrying the 64-bit id.
+    * `private[graft]`: NoveltyStream computes Δ-batch shingle ids with
+    * exactly this derivation so its state merges stay bit-compatible
+    * with batch q114. */
+  private[graft] def shingleIdsWithDup(df: DataFrame): DataFrame =
     shinglesWithDup(df).select(col("doc_id"), shingleId(col("shingle")).as("sh64"))
 
   /** Oracle twin of [[shingleIdsWithDup]].distinct + the [[MaxShingleDf]]
@@ -914,17 +917,25 @@ object Dedup {
     val appearing = ish.join(src, Seq("doc_id"))
       .select($"source", $"sh64").distinct()
       .groupBy($"source").agg(count(lit(1)).as("appearing"))
-    src.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-      .join(appearing, Seq("source"), "left")
-      .join(owned, Seq("source"), "left")
-      .select($"source", $"n_docs",
-        coalesce($"appearing", lit(0L)).as("appearing"),
-        coalesce($"owned", lit(0L)).as("owned"),
-        when(coalesce($"appearing", lit(0L)) === 0L, lit(0.0))
-          .otherwise(round(coalesce($"owned", lit(0L)).cast("double")
-            / $"appearing", 6)).as("novelty_ratio"))
-      .orderBy($"source")
+    noveltyAssemble(
+      src.groupBy($"source").agg(count(lit(1)).as("n_docs")),
+      appearing, owned)
   }
+
+  /** q114's final projection from the three source-keyed margins —
+    * shared with the streaming maintainer (NoveltyStream) so the
+    * incremental report face IS the batch report, by construction. */
+  private[graft] def noveltyAssemble(nd: DataFrame, appearing: DataFrame,
+      owned: DataFrame): DataFrame =
+    nd.join(appearing, Seq("source"), "left")
+      .join(owned, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("appearing"), lit(0L)).as("appearing"),
+        coalesce(col("owned"), lit(0L)).as("owned"),
+        when(coalesce(col("appearing"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("owned"), lit(0L)).cast("double")
+            / col("appearing"), 6)).as("novelty_ratio"))
+      .orderBy(col("source"))
 
   val q114Oracle: String =
     s"""WITH $shingleSqlCte,
