@@ -962,9 +962,79 @@ object Dedup {
       |LEFT JOIN own ON nd.source = own.source
       |ORDER BY nd.source""".stripMargin
 
+  /** q117 — pairwise source-overlap matrix: shingle-set Jaccard between
+    * every pair of sources that share at least one 3-gram. The
+    * acquisition-dedup question q114 cannot answer: q114 says a source
+    * is re-crawling ALREADY-SEEN text, this says WHICH OTHER FEED it
+    * mirrors — the evidence for dropping one of two mirrored crawls
+    * outright rather than deduping their union forever.
+    *
+    * Scale shape: the q27 pair-kernel discipline applied to the SOURCE
+    * dimension — group the distinct (source, shingle) membership by
+    * shingle id, expand i<j source pairs INSIDE the task (fan-out is
+    * |sources-per-shingle|² where source is a bounded dimension — a
+    * corpus whose "source" is an unbounded URL should bucket to domains
+    * first), one (src_a, src_b) count aggregate, then two broadcast
+    * joins against the |sources|-row size table. The shingle stream
+    * crosses the wire once, as 8-byte longs. */
+  def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val d = docs(s, dir)
+    val src = d.select($"doc_id", $"source")
+    val mem = shingleIdsWithDup(d.repartition(par)).distinct()
+      .join(src, Seq("doc_id"))
+      .select($"source", $"sh64").distinct()
+    val sizes = mem.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = mem.groupBy($"sh64")
+      .agg(array_sort(collect_set($"source")).as("ss"))
+      .filter(size($"ss") > 1)
+      .repartition(par)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS src_a, y AS src_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("n_b"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"inter",
+        ($"n_a" + $"n_b" - $"inter").as("n_union"),
+        round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6)
+          .as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q117Oracle: String =
+    s"""WITH $shingleSqlCte,
+      |ish AS (SELECT DISTINCT doc_id,
+      |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh64
+      |        FROM sh),
+      |mem AS (SELECT DISTINCT d.source, i.sh64
+      |        FROM ish i JOIN documents d ON i.doc_id = d.doc_id),
+      |sizes AS (SELECT source, count(*) AS n FROM mem GROUP BY 1),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |            count(*) AS inter
+      |          FROM mem a JOIN mem b
+      |            ON a.sh64 = b.sh64 AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+      |       CAST(sa.n + sb.n - i.inter AS BIGINT) AS n_union,
+      |       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6)
+      |         AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.src_a = sa.source
+      |JOIN sizes sb ON i.src_b = sb.source
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ngram_novelty" -> q112NgramNovelty _,
     "q114_source_novelty" -> q114SourceNovelty _,
+    "q117_source_overlap" -> q117SourceOverlap _,
     "q70_contamination" -> q70Contamination _,
     "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
@@ -979,6 +1049,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q112_ngram_novelty" -> q112Oracle,
     "q114_source_novelty" -> q114Oracle,
+    "q117_source_overlap" -> q117Oracle,
     "q70_contamination" -> q70Oracle,
     "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,

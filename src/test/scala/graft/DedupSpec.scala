@@ -117,4 +117,32 @@ class DedupSpec extends SparkSuite {
       assert(ratio >= 0.0 && ratio <= 1.0, r.toString)
     }
   }
+
+  test("q117 overlap cells respect set algebra and recount exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q117SourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, un) = (r.getAs[Long]("inter"), r.getAs[Long]("n_union"))
+      assert(inter >= 1 && un >= inter, r.toString)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, r.toString)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), r.toString)
+    }
+    // recount one pair's intersection with an independent direct query
+    val first = rows.head
+    val (sa, sb) = (first.getAs[String]("src_a"), first.getAs[String]("src_b"))
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    def shingleSet(src: String) = d.filter(col("source") === src)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2)))""".stripMargin)).as("s"))
+      .distinct()
+    val direct = shingleSet(sa).intersect(shingleSet(sb)).count()
+    assert(first.getAs[Long]("inter") == direct,
+      s"$sa x $sb: ${first.getAs[Long]("inter")} != $direct")
+  }
 }
