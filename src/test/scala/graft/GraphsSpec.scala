@@ -32,6 +32,35 @@ class GraphsSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("random symmetric graphs match a driver-side integer reference") {
+    // exact fixed-point arithmetic means the distributed loop and a
+    // 15-line sequential reference must agree on EVERY BIT — the
+    // strongest differential check an iterative kernel can get, on
+    // graphs the fixture never produces
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12 + rnd.nextInt(20)
+      val raw = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (raw ++ raw.map(_.swap)).distinct
+      val (ranksDf, iters) = Graphs.pagerank(sym.toDF("src", "dst"), 4)
+      val got = ranksDf.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential reference: same contributions (truncating division —
+      // all values positive, so / == div), same damped update
+      val deg = sym.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var ranks = deg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((s, d) <- sym) contrib(d) += ranks(s) / deg(s)
+        ranks = contrib.map { case (node, cs) =>
+          node -> (150000L + (85L * cs) / 100L) }.toMap
+      }
+      assert(got == ranks, s"n=$n iters=$iters")
+    }
+  }
+
   test("a 2-cycle reaches its exact fixed point and stops early") {
     // 1↔2: each node passes its whole rank across; 150000 + 85% of 10⁶
     // is 10⁶ again, so iteration 1 changes nothing and the probe stops
