@@ -873,6 +873,67 @@ object Curation {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q118
+
+  /** q118 — exact token-budget apportionment (Hamilton / largest-
+    * remainder): split a fixed training budget of B=10⁶ tokens across
+    * sources proportional to their estimated token mass, with Σ alloc
+    * = B EXACTLY — the integer allocation a dataloader manifest needs
+    * (q82's tempered weights describe the target distribution; this is
+    * the step that turns a distribution into whole-token quotas without
+    * rounding drift).
+    *
+    * base_i = ⌊B·t_i/T⌋ leaves k = B − Σ base_i residual tokens; the k
+    * sources with the largest remainders (B·t_i mod T, ties by source
+    * name) get one extra. All arithmetic is int64 — B·t_i ≤ 10⁶·Σtokens
+    * stays far under 2⁶³ at any realistic per-source token count, and
+    * the apportionment is bit-identical across engines by construction.
+    *
+    * Scale shape: one source-sized aggregate; the rank that picks the
+    * +1 winners is computed WITHOUT a global window (the fence bans
+    * those) — the source dimension is bounded, so the (rem, source)
+    * list rides a 1-row broadcast aggregate (the q112 bounds pattern)
+    * and each row counts its superiors with an array HOF map-side. */
+  def q118BudgetApportionment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1000000L
+    val t = docs(s, dir).groupBy($"source")
+      .agg(sum(ceil($"n_chars" / 4.0).cast("long")).as("est_tokens"))
+    val tot = t.agg(sum($"est_tokens").as("T"))
+    val base = t.crossJoin(broadcast(tot))
+      .select($"source", $"est_tokens",
+        expr(s"($B * est_tokens) div T").as("base"),
+        expr(s"($B * est_tokens) % T").as("rem"))
+    val pool = base.agg(sum($"base").as("sb"),
+      collect_list(struct($"rem", $"source")).as("pool"))
+    base.crossJoin(broadcast(pool))
+      .select($"source", $"est_tokens", $"base", $"rem",
+        when(expr("""size(filter(pool, a -> a.rem > rem OR
+                    |  (a.rem = rem AND a.source <= source)))""".stripMargin)
+          .cast("long") <= lit(B) - $"sb", 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", $"base" + $"extra")
+      .orderBy($"source")
+  }
+
+  val q118Oracle: String =
+    """WITH t AS (SELECT source,
+      |             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+      |               AS est_tokens
+      |           FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS T FROM t),
+      |b AS (SELECT source, est_tokens,
+      |        (1000000 * est_tokens) // T AS base,
+      |        (1000000 * est_tokens) % T AS rem
+      |      FROM t, tot),
+      |k AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS k FROM b),
+      |r AS (SELECT b.*, row_number()
+      |        OVER (ORDER BY rem DESC, source ASC) AS rnk FROM b)
+      |SELECT r.source, r.est_tokens, r.base, r.rem,
+      |       CAST(CASE WHEN r.rnk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+      |         AS extra,
+      |       r.base + (CASE WHEN r.rnk <= k.k THEN 1 ELSE 0 END) AS alloc
+      |FROM r, k ORDER BY r.source""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -888,7 +949,8 @@ object Curation {
     "q92_mixture_draw" -> q92MixtureDraw _,
     "q102_corpus_shuffle" -> q102CorpusShuffle _,
     "q111_dsir_importance" -> q111DsirImportance _,
-    "q116_length_trim" -> q116LengthTrim _)
+    "q116_length_trim" -> q116LengthTrim _,
+    "q118_budget_apportionment" -> q118BudgetApportionment _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -902,5 +964,6 @@ object Curation {
     "q92_mixture_draw" -> q92Oracle,
     "q102_corpus_shuffle" -> q102Oracle,
     "q111_dsir_importance" -> q111Oracle,
-    "q116_length_trim" -> q116Oracle)
+    "q116_length_trim" -> q116Oracle,
+    "q118_budget_apportionment" -> q118Oracle)
 }

@@ -233,6 +233,24 @@ class CurationSpec extends SparkSuite {
     rows.foreach(r => assert(!r.getAs[Double]("log_weight").isInfinite))
   }
 
+  test("q118 apportionment hits the budget exactly, within 1 of ideal") {
+    val rows = Curation.q118BudgetApportionment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val B = 1000000L
+    // the defining property largest-remainder exists for: Σ alloc = B
+    // EXACTLY, no rounding drift
+    assert(rows.map(_.getAs[Long]("alloc")).sum == B)
+    // Hamilton stays within 1 token of the exact rational share
+    val totT = rows.map(_.getAs[Long]("est_tokens")).sum
+    rows.foreach { r =>
+      val ideal = B.toDouble * r.getAs[Long]("est_tokens") / totT
+      val alloc = r.getAs[Long]("alloc")
+      assert(math.abs(alloc - ideal) <= 1.0, s"$r ideal=$ideal")
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+      assert(alloc == r.getAs[Long]("base") + r.getAs[Long]("extra"))
+    }
+  }
+
   test("q116 trims at most the outlier tails, never the body") {
     val rows = Curation.q116LengthTrim(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -252,7 +252,11 @@ class PlanQualitySpec extends SparkSuite {
     "q74_tfidf_topk", "q76_bigram_perplexity", "q78_lang_kl_divergence",
     "q82_mixture_weights", "q90_rrf_fusion",
     "q91_pmi_collocations", "q92_mixture_draw",
-    "q111_dsir_importance", "q112_ngram_novelty") ++ nljRuntimeCapped
+    "q111_dsir_importance", "q112_ngram_novelty",
+    // q118's only NLJs are 1-row-aggregate cross joins (total tokens +
+    // the (rem, source) pool riding a 1-row broadcast — the q112 bounds
+    // pattern); both carry one-row-agg structural evidence
+    "q118_budget_apportionment") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {
