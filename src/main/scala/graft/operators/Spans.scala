@@ -190,13 +190,67 @@ object Spans {
       |FROM sel GROUP BY doc_id, n_tokens
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q119
+
+  /** q119 — document-stitching detection: doc A's TRAILING word 3-gram
+    * equals doc B's LEADING 3-gram, the signature of one original
+    * document split across two records (chunked uploads, paginated
+    * crawls, MIME-split mail archives). Span dedup (q84) finds shared
+    * INTERIOR grams; this finds the boundary-adjacency that says two
+    * records should be REJOINED, not deduped.
+    *
+    * Scale shape: each doc contributes exactly ONE starter row and ONE
+    * ender row (map-side element_at, no explode), so the gram-keyed
+    * equi-join shuffles 2 rows/doc regardless of document length. A
+    * boilerplate boundary gram fans out |enders|×|starters| rows in the
+    * join — as an equi-join (not an in-task explode) that skew is
+    * AQE-splittable, and a production corpus with templated
+    * openers/closers should add the Jaccard-style stop-gram cap
+    * (df-filter both sides) before the join; the fixture's boundary
+    * grams are content-random so the uncapped join is the honest
+    * baseline here. */
+  def q119StitchDetection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val first = toks.select($"doc_id",
+      concat_ws(" ", element_at($"t", 1), element_at($"t", 2),
+        element_at($"t", 3)).as("g"))
+    val last = toks.select($"doc_id",
+      concat_ws(" ", element_at($"t", -3), element_at($"t", -2),
+        element_at($"t", -1)).as("g"))
+    val grouped = last.select($"g", $"doc_id".as("ender"))
+      .join(first.select($"g", $"doc_id".as("starter")), Seq("g"))
+      .filter($"ender" =!= $"starter")
+    grouped
+      .select($"ender".as("doc_a"), $"starter".as("doc_b"),
+        $"g".as("boundary"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q119Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |f AS (SELECT doc_id, t[1] || ' ' || t[2] || ' ' || t[3] AS g
+      |      FROM toks),
+      |l AS (SELECT doc_id,
+      |        t[len(t) - 2] || ' ' || t[len(t) - 1] || ' ' || t[len(t)] AS g
+      |      FROM toks)
+      |SELECT l.doc_id AS doc_a, f.doc_id AS doc_b, l.g AS boundary
+      |FROM l JOIN f ON l.g = f.g AND l.doc_id <> f.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_dup_span_coverage" -> q84DupSpanCoverage _,
-    "q85_winnowing" -> q85Winnowing _)
+    "q85_winnowing" -> q85Winnowing _,
+    "q119_stitch_detection" -> q119StitchDetection _)
 
   val oracle: Map[String, String] = Map(
     "q84_dup_span_coverage" -> q84Oracle,
-    "q85_winnowing" -> q85Oracle)
+    "q85_winnowing" -> q85Oracle,
+    "q119_stitch_detection" -> q119Oracle)
 }

@@ -44,6 +44,36 @@ class LayoutAnalyticsSpec extends SparkSuite {
     assert(mean > 0.15 && mean < 0.6, s"implausible mean density $mean")
   }
 
+  test("q119 stitching: planted split-document pair is found, boundary real") {
+    import spark.implicits._
+    // plant: doc 900001 ends with exactly the 3-gram doc 900002 starts
+    // with (one document split across two records), plus an unrelated doc
+    val dir = java.nio.file.Files.createTempDirectory("graft_stitch_").toString
+    Seq(
+      (900001L, "alpha beta gamma delta epsilon zeta", "en", "s0", 34L),
+      (900002L, "delta epsilon zeta eta theta iota", "en", "s0", 33L),
+      (900003L, "one two three four five six", "en", "s0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Spans.q119StitchDetection(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString(", "))
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") == 900001L &&
+      r.getAs[Long]("doc_b") == 900002L)
+    assert(r.getAs[String]("boundary") == "delta epsilon zeta")
+    // and on the real fixture every reported boundary IS doc_a's
+    // trailing and doc_b's leading 3-gram
+    val fix = Spans.q119StitchDetection(spark, sfDir).collect()
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r2 => r2.getLong(0) -> r2.getString(1).split(" ")).toMap
+    fix.foreach { p =>
+      val (a, b) = (texts(p.getAs[Long]("doc_a")), texts(p.getAs[Long]("doc_b")))
+      assert(a.takeRight(3).mkString(" ") == p.getAs[String]("boundary"))
+      assert(b.take(3).mkString(" ") == p.getAs[String]("boundary"))
+    }
+  }
+
   test("q86 k-means conserves mass and moves are consistent") {
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
     val rows = Clustering.q86KmeansQuantized(spark, sfDir).collect()
