@@ -754,11 +754,18 @@ object Curation {
       .select($"doc_id", $"lang",
         (conv(substring(md5(concat_ws(" ", $"prev", $"cur")), 1, 15), 16, 10)
           .cast("long") % B).as("b"))
+    // ONE corpus pass: both bucket models reduce from the per-doc
+    // histogram (Σ over docs of n ≡ the raw pair counts), instead of
+    // three independent tokenize+md5 pipelines over pb whose different
+    // grouping keys defeat exchange reuse (review find — the q100/q108
+    // single-pass discipline). dbk is cached as query scratch (≤B rows
+    // per doc); the harness's clearCache releases it post-query.
     val dbk = pb.groupBy($"doc_id", $"lang", $"b")
       .agg(count(lit(1)).as("n"))
-    val tgt = pb.filter($"lang" === "en")
-      .groupBy($"b").agg(count(lit(1)).as("tc"))
-    val raw = pb.groupBy($"b").agg(count(lit(1)).as("rc"))
+      .cache()
+    val tgt = dbk.filter($"lang" === "en")
+      .groupBy($"b").agg(sum($"n").as("tc"))
+    val raw = dbk.groupBy($"b").agg(sum($"n").as("rc"))
     val tot = tgt.agg((sum($"tc") + B).as("tt"))
       .crossJoin(raw.agg((sum($"rc") + B).as("rt")))
     dbk
@@ -885,9 +892,11 @@ object Curation {
     *
     * base_i = ⌊B·t_i/T⌋ leaves k = B − Σ base_i residual tokens; the k
     * sources with the largest remainders (B·t_i mod T, ties by source
-    * name) get one extra. All arithmetic is int64 — B·t_i ≤ 10⁶·Σtokens
-    * stays far under 2⁶³ at any realistic per-source token count, and
-    * the apportionment is bit-identical across engines by construction.
+    * name) get one extra. The product B·t_i would overflow int64 past
+    * t_i ≈ 9.2·10¹² tokens — well inside the 100 TB regime (review
+    * find) — so it is computed in DECIMAL(38,0), whose div/% match
+    * DuckDB HUGEINT ///% exactly (verified empirically); base and rem
+    * both fit back in int64 (base ≤ B, rem < T).
     *
     * Scale shape: one source-sized aggregate; the rank that picks the
     * +1 winners is computed WITHOUT a global window (the fence bans
@@ -902,8 +911,10 @@ object Curation {
     val tot = t.agg(sum($"est_tokens").as("T"))
     val base = t.crossJoin(broadcast(tot))
       .select($"source", $"est_tokens",
-        expr(s"($B * est_tokens) div T").as("base"),
-        expr(s"($B * est_tokens) % T").as("rem"))
+        expr(s"CAST((CAST($B AS DECIMAL(38,0)) * est_tokens) div T AS BIGINT)")
+          .as("base"),
+        expr(s"CAST((CAST($B AS DECIMAL(38,0)) * est_tokens) % T AS BIGINT)")
+          .as("rem"))
     val pool = base.agg(sum($"base").as("sb"),
       collect_list(struct($"rem", $"source")).as("pool"))
     base.crossJoin(broadcast(pool))
@@ -922,8 +933,10 @@ object Curation {
       |           FROM documents GROUP BY 1),
       |tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS T FROM t),
       |b AS (SELECT source, est_tokens,
-      |        (1000000 * est_tokens) // T AS base,
-      |        (1000000 * est_tokens) % T AS rem
+      |        CAST((CAST(1000000 AS HUGEINT) * est_tokens) // T AS BIGINT)
+      |          AS base,
+      |        CAST((CAST(1000000 AS HUGEINT) * est_tokens) % T AS BIGINT)
+      |          AS rem
       |      FROM t, tot),
       |k AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS k FROM b),
       |r AS (SELECT b.*, row_number()

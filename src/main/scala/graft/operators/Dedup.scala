@@ -136,6 +136,18 @@ object Dedup {
         conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("sh64")),
       par, maxDf, minJaccard)
 
+  /** i<j in-task pair expansion over a sorted array column — the ONE
+    * copy of the kernel the Jaccard doc-pair stage and q117's
+    * source-pair stage both explode (review find: the HOF was
+    * duplicated verbatim modulo field names, so a fix to the expansion
+    * had to be made twice). */
+  private def pairExpansion(arr: String, aField: String,
+      bField: String): Column =
+    expr(
+      s"""flatten(transform($arr, (x, i) ->
+         |  transform(slice($arr, i + 2, size($arr)),
+         |            y -> struct(x AS $aField, y AS $bField))))""".stripMargin)
+
   private def jaccardPairsFromIds(ids: DataFrame, par: Int,
       maxDf: Int, minJaccard: Double): DataFrame = {
     val s = ids.sparkSession
@@ -174,11 +186,7 @@ object Dedup {
     // built-in composition stays per the custom-operator ladder
     val pairs = grouped.filter(size($"ds") > 1)
       .repartition(par)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
+      .select(explode(pairExpansion("ds", "doc_a", "doc_b")).as("p"))
       .select($"p.doc_a", $"p.doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
     pairs
@@ -744,12 +752,23 @@ object Dedup {
     // to the former struct(n_chars, -doc_id) ordering, but a primitive
     // buffer keeps the aggregate in a codegen'd HashAggregate where the
     // struct key forced a SortAggregate (r11 tail-variance suspect).
-    // Safe range: n_chars < 2³¹ and doc_id < 2³² by fixture/schema.
+    // The packing is only an ORDER embedding inside [0 ≤ doc_id < 2³²,
+    // 0 ≤ n_chars < 2³¹]; outside it the key wraps and SILENTLY elects a
+    // wrong representative, so the domain is enforced map-side with
+    // raise_error (review find: a comment is not a guard; a >4.3B-doc
+    // corpus is exactly the regime this file targets) — zero extra jobs,
+    // stays inside codegen.
     labels.join(docs(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
       .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
-        max_by($"doc_id",
-          $"n_chars".cast("long") * lit(4294967296L) - $"doc_id").as("rep_doc"),
+        max_by($"doc_id", expr(
+          """CASE WHEN doc_id BETWEEN 0 AND 4294967295 AND
+            |          n_chars BETWEEN 0 AND 2147483647
+            |     THEN CAST(n_chars AS BIGINT) * 4294967296 - doc_id
+            |     ELSE CAST(raise_error(concat('q103 packed ordering key ',
+            |          'domain exceeded: doc_id=', doc_id, ' n_chars=',
+            |          n_chars, ' — use the struct ordering')) AS BIGINT)
+            |END""".stripMargin)).as("rep_doc"),
         max($"n_chars").as("rep_chars"),
         sum($"n_chars").as("total_chars"))
       .select($"cluster_id", $"n_members", $"rep_doc", $"rep_chars",
@@ -990,11 +1009,7 @@ object Dedup {
       .agg(array_sort(collect_set($"source")).as("ss"))
       .filter(size($"ss") > 1)
       .repartition(par)
-      .select(explode(expr(
-        """flatten(transform(ss, (x, i) ->
-          |  transform(slice(ss, i + 2, size(ss)),
-          |            y -> struct(x AS src_a, y AS src_b))))""".stripMargin))
-        .as("p"))
+      .select(explode(pairExpansion("ss", "src_a", "src_b")).as("p"))
       .select($"p.src_a", $"p.src_b")
       .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
     inter

@@ -47,7 +47,14 @@ object Similarity {
     require(n <= MaxBroadcastBatch,
       s"$what broadcast side (>$MaxBroadcastBatch rows) exceeds the " +
         s"tiny-broadcast contract ($MaxBroadcastBatch); chunk into bounded batches")
-    broadcast(df)
+    // the require proved n ≤ cap, so this limit keeps every row — its
+    // purpose is the PLAN: a GlobalLimit node rides into the broadcast
+    // side, giving the runtime-capped lane the same "limit" STRUCTURAL
+    // evidence the fence demands of every other NLJ (review find: a
+    // refactor that swapped boundedBroadcast for plain broadcast used
+    // to pass the fence on set membership alone; now the evidence scan
+    // itself fails it)
+    broadcast(df.limit(MaxBroadcastBatch.toInt))
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -198,9 +205,13 @@ object Similarity {
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val cent = e.filter($"vec_id" % 40 === 0)
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // ONE probed broadcast frame for both the assignment and the probe
+    // joins — two boundedBroadcast calls on the same centroid set ran
+    // the O(cap) guard job twice per construction (review find)
+    val bCent = boundedBroadcast(cent, "q44 centroid")
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"ccos".desc, $"c_id".asc)
-    val assigned = e.crossJoin(boundedBroadcast(cent, "q44 centroid"))
+    val assigned = e.crossJoin(bCent)
       .withColumn("ccos", dot_product($"v", $"cv") / ($"nrm" * $"cnrm"))
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
@@ -209,7 +220,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val wProbe = Window.partitionBy($"q_id")
       .orderBy($"qcos".desc, $"c_id".asc)
-    val probes = q.crossJoin(boundedBroadcast(cent, "q44 centroid"))
+    val probes = q.crossJoin(bCent)
       .withColumn("qcos", dot_product($"qv", $"cv") / ($"qnrm" * $"cnrm"))
       .withColumn("rn", row_number().over(wProbe))
       .filter($"rn" <= 2)

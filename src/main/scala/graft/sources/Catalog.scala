@@ -28,16 +28,23 @@ import org.apache.spark.sql.SparkSession
 object Catalog {
 
   /** Query views registered per session (base-table views excluded —
-    * they are plain recomputable scans and survive a sweep). */
+    * they are plain recomputable scans and survive a sweep). WEAK keys
+    * (review find): a strong SparkSession key would pin a stopped,
+    * never-swept session — its whole session state — for the JVM's
+    * lifetime; with weak keys an unreachable session's entry just
+    * vanishes (its temp views died with the session anyway). Guarded by
+    * its own lock: WeakHashMap is not thread-safe. */
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Set[String]]()
+    new java.util.WeakHashMap[SparkSession, Set[String]]()
 
   /** Drop every query view [[registerViews]] created in this session and
     * forget them; returns the dropped names. Called by
     * `Checkpoints.sweep` so checkpoint-backed views cannot outlive their
     * blocks as silent time bombs. */
   def invalidateRegistered(spark: SparkSession): Seq[String] = {
-    val views = Option(registered.remove(spark)).getOrElse(Set.empty)
+    val views = registered.synchronized {
+      Option(registered.remove(spark)).getOrElse(Set.empty[String])
+    }
     views.toSeq.sorted.map { v => spark.catalog.dropTempView(v); v }
   }
 
@@ -58,7 +65,10 @@ object Catalog {
         fn(spark, dir).createOrReplaceTempView(view)
         view
       }
-    registered.merge(spark, views.toSet, (a, b) => a ++ b)
+    registered.synchronized {
+      registered.put(spark,
+        Option(registered.get(spark)).getOrElse(Set.empty[String]) ++ views)
+    }
     views
   }
 }

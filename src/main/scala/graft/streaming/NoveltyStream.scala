@@ -79,11 +79,17 @@ object NoveltyStream {
     // first-write-wins: intra-batch duplicates collapse (min source is
     // arbitrary-but-deterministic; fixture ids are unique), then docs
     // already in state are dropped before any shingling happens
+    // cached: commit() writes the three state tables as three separate
+    // jobs, and without these pins members1/owners1 would re-shingle
+    // the batch and all three would re-read the docs0 state — the
+    // "shingled ONCE" contract held only per-job, not per-trigger
+    // (review find). Released in the finally below.
     val fresh = batch.select(col("doc_id"), col("text"), col("source"))
       .groupBy(col("doc_id"))
       .agg(min(col("source")).as("source"), min(col("text")).as("text"))
       .join(docs0.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val dIsh = Dedup.shingleIdsWithDup(fresh).distinct()
+      .cache()
+    val dIsh = Dedup.shingleIdsWithDup(fresh).distinct().cache()
     val docs1 = docs0.unionByName(fresh.select(col("doc_id"), col("source")))
     val members1 = members0.unionByName(
       dIsh.join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -92,8 +98,13 @@ object NoveltyStream {
     val owners1 = owners0.unionByName(
       dIsh.groupBy(col("sh64")).agg(min(col("doc_id")).as("owner")))
       .groupBy(col("sh64")).agg(min(col("owner")).as("owner"))
-    state.commit(Seq("docs" -> docs1, "members" -> members1,
-      "owners" -> owners1), batchId)
+    try
+      state.commit(Seq("docs" -> docs1, "members" -> members1,
+        "owners" -> owners1), batchId)
+    finally {
+      dIsh.unpersist(blocking = false)
+      fresh.unpersist(blocking = false)
+    }
     state.mark(batchId)
   }
 

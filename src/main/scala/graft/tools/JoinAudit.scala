@@ -74,17 +74,6 @@ object JoinAudit {
     here ++ (inner ++ p.subqueries).flatMap(collectNlj)
   }
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
-      // points at an exchange planned elsewhere — opaque here; the
-      // original exchange's own plan is audited where it appears
-      case _: ReusedExchangeExec => Nil
-      case _ => p.children
-    }
-    p +: (inner ++ p.subqueries).flatMap(flatten)
-  }
-
   private def pointEquality(e: Expression): Boolean = e match {
     case EqualTo(_: AttributeReference, _: Literal) => true
     case EqualTo(_: Literal, _: AttributeReference) => true
@@ -92,20 +81,50 @@ object JoinAudit {
     case _ => false
   }
 
-  private def evidence(side: SparkPlan): Option[String] = {
-    val nodes = flatten(side)
-    nodes.collectFirst {
+  /** STRUCTURAL boundedness of the broadcast side, computed recursively
+    * from the root down (review find — the earlier whole-subtree
+    * collectFirst accepted a bound found inside ONE branch of a join,
+    * so `corpus.join(broadcast(dims.limit(5)))` — corpus-sized output —
+    * would have passed on the inner limit):
+    *  - a bounding node at the root (through cardinality-non-increasing
+    *    unary operators: Project/Filter/Sort/Exchange/codegen wrappers)
+    *    bounds the side;
+    *  - a JOIN is bounded iff BOTH children are bounded (output ≤
+    *    |l|·|r|); a Union iff both (≤ |l|+|r|); an Expand iff its child
+    *    (constant multiplier);
+    *  - Generate (explode) is NEVER evidence — per-row fan-out is
+    *    data-dependent;
+    *  - a ReusedExchange is opaque here and conservatively unbounded.
+    * Returns the root-most evidence label, None = no structural bound. */
+  private def evidence(p: SparkPlan): Option[String] = {
+    import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, UnionExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    p match {
       case _: GlobalLimitExec | _: LocalLimitExec |
-           _: TakeOrderedAndProjectExec | _: CollectLimitExec => "limit"
-    }.orElse(nodes.collectFirst {
-      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => "one-row-agg"
-    }).orElse(nodes.collectFirst {
-      case _: BaseAggregateExec => "grouped-agg"
-    }).orElse(nodes.collectFirst {
-      case _: LocalTableScanExec => "local-table"
-    }).orElse(nodes.collectFirst {
-      case f: FilterExec if pointEquality(f.condition) => "point-filter"
-    })
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => Some("limit")
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty =>
+        Some("one-row-agg")
+      case _: BaseAggregateExec => Some("grouped-agg")
+      case _: LocalTableScanExec => Some("local-table")
+      case f: FilterExec if pointEquality(f.condition) => Some("point-filter")
+      case a: AdaptiveSparkPlanExec => evidence(a.inputPlan)
+      case j: BaseJoinExec =>
+        for { l <- evidence(j.left); r <- evidence(j.right) }
+          yield s"join($l×$r)"
+      case c: CartesianProductExec =>
+        for { l <- evidence(c.left); r <- evidence(c.right) }
+          yield s"join($l×$r)"
+      case u: UnionExec =>
+        val kids = u.children.map(evidence)
+        if (kids.forall(_.isDefined)) Some("union-bounded") else None
+      case e: ExpandExec => evidence(e.child).map(ev => s"expand($ev)")
+      case _: GenerateExec => None
+      case _: ReusedExchangeExec => None
+      case other => other.children match {
+        case Seq(one) => evidence(one) // cardinality-non-increasing unary
+        case _ => None
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -233,10 +233,13 @@ class PlanQualitySpec extends SparkSuite {
   //  - RUNTIME-CAPPED (`nljRuntimeCapped`): the side is a
   //    corpus-proportional SAMPLE at fixture scale (1-in-50 query
   //    batches, 1-in-40 IVF centroids, q106's anchors, q40's verify
-  //    slice) with no structural bound — each site broadcasts through
+  //    slice) — each site broadcasts through
   //    Similarity.boundedBroadcast, which `require`s ≤MaxBroadcastBatch
-  //    rows before the broadcast exists. Production chunks these
-  //    batches; over-cap aborts loudly instead of OOMing executors.
+  //    rows before the broadcast exists AND re-applies `.limit(cap)`
+  //    so the cap is ALSO visible to the evidence scan as a plan
+  //    GlobalLimit (review find: before that, a revert to plain
+  //    broadcast() passed the fence on set membership alone — now BOTH
+  //    lanes must show structural evidence, so the skip is gone).
   // A NEW nested-loop query must pick a lane consciously: structural
   // evidence, or boundedBroadcast + this set. Regenerate the evidence
   // table with `runMain graft.tools.JoinAudit`.
@@ -280,7 +283,7 @@ class PlanQualitySpec extends SparkSuite {
       // structural bound in the side's plan, or membership in the
       // runtime-capped lane (boundedBroadcast require at the site)
       val unproven =
-        if (nlj > 0 && nljAllowed(name) && !nljRuntimeCapped(name))
+        if (nlj > 0 && nljAllowed(name))
           graft.tools.JoinAudit.nljBroadcastEvidence(plan)
             .count(_.isEmpty)
         else 0
