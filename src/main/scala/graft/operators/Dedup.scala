@@ -1046,10 +1046,128 @@ object Dedup {
       |JOIN sizes sb ON i.src_b = sb.source
       |ORDER BY 1, 2""".stripMargin
 
+  /** q120 — SimHash Hamming-distance dedup via pigeonhole banding
+    * (Manku, Jain & Das Sarma, WWW 2007 — the production web-dedup
+    * construction): a 32-bit simhash (every md5 hex digit votes one
+    * bit) splits into 4 × 8-bit bands; Hamming distance ≤ 3 ⟹ at least
+    * one band matches EXACTLY (4 differing bits would be needed to
+    * touch all 4 bands), so candidates come from band-value equi-joins
+    * and only candidates pay the bit_count verify. Output is the
+    * per-distance pair histogram with an order-independent checksum —
+    * corpus-size-independent row count, full kernel exercised.
+    *
+    * Stop-bucket cap (the q28 discipline, and on THIS fixture a real
+    * one: the synthetic docs share one bag-of-words mode, so one band
+    * value holds 65% of the corpus): buckets over [[SimhashBucketCap]]
+    * docs are dropped from candidate generation via a broadcast
+    * anti-join on the tiny hot-bucket list (NOT a full-table window —
+    * the fenced q28 lesson), making the cap part of the operator's
+    * semantics, mirrored in the oracle. Production uses a 64-bit
+    * simhash with 16-bit bands (65 536 values/band) where buckets stay
+    * sparse on a deduplicated web corpus; the cap is the guard for the
+    * adversarial/degenerate tail either way. */
+  def q120SimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    simhashHammingReport(simhash32(docs(s, dir).repartition(par)))
+  }
+
+  /** 32-bit simhash per document (every md5 hex digit of every token
+    * votes one ± bit) — q29's 16-bit construction widened; the
+    * minhashWide single-aggregation pattern (32 sum columns, one pass,
+    * map-side partials). `private[graft]` so the q120 spec can
+    * brute-force all-pairs Hamming from the same signatures. */
+  private[graft] def simhash32(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .withColumn("h", md5($"token"))
+    val bitAggs = (1 to 32).map { j =>
+      sum(when(expr(
+        s"substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f')"), 1)
+        .otherwise(-1)).as(s"sgn$j")
+    }
+    toks.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select($"doc_id",
+        (1 to 32).map(j =>
+          when(col(s"sgn$j") > 0, lit(1L << (j - 1))).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** Banding + capped candidate join + verify + histogram over a
+    * (doc_id, sh) signature frame — q120's kernel after signatures. */
+  private[graft] def simhashHammingReport(sims: DataFrame): DataFrame = {
+    val s = sims.sparkSession
+    import s.implicits._
+    val bands = sims
+      .select($"doc_id", $"sh", explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv",
+        expr("(sh div CAST(pow(256, b) AS BIGINT)) % 256"))
+    val hot = bands.groupBy($"b", $"bv").agg(count(lit(1)).as("df"))
+      .filter($"df" > SimhashBucketCap)
+    val cold = bands
+      .join(broadcast(hot.select($"b", $"bv")), Seq("b", "bv"), "left_anti")
+    val cand = cold.as("x")
+      .join(cold.as("y"),
+        $"x.b" === $"y.b" && $"x.bv" === $"y.bv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.sh".as("sha"), $"y.sh".as("shb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
+      .filter($"hamming" <= 3)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("""CAST(conv(substr(md5(concat(doc_a, ':', doc_b)), 1, 15),
+                   |  16, 10) AS BIGINT) % 1000000000""".stripMargin))
+          .as("pair_checksum"))
+      .orderBy($"hamming")
+  }
+
+  private[graft] val SimhashBucketCap = 512
+
+  val q120Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |              FROM documents),
+      |perbit AS (SELECT doc_id, j,
+      |             CASE WHEN substr(h, CAST(j AS INT), 1)
+      |                    IN ('8','9','a','b','c','d','e','f')
+      |                  THEN 1 ELSE -1 END AS contrib
+      |           FROM toks,
+      |             LATERAL (SELECT unnest(generate_series(1, 32)) AS j) g),
+      |bits AS (SELECT doc_id, j, sum(contrib) AS sgn FROM perbit GROUP BY 1, 2),
+      |sims AS (SELECT doc_id,
+      |           CAST(sum(CASE WHEN sgn > 0
+      |                         THEN CAST(pow(2, j - 1) AS BIGINT)
+      |                         ELSE 0 END) AS BIGINT) AS sh
+      |         FROM bits GROUP BY 1),
+      |bands0 AS (SELECT doc_id, sh, b,
+      |             (sh // CAST(pow(256, b) AS BIGINT)) % 256 AS bv
+      |           FROM sims,
+      |             LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |bands AS (SELECT doc_id, sh, b, bv FROM (
+      |            SELECT *, count(*) OVER (PARTITION BY b, bv) AS df
+      |            FROM bands0)
+      |          WHERE df <= $SimhashBucketCap),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           a.sh AS sha, b.sh AS shb
+      |         FROM bands a JOIN bands b
+      |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |hm AS (SELECT doc_a, doc_b,
+      |         CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+      |       FROM cand WHERE bit_count(xor(sha, shb)) <= 3)
+      |SELECT hamming, count(*) AS n_pairs,
+      |       CAST(sum(CAST('0x' || substr(md5(doc_a || ':' || doc_b), 1, 15)
+      |                     AS BIGINT) % 1000000000) AS BIGINT)
+      |         AS pair_checksum
+      |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ngram_novelty" -> q112NgramNovelty _,
     "q114_source_novelty" -> q114SourceNovelty _,
     "q117_source_overlap" -> q117SourceOverlap _,
+    "q120_simhash_hamming" -> q120SimhashHamming _,
     "q70_contamination" -> q70Contamination _,
     "q63_dedup_retention" -> q63DedupRetention _,
     "q53_dedup_clusters" -> q53DupClusters _,
@@ -1065,6 +1183,7 @@ object Dedup {
     "q112_ngram_novelty" -> q112Oracle,
     "q114_source_novelty" -> q114Oracle,
     "q117_source_overlap" -> q117Oracle,
+    "q120_simhash_hamming" -> q120Oracle,
     "q70_contamination" -> q70Oracle,
     "q63_dedup_retention" -> q63Oracle,
     "q53_dedup_clusters" -> q53Oracle,

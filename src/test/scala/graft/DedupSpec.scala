@@ -118,6 +118,36 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("q120 banding finds EVERY Hamming<=3 pair when no bucket is hot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 24 synthetic docs, bucket cap cannot bind (24 < 512): the Manku
+    // pigeonhole guarantee is then COMPLETENESS — the banded report
+    // must equal a brute-force all-pairs histogram computed from the
+    // same signatures with plain driver popcount
+    val dir = java.nio.file.Files.createTempDirectory("graft_sim_").toString
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rows = (1 to 24).map { i =>
+      val text = Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sims = Dedup.simhash32(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield h.toLong).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val report = Dedup.simhashHammingReport(Dedup.simhash32(d)).collect()
+      .map(r => r.getAs[Long]("hamming") -> r.getAs[Long]("n_pairs")).toMap
+    assert(report == brute, s"banded $report != brute $brute")
+    assert(brute.nonEmpty, "vacuous corpus: no close pairs generated")
+  }
+
   test("q117 overlap cells respect set algebra and recount exactly") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.q117SourceOverlap(spark, sfDir).collect()
