@@ -235,13 +235,101 @@ object Bpe {
       |FROM tc t JOIN vocab v ON t.token = v.token
       |ORDER BY t.token_count DESC, t.token ASC LIMIT 30""".stripMargin
 
+  // ----------------------------------------------------------- fertility
+
+  /** q122 — tokenizer fertility per language: tokens-per-word and
+    * chars-per-token under the corpus-trained merge table. Fertility is
+    * THE cross-lingual tokenizer-fairness metric (a language whose words
+    * fragment into 3× the tokens pays 3× the context budget and 3× the
+    * inference cost — the standard argument for vocabulary rebalancing),
+    * and the token total per language is what converts a char-mass
+    * budget into an actual token budget (q118's input at the next
+    * refinement). Reference analog: the reference counts chunks per
+    * document before indexing; this is the same capacity accounting one
+    * level down, at the token level.
+    *
+    * Scale shape — the q99 two-tier discipline: the corpus-scale pass is
+    * the (lang, word) weighted-count groupBy (map-combined,
+    * vocab-per-language-sized output, sub-linear by Heaps' law); every
+    * DISTINCT word is then encoded exactly once by folding the broadcast
+    * merge list over its symbol sequence (merge-table-sized driver
+    * state, 3 merges here / 10k-100k real), and per-word token counts
+    * join back to the weighted table — an equi-join on the word,
+    * AQE-planned (broadcast while the distinct-word table fits). No
+    * window, no corpus rescan per merge.
+    *
+    * Cross-engine exactness: token counts are separator counts on the
+    * SAME left-to-right `replace` encoding DuckDB replays (q99's
+    * argument), all masses are int64 sums, and each reported ratio is a
+    * single double division of exact int64 inputs. */
+  def q122TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+    val merges = trainMerges(base.select($"w"), Iters)
+    // corpus-scale tier: weighted (lang, word) counts, map-side combined
+    val lw = base.groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+    // vocab tier: encode each distinct word once (q99's fold); token
+    // count = separator count of the encoded form (leading-separator
+    // encoding ⇒ exactly one separator per emitted token)
+    val encodedSeq = merges.foldLeft(
+        regexp_replace($"w", "(?s)(.)", s"$Sep$$1")) {
+      case (c, (_, l, r, _)) =>
+        replace(c, lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r"))
+    }
+    val ntok = lw.select($"w").distinct()
+      .select($"w", (size(split(encodedSeq, Sep)) - 1).cast("long").as("ntok"))
+    lw.join(ntok, Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"cnt").cast("long").as("n_words"),
+        sum($"cnt" * $"ntok").cast("long").as("n_tokens"),
+        sum($"cnt" * length($"w")).cast("long").as("n_chars"))
+      .select($"lang", $"n_words", $"n_tokens",
+        round($"n_tokens" / $"n_words".cast("double"), 6).as("fertility"),
+        round($"n_chars" / $"n_tokens".cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  val q122Oracle: String =
+    s"""$TrainCte,
+      |lw AS (SELECT lang, w, count(*) AS c
+      |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |             FROM documents) t
+      |       GROUP BY 1, 2),
+      |dw AS (SELECT DISTINCT w FROM lw),
+      |enc AS (SELECT dw.w,
+      |          replace(replace(replace(
+      |            regexp_replace(dw.w, '(.)', '$Sep\\1', 'gs'),
+      |            '$Sep' || b1.l || '$Sep' || b1.r, '$Sep' || b1.l || b1.r),
+      |            '$Sep' || b2.l || '$Sep' || b2.r, '$Sep' || b2.l || b2.r),
+      |            '$Sep' || b3.l || '$Sep' || b3.r, '$Sep' || b3.l || b3.r)
+      |            AS seq
+      |        FROM dw, b1, b2, b3),
+      |nt AS (SELECT w, CAST(len(string_split(seq, '$Sep')) - 1 AS BIGINT)
+      |               AS ntok
+      |       FROM enc)
+      |SELECT lw.lang,
+      |       CAST(sum(lw.c) AS BIGINT) AS n_words,
+      |       CAST(sum(lw.c * nt.ntok) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(lw.c * nt.ntok) AS DOUBLE)
+      |             / CAST(sum(lw.c) AS DOUBLE), 6) AS fertility,
+      |       round(CAST(sum(lw.c * len(lw.w)) AS DOUBLE)
+      |             / CAST(sum(lw.c * nt.ntok) AS DOUBLE), 6)
+      |         AS chars_per_token
+      |FROM lw JOIN nt ON lw.w = nt.w
+      |GROUP BY lw.lang
+      |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bpe_merges" -> q95BpeMerges _,
-    "q99_bpe_encode" -> q99BpeEncode _)
+    "q99_bpe_encode" -> q99BpeEncode _,
+    "q122_tokenizer_fertility" -> q122TokenizerFertility _)
 
   val oracle: Map[String, String] = Map(
     "q95_bpe_merges" -> q95Oracle,
-    "q99_bpe_encode" -> q99Oracle)
+    "q99_bpe_encode" -> q99Oracle,
+    "q122_tokenizer_fertility" -> q122Oracle)
 }

@@ -947,6 +947,120 @@ object Curation {
       |       r.base + (CASE WHEN r.rnk <= k.k THEN 1 ELSE 0 END) AS alloc
       |FROM r, k ORDER BY r.source""".stripMargin
 
+  // --------------------------------------------------------------- q123
+
+  /** q123 — capped proportional allocation ("epoch waterfall"): split a
+    * total token budget EQUALLY across sources, but cap every source at
+    * [[MaxEpochsNum]]/[[MaxEpochsDen]] epochs of its own tokens — the
+    * multi-epoch mixing plan behind balanced-mixture training runs
+    * (repeating a small source beyond ~a few epochs degrades models, so
+    * its surplus share must waterfall to sources that still have fresh
+    * data). q118 answers "proportional split, exactly"; q123 answers the
+    * harder production question "equal split WITH per-source repetition
+    * caps" — allocations of capped sources overflow to the uncapped
+    * ones, water-filling style.
+    *
+    * The waterfall is computed in CLOSED FORM, not by iteration: sort
+    * sources by cap ascending; source k (rank rk, cap-prefix-sum pfx) is
+    * capped iff cap_k · (n − rk + 1) ≤ B − pfx_{k−1} — the test is
+    * monotone along the sort (if it fails at k it fails at every later
+    * k, proof in the spec), so one pass decides the capped set and the
+    * survivors share the remainder equally with q118's largest-remainder
+    * exactness (budget − Σcapped = Σuncapped, to the token).
+    *
+    * Scale shape: one map-combined source-sized aggregate; rank and
+    * prefix sum ride the q112/q118 bounds pattern (1-row broadcast
+    * aggregate + array HOFs) because the fence bans global windows —
+    * sound while the mixture unit is sources/domains-in-the-hundreds,
+    * which is what mixture planning operates on (per-REGISTERED-domain
+    * caps at web scale would use the oracle's window form over a
+    * range-partitioned sort instead). All arithmetic is int64
+    * (`div`/`%` on nonnegatives ≡ DuckDB `//`/`%`), so allocations are
+    * bit-exact across engines; `epochs` is the only double, one division
+    * at the end. */
+  private val MaxEpochsNum = 8L // cap = 8/5 = 1.6 epochs of own tokens
+  private val MaxEpochsDen = 5L
+
+  def q123EpochWaterfall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("n_tok"))
+      .withColumn("cap",
+        expr(s"($MaxEpochsNum * n_tok) div $MaxEpochsDen"))
+    // bounds frame #1: n, the 1.5-epoch total budget, and the (cap,
+    // source) pool every row ranks itself against (bounded: one struct
+    // per source)
+    val g = t.agg(count(lit(1)).cast("long").as("n"),
+      expr("CAST((3 * sum(n_tok)) div 2 AS BIGINT)").as("budget"),
+      collect_list(struct($"cap", $"source")).as("pool"))
+    val flagged = t.crossJoin(broadcast(g))
+      .withColumn("rk", expr(
+        """size(filter(pool, a -> a.cap < cap OR
+          |  (a.cap = cap AND a.source <= source)))""".stripMargin)
+        .cast("long"))
+      .withColumn("pfx", expr(
+        """aggregate(filter(pool, a -> a.cap < cap OR
+          |  (a.cap = cap AND a.source < source)),
+          |  CAST(0 AS BIGINT), (acc, a) -> acc + a.cap)""".stripMargin))
+      .withColumn("capped",
+        when($"cap" * ($"n" - $"rk" + 1L) <= $"budget" - $"pfx", 1L)
+          .otherwise(0L))
+    // bounds frame #2: the capped mass, so survivors can split the rest
+    val c = flagged.agg(
+      sum(when($"capped" === 1L, $"cap").otherwise(0L)).as("cmass"),
+      sum($"capped").as("ncap"))
+    flagged.crossJoin(broadcast(c))
+      .select($"source", $"n_tok", $"cap", $"capped", $"rk", $"ncap",
+        ($"budget" - $"cmass").as("rem"), ($"n" - $"ncap").as("nunc"))
+      .withColumn("alloc", when($"capped" === 1L, $"cap")
+        // nullif: the all-capped degenerate case must not divide by zero
+        // under ANSI; the branch is unselected there anyway
+        .otherwise(expr("rem div nullif(nunc, 0)") +
+          when($"rk" - $"ncap" <= expr("rem % nullif(nunc, 0)"), 1L)
+            .otherwise(0L)))
+      .select($"source", $"n_tok", $"cap", $"capped", $"alloc",
+        round($"alloc" / $"n_tok".cast("double"), 6).as("epochs"))
+      .orderBy($"source")
+  }
+
+  val q123Oracle: String =
+    s"""WITH t AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |               AS n_tok
+      |           FROM documents GROUP BY 1),
+      |b AS (SELECT source, n_tok,
+      |        ($MaxEpochsNum * n_tok) // $MaxEpochsDen AS cap FROM t),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST((3 * sum(n_tok)) // 2 AS BIGINT) AS budget FROM b),
+      |r AS (SELECT b.*,
+      |        CAST(row_number() OVER (ORDER BY cap ASC, source ASC)
+      |             AS BIGINT) AS rk,
+      |        CAST(COALESCE(sum(cap) OVER (ORDER BY cap ASC, source ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |             AS BIGINT) AS pfx
+      |      FROM b),
+      |f AS (SELECT r.*, g.n, g.budget,
+      |        CASE WHEN cap * (n - rk + 1) <= budget - pfx
+      |             THEN 1 ELSE 0 END AS capped
+      |      FROM r, g),
+      |c AS (SELECT CAST(COALESCE(sum(CASE WHEN capped = 1 THEN cap END), 0)
+      |             AS BIGINT) AS cmass,
+      |        CAST(COALESCE(sum(capped), 0) AS BIGINT) AS ncap FROM f),
+      |a AS (SELECT f.source, f.n_tok, f.cap,
+      |        CAST(f.capped AS BIGINT) AS capped,
+      |        CAST(CASE WHEN f.capped = 1 THEN f.cap
+      |             ELSE (f.budget - c.cmass) // NULLIF(f.n - c.ncap, 0)
+      |                  + (CASE WHEN f.rk - c.ncap <=
+      |                       (f.budget - c.cmass) % NULLIF(f.n - c.ncap, 0)
+      |                     THEN 1 ELSE 0 END)
+      |             END AS BIGINT) AS alloc
+      |      FROM f, c)
+      |SELECT source, n_tok, cap, capped, alloc,
+      |       round(CAST(alloc AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+      |         AS epochs
+      |FROM a ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -963,7 +1077,8 @@ object Curation {
     "q102_corpus_shuffle" -> q102CorpusShuffle _,
     "q111_dsir_importance" -> q111DsirImportance _,
     "q116_length_trim" -> q116LengthTrim _,
-    "q118_budget_apportionment" -> q118BudgetApportionment _)
+    "q118_budget_apportionment" -> q118BudgetApportionment _,
+    "q123_epoch_waterfall" -> q123EpochWaterfall _)
 
   val oracle: Map[String, String] = Map(
     "q73_pii_redact" -> q73Oracle,
@@ -978,5 +1093,6 @@ object Curation {
     "q102_corpus_shuffle" -> q102Oracle,
     "q111_dsir_importance" -> q111Oracle,
     "q116_length_trim" -> q116Oracle,
-    "q118_budget_apportionment" -> q118Oracle)
+    "q118_budget_apportionment" -> q118Oracle,
+    "q123_epoch_waterfall" -> q123Oracle)
 }

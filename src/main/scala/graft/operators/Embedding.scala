@@ -402,17 +402,77 @@ object Embedding {
       |SELECT label, rank, vec_id, cos_centroid FROM r
       |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
 
+  /** q121 — per-source document cap (domain balancing): keep at most
+    * [[DomainCap]] documents per source, admitting by classifier score
+    * (q110's model — ties to the smaller doc_id), and account for what
+    * the cap keeps and drops. This is the anti-domination stage every
+    * web-scale mixture runs — without it one mega-crawl source swamps
+    * the mixture regardless of the q82/q118 share math (C4 capped pages
+    * per domain; RefinedWeb caps per registered domain). One row per
+    * source: volume, kept/dropped doc counts and char masses, and the
+    * realized admission bar (the lowest score that got in).
+    *
+    * Scale shape: scoring is q110's map-side pass; ranking is a window
+    * PARTITIONED BY source — per-domain sorts, never a global one. The
+    * full rank (not a group-limit) is required because the DROPPED mass
+    * is half the report; rows carry 4 columns into the one hash
+    * exchange. Skew honesty: the unit of work is one domain's rows in
+    * one sort — bounded by the largest domain, not the corpus; a
+    * pathological mega-domain would call for the q102-style
+    * score-histogram decomposition (count + threshold instead of rank),
+    * which trades exact tie handling for a skew-free two-pass plan. */
+  private val DomainCap = 10
+
+  def q121DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .join(classifierScores(s, dir), Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= DomainCap, $"n_chars").otherwise(0L))
+          .as("kept_chars"),
+        sum(when($"rk" > DomainCap, $"n_chars").otherwise(0L))
+          .as("dropped_chars"),
+        min(when($"rk" <= DomainCap, $"score")).as("cutoff_score"))
+      .orderBy($"source")
+  }
+
+  val q121Oracle: String =
+    s"""WITH $scoreSqlCte,
+      |r AS (SELECT d.doc_id, d.source, d.n_chars, sc.score,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY sc.score DESC, d.doc_id ASC) AS rk
+      |      FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(sum(CASE WHEN rk <= $DomainCap THEN n_chars ELSE 0 END)
+      |            AS BIGINT) AS kept_chars,
+      |       CAST(sum(CASE WHEN rk > $DomainCap THEN n_chars ELSE 0 END)
+      |            AS BIGINT) AS dropped_chars,
+      |       CAST(min(CASE WHEN rk <= $DomainCap THEN score END) AS BIGINT)
+      |         AS cutoff_score
+      |FROM r GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_hash_embed" -> q98HashEmbed _,
     "q105_embedding_drift" -> q105EmbeddingDrift _,
     "q110_quality_classifier" -> q110QualityClassifier _,
     "q113_label_outliers" -> q113LabelOutliers _,
-    "q115_curation_quadrant" -> q115CurationQuadrant _)
+    "q115_curation_quadrant" -> q115CurationQuadrant _,
+    "q121_domain_cap" -> q121DomainCap _)
 
   val oracle: Map[String, String] = Map(
     "q98_hash_embed" -> q98Oracle,
     "q105_embedding_drift" -> q105Oracle,
     "q110_quality_classifier" -> q110Oracle,
     "q113_label_outliers" -> q113Oracle,
-    "q115_curation_quadrant" -> q115Oracle)
+    "q115_curation_quadrant" -> q115Oracle,
+    "q121_domain_cap" -> q121Oracle)
 }

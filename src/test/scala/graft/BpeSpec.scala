@@ -84,4 +84,39 @@ class BpeSpec extends SparkSuite {
     // merged symbols grow: step-2/3 operands may be multi-char
     assert(rows.forall(_.getLong(3) > 0))
   }
+
+  test("q122 fertility: hand-derived totals on the Sennrich corpus") {
+    // merges on low×2, lower×1, newest×3 are (w,e), (e,we), (ewe,s)
+    // (pinned by the first test). Encoded: low -> [l,o,w] (3 tok),
+    // lower -> [l,o,we,r] (4), newest -> [n,ewes,t] (3).
+    // en totals: 6 words, 2·3+4+3·3 = 19 tokens, 2·3+5+3·6 = 29 chars.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_fert").toString
+    val text = "low low lower newest newest newest"
+    Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Bpe.q122TokenizerFertility(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "en")
+    assert(r.getAs[Long]("n_words") == 6L, r.toString)
+    assert(r.getAs[Long]("n_tokens") == 19L, r.toString)
+    assert(r.getAs[Double]("fertility") == 3.166667, r.toString)
+    assert(r.getAs[Double]("chars_per_token") == 1.526316, r.toString)
+  }
+
+  test("q122 fertility invariants on the fixture corpus") {
+    val rows = graft.operators.Bpe
+      .q122TokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      // every (non-empty) word is at least one token, every token at
+      // least one char — fertility ≥ 1 and chars_per_token ≥ 1
+      assert(t >= w, r.toString)
+      assert(r.getAs[Double]("fertility") >= 1.0, r.toString)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0, r.toString)
+    }
+  }
 }

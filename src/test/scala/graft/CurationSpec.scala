@@ -251,6 +251,47 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q123 waterfall matches a sequential reference and fills the budget") {
+    val rows = Curation.q123EpochWaterfall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val totT = rows.map(_.getAs[Long]("n_tok")).sum
+    val budget = (3L * totT) / 2L
+    // independent SEQUENTIAL waterfall: walk sources by cap ascending;
+    // cap a source iff its cap fits under the equal-share level of the
+    // budget remaining at that point. This is the semantics the closed
+    // form (rank/prefix-sum test) claims to equal — the monotonicity
+    // proof in the operator's scaladoc, executed.
+    val sorted = rows.sortBy(r =>
+      (r.getAs[Long]("cap"), r.getAs[String]("source")))
+    var remB = budget
+    var remN = n
+    val cappedRef = sorted.map { r =>
+      val c = r.getAs[Long]("cap")
+      if (remN > 0 && c * remN <= remB) { remB -= c; remN -= 1; true }
+      else false
+    }
+    sorted.zip(cappedRef).foreach { case (r, ref) =>
+      assert((r.getAs[Long]("capped") == 1L) == ref, r.toString)
+    }
+    // survivors split the remainder exactly (largest-remainder style):
+    // total allocation hits the budget to the token when anyone is
+    // uncapped, and uncapped allocations differ by at most 1
+    val (capped, uncapped) = rows.partition(_.getAs[Long]("capped") == 1L)
+    assert(uncapped.nonEmpty, "fixture should leave some source uncapped")
+    assert(capped.nonEmpty, "fixture should cap some source")
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+    capped.foreach { r =>
+      assert(r.getAs[Long]("alloc") == r.getAs[Long]("cap"), r.toString) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"), r.toString) }
+    val ua = uncapped.map(_.getAs[Long]("alloc"))
+    assert(ua.max - ua.min <= 1L, ua.mkString(","))
+    // water level: every capped source's cap sits at or below what the
+    // survivors each receive (that's WHY it capped)
+    assert(capped.map(_.getAs[Long]("cap")).max <= ua.min)
+  }
+
   test("q116 trims at most the outlier tails, never the body") {
     val rows = Curation.q116LengthTrim(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -103,4 +103,35 @@ class EmbeddingSpec extends SparkSuite {
       .filter(org.apache.spark.sql.functions.col("kept") === 1).count()
     assert(keptHere == keptQ110, s"$keptHere != $keptQ110")
   }
+
+  test("q121 domain cap: admits exactly top-10 by score, accounts all mass") {
+    val rows = Embedding.q121DomainCap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    // per-source doc counts recount from the table
+    val nBySource = d.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val charsBySource = d.groupBy($"source")
+      .agg(sum($"n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q110 scores, descending per source — the independent admission
+    // recount the cutoff must agree with
+    val scores = Embedding.q110QualityClassifier(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("score")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val n = r.getAs[Long]("n_docs")
+      assert(n == nBySource(src), r.toString)
+      assert(r.getAs[Long]("n_kept") == math.min(10L, n), r.toString)
+      // kept + dropped mass partitions the source's chars exactly
+      assert(r.getAs[Long]("kept_chars") + r.getAs[Long]("dropped_chars")
+        == charsBySource(src), r.toString)
+      // the realized admission bar IS the 10th-highest score
+      assert(r.getAs[Long]("cutoff_score")
+        == scores(src).take(10).last, r.toString)
+    }
+    // the fixture must actually exercise the cap (25 docs per source)
+    assert(rows.exists(r => r.getAs[Long]("dropped_chars") > 0L))
+  }
 }

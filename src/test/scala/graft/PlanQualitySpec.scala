@@ -259,7 +259,11 @@ class PlanQualitySpec extends SparkSuite {
     // q118's only NLJs are 1-row-aggregate cross joins (total tokens +
     // the (rem, source) pool riding a 1-row broadcast — the q112 bounds
     // pattern); both carry one-row-agg structural evidence
-    "q118_budget_apportionment") ++ nljRuntimeCapped
+    "q118_budget_apportionment",
+    // q123's NLJs are the same shape: the (n, budget, cap-pool) bounds
+    // frame and the capped-mass frame are both 1-row ungrouped
+    // aggregates cross-joined onto the source-sized table
+    "q123_epoch_waterfall") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {
