@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** The CURATION lifecycle as one composed run — the training-data
   * counterpart to E2ESpec's reference-ingestion lifecycle: exact dedup →
-  * model-based quality filter → per-language length trim → deterministic
+  * model-based quality filter → per-source domain cap → per-language
+  * length trim → deterministic
   * shuffle into shards, each stage consuming the PREVIOUS stage's
   * surviving frame (not the fixture), with the stage invariants the
   * per-query oracle gates cannot see because they each run against the
@@ -20,7 +21,8 @@ class CurationPipelineSpec extends SparkSuite {
 
   import spark.implicits._
 
-  test("dedup → quality filter → length trim → shard: funnel accounting") {
+  test("dedup → quality filter → domain cap → length trim → shard: " +
+      "funnel accounting") {
     val docs = Tables.documents(spark, sfDir).cache()
     val n0 = docs.count()
 
@@ -43,9 +45,28 @@ class CurationPipelineSpec extends SparkSuite {
     val n2 = good.count()
     assert(n2 <= n1 && n2 > 0)
 
-    // stage 3 — per-language nearest-rank length trim on stage-2 output
+    // stage 3 — per-source domain cap on the quality survivors (q121's
+    // admission policy applied to the funnel frame, not the fixture):
+    // at most 10 docs per source, best classifier score first
+    val capped = good.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rk" <= 10).drop("rk").cache()
+    val n2b = capped.count()
+    assert(n2b <= n2 && n2b > 0)
+    // the cap admits exactly min(10, survivors) per source — never
+    // fewer (the cap must not drop below-cap sources)
+    val goodBySrc = good.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    capped.groupBy($"source").count().collect().foreach { r =>
+      assert(r.getLong(1) == math.min(10L, goodBySrc(r.getString(0))),
+        s"${r.getString(0)}: ${r.getLong(1)} kept of " +
+          s"${goodBySrc(r.getString(0))}")
+    }
+
+    // stage 4 — per-language nearest-rank length trim on stage-3 output
     // (the q116 histogram-cumsum recipe, applied to the funnel frame)
-    val hist = good.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+    val hist = capped.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum($"c").over(org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy($"n_chars")
@@ -54,10 +75,10 @@ class CurationPipelineSpec extends SparkSuite {
     val bounds = cum.join(nl, Seq("lang")).groupBy($"lang", $"nd")
       .agg(min(when($"cum" >= expr("(nd + 19) div 20"), $"n_chars")).as("lo"),
         min(when($"cum" >= expr("(19 * nd + 19) div 20"), $"n_chars")).as("hi"))
-    val trimmed = good.join(broadcast(bounds), Seq("lang"))
+    val trimmed = capped.join(broadcast(bounds), Seq("lang"))
       .filter($"n_chars".between($"lo", $"hi")).cache()
     val n3 = trimmed.count()
-    assert(n3 <= n2 && n3 > 0)
+    assert(n3 <= n2b && n3 > 0)
     // per language, the trim drops at most the two 5% tails
     bounds.collect().foreach { b =>
       val lang = b.getAs[String]("lang")
@@ -67,7 +88,7 @@ class CurationPipelineSpec extends SparkSuite {
         s"$lang kept $kept of $had — trimmed more than the tails")
     }
 
-    // stage 4 — deterministic shuffle of the final corpus into 4 shards
+    // stage 5 — deterministic shuffle of the final corpus into 4 shards
     // (md5-rank order; a global rank window is fine at spec scale —
     // production uses q102's bucketed histogram-offset decomposition of
     // exactly this permutation): every survivor lands in exactly one
@@ -92,7 +113,7 @@ class CurationPipelineSpec extends SparkSuite {
     assert(sharded.select($"doc_id", $"shard").exceptAll(again).isEmpty)
 
     // funnel is monotone and every stage was non-vacuous
-    assert(n0 >= n1 && n1 >= n2 && n2 >= n3,
-      s"funnel $n0 → $n1 → $n2 → $n3")
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n2b && n2b >= n3,
+      s"funnel $n0 → $n1 → $n2 → $n2b → $n3")
   }
 }
