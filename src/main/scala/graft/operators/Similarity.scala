@@ -272,6 +272,158 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q124 — IVF quality/cost evaluation: recall@10 and scanned-corpus
+    * fraction of the q44 inverted-file design at nprobe ∈ {1, 2, 4},
+    * against exact brute-force ground truth — the ANN counterpart of
+    * q108's LSH banding table, and the "measure, don't guess" step
+    * before fixing nprobe for a 100 TB vector corpus (recall you can't
+    * measure is recall you don't have; scanned fraction IS the query
+    * cost). One row per nprobe: hits, recall@10, scanned fraction.
+    *
+    * The trick that keeps this one-pass: a true top-10 neighbor is
+    * RETRIEVED at probe depth p iff its cell ranks ≤ p among the query's
+    * probe-ordered cells — if it's in the candidate set, at most its 9
+    * true superiors can outrank it in the exact re-rank, so it always
+    * survives into IVF's top-10. No per-p candidate materialization, no
+    * per-p re-rank: ground truth ⋈ cell assignment ⋈ probe ranks, then
+    * three conditional sums.
+    *
+    * Scale shape: centroids ride the SAME boundedBroadcast contract as
+    * q44 (runtime-capped NLJ lane); assignment is the one corpus-scale
+    * map pass; ground truth is the q34 brute-force kernel over the
+    * broadcast query batch (the eval is as expensive as one exact
+    * search over the query SAMPLE — that's the price of truth, paid
+    * once per tuning run, not per query). Everything after is
+    * query-batch-sized. The 1-row hits/scanned/total aggregates cross
+    * back with structural evidence (q118's NLJ lane). */
+  def q124IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+      .cache() // consumed by centroids, assignment, queries, truth
+    val cent = e.filter($"vec_id" % 40 === 0)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val bCent = boundedBroadcast(cent, "q124 centroid")
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"ccos".desc, $"c_id".asc)
+    // q44's assignment pass; cached — cell sizes AND the hit join read it
+    val assigned = e.crossJoin(bCent)
+      .withColumn("ccos", dot_product($"v", $"cv") / ($"nrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"c_id".as("cell"))
+      .cache()
+    val cellSizes = assigned.groupBy($"cell").agg(count(lit(1)).as("csz"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wProbe = Window.partitionBy($"q_id")
+      .orderBy($"qcos".desc, $"c_id".asc)
+    val probeRanks = q.crossJoin(bCent)
+      .withColumn("qcos", dot_product($"qv", $"cv") / ($"qnrm" * $"cnrm"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= 4)
+      .select($"q_id", $"c_id".as("cell"), $"pr")
+    // exact ground truth: the q34 kernel at k=10 over the same batch
+    val wTrue = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val top10 = e
+      .join(boundedBroadcast(q, "q124 query"), $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosine_sim($"v", $"qv"))
+      .withColumn("rank", row_number().over(wTrue))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"vec_id")
+    val hits = top10
+      .join(assigned, Seq("vec_id"))
+      .join(probeRanks, Seq("q_id", "cell"), "left")
+      .agg(sum(when($"pr" <= 1, 1L).otherwise(0L)).as("h1"),
+        sum(when($"pr" <= 2, 1L).otherwise(0L)).as("h2"),
+        sum(when($"pr" <= 4, 1L).otherwise(0L)).as("h4"),
+        countDistinct($"q_id").as("nq"))
+    val scanned = probeRanks.join(cellSizes, Seq("cell"))
+      .agg(sum(when($"pr" <= 1, $"csz").otherwise(0L)).as("s1"),
+        sum(when($"pr" <= 2, $"csz").otherwise(0L)).as("s2"),
+        sum(when($"pr" <= 4, $"csz").otherwise(0L)).as("s4"))
+    val nTot = e.agg(count(lit(1)).as("nvec"))
+    hits.crossJoin(scanned).crossJoin(nTot)
+      .selectExpr(
+        "stack(3, 1, h1, s1, 2, h2, s2, 4, h4, s4)" +
+          " AS (nprobe, n_hits, n_scanned)",
+        "nq", "nvec")
+      .select($"nprobe".cast("int").as("nprobe"), $"nq",
+        $"n_hits", $"n_scanned",
+        round($"n_hits" / ($"nq" * lit(10L)).cast("double"), 6)
+          .as("recall_at_10"),
+        round($"n_scanned" / ($"nq" * $"nvec").cast("double"), 6)
+          .as("scanned_frac"))
+      .orderBy($"nprobe")
+  }
+
+  val q124Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+      |         WHERE vec_id % 40 = 0),
+      |assigned AS (SELECT vec_id, c_id AS cell
+      |  FROM (SELECT n.vec_id, c.c_id,
+      |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM n, cent c)
+      |  WHERE rn = 1),
+      |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz
+      |        FROM assigned GROUP BY 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |      WHERE vec_id % 50 = 0),
+      |pr AS (SELECT q_id, cell, pr
+      |  FROM (SELECT q.q_id, c.c_id AS cell,
+      |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> q.qv[i] * c.cv[i])) / (q.qnrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS pr
+      |        FROM q, cent c)
+      |  WHERE pr <= 4),
+      |t10 AS (SELECT q_id, vec_id
+      |  FROM (SELECT q.q_id, n.vec_id,
+      |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm) DESC,
+      |            n.vec_id ASC) AS rank
+      |        FROM n, q WHERE n.vec_id <> q.q_id)
+      |  WHERE rank <= 10),
+      |h AS (SELECT
+      |        CAST(sum(CASE WHEN pr.pr <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS h1,
+      |        CAST(sum(CASE WHEN pr.pr <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS h2,
+      |        CAST(sum(CASE WHEN pr.pr <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS h4,
+      |        CAST(count(DISTINCT t10.q_id) AS BIGINT) AS nq
+      |      FROM t10
+      |      JOIN assigned a ON t10.vec_id = a.vec_id
+      |      LEFT JOIN pr ON pr.q_id = t10.q_id AND pr.cell = a.cell),
+      |s AS (SELECT
+      |        CAST(sum(CASE WHEN pr <= 1 THEN csz ELSE 0 END) AS BIGINT)
+      |          AS s1,
+      |        CAST(sum(CASE WHEN pr <= 2 THEN csz ELSE 0 END) AS BIGINT)
+      |          AS s2,
+      |        CAST(sum(CASE WHEN pr <= 4 THEN csz ELSE 0 END) AS BIGINT)
+      |          AS s4
+      |      FROM pr JOIN csz USING (cell)),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS nvec FROM e)
+      |SELECT CAST(p.nprobe AS INT) AS nprobe, h.nq,
+      |       CASE p.nprobe WHEN 1 THEN h.h1 WHEN 2 THEN h.h2 ELSE h.h4 END
+      |         AS n_hits,
+      |       CASE p.nprobe WHEN 1 THEN s.s1 WHEN 2 THEN s.s2 ELSE s.s4 END
+      |         AS n_scanned,
+      |       round(CAST(CASE p.nprobe WHEN 1 THEN h.h1 WHEN 2 THEN h.h2
+      |                  ELSE h.h4 END AS DOUBLE)
+      |             / CAST(10 * h.nq AS DOUBLE), 6) AS recall_at_10,
+      |       round(CAST(CASE p.nprobe WHEN 1 THEN s.s1 WHEN 2 THEN s.s2
+      |                  ELSE s.s4 END AS DOUBLE)
+      |             / CAST(h.nq * nv.nvec AS DOUBLE), 6) AS scanned_frac
+      |FROM (VALUES (1), (2), (4)) p(nprobe), h, s, nv
+      |ORDER BY nprobe""".stripMargin
+
   /** q65 — int8 embedding quantization: per-vector symmetric scale
     * (127 / max|x|), quantize via floor(x·scale + 0.5) — floor is
     * engine-identical where round() is not (HALF_UP vs HALF_EVEN) — and
@@ -634,7 +786,8 @@ object Similarity {
     "q34_sim_cosine_topk" -> q34CosineTopK _,
     "q35_sim_lsh_ann" -> q35CosineLshAnn _,
     "q42_sim_topk_aggregate" -> q42TopKAggregate _,
-    "q106_hard_negatives" -> q106HardNegatives _)
+    "q106_hard_negatives" -> q106HardNegatives _,
+    "q124_ivf_recall" -> q124IvfRecall _)
 
   val oracle: Map[String, String] = Map(
     "q96_pq_ann" -> q96Oracle,
@@ -645,5 +798,6 @@ object Similarity {
     "q34_sim_cosine_topk" -> q34Oracle,
     "q35_sim_lsh_ann" -> q35Oracle,
     "q42_sim_topk_aggregate" -> q42Oracle,
-    "q106_hard_negatives" -> q106Oracle)
+    "q106_hard_negatives" -> q106Oracle,
+    "q124_ivf_recall" -> q124Oracle)
 }

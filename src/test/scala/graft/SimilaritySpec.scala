@@ -110,4 +110,33 @@ class SimilaritySpec extends SparkSuite {
     assert(rIvf >= 0.35, s"IVF recall@3 degraded: $rIvf")
     assert(ivf.forall { case (q, s) => !s.contains(q) })
   }
+
+  test("q124 recall/cost curves are monotone in nprobe and bounded") {
+    val rows = Similarity.q124IvfRecall(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val nq = rows.head.getAs[Long]("nq")
+    // the query batch is the deterministic 1-in-50 sample
+    val expectedNq = graft.sources.Tables.embeddings(spark,
+      "/root/testdata/sf0.01")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+      .count()
+    assert(nq == expectedNq, s"$nq != $expectedNq")
+    rows.foreach { r =>
+      val (h, sc) = (r.getAs[Long]("n_hits"), r.getAs[Long]("n_scanned"))
+      assert(h >= 0L && h <= 10L * nq, r.toString)
+      assert(r.getAs[Double]("recall_at_10") >= 0.0, r.toString)
+      assert(r.getAs[Double]("recall_at_10") <= 1.0, r.toString)
+      assert(sc >= nq, r.toString) // every query scans ≥ its own cell
+    }
+    // probing MORE cells can only add candidates: both curves monotone
+    val hs = rows.map(_.getAs[Long]("n_hits"))
+    val ss = rows.map(_.getAs[Long]("n_scanned"))
+    assert(hs(0) <= hs(1) && hs(1) <= hs(2), hs.mkString(","))
+    assert(ss(0) < ss(1) && ss(1) < ss(2), ss.mkString(","))
+    // the eval must be informative on the fixture: probing deeper
+    // actually buys recall (catches a degenerate all-one-cell layout,
+    // where the curve would be flat and the index pointless)
+    assert(hs(2) > hs(0), hs.mkString(","))
+  }
 }
