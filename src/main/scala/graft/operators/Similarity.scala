@@ -424,6 +424,73 @@ object Similarity {
       |FROM (VALUES (1), (2), (4)) p(nprobe), h, s, nv
       |ORDER BY nprobe""".stripMargin
 
+  /** q125 — PQ quality evaluation: recall@5 of the q96 product-quantized
+    * ADC ranking against exact squared-L2 ground truth in the same
+    * quantized integer domain, PER QUERY. Completes the "every
+    * approximate operator ships its error meter" set (LSH banding →
+    * q108, IVF → q124, SimHash → q120's completeness spec, bloom → q83's
+    * fpp bound): PQ compresses 64 dims to 4 codes, and this is the table
+    * that says what that compression costs in ranking quality — unlike
+    * q124 there is no membership shortcut, because PQ re-ranks by
+    * APPROXIMATE distance, so the eval joins the real q96 face's output
+    * (the registered query, not a re-derivation — the q108 discipline of
+    * evaluating the operator that actually ships) against an exact
+    * ranking of the same query batch.
+    *
+    * Scale shape: the exact side is one brute-force pass over the
+    * broadcast query batch (the price of ground truth, q124's argument);
+    * the PQ side inherits q96's construction (one-job codebook train,
+    * bounded driver codebooks). The final join is query-batch-sized
+    * (nq × 5 rows both sides). Distances are pure int64 (components in
+    * [0, 2000] ⇒ per-pair sums ≤ 2.6·10⁸). */
+  def q125PqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pq = q96PqAnn(s, dir).select($"q_id", $"vec_id", lit(1L).as("hit"))
+    val qv = Tables.embeddings(s, dir).select($"vec_id",
+      expr("transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000L)")
+        .as("q"))
+    val qs = qv.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"q".as("qq"))
+    val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
+    val exact = qv
+      .join(boundedBroadcast(qs, "q125 query"), $"vec_id" =!= $"q_id")
+      .withColumn("d", expr(
+        """aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id")
+    exact.join(pq, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"hit", lit(0L))).cast("long").as("n_hits"))
+      .select($"q_id", $"n_hits",
+        round($"n_hits".cast("double") / 5, 6).as("recall_at_5"))
+      .orderBy($"q_id")
+  }
+
+  def q125OracleFrom(pqOracle: String): String =
+    s"""WITH pq AS ($pqOracle),
+      |qv2 AS (SELECT vec_id,
+      |          list_transform(embedding,
+      |            e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000) AS q
+      |        FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, q AS qq FROM qv2
+      |       WHERE vec_id % 50 = 0),
+      |ex AS (SELECT q_id, vec_id
+      |  FROM (SELECT s.q_id, v.vec_id,
+      |          row_number() OVER (PARTITION BY s.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> (v.q[i] - s.qq[i]) * (v.q[i] - s.qq[i]))) ASC,
+      |            v.vec_id ASC) AS rnk
+      |        FROM qv2 v, qs s WHERE v.vec_id <> s.q_id)
+      |  WHERE rnk <= 5)
+      |SELECT e.q_id, CAST(count(pq.vec_id) AS BIGINT) AS n_hits,
+      |       round(CAST(count(pq.vec_id) AS DOUBLE) / 5, 6) AS recall_at_5
+      |FROM ex e
+      |LEFT JOIN pq ON pq.q_id = e.q_id AND pq.vec_id = e.vec_id
+      |GROUP BY e.q_id
+      |ORDER BY e.q_id""".stripMargin
+
   /** q65 — int8 embedding quantization: per-vector symmetric scale
     * (127 / max|x|), quantize via floor(x·scale + 0.5) — floor is
     * engine-identical where round() is not (HALF_UP vs HALF_EVEN) — and
@@ -787,7 +854,8 @@ object Similarity {
     "q35_sim_lsh_ann" -> q35CosineLshAnn _,
     "q42_sim_topk_aggregate" -> q42TopKAggregate _,
     "q106_hard_negatives" -> q106HardNegatives _,
-    "q124_ivf_recall" -> q124IvfRecall _)
+    "q124_ivf_recall" -> q124IvfRecall _,
+    "q125_pq_recall" -> q125PqRecall _)
 
   val oracle: Map[String, String] = Map(
     "q96_pq_ann" -> q96Oracle,
@@ -799,5 +867,6 @@ object Similarity {
     "q35_sim_lsh_ann" -> q35Oracle,
     "q42_sim_topk_aggregate" -> q42Oracle,
     "q106_hard_negatives" -> q106Oracle,
-    "q124_ivf_recall" -> q124Oracle)
+    "q124_ivf_recall" -> q124Oracle,
+    "q125_pq_recall" -> q125OracleFrom(q96Oracle))
 }

@@ -246,7 +246,8 @@ class PlanQualitySpec extends SparkSuite {
   private val nljRuntimeCapped = Set(
     "q34_sim_cosine_topk", "q40_dedup_embedding_cosine",
     "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q79_int8_ann",
-    "q96_pq_ann", "q106_hard_negatives", "q124_ivf_recall")
+    "q96_pq_ann", "q106_hard_negatives", "q124_ivf_recall",
+    "q125_pq_recall")
 
   private val nljAllowed = Set(
     "q07_join_suffix_theta", "q36_bm25_topk",

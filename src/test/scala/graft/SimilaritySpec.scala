@@ -139,4 +139,39 @@ class SimilaritySpec extends SparkSuite {
     // where the curve would be flat and the index pointless)
     assert(hs(2) > hs(0), hs.mkString(","))
   }
+
+  test("q125 PQ recall is per-query, bounded, and consistent with q96") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.q125PqRecall(spark, dir).collect()
+    // exactly one row per query in the deterministic 1-in-50 batch
+    val nq = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+      .count()
+    assert(rows.length == nq, s"${rows.length} != $nq")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L, r.toString)
+      assert(r.getAs[Double]("recall_at_5") == h / 5.0, r.toString)
+    }
+    // independent recount for one query: its n_hits equals the overlap
+    // between q96's top-5 and the exact integer-L2 top-5 computed here
+    val q0 = rows.map(_.getAs[Long]("q_id")).min
+    val pqTop = Similarity.q96PqAnn(spark, dir).collect()
+      .filter(_.getAs[Long]("q_id") == q0).map(_.getAs[Long]("vec_id")).toSet
+    assert(pqTop.size == 5)
+    import spark.implicits._
+    val qv = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", org.apache.spark.sql.functions.expr(
+        "transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000L)")
+        .as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qq = qv(q0)
+    val exTop = qv.toSeq.filter(_._1 != q0)
+      .map { case (id, v) =>
+        (id, v.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    val expected = (pqTop intersect exTop).size.toLong
+    val got = rows.find(_.getAs[Long]("q_id") == q0).get.getAs[Long]("n_hits")
+    assert(got == expected, s"q$q0: $got != $expected")
+  }
 }
