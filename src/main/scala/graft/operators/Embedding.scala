@@ -38,9 +38,15 @@ object Embedding {
     * assembles it into per-doc vectors; q100 (SemDeDup) clusters and
     * pair-joins on it — same computation, shared so the two stay
     * bit-identical by construction. */
-  def hashedComponents(s: SparkSession, dir: String): DataFrame = {
+  def hashedComponents(s: SparkSession, dir: String): DataFrame =
+    hashedComponentsOf(Tables.documents(s, dir))
+
+  /** Frame-based core of [[hashedComponents]]: `docs` needs
+    * (doc_id, text). Shared with the streaming cap maintainer so batch
+    * and incremental scoring are the same computation by construction. */
+  private[graft] def hashedComponentsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val toks = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .withColumn("h", md5($"tok"))
@@ -208,14 +214,21 @@ object Embedding {
   /** The per-doc int64 classifier score w·x over the q98 hashed
     * features — shared by q110 (the filter verdict) and q115 (the
     * quality×duplication quadrant), so the two report the SAME model. */
-  private[graft] def classifierScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def classifierScores(s: SparkSession, dir: String): DataFrame =
+    classifierScoresOf(Tables.documents(s, dir))
+
+  /** Frame-based core of [[classifierScores]] (needs doc_id + text) —
+    * the streaming cap maintainer scores each arriving batch with
+    * EXACTLY this code, so stream admission ≡ batch admission. */
+  private[graft] def classifierScoresOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")
     val w: Seq[Long] = (0 until Dim).map { b =>
       val h = md.digest(s"w:$b".getBytes("UTF-8"))
       ((h(0) & 0xff) - 128).toLong
     }
-    hashedComponents(s, dir)
+    hashedComponentsOf(docs)
       .select($"doc_id",
         ($"qv" * element_at(typedLit(w), $"bucket" + 1)).as("c"))
       .groupBy($"doc_id").agg(sum($"c").as("score"))
@@ -421,7 +434,7 @@ object Embedding {
     * pathological mega-domain would call for the q102-style
     * score-histogram decomposition (count + threshold instead of rank),
     * which trades exact tie handling for a skew-free two-pass plan. */
-  private val DomainCap = 10
+  private[graft] val DomainCap = 10
 
   def q121DomainCap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
