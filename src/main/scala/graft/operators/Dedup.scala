@@ -470,6 +470,100 @@ object Dedup {
       |             / greatest(nc.n_candidates, 1), 6) AS precision
       |FROM ag CROSS JOIN nc ORDER BY threshold""".stripMargin
 
+  /** q126 — MinHash ESTIMATE calibration: q108 measures whether banding
+    * SURFACES the right pairs; this measures whether the 8-slot
+    * signature match fraction ESTIMATES Jaccard well once a pair is
+    * surfaced — the other half of trusting a minhash pipeline's numbers.
+    * With 8 hashes the binomial std-dev is √(j(1−j)/8) ≈ 0.17 at
+    * j = 0.5, so downstream thresholds on est_sim are soft; this table
+    * reports, per true-Jaccard quintile bucket, the mean estimate vs
+    * mean truth, bias, mean absolute error and worst error — the
+    * evidence for "how many hashes do we actually need" before a
+    * 100 TB run commits to a signature width.
+    *
+    * The estimate is evaluated over EVERY known-truth pair (Jaccard ≥
+    * the 0.05 floor), not just banding candidates — surfacing is q108's
+    * axis; a calibration restricted to surfaced pairs would only ever
+    * see the near-1 bucket (measured: at the fixture, banding surfaces
+    * nothing below ~0.8, so the restricted table had one row).
+    *
+    * Scale shape: the q108 single-pass discipline (one cached
+    * hashed-shingle frame feeds both the signature side and the capped
+    * exact-truth side); the calibration join is truth-pair-sized; the
+    * aggregate is ≤5 rows. Estimates stay in exact eighths (k/8.0 —
+    * identical doubles in both engines); bucket ids are pure integer
+    * floor. */
+  def q126MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val hashed = shinglesWithDup(docs(s, dir).repartition(par))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .cache() // both sides consume it; harness sweep releases
+    val wide = minhashWideFromHashes(hashed)
+    val truth = jaccardPairsFromHashes(hashed, par, minJaccard = 0.05)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    truth
+      .join(wide.as("a"), $"doc_a" === $"a.doc_id")
+      .join(wide.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        signatureMatchFraction.as("est"))
+      .withColumn("bucket", least(floor($"jaccard" * 5).cast("int"), lit(4)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"est"), 6).as("mean_est"),
+        round(avg($"jaccard"), 6).as("mean_true"),
+        round(avg($"est" - $"jaccard"), 6).as("bias"),
+        round(avg(abs($"est" - $"jaccard")), 6).as("mae"),
+        round(max(abs($"est" - $"jaccard")), 6).as("max_abs_err"))
+      .select($"bucket",
+        round($"bucket".cast("double") / 5, 1).as("bucket_lo"),
+        $"n_pairs", $"mean_est", $"mean_true", $"bias", $"mae",
+        $"max_abs_err")
+      .orderBy($"bucket")
+  }
+
+  val q126Oracle: String =
+    s"""WITH $shingleHashSqlCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |truth AS (SELECT doc_a, doc_b,
+      |            p.inter / (sa.n + sb.n - p.inter) AS jaccard
+      |          FROM pairs p
+      |          JOIN sizes sa ON p.doc_a = sa.doc_id
+      |          JOIN sizes sb ON p.doc_b = sb.doc_id
+      |          WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.05),
+      |stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ssh AS (SELECT DISTINCT doc_id,
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |        FROM stoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |        WHERE len(t) >= 3),
+      |sigs AS (SELECT doc_id, seed,
+      |                min(substr(md5(shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
+      |         FROM ssh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
+      |         GROUP BY doc_id, seed),
+      |est AS (SELECT t.doc_a, t.doc_b,
+      |          sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS est
+      |        FROM truth t
+      |        JOIN sigs sa ON t.doc_a = sa.doc_id
+      |        JOIN sigs sb ON t.doc_b = sb.doc_id AND sa.seed = sb.seed
+      |        GROUP BY 1, 2),
+      |j AS (SELECT e.est, t.jaccard,
+      |        LEAST(CAST(floor(t.jaccard * 5) AS INT), 4) AS bucket
+      |      FROM est e JOIN truth t
+      |        ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b)
+      |SELECT bucket, round(CAST(bucket AS DOUBLE) / 5, 1) AS bucket_lo,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(avg(est), 6) AS mean_est,
+      |       round(avg(jaccard), 6) AS mean_true,
+      |       round(avg(est - jaccard), 6) AS bias,
+      |       round(avg(abs(est - jaccard)), 6) AS mae,
+      |       round(max(abs(est - jaccard)), 6) AS max_abs_err
+      |FROM j GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** q29 — SimHash: 16-bit signature. Bit j of a token = 1 iff hex digit j
     * of md5(token) ≥ 8; per-doc bit = sign of the ±1 sum over token
     * occurrences (multiplicity preserved — classic SimHash weighting). */
@@ -1177,7 +1271,8 @@ object Dedup {
     "q28_dedup_minhash_lsh" -> q28MinHashLsh _,
     "q29_dedup_simhash" -> q29SimHash _,
     "q103_cluster_rep" -> q103ClusterRep _,
-    "q108_lsh_evaluation" -> q108LshEvaluation _)
+    "q108_lsh_evaluation" -> q108LshEvaluation _,
+    "q126_minhash_calibration" -> q126MinhashCalibration _)
 
   val oracle: Map[String, String] = Map(
     "q112_ngram_novelty" -> q112Oracle,
@@ -1193,5 +1288,6 @@ object Dedup {
     "q28_dedup_minhash_lsh" -> q28Oracle,
     "q29_dedup_simhash" -> q29Oracle,
     "q103_cluster_rep" -> q103Oracle,
-    "q108_lsh_evaluation" -> q108Oracle)
+    "q108_lsh_evaluation" -> q108Oracle,
+    "q126_minhash_calibration" -> q126Oracle)
 }

@@ -175,4 +175,31 @@ class DedupSpec extends SparkSuite {
     assert(first.getAs[Long]("inter") == direct,
       s"$sa x $sb: ${first.getAs[Long]("inter")} != $direct")
   }
+
+  test("q126 calibration: error algebra holds and totals cover all truth") {
+    val rows = Dedup.q126MinhashCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (me, mt) = (r.getAs[Double]("mean_est"), r.getAs[Double]("mean_true"))
+      val (bias, mae, mx) = (r.getAs[Double]("bias"),
+        r.getAs[Double]("mae"), r.getAs[Double]("max_abs_err"))
+      assert(me >= 0.0 && me <= 1.0, r.toString)
+      assert(mt >= 0.0 && mt <= 1.0, r.toString)
+      // |E[est−true]| ≤ E|est−true| ≤ max|est−true| (up to 1e-6 rounding)
+      assert(math.abs(bias) <= mae + 1e-6, r.toString)
+      assert(mae <= mx + 1e-6, r.toString)
+      // mean_est − mean_true IS the bias (same pairs, linearity)
+      assert(math.abs((me - mt) - bias) <= 2e-6, r.toString)
+      val b = r.getAs[Int]("bucket")
+      // bucket boundaries really bound the bucket's mean truth
+      assert(mt >= b * 0.2 - 1e-6 && mt <= (b + 1) * 0.2 + 1e-6, r.toString)
+    }
+    // every known-truth pair is calibrated exactly once: bucket counts
+    // sum to an independent recount of the ≥0.05 exact-Jaccard pairs
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nTruth = Dedup.jaccardPairsFrom(
+      graft.sources.Tables.documents(spark, sfDir), 4,
+      minJaccard = 0.05).count()
+    assert(total == nTruth, s"$total != $nTruth")
+  }
 }
