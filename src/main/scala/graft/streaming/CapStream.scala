@@ -30,10 +30,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Input contract: doc_ids are unique across the stream (the curation
   * funnel runs exact dedup — q26 — upstream; intra-batch duplicates
   * collapse here, cross-batch replays are stopped by the batchId
-  * guard). A violated contract inflates the additive totals — the same
-  * failure mode as every additive maintainer, documented rather than
-  * defended, because defending would need the corpus-sized key set this
-  * class exists to avoid.
+  * guard). A violated contract inflates the additive totals (the same
+  * failure mode as every additive maintainer), and a cross-batch id
+  * collision in the admission margin resolves to ONE deterministic
+  * whole row (atomic struct-min — never a field-mixed chimera), which
+  * can still displace the colliding sources' legitimate rows. Both are
+  * documented rather than defended, because defending would need the
+  * corpus-sized key set this class exists to avoid.
   *
   * Scale shape per trigger: one batch-sized scoring pass (map-side
   * hashing, ≤64 rows/doc shuffle), then a rank over state ∪ batch-top
@@ -81,14 +84,17 @@ object CapStream {
     if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
     val (totals0, top0) = readState(spark, stateDir)
-    // intra-batch duplicate collapse (first-write-wins, deterministic);
-    // cached: scoring and the totals rollup both consume it, and
-    // commit() writes each state table as its own job
-    val fresh = batch.select(col("doc_id"), col("text"), col("source"),
-        col("n_chars"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("source")).as("source"), min(col("text")).as("text"),
-        min(col("n_chars")).as("n_chars"))
+    // intra-batch duplicate collapse: ONE atomic row per doc_id (min
+    // over the whole struct — field-wise mins could stitch a chimera
+    // row mixing one duplicate's text with another's n_chars; review
+    // find), deterministic by lexicographic struct order. Cached:
+    // scoring and the totals rollup both consume it, and commit()
+    // writes each state table as its own job
+    val fresh = batch.select(col("doc_id"),
+        struct(col("source"), col("text"), col("n_chars")).as("r"))
+      .groupBy(col("doc_id")).agg(min(col("r")).as("r"))
+      .select(col("doc_id"), col("r.source"), col("r.text"),
+        col("r.n_chars"))
       .cache()
     val scored = fresh
       .join(Embedding.classifierScoresOf(fresh), Seq("doc_id"))
@@ -98,9 +104,15 @@ object CapStream {
     val rk = row_number().over(Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id").asc))
     val top1 = top0.unionByName(scored)
-      .groupBy(col("doc_id"))
-      .agg(min(col("source")).as("source"), min(col("score")).as("score"),
-        min(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"),
+        struct(col("source"), col("score"), col("n_chars")).as("r"))
+      // atomic per-id dedup (same struct-min rationale as `fresh`): a
+      // legit re-merge unions IDENTICAL rows → idempotent; a
+      // contract-violating id collision resolves to one deterministic
+      // whole row rather than a cross-source chimera
+      .groupBy(col("doc_id")).agg(min(col("r")).as("r"))
+      .select(col("doc_id"), col("r.source"), col("r.score"),
+        col("r.n_chars"))
       .withColumn("rk", rk)
       .filter(col("rk") <= Embedding.DomainCap)
       .select(col("source"), col("doc_id"), col("score"), col("n_chars"))

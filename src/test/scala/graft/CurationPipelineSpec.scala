@@ -51,7 +51,7 @@ class CurationPipelineSpec extends SparkSuite {
     val capped = good.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"source")
           .orderBy($"score".desc, $"doc_id".asc)))
-      .filter($"rk" <= 10).drop("rk").cache()
+      .filter($"rk" <= Embedding.DomainCap).drop("rk").cache()
     val n2b = capped.count()
     assert(n2b <= n2 && n2b > 0)
     // the cap admits exactly min(10, survivors) per source — never
@@ -59,7 +59,8 @@ class CurationPipelineSpec extends SparkSuite {
     val goodBySrc = good.groupBy($"source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     capped.groupBy($"source").count().collect().foreach { r =>
-      assert(r.getLong(1) == math.min(10L, goodBySrc(r.getString(0))),
+      assert(r.getLong(1) ==
+        math.min(Embedding.DomainCap.toLong, goodBySrc(r.getString(0))),
         s"${r.getString(0)}: ${r.getLong(1)} kept of " +
           s"${goodBySrc(r.getString(0))}")
     }
