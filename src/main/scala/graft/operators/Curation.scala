@@ -981,11 +981,20 @@ object Curation {
   private val MaxEpochsNum = 8L // cap = 8/5 = 1.6 epochs of own tokens
   private val MaxEpochsDen = 5L
 
-  def q123EpochWaterfall(s: SparkSession, dir: String): DataFrame = {
+  def q123EpochWaterfall(s: SparkSession, dir: String): DataFrame =
+    waterfallAllocate(docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tok")))
+
+  /** Frame-based waterfall core: `t` is (source, n_tok). Extracted so
+    * the scalacheck property suite can drive the SHIPPED closed form
+    * over random instances against a sequential reference — the
+    * monotonicity argument tested, not just asserted. */
+  private[graft] def waterfallAllocate(t0: DataFrame): DataFrame = {
+    val s = t0.sparkSession
     import s.implicits._
-    val t = docs(s, dir)
-      .select($"source", size(split($"text", " ")).cast("long").as("nt"))
-      .groupBy($"source").agg(sum($"nt").as("n_tok"))
+    val t = t0
       .withColumn("cap",
         expr(s"($MaxEpochsNum * n_tok) div $MaxEpochsDen"))
     // bounds frame #1: n, the 1.5-epoch total budget, and the (cap,
