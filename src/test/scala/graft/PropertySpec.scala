@@ -106,4 +106,59 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("BottomKDistinct == distinct-sort-take reference across partitionings") {
+    import graft.functions.BottomKFunctions.bottom_k_distinct
+    val rng = new scala.util.Random(7777777L)
+    for (inst <- 1 to 8) {
+      // duplicate-heavy hex-ish strings (the md5-prefix domain the
+      // KMV sketch aggregates), multiple groups
+      val rows = (0 until (80 + rng.nextInt(300))).map { _ =>
+        (rng.nextInt(4).toLong,
+          f"${rng.nextInt(60)}%08x") // dupes guaranteed
+      }
+      val k = 1 + rng.nextInt(9)
+      val ref = rows.groupBy(_._1).view.mapValues(
+        _.map(_._2).distinct.sorted.take(k).toSeq).toMap
+      for (parts <- Seq(1, 5)) {
+        val got = rows.toDF("g", "h").repartition(parts)
+          .groupBy($"g").agg(bottom_k_distinct($"h", k).as("sk"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+        assert(got == ref, s"inst $inst k=$k parts=$parts")
+      }
+    }
+  }
+
+  test("vector expressions == independent fold references on random vectors") {
+    import graft.functions.VectorFunctions.{cosine_sim, dot_product, dot_product_long}
+    val rng = new scala.util.Random(31337L)
+    val rows = (0 until 200).map { i =>
+      val dim = 64
+      val a = Seq.fill(dim)(rng.nextDouble() * 2 - 1)
+      val b = Seq.fill(dim)(rng.nextDouble() * 2 - 1)
+      val al = Seq.fill(dim)((rng.nextInt(2000001) - 1000000).toLong)
+      val bl = Seq.fill(dim)((rng.nextInt(2000001) - 1000000).toLong)
+      (i.toLong, a, b, al, bl)
+    }
+    val got = rows.toDF("id", "a", "b", "al", "bl").repartition(3)
+      .select($"id", dot_product($"a", $"b").as("dp"),
+        cosine_sim($"a", $"b").as("cs"),
+        dot_product_long($"al", $"bl").as("dl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.foreach { case (id, a, b, al, bl) =>
+      // same left-to-right association as the expressions' loops: the
+      // comparison is EXACT equality, not epsilon — the codegen'd
+      // kernel must be the same IEEE op sequence as this fold
+      val dp = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      val dl = al.zip(bl).foldLeft(0L) { case (acc, (x, y)) => acc + x * y }
+      val (gdp, gcs, gdl) = got(id)
+      assert(gdp == dp, s"id $id dot: $gdp != $dp")
+      assert(gdl == dl, s"id $id dotLong: $gdl != $dl")
+      assert(gcs == dp / (na * nb), s"id $id cos: $gcs != ${dp / (na * nb)}")
+    }
+  }
 }
