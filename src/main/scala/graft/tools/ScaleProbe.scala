@@ -44,19 +44,52 @@ object ScaleProbe {
       reps.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
+    val srcE = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nE = srcE.count()
+    def buildEmbReplicas(k: Int, out: String): Unit = {
+      val reps = (0 until k).map { i =>
+        srcE.select(($"vec_id" + lit(i.toLong * nE)).as("vec_id"),
+          // deterministic per-replica perturbation: vectors stay
+          // distinct (no artificial 50-deep exact-dup buckets) while
+          // the bucket/cell occupancy DISTRIBUTION stays fixture-like,
+          // so candidate work scales ~R by design
+          transform($"embedding", (x, j) =>
+            (x + cos(lit(i.toDouble) * (j.cast("double") + lit(1.0)))
+              * lit(0.01f)).cast("float")).as("embedding"),
+          $"label")
+      }
+      reps.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+    }
+
+    // ANN kernels carry 1-in-50 query / 1-in-40 centroid samples whose
+    // boundedBroadcast contract caps at 4096 rows — past ~R=30 the
+    // probe would abort BY DESIGN (the fence doing its job), so the
+    // embeddings replicas stop at rE
+    val rE = math.min(r, 20)
     val dir1 = "/tmp/graft_scaleprobe_1x"
     val dirR = s"/tmp/graft_scaleprobe_${r}x"
+    val dirRE = s"/tmp/graft_scaleprobe_emb_${rE}x"
     buildReplicas(1, dir1)
     buildReplicas(r, dirR)
+    buildEmbReplicas(1, dir1)
+    buildEmbReplicas(rE, dirRE)
 
-    // documents-only corpus-scale kernels with distinct shuffle shapes
+    // documents- and embeddings-only corpus-scale kernels with
+    // distinct shuffle shapes (no other fixture tables involved);
+    // second element = the R× directory that kernel probes against
     val kernels = Seq(
-      "q26_dedup_exact", "q28_dedup_minhash_lsh", "q27_dedup_ngram_jaccard",
-      "q53_dedup_clusters", "q110_quality_classifier", "q95_bpe_merges",
-      "q75_dup_block_fraction", "q102_corpus_shuffle", "q114_source_novelty",
-      "q101_gopher_repetition")
-    println(f"${"kernel"}%-26s ${"t1x(s)"}%8s ${s"t${r}x(s)"}%9s ratio  (R=$r)")
-    kernels.foreach { name =>
+      "q26_dedup_exact" -> dirR, "q28_dedup_minhash_lsh" -> dirR,
+      "q27_dedup_ngram_jaccard" -> dirR, "q53_dedup_clusters" -> dirR,
+      "q110_quality_classifier" -> dirR, "q95_bpe_merges" -> dirR,
+      "q75_dup_block_fraction" -> dirR, "q102_corpus_shuffle" -> dirR,
+      "q114_source_novelty" -> dirR, "q101_gopher_repetition" -> dirR,
+      "q98_hash_embed" -> dirR, "q100_semdedup" -> dirR,
+      "q35_sim_lsh_ann" -> dirRE, "q44_sim_ivf_ann" -> dirRE)
+    println(f"${"kernel"}%-26s ${"t1x(s)"}%8s ${s"tRx(s)"}%9s ratio  " +
+      s"(R=$r docs, rE=$rE embeddings)")
+    kernels.foreach { case (name, bigDir) =>
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
         // warm-up once, then best-of-2 (the Bench discipline)
@@ -73,7 +106,7 @@ object ScaleProbe {
         once(); math.min(once(), once())
       }
       val t1 = time(dir1)
-      val tR = time(dirR)
+      val tR = time(bigDir)
       println(f"$name%-26s $t1%8.2f $tR%9.2f ${tR / t1}%5.1fx")
     }
     spark.stop()
