@@ -473,13 +473,111 @@ object Embedding {
       |FROM r GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q127 — drop attribution ("why did my document disappear?"): every
+    * document gets exactly ONE verdict — the first curation stage that
+    * drops it, in the shipped funnel order (exact dup → quality filter
+    * → domain cap → length trim; CurationPipelineSpec's composition),
+    * or `kept`. Rolled up per (source, reason) with char mass: the
+    * Dolma-attributes / per-source loss report a data supplier gets
+    * back, and the audit artifact a removal request is answered from.
+    * Each stage evaluates on the SURVIVORS of the previous one (a doc
+    * caped out of a source must not also consume a length-trim slot),
+    * exactly like the E2E funnel — not on the raw corpus.
+    *
+    * Scale shape: one digest window (partitioned by md5 — dup groups),
+    * q110's map-side scoring, one source-partitioned rank over stage-2
+    * survivors, and the q116 histogram-cumsum percentile bounds
+    * (value-histogram-sized windows, never a corpus sort) broadcast
+    * back. The verdict itself is a single CASE projection; the rollup
+    * is sources×5 rows. */
+  def q127DropAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars", $"text")
+    val s1 = d.withColumn("dg", md5($"text"))
+      .withColumn("is_dup",
+        $"doc_id" =!= min($"doc_id").over(Window.partitionBy($"dg")))
+      .drop("dg", "text")
+      .join(classifierScores(s, dir), Seq("doc_id"))
+    val surv2 = s1.filter(!$"is_dup" && $"score" >= 0L)
+    val rk2 = surv2.withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
+      .select($"doc_id", $"rk")
+    // nearest-rank p05/p95 bounds from stage-3 survivors (q116 recipe)
+    val surv3 = surv2.join(rk2, Seq("doc_id")).filter($"rk" <= DomainCap)
+    val hist = surv3.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum($"c").over(
+      Window.partitionBy($"lang").orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nl = hist.groupBy($"lang").agg(sum($"c").as("nd"))
+    val bounds = cum.join(nl, Seq("lang")).groupBy($"lang", $"nd")
+      .agg(min(when($"cum" >= expr("(nd + 19) div 20"), $"n_chars")).as("lo"),
+        min(when($"cum" >= expr("(19 * nd + 19) div 20"), $"n_chars"))
+          .as("hi"))
+      .select($"lang", $"lo", $"hi")
+    s1.join(rk2, Seq("doc_id"), "left")
+      .join(broadcast(bounds), Seq("lang"), "left")
+      .withColumn("drop_reason",
+        when($"is_dup", "dup")
+          .when($"score" < 0L, "quality")
+          .when($"rk" > DomainCap, "domain_cap")
+          .when($"n_chars" < $"lo" || $"n_chars" > $"hi", "length")
+          .otherwise("kept"))
+      .groupBy($"source", $"drop_reason")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("char_mass"))
+      .orderBy($"source", $"drop_reason")
+  }
+
+  val q127Oracle: String =
+    s"""WITH $scoreSqlCte,
+      |d AS (SELECT doc_id, source, lang, n_chars, md5(text) AS dg
+      |      FROM documents),
+      |cn AS (SELECT dg, min(doc_id) AS canon FROM d GROUP BY 1),
+      |s1 AS (SELECT d.doc_id, d.source, d.lang, d.n_chars,
+      |         (d.doc_id <> cn.canon) AS is_dup, sc.score
+      |       FROM d JOIN cn ON d.dg = cn.dg
+      |       JOIN sc ON d.doc_id = sc.doc_id),
+      |rk2 AS (SELECT doc_id, row_number() OVER (PARTITION BY source
+      |          ORDER BY score DESC, doc_id ASC) AS rk
+      |        FROM s1 WHERE NOT is_dup AND score >= 0),
+      |s3 AS (SELECT s1.lang, s1.n_chars FROM s1
+      |       JOIN rk2 ON s1.doc_id = rk2.doc_id
+      |       WHERE rk2.rk <= $DomainCap),
+      |h AS (SELECT lang, n_chars, count(*) AS c FROM s3 GROUP BY 1, 2),
+      |cum AS (SELECT lang, n_chars, sum(c) OVER (PARTITION BY lang
+      |          ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |          CURRENT ROW) AS cum
+      |        FROM h),
+      |nl AS (SELECT lang, sum(c) AS nd FROM h GROUP BY 1),
+      |b AS (SELECT cum.lang,
+      |        min(CASE WHEN cum >= (nd + 19) // 20 THEN n_chars END) AS lo,
+      |        min(CASE WHEN cum >= (19 * nd + 19) // 20 THEN n_chars END)
+      |          AS hi
+      |      FROM cum JOIN nl ON cum.lang = nl.lang GROUP BY cum.lang),
+      |a AS (SELECT s1.source, s1.n_chars,
+      |        CASE WHEN s1.is_dup THEN 'dup'
+      |             WHEN s1.score < 0 THEN 'quality'
+      |             WHEN rk2.rk > $DomainCap THEN 'domain_cap'
+      |             WHEN s1.n_chars < b.lo OR s1.n_chars > b.hi
+      |               THEN 'length'
+      |             ELSE 'kept' END AS drop_reason
+      |      FROM s1
+      |      LEFT JOIN rk2 ON s1.doc_id = rk2.doc_id
+      |      LEFT JOIN b ON s1.lang = b.lang)
+      |SELECT source, drop_reason, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS char_mass
+      |FROM a GROUP BY 1, 2
+      |ORDER BY source, drop_reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_hash_embed" -> q98HashEmbed _,
     "q105_embedding_drift" -> q105EmbeddingDrift _,
     "q110_quality_classifier" -> q110QualityClassifier _,
     "q113_label_outliers" -> q113LabelOutliers _,
     "q115_curation_quadrant" -> q115CurationQuadrant _,
-    "q121_domain_cap" -> q121DomainCap _)
+    "q121_domain_cap" -> q121DomainCap _,
+    "q127_drop_attribution" -> q127DropAttribution _)
 
   val oracle: Map[String, String] = Map(
     "q98_hash_embed" -> q98Oracle,
@@ -487,5 +585,6 @@ object Embedding {
     "q110_quality_classifier" -> q110Oracle,
     "q113_label_outliers" -> q113Oracle,
     "q115_curation_quadrant" -> q115Oracle,
-    "q121_domain_cap" -> q121Oracle)
+    "q121_domain_cap" -> q121Oracle,
+    "q127_drop_attribution" -> q127Oracle)
 }

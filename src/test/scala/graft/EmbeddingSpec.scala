@@ -134,4 +134,32 @@ class EmbeddingSpec extends SparkSuite {
     // the fixture must actually exercise the cap (25 docs per source)
     assert(rows.exists(r => r.getAs[Long]("dropped_chars") > 0L))
   }
+
+  test("q127 attribution partitions the corpus; stage recounts agree") {
+    val rows = Embedding.q127DropAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    // exactly one verdict per document, char mass conserved
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val totalChars = d.agg(sum($"n_chars")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("char_mass")).sum == totalChars)
+    val reasons = rows.map(_.getAs[String]("drop_reason")).toSet
+    assert(reasons.subsetOf(
+      Set("dup", "quality", "domain_cap", "length", "kept")))
+    // independent recount of the quality stage: non-dup docs scoring < 0
+    val dup = d.select($"doc_id", md5($"text").as("dg"))
+    val canon = dup.groupBy($"dg").agg(min($"doc_id").as("canon"))
+    val nQuality = dup.join(canon, Seq("dg"))
+      .filter($"doc_id" === $"canon")
+      .join(Embedding.q110QualityClassifier(spark, sfDir)
+        .filter($"kept" === 0), Seq("doc_id"))
+      .count()
+    assert(rows.filter(_.getAs[String]("drop_reason") == "quality")
+      .map(_.getAs[Long]("n_docs")).sum == nQuality)
+    // kept docs per source can never exceed the cap
+    rows.filter(_.getAs[String]("drop_reason") == "kept").foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= Embedding.DomainCap.toLong,
+        r.toString)
+    }
+  }
 }
