@@ -284,15 +284,126 @@ object Search {
       |FROM kwtop k FULL OUTER JOIN costop c ON k.doc_id = c.doc_id
       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** q128 — search-quality evaluation (the Search family's meter, the
+    * q108/q124/q125 discipline applied to retrieval): self-retrieval
+    * MRR. Every 50th document donates its three RAREST tokens (lowest
+    * corpus document-frequency, ties on the token) as a query; BM25
+    * ranks the corpus per query, and the metric is where each document
+    * lands when searched by its own most-discriminative words — the
+    * standard zero-label sanity eval run before trusting a retrieval
+    * index (a broken tokenizer/df table tanks it instantly). Rarest
+    * tokens, not first tokens: a first cut used opening words and
+    * measured MRR ≈ 0.05 — on a common-word corpus an
+    * opening-words query carries no identity, so the meter had no
+    * signal floor a regression could drop below. Per-query rows: the
+    * self rank if it made the top 10 (else NULL) and the reciprocal
+    * rank.
+    *
+    * This generalizes [[bm25]] from one fixed term list to a QUERY
+    * TABLE: tf stats are computed once over the union of query tokens
+    * (token-set semi join pushes the filter to the tokenize pass), and
+    * the scorer joins queries⋈tf on the token — per-query cost is
+    * Σ df(token), i.e. inverted-index posting-list work, never a corpus
+    * scan per query (and rare terms mean SHORT posting lists — the
+    * eval's own cost profile mirrors real query traffic). Ranks order
+    * on the 4-decimal-rounded score (q36's ulp-stability discipline)
+    * with doc_id tie-break. */
+  def q128SearchEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val toks = tokens(d)
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl")).cache()
+    val nDocs = d.select(countDistinct($"doc_id").as("n_docs"))
+    val avgdl = dl.select((sum($"dl") / count(lit(1))).as("avgdl"))
+    // corpus document-frequency per token (distinct docs containing it)
+    val gdf = toks.distinct()
+      .groupBy($"token").agg(count(lit(1)).as("gdf"))
+    val queries = toks.distinct()
+      .filter($"doc_id" % 50 === 0)
+      .join(gdf, Seq("token"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"gdf".asc, $"token".asc)))
+      .filter($"r" <= 3)
+      .select($"doc_id".as("q_id"), $"token")
+    val tset = queries.select($"token").distinct()
+    val tf = toks.join(broadcast(tset), Seq("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = queries
+      .join(tf, Seq("token"))
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("term_score",
+        $"idf" * $"tf" /
+          ($"tf" + ($"dl" / $"avgdl" * B + (1.0 - B)) * K1))
+      .groupBy($"q_id", $"doc_id")
+      .agg(round(sum($"term_score"), 4).as("score"))
+    val ranked = scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+        .orderBy($"score".desc, $"doc_id".asc)))
+    ranked.filter($"doc_id" === $"q_id")
+      .select($"q_id",
+        when($"rank" <= 10, $"rank").cast("long").as("self_rank"),
+        round(when($"rank" <= 10, lit(1.0) / $"rank").otherwise(0.0), 6)
+          .as("rr"))
+      .orderBy($"q_id")
+  }
+
+  val q128Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+      |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+      |gdf AS (SELECT token, count(*) AS gdf FROM dt GROUP BY 1),
+      |q AS (SELECT doc_id AS q_id, token FROM (
+      |        SELECT dt.doc_id, dt.token,
+      |               row_number() OVER (PARTITION BY dt.doc_id
+      |                 ORDER BY gdf.gdf ASC, dt.token ASC) AS r
+      |        FROM dt JOIN gdf ON dt.token = gdf.token
+      |        WHERE dt.doc_id % 50 = 0)
+      |      WHERE r <= 3),
+      |tset AS (SELECT DISTINCT token FROM q),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN (SELECT token FROM tset) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (SELECT q.q_id, tf.doc_id,
+      |             round(sum(
+      |               ln((nd.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |               * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+      |                  + 0.75 * dl.dl / ad.avgdl))), 4) AS score
+      |           FROM q JOIN tf ON q.token = tf.token
+      |           JOIN df ON tf.token = df.token
+      |           JOIN dl ON tf.doc_id = dl.doc_id, nd, ad
+      |           GROUP BY q.q_id, tf.doc_id, nd.n_docs),
+      |ranked AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+      |             ORDER BY score DESC, doc_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id,
+      |       CAST(CASE WHEN rank <= 10 THEN rank END AS BIGINT)
+      |         AS self_rank,
+      |       round(CASE WHEN rank <= 10 THEN CAST(1.0 AS DOUBLE) / rank
+      |             ELSE 0.0 END, 6) AS rr
+      |FROM ranked WHERE doc_id = q_id
+      |ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_bm25_topk" -> q36Bm25TopK _,
     "q38_bm25_filtered" -> q38Bm25Filtered _,
     "q39_hybrid_search" -> q39HybridSearch _,
-    "q90_rrf_fusion" -> q90RrfFusion _)
+    "q90_rrf_fusion" -> q90RrfFusion _,
+    "q128_search_eval" -> q128SearchEval _)
 
   val oracle: Map[String, String] = Map(
     "q36_bm25_topk" -> q36Oracle,
     "q38_bm25_filtered" -> q38Oracle,
     "q39_hybrid_search" -> q39Oracle,
-    "q90_rrf_fusion" -> q90Oracle)
+    "q90_rrf_fusion" -> q90Oracle,
+    "q128_search_eval" -> q128Oracle)
 }

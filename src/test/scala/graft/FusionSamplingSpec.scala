@@ -49,4 +49,43 @@ class FusionSamplingSpec extends SparkSuite {
     val b = Curation.q92MixtureDraw(spark, sfDir).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("q128 self-retrieval: perfect MRR on a discriminative corpus; " +
+      "well-formed on the fixture") {
+    import spark.implicits._
+    // the fixture's ~60-word vocabulary makes NO token discriminative,
+    // so fixture MRR is corpus-capped near zero — the MECHANISM is
+    // verified on a corpus where each 50th doc carries a unique planted
+    // token: its own rarest-token query must rank it #1, every time
+    val planted = (0L until 200L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta common$i"
+      val text = if (i % 50 == 0) s"$base uniq${i}marker" else base
+      (i, text, "en", s"src${i % 4}", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sev_").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = Search.q128SearchEval(spark, dir).collect()
+    assert(p.length == 4, p.mkString(","))
+    p.foreach { r =>
+      assert(r.getAs[Long]("self_rank") == 1L, r.toString)
+      assert(r.getAs[Double]("rr") == 1.0, r.toString)
+    }
+    // fixture face: one row per every-50th doc, rr consistent with rank
+    val rows = Search.q128SearchEval(spark, sfDir).collect()
+    val nq = graft.sources.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 50 === 0).count()
+    assert(rows.length == nq, s"${rows.length} != $nq")
+    rows.foreach { r =>
+      Option(r.getAs[Long]("self_rank")) match {
+        case Some(rk) if !r.isNullAt(r.fieldIndex("self_rank")) =>
+          assert(rk >= 1L && rk <= 10L, r.toString)
+          val expect = BigDecimal(1.0 / rk)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(r.getAs[Double]("rr") == expect, r.toString)
+        case _ =>
+          assert(r.getAs[Double]("rr") == 0.0, r.toString)
+      }
+    }
+  }
 }

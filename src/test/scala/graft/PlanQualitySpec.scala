@@ -257,6 +257,8 @@ class PlanQualitySpec extends SparkSuite {
     "q82_mixture_weights", "q90_rrf_fusion",
     "q91_pmi_collocations", "q92_mixture_draw",
     "q111_dsir_importance", "q112_ngram_novelty",
+    // q128's NLJs are q36's (n_docs, avgdl) 1-row-aggregate cross joins
+    "q128_search_eval",
     // q118's only NLJs are 1-row-aggregate cross joins (total tokens +
     // the (rem, source) pool riding a 1-row broadcast — the q112 bounds
     // pattern); both carry one-row-agg structural evidence
