@@ -145,9 +145,74 @@ object Multimodal {
       |FROM frames
       |ORDER BY media_id, frame_no""".stripMargin
 
+  /** q129 — REAL audio decode (the half of the codec stub this
+    * environment CAN close): per document, a PCM16 WAV is synthesized
+    * from fixture columns (integer square wave: period 2 + doc_id % 29,
+    * amplitude 1000 + (doc_id·37) % 31000, n = clamp(16, 4000,
+    * n_chars·8) samples at 8 kHz), then round-tripped through
+    * [[graft.sources.WavAudio]] — the RIFF chunk walk, the junk-LIST
+    * skip path and the PCM16 sample decode all under test — and the
+    * DECODED samples yield the reported stats. The oracle computes the
+    * same stats ANALYTICALLY from (doc_id, n_chars) — square waves make
+    * every one closed-form integer (rms = amplitude exactly; zero
+    * crossings = ⌊(n−1)/p⌋; duration = ⌊1000n/8000⌋) — so a parser that
+    * mis-reads any header field or sample byte hash-mismatches. All
+    * int64: m·A² ≤ 4·10¹² (exact in double), A² a perfect square, so
+    * sqrt-then-round is exact on both sides of the fence.
+    *
+    * Scale shape: synth+encode+decode is one task-local UDF per row
+    * (imperative byte work — the PdfText ladder rung where a UDF is
+    * correct); no shuffle until the presentation sort. */
+  def q129AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long, nChars: Long) =>
+      val n = math.max(16L, math.min(4000L, nChars * 8L)).toInt
+      val p = (2L + id % 29L).toInt
+      val a = (1000L + (id * 37L) % 31000L).toInt
+      val pcm = Array.tabulate(n)(i => if ((i / p) % 2 == 0) a else -a)
+      val w = graft.sources.WavAudio.parse(
+        graft.sources.WavAudio.encodePcm16Mono(8000, pcm))
+      val ss = w.samples
+      val m = ss.length
+      val crossings =
+        (1 until m).count(i => (ss(i) >= 0) != (ss(i - 1) >= 0)).toLong
+      val sumSq = ss.foldLeft(0L)((acc, x) => acc + x.toLong * x)
+      val rms = math.round(math.sqrt(sumSq.toDouble / m))
+      (w.sampleRate.toLong, m.toLong, 1000L * m / w.sampleRate, rms,
+        crossings * 1000000L / (m - 1),
+        ss.iterator.map(x => math.abs(x).toLong).max)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        synthDecode($"doc_id", $"n_chars").as("st"))
+      .select($"media_id",
+        $"st._1".as("sample_rate"), $"st._2".as("n_samples"),
+        $"st._3".as("duration_ms"), $"st._4".as("rms"),
+        $"st._5".as("zcr_x1e6"), $"st._6".as("peak"))
+      .orderBy($"media_id")
+  }
+
+  val q129Oracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |             GREATEST(16, LEAST(4000, n_chars * 8)) AS n,
+      |             2 + doc_id % 29 AS p,
+      |             1000 + (doc_id * 37) % 31000 AS a
+      |           FROM documents)
+      |SELECT media_id,
+      |       CAST(8000 AS BIGINT) AS sample_rate,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST((1000 * n) // 8000 AS BIGINT) AS duration_ms,
+      |       CAST(a AS BIGINT) AS rms,
+      |       CAST((((n - 1) // p) * 1000000) // (n - 1) AS BIGINT)
+      |         AS zcr_x1e6,
+      |       CAST(a AS BIGINT) AS peak
+      |FROM p ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_multimodal_pipeline" -> q37MultimodalPipeline _)
+    "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
+    "q129_audio_decode" -> q129AudioDecode _)
 
   val oracle: Map[String, String] = Map(
-    "q37_multimodal_pipeline" -> q37Oracle)
+    "q37_multimodal_pipeline" -> q37Oracle,
+    "q129_audio_decode" -> q129Oracle)
 }

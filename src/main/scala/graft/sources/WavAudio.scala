@@ -1,0 +1,106 @@
+package graft.sources
+
+/** Pure-JVM WAV (RIFF/WAVE) audio codec — the audio analog of
+  * [[PdfText]]: the multimodal family's decode step implemented for
+  * real where the environment allows it (PCM needs no external codec
+  * library; image/video stay behind the documented stub). Implements
+  * the public RIFF container format: chunk walk (`fmt ` + `data`,
+  * unknown chunks skipped by their declared size, word-aligned), PCM
+  * integer samples — 16-bit signed little-endian and 8-bit unsigned —
+  * with strict validation (truncated container, missing chunks,
+  * non-PCM format tags and unsupported widths all throw with the
+  * offending field named, never return garbage samples).
+  *
+  * Scale shape: decode is per-row imperative byte work inside the
+  * task — the one place a UDF is the right tool (there is no builtin
+  * to prefer; the PdfText ladder) — and media bytes never shuffle.
+  */
+object WavAudio {
+
+  /** Decoded audio: interleaved integer samples (one Int per sample
+    * per channel), sign-normalized (8-bit input is re-centered to
+    * signed). */
+  final case class Wav(sampleRate: Int, channels: Int, bits: Int,
+      samples: Array[Int]) {
+    def nFrames: Int = samples.length / math.max(channels, 1)
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse a RIFF/WAVE byte array. Throws IllegalArgumentException on
+    * malformed input — a corrupt media file must surface as a row
+    * error, not as silently wrong features. */
+  def parse(bytes: Array[Byte]): Wav = {
+    require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
+    require(tag(bytes, 0) == "RIFF", s"bad magic '${tag(bytes, 0)}'")
+    require(tag(bytes, 8) == "WAVE", s"bad form type '${tag(bytes, 8)}'")
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = u32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk '$id' size $size overruns file (${bytes.length} bytes)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          fmt = Some((u16(bytes, off + 8), u16(bytes, off + 10),
+            u32(bytes, off + 12).toInt, u16(bytes, off + 22)))
+        case "data" => data = Some((off + 8, size.toInt))
+        case _ => // LIST/fact/cue/…: skip by declared size
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    val (format, ch, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("missing fmt chunk"))
+    val (dOff, dSize) = data.getOrElse(
+      throw new IllegalArgumentException("missing data chunk"))
+    require(format == 1, s"unsupported (non-PCM) format tag $format")
+    require(ch >= 1, s"bad channel count $ch")
+    require(rate > 0, s"bad sample rate $rate")
+    val samples = bits match {
+      case 16 =>
+        require(dSize % 2 == 0, s"odd PCM16 data size $dSize")
+        Array.tabulate(dSize / 2) { i =>
+          u16(bytes, dOff + 2 * i).toShort.toInt
+        }
+      case 8 =>
+        Array.tabulate(dSize)(i => (bytes(dOff + i) & 0xff) - 128)
+      case w =>
+        throw new IllegalArgumentException(s"unsupported bit width $w")
+    }
+    Wav(rate, ch, bits, samples)
+  }
+
+  /** Encode mono PCM16 — the writer half (test vectors, fixture
+    * synthesis, and the binary-sink path). Emits a junk LIST chunk
+    * before `data` so every parse exercises the skip-unknown-chunks
+    * path. */
+  def encodePcm16Mono(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val listPayload = "graf".getBytes("US-ASCII")
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach { s =>
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s")
+      out.putShort(s.toShort)
+    }
+    out.array()
+  }
+}

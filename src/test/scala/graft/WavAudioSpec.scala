@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.WavAudio
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JVM WAV codec against hand-built byte vectors — the
+  * PdfTextSpec discipline for the audio half of the multimodal decode:
+  * exact sample recovery, container edge cases (unknown chunks, word
+  * alignment, 8-bit and stereo layouts built byte-by-byte here, not via
+  * the encoder under test), and loud rejection of malformed input. */
+class WavAudioSpec extends AnyFunSuite {
+
+  test("PCM16 round-trip recovers every sample exactly") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val w = WavAudio.parse(WavAudio.encodePcm16Mono(44100, samples))
+    assert(w.sampleRate == 44100)
+    assert(w.channels == 1)
+    assert(w.bits == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+  }
+
+  test("unknown chunks are skipped, including odd sizes (word alignment)") {
+    // hand-build: RIFF [junk size=3 -> padded to 4] [fmt] [data]
+    val bb = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0) // size patched below
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](9, 9, 9, 0)) // 3 bytes payload + 1 pad
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort(100).putShort(-100)
+    val len = bb.position()
+    val bytes = java.util.Arrays.copyOf(bb.array(), len)
+    // patch RIFF size
+    val sz = len - 8
+    bytes(4) = (sz & 0xff).toByte; bytes(5) = ((sz >> 8) & 0xff).toByte
+    bytes(6) = ((sz >> 16) & 0xff).toByte; bytes(7) = ((sz >> 24) & 0xff).toByte
+    val w = WavAudio.parse(bytes)
+    assert(w.samples.toSeq == Seq(100, -100))
+  }
+
+  test("8-bit PCM is re-centered to signed") {
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+    bb.put(Array[Byte](0, 128.toByte, 255.toByte, 127))
+    val w = WavAudio.parse(java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(w.bits == 8)
+    assert(w.samples.toSeq == Seq(-128, 0, 127, -1))
+  }
+
+  test("stereo PCM16: interleaved samples and frame count") {
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(16000).putInt(64000)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(1).putShort(-1).putShort(2).putShort(-2)
+    val w = WavAudio.parse(java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(w.channels == 2)
+    assert(w.samples.toSeq == Seq(1, -1, 2, -2))
+    assert(w.nFrames == 2)
+  }
+
+  test("malformed containers are rejected loudly") {
+    val good = WavAudio.encodePcm16Mono(8000, Array(1, 2, 3))
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](WavAudio.parse(badMagic))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](
+      WavAudio.parse(java.util.Arrays.copyOf(good, good.length - 2)))
+    // a chunk whose declared size overruns the file
+    val overrun = good.clone()
+    // the data chunk size field sits 8 bytes from the end of header;
+    // corrupt the LAST chunk's size to something huge
+    val dataSizeOff = good.length - 6 - 4 // data payload 6 bytes, size u32
+    overrun(dataSizeOff) = 0x7f.toByte
+    overrun(dataSizeOff + 1) = 0x7f.toByte
+    intercept[IllegalArgumentException](WavAudio.parse(overrun))
+    // non-PCM format tag
+    val nonPcm = good.clone()
+    // fmt chunk starts at 12; format tag at 12+8
+    nonPcm(20) = 3 // IEEE float
+    intercept[IllegalArgumentException](WavAudio.parse(nonPcm))
+    // not even RIFF-sized
+    intercept[IllegalArgumentException](WavAudio.parse(Array[Byte](1, 2)))
+  }
+}
