@@ -23,6 +23,10 @@ object PipelineDemo {
       "ORIGINAL_URL", "FILE_SIZE_BYTES", "PROCESSING_STATUS", "EPAREGNO",
       "PDF_FILE_NAME", "PDFFILE_ACCEPTED_DATE", "PDFFILE")
       .withColumn("UPLOAD_TIMESTAMP", current_timestamp())
+      // the metadata table OWNS the autoincrement sequence
+      // (mergeWithAutoId's contract), so even the empty bootstrap frame
+      // carries the ID column
+      .withColumn("ID", lit(0L))
 
     val toDl = Pipeline.pdfToDownload(star("products"), star("pdffiles"), emptyMeta)
     println("=== to download (latest per product, none processed) ===")
