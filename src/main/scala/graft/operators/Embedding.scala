@@ -495,11 +495,16 @@ object Embedding {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"lang", $"n_chars", $"text")
+    // LEFT join (review find): a zero-token document produces no score
+    // row; an inner join would silently drop it from the audit — the
+    // one failure an attribution report must not have. Unscored docs
+    // route to 'quality' below (no content the classifier can vouch
+    // for IS the low-quality verdict).
     val s1 = d.withColumn("dg", md5($"text"))
       .withColumn("is_dup",
         $"doc_id" =!= min($"doc_id").over(Window.partitionBy($"dg")))
       .drop("dg", "text")
-      .join(classifierScores(s, dir), Seq("doc_id"))
+      .join(classifierScores(s, dir), Seq("doc_id"), "left")
     val surv2 = s1.filter(!$"is_dup" && $"score" >= 0L)
     val rk2 = surv2.withColumn("rk", row_number().over(
         Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
@@ -520,7 +525,7 @@ object Embedding {
       .join(broadcast(bounds), Seq("lang"), "left")
       .withColumn("drop_reason",
         when($"is_dup", "dup")
-          .when($"score" < 0L, "quality")
+          .when($"score".isNull || $"score" < 0L, "quality")
           .when($"rk" > DomainCap, "domain_cap")
           .when($"n_chars" < $"lo" || $"n_chars" > $"hi", "length")
           .otherwise("kept"))
@@ -537,7 +542,7 @@ object Embedding {
       |s1 AS (SELECT d.doc_id, d.source, d.lang, d.n_chars,
       |         (d.doc_id <> cn.canon) AS is_dup, sc.score
       |       FROM d JOIN cn ON d.dg = cn.dg
-      |       JOIN sc ON d.doc_id = sc.doc_id),
+      |       LEFT JOIN sc ON d.doc_id = sc.doc_id),
       |rk2 AS (SELECT doc_id, row_number() OVER (PARTITION BY source
       |          ORDER BY score DESC, doc_id ASC) AS rk
       |        FROM s1 WHERE NOT is_dup AND score >= 0),
@@ -557,7 +562,7 @@ object Embedding {
       |      FROM cum JOIN nl ON cum.lang = nl.lang GROUP BY cum.lang),
       |a AS (SELECT s1.source, s1.n_chars,
       |        CASE WHEN s1.is_dup THEN 'dup'
-      |             WHEN s1.score < 0 THEN 'quality'
+      |             WHEN s1.score IS NULL OR s1.score < 0 THEN 'quality'
       |             WHEN rk2.rk > $DomainCap THEN 'domain_cap'
       |             WHEN s1.n_chars < b.lo OR s1.n_chars > b.hi
       |               THEN 'length'

@@ -329,7 +329,10 @@ object Search {
     val tset = queries.select($"token").distinct()
     val tf = toks.join(broadcast(tset), Seq("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    // document frequency per query token IS gdf restricted to tset
+    // (tf counts distinct (doc, token) rows) — reuse it instead of a
+    // second aggregation over tf (review find)
+    val df = gdf.join(tset, Seq("token")).withColumnRenamed("gdf", "df")
     val scored = queries
       .join(tf, Seq("token"))
       .join(broadcast(df), Seq("token"))

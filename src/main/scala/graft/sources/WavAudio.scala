@@ -40,14 +40,23 @@ object WavAudio {
     require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
     require(tag(bytes, 0) == "RIFF", s"bad magic '${tag(bytes, 0)}'")
     require(tag(bytes, 8) == "WAVE", s"bad form type '${tag(bytes, 8)}'")
+    // honor the DECLARED RIFF size (review find): the chunk walk stops
+    // at the RIFF boundary, so spec-legal trailing data (tagger junk
+    // appended past the container) is ignored instead of misparsed as a
+    // chunk header, and a declared size overrunning the file is the
+    // named error it claims to be
+    val riffSize = u32(bytes, 4)
+    require(riffSize >= 4 && 8 + riffSize <= bytes.length,
+      s"declared RIFF size $riffSize vs file ${bytes.length} bytes")
+    val end = (8 + riffSize).toInt
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
     var data: Option[(Int, Int)] = None // (offset, size)
-    while (off + 8 <= bytes.length) {
+    while (off + 8 <= end) {
       val id = tag(bytes, off)
       val size = u32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
-        s"chunk '$id' size $size overruns file (${bytes.length} bytes)")
+      require(size >= 0 && off + 8 + size <= end,
+        s"chunk '$id' size $size overruns the RIFF chunk ($end bytes)")
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")

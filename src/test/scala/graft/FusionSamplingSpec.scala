@@ -77,14 +77,17 @@ class FusionSamplingSpec extends SparkSuite {
       .filter($"doc_id" % 50 === 0).count()
     assert(rows.length == nq, s"${rows.length} != $nq")
     rows.foreach { r =>
-      Option(r.getAs[Long]("self_rank")) match {
-        case Some(rk) if !r.isNullAt(r.fieldIndex("self_rank")) =>
-          assert(rk >= 1L && rk <= 10L, r.toString)
-          val expect = BigDecimal(1.0 / rk)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          assert(r.getAs[Double]("rr") == expect, r.toString)
-        case _ =>
-          assert(r.getAs[Double]("rr") == 0.0, r.toString)
+      // NB getAs[Long] unboxes SQL NULL to 0L — isNullAt is the only
+      // real null test here (review find: an Option wrapper around the
+      // getAs was dead code)
+      if (r.isNullAt(r.fieldIndex("self_rank"))) {
+        assert(r.getAs[Double]("rr") == 0.0, r.toString)
+      } else {
+        val rk = r.getAs[Long]("self_rank")
+        assert(rk >= 1L && rk <= 10L, r.toString)
+        val expect = BigDecimal(1.0 / rk)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("rr") == expect, r.toString)
       }
     }
   }

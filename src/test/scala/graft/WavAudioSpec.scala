@@ -73,6 +73,14 @@ class WavAudioSpec extends AnyFunSuite {
     assert(w.nFrames == 2)
   }
 
+  test("trailing bytes past the declared RIFF size are ignored") {
+    val good = WavAudio.encodePcm16Mono(8000, Array(7, -7))
+    // taggers append junk past the RIFF boundary; the declared size
+    // bounds the chunk walk, so this must decode identically
+    val tagged = good ++ Array[Byte]('I', 'D', '3', 9, 9, 9, 9)
+    assert(WavAudio.parse(tagged).samples.toSeq == Seq(7, -7))
+  }
+
   test("malformed containers are rejected loudly") {
     val good = WavAudio.encodePcm16Mono(8000, Array(1, 2, 3))
     // bad magic
