@@ -238,15 +238,62 @@ object Analytics {
       |SELECT cohort_week, week_offset, count(*) AS n_users
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q130 — first-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current event type), the behavioral
+    * model beneath next-action prediction, anomaly scoring ("this
+    * transition never happens") and sessionized synthetic-data
+    * generation. Adjacency is per USER in (ts, event_id) order — the
+    * event_id tiebreak makes the sequence a total order (the q11
+    * fixture lesson: timestamps alone tie), so the pair stream is
+    * deterministic and the matrix hash-matches the DuckDB replay.
+    *
+    * Scale shape: ONE lag window partitioned by user_id (per-user
+    * sequences sort within their partition; no global order exists or
+    * is needed), then a types²-sized count aggregate — 25 rows here,
+    * bounded by the event-type vocabulary at any corpus size. The row
+    * probability is one double division of exact int64 counts. */
+  def q130MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy($"from_type").agg(sum($"n").as("row_n"))
+    pairs.join(rowTot, Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        round($"n" / $"row_n".cast("double"), 6).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q130Oracle: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |               lead(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS next_type
+      |             FROM events),
+      |pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+      |            count(*) AS n
+      |          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS row_n FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+      |       round(CAST(p.n AS DOUBLE) / CAST(rt.row_n AS DOUBLE), 6) AS p
+      |FROM pairs p JOIN rt ON p.from_type = rt.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_zorder_layout" -> q87ZorderLayout _,
     "q88_funnel" -> q88Funnel _,
-    "q89_cohort_retention" -> q89CohortRetention _)
+    "q89_cohort_retention" -> q89CohortRetention _,
+    "q130_markov_transitions" -> q130MarkovTransitions _)
 
   val oracle: Map[String, String] = Map(
     "q87_zorder_layout" -> q87Oracle,
     "q88_funnel" -> q88Oracle,
-    "q89_cohort_retention" -> q89Oracle)
+    "q89_cohort_retention" -> q89Oracle,
+    "q130_markov_transitions" -> q130Oracle)
 }

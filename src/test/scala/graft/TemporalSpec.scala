@@ -100,4 +100,23 @@ class TemporalSpec extends SparkSuite {
     assert(out.count() == purchases)
     assert(out.filter($"asof_e_id" === -1L).count() >= 0)
   }
+
+  test("q130 transition matrix is row-stochastic and conserves pairs") {
+    val rows = graft.operators.Analytics
+      .q130MarkovTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every user with k events contributes exactly k−1 adjacent pairs
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val expectPairs = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectPairs)
+    // each row of the matrix sums to ~1 (6-decimal rounding per cell)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val sp = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(sp - 1.0) < 1e-4, s"$ft row sums to $sp")
+      rs.foreach(r => assert(r.getAs[Double]("p") > 0.0, r.toString))
+    }
+    // matrix size bounded by the event-type vocabulary squared
+    val nTypes = ev.select($"event_type").distinct().count()
+    assert(rows.length <= nTypes * nTypes)
+  }
 }
