@@ -283,17 +283,96 @@ object Analytics {
       |FROM pairs p JOIN rt ON p.from_type = rt.from_type
       |ORDER BY p.from_type, p.to_type""".stripMargin
 
+  /** q131 — dwell-time distribution per transition: q130 says WHICH
+    * action follows; this says HOW LONG it takes — per (from, to) pair,
+    * the count, nearest-rank median and p90, and mean gap in whole
+    * seconds. The latency model behind session-timeout tuning (q43's
+    * gap threshold becomes a measured quantile instead of a guess) and
+    * abandoned-flow detection.
+    *
+    * Exactness/scale: gaps are integer seconds ((µs_next − µs) div 1e6
+    * — same truncation both engines); quantiles use the q116
+    * value-histogram cumsum, with the window PARTITIONED BY the
+    * transition pair (histogram-sized per pair, never a corpus sort);
+    * mean is one double division of exact int64 sums, rounded. Output
+    * is types²-bounded. */
+  def q131TransitionDwell(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"event_type".as("from_type"), $"next_type".as("to_type"),
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000")
+          .as("gap_s"))
+    val hist = gaps.groupBy($"from_type", $"to_type", $"gap_s")
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum($"c").over(
+      Window.partitionBy($"from_type", $"to_type").orderBy($"gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = gaps.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_s").as("sum_gap"))
+    cum.join(tot, Seq("from_type", "to_type"))
+      .groupBy($"from_type", $"to_type", $"n", $"sum_gap")
+      .agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"gap_s"))
+          .as("median_gap_s"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"gap_s"))
+          .as("p90_gap_s"))
+      .select($"from_type", $"to_type", $"n", $"median_gap_s",
+        $"p90_gap_s",
+        round($"sum_gap" / $"n".cast("double"), 2).as("mean_gap_s"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q131Oracle: String =
+    """WITH seq AS (SELECT user_id, event_type, ts,
+      |               lead(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS next_type,
+      |               lead(ts) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS next_ts
+      |             FROM events),
+      |g AS (SELECT event_type AS from_type, next_type AS to_type,
+      |        (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS gap_s
+      |      FROM seq WHERE next_type IS NOT NULL),
+      |h AS (SELECT from_type, to_type, gap_s, count(*) AS c
+      |      FROM g GROUP BY 1, 2, 3),
+      |cm AS (SELECT from_type, to_type, gap_s,
+      |         sum(c) OVER (PARTITION BY from_type, to_type
+      |           ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |           CURRENT ROW) AS cum
+      |       FROM h),
+      |t AS (SELECT from_type, to_type, count(*) AS n,
+      |        sum(gap_s) AS sum_gap
+      |      FROM g GROUP BY 1, 2)
+      |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+      |       CAST(min(CASE WHEN cm.cum >= (t.n + 1) // 2
+      |                THEN cm.gap_s END) AS BIGINT) AS median_gap_s,
+      |       CAST(min(CASE WHEN cm.cum >= (9 * t.n + 9) // 10
+      |                THEN cm.gap_s END) AS BIGINT) AS p90_gap_s,
+      |       round(CAST(min(t.sum_gap) AS DOUBLE) / CAST(t.n AS DOUBLE), 2)
+      |         AS mean_gap_s
+      |FROM cm JOIN t ON cm.from_type = t.from_type
+      |              AND cm.to_type = t.to_type
+      |GROUP BY t.from_type, t.to_type, t.n
+      |ORDER BY t.from_type, t.to_type""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_zorder_layout" -> q87ZorderLayout _,
     "q88_funnel" -> q88Funnel _,
     "q89_cohort_retention" -> q89CohortRetention _,
-    "q130_markov_transitions" -> q130MarkovTransitions _)
+    "q130_markov_transitions" -> q130MarkovTransitions _,
+    "q131_transition_dwell" -> q131TransitionDwell _)
 
   val oracle: Map[String, String] = Map(
     "q87_zorder_layout" -> q87Oracle,
     "q88_funnel" -> q88Oracle,
     "q89_cohort_retention" -> q89Oracle,
-    "q130_markov_transitions" -> q130Oracle)
+    "q130_markov_transitions" -> q130Oracle,
+    "q131_transition_dwell" -> q131Oracle)
 }

@@ -119,4 +119,26 @@ class TemporalSpec extends SparkSuite {
     val nTypes = ev.select($"event_type").distinct().count()
     assert(rows.length <= nTypes * nTypes)
   }
+
+  test("q131 dwell quantiles are ordered and its pairs are exactly q130's") {
+    val dwell = graft.operators.Analytics
+      .q131TransitionDwell(spark, sfDir).collect()
+    val markov = graft.operators.Analytics
+      .q130MarkovTransitions(spark, sfDir).collect()
+    // same adjacency stream ⇒ identical (from, to, n) triples
+    val dTriples = dwell.map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type"), r.getAs[Long]("n"))).sorted.toSeq
+    val mTriples = markov.map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type"), r.getAs[Long]("n"))).sorted.toSeq
+    assert(dTriples == mTriples)
+    dwell.foreach { r =>
+      val (med, p90) = (r.getAs[Long]("median_gap_s"),
+        r.getAs[Long]("p90_gap_s"))
+      assert(med >= 0L && p90 >= med, r.toString)
+      val mean = r.getAs[Double]("mean_gap_s")
+      // the mean of nonnegative gaps sits within [0, max]; vs the
+      // quantiles it must be positive whenever p90 is
+      assert(mean >= 0.0, r.toString)
+    }
+  }
 }
