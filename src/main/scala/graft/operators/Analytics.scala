@@ -360,6 +360,67 @@ object Analytics {
       |GROUP BY t.from_type, t.to_type, t.n
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  /** q132 — sequence anomaly scoring: APPLY q130's transition model.
+    * Each user's event sequence gets the mean log-likelihood of its
+    * transitions under the corpus-fitted first-order model; the
+    * bottom-10 users are the behavioral outliers (bot traffic, broken
+    * clients, fraud — sequences the corpus-level model finds
+    * improbable). The model-fit → model-apply pairing mirrors
+    * q110/q76: the engine both BUILDS the behavioral model and scores
+    * against it in one declarative plan.
+    *
+    * Determinism: p is a ratio of exact int64 counts, ln is
+    * correctly-rounded on both JVMs and DuckDB (the q36/q76 precedent),
+    * per-user sums are ≤ sequence-length doubles rounded to 6; the
+    * bottom-10 is an ordered limit (TakeOrdered — no global window).
+    * Scale: one lag window partitioned by user, the types²-row model
+    * broadcast back onto the pair stream, one per-user aggregate. */
+  def q132SequenceAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"user_id", $"event_type".as("from_type"),
+        $"next_type".as("to_type"))
+    val model = pairs.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = model.groupBy($"from_type").agg(sum($"n").as("row_n"))
+    val p = model.join(rowTot, Seq("from_type"))
+      .select($"from_type", $"to_type",
+        ($"n" / $"row_n".cast("double")).as("p"))
+    pairs.join(broadcast(p), Seq("from_type", "to_type"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(log($"p")), 6).as("avg_ll"))
+      .orderBy($"avg_ll".asc, $"user_id".asc)
+      .limit(10)
+  }
+
+  val q132Oracle: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |               lead(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS next_type
+      |             FROM events),
+      |pairs AS (SELECT user_id, event_type AS from_type,
+      |            next_type AS to_type
+      |          FROM seq WHERE next_type IS NOT NULL),
+      |m AS (SELECT from_type, to_type, count(*) AS n
+      |      FROM pairs GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS row_n FROM m GROUP BY 1),
+      |p AS (SELECT m.from_type, m.to_type,
+      |        CAST(m.n AS DOUBLE) / CAST(rt.row_n AS DOUBLE) AS p
+      |      FROM m JOIN rt ON m.from_type = rt.from_type)
+      |SELECT pr.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+      |       round(avg(ln(p.p)), 6) AS avg_ll
+      |FROM pairs pr
+      |JOIN p ON pr.from_type = p.from_type AND pr.to_type = p.to_type
+      |GROUP BY pr.user_id
+      |ORDER BY avg_ll ASC, user_id ASC
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,12 +428,14 @@ object Analytics {
     "q88_funnel" -> q88Funnel _,
     "q89_cohort_retention" -> q89CohortRetention _,
     "q130_markov_transitions" -> q130MarkovTransitions _,
-    "q131_transition_dwell" -> q131TransitionDwell _)
+    "q131_transition_dwell" -> q131TransitionDwell _,
+    "q132_sequence_anomaly" -> q132SequenceAnomaly _)
 
   val oracle: Map[String, String] = Map(
     "q87_zorder_layout" -> q87Oracle,
     "q88_funnel" -> q88Oracle,
     "q89_cohort_retention" -> q89Oracle,
     "q130_markov_transitions" -> q130Oracle,
-    "q131_transition_dwell" -> q131Oracle)
+    "q131_transition_dwell" -> q131Oracle,
+    "q132_sequence_anomaly" -> q132Oracle)
 }

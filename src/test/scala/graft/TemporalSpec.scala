@@ -141,4 +141,36 @@ class TemporalSpec extends SparkSuite {
       assert(mean >= 0.0, r.toString)
     }
   }
+
+  test("q132 anomaly list is the true bottom-10 under the q130 model") {
+    val out = graft.operators.Analytics
+      .q132SequenceAnomaly(spark, sfDir).collect()
+    assert(out.length == 10)
+    val lls = out.map(_.getAs[Double]("avg_ll")).toSeq
+    assert(lls == lls.sorted, lls.mkString(","))
+    assert(lls.forall(_ <= 0.0), lls.mkString(","))
+    out.foreach(r => assert(r.getAs[Long]("n_transitions") >= 1L))
+    // independent recount: rebuild per-user mean log-likelihood from
+    // q130's emitted matrix driver-side and check the winner
+    val p = graft.operators.Analytics.q130MarkovTransitions(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) -> r.getAs[Double]("p")).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("nt", org.apache.spark.sql.functions
+        .lead($"event_type", 1).over(w))
+      .filter($"nt".isNotNull)
+      .select($"user_id", $"event_type", $"nt").collect()
+    // q130's p column is rounded to 6; recompute within that tolerance
+    val byUser = pairs.groupBy(_.getLong(0)).view.mapValues { rs =>
+      rs.map(r => math.log(p((r.getString(1), r.getString(2))))).sum /
+        rs.length
+    }.toMap
+    val worst = out.head
+    val ref = byUser(worst.getAs[Long]("user_id"))
+    assert(math.abs(worst.getAs[Double]("avg_ll") - ref) < 1e-4,
+      s"${worst.getAs[Double]("avg_ll")} vs $ref")
+  }
 }
