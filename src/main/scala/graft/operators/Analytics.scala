@@ -421,6 +421,101 @@ object Analytics {
       |ORDER BY avg_ll ASC, user_id ASC
       |LIMIT 10""".stripMargin
 
+  /** q133 — RFM segmentation: the classic customer-value grid. Per
+    * purchasing user: recency (days since last purchase, measured from
+    * the corpus's last event day), frequency (purchase count), monetary
+    * (integer CENTS — quantize-then-sum, never sum-then-quantize:
+    * summing doubles is order-sensitive across engines, summing int64
+    * cents is exact). Each dimension scores 1–4 by DATA-DRIVEN
+    * nearest-rank quartiles over the user distribution
+    * ([[Quantiles.nearestRank]] — the fence-safe global-quantile
+    * kernel; recency scores on its NEGATION so "more recent" = higher,
+    * the standard RFM orientation). Output: one row per populated
+    * (r, f, m) cell with user count and monetary mass — the grid a
+    * retention team routes campaigns from.
+    *
+    * Scale: user-sized aggregates; three quantile-kernel invocations
+    * (histogram-sized each); scoring is a broadcast of three 1-row
+    * threshold frames; final rollup ≤ 64 cells. */
+  def q133RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"value",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("d"))
+    val maxD = ev.agg(max($"d").as("max_d"))
+    val rfm = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max($"d").as("last_d"), count(lit(1)).as("f"),
+        sum(floor($"value" * 100).cast("long")).as("m"))
+      .crossJoin(broadcast(maxD))
+      .select($"user_id", ($"max_d" - $"last_d").as("rec"), $"f", $"m")
+      .withColumn("rneg", -$"rec")
+    val qs = Seq(("q25", 1, 4), ("q50", 2, 4), ("q75", 3, 4))
+    def score(metric: org.apache.spark.sql.Column, t: String) =
+      lit(1) + (metric > col(s"${t}_q25")).cast("int") +
+        (metric > col(s"${t}_q50")).cast("int") +
+        (metric > col(s"${t}_q75")).cast("int")
+    val tR = Quantiles.nearestRank(rfm, "rneg", qs)
+      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"r_$n") }: _*)
+    val tF = Quantiles.nearestRank(rfm, "f", qs)
+      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"f_$n") }: _*)
+    val tM = Quantiles.nearestRank(rfm, "m", qs)
+      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"m_$n") }: _*)
+    rfm.crossJoin(broadcast(tR)).crossJoin(broadcast(tF))
+      .crossJoin(broadcast(tM))
+      .select($"user_id", $"m",
+        score($"rneg", "r").as("r_score"),
+        score($"f", "f").as("f_score"),
+        score($"m", "m").as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_users"), sum($"m").as("monetary_c"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val q133Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, value,
+      |              CAST(date_diff('day', DATE '1970-01-01',
+      |                CAST(ts AS DATE)) AS BIGINT) AS d
+      |            FROM events),
+      |md AS (SELECT max(d) AS max_d FROM ev),
+      |rfm AS (SELECT user_id, md.max_d - max(d) AS rec,
+      |          count(*) AS f,
+      |          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |            AS m
+      |        FROM ev, md WHERE event_type = 'purchase'
+      |        GROUP BY user_id, md.max_d),
+      |n AS (SELECT count(*) AS n FROM rfm),
+      |tr AS (SELECT
+      |    min(CASE WHEN cum >= (1 * n.n + 3) // 4 THEN v END) AS q25,
+      |    min(CASE WHEN cum >= (2 * n.n + 3) // 4 THEN v END) AS q50,
+      |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q75
+      |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+      |          SELECT -rec AS v, count(*) AS c FROM rfm GROUP BY 1)) , n),
+      |tf AS (SELECT
+      |    min(CASE WHEN cum >= (1 * n.n + 3) // 4 THEN v END) AS q25,
+      |    min(CASE WHEN cum >= (2 * n.n + 3) // 4 THEN v END) AS q50,
+      |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q75
+      |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+      |          SELECT f AS v, count(*) AS c FROM rfm GROUP BY 1)), n),
+      |tm AS (SELECT
+      |    min(CASE WHEN cum >= (1 * n.n + 3) // 4 THEN v END) AS q25,
+      |    min(CASE WHEN cum >= (2 * n.n + 3) // 4 THEN v END) AS q50,
+      |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q75
+      |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+      |          SELECT m AS v, count(*) AS c FROM rfm GROUP BY 1)), n),
+      |sc AS (SELECT rfm.m,
+      |    1 + CAST(-rfm.rec > tr.q25 AS INT) + CAST(-rfm.rec > tr.q50 AS INT)
+      |      + CAST(-rfm.rec > tr.q75 AS INT) AS r_score,
+      |    1 + CAST(rfm.f > tf.q25 AS INT) + CAST(rfm.f > tf.q50 AS INT)
+      |      + CAST(rfm.f > tf.q75 AS INT) AS f_score,
+      |    1 + CAST(rfm.m > tm.q25 AS INT) + CAST(rfm.m > tm.q50 AS INT)
+      |      + CAST(rfm.m > tm.q75 AS INT) AS m_score
+      |  FROM rfm, tr, tf, tm)
+      |SELECT r_score, f_score, m_score, count(*) AS n_users,
+      |       CAST(sum(m) AS BIGINT) AS monetary_c
+      |FROM sc GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +524,8 @@ object Analytics {
     "q89_cohort_retention" -> q89CohortRetention _,
     "q130_markov_transitions" -> q130MarkovTransitions _,
     "q131_transition_dwell" -> q131TransitionDwell _,
-    "q132_sequence_anomaly" -> q132SequenceAnomaly _)
+    "q132_sequence_anomaly" -> q132SequenceAnomaly _,
+    "q133_rfm_segments" -> q133RfmSegments _)
 
   val oracle: Map[String, String] = Map(
     "q87_zorder_layout" -> q87Oracle,
@@ -437,5 +533,6 @@ object Analytics {
     "q89_cohort_retention" -> q89Oracle,
     "q130_markov_transitions" -> q130Oracle,
     "q131_transition_dwell" -> q131Oracle,
-    "q132_sequence_anomaly" -> q132Oracle)
+    "q132_sequence_anomaly" -> q132Oracle,
+    "q133_rfm_segments" -> q133Oracle)
 }

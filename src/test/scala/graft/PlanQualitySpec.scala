@@ -266,7 +266,11 @@ class PlanQualitySpec extends SparkSuite {
     // q123's NLJs are the same shape: the (n, budget, cap-pool) bounds
     // frame and the capped-mass frame are both 1-row ungrouped
     // aggregates cross-joined onto the source-sized table
-    "q123_epoch_waterfall") ++ nljRuntimeCapped
+    "q123_epoch_waterfall",
+    // q133's NLJs: the max-day frame, three Quantiles.nearestRank
+    // bucket-offset pools, and three 1-row threshold frames — all
+    // 1-row ungrouped aggregates with structural evidence
+    "q133_rfm_segments") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {

@@ -130,6 +130,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Quantiles.nearestRank == driver-side sort on random distributions") {
+    import graft.operators.Quantiles
+    val rng = new scala.util.Random(13571357L)
+    for (inst <- 1 to 10) {
+      // mixed shapes: negatives, heavy ties, values straddling the
+      // 2^16 coarse-bucket boundary, heavy tails
+      val n = 50 + rng.nextInt(500)
+      val vals = (0 until n).map { _ =>
+        rng.nextInt(4) match {
+          case 0 => (rng.nextInt(20) - 10).toLong // tiny, tied, negative
+          case 1 => (rng.nextInt(200000) - 100000).toLong // straddles 2^16
+          case 2 => rng.nextLong() % 1000000000L // heavy tail
+          case _ => 42L // mass point
+        }
+      }
+      val qs = Seq(("q25", 1, 4), ("q50", 2, 4), ("q75", 3, 4),
+        ("p05", 1, 20), ("p95", 19, 20))
+      val row = Quantiles.nearestRank(vals.toDF("x"), "x", qs).head()
+      val sorted = vals.sorted
+      qs.foreach { case (name, num, den) =>
+        // nearest-rank: the ceil(q·n)-th smallest value (1-indexed)
+        val rank = (num.toLong * n + den - 1) / den
+        val expect = sorted((rank - 1).toInt)
+        assert(row.getAs[Long](s"t_$name") == expect,
+          s"inst $inst $name: ${row.getAs[Long](s"t_$name")} != $expect (n=$n)")
+      }
+    }
+  }
+
   test("vector expressions == independent fold references on random vectors") {
     import graft.functions.VectorFunctions.{cosine_sim, dot_product, dot_product_long}
     val rng = new scala.util.Random(31337L)

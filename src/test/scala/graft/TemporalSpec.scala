@@ -173,4 +173,27 @@ class TemporalSpec extends SparkSuite {
     assert(math.abs(worst.getAs[Double]("avg_ll") - ref) < 1e-4,
       s"${worst.getAs[Double]("avg_ll")} vs $ref")
   }
+
+  test("q133 RFM cells partition the purchasers; scores stay in 1..4") {
+    val rows = graft.operators.Analytics
+      .q133RfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purchasers = graft.sources.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == purchasers)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 4, r.toString)
+      }
+      assert(r.getAs[Long]("monetary_c") >= 0L, r.toString)
+    }
+    // data-driven quartiles: each marginal score class is populated
+    // (a constant-threshold bug collapses a dimension to one class)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val classes = rows.map(_.getAs[Int](c)).toSet
+      assert(classes.size >= 3, s"$c classes $classes")
+    }
+  }
 }
