@@ -516,6 +516,76 @@ object Analytics {
       |FROM sc GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** q134 — holdout evaluation of the transition model: fit on even
+    * user_ids, score BOTH splits under the train-fitted matrix — the
+    * train/holdout generalization check every model-shaped operator
+    * should ship (all prior meters evaluate in-corpus; this one runs
+    * the full fit-on-train / score-on-holdout loop declaratively). A
+    * healthy model scores the holdout close to train; a collapsed gap
+    * or an inverted one flags leakage or drift. Unseen transitions get
+    * Laplace (+1 over the event-type vocabulary) smoothing — the
+    * holdout may contain pairs the train split never saw, and ln 0 is
+    * not a number; the smoothed probability is exact rational
+    * arithmetic before the one ln per pair.
+    *
+    * Scale: the q130 adjacency window; the model is types²-bounded and
+    * broadcast; scoring is one left join + per-split aggregate. */
+  def q134ModelHoldout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"user_id", $"event_type".as("from_type"),
+        $"next_type".as("to_type"),
+        when($"user_id" % 2 === 0, "train").otherwise("holdout")
+          .as("split"))
+    val vocab = Tables.events(s, dir)
+      .agg(countDistinct($"event_type").as("v"))
+    val model = pairs.filter($"split" === "train")
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+    val rowTot = model.groupBy($"from_type").agg(sum($"n").as("row_n"))
+    pairs
+      .join(broadcast(model), Seq("from_type", "to_type"), "left")
+      .join(broadcast(rowTot), Seq("from_type"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(
+        (coalesce($"n", lit(0L)) + lit(1.0)) /
+          (coalesce($"row_n", lit(0L)) + $"v")))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg($"lp"), 6).as("avg_ll"))
+      .orderBy($"split")
+  }
+
+  val q134Oracle: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |               lead(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS next_type
+      |             FROM events),
+      |pairs AS (SELECT user_id, event_type AS from_type,
+      |            next_type AS to_type,
+      |            CASE WHEN user_id % 2 = 0 THEN 'train'
+      |                 ELSE 'holdout' END AS split
+      |          FROM seq WHERE next_type IS NOT NULL),
+      |v AS (SELECT count(DISTINCT event_type) AS v FROM events),
+      |m AS (SELECT from_type, to_type, count(*) AS n
+      |      FROM pairs WHERE split = 'train' GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS row_n FROM m GROUP BY 1)
+      |SELECT p.split, CAST(count(*) AS BIGINT) AS n_transitions,
+      |       round(avg(ln(
+      |         (COALESCE(m.n, 0) + 1.0)
+      |         / CAST(COALESCE(rt.row_n, 0) + v.v AS DOUBLE))), 6)
+      |         AS avg_ll
+      |FROM pairs p
+      |LEFT JOIN m ON p.from_type = m.from_type AND p.to_type = m.to_type
+      |LEFT JOIN rt ON p.from_type = rt.from_type
+      |CROSS JOIN v
+      |GROUP BY p.split
+      |ORDER BY p.split""".stripMargin
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -525,7 +595,8 @@ object Analytics {
     "q130_markov_transitions" -> q130MarkovTransitions _,
     "q131_transition_dwell" -> q131TransitionDwell _,
     "q132_sequence_anomaly" -> q132SequenceAnomaly _,
-    "q133_rfm_segments" -> q133RfmSegments _)
+    "q133_rfm_segments" -> q133RfmSegments _,
+    "q134_model_holdout" -> q134ModelHoldout _)
 
   val oracle: Map[String, String] = Map(
     "q87_zorder_layout" -> q87Oracle,
@@ -534,5 +605,6 @@ object Analytics {
     "q130_markov_transitions" -> q130Oracle,
     "q131_transition_dwell" -> q131Oracle,
     "q132_sequence_anomaly" -> q132Oracle,
-    "q133_rfm_segments" -> q133Oracle)
+    "q133_rfm_segments" -> q133Oracle,
+    "q134_model_holdout" -> q134Oracle)
 }

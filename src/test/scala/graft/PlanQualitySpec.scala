@@ -270,7 +270,9 @@ class PlanQualitySpec extends SparkSuite {
     // q133's NLJs: the max-day frame, three Quantiles.nearestRank
     // bucket-offset pools, and three 1-row threshold frames — all
     // 1-row ungrouped aggregates with structural evidence
-    "q133_rfm_segments") ++ nljRuntimeCapped
+    "q133_rfm_segments",
+    // q134's NLJ is the 1-row event-type-vocabulary aggregate
+    "q134_model_holdout") ++ nljRuntimeCapped
 
   test("whole surface: no unpartitioned window, no cartesian product, " +
     "nested-loop joins only on the tiny-broadcast allowlist") {

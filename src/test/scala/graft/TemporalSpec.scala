@@ -196,4 +196,22 @@ class TemporalSpec extends SparkSuite {
       assert(classes.size >= 3, s"$c classes $classes")
     }
   }
+
+  test("q134 holdout eval: splits partition the pairs; train scores ≥ holdout") {
+    val rows = graft.operators.Analytics
+      .q134ModelHoldout(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("avg_ll"))).toMap
+    assert(rows.keySet == Set("train", "holdout"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val totalPairs = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.values.map(_._1).sum == totalPairs)
+    rows.values.foreach { case (_, ll) =>
+      assert(ll < 0.0 && !ll.isNaN && !ll.isInfinite, ll.toString) }
+    // the model was FIT on train: it must score its own split at least
+    // as well as the holdout (a tie is possible in theory; an inverted
+    // gap means the split leaked or the join mis-keyed)
+    assert(rows("train")._2 >= rows("holdout")._2,
+      s"train ${rows("train")._2} < holdout ${rows("holdout")._2}")
+  }
 }
