@@ -252,15 +252,28 @@ object Analytics {
     * is needed), then a types²-sized count aggregate — 25 rows here,
     * bounded by the event-type vocabulary at any corpus size. The row
     * probability is one double division of exact int64 counts. */
-  def q130MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+  /** THE per-user adjacency-pair stream — the one copy of the
+    * (ts, event_id)-ordered lead window q130/q131/q132/q134 all build
+    * on (review find: four verbatim copies meant a tiebreak change had
+    * to be edited four times). Emits (user_id, from_type, to_type,
+    * next_ts_gap-capable columns). */
+  private def transitionPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val pairs = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
       .filter($"next_type".isNotNull)
-      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .select($"user_id", $"ts", $"next_ts",
+        $"event_type".as("from_type"), $"next_type".as("to_type"))
+  }
+
+  def q130MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = transitionPairs(s, dir)
+      .groupBy($"from_type", $"to_type")
       .agg(count(lit(1)).as("n"))
     val rowTot = pairs.groupBy($"from_type").agg(sum($"n").as("row_n"))
     pairs.join(rowTot, Seq("from_type"))
@@ -299,13 +312,8 @@ object Analytics {
   def q131TransitionDwell(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gaps = Tables.events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("next_type", lead($"event_type", 1).over(w))
-      .withColumn("next_ts", lead($"ts", 1).over(w))
-      .filter($"next_type".isNotNull)
-      .select($"event_type".as("from_type"), $"next_type".as("to_type"),
+    val gaps = transitionPairs(s, dir)
+      .select($"from_type", $"to_type",
         expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000")
           .as("gap_s"))
     val hist = gaps.groupBy($"from_type", $"to_type", $"gap_s")
@@ -377,14 +385,8 @@ object Analytics {
     * broadcast back onto the pair stream, one per-user aggregate. */
   def q132SequenceAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val pairs = Tables.events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("next_type", lead($"event_type", 1).over(w))
-      .filter($"next_type".isNotNull)
-      .select($"user_id", $"event_type".as("from_type"),
-        $"next_type".as("to_type"))
+    val pairs = transitionPairs(s, dir)
+      .select($"user_id", $"from_type", $"to_type")
     val model = pairs.groupBy($"from_type", $"to_type")
       .agg(count(lit(1)).as("n"))
     val rowTot = model.groupBy($"from_type").agg(sum($"n").as("row_n"))
@@ -445,8 +447,11 @@ object Analytics {
     val maxD = ev.agg(max($"d").as("max_d"))
     val rfm = ev.filter($"event_type" === "purchase")
       .groupBy($"user_id")
+      // round, not floor (review find): 68.57 * 100 is
+      // 6856.999999999999 in IEEE — floor drops the cent; round lands
+      // on the decimal the value denotes, identically in both engines
       .agg(max($"d").as("last_d"), count(lit(1)).as("f"),
-        sum(floor($"value" * 100).cast("long")).as("m"))
+        sum(round($"value" * 100, 0).cast("long")).as("m"))
       .crossJoin(broadcast(maxD))
       .select($"user_id", ($"max_d" - $"last_d").as("rec"), $"f", $"m")
       .withColumn("rneg", -$"rec")
@@ -480,7 +485,7 @@ object Analytics {
       |md AS (SELECT max(d) AS max_d FROM ev),
       |rfm AS (SELECT user_id, md.max_d - max(d) AS rec,
       |          count(*) AS f,
-      |          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
       |            AS m
       |        FROM ev, md WHERE event_type = 'purchase'
       |        GROUP BY user_id, md.max_d),
@@ -532,14 +537,8 @@ object Analytics {
     * broadcast; scoring is one left join + per-split aggregate. */
   def q134ModelHoldout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val pairs = Tables.events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("next_type", lead($"event_type", 1).over(w))
-      .filter($"next_type".isNotNull)
-      .select($"user_id", $"event_type".as("from_type"),
-        $"next_type".as("to_type"),
+    val pairs = transitionPairs(s, dir)
+      .select($"user_id", $"from_type", $"to_type",
         when($"user_id" % 2 === 0, "train").otherwise("holdout")
           .as("split"))
     val vocab = Tables.events(s, dir)

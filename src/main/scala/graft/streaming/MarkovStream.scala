@@ -71,8 +71,12 @@ object MarkovStream {
       if (stateMax != null && batchMin != null) {
         val sTs = stateMax.getTimestamp(0); val sId = stateMax.getLong(1)
         val bTs = batchMin.getTimestamp(0); val bId = batchMin.getLong(1)
+        // STRICT inequality on the id (review find): event_ids are
+        // unique, so equality means the state's last already-counted
+        // event is being re-delivered — folding it would emit a
+        // self-transition that never happened
         val ok = bTs.after(sTs) ||
-          (bTs.equals(sTs) && bId >= sId)
+          (bTs.equals(sTs) && bId > sId)
         if (!ok) throw new IllegalStateException(
           s"out-of-order batch $batchId: starts ($bTs, $bId) before " +
             s"state end ($sTs, $sId) — transition adjacency would be " +

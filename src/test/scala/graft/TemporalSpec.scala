@@ -151,10 +151,10 @@ class TemporalSpec extends SparkSuite {
     assert(lls.forall(_ <= 0.0), lls.mkString(","))
     out.foreach(r => assert(r.getAs[Long]("n_transitions") >= 1L))
     // independent recount: rebuild per-user mean log-likelihood from
-    // q130's emitted matrix driver-side and check the winner
-    val p = graft.operators.Analytics.q130MarkovTransitions(spark, sfDir)
-      .collect().map(r => (r.getAs[String]("from_type"),
-        r.getAs[String]("to_type")) -> r.getAs[Double]("p")).toMap
+    // the pair counts themselves — UNROUNDED ratios, so the tolerance
+    // only has to absorb summation-order noise, not q130's 6-decimal
+    // display rounding (review find: the rounded-matrix form had
+    // worst-case log error approaching its own tolerance)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val pairs = graft.sources.Tables.events(spark, sfDir)
@@ -163,14 +163,21 @@ class TemporalSpec extends SparkSuite {
         .lead($"event_type", 1).over(w))
       .filter($"nt".isNotNull)
       .select($"user_id", $"event_type", $"nt").collect()
-    // q130's p column is rounded to 6; recompute within that tolerance
+    val nFromTo = pairs.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    val nFrom = pairs.groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
     val byUser = pairs.groupBy(_.getLong(0)).view.mapValues { rs =>
-      rs.map(r => math.log(p((r.getString(1), r.getString(2))))).sum /
-        rs.length
+      rs.map { r =>
+        math.log(nFromTo((r.getString(1), r.getString(2))).toDouble /
+          nFrom(r.getString(1)))
+      }.sum / rs.length
     }.toMap
     val worst = out.head
     val ref = byUser(worst.getAs[Long]("user_id"))
-    assert(math.abs(worst.getAs[Double]("avg_ll") - ref) < 1e-4,
+    // q132 rounds its output to 6 decimals; 1e-6 absorbs that plus
+    // float-summation noise with two orders of margin
+    assert(math.abs(worst.getAs[Double]("avg_ll") - ref) < 1e-6 + 5e-7,
       s"${worst.getAs[Double]("avg_ll")} vs $ref")
   }
 
