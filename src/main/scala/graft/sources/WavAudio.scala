@@ -59,10 +59,18 @@ object WavAudio {
         s"chunk '$id' size $size overruns the RIFF chunk ($end bytes)")
       id match {
         case "fmt " =>
+          // duplicate chunks are rejected, not last-win: two fmt
+          // chunks mean the container is ambiguous about its own
+          // sample layout, and silently honoring the later one would
+          // decode the data against a format the first header
+          // contradicts (advisor r12 find)
+          require(fmt.isEmpty, "duplicate fmt chunk")
           require(size >= 16, s"fmt chunk too small: $size")
           fmt = Some((u16(bytes, off + 8), u16(bytes, off + 10),
             u32(bytes, off + 12).toInt, u16(bytes, off + 22)))
-        case "data" => data = Some((off + 8, size.toInt))
+        case "data" =>
+          require(data.isEmpty, "duplicate data chunk")
+          data = Some((off + 8, size.toInt))
         case _ => // LIST/fact/cue/…: skip by declared size
       }
       off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
@@ -74,13 +82,24 @@ object WavAudio {
     require(format == 1, s"unsupported (non-PCM) format tag $format")
     require(ch >= 1, s"bad channel count $ch")
     require(rate > 0, s"bad sample rate $rate")
+    // data size must be FRAME-aligned (bits/8 × channels), not merely
+    // sample-aligned: a truncated stereo PCM16 file with dSize % 4 == 2
+    // passed the old % 2 check and decoded silently with a partial
+    // trailing frame that nFrames floored away — at odds with the
+    // strict-validation posture (advisor r12 find)
+    val frameBytes = (bits / 8) * ch
     val samples = bits match {
       case 16 =>
-        require(dSize % 2 == 0, s"odd PCM16 data size $dSize")
+        require(dSize % frameBytes == 0,
+          s"data chunk size $dSize not a multiple of the PCM16 " +
+            s"frame size $frameBytes ($ch channel(s) × 2 bytes)")
         Array.tabulate(dSize / 2) { i =>
           u16(bytes, dOff + 2 * i).toShort.toInt
         }
       case 8 =>
+        require(dSize % frameBytes == 0,
+          s"data chunk size $dSize not a multiple of the PCM8 " +
+            s"frame size $frameBytes ($ch channel(s) × 1 byte)")
         Array.tabulate(dSize)(i => (bytes(dOff + i) & 0xff) - 128)
       case w =>
         throw new IllegalArgumentException(s"unsupported bit width $w")

@@ -96,9 +96,17 @@ object CapStream {
       .select(col("doc_id"), col("r.source"), col("r.text"),
         col("r.n_chars"))
       .cache()
+    // cached: BOTH margins read this join face — the top-k rank below
+    // and the totals rollup. Totals deliberately count `scored`, not
+    // `fresh`: q121's report is built on the documents ⋈ scores INNER
+    // join, so a doc that yields no score row (null text → the
+    // tokenizer emits nothing) is absent from its n_docs/total_chars —
+    // counting raw `fresh` here would inflate the stream totals over
+    // the batch face for exactly those rows (advisor r12 find)
     val scored = fresh
       .join(Embedding.classifierScoresOf(fresh), Seq("doc_id"))
       .select(col("source"), col("doc_id"), col("score"), col("n_chars"))
+      .cache()
     // top-k of union: state rows ∪ batch rows, dedup by doc_id (makes
     // the merge idempotent), rank per source, keep the cap
     val rk = row_number().over(Window.partitionBy(col("source"))
@@ -117,14 +125,17 @@ object CapStream {
       .filter(col("rk") <= Embedding.DomainCap)
       .select(col("source"), col("doc_id"), col("score"), col("n_chars"))
     val totals1 = totals0.unionByName(
-      fresh.groupBy(col("source")).agg(
+      scored.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
       .groupBy(col("source")).agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("total_chars")).as("total_chars"))
     try
       state.commit(Seq("totals" -> totals1, "top" -> top1), batchId)
-    finally fresh.unpersist(blocking = false)
+    finally {
+      scored.unpersist(blocking = false)
+      fresh.unpersist(blocking = false)
+    }
     state.mark(batchId)
   }
 

@@ -58,16 +58,25 @@ object MarkovStream {
     val state = new VersionedState(stateDir)
     if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
-    val (counts0, last0) = readState(spark, stateDir)
+    val (counts0, last0raw) = readState(spark, stateDir)
+    // cached like ev: the state parquet feeds THREE consumers per
+    // trigger (ordering guard, boundary join, last1 merge) — uncached
+    // that was three scans of the state table on the hot path
+    // (advisor r12 find)
+    val last0 = last0raw.cache()
     val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type")).cache()
     try {
       // ---- ordering guard: batch must start at-or-after state's end.
-      // Two bounded scalars; compared as (ts, event_id) lexicographic.
-      val stateMax = last0.agg(max(struct(col("ts"), col("event_id")))
-        .as("m")).head().getStruct(0)
-      val batchMin = ev.agg(min(struct(col("ts"), col("event_id")))
-        .as("m")).head().getStruct(0)
+      // Both bounded scalars ride ONE action (a cross of two 1-row
+      // aggregates) instead of two blocking driver jobs per trigger
+      val guard = last0.agg(max(struct(col("ts"), col("event_id")))
+          .as("sm"))
+        .crossJoin(ev.agg(min(struct(col("ts"), col("event_id")))
+          .as("bm")))
+        .head()
+      val stateMax = guard.getStruct(0)
+      val batchMin = guard.getStruct(1)
       if (stateMax != null && batchMin != null) {
         val sTs = stateMax.getTimestamp(0); val sId = stateMax.getLong(1)
         val bTs = batchMin.getTimestamp(0); val bId = batchMin.getLong(1)
@@ -113,7 +122,10 @@ object MarkovStream {
           .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("rn") === 1).drop("rn")
       state.commit(Seq("counts" -> counts1, "last" -> last1), batchId)
-    } finally ev.unpersist(blocking = false)
+    } finally {
+      ev.unpersist(blocking = false)
+      last0.unpersist(blocking = false)
+    }
     state.mark(batchId)
   }
 

@@ -105,4 +105,55 @@ class WavAudioSpec extends AnyFunSuite {
     // not even RIFF-sized
     intercept[IllegalArgumentException](WavAudio.parse(Array[Byte](1, 2)))
   }
+
+  test("truncated multi-channel data (partial trailing frame) is rejected") {
+    // stereo PCM16: frame = 4 bytes; declare a 6-byte data chunk — one
+    // whole frame plus half a frame. The old % 2 check let this decode
+    // silently (nFrames floored the partial frame away); strict
+    // validation must name the frame-size mismatch instead
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(42)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(16000).putInt(64000)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(6)
+      .putShort(1).putShort(-1).putShort(2)
+    val ex = intercept[IllegalArgumentException](
+      WavAudio.parse(java.util.Arrays.copyOf(bb.array(), bb.position())))
+    assert(ex.getMessage.contains("frame size"))
+  }
+
+  test("duplicate fmt/data chunks are rejected, not last-win") {
+    def container(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val body = chunks.flatMap { case (id, payload) =>
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+        bb.array().toSeq
+      }.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val fmtMono8k = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.array()
+    }
+    val data = Array[Byte](1, 0, 2, 0)
+    val dupFmt = container(Seq(
+      "fmt " -> fmtMono8k, "fmt " -> fmtMono8k, "data" -> data))
+    assert(intercept[IllegalArgumentException](WavAudio.parse(dupFmt))
+      .getMessage.contains("duplicate fmt"))
+    val dupData = container(Seq(
+      "fmt " -> fmtMono8k, "data" -> data, "data" -> data))
+    assert(intercept[IllegalArgumentException](WavAudio.parse(dupData))
+      .getMessage.contains("duplicate data"))
+  }
 }
