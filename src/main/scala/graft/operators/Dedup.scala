@@ -197,9 +197,32 @@ object Dedup {
       .filter($"jaccard" >= minJaccard)
   }
 
+  /** In-memory grouped-state bytes per ON-DISK parquet byte for the
+    * shingle pair/CC family. Calibrated on the 100× ScaleProbe: 60 MB
+    * of replicated parquet expanded to ~26 M collect_set groups ×
+    * ~200 B of JVM object overhead ≈ 5–6 GB resident — the GC-stall
+    * ceiling SCALE.md's third probe measured — i.e. ~100× expansion,
+    * carried here with a 1.3× margin. */
+  private[graft] val PairStateExpansion = 128.0
+
+  /** Stat-derived width for the pair/CC kernels' grouped stages, with
+    * the ConfGuard sizing contract applied: the session shuffle width
+    * is RAISED to match (never lowered), so the collect_set reducers —
+    * and every CC iteration shuffling downstream of this call — hold
+    * concurrent state within the heap budget instead of GC-thrashing
+    * past the measured ~250 k-docs-per-4.6 GB ceiling. At fixture
+    * scale the width floors at the core count and the raise is a
+    * no-op; the probe's 100× corpus is what moves it. */
+  private def sizedPairPar(s: SparkSession, dir: String): Int = {
+    val w = Tables.expansionShuffleWidth(s, dir, "documents",
+      PairStateExpansion)
+    graft.tools.ConfGuard.ensureShuffleWidth(s, w)
+    w
+  }
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val par = Tables.fanoutParallelism(s, dir, "documents")
-    jaccardPairsFrom(docs(s, dir).repartition(par), par)
+    jaccardPairsFrom(docs(s, dir).repartition(par), sizedPairPar(s, dir))
   }
 
   /** q27 — n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
@@ -392,7 +415,8 @@ object Dedup {
     val nCand = cands.count() // bounded scalar (capped candidate set)
     // ground truth below the operating threshold too (0.05 floor), so
     // precision at low t is measured, not assumed
-    val truth = jaccardPairsFromHashes(hashed, par, minJaccard = 0.05)
+    val truth = jaccardPairsFromHashes(hashed, sizedPairPar(s, dir),
+        minJaccard = 0.05)
       .select($"doc_a", $"doc_b", $"jaccard")
     val flagged = truth.join(cands.withColumn("cand", lit(1L)),
       Seq("doc_a", "doc_b"), "left")
@@ -500,7 +524,8 @@ object Dedup {
       .select(col("doc_id"), md5(col("shingle")).as("h"))
       .cache() // both sides consume it; harness sweep releases
     val wide = minhashWideFromHashes(hashed)
-    val truth = jaccardPairsFromHashes(hashed, par, minJaccard = 0.05)
+    val truth = jaccardPairsFromHashes(hashed, sizedPairPar(s, dir),
+        minJaccard = 0.05)
       .select($"doc_a", $"doc_b", $"jaccard")
     truth
       .join(wide.as("a"), $"doc_a" === $"a.doc_id")
@@ -1093,6 +1118,9 @@ object Dedup {
   def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val par = Tables.fanoutParallelism(s, dir, "documents")
+    // same grouped-shingle state shape as the pair kernel (group count
+    // = distinct shingles) → same stat-derived reducer sizing
+    sizedPairPar(s, dir)
     val d = docs(s, dir)
     val src = d.select($"doc_id", $"source")
     val mem = shingleIdsWithDup(d.repartition(par)).distinct()

@@ -16,6 +16,22 @@ object ConfGuard {
     * state: keys `f` added are unset, keys `f` changed are set back.
     * Static/non-modifiable confs are skipped (set/unset throws on them —
     * they also cannot have been mutated by `f` for the same reason). */
+  /** The SIZING half of the conf contract: raise
+    * `spark.sql.shuffle.partitions` to at least `width` for the
+    * calling kernel's shuffles (reducer-side grouped state shrinks
+    * proportionally; AQE coalesces back down whatever a small input
+    * doesn't need, so over-raising is free). Never lowers — a
+    * user-raised width wins. Mutation discipline: harnesses (Bench,
+    * Verify, ScaleProbe) wrap every query in [[withConfSnapshot]], so
+    * the raise is query-scoped there; a bare long-lived session that
+    * calls a sizing kernel keeps the raised width, which is the safe
+    * direction (wider, never narrower). */
+  def ensureShuffleWidth(s: SparkSession, width: Int): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val cur = try s.conf.get(key).toInt catch { case _: Exception => 0 }
+    if (width > cur) s.conf.set(key, width.toString)
+  }
+
   def withConfSnapshot[T](s: SparkSession)(f: => T): T = {
     val before = s.conf.getAll
     try f

@@ -87,9 +87,13 @@ object ScaleProbe {
       "q114_source_novelty" -> dirR, "q101_gopher_repetition" -> dirR,
       "q98_hash_embed" -> dirR, "q100_semdedup" -> dirR,
       "q35_sim_lsh_ann" -> dirRE, "q44_sim_ivf_ann" -> dirRE)
+    // GRAFT_ONLY: comma-separated substring filter (the Bench contract)
+    // so a targeted re-probe of one kernel family doesn't pay for all 14
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
     println(f"${"kernel"}%-26s ${"t1x(s)"}%8s ${s"tRx(s)"}%9s ratio  " +
       s"(R=$r docs, rE=$rE embeddings)")
-    kernels.foreach { case (name, bigDir) =>
+    kernels.filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, bigDir) =>
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
         // warm-up once, then best-of-2 (the Bench discipline)
