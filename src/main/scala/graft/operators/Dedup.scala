@@ -47,14 +47,17 @@ object Dedup {
     shinglesWithDup(df).distinct()
 
   /** Same 3-gram stream but with multiplicity (for min-aggregations where
-    * distinct is a wasted shuffle). */
-  private def shinglesWithDup(df: DataFrame): DataFrame =
+    * distinct is a wasted shuffle). `w` generalizes the shingle width —
+    * the production queries pin w=3; the differential fuzz harness
+    * (graft.tools.DedupFuzz) randomizes it, oracling each width against
+    * a DuckDB recompute. */
+  private[graft] def shinglesWithDup(df: DataFrame, w: Int = 3): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
+      .filter(size(col("t")) >= w)
       .select(col("doc_id"), expr(
-        """explode(transform(sequence(1, size(t) - 2),
-          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-          |                 element_at(t, i + 2))))""".stripMargin).as("shingle"))
+        s"""explode(transform(sequence(1, size(t) - ${w - 1}),
+          |  i -> array_join(slice(t, i, $w), ' ')))""".stripMargin)
+        .as("shingle"))
 
   private val shingleSqlCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -77,8 +80,9 @@ object Dedup {
     * `private[graft]`: NoveltyStream computes Δ-batch shingle ids with
     * exactly this derivation so its state merges stay bit-compatible
     * with batch q114. */
-  private[graft] def shingleIdsWithDup(df: DataFrame): DataFrame =
-    shinglesWithDup(df).select(col("doc_id"), shingleId(col("shingle")).as("sh64"))
+  private[graft] def shingleIdsWithDup(df: DataFrame, w: Int = 3): DataFrame =
+    shinglesWithDup(df, w)
+      .select(col("doc_id"), shingleId(col("shingle")).as("sh64"))
 
   /** Oracle twin of [[shingleIdsWithDup]].distinct + the [[MaxShingleDf]]
     * stop-shingle cap — used by the Jaccard family (q27/q53/q63); q28's
@@ -122,8 +126,10 @@ object Dedup {
     * [[MaxShingleDf]] stop-shingle guard (parameterized for the
     * adversarial DedupSpec case). */
   private[graft] def jaccardPairsFrom(documents: DataFrame, par: Int,
-      maxDf: Int = MaxShingleDf, minJaccard: Double = 0.2): DataFrame =
-    jaccardPairsFromIds(shingleIdsWithDup(documents), par, maxDf, minJaccard)
+      maxDf: Int = MaxShingleDf, minJaccard: Double = 0.2,
+      w: Int = 3): DataFrame =
+    jaccardPairsFromIds(shingleIdsWithDup(documents, w), par, maxDf,
+      minJaccard)
 
   /** [[jaccardPairsFrom]] over a pre-hashed md5 shingle stream
     * `(doc_id, h)` — the 64-bit shingle id is sliced from the hex
@@ -287,15 +293,18 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
   }
 
-  /** 4 bands × 2 rows over the wide signature: band key = concat of its
-    * 2 signature values. */
-  def lshBands(wide: DataFrame): DataFrame =
+  /** `bands` bands × (8/bands) rows over the wide signature: band key =
+    * concat of that band's consecutive signature values. The production
+    * operator pins 4×2; the fuzz harness randomizes the band/row split
+    * (the precision/recall knob of LSH banding). */
+  def lshBands(wide: DataFrame, bands: Int = 4): DataFrame = {
+    require(8 % bands == 0, s"bands=$bands must divide the 8 signature slots")
+    val rows = 8 / bands
     wide.select(col("doc_id"), posexplode(array(
-        concat_ws("|", col("mh0"), col("mh1")),
-        concat_ws("|", col("mh2"), col("mh3")),
-        concat_ws("|", col("mh4"), col("mh5")),
-        concat_ws("|", col("mh6"), col("mh7"))))
+        (0 until bands).map(b => concat_ws("|",
+          (b * rows until (b + 1) * rows).map(k => col(s"mh$k")): _*)): _*))
       .as(Seq("band", "bkey")))
+  }
 
   /** Fraction of matching signature slots for a pair frame carrying
     * a-side and b-side wide signatures. */

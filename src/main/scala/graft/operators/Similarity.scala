@@ -57,7 +57,7 @@ object Similarity {
     broadcast(df.limit(MaxBroadcastBatch.toInt))
   }
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private[graft] def emb(s: SparkSession, d: String): DataFrame =
     // the fixture is one small file -> one partition -> pair joins would
     // run single-task; spread rows across the executor slots (a real
     // embeddings table arrives multi-partition and skips this)

@@ -1,0 +1,238 @@
+package graft.tools
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Randomized-parameter differential fuzzing for the dedup/similarity
+  * kernels — the counterpart of tools/gen_fuzz.py for operators that
+  * are DataFrame programs rather than dialect-neutral SQL. The hash
+  * suite pins these kernels at ONE parameter point each (w=3 shingles,
+  * 4×2 LSH banding, k=5 top-k); this harness drives the PRODUCTION
+  * kernel code across randomized shingle widths, band/row splits, hash
+  * salts, top-k depths and similarity thresholds, and emits a matching
+  * independently-derived DuckDB recompute for every drawn config, so
+  * tools/check_oracle_strict.py gates each one exactly like the
+  * hand-written suite (judge r12 item 6).
+  *
+  * Deterministic per seed. Three families:
+  *   - jacc: Jaccard pair kernel — width w ∈ {2..5}, stop-shingle
+  *     maxDf ∈ {16,32,64,128}, threshold ∈ {5..40}% (integer percent:
+  *     both engines compare the same exact-int-ratio double against the
+  *     same literal);
+  *   - mh: MinHash+LSH banding — hash salt (seeds the md5 permutation
+  *     family), band split ∈ {2×4, 4×2, 8×1};
+  *   - ann: brute-force top-k — k ∈ {1..8}, query modulus ∈
+  *     {25,40,50,100}, metric ∈ {cosine, dot}.
+  *
+  * Usage: runMain graft.tools.DedupFuzz <sfDir> <outDir> [n] [seed]
+  */
+object DedupFuzz {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = args.lift(2).map(_.toInt).getOrElse(102)
+    val seed = args.lift(3).map(_.toLong).getOrElse(13L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rng = new java.util.Random(seed)
+    new java.io.File(outDir).mkdirs()
+
+    val configs = (0 until n).map { i =>
+      val fam = i % 3 // round-robin: equal coverage per family
+      val name = f"dfz$i%03d"
+      fam match {
+        case 0 =>
+          val w = 2 + rng.nextInt(4)
+          val maxDf = Seq(16, 32, 64, 128)(rng.nextInt(4))
+          val pct = 5 + 5 * rng.nextInt(8) // 5..40 in steps of 5
+          (name, () => jaccSpark(spark, sfDir, w, maxDf, pct),
+            jaccOracle(w, maxDf, pct))
+        case 1 =>
+          val salt = s"s${rng.nextInt(1000)}:"
+          val bands = Seq(2, 4, 8)(rng.nextInt(3))
+          (name, () => mhSpark(spark, sfDir, salt, bands),
+            mhOracle(salt, bands))
+        case _ =>
+          val k = 1 + rng.nextInt(8)
+          val qMod = Seq(25, 40, 50, 100)(rng.nextInt(4))
+          val cosine = rng.nextBoolean()
+          (name, () => annSpark(spark, sfDir, k, qMod, cosine),
+            annOracle(k, qMod, cosine))
+      }
+    }
+
+    var failed = 0
+    configs.foreach { case (name, mk, _) =>
+      try {
+        ConfGuard.withConfSnapshot(spark) {
+          mk().coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        spark.catalog.clearCache()
+        Checkpoints.sweep(spark)
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          System.err.println(s"[dedupfuzz] $name failed: ${e.getMessage}")
+      }
+    }
+    val json = configs.map { case (name, _, sql) =>
+      val esc = sql.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c => c.toString
+      }
+      s""""$name": "$esc""""
+    }.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[dedupfuzz] ran ${configs.size} configs, $failed failed, seed=$seed")
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------- jacc
+
+  private def jaccSpark(s: SparkSession, dir: String, w: Int, maxDf: Int,
+      pct: Int): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    Dedup.jaccardPairsFrom(Tables.documents(s, dir).repartition(par), par,
+        maxDf = maxDf, minJaccard = pct / 100.0, w = w)
+      .select($"doc_a", $"doc_b", $"inter", $"n_a", $"n_b",
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def jaccOracle(w: Int, maxDf: Int, pct: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(array_to_string(t[i : i + ${w - 1}], ' ')), 1, 15) AS BIGINT) AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${w - 1})) AS i) g
+      |       WHERE len(t) >= $w),
+      |sh AS (SELECT doc_id, shingle FROM (
+      |         SELECT doc_id, shingle,
+      |                count(*) OVER (PARTITION BY shingle) AS df
+      |         FROM sh0)
+      |       WHERE df <= $maxDf),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
+      |FROM (SELECT p.doc_a, p.doc_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+      |             p.inter / (sa.n + sb.n - p.inter) AS jaccard
+      |      FROM pairs p
+      |      JOIN sizes sa ON p.doc_a = sa.doc_id
+      |      JOIN sizes sb ON p.doc_b = sb.doc_id)
+      |WHERE jaccard >= ${pct / 100.0}
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------- mh
+
+  private def mhSpark(s: SparkSession, dir: String, salt: String,
+      bands: Int): DataFrame = {
+    import s.implicits._
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val hashed = Dedup
+      .shinglesWithDup(Tables.documents(s, dir).repartition(par))
+      .select(col("doc_id"), md5(concat(lit(salt), col("shingle"))).as("h"))
+    val wide = Dedup.minhashWideFromHashes(hashed).cache()
+    Dedup.cappedBandCandidates(Dedup.lshBands(wide, bands))
+      .join(wide.as("a"), $"doc_a" === $"a.doc_id")
+      .join(wide.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b",
+        round(Dedup.signatureMatchFraction, 6).as("est_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def mhOracle(salt: String, bands: Int): String = {
+    val rows = 8 / bands
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |       WHERE len(t) >= 3),
+      |sigs AS (SELECT doc_id, seed,
+      |                min(substr(md5('$salt' || shingle), CAST(4 * seed + 1 AS INT), 4)) AS mh
+      |         FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) sd
+      |         GROUP BY doc_id, seed),
+      |bands0 AS (SELECT doc_id, CAST(floor(seed / $rows) AS INT) AS band,
+      |                 string_agg(mh, '|' ORDER BY seed) AS bkey
+      |          FROM sigs GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, band, bkey FROM (
+      |            SELECT doc_id, band, bkey,
+      |                   count(*) OVER (PARTITION BY band, bkey) AS bn
+      |            FROM bands0)
+      |          WHERE bn <= ${Dedup.MaxShingleDf}),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.bkey = y.bkey
+      |           AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0, 6) AS est_sim
+      |FROM cands c
+      |JOIN sigs sa ON c.doc_a = sa.doc_id
+      |JOIN sigs sb ON c.doc_b = sb.doc_id AND sa.seed = sb.seed
+      |GROUP BY c.doc_a, c.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- ann
+
+  private def annSpark(s: SparkSession, dir: String, k: Int, qMod: Int,
+      cosine: Boolean): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+    val e = Similarity.emb(s, dir)
+    val q = e.filter($"vec_id" % qMod === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e
+      .join(Similarity.boundedBroadcast(q, "dedupfuzz ann query"),
+        $"vec_id" =!= $"q_id")
+      .withColumn("score",
+        if (cosine) cosine_sim($"v", $"qv") else dot_product($"v", $"qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id", round($"score", 6).as("score"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def annOracle(k: Int, qMod: Int, cosine: Boolean): String = {
+    val scoreExpr =
+      if (cosine)
+        """list_sum(list_transform(generate_series(1, 64),
+          |               i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm)""".stripMargin
+      else
+        """list_sum(list_transform(generate_series(1, 64),
+          |               i -> n.v[i] * q.qv[i]))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |      WHERE vec_id % $qMod = 0),
+      |scored AS (SELECT q.q_id, n.vec_id,
+      |             $scoreExpr AS score
+      |           FROM n, q WHERE n.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, score,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY score DESC, vec_id ASC) AS rank
+      |           FROM scored)
+      |SELECT q_id, rank, vec_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= $k
+      |ORDER BY q_id, rank""".stripMargin
+  }
+}
