@@ -67,4 +67,27 @@ class CapStreamSpec extends SparkSuite {
         r.getAs[Long]("n_docs") + dupDocs.getOrElse(src, 0L), src)
     }
   }
+
+  test("crash between pointer swap and applied-marker: retry is a no-op") {
+    import spark.implicits._
+    // CapStream's totals margin is ADDITIVE — the one margin that is
+    // exactly-once only because of the batchId backstop. Simulate the
+    // crash window the backstop closes: state committed, the per-batch
+    // marker (written after commit) lost; the streaming retry of the
+    // same batchId must fold NOTHING.
+    val docs = Tables.documents(spark, sfDir)
+    val b0 = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 2 === 1)
+    val stateDir = Files.createTempDirectory("graft_cap_crash_").toString
+    CapStream.mergeBatch(b0, stateDir, 0L)
+    CapStream.mergeBatch(b1, stateDir, 1L)
+    val want = CapStream.report(spark, stateDir).collect().toSeq
+    val marker = java.nio.file.Paths.get(s"$stateDir/_applied_1")
+    assert(Files.exists(marker))
+    Files.delete(marker)
+    CapStream.mergeBatch(b1, stateDir, 1L) // retry
+    assert(CapStream.report(spark, stateDir).collect().toSeq == want,
+      "retry after a swap-then-crash double-applied the additive totals")
+    assert(Files.exists(marker), "recovered retry must re-mark its batch")
+  }
 }
