@@ -208,11 +208,91 @@ object Multimodal {
       |       CAST(a AS BIGINT) AS peak
       |FROM p ORDER BY media_id""".stripMargin
 
+  /** q135 — REAL image decode (q129's pattern applied to the image
+    * half): per document, a 24-bit BI_RGB BMP is synthesized from
+    * fixture columns (w = 4 + doc_id % 13 — every row-padding residue
+    * 0..3 exercised — h = 3 + doc_id % 7, channel values are integer
+    * polynomials of (doc_id, x, y) mod 256), written BOTTOM-UP for even
+    * doc_ids and TOP-DOWN (negative biHeight) for odd ones, then
+    * round-tripped through [[graft.sources.BmpImage]] and reduced to
+    * pixel stats from the DECODED array. `wsum` weights each row sum by
+    * (y+1) and `first_px` reads decoded pixel (0,0), so a parser that
+    * flips row order, mixes the two storage orientations, swaps
+    * BGR↔RGB, or mis-skips padding hash-mismatches — channel sums alone
+    * would forgive all of those. The oracle recomputes every stat
+    * ANALYTICALLY from doc_id (pure integer arithmetic both sides).
+    *
+    * Scale shape: task-local synth+encode+decode per row (the PdfText /
+    * q129 UDF ladder rung — imperative byte work); media bytes never
+    * shuffle; one presentation sort. */
+  def q135ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id + x * 11 + y) % 256).toInt
+        val b = ((id * 3 + x + y * 13) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val bmp = graft.sources.BmpImage.parse(
+        graft.sources.BmpImage.encode24(w, h, px, topDown = id % 2 == 1))
+      var sumRgb = 0L; var wsum = 0L; var peak = 0L
+      var i = 0
+      while (i < bmp.pixels.length) {
+        val p = bmp.pixels(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        val s3 = (r + g + b).toLong
+        sumRgb += s3
+        wsum += (i / bmp.width + 1) * s3
+        val lum = (299L * r + 587L * g + 114L * b)
+        if (lum > peak) peak = lum
+        i += 1
+      }
+      (bmp.width.toLong, bmp.height.toLong,
+        bmp.pixels.length.toLong, sumRgb, wsum,
+        bmp.pixel(0, 0).toLong, peak)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"))
+      .orderBy($"media_id")
+  }
+
+  val q135Oracle: String =
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+      |         (doc_id + x * 11 + y) % 256 AS g,
+      |         (doc_id * 3 + x + y * 13) % 256 AS b
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT) AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
-    "q129_audio_decode" -> q129AudioDecode _)
+    "q129_audio_decode" -> q129AudioDecode _,
+    "q135_image_decode" -> q135ImageDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
-    "q129_audio_decode" -> q129Oracle)
+    "q129_audio_decode" -> q129Oracle,
+    "q135_image_decode" -> q135Oracle)
 }
