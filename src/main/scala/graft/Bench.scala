@@ -51,15 +51,8 @@ object Bench {
     // (judge r12 item 3)
     val telemetry = scala.collection.mutable.LinkedHashMap
       .empty[String, (Int, Long, Long, Long)]
-    def gcMillis(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
-    def heapUsedMb(): Long = {
-      val rt = Runtime.getRuntime
-      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
-    }
+    def gcMillis(): Long = graft.tools.Jvm.gcMillis()
+    def heapUsedMb(): Long = graft.tools.Jvm.heapUsedMb()
     // If an external kill (driver timeout, SIGTERM) lands mid-run, still
     // emit whatever was measured: the driver greps the stdout tail for
     // this one JSON line, and a partial line grades better than none.
@@ -85,19 +78,21 @@ object Bench {
       // but a query reporting 2.6 s out of [2.6, 6.9, 17.0] is not
       // "measured" — the flag stops such a tail passing silently (r11
       // judge find: q108/q103/q87 spreads up to 6.6× under a clean min)
-      // two trip conditions: (a) steady spread > 3× max/min; (b) a
-      // MONOTONE RISE with last ≥ 2× first — q44's r12 profile
-      // [1.33, 2.70, 2.37-ish rising] doubled within-run yet passed the
-      // spread gate because 2.03× < 3×; a profile that only goes up is
-      // not noise, it's accumulation, and min-of-samples underreports it
-      // (judge r12 item 4)
+      // two trip conditions: (a) steady spread > 3× max/min; (b) the
+      // reported MIN is an outlier LOW — every other steady sample is
+      // ≥ 1.75× it, so min-of-samples underreports the sustained cost.
+      // (b) is what catches q44's r12 profile [1.33, 2.70, 2.37]: a
+      // rise-then-dip doubling trips neither a 3× spread nor a strict
+      // monotone-rise test (review find — the first cut of this gate
+      // used monotonicity and missed its own motivating case). The
+      // 25%-disagreement third sample means agreeing-pair profiles
+      // never reach the 1.75× gate.
       val noisy = samples.collect {
         case (k, ss) if !failed.contains(k) && {
           val st = ss.drop(1)
           st.size >= 2 && (
             st.max > 3.0 * math.max(st.min, 1e-9) ||
-            (st.zip(st.tail).forall { case (a, b) => b >= a } &&
-              st.last >= 2.0 * math.max(st.head, 1e-9)))
+            st.sorted.apply(1) >= 1.75 * math.max(st.min, 1e-9))
         } => "\"" + shortKey(k) + "\""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
@@ -106,12 +101,7 @@ object Bench {
       // trail the one-line headline can't carry; the round-end snapshot
       // commit picks it up
       try {
-        def jstr(s: String): String = "\"" + s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\""
+        def jstr(s: String): String = graft.tools.JsonText.quote(s)
         val detail = samples.map { case (k, ss) =>
           s"\"$k\":[" + ss.map(fmt).mkString(",") + "]"
         }.mkString("{\"samples_warmup_first\":{", ",", "}") +

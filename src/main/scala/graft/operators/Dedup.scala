@@ -1128,8 +1128,12 @@ object Dedup {
     import s.implicits._
     val par = Tables.fanoutParallelism(s, dir, "documents")
     // same grouped-shingle state shape as the pair kernel (group count
-    // = distinct shingles) → same stat-derived reducer sizing
-    sizedPairPar(s, dir)
+    // = distinct shingles) → same stat-derived reducer sizing; the
+    // width also drives the pair-stage repartition below, so the call
+    // is load-bearing in the plan, not just a conf side effect
+    // (review find: a bare discarded call reads as dead code and would
+    // not survive a cleanup pass)
+    val pairPar = sizedPairPar(s, dir)
     val d = docs(s, dir)
     val src = d.select($"doc_id", $"source")
     val mem = shingleIdsWithDup(d.repartition(par)).distinct()
@@ -1139,7 +1143,7 @@ object Dedup {
     val inter = mem.groupBy($"sh64")
       .agg(array_sort(collect_set($"source")).as("ss"))
       .filter(size($"ss") > 1)
-      .repartition(par)
+      .repartition(pairPar)
       .select(explode(pairExpansion("ss", "src_a", "src_b")).as("p"))
       .select($"p.src_a", $"p.src_b")
       .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))

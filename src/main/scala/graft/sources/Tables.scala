@@ -118,18 +118,31 @@ object Tables {
     * the measured single-JVM ceiling of SCALE.md's third probe, now an
     * input to sizing instead of a wall (judge r12 item 5).
     *
-    * width = stateBytes / (heap/2 ÷ cores), floored at `cores` (small
-    * corpora keep today's plans — AQE coalesces an over-wide tiny
-    * shuffle back down for free) and capped at 4096 (past that,
-    * per-partition state is no longer the binding constraint; add
-    * executors). On a real cluster `Runtime.maxMemory` is the
-    * executor-JVM heap and `defaultParallelism` the cluster cores, so
-    * the same invariant — concurrent resident state ≤ heap/2 per
-    * executor — carries over unchanged. */
+    * width = stateBytes / (heap/2 ÷ concurrent tasks per executor),
+    * floored at the cluster parallelism (small corpora keep today's
+    * plans — AQE coalesces an over-wide tiny shuffle back down for
+    * free) and capped at 4096 (past that, per-partition state is no
+    * longer the binding constraint; add executors).
+    *
+    * Budget inputs are EXECUTOR-scoped: this code runs on the driver,
+    * whose own JVM says nothing about executor heaps on a real cluster
+    * (review find — the first cut read `Runtime.maxMemory` and claimed
+    * it carried over). When `spark.executor.memory` /
+    * `spark.executor.cores` are set — which a cluster submission does —
+    * they describe the JVMs the reducers actually run in and take
+    * precedence; in local mode they are unset and the driver JVM IS the
+    * executor, so `Runtime.maxMemory`/`defaultParallelism` are exact. */
   def expansionShuffleWidth(s: SparkSession, dir: String, name: String,
-                            expansion: Double): Int =
-    expansionShuffleWidthFor(Tables.tableBytes(dir, name), expansion,
-      s.sparkContext.defaultParallelism, Runtime.getRuntime.maxMemory())
+                            expansion: Double): Int = {
+    val execHeap = s.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    val execCores = s.conf.getOption("spark.executor.cores")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
+    val w = expansionShuffleWidthFor(Tables.tableBytes(dir, name),
+      expansion, execCores, execHeap)
+    math.min(4096, math.max(w, s.sparkContext.defaultParallelism))
+  }
 
   /** Pure core of [[expansionShuffleWidth]] (spec-pinned directly). */
   def expansionShuffleWidthFor(inputBytes: Long, expansion: Double,

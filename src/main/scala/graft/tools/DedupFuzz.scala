@@ -73,6 +73,14 @@ object DedupFuzz {
       }
     }
 
+    // oracle map written BEFORE the run loop (the Verify discipline:
+    // a mid-run kill must leave every finished config gradeable), with
+    // the shared full escaper (review find: a forked weaker escaper
+    // would let one tab in an oracle template zero the whole artifact)
+    val json = configs.map { case (name, _, sql) =>
+      s"${JsonText.quote(name)}: ${JsonText.quote(sql)}"
+    }.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     var failed = 0
     configs.foreach { case (name, mk, _) =>
       try {
@@ -88,16 +96,6 @@ object DedupFuzz {
           System.err.println(s"[dedupfuzz] $name failed: ${e.getMessage}")
       }
     }
-    val json = configs.map { case (name, _, sql) =>
-      val esc = sql.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c => c.toString
-      }
-      s""""$name": "$esc""""
-    }.mkString("{\n", ",\n", "\n}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[dedupfuzz] ran ${configs.size} configs, $failed failed, seed=$seed")
     spark.stop()
   }

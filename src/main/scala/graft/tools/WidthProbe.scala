@@ -22,11 +22,7 @@ object WidthProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    def gc(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
+    def gc(): Long = Jvm.gcMillis()
     // optional extra conf overrides: k=v pairs after the width list
     val extra = args.drop(3).map { kv =>
       val Array(k, v) = kv.split("=", 2); (k, v)
