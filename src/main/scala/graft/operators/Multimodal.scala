@@ -286,13 +286,166 @@ object Multimodal {
       |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q136 — image near-dup by perceptual hash: the multimodal member of
+    * the dedup family (q26 exact / q28 MinHash / q120 SimHash for text
+    * → THIS for images). Per document a BMP is synthesized with PLANTED
+    * duplicate structure — four variants per base image (doc_id div 4):
+    * v ∈ {0,1} pixel-identical (but stored in OPPOSITE orientations —
+    * the decode normalization is load-bearing), v=2 lightly perturbed
+    * (~1/13 of pixels channel-shifted), v=3 heavily (~3/13) — decoded
+    * through [[graft.sources.BmpImage]], and reduced to a 64-bit aHash:
+    * 8×8 nearest-neighbor luminance samples, bit k = (64·lum_k >
+    * Σlum) — pure integer, so both engines derive identical hashes.
+    * Near-dup candidates come from the SimHash-Hamming pigeonhole
+    * (q120's discipline): the hash splits into 4×16-bit bands, docs
+    * sharing a band bucket become candidates (any pair within Hamming
+    * ≤ 3 is guaranteed caught; ≤ 8 kept when banding surfaces it),
+    * buckets above [[Dedup.MaxShingleDf]] are dropped as stop-buckets.
+    * Output: candidate pairs with exact Hamming distance and the
+    * planted-truth flag.
+    *
+    * Scale shape: synth+decode+hash is task-local per row (media bytes
+    * never shuffle — only 16 bytes of hash per image cross the wire);
+    * the candidate join is the bucketed band equi-join, never all
+    * pairs; the bucket cap bounds any degenerate bucket's quadratic
+    * fan-out. The oracle replays hash, banding, cap and distance
+    * analytically from doc_id. */
+  def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ahash = udf { (id: Long) =>
+      val base = id / 4
+      val v = (id % 4).toInt
+      val pert = Array(0, 0, 1, 3)(v)
+      val w = (8 + base % 9).toInt
+      val h = (8 + base % 5).toInt
+      // multiplicative-hash channel mixing (Knuth constant, HIGH bits
+      // taken): linear-polynomial channels produced near-identical
+      // above/below-mean bit patterns across DIFFERENT bases (834
+      // cross-base hash collisions on the first cut — the gradient
+      // landscape, not the content, dominated the hash); high-bit
+      // mixing makes each base pseudo-random so the planted structure
+      // is the only systematic signal. Low bits of m·K are useless:
+      // (m·K) mod 256 depends only on m mod 256.
+      def mix(m: Long): Long = ((m * 2654435761L) / 4096) % 256
+      val px = Array.tabulate(w * h) { idx =>
+        val x = idx % w; val y = idx / w
+        val pp = if ((x * 31 + y * 17 + id) % 13 < pert) 1 else 0
+        val m = x + 8L * y + 64L * base
+        val r = (mix(m + 1) + 64 * pp) % 256
+        val g = (mix(m + 777) + 64 * pp) % 256
+        val b = (mix(m + 99999) + 64 * pp) % 256
+        ((r.toInt) << 16) | ((g.toInt) << 8) | b.toInt
+      }
+      val bmp = graft.sources.BmpImage.parse(
+        graft.sources.BmpImage.encode24(w, h, px, topDown = id % 2 == 1))
+      val lums = new Array[Long](64)
+      var sum = 0L
+      var k = 0
+      while (k < 64) {
+        val i = k % 8; val j = k / 8
+        val p = bmp.pixel(i * bmp.width / 8, j * bmp.height / 8)
+        val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        lums(k) = lum; sum += lum
+        k += 1
+      }
+      var lo = 0L; var hi = 0L
+      k = 0
+      while (k < 64) {
+        if (64L * lums(k) > sum) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      (lo, hi)
+    }
+    val hashes = Tables.documents(s, dir)
+      .select($"doc_id", ahash($"doc_id").as("hh"))
+      .select($"doc_id", $"hh._1".as("lo"), $"hh._2".as("hi"))
+      .cache() // consumed by banding AND both sides of the distance join
+    val bands0 = hashes.select($"doc_id", posexplode(array(
+        expr("lo % 65536"), expr("lo div 65536"),
+        expr("hi % 65536"), expr("hi div 65536")))
+      .as(Seq("band", "bkey")))
+    Dedup.cappedBandCandidates(bands0)
+      .join(hashes.select($"doc_id".as("doc_a"), $"lo".as("lo_a"),
+        $"hi".as("hi_a")), Seq("doc_a"))
+      .join(hashes.select($"doc_id".as("doc_b"), $"lo".as("lo_b"),
+        $"hi".as("hi_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+          .cast("long"))
+      .filter($"hamming" <= 8)
+      .withColumn("same_base", expr("doc_a div 4") === expr("doc_b div 4"))
+      .select($"doc_a", $"doc_b", $"hamming", $"same_base")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q136Oracle: String =
+    s"""WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+      |           FROM documents),
+      |dim AS (SELECT doc_id, base,
+      |          CASE v WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END AS pert,
+      |          8 + base % 9 AS w, 8 + base % 5 AS h FROM d),
+      |g AS (SELECT doc_id, base, pert, (i * w) // 8 AS x, (j * h) // 8 AS y,
+      |        j * 8 + i AS k
+      |      FROM dim,
+      |        LATERAL (SELECT unnest(generate_series(0, 7)) AS i) ii,
+      |        LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
+      |px AS (SELECT doc_id, k,
+      |         CASE WHEN (x * 31 + y * 17 + doc_id) % 13 < pert
+      |              THEN 1 ELSE 0 END AS pp,
+      |         ((x + 8 * y + 64 * base + 1) * 2654435761) // 4096 % 256 AS r0,
+      |         ((x + 8 * y + 64 * base + 777) * 2654435761) // 4096 % 256 AS g0,
+      |         ((x + 8 * y + 64 * base + 99999) * 2654435761) // 4096 % 256 AS b0
+      |       FROM g),
+      |l AS (SELECT doc_id, k,
+      |        299 * ((r0 + 64 * pp) % 256) + 587 * ((g0 + 64 * pp) % 256)
+      |          + 114 * ((b0 + 64 * pp) % 256) AS lum
+      |      FROM px),
+      |t AS (SELECT doc_id, sum(lum) AS s FROM l GROUP BY 1),
+      |bits AS (SELECT l.doc_id, l.k,
+      |           CASE WHEN 64 * l.lum > t.s THEN 1 ELSE 0 END AS bit
+      |         FROM l JOIN t ON l.doc_id = t.doc_id),
+      |hsh AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN k < 32 AND bit = 1
+      |                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS lo,
+      |          CAST(sum(CASE WHEN k >= 32 AND bit = 1
+      |                   THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      |        FROM bits GROUP BY 1),
+      |bands0 AS (SELECT doc_id, band,
+      |             CASE band WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+      |                       WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bkey
+      |           FROM hsh,
+      |             LATERAL (SELECT unnest(generate_series(0, 3)) AS band) bb),
+      |bands AS (SELECT doc_id, band, bkey FROM (
+      |            SELECT doc_id, band, bkey,
+      |                   count(*) OVER (PARTITION BY band, bkey) AS bn
+      |            FROM bands0)
+      |          WHERE bn <= ${graft.operators.Dedup.MaxShingleDf}),
+      |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.bkey = y.bkey
+      |           AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(bit_count(xor(a.lo, b.lo))
+      |            + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+      |       (c.doc_a // 4) = (c.doc_b // 4) AS same_base
+      |FROM cands c
+      |JOIN hsh a ON c.doc_a = a.doc_id
+      |JOIN hsh b ON c.doc_b = b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
-    "q135_image_decode" -> q135ImageDecode _)
+    "q135_image_decode" -> q135ImageDecode _,
+    "q136_image_phash_dedup" -> q136ImagePhashDedup _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
     "q129_audio_decode" -> q129Oracle,
-    "q135_image_decode" -> q135Oracle)
+    "q135_image_decode" -> q135Oracle,
+    "q136_image_phash_dedup" -> q136Oracle)
 }

@@ -60,4 +60,36 @@ class MultimodalSpec extends SparkSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("q136 perceptual-hash dedup finds every planted identical image pair") {
+    import spark.implicits._
+    val out = graft.operators.Multimodal
+      .q136ImagePhashDedup(spark, sfDir).collect().toSeq
+    assert(out.nonEmpty)
+    // planted structure: docs 4b and 4b+1 carry pixel-IDENTICAL images
+    // stored in OPPOSITE orientations (even = bottom-up, odd =
+    // top-down); every such pair in the fixture must surface at
+    // Hamming 0 — banding cannot miss distance-0 (all four bands
+    // collide), and any orientation mishandling would desynchronize
+    // the two decodes
+    val maxId = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0)
+    val planted = (0L to maxId).filter(id => id % 4 == 0 && id + 1 <= maxId)
+      .map(id => (id, id + 1))
+    val at0 = out.filter(_.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    planted.foreach { p =>
+      assert(at0.contains(p), s"planted identical pair $p not at Hamming 0")
+    }
+    // discrimination: same-base candidates must be closer on average
+    // than cross-base band-collision noise
+    val (same, cross) = out.partition(_.getAs[Boolean]("same_base"))
+    assert(same.nonEmpty)
+    def meanHam(rs: Seq[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Long]("hamming").toDouble).sum / math.max(1, rs.size)
+    if (cross.nonEmpty)
+      assert(meanHam(same) < meanHam(cross),
+        s"planted near-dups (${meanHam(same)}) not closer than " +
+          s"cross-base noise (${meanHam(cross)})")
+  }
 }
