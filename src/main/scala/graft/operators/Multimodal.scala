@@ -310,8 +310,11 @@ object Multimodal {
     * pairs; the bucket cap bounds any degenerate bucket's quadratic
     * fan-out. The oracle replays hash, banding, cap and distance
     * analytically from doc_id. */
-  def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q136 synth→encode→decode→aHash derivation as a frame core:
+    * (doc_id) → (doc_id, lo, hi) — shared with the incremental index
+    * ([[graft.streaming.PhashIndexStream]]) so stream hashing ≡ batch
+    * hashing by construction (the classifierScoresOf pattern). */
+  private[graft] def imageHashesOf(docs: DataFrame): DataFrame = {
     val ahash = udf { (id: Long) =>
       val base = id / 4
       val v = (id % 4).toInt
@@ -359,22 +362,35 @@ object Multimodal {
       }
       (lo, hi)
     }
-    val hashes = Tables.documents(s, dir)
-      .select($"doc_id", ahash($"doc_id").as("hh"))
-      .select($"doc_id", $"hh._1".as("lo"), $"hh._2".as("hi"))
-      .cache() // consumed by banding AND both sides of the distance join
-    val bands0 = hashes.select($"doc_id", posexplode(array(
+    docs
+      .select(col("doc_id"), ahash(col("doc_id")).as("hh"))
+      .select(col("doc_id"), col("hh._1").as("lo"), col("hh._2").as("hi"))
+  }
+
+  /** 4×16-bit band rows over an aHash frame — the Hamming pigeonhole
+    * index key (shared by q136 and the incremental index). */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), posexplode(array(
         expr("lo % 65536"), expr("lo div 65536"),
         expr("hi % 65536"), expr("hi div 65536")))
       .as(Seq("band", "bkey")))
+
+  /** Exact Hamming distance between the a-side and b-side hash halves
+    * of a joined pair frame. */
+  private[graft] def hammingExpr =
+    expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long")
+
+  def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = imageHashesOf(Tables.documents(s, dir))
+      .cache() // consumed by banding AND both sides of the distance join
+    val bands0 = phashBands(hashes)
     Dedup.cappedBandCandidates(bands0)
       .join(hashes.select($"doc_id".as("doc_a"), $"lo".as("lo_a"),
         $"hi".as("hi_a")), Seq("doc_a"))
       .join(hashes.select($"doc_id".as("doc_b"), $"lo".as("lo_b"),
         $"hi".as("hi_b")), Seq("doc_b"))
-      .withColumn("hamming",
-        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
-          .cast("long"))
+      .withColumn("hamming", hammingExpr)
       .filter($"hamming" <= 8)
       .withColumn("same_base", expr("doc_a div 4") === expr("doc_b div 4"))
       .select($"doc_a", $"doc_b", $"hamming", $"same_base")

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incrementally-maintained image near-dup index — q136's streaming
+  * twin, and the multimodal member of the incremental-index family
+  * ([[DedupIndexStream]] for text MinHash, this for image aHash). As
+  * new images arrive their 64-bit perceptual hashes are computed from
+  * THEIR bytes only (Δ work, one decode per image ever), candidates
+  * come from probing the accumulated 4×16-bit Hamming band index, and
+  * pairs accumulate with exact bit_count distances. The corpus is never
+  * re-decoded and never re-paired: per trigger the work is O(batch
+  * hashes + matching band buckets) — continuous dedup of a growing
+  * image corpus where batch q136 re-decodes everything.
+  *
+  * Hashing is [[Multimodal.imageHashesOf]] — the SAME frame core the
+  * batch query uses — so stream hashing ≡ batch hashing by
+  * construction, and [[report]] reproduces q136's output exactly over
+  * the union of arrived batches (PhashIndexStreamSpec pins it over
+  * sharded replays) as long as no band bucket crosses batch q136's
+  * stop-bucket cap; like DedupIndexStream, the incremental form
+  * intentionally carries no cap (a bucket crossing it mid-stream would
+  * retract already-emitted pairs) and a cap-crossing corpus calls for a
+  * periodic batch rebuild, which the single-pointer commit makes a
+  * drop-in swap.
+  *
+  * Exactly-once and last-writer-wins semantics are inherited unchanged
+  * from the DedupIndexStream pattern: stable checkpoint, per-batch
+  * marker + in-state batchId backstop, all three tables behind ONE
+  * atomically-replaced pointer, and a re-arriving doc_id replaces its
+  * hash, band rows and every accumulated pair touching it.
+  *
+  * State tables (hash-partitionable at scale):
+  *  - hashes (doc_id, lo, hi)       — 16 bytes per image, ever
+  *  - bands  (doc_id, band, bkey)   — 4 rows per image, the inverted index
+  *  - pairs  (doc_a, doc_b, hamming) — accumulated candidates
+  */
+object PhashIndexStream {
+
+  def readState(spark: SparkSession, stateDir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val state = new VersionedState(stateDir)
+    (state.read(spark, "hashes")
+      .getOrElse(Seq.empty[(Long, Long, Long)].toDF("doc_id", "lo", "hi")),
+      state.read(spark, "bands")
+        .getOrElse(Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")),
+      state.read(spark, "pairs")
+        .getOrElse(Seq.empty[(Long, Long, Long)]
+          .toDF("doc_a", "doc_b", "hamming")))
+  }
+
+  /** q136's presentation face over the accumulated pairs. */
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    val (_, _, pairs) = readState(spark, stateDir)
+    pairs.filter(col("hamming") <= 8)
+      .withColumn("same_base",
+        expr("doc_a div 4") === expr("doc_b div 4"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_base"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val state = new VersionedState(stateDir)
+    if (state.isApplied(batchId)) { state.mark(batchId); return }
+    val spark = batch.sparkSession
+    val (hashes, bands, pairs) = readState(spark, stateDir)
+    // Δ hashes: one decode per distinct batch image (intra-batch dup
+    // ids collapse first — the DedupIndexStream discipline)
+    val dHashes = Multimodal.imageHashesOf(
+      batch.select(col("doc_id")).dropDuplicates("doc_id")).cache()
+    val dBands = Multimodal.phashBands(dHashes)
+    val dIds = dHashes.select(col("doc_id"))
+    // last-writer-wins replacement of hash + band rows
+    val allHashes = dHashes.unionByName(
+      hashes.join(dIds, Seq("doc_id"), "left_anti"))
+    val allBands = dBands.unionByName(
+      bands.join(dIds, Seq("doc_id"), "left_anti"))
+    // probe: batch bands against the post-replacement index — each new
+    // image meets all history through the bucket equi-join, never a scan
+    val candKeys = dBands.as("x")
+      .join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val newPairs = candKeys
+      .join(allHashes.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a")), Seq("doc_a"))
+      .join(allHashes.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Multimodal.hammingExpr.as("hamming"))
+    // retract-and-recompute for every pair touching a batch doc (the
+    // DedupIndexStream last-writer-wins pair discipline; the two sets
+    // are disjoint by construction, so plain union needs no re-agg)
+    val retained = pairs
+      .join(dIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(dIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    try
+      state.commit(Seq("hashes" -> allHashes, "bands" -> allBands,
+        "pairs" -> retained.unionByName(newPairs)), batchId)
+    finally dHashes.unpersist(blocking = false)
+    state.mark(batchId)
+  }
+
+  /** Maintain the index over a document stream; stable checkpoint under
+    * stateDir so repeated invocations resume, not replay. */
+  def maintain(spark: SparkSession, inDir: String, stateDir: String):
+      StreamingQuery = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, stateDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .start()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.PhashIndexStream
+
+import java.nio.file.Files
+
+/** Incremental image near-dup index ≡ batch q136 over a sharded
+  * replay (cross-shard pairs come from the band-index probe — the
+  * planted identical pairs are deliberately SPLIT across shards by the
+  * doc_id % 3 sharding, since pair (4b, 4b+1) never shares a residue
+  * class with itself), resume no-op, and last-writer-wins re-arrival
+  * convergence. */
+class PhashIndexStreamSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("3-shard replay reproduces batch q136; resume and re-arrival converge") {
+    val docs = Tables.documents(spark, sfDir)
+    val inDir = Files.createTempDirectory("graft_ph_in_").toString
+    // reverse residue order: high doc_ids first — pair discovery must
+    // not depend on arrival order
+    for (r <- Seq(2, 1, 0))
+      docs.filter($"doc_id" % 3 === r).coalesce(1)
+        .write.mode("append").parquet(inDir)
+
+    val stateDir = Files.createTempDirectory("graft_ph_state_").toString
+    PhashIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+
+    val batch = graft.operators.Multimodal
+      .q136ImagePhashDedup(spark, sfDir).collect().toSeq
+    val stream = PhashIndexStream.report(spark, stateDir).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+    // the equality only proves the probe if pairs actually CROSS
+    // shards: every planted identical pair (4b, 4b+1) has members in
+    // different residue classes mod 3 whenever 4b % 3 != (4b+1) % 3 —
+    // always true — so all of them were discovered by batch-vs-state
+    // probing, never within one trigger
+    assert(batch.exists(r => r.getAs[Long]("hamming") == 0L))
+
+    // bounded state: one hash row per distinct doc, 4 band rows each
+    val (hashes, bands, _) = PhashIndexStream.readState(spark, stateDir)
+    val n = docs.select($"doc_id").distinct().count()
+    assert(hashes.count() == n)
+    assert(bands.count() == 4 * n)
+
+    // resume with no new files: nothing replays
+    PhashIndexStream.maintain(spark, inDir, stateDir).awaitTermination()
+    assert(PhashIndexStream.report(spark, stateDir).collect().toSeq == batch)
+
+    // re-arrival under a FRESH batchId (both replay guards bypassed):
+    // hashes derive from doc_id, so the re-arriving docs REPLACE their
+    // state with identical rows and retract-then-recompute their pairs
+    // — the report must converge to the same answer, and state must
+    // not grow
+    val redo = spark.read.parquet(inDir).filter($"doc_id" % 3 === 1)
+    PhashIndexStream.mergeBatch(redo, stateDir, 97L)
+    assert(PhashIndexStream.report(spark, stateDir).collect().toSeq == batch)
+    val (h2, b2, _) = PhashIndexStream.readState(spark, stateDir)
+    assert(h2.count() == n && b2.count() == 4 * n)
+  }
+}
