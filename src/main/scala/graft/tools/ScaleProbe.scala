@@ -86,6 +86,7 @@ object ScaleProbe {
       "q75_dup_block_fraction" -> dirR, "q102_corpus_shuffle" -> dirR,
       "q114_source_novelty" -> dirR, "q101_gopher_repetition" -> dirR,
       "q98_hash_embed" -> dirR, "q100_semdedup" -> dirR,
+      "q136_image_phash_dedup" -> dirR,
       "q35_sim_lsh_ann" -> dirRE, "q44_sim_ivf_ann" -> dirRE)
     // GRAFT_ONLY: comma-separated substring filter (the Bench contract)
     // so a targeted re-probe of one kernel family doesn't pay for all 14
