@@ -329,7 +329,13 @@ object Multimodal {
       // mixing makes each base pseudo-random so the planted structure
       // is the only systematic signal. Low bits of m·K are useless:
       // (m·K) mod 256 depends only on m mod 256.
-      def mix(m: Long): Long = ((m * 2654435761L) / 4096) % 256
+      // m masked to 31 bits BEFORE the multiply: 2^31 · K stays under
+      // Long.MaxValue, so no doc_id can overflow — unmasked, ids past
+      // ~1.3e8 wrapped negative in Scala while DuckDB raised a BIGINT
+      // overflow error on the same row, a silent cross-engine
+      // divergence point (review find). Identical mask in the oracle;
+      // every realistic id (m < 2^31) is unchanged.
+      def mix(m: Long): Long = (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
       val px = Array.tabulate(w * h) { idx =>
         val x = idx % w; val y = idx / w
         val pp = if ((x * 31 + y * 17 + id) % 13 < pert) 1 else 0
@@ -380,21 +386,29 @@ object Multimodal {
   private[graft] def hammingExpr =
     expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long")
 
+  /** q136's presentation face over a (doc_a, doc_b, hamming) pair
+    * frame — ONE copy shared with PhashIndexStream.report, so the
+    * stream's "reproduces q136 exactly" contract cannot drift when the
+    * threshold or columns change (review find: the first cut hardcoded
+    * these constants in three places). */
+  private[graft] def phashPresentation(pairs: DataFrame): DataFrame =
+    pairs.filter(col("hamming") <= 8)
+      .withColumn("same_base",
+        expr("doc_a div 4") === expr("doc_b div 4"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_base"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hashes = imageHashesOf(Tables.documents(s, dir))
       .cache() // consumed by banding AND both sides of the distance join
     val bands0 = phashBands(hashes)
-    Dedup.cappedBandCandidates(bands0)
+    phashPresentation(Dedup.cappedBandCandidates(bands0)
       .join(hashes.select($"doc_id".as("doc_a"), $"lo".as("lo_a"),
         $"hi".as("hi_a")), Seq("doc_a"))
       .join(hashes.select($"doc_id".as("doc_b"), $"lo".as("lo_b"),
         $"hi".as("hi_b")), Seq("doc_b"))
-      .withColumn("hamming", hammingExpr)
-      .filter($"hamming" <= 8)
-      .withColumn("same_base", expr("doc_a div 4") === expr("doc_b div 4"))
-      .select($"doc_a", $"doc_b", $"hamming", $"same_base")
-      .orderBy($"doc_a", $"doc_b")
+      .withColumn("hamming", hammingExpr))
   }
 
   val q136Oracle: String =
@@ -411,9 +425,9 @@ object Multimodal {
       |px AS (SELECT doc_id, k,
       |         CASE WHEN (x * 31 + y * 17 + doc_id) % 13 < pert
       |              THEN 1 ELSE 0 END AS pp,
-      |         ((x + 8 * y + 64 * base + 1) * 2654435761) // 4096 % 256 AS r0,
-      |         ((x + 8 * y + 64 * base + 777) * 2654435761) // 4096 % 256 AS g0,
-      |         ((x + 8 * y + 64 * base + 99999) * 2654435761) // 4096 % 256 AS b0
+      |         (((x + 8 * y + 64 * base + 1) % 2147483648) * 2654435761) // 4096 % 256 AS r0,
+      |         (((x + 8 * y + 64 * base + 777) % 2147483648) * 2654435761) // 4096 % 256 AS g0,
+      |         (((x + 8 * y + 64 * base + 99999) % 2147483648) * 2654435761) // 4096 % 256 AS b0
       |       FROM g),
       |l AS (SELECT doc_id, k,
       |        299 * ((r0 + 64 * pp) % 256) + 587 * ((g0 + 64 * pp) % 256)

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE copy of the incremental band-index merge kernel, shared by
+  * [[DedupIndexStream]] (text MinHash → LSH bands → est_sim pairs) and
+  * [[PhashIndexStream]] (image aHash → Hamming bands → exact-distance
+  * pairs). Previously two near-verbatim copies that had already
+  * diverged on cache-release and guard details (review find — the
+  * same fix-it-twice failure mode the pairExpansion consolidation in
+  * Dedup.scala records).
+  *
+  * Semantics (identical for both instantiations):
+  *  - last-writer-wins replacement: a re-arriving doc_id REPLACES its
+  *    signature row and all band rows (anti-join keeps only non-batch
+  *    history) — signature and band state can never mix two versions
+  *    of one document;
+  *  - probe: batch bands against the POST-replacement band set — each
+  *    new doc meets the whole current-version history through the
+  *    bucket equi-join, never a scan; per trigger the work is O(batch
+  *    rows + matching buckets), the property that makes continuous
+  *    dedup of a growing corpus feasible where the batch query is
+  *    O(corpus) every run;
+  *  - pairs are last-writer-wins too: every accumulated pair touching
+  *    a batch doc_id is RETRACTED and recomputed from the new
+  *    signatures via the probe, so a doc whose new content no longer
+  *    collides with its old partners stops being marked their
+  *    near-dup. The retained and recomputed sets are disjoint by
+  *    construction (every new-pair key touches a batch doc; no
+  *    retained key does), so plain union needs no re-aggregation;
+  *  - all three tables commit under the caller's [[VersionedState]]
+  *    single pointer — a crash at any instant leaves the composite
+  *    fully old or fully new, never new pairs over old signatures.
+  */
+private[streaming] object BandIndexMerge {
+
+  /** @param current  (sigs, bands, pairs) state frames as read
+    * @param dSigs    Δ signature frame (doc_id + signature columns),
+    *                 intra-batch duplicate ids already collapsed
+    * @param dBands   Δ band frame (doc_id, band, bkey) derived from dSigs
+    * @param score    (candidate keys (doc_a, doc_b), merged signature
+    *                 frame) → scored pairs (doc_a, doc_b, score column)
+    * @param tables   state-table names for the commit */
+  def merge(state: VersionedState, batchId: Long,
+      current: (DataFrame, DataFrame, DataFrame),
+      dSigs: DataFrame, dBands: DataFrame,
+      score: (DataFrame, DataFrame) => DataFrame,
+      tables: (String, String, String)): Unit = {
+    val (sigs, bands, pairs) = current
+    val dIds = dSigs.select(col("doc_id"))
+    val allSigs = dSigs.unionByName(
+      sigs.join(dIds, Seq("doc_id"), "left_anti"))
+    val allBands = dBands.unionByName(
+      bands.join(dIds, Seq("doc_id"), "left_anti"))
+    val candKeys = dBands.as("x")
+      .join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val newPairs = score(candKeys, allSigs)
+    val retained = pairs
+      .join(dIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .join(dIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_anti")
+      .select(newPairs.columns.toSeq.map(col): _*)
+    state.commit(Seq(tables._1 -> allSigs, tables._2 -> allBands,
+      tables._3 -> retained.unionByName(newPairs)), batchId)
+  }
+}

@@ -93,53 +93,23 @@ object DedupIndexStream {
     val state = new VersionedState(stateDir)
     if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
-    val (sigs, bands, pairs) = readState(spark, stateDir)
     // intra-batch duplicate ids collapse to one row first — otherwise
     // minhashWide would blend two copies' shingle streams into one
     // signature (harmless for identical text, wrong for differing text)
     val dSigs = Dedup.minhashWide(batch.dropDuplicates("doc_id")).cache()
-    val dBands = Dedup.lshBands(dSigs)
-    // last-writer-wins merges: a re-arriving doc_id REPLACES its prior
-    // signature and all 4 band rows (anti-join keeps only non-batch
-    // history), so sigs and bands can never mix two versions of one doc
-    val dDocIds = dSigs.select(col("doc_id"))
-    val allSigs = dSigs.unionByName(
-      sigs.join(dDocIds, Seq("doc_id"), "left_anti"))
-    val allBands = dBands.unionByName(
-      bands.join(dDocIds, Seq("doc_id"), "left_anti"))
-    // probe: batch bands against the POST-replacement band set — each
-    // new doc meets the whole (current-version) history through the
-    // bucket equi-join, never a scan; a superseded version's buckets
-    // can't produce pairs its current signature wouldn't
-    val candKeys = dBands.as("x")
-      .join(allBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(
-        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
-    val newPairs = candKeys
-      .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(Dedup.signatureMatchFraction, 6).as("est_sim"))
-    // pairs are last-writer-wins too: RETRACT every accumulated pair
-    // touching a batch doc_id, then take the freshly recomputed set for
-    // those docs. A pair derived from a superseded text version cannot
-    // survive (its key touches the batch and the new probe didn't emit
-    // it), and est_sim always reflects the CURRENT signatures — never a
-    // max() against a stale higher similarity. The two sets are disjoint
-    // by construction (every newPairs key touches a batch doc; no
-    // retained key does), so plain union needs no re-aggregation.
-    val retained = pairs
-      .join(dDocIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-      .join(dDocIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("est_sim")) // using-joins front the key
-    val mergedPairs = retained.unionByName(newPairs)
-    state.commit(Seq("sigs" -> allSigs, "bands" -> allBands,
-      "pairs" -> mergedPairs), batchId)
-    dSigs.unpersist()
+    // LWW replacement, band probe, retract-and-recompute, composite
+    // commit: the shared [[BandIndexMerge]] kernel (one copy with the
+    // image index). est_sim always reflects the CURRENT signatures —
+    // never a max() against a stale higher similarity.
+    try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
+      dSigs, Dedup.lshBands(dSigs),
+      (candKeys, allSigs) => candKeys
+        .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(Dedup.signatureMatchFraction, 6).as("est_sim")),
+      ("sigs", "bands", "pairs"))
+    finally dSigs.unpersist(blocking = false) // released on commit failure too
     state.mark(batchId)
   }
 

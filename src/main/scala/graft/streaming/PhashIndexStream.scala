@@ -53,58 +53,36 @@ object PhashIndexStream {
           .toDF("doc_a", "doc_b", "hamming")))
   }
 
-  /** q136's presentation face over the accumulated pairs. */
+  /** q136's presentation face over the accumulated pairs — the ONE
+    * copy shared with the batch query
+    * ([[Multimodal.phashPresentation]]), so the "reproduces q136
+    * exactly" contract cannot drift. */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
     val (_, _, pairs) = readState(spark, stateDir)
-    pairs.filter(col("hamming") <= 8)
-      .withColumn("same_base",
-        expr("doc_a div 4") === expr("doc_b div 4"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_base"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Multimodal.phashPresentation(pairs)
   }
 
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     val state = new VersionedState(stateDir)
     if (state.isApplied(batchId)) { state.mark(batchId); return }
     val spark = batch.sparkSession
-    val (hashes, bands, pairs) = readState(spark, stateDir)
     // Δ hashes: one decode per distinct batch image (intra-batch dup
     // ids collapse first — the DedupIndexStream discipline)
     val dHashes = Multimodal.imageHashesOf(
       batch.select(col("doc_id")).dropDuplicates("doc_id")).cache()
-    val dBands = Multimodal.phashBands(dHashes)
-    val dIds = dHashes.select(col("doc_id"))
-    // last-writer-wins replacement of hash + band rows
-    val allHashes = dHashes.unionByName(
-      hashes.join(dIds, Seq("doc_id"), "left_anti"))
-    val allBands = dBands.unionByName(
-      bands.join(dIds, Seq("doc_id"), "left_anti"))
-    // probe: batch bands against the post-replacement index — each new
-    // image meets all history through the bucket equi-join, never a scan
-    val candKeys = dBands.as("x")
-      .join(allBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(
-        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
-    val newPairs = candKeys
-      .join(allHashes.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
-        col("hi").as("hi_a")), Seq("doc_a"))
-      .join(allHashes.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
-        col("hi").as("hi_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), Multimodal.hammingExpr.as("hamming"))
-    // retract-and-recompute for every pair touching a batch doc (the
-    // DedupIndexStream last-writer-wins pair discipline; the two sets
-    // are disjoint by construction, so plain union needs no re-agg)
-    val retained = pairs
-      .join(dIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-      .join(dIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-    try
-      state.commit(Seq("hashes" -> allHashes, "bands" -> allBands,
-        "pairs" -> retained.unionByName(newPairs)), batchId)
+    // LWW replacement, band probe, retract-and-recompute, composite
+    // commit: the shared [[BandIndexMerge]] kernel (one copy with the
+    // text index)
+    try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
+      dHashes, Multimodal.phashBands(dHashes),
+      (candKeys, allHashes) => candKeys
+        .join(allHashes.select(col("doc_id").as("doc_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("doc_a"))
+        .join(allHashes.select(col("doc_id").as("doc_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Multimodal.hammingExpr.as("hamming")),
+      ("hashes", "bands", "pairs"))
     finally dHashes.unpersist(blocking = false)
     state.mark(batchId)
   }
