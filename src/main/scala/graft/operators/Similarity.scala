@@ -844,7 +844,86 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q137 — SEMANTIC decontamination: the embedding-space counterpart
+    * of q81/q83's n-gram decontamination, i.e. benchmark-style "is any
+    * train document too close to this eval document in meaning" — the
+    * contamination paraphrase rewriting hides from exact n-gram
+    * overlap. Split assignment is deterministic (vec_id mod 10: 0 =
+    * test, 1 = val, rest train); each eval vector meets ONLY the train
+    * vectors in its q35 hyperplane-LSH bucket (the ~N²/256 candidate
+    * cut — at 100 TB the all-pairs eval×train product is exactly what
+    * cannot run), takes its max train cosine, and the report rolls up
+    * per split: eval count, how many had a bucket-mate to probe
+    * (candidate coverage is part of the answer — an eval doc with no
+    * bucket-mate is UNPROBED, not clean), how many exceed the flag
+    * threshold, and the worst overlap found.
+    *
+    * Scale shape: one bucket-key exchange on each side; within-bucket
+    * dots only; the rollup is 2 rows. Pure integer hyperplanes and
+    * index-ordered dot folds keep every double bit-identical to the
+    * DuckDB replay (the q34/q35 parity precedent). */
+  def q137SemanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val bucketCol = (0 to 7).map(h =>
+      when(dot_product($"v", expr(hpExpr(h))) > 0, lit(1L << h))
+        .otherwise(0L)).reduce(_ + _)
+    val b = e.withColumn("bucket", bucketCol)
+      .withColumn("split",
+        when($"vec_id" % 10 === 0, "test")
+          .when($"vec_id" % 10 === 1, "val")
+          .otherwise("train"))
+    val train = b.filter($"split" === "train")
+      .select($"bucket", $"v".as("tv"), $"nrm".as("tnrm"))
+    val probed = b.filter($"split" =!= "train")
+      .select($"split", $"vec_id", $"v", $"nrm", $"bucket")
+      .join(train, Seq("bucket"), "left")
+      .withColumn("cos", dot_product($"v", $"tv") / ($"nrm" * $"tnrm"))
+      .groupBy($"split", $"vec_id")
+      .agg(max($"cos").as("max_cos")) // null = no train bucket-mate
+    probed.groupBy($"split").agg(
+        count(lit(1)).as("n_eval"),
+        sum(when($"max_cos".isNotNull, 1L).otherwise(0L)).as("n_probed"),
+        sum(when($"max_cos" >= 0.40, 1L).otherwise(0L)).as("n_flagged"),
+        round(max($"max_cos"), 6).as("top_cos"))
+      .orderBy($"split")
+  }
+
+  val q137Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |bits AS (SELECT vec_id,
+      |           CASE WHEN list_sum(list_transform(
+      |             generate_series(0, 63),
+      |             j -> (CAST((h.h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+      |                  * v[j + 1])) > 0
+      |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
+      |         FROM n, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) h),
+      |b AS (SELECT n.vec_id, n.v, n.nrm, bm.bucket,
+      |        CASE WHEN n.vec_id % 10 = 0 THEN 'test'
+      |             WHEN n.vec_id % 10 = 1 THEN 'val'
+      |             ELSE 'train' END AS split
+      |      FROM n JOIN (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+      |                   FROM bits GROUP BY 1) bm
+      |        ON n.vec_id = bm.vec_id),
+      |tr AS (SELECT bucket, v AS tv, nrm AS tnrm FROM b WHERE split = 'train'),
+      |probed AS (SELECT ev.split, ev.vec_id,
+      |             max(list_sum(list_transform(generate_series(1, 64),
+      |               i -> ev.v[i] * tr.tv[i])) / (ev.nrm * tr.tnrm)) AS max_cos
+      |           FROM (SELECT * FROM b WHERE split <> 'train') ev
+      |           LEFT JOIN tr ON ev.bucket = tr.bucket
+      |           GROUP BY 1, 2)
+      |SELECT split, count(*) AS n_eval,
+      |       CAST(sum(CASE WHEN max_cos IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_probed,
+      |       CAST(sum(CASE WHEN max_cos >= 0.40 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_flagged,
+      |       round(max(max_cos), 6) AS top_cos
+      |FROM probed GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_semantic_decontamination" -> q137SemanticDecontamination _,
     "q96_pq_ann" -> q96PqAnn _,
     "q80_filtered_ann" -> q80FilteredAnn _,
     "q79_int8_ann" -> q79Int8Ann _,
@@ -858,6 +937,7 @@ object Similarity {
     "q125_pq_recall" -> q125PqRecall _)
 
   val oracle: Map[String, String] = Map(
+    "q137_semantic_decontamination" -> q137Oracle,
     "q96_pq_ann" -> q96Oracle,
     "q80_filtered_ann" -> q80Oracle,
     "q79_int8_ann" -> q79Oracle,

@@ -174,4 +174,44 @@ class SimilaritySpec extends SparkSuite {
     val got = rows.find(_.getAs[Long]("q_id") == q0).get.getAs[Long]("n_hits")
     assert(got == expected, s"q$q0: $got != $expected")
   }
+
+  test("q137 splits partition the corpus and probe coverage is bucket membership") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.q137SemanticDecontamination(spark, dir)
+      .collect().toSeq
+    assert(rows.map(_.getAs[String]("split")).sorted == Seq("test", "val"))
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    // split sizes: vec_id % 10 ∈ {0, 1} — the report must cover every
+    // eval vector, probed or not (an unprobed eval doc is not clean)
+    val wantEval = e.groupBy((col("vec_id") % 10).as("m")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val m = if (r.getAs[String]("split") == "test") 0L else 1L
+      assert(r.getAs[Long]("n_eval") == wantEval(m), r.toString)
+      assert(r.getAs[Long]("n_probed") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_probed"))
+    }
+    // independent recount of n_probed: an eval vector is probed iff its
+    // q35 bucket holds >= 1 TRAIN vector — recomputed here as a
+    // semi-join on the bucket sets (a different plan shape than the
+    // operator's left-join + max aggregation)
+    val hp = (0 to 7).map(h =>
+      when(expr(s"""aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |  transform(sequence(0, 63),
+        |    j -> CAST(($h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5),
+        |  (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) > 0,
+        lit(1L << h)).otherwise(0L)).reduce(_ + _)
+    val withB = e.select(col("vec_id"), hp.as("bucket"))
+    val trainB = withB.filter(col("vec_id") % 10 >= 2).select("bucket").distinct()
+    val probedRecount = withB.filter(col("vec_id") % 10 <= 1)
+      .join(trainB, Seq("bucket"), "left_semi")
+      .groupBy((col("vec_id") % 10).as("m")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val m = if (r.getAs[String]("split") == "test") 0L else 1L
+      assert(r.getAs[Long]("n_probed") == probedRecount.getOrElse(m, 0L),
+        s"$r vs recount ${probedRecount.get(m)}")
+    }
+  }
 }
