@@ -862,16 +862,25 @@ object Similarity {
     * dots only; the rollup is 2 rows. Pure integer hyperplanes and
     * index-ordered dot folds keep every double bit-identical to the
     * DuckDB replay (the q34/q35 parity precedent). */
-  def q137SemanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+  def q137SemanticDecontamination(s: SparkSession, dir: String): DataFrame =
+    semanticDeconReport(s, dir, bits = 8, mod = 10, thrPct = 40)
+
+  /** Parameterized core of q137 (bits = hyperplane count → 2^bits
+    * buckets, the recall/cost knob; mod = split modulus; thrPct = flag
+    * threshold in integer percent). The production query pins
+    * (8, 10, 40); the differential fuzz harness randomizes all three
+    * against a DuckDB recompute. */
+  private[graft] def semanticDeconReport(s: SparkSession, dir: String,
+      bits: Int, mod: Int, thrPct: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
-    val bucketCol = (0 to 7).map(h =>
+    val bucketCol = (0 until bits).map(h =>
       when(dot_product($"v", expr(hpExpr(h))) > 0, lit(1L << h))
         .otherwise(0L)).reduce(_ + _)
     val b = e.withColumn("bucket", bucketCol)
       .withColumn("split",
-        when($"vec_id" % 10 === 0, "test")
-          .when($"vec_id" % 10 === 1, "val")
+        when($"vec_id" % mod === 0, "test")
+          .when($"vec_id" % mod === 1, "val")
           .otherwise("train"))
     val train = b.filter($"split" === "train")
       .select($"bucket", $"v".as("tv"), $"nrm".as("tnrm"))
@@ -884,7 +893,8 @@ object Similarity {
     probed.groupBy($"split").agg(
         count(lit(1)).as("n_eval"),
         sum(when($"max_cos".isNotNull, 1L).otherwise(0L)).as("n_probed"),
-        sum(when($"max_cos" >= 0.40, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when($"max_cos" >= thrPct / 100.0, 1L).otherwise(0L))
+          .as("n_flagged"),
         round(max($"max_cos"), 6).as("top_cos"))
       .orderBy($"split")
   }

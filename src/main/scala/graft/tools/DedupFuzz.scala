@@ -50,7 +50,7 @@ object DedupFuzz {
     new java.io.File(outDir).mkdirs()
 
     val configs = (0 until n).map { i =>
-      val fam = i % 3 // round-robin: equal coverage per family
+      val fam = i % 4 // round-robin: equal coverage per family
       val name = f"dfz$i%03d"
       fam match {
         case 0 =>
@@ -64,12 +64,19 @@ object DedupFuzz {
           val bands = Seq(2, 4, 8)(rng.nextInt(3))
           (name, () => mhSpark(spark, sfDir, salt, bands),
             mhOracle(salt, bands))
-        case _ =>
+        case 2 =>
           val k = 1 + rng.nextInt(8)
           val qMod = Seq(25, 40, 50, 100)(rng.nextInt(4))
           val cosine = rng.nextBoolean()
           (name, () => annSpark(spark, sfDir, k, qMod, cosine),
             annOracle(k, qMod, cosine))
+        case _ =>
+          val bits = Seq(4, 6, 8)(rng.nextInt(3))
+          val mod = Seq(5, 8, 10, 20)(rng.nextInt(4))
+          val thr = 30 + 5 * rng.nextInt(5) // 30..50 in steps of 5
+          (name,
+            () => Similarity.semanticDeconReport(spark, sfDir, bits, mod, thr),
+            semOracle(bits, mod, thr))
       }
     }
 
@@ -208,6 +215,43 @@ object DedupFuzz {
       .select($"q_id", $"rank", $"vec_id", round($"score", 6).as("score"))
       .orderBy($"q_id", $"rank")
   }
+
+  // -------------------------------------------------------------- sem
+
+  /** q137's oracle template with bits/modulus/threshold parameterized
+    * (graft.operators.Similarity.q137Oracle is this at (8, 10, 40)). */
+  private def semOracle(bits: Int, mod: Int, thrPct: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |bits AS (SELECT vec_id,
+      |           CASE WHEN list_sum(list_transform(
+      |             generate_series(0, 63),
+      |             j -> (CAST((h.h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+      |                  * v[j + 1])) > 0
+      |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
+      |         FROM n, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS h) h),
+      |b AS (SELECT n.vec_id, n.v, n.nrm, bm.bucket,
+      |        CASE WHEN n.vec_id % $mod = 0 THEN 'test'
+      |             WHEN n.vec_id % $mod = 1 THEN 'val'
+      |             ELSE 'train' END AS split
+      |      FROM n JOIN (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+      |                   FROM bits GROUP BY 1) bm
+      |        ON n.vec_id = bm.vec_id),
+      |tr AS (SELECT bucket, v AS tv, nrm AS tnrm FROM b WHERE split = 'train'),
+      |probed AS (SELECT ev.split, ev.vec_id,
+      |             max(list_sum(list_transform(generate_series(1, 64),
+      |               i -> ev.v[i] * tr.tv[i])) / (ev.nrm * tr.tnrm)) AS max_cos
+      |           FROM (SELECT * FROM b WHERE split <> 'train') ev
+      |           LEFT JOIN tr ON ev.bucket = tr.bucket
+      |           GROUP BY 1, 2)
+      |SELECT split, count(*) AS n_eval,
+      |       CAST(sum(CASE WHEN max_cos IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_probed,
+      |       CAST(sum(CASE WHEN max_cos >= ${thrPct / 100.0} THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_flagged,
+      |       round(max(max_cos), 6) AS top_cos
+      |FROM probed GROUP BY split ORDER BY split""".stripMargin
 
   private def annOracle(k: Int, qMod: Int, cosine: Boolean): String = {
     val scoreExpr =
