@@ -109,6 +109,16 @@ object Similarity {
   private def hpExpr(h: Int): String =
     s"transform(sequence(0, 63), j -> (CAST(($h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0) - 0.5)"
 
+  /** The LSH bucket id over column `v`: `bits` random-hyperplane sign
+    * bits, all in ONE projection (no explode, no re-group on an array
+    * key). ONE copy shared by q35 (bits = 8) and the q137 family —
+    * q137's contract is "the q35 bucket", which two hand-synced copies
+    * of this expression could silently break (review find). */
+  private def lshBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(h =>
+      when(dot_product(v, expr(hpExpr(h))) > 0, lit(1L << h))
+        .otherwise(0L)).reduce(_ + _)
+
   /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → 256 buckets;
     * neighbors are searched only within the query's bucket (the classic
     * recall/candidate-count trade). Output: top-3 in-bucket neighbors per
@@ -118,12 +128,7 @@ object Similarity {
     // norms are computed once per vector (sqrt of the self-dot) and
     // reused across every candidate pair; only the dot runs per pair.
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
-    // all 8 sign bits in ONE projection (no explode, no re-group on an
-    // array key): bucket = Σ (dot(v, hp_h) > 0) · 2^h
-    val bucketCol = (0 to 7).map(h =>
-      when(dot_product($"v", expr(hpExpr(h))) > 0, lit(1L << h))
-        .otherwise(0L)).reduce(_ + _)
-    val buckets = e.withColumn("bucket", bucketCol)
+    val buckets = e.withColumn("bucket", lshBucket($"v", 8))
     val q2 = buckets.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         $"bucket")
@@ -874,10 +879,7 @@ object Similarity {
       bits: Int, mod: Int, thrPct: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
-    val bucketCol = (0 until bits).map(h =>
-      when(dot_product($"v", expr(hpExpr(h))) > 0, lit(1L << h))
-        .otherwise(0L)).reduce(_ + _)
-    val b = e.withColumn("bucket", bucketCol)
+    val b = e.withColumn("bucket", lshBucket($"v", bits))
       .withColumn("split",
         when($"vec_id" % mod === 0, "test")
           .when($"vec_id" % mod === 1, "val")
@@ -887,7 +889,14 @@ object Similarity {
     val probed = b.filter($"split" =!= "train")
       .select($"split", $"vec_id", $"v", $"nrm", $"bucket")
       .join(train, Seq("bucket"), "left")
-      .withColumn("cos", dot_product($"v", $"tv") / ($"nrm" * $"tnrm"))
+      // zero-norm guard (review find): Spark's non-ANSI divide makes
+      // dot/(0·t) NULL while DuckDB's IEEE mode makes it NaN/inf — the
+      // first query where that divergence would change an INTEGER
+      // output (n_probed/n_flagged). A zero vector has no direction:
+      // both engines now treat it as not-a-probe explicitly (NULL)
+      .withColumn("cos",
+        when($"nrm" > 0 && $"tnrm" > 0,
+          dot_product($"v", $"tv") / ($"nrm" * $"tnrm")))
       .groupBy($"split", $"vec_id")
       .agg(max($"cos").as("max_cos")) // null = no train bucket-mate
     probed.groupBy($"split").agg(
@@ -899,8 +908,14 @@ object Similarity {
       .orderBy($"split")
   }
 
-  val q137Oracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** ONE parameterized oracle template for the q137 family — the fuzz
+    * harness interpolates random (bits, mod, thrPct) and the production
+    * oracle is the (8, 10, 40) instance, so the two gates can never
+    * silently test different definitions (review find: the first cut
+    * kept a hand-synced copy in DedupFuzz). */
+  private[graft] def semanticDeconOracleSql(bits: Int, mod: Int,
+      thrPct: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |bits AS (SELECT vec_id,
@@ -909,28 +924,32 @@ object Similarity {
       |             j -> (CAST((h.h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
       |                  * v[j + 1])) > 0
       |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
-      |         FROM n, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) h),
+      |         FROM n, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS h) h),
       |b AS (SELECT n.vec_id, n.v, n.nrm, bm.bucket,
-      |        CASE WHEN n.vec_id % 10 = 0 THEN 'test'
-      |             WHEN n.vec_id % 10 = 1 THEN 'val'
+      |        CASE WHEN n.vec_id % $mod = 0 THEN 'test'
+      |             WHEN n.vec_id % $mod = 1 THEN 'val'
       |             ELSE 'train' END AS split
       |      FROM n JOIN (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
       |                   FROM bits GROUP BY 1) bm
       |        ON n.vec_id = bm.vec_id),
       |tr AS (SELECT bucket, v AS tv, nrm AS tnrm FROM b WHERE split = 'train'),
       |probed AS (SELECT ev.split, ev.vec_id,
-      |             max(list_sum(list_transform(generate_series(1, 64),
-      |               i -> ev.v[i] * tr.tv[i])) / (ev.nrm * tr.tnrm)) AS max_cos
+      |             max(CASE WHEN ev.nrm > 0 AND tr.tnrm > 0
+      |                 THEN list_sum(list_transform(generate_series(1, 64),
+      |                   i -> ev.v[i] * tr.tv[i])) / (ev.nrm * tr.tnrm)
+      |                 END) AS max_cos
       |           FROM (SELECT * FROM b WHERE split <> 'train') ev
       |           LEFT JOIN tr ON ev.bucket = tr.bucket
       |           GROUP BY 1, 2)
       |SELECT split, count(*) AS n_eval,
       |       CAST(sum(CASE WHEN max_cos IS NOT NULL THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_probed,
-      |       CAST(sum(CASE WHEN max_cos >= 0.40 THEN 1 ELSE 0 END)
+      |       CAST(sum(CASE WHEN max_cos >= ${thrPct / 100.0} THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_flagged,
       |       round(max(max_cos), 6) AS top_cos
       |FROM probed GROUP BY split ORDER BY split""".stripMargin
+
+  val q137Oracle: String = semanticDeconOracleSql(8, 10, 40)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_semantic_decontamination" -> q137SemanticDecontamination _,

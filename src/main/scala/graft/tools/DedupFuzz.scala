@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
   * tools/check_oracle_strict.py gates each one exactly like the
   * hand-written suite (judge r12 item 6).
   *
-  * Deterministic per seed. Three families:
+  * Deterministic per seed. Four families (round-robin by config index):
   *   - jacc: Jaccard pair kernel — width w ∈ {2..5}, stop-shingle
   *     maxDf ∈ {16,32,64,128}, threshold ∈ {5..40}% (integer percent:
   *     both engines compare the same exact-int-ratio double against the
@@ -27,7 +27,9 @@ import java.nio.file.{Files, Paths}
   *   - mh: MinHash+LSH banding — hash salt (seeds the md5 permutation
   *     family), band split ∈ {2×4, 4×2, 8×1};
   *   - ann: brute-force top-k — k ∈ {1..8}, query modulus ∈
-  *     {25,40,50,100}, metric ∈ {cosine, dot}.
+  *     {25,40,50,100}, metric ∈ {cosine, dot};
+  *   - sem: q137 semantic decontamination — hyperplane bits ∈ {4,6,8},
+  *     split modulus ∈ {5,8,10,20}, flag threshold 30–50 %.
   *
   * Usage: runMain graft.tools.DedupFuzz <sfDir> <outDir> [n] [seed]
   */
@@ -218,40 +220,12 @@ object DedupFuzz {
 
   // -------------------------------------------------------------- sem
 
-  /** q137's oracle template with bits/modulus/threshold parameterized
-    * (graft.operators.Similarity.q137Oracle is this at (8, 10, 40)). */
+  /** The ONE oracle template lives next to the kernel
+    * ([[Similarity.semanticDeconOracleSql]]); fuzz and production
+    * interpolate the same SQL (review find: a hand-synced copy here
+    * could drift from the gate it claims to replicate). */
   private def semOracle(bits: Int, mod: Int, thrPct: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      |bits AS (SELECT vec_id,
-      |           CASE WHEN list_sum(list_transform(
-      |             generate_series(0, 63),
-      |             j -> (CAST((h.h * 64 + j) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
-      |                  * v[j + 1])) > 0
-      |             THEN CAST(pow(2, h.h) AS BIGINT) ELSE 0 END AS bit
-      |         FROM n, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS h) h),
-      |b AS (SELECT n.vec_id, n.v, n.nrm, bm.bucket,
-      |        CASE WHEN n.vec_id % $mod = 0 THEN 'test'
-      |             WHEN n.vec_id % $mod = 1 THEN 'val'
-      |             ELSE 'train' END AS split
-      |      FROM n JOIN (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
-      |                   FROM bits GROUP BY 1) bm
-      |        ON n.vec_id = bm.vec_id),
-      |tr AS (SELECT bucket, v AS tv, nrm AS tnrm FROM b WHERE split = 'train'),
-      |probed AS (SELECT ev.split, ev.vec_id,
-      |             max(list_sum(list_transform(generate_series(1, 64),
-      |               i -> ev.v[i] * tr.tv[i])) / (ev.nrm * tr.tnrm)) AS max_cos
-      |           FROM (SELECT * FROM b WHERE split <> 'train') ev
-      |           LEFT JOIN tr ON ev.bucket = tr.bucket
-      |           GROUP BY 1, 2)
-      |SELECT split, count(*) AS n_eval,
-      |       CAST(sum(CASE WHEN max_cos IS NOT NULL THEN 1 ELSE 0 END)
-      |            AS BIGINT) AS n_probed,
-      |       CAST(sum(CASE WHEN max_cos >= ${thrPct / 100.0} THEN 1 ELSE 0 END)
-      |            AS BIGINT) AS n_flagged,
-      |       round(max(max_cos), 6) AS top_cos
-      |FROM probed GROUP BY split ORDER BY split""".stripMargin
+    Similarity.semanticDeconOracleSql(bits, mod, thrPct)
 
   private def annOracle(k: Int, qMod: Int, cosine: Boolean): String = {
     val scoreExpr =
