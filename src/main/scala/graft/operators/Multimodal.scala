@@ -411,8 +411,12 @@ object Multimodal {
       .withColumn("hamming", hammingExpr))
   }
 
-  val q136Oracle: String =
-    s"""WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+  /** Shared oracle CTE chain: documents → synthesized sampled pixels →
+    * aHash halves `hsh(doc_id, lo, hi)` — the analytic replay of
+    * [[imageHashesOf]], used by BOTH q136 and q138 so the two oracles
+    * can never disagree about what the hash is. */
+  private val phashSqlCtes: String =
+    s"""d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
       |           FROM documents),
       |dim AS (SELECT doc_id, base,
       |          CASE v WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END AS pert,
@@ -442,7 +446,10 @@ object Multimodal {
       |                   THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS lo,
       |          CAST(sum(CASE WHEN k >= 32 AND bit = 1
       |                   THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS hi
-      |        FROM bits GROUP BY 1),
+      |        FROM bits GROUP BY 1)""".stripMargin
+
+  val q136Oracle: String =
+    s"""WITH $phashSqlCtes,
       |bands0 AS (SELECT doc_id, band,
       |             CASE band WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
       |                       WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bkey
@@ -467,15 +474,78 @@ object Multimodal {
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q138 — aHash sensitivity meter: the error-meter discipline every
+    * approximate operator in this engine ships (q108 for LSH banding,
+    * q124/q125 for ANN, q126 for MinHash) applied to the q136 family.
+    * Against the PLANTED truth — every variant doc (4b+v, v ∈ {1,2,3})
+    * pairs with its own base image (4b) — it reports, per perturbation
+    * level: how far the 64-bit hash drifts (avg/max Hamming) and
+    * whether the 4×16-bit banding would even SURFACE the pair
+    * (detection = sharing ≥1 band slice — computed directly from the
+    * hash halves, no join: pair (a,b) shares band k iff slice_k(a) =
+    * slice_k(b)). v=1 is the identical-image control (must be Hamming
+    * 0, detection 1.0); v=2/v=3 measure the recall cost of increasing
+    * perturbation — the number that says where the Hamming-≤-8 /
+    * 4-band operating point stops finding real near-dups, measured,
+    * not guessed.
+    *
+    * Scale shape: one decode pass (shared kernel), one base-keyed
+    * equi-join of two corpus-fraction frames, a 3-row rollup. */
+  def q138PhashSensitivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = imageHashesOf(Tables.documents(s, dir))
+      .withColumn("base", expr("doc_id div 4"))
+      .withColumn("v", $"doc_id" % 4)
+    val base0 = wk.filter($"v" === 0)
+      .select($"base", $"lo".as("lo_a"), $"hi".as("hi_a"))
+    val pairs = wk.filter($"v" =!= 0)
+      .select($"base", $"v", $"lo".as("lo_b"), $"hi".as("hi_b"))
+      .join(base0, Seq("base"))
+      .withColumn("hamming", hammingExpr)
+      .withColumn("detected", expr(
+        """(lo_a % 65536 = lo_b % 65536) OR
+          |(lo_a div 65536 = lo_b div 65536) OR
+          |(hi_a % 65536 = hi_b % 65536) OR
+          |(hi_a div 65536 = hi_b div 65536)""".stripMargin))
+    pairs.groupBy($"v")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"detected", 1L).otherwise(0L)).as("n_detected"),
+        round(avg($"hamming"), 6).as("avg_hamming"),
+        max($"hamming").as("max_hamming"))
+      .orderBy($"v")
+  }
+
+  val q138Oracle: String =
+    s"""WITH $phashSqlCtes,
+      |wk AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v, lo, hi
+      |       FROM hsh),
+      |p AS (SELECT w.v,
+      |        bit_count(xor(b.lo, w.lo)) + bit_count(xor(b.hi, w.hi)) AS hamming,
+      |        CASE WHEN (b.lo % 65536 = w.lo % 65536)
+      |               OR (b.lo // 65536 = w.lo // 65536)
+      |               OR (b.hi % 65536 = w.hi % 65536)
+      |               OR (b.hi // 65536 = w.hi // 65536)
+      |             THEN 1 ELSE 0 END AS detected
+      |      FROM (SELECT base, lo, hi FROM wk WHERE v = 0) b
+      |      JOIN (SELECT base, v, lo, hi FROM wk WHERE v <> 0) w
+      |        ON b.base = w.base)
+      |SELECT v, count(*) AS n_pairs,
+      |       CAST(sum(detected) AS BIGINT) AS n_detected,
+      |       round(avg(hamming), 6) AS avg_hamming,
+      |       CAST(max(hamming) AS BIGINT) AS max_hamming
+      |FROM p GROUP BY v ORDER BY v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
     "q135_image_decode" -> q135ImageDecode _,
-    "q136_image_phash_dedup" -> q136ImagePhashDedup _)
+    "q136_image_phash_dedup" -> q136ImagePhashDedup _,
+    "q138_phash_sensitivity" -> q138PhashSensitivity _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
     "q129_audio_decode" -> q129Oracle,
     "q135_image_decode" -> q135Oracle,
-    "q136_image_phash_dedup" -> q136Oracle)
+    "q136_image_phash_dedup" -> q136Oracle,
+    "q138_phash_sensitivity" -> q138Oracle)
 }

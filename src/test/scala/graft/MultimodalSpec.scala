@@ -92,4 +92,26 @@ class MultimodalSpec extends SparkSuite {
         s"planted near-dups (${meanHam(same)}) not closer than " +
           s"cross-base noise (${meanHam(cross)})")
   }
+
+  test("q138 sensitivity meter: identical control exact, drift monotone") {
+    val rows = graft.operators.Multimodal
+      .q138PhashSensitivity(spark, sfDir).collect().toSeq
+    assert(rows.map(_.getAs[Long]("v")) == Seq(1L, 2L, 3L))
+    val byV = rows.map(r => r.getAs[Long]("v") -> r).toMap
+    // v=1 is the identical-image control: every pair at Hamming 0,
+    // every pair band-detected — a nonzero value here is a codec or
+    // hash bug, not a tuning result
+    val c = byV(1L)
+    assert(c.getAs[Long]("n_detected") == c.getAs[Long]("n_pairs"))
+    assert(c.getAs[Double]("avg_hamming") == 0.0)
+    assert(c.getAs[Long]("max_hamming") == 0L)
+    // drift grows and detection shrinks with perturbation strength —
+    // the meter must order the levels it exists to distinguish
+    val avg = Seq(1L, 2L, 3L).map(byV(_).getAs[Double]("avg_hamming"))
+    assert(avg == avg.sorted, s"avg_hamming not monotone: $avg")
+    val det = Seq(1L, 2L, 3L).map(v =>
+      byV(v).getAs[Long]("n_detected").toDouble /
+        byV(v).getAs[Long]("n_pairs"))
+    assert(det == det.sorted.reverse, s"detection not monotone: $det")
+  }
 }
