@@ -313,8 +313,21 @@ object Multimodal {
   /** The q136 synth→encode→decode→aHash derivation as a frame core:
     * (doc_id) → (doc_id, lo, hi) — shared with the incremental index
     * ([[graft.streaming.PhashIndexStream]]) so stream hashing ≡ batch
-    * hashing by construction (the classifierScoresOf pattern). */
-  private[graft] def imageHashesOf(docs: DataFrame): DataFrame = {
+    * hashing by construction (the classifierScoresOf pattern).
+    *
+    * `container` picks the round-trip codec: "bmp" (uncompressed,
+    * [[graft.sources.BmpImage]]) or "png" (compressed,
+    * [[graft.sources.PngImage]], per-row filters cycling all five
+    * types, RGBA for id % 3 == 0, multi-IDAT for even ids). The hash is
+    * container-INDEPENDENT by construction — same pixels in, same 64
+    * bits out — and PngImageSpec asserts that equality corpus-wide, so
+    * q136/q138 carry a compressed-container path without a second
+    * oracle. */
+  private[graft] def imageHashesOf(docs: DataFrame,
+      container: String = "bmp"): DataFrame = {
+    require(container == "bmp" || container == "png",
+      s"unknown container $container")
+    val usePng = container == "png"
     val ahash = udf { (id: Long) =>
       val base = id / 4
       val v = (id % 4).toInt
@@ -345,14 +358,24 @@ object Multimodal {
         val b = (mix(m + 99999) + 64 * pp) % 256
         ((r.toInt) << 16) | ((g.toInt) << 8) | b.toInt
       }
-      val bmp = graft.sources.BmpImage.parse(
-        graft.sources.BmpImage.encode24(w, h, px, topDown = id % 2 == 1))
+      val pix: (Int, Int) => Int =
+        if (usePng) {
+          val p = graft.sources.PngImage.parse(graft.sources.PngImage
+            .encode(w, h, px, withAlpha = id % 3 == 0,
+              filterFor = y => ((y + id) % 5).toInt,
+              idatChunkSize = if (id % 2 == 0) 96 else Int.MaxValue))
+          p.pixel _
+        } else {
+          val b = graft.sources.BmpImage.parse(
+            graft.sources.BmpImage.encode24(w, h, px, topDown = id % 2 == 1))
+          b.pixel _
+        }
       val lums = new Array[Long](64)
       var sum = 0L
       var k = 0
       while (k < 64) {
         val i = k % 8; val j = k / 8
-        val p = bmp.pixel(i * bmp.width / 8, j * bmp.height / 8)
+        val p = pix(i * w / 8, j * h / 8)
         val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
           114L * (p & 0xff)
         lums(k) = lum; sum += lum
@@ -535,17 +558,111 @@ object Multimodal {
       |       CAST(max(hamming) AS BIGINT) AS max_hamming
       |FROM p GROUP BY v ORDER BY v""".stripMargin
 
+  /** q139 — COMPRESSED-container image decode: q135's oracle-gated
+    * decode discipline applied to [[graft.sources.PngImage]]. Per
+    * document a PNG is synthesized from analytic pixels (q135's channel
+    * formulas) and pushed through the FULL codec ladder — per-row
+    * filter type cycling all five PNG filters ((y + id) % 5), RGBA for
+    * id % 3 == 0 (analytic alpha channel), RGB otherwise, and the
+    * compressed stream split across multiple IDAT chunks for even ids
+    * — then decoded and reduced to integer stats the DuckDB oracle
+    * recomputes ANALYTICALLY from doc_id. Any defect anywhere in the
+    * chain (a filter reversed wrong, a Paeth tie broken differently, an
+    * IDAT boundary dropped, RGBA stride confused with RGB, zlib
+    * mis-seamed) corrupts sum_rgb/wsum/peak_lum/sum_alpha and
+    * hash-mismatches; channel sums alone would forgive none of it
+    * because wsum weights by row and first_px pins (0,0).
+    *
+    * Scale shape: task-local synth+encode+decode per row (the
+    * q129/q135 UDF ladder rung — imperative byte work); media bytes
+    * never shuffle; one presentation sort. */
+  def q139PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val withAlpha = id % 3 == 0
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id + x * 11 + y) % 256).toInt
+        val b = ((id * 3 + x + y * 13) % 256).toInt
+        val a = if (withAlpha) ((id + x * 5 + y * 3) % 256).toInt else 0xff
+        (a << 24) | (r << 16) | (g << 8) | b
+      }
+      val png = graft.sources.PngImage.parse(
+        graft.sources.PngImage.encode(w, h, px, withAlpha = withAlpha,
+          filterFor = y => ((y + id) % 5).toInt,
+          idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue))
+      var sumRgb = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
+      var y = 0
+      while (y < png.height) {
+        var x = 0
+        while (x < png.width) {
+          val p = png.pixel(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          val s3 = (r + g + b).toLong
+          sumRgb += s3
+          wsum += (y + 1) * s3
+          val lum = 299L * r + 587L * g + 114L * b
+          if (lum > peak) peak = lum
+          sumA += png.alpha(x, y)
+          x += 1
+        }
+        y += 1
+      }
+      (png.width.toLong, png.height.toLong,
+        png.pixels.length.toLong, sumRgb, wsum,
+        png.pixel(0, 0).toLong, peak, sumA)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q139Oracle: String =
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+      |         (doc_id + x * 11 + y) % 256 AS g,
+      |         (doc_id * 3 + x + y * 13) % 256 AS b,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN (doc_id + x * 5 + y * 3) % 256 ELSE 255 END AS a
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT) AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
+      |       CAST(sum(a) AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
     "q135_image_decode" -> q135ImageDecode _,
     "q136_image_phash_dedup" -> q136ImagePhashDedup _,
-    "q138_phash_sensitivity" -> q138PhashSensitivity _)
+    "q138_phash_sensitivity" -> q138PhashSensitivity _,
+    "q139_png_decode" -> q139PngDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
     "q129_audio_decode" -> q129Oracle,
     "q135_image_decode" -> q135Oracle,
     "q136_image_phash_dedup" -> q136Oracle,
-    "q138_phash_sensitivity" -> q138Oracle)
+    "q138_phash_sensitivity" -> q138Oracle,
+    "q139_png_decode" -> q139Oracle)
 }

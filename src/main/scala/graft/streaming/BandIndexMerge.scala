@@ -31,9 +31,21 @@ import org.apache.spark.sql.functions._
   *    retained key does), so plain union needs no re-aggregation;
   *  - all three tables commit under the caller's [[VersionedState]]
   *    single pointer — a crash at any instant leaves the composite
-  *    fully old or fully new, never new pairs over old signatures.
+  *    fully old or fully new, never new pairs over old signatures;
+  *  - rebuild signal: the incremental form intentionally carries no
+  *    stop-bucket cap (a bucket crossing it mid-stream would retract
+  *    already-emitted pairs), so the "reproduces the batch query
+  *    exactly" contract holds only while no accumulated bucket crosses
+  *    the batch cap. [[merge]] therefore RETURNS the post-commit max
+  *    bucket population and WARN-logs when it exceeds `capSignal` —
+  *    the documented periodic batch rebuild is triggered by a signal,
+  *    not discovered via divergence (advisor r14 find; probe work in a
+  *    degenerate bucket also goes quadratic, so the signal doubles as
+  *    the perf tripwire).
   */
 private[streaming] object BandIndexMerge {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** @param current  (sigs, bands, pairs) state frames as read
     * @param dSigs    Δ signature frame (doc_id + signature columns),
@@ -41,12 +53,18 @@ private[streaming] object BandIndexMerge {
     * @param dBands   Δ band frame (doc_id, band, bkey) derived from dSigs
     * @param score    (candidate keys (doc_a, doc_b), merged signature
     *                 frame) → scored pairs (doc_a, doc_b, score column)
-    * @param tables   state-table names for the commit */
+    * @param tables   state-table names for the commit
+    * @param capSignal bucket population above which the rebuild signal
+    *                 fires (the batch query's stop-bucket cap)
+    * @return max band-bucket population AFTER this merge — > capSignal
+    *         means the batch twin would now drop that bucket and a
+    *         batch rebuild is due */
   def merge(state: VersionedState, batchId: Long,
       current: (DataFrame, DataFrame, DataFrame),
       dSigs: DataFrame, dBands: DataFrame,
       score: (DataFrame, DataFrame) => DataFrame,
-      tables: (String, String, String)): Unit = {
+      tables: (String, String, String),
+      capSignal: Int = graft.operators.Dedup.MaxShingleDf): Long = {
     val (sigs, bands, pairs) = current
     val dIds = dSigs.select(col("doc_id"))
     val allSigs = dSigs.unionByName(
@@ -70,5 +88,20 @@ private[streaming] object BandIndexMerge {
       .select(newPairs.columns.toSeq.map(col): _*)
     state.commit(Seq(tables._1 -> allSigs, tables._2 -> allBands,
       tables._3 -> retained.unionByName(newPairs)), batchId)
+    // rebuild signal — computed from the WRITTEN band table (a 3-column
+    // columnar re-scan, map-side-combined to one row) rather than the
+    // pre-commit lineage, which would recompute the whole anti-join
+    val maxBucket = state.read(dBands.sparkSession, tables._2)
+      .map { b =>
+        val r = b.groupBy(col("band"), col("bkey")).count()
+          .agg(max(col("count"))).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
+    if (maxBucket > capSignal) log.warn(
+      s"band index '${tables._2}': max bucket population $maxBucket " +
+        s"exceeds the batch stop-bucket cap $capSignal — the incremental " +
+        "report can now diverge from its batch twin and probe work in " +
+        "that bucket is quadratic; schedule a batch rebuild")
+    maxBucket
   }
 }

@@ -88,10 +88,15 @@ object DedupIndexStream {
     * band index, plus batch-internal), verified by signature-slot
     * fraction. Idempotent per batchId AND under partial-crash retries
     * (the composite commit makes a retry recompute from either the
-    * fully-old or fully-new snapshot — both converge). */
-  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    * fully-old or fully-new snapshot — both converge).
+    * @return the [[BandIndexMerge]] rebuild signal: max band-bucket
+    *         population after the merge (−1 for an already-applied
+    *         batch); > [[Dedup.MaxShingleDf]] means batch q28's
+    *         stop-bucket cap would drop a bucket this index still
+    *         probes — schedule a batch rebuild. */
+  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {
     val state = new VersionedState(stateDir)
-    if (state.isApplied(batchId)) { state.mark(batchId); return }
+    if (state.isApplied(batchId)) { state.mark(batchId); return -1L }
     val spark = batch.sparkSession
     // intra-batch duplicate ids collapse to one row first — otherwise
     // minhashWide would blend two copies' shingle streams into one
@@ -101,16 +106,18 @@ object DedupIndexStream {
     // commit: the shared [[BandIndexMerge]] kernel (one copy with the
     // image index). est_sim always reflects the CURRENT signatures —
     // never a max() against a stale higher similarity.
-    try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
-      dSigs, Dedup.lshBands(dSigs),
-      (candKeys, allSigs) => candKeys
-        .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          round(Dedup.signatureMatchFraction, 6).as("est_sim")),
-      ("sigs", "bands", "pairs"))
-    finally dSigs.unpersist(blocking = false) // released on commit failure too
+    val signal =
+      try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
+        dSigs, Dedup.lshBands(dSigs),
+        (candKeys, allSigs) => candKeys
+          .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.signatureMatchFraction, 6).as("est_sim")),
+        ("sigs", "bands", "pairs"))
+      finally dSigs.unpersist(blocking = false) // released on commit failure too
     state.mark(batchId)
+    signal
   }
 
   /** Maintain the index over a document stream; stable checkpoint under
@@ -123,7 +130,7 @@ object DedupIndexStream {
       .parquet(inDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, stateDir, batchId)
+        mergeBatch(batch, stateDir, batchId): Unit
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stateDir/_checkpoint")

@@ -25,7 +25,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * intentionally carries no cap (a bucket crossing it mid-stream would
   * retract already-emitted pairs) and a cap-crossing corpus calls for a
   * periodic batch rebuild, which the single-pointer commit makes a
-  * drop-in swap.
+  * drop-in swap. Crossing the cap is DETECTED, not discovered: every
+  * [[mergeBatch]] returns the post-merge max bucket population and the
+  * shared kernel WARN-logs past the cap (advisor r14 find).
   *
   * Exactly-once and last-writer-wins semantics are inherited unchanged
   * from the DedupIndexStream pattern: stable checkpoint, per-batch
@@ -62,9 +64,14 @@ object PhashIndexStream {
     Multimodal.phashPresentation(pairs)
   }
 
-  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+  /** @return the [[BandIndexMerge]] rebuild signal: max band-bucket
+    *         population after the merge (−1 for an already-applied
+    *         batch); > [[graft.operators.Dedup.MaxShingleDf]] means
+    *         batch q136's stop-bucket cap would drop a bucket this
+    *         index still probes — schedule a batch rebuild. */
+  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {
     val state = new VersionedState(stateDir)
-    if (state.isApplied(batchId)) { state.mark(batchId); return }
+    if (state.isApplied(batchId)) { state.mark(batchId); return -1L }
     val spark = batch.sparkSession
     // Δ hashes: one decode per distinct batch image (intra-batch dup
     // ids collapse first — the DedupIndexStream discipline)
@@ -73,18 +80,20 @@ object PhashIndexStream {
     // LWW replacement, band probe, retract-and-recompute, composite
     // commit: the shared [[BandIndexMerge]] kernel (one copy with the
     // text index)
-    try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
-      dHashes, Multimodal.phashBands(dHashes),
-      (candKeys, allHashes) => candKeys
-        .join(allHashes.select(col("doc_id").as("doc_a"),
-          col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("doc_a"))
-        .join(allHashes.select(col("doc_id").as("doc_b"),
-          col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          Multimodal.hammingExpr.as("hamming")),
-      ("hashes", "bands", "pairs"))
-    finally dHashes.unpersist(blocking = false)
+    val signal =
+      try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
+        dHashes, Multimodal.phashBands(dHashes),
+        (candKeys, allHashes) => candKeys
+          .join(allHashes.select(col("doc_id").as("doc_a"),
+            col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("doc_a"))
+          .join(allHashes.select(col("doc_id").as("doc_b"),
+            col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Multimodal.hammingExpr.as("hamming")),
+        ("hashes", "bands", "pairs"))
+      finally dHashes.unpersist(blocking = false)
     state.mark(batchId)
+    signal
   }
 
   /** Maintain the index over a document stream; stable checkpoint under
@@ -97,7 +106,7 @@ object PhashIndexStream {
       .parquet(inDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, stateDir, batchId)
+        mergeBatch(batch, stateDir, batchId): Unit
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stateDir/_checkpoint")

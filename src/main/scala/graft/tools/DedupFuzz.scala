@@ -97,12 +97,17 @@ object DedupFuzz {
           mk().coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
-        spark.catalog.clearCache()
-        Checkpoints.sweep(spark)
       } catch {
         case e: Throwable =>
           failed += 1
           System.err.println(s"[dedupfuzz] $name failed: ${e.getMessage}")
+      } finally {
+        // on the FAILURE path too: a crashed config's cached frames
+        // (e.g. mhSpark's wide.cache()) must not stay resident and
+        // bleed memory/cache state into every later config in this
+        // JVM (advisor r14 find)
+        spark.catalog.clearCache()
+        Checkpoints.sweep(spark)
       }
     }
     println(s"[dedupfuzz] ran ${configs.size} configs, $failed failed, seed=$seed")

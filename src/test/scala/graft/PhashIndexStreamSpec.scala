@@ -55,9 +55,18 @@ class PhashIndexStreamSpec extends SparkSuite {
     // — the report must converge to the same answer, and state must
     // not grow
     val redo = spark.read.parquet(inDir).filter($"doc_id" % 3 === 1)
-    PhashIndexStream.mergeBatch(redo, stateDir, 97L)
+    val signal = PhashIndexStream.mergeBatch(redo, stateDir, 97L)
     assert(PhashIndexStream.report(spark, stateDir).collect().toSeq == batch)
     val (h2, b2, _) = PhashIndexStream.readState(spark, stateDir)
     assert(h2.count() == n && b2.count() == 4 * n)
+
+    // rebuild signal: mergeBatch returns the post-merge max band-bucket
+    // population, exactly as recomputed from the committed band state —
+    // the "reproduces batch q136" contract is now monitored, not hoped
+    val expected = b2.groupBy($"band", $"bkey").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).first().getLong(0)
+    assert(signal == expected && signal > 0)
+    // an already-applied batchId short-circuits with the -1 sentinel
+    assert(PhashIndexStream.mergeBatch(redo, stateDir, 97L) == -1L)
   }
 }
