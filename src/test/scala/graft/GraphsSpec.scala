@@ -103,4 +103,11 @@ class GraphsSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException] { Graphs.pagerank(e, 5) }
     assert(ex.getMessage.contains("out-degree"))
   }
+
+  test("q140 bucketed layout reproduces q94 exactly") {
+    val a = graft.operators.Graphs.q94Pagerank(spark, sfDir).collect().toSeq
+    val b = graft.operators.Graphs.q140PagerankBucketed(spark, sfDir)
+      .collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }

@@ -346,4 +346,41 @@ class PlanQualitySpec extends SparkSuite {
       col("o_orderkey") === col("l_orderkey")).count()
     assert(joined.count() == expected)
   }
+
+  test("bucketed pagerank step: edges never shuffle — ≤2 Exchanges vs 4 plain") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_pr_bucketed_").toString
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").cast("long").as("sn"),
+        (col("l_partkey") + 100000L).as("pn")).distinct()
+    val edges = pairs.select($"sn".as("src"), $"pn".as("dst"))
+      .union(pairs.select($"pn".as("src"), $"sn".as("dst")))
+    val be = graft.operators.Graphs.bucketedEdges(edges, "pr_edges_fence", wh, 4)
+    try {
+      val deg = be.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nodes = deg.select($"src".as("node"), $"deg")
+      val r0 = nodes.select($"node", lit(1000000L).as("r"))
+      val stepB = graft.operators.Graphs.contributionStep(be, nodes, r0)
+      val pB = stepB.queryExecution.executedPlan.toString
+      // the edge lane reads the bucketed layout...
+      assert(pB.contains("Bucketed: true") ||
+        pB.contains("SelectedBucketsCount"), pB.take(1200))
+      // ...and per iteration only the |nodes|-sized rank frame and the
+      // map-side-combined contribution sum move — never the edges
+      val exB = "Exchange hashpartitioning".r.findAllIn(pB).length
+      assert(exB <= 2, s"bucketed step has $exB exchanges:\n" + pB.take(1500))
+      // the SAME step over the unbucketed edge list shuffles more (the
+      // edge-side join exchange the layout exists to delete)
+      val nodesU = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select($"src".as("node"), $"deg")
+      val stepU = graft.operators.Graphs.contributionStep(edges, nodesU,
+        nodesU.select($"node", lit(1000000L).as("r")))
+      val exU = "Exchange hashpartitioning".r
+        .findAllIn(stepU.queryExecution.executedPlan.toString).length
+      assert(exU > exB, s"unbucketed $exU vs bucketed $exB")
+      // and the physical layout does not change the answer
+      assert(stepB.orderBy($"node").collect().toSeq ==
+        stepU.orderBy($"node").collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS pr_edges_fence")
+  }
 }
