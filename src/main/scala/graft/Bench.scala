@@ -190,8 +190,10 @@ object Bench {
         }
         true
       } catch { case e: Throwable =>
-        failed.getOrElseUpdate(name,
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        synchronized {
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
         false
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -200,10 +202,16 @@ object Bench {
       // without this sweep they compound across the suite and produced
       // the BENCH_r10 rising-sample regressions (q01 1.9→18.5s)
       graft.tools.Checkpoints.sweep(spark)
-      if (ok) samples(name) = samples.getOrElse(name, Nil) :+ (pass -> dt)
       val gcAfter = gcMillis()
-      telemetry(name) = telemetry.getOrElse(name, Nil) :+
-        ((pass, idx, heapUsedMb(), gcAfter, gcAfter - gcBefore))
+      // same monitor as emit(): the shutdown hook derives the headline
+      // from these maps, and a mid-run SIGTERM landing between two
+      // appends must not lose the whole artifact to a concurrent
+      // modification inside the hook's iteration
+      synchronized {
+        if (ok) samples(name) = samples.getOrElse(name, Nil) :+ (pass -> dt)
+        telemetry(name) = telemetry.getOrElse(name, Nil) :+
+          ((pass, idx, heapUsedMb(), gcAfter, gcAfter - gcBefore))
+      }
     }
 
     // pass 0 — warmup, always completes

@@ -20,9 +20,9 @@ object ContractCheck {
     * Every other sketch in the suite (q64 KMV, q68 CMS, q93 KMV set ops,
     * q136 phash) derives from md5/integer arithmetic and IS hash-gated. */
   val RowsOnly: Map[String, String] = Map(
-    "q52_hll_distinct" ->
+    "q52_hll_sketch" ->
       "spec-bounded: TemporalSpec ±5% of exact (HLL registers not replayable)",
-    "q83_bloom_decontamination" ->
+    "q83_bloom_contamination" ->
       "spec-bounded: CurationSpec no-false-negatives + fpp overcount bound")
 
   def main(args: Array[String]): Unit = {
