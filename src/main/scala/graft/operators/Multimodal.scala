@@ -421,9 +421,26 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_base"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+  def q136ImagePhashDedup(s: SparkSession, dir: String): DataFrame =
+    phashDedupVia(s, dir, "bmp")
+
+  /** q141 — the SAME phash near-dup pipeline with the images round-
+    * tripped through the COMPRESSED container ([[graft.sources
+    * .PngImage]]: per-row filters, RGBA mix, multi-IDAT) instead of
+    * BMP. Because the aHash is container-independent by construction
+    * (PngPhashParitySpec pins it), q141 is hash-gated by q136's own
+    * oracle — which makes the whole PNG codec chain (CRC walk, zlib
+    * inflate, all five filter reversals, RGBA stride) part of the
+    * graded dedup surface, not just a spec: any decode defect anywhere
+    * changes a hash, a band, a candidate pair, and the artifact
+    * mismatches. */
+  def q141PhashPngContainer(s: SparkSession, dir: String): DataFrame =
+    phashDedupVia(s, dir, "png")
+
+  private def phashDedupVia(s: SparkSession, dir: String,
+      container: String): DataFrame = {
     import s.implicits._
-    val hashes = imageHashesOf(Tables.documents(s, dir))
+    val hashes = imageHashesOf(Tables.documents(s, dir), container)
       .cache() // consumed by banding AND both sides of the distance join
     val bands0 = phashBands(hashes)
     phashPresentation(Dedup.cappedBandCandidates(bands0)
@@ -656,7 +673,8 @@ object Multimodal {
     "q135_image_decode" -> q135ImageDecode _,
     "q136_image_phash_dedup" -> q136ImagePhashDedup _,
     "q138_phash_sensitivity" -> q138PhashSensitivity _,
-    "q139_png_decode" -> q139PngDecode _)
+    "q139_png_decode" -> q139PngDecode _,
+    "q141_phash_png_container" -> q141PhashPngContainer _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -664,5 +682,7 @@ object Multimodal {
     "q135_image_decode" -> q135Oracle,
     "q136_image_phash_dedup" -> q136Oracle,
     "q138_phash_sensitivity" -> q138Oracle,
-    "q139_png_decode" -> q139Oracle)
+    "q139_png_decode" -> q139Oracle,
+    // container-independent hash (PngPhashParitySpec) — q136's oracle
+    "q141_phash_png_container" -> q136Oracle)
 }
