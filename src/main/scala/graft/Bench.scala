@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
   * discipline applied to the run of record). Exoneration tables were
   * written three rounds running; this makes them unnecessary.
   *
-  * codegen.cache.maxEntries is raised from its 100 default: with 138
-  * queries per pass, the generated-class cache would otherwise evict
+  * codegen.cache.maxEntries is raised from its 100 default: with the
+  * full suite (141 queries and growing) visited once per pass, the
+  * generated-class cache would otherwise evict
   * between a query's warmup and its steady samples, putting codegen
   * compile time back INTO the steady samples that warmup exists to
   * amortize (the cache is keyed by generated source, so re-visits hit).

@@ -319,20 +319,26 @@ object Graphs {
     // fixed per-process path: repeated runs (bench samples) OVERWRITE
     // the same layout instead of accreting temp copies
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q140_wh"
+    // caches released in the finally so a mid-query failure (disk-full
+    // on the bucketed write, a transient task crash) cannot leave frames
+    // pinned in a long-lived session (review find — the same failure-
+    // path cache bleed DedupFuzz's finally fixes)
+    var deg: DataFrame = null
+    var r1: DataFrame = null
     try {
       val be = bucketedEdges(edges, "q140_edges", wh, buckets = 8)
-      val deg = be.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+      deg = be.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
       val nodes = deg.select($"src".as("node"), $"deg")
-      val r1 = contributionStep(be, nodes,
+      r1 = contributionStep(be, nodes,
         nodes.select($"node", lit(Scale).as("r"))).cache()
       val r2 = contributionStep(be, nodes, r1)
       val top = topReport(r1, r2)
       val rows = top.collect()
-      pairs.unpersist()
-      deg.unpersist()
-      r1.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
     } finally {
+      pairs.unpersist()
+      if (deg != null) deg.unpersist()
+      if (r1 != null) r1.unpersist()
       // external-table bookkeeping must not leak across queries (the
       // temp dir itself is OS-owned); data was already materialized
       // into the returned local rows

@@ -76,6 +76,11 @@ object PngImage {
     var off = 8
     var width = 0; var height = 0; var colorType = -1
     var seenIhdr = false; var seenIend = false
+    // seenIdat tracks CHUNKS, not accumulated bytes: a zero-length IDAT
+    // (legal) still starts the run, so a gap after it must end it too
+    // (review find: keying off idat.size() let "IDAT(0 B), tEXt, IDAT"
+    // slip past the contiguity rule)
+    var seenIdat = false
     var idatDone = false // an IDAT run, once broken, must not resume
     val idat = new java.io.ByteArrayOutputStream()
     while (off < bytes.length && !seenIend) {
@@ -116,6 +121,7 @@ object PngImage {
         case "IDAT" =>
           require(!idatDone,
             "non-contiguous IDAT chunks (IDAT run resumed after a gap)")
+          seenIdat = true
           idat.write(bytes, dataOff, len.toInt)
         case "IEND" =>
           require(len == 0, s"IEND carries $len data bytes")
@@ -126,7 +132,7 @@ object PngImage {
           // letter) cannot be safely ignored per the spec
           require((other.charAt(0) & 0x20) != 0,
             s"unknown critical chunk $other")
-          if (idat.size() > 0) idatDone = true
+          if (seenIdat) idatDone = true
       }
       off += 12 + len.toInt
     }

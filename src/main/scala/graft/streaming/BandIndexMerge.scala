@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   *    already-emitted pairs), so the "reproduces the batch query
   *    exactly" contract holds only while no accumulated bucket crosses
   *    the batch cap. [[merge]] therefore RETURNS the post-commit max
-  *    bucket population and WARN-logs when it exceeds `capSignal` —
+  *    population among this batch's touched buckets (the only ones that
+  *    can newly cross) and WARN-logs when it exceeds `capSignal` —
   *    the documented periodic batch rebuild is triggered by a signal,
   *    not discovered via divergence (advisor r14 find; probe work in a
   *    degenerate bucket also goes quadratic, so the signal doubles as
@@ -56,9 +57,15 @@ private[streaming] object BandIndexMerge {
     * @param tables   state-table names for the commit
     * @param capSignal bucket population above which the rebuild signal
     *                 fires (the batch query's stop-bucket cap)
-    * @return max band-bucket population AFTER this merge — > capSignal
-    *         means the batch twin would now drop that bucket and a
-    *         batch rebuild is due */
+    * @return max population among the band buckets TOUCHED BY THIS
+    *         BATCH, post-commit (0 for a batch adding no band rows) —
+    *         > capSignal means the batch twin would now drop a bucket
+    *         this index still probes and a batch rebuild is due. Only
+    *         touched buckets can newly cross the cap (LWW retraction
+    *         only shrinks the others), so the delta-scoped max raises
+    *         the same alarm as a full-index max without aggregating
+    *         the whole band table per trigger (review find: the first
+    *         cut made every merge O(index) in shuffle work). */
   def merge(state: VersionedState, batchId: Long,
       current: (DataFrame, DataFrame, DataFrame),
       dSigs: DataFrame, dBands: DataFrame,
@@ -88,12 +95,17 @@ private[streaming] object BandIndexMerge {
       .select(newPairs.columns.toSeq.map(col): _*)
     state.commit(Seq(tables._1 -> allSigs, tables._2 -> allBands,
       tables._3 -> retained.unionByName(newPairs)), batchId)
-    // rebuild signal — computed from the WRITTEN band table (a 3-column
-    // columnar re-scan, map-side-combined to one row) rather than the
-    // pre-commit lineage, which would recompute the whole anti-join
+    // rebuild signal — computed from the WRITTEN band table (rather
+    // than the pre-commit lineage, which would recompute the whole
+    // anti-join) restricted to the buckets this batch touched: the
+    // semi-join filters scan-side against the broadcast delta keys, so
+    // the aggregation shuffles O(touched buckets), not O(index)
     val maxBucket = state.read(dBands.sparkSession, tables._2)
       .map { b =>
-        val r = b.groupBy(col("band"), col("bkey")).count()
+        val r = b.join(
+            dBands.select(col("band"), col("bkey")).distinct(),
+            Seq("band", "bkey"), "left_semi")
+          .groupBy(col("band"), col("bkey")).count()
           .agg(max(col("count"))).first()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }.getOrElse(0L)

@@ -89,9 +89,9 @@ object DedupIndexStream {
     * fraction. Idempotent per batchId AND under partial-crash retries
     * (the composite commit makes a retry recompute from either the
     * fully-old or fully-new snapshot — both converge).
-    * @return the [[BandIndexMerge]] rebuild signal: max band-bucket
-    *         population after the merge (−1 for an already-applied
-    *         batch); > [[Dedup.MaxShingleDf]] means batch q28's
+    * @return the [[BandIndexMerge]] rebuild signal: max population among the band
+    *         buckets this batch touched, post-merge (−1 for an
+    *         already-applied batch); > [[Dedup.MaxShingleDf]] means batch q28's
     *         stop-bucket cap would drop a bucket this index still
     *         probes — schedule a batch rebuild. */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {

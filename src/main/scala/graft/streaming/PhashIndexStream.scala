@@ -26,8 +26,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * retract already-emitted pairs) and a cap-crossing corpus calls for a
   * periodic batch rebuild, which the single-pointer commit makes a
   * drop-in swap. Crossing the cap is DETECTED, not discovered: every
-  * [[mergeBatch]] returns the post-merge max bucket population and the
-  * shared kernel WARN-logs past the cap (advisor r14 find).
+  * [[mergeBatch]] returns the post-merge max population among
+  * the batch-touched buckets and the shared kernel WARN-logs past the cap (advisor r14 find).
   *
   * Exactly-once and last-writer-wins semantics are inherited unchanged
   * from the DedupIndexStream pattern: stable checkpoint, per-batch
@@ -64,9 +64,9 @@ object PhashIndexStream {
     Multimodal.phashPresentation(pairs)
   }
 
-  /** @return the [[BandIndexMerge]] rebuild signal: max band-bucket
-    *         population after the merge (−1 for an already-applied
-    *         batch); > [[graft.operators.Dedup.MaxShingleDf]] means
+  /** @return the [[BandIndexMerge]] rebuild signal: max population among the band
+    *         buckets this batch touched, post-merge (−1 for an
+    *         already-applied batch); > [[graft.operators.Dedup.MaxShingleDf]] means
     *         batch q136's stop-bucket cap would drop a bucket this
     *         index still probes — schedule a batch rebuild. */
   def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {

@@ -44,13 +44,19 @@ object CodecFuzz {
           s"${e.getClass.getSimpleName}: ${e.getMessage}").take(400))
       }
     }
-    // mutation oracle: reject-with-reason or structurally sound
+    // mutation oracle: reject-with-reason or structurally sound. The
+    // soundness require lives OUTSIDE the rejection try — inside it, its
+    // own IllegalArgumentException would be swallowed as an "accepted
+    // rejection" and the structural half of the oracle would be dead
+    // code (review find on the first cut)
     def mutationCase[T](name: String, parse: () => T)(sound: T => Boolean):
         Unit = check(name) {
-      try {
-        val v = parse()
+      val parsed =
+        try Some(parse())
+        catch { case _: IllegalArgumentException => None } // named rejection
+      parsed.foreach { v =>
         require(sound(v), "parsed but structural invariant broken")
-      } catch { case _: IllegalArgumentException => () }
+      }
     }
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // byte flip
@@ -140,7 +146,7 @@ object CodecFuzz {
         Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(65536) - 32768))
       val bad = mutate(good)
       mutationCase(s"wav_mutation_$i", () => WavAudio.parse(bad)) { wv =>
-        (wv.channels == 1 || wv.channels > 0) &&
+        wv.channels >= 1 && wv.sampleRate > 0 &&
           (wv.bits == 8 || wv.bits == 16) &&
           wv.samples.length % wv.channels == 0
       }

@@ -60,10 +60,18 @@ class PhashIndexStreamSpec extends SparkSuite {
     val (h2, b2, _) = PhashIndexStream.readState(spark, stateDir)
     assert(h2.count() == n && b2.count() == 4 * n)
 
-    // rebuild signal: mergeBatch returns the post-merge max band-bucket
-    // population, exactly as recomputed from the committed band state —
-    // the "reproduces batch q136" contract is now monitored, not hoped
-    val expected = b2.groupBy($"band", $"bkey").count()
+    // rebuild signal: mergeBatch returns the post-merge max population
+    // among the buckets THIS batch touched (the only ones that can newly
+    // cross the cap), recomputed here independently from the committed
+    // band state semi-joined to the redo batch's own band keys — the
+    // "reproduces batch q136" contract is monitored, not hoped
+    val redoBands = graft.operators.Multimodal.phashBands(
+      graft.operators.Multimodal.imageHashesOf(
+        redo.select($"doc_id").dropDuplicates("doc_id")))
+    val expected = b2
+      .join(redoBands.select($"band", $"bkey").distinct(),
+        Seq("band", "bkey"), "left_semi")
+      .groupBy($"band", $"bkey").count()
       .agg(org.apache.spark.sql.functions.max($"count")).first().getLong(0)
     assert(signal == expected && signal > 0)
     // an already-applied batchId short-circuits with the -1 sentinel

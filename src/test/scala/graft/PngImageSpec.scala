@@ -200,10 +200,19 @@ class PngImageSpec extends AnyFunSuite {
     // non-contiguous IDAT: tEXt spliced between two IDAT chunks
     val z = deflate(Array[Byte](0, 1, 2, 3))
     val (z1, z2) = z.splitAt(z.length / 2)
+    val kv = ("k".getBytes("US-ASCII") :+ 0.toByte) ++
+      "v".getBytes("US-ASCII")
     assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
       chunk("IHDR", ihdr(1, 1)), chunk("IDAT", z1),
-      chunk("tEXt", ("k".getBytes("US-ASCII") :+ 0.toByte) ++ "v".getBytes("US-ASCII")),
+      chunk("tEXt", kv),
       chunk("IDAT", z2), iend)))
+      .getMessage.contains("IDAT"))
+    // ...even when the first IDAT is ZERO-LENGTH (legal by itself): the
+    // run is defined by chunks seen, not bytes accumulated (review find)
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1)), chunk("IDAT", Array.emptyByteArray),
+      chunk("tEXt", kv),
+      chunk("IDAT", z), iend)))
       .getMessage.contains("IDAT"))
     // ...while the SAME split with contiguous IDATs parses fine
     val ok = PngImage.parse(assemble(chunk("IHDR", ihdr(1, 1)),
