@@ -667,6 +667,90 @@ object Multimodal {
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q142 — grayscale PNG decode (color types 0 and 4): q139's
+    * oracle-gated ladder over the OTHER half of the PNG pixel layouts.
+    * Per document an 8-bit grayscale PNG is synthesized from analytic
+    * gray values — gray+alpha (type 4) for odd ids, plain gray (type 0)
+    * for even — with per-row filter cycling and multi-IDAT for ids
+    * divisible by 3, decoded, and reduced to integer stats the DuckDB
+    * oracle recomputes from doc_id. The UDF additionally asserts the
+    * decode invariant R = G = B on every pixel (a stride bug that reads
+    * a neighbor's byte breaks it immediately).
+    *
+    * Scale shape: task-local synth+encode+decode per row; media bytes
+    * never shuffle; one presentation sort. */
+  def q142PngGrayDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (5 + id % 11).toInt
+      val h = (4 + id % 5).toInt
+      val withAlpha = id % 2 == 1
+      val gray = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((id * 11 + x * 7 + y * 3) % 256).toInt
+      }
+      val alpha =
+        if (withAlpha) Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((id + x + y * 9) % 256).toInt
+        } else Array.emptyIntArray
+      val png = graft.sources.PngImage.parse(
+        graft.sources.PngImage.encodeGray(w, h, gray, alpha,
+          filterFor = y => ((y + 2 * id) % 5).toInt,
+          idatChunkSize = if (id % 3 == 0) 48 else Int.MaxValue))
+      var sumG = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
+      var y = 0
+      while (y < png.height) {
+        var x = 0
+        while (x < png.width) {
+          val p = png.pixel(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          require(r == g && g == b,
+            s"grayscale decode broke R=G=B at ($x,$y): $r/$g/$b")
+          sumG += g
+          wsum += (y + 1) * g
+          if (g > peak) peak = g
+          sumA += png.alpha(x, y)
+          x += 1
+        }
+        y += 1
+      }
+      (png.width.toLong, png.height.toLong, png.pixels.length.toLong,
+        sumG, wsum, png.pixel(0, 0).toLong & 0xff, peak, sumA)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_gray"),
+        $"st._5".as("wsum"), $"st._6".as("first_gray"),
+        $"st._7".as("peak_gray"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q142Oracle: String =
+    """WITH p AS (SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 11 + x * 7 + y * 3) % 256 AS g,
+      |         CASE WHEN doc_id % 2 = 1
+      |              THEN (doc_id + x + y * 9) % 256 ELSE 255 END AS a
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(g) AS BIGINT) AS sum_gray,
+      |       CAST(sum((y + 1) * g) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT)
+      |         AS first_gray,
+      |       CAST(max(g) AS BIGINT) AS peak_gray,
+      |       CAST(sum(a) AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -674,7 +758,8 @@ object Multimodal {
     "q136_image_phash_dedup" -> q136ImagePhashDedup _,
     "q138_phash_sensitivity" -> q138PhashSensitivity _,
     "q139_png_decode" -> q139PngDecode _,
-    "q141_phash_png_container" -> q141PhashPngContainer _)
+    "q141_phash_png_container" -> q141PhashPngContainer _,
+    "q142_png_gray_decode" -> q142PngGrayDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -684,5 +769,6 @@ object Multimodal {
     "q138_phash_sensitivity" -> q138Oracle,
     "q139_png_decode" -> q139Oracle,
     // container-independent hash (PngPhashParitySpec) — q136's oracle
-    "q141_phash_png_container" -> q136Oracle)
+    "q141_phash_png_container" -> q136Oracle,
+    "q142_png_gray_decode" -> q142Oracle)
 }

@@ -13,14 +13,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * (`java.util.zip.Inflater` — PNG's IDAT stream IS a zlib stream),
   * so no new dependency appears.
   *
-  * Scope (documented, not hidden): bit depth 8, color types 2
-  * (truecolor) and 6 (truecolor+alpha), compression 0, filter method 0
-  * (all five per-scanline filter types: None/Sub/Up/Average/Paeth),
-  * interlace 0. Palette, grayscale, 16-bit and Adam7 are rejected with
-  * named errors — the corpus this seam models (synthesized fixtures +
-  * opaque media bytes) never produces them, and a partial decode of an
-  * unsupported layout is exactly the garbage-output failure mode the
-  * discipline bans.
+  * Scope (documented, not hidden): bit depth 8, color types 0
+  * (grayscale), 2 (truecolor), 4 (grayscale+alpha) and 6
+  * (truecolor+alpha), compression 0, filter method 0 (all five
+  * per-scanline filter types: None/Sub/Up/Average/Paeth), interlace 0.
+  * Palette, 16-bit and Adam7 are rejected with named errors — the
+  * corpus this seam models (synthesized fixtures + opaque media bytes)
+  * never produces them, and a partial decode of an unsupported layout
+  * is exactly the garbage-output failure mode the discipline bans.
+  * Grayscale decodes to the same 0xAARRGGBB pixel face with
+  * R = G = B = gray, so every consumer (phash, stats) is
+  * layout-agnostic.
   *
   * Reference semantics: the reference treats media as opaque binary
   * with typed metadata and delegates decode to external services
@@ -109,8 +112,10 @@ object PngImage {
         require(width > 0 && width <= (1 << 20), s"bad width $width")
         require(height > 0 && height <= (1 << 20), s"bad height $height")
         require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
-        require(colorType == 2 || colorType == 6,
-          s"unsupported color type $colorType (only 2=RGB, 6=RGBA)")
+        require(colorType == 0 || colorType == 2 || colorType == 4 ||
+          colorType == 6,
+          s"unsupported color type $colorType " +
+            "(only 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA)")
         require(compression == 0, s"bad compression method $compression")
         require(filterMethod == 0, s"bad filter method $filterMethod")
         require(interlace == 0,
@@ -141,7 +146,9 @@ object PngImage {
       s"${bytes.length - off} trailing bytes after IEND")
     require(idat.size() > 0, "missing IDAT")
 
-    val bpp = if (colorType == 6) 4 else 3
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    }
     val rowBytes = 1 + width * bpp
     val expected = rowBytes.toLong * height
     require(expected <= Int.MaxValue, s"image too large: $expected bytes")
@@ -175,15 +182,24 @@ object PngImage {
       var c = 0
       while (c < width) {
         val o = c * bpp
-        val a = if (bpp == 4) recon(o + 3) & 0xff else 0xff
-        px(y * width + c) = (a << 24) | ((recon(o) & 0xff) << 16) |
-          ((recon(o + 1) & 0xff) << 8) | (recon(o + 2) & 0xff)
+        px(y * width + c) = colorType match {
+          case 0 =>
+            val g = recon(o) & 0xff
+            0xff000000 | (g << 16) | (g << 8) | g
+          case 4 =>
+            val g = recon(o) & 0xff
+            ((recon(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+          case _ =>
+            val a = if (bpp == 4) recon(o + 3) & 0xff else 0xff
+            (a << 24) | ((recon(o) & 0xff) << 16) |
+              ((recon(o + 1) & 0xff) << 8) | (recon(o + 2) & 0xff)
+        }
         c += 1
       }
       System.arraycopy(recon, 0, prior, 0, n)
       y += 1
     }
-    Png(width, height, colorType == 6, px)
+    Png(width, height, colorType == 6 || colorType == 4, px)
   }
 
   /** Paeth predictor (PNG spec §9.4) — nearest of left/up/up-left to
@@ -282,6 +298,16 @@ object PngImage {
       System.arraycopy(cur, 0, prior, 0, n)
       y += 1
     }
+    wrapIdat(width, height, if (withAlpha) 6 else 2, raw, idatChunkSize)
+  }
+
+  /** Deflate the filtered scanlines and assemble the container —
+    * signature, IHDR (bit depth 8, the given color type), IDAT split at
+    * `idatChunkSize`, IEND — the ONE copy shared by [[encode]] and
+    * [[encodeGray]]. */
+  private def wrapIdat(width: Int, height: Int, colorType: Int,
+      raw: Array[Byte], idatChunkSize: Int): Array[Byte] = {
+    require(idatChunkSize > 0, s"bad idatChunkSize $idatChunkSize")
     val def_ = new Deflater()
     val z = try {
       def_.setInput(raw); def_.finish()
@@ -295,7 +321,7 @@ object PngImage {
     out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
     putU32(ihdr, 0, width); putU32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = (if (withAlpha) 6 else 2).toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
     writeChunk(out, "IHDR", ihdr)
     var zo = 0
     while (zo < z.length) {
@@ -305,6 +331,60 @@ object PngImage {
     }
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Encode 8-bit grayscale PNG (color type 0, or 4 with `withAlpha`)
+    * from top-down row-major gray values (`gray(i) & 0xff`; alpha from
+    * `alpha(i) & 0xff` when present). The generator half for the
+    * grayscale decode paths — same per-row filter selection and IDAT
+    * splitting as [[encode]]. */
+  def encodeGray(width: Int, height: Int, gray: Array[Int],
+      alpha: Array[Int] = Array.emptyIntArray,
+      filterFor: Int => Int = _ => 0,
+      idatChunkSize: Int = Int.MaxValue): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(gray.length == width * height,
+      s"${gray.length} gray values for ${width}x$height")
+    val withAlpha = alpha.nonEmpty
+    if (withAlpha) require(alpha.length == gray.length,
+      s"${alpha.length} alpha values for ${gray.length} pixels")
+    val bpp = if (withAlpha) 2 else 1
+    val n = width * bpp
+    val raw = new Array[Byte]((1 + n) * height)
+    val cur = new Array[Byte](n)
+    val prior = new Array[Byte](n)
+    var y = 0
+    while (y < height) {
+      var c = 0
+      while (c < width) {
+        cur(c * bpp) = (gray(y * width + c) & 0xff).toByte
+        if (withAlpha) cur(c * bpp + 1) = (alpha(y * width + c) & 0xff).toByte
+        c += 1
+      }
+      val f = filterFor(y)
+      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
+      val ro = y * (1 + n)
+      raw(ro) = f.toByte
+      var x = 0
+      while (x < n) {
+        val v = cur(x) & 0xff
+        val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+        val up = if (y > 0) prior(x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - (left + up) / 2
+          case 4 => v - paeth(left, up, upLeft)
+        }
+        raw(ro + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, n)
+      y += 1
+    }
+    wrapIdat(width, height, if (withAlpha) 4 else 0, raw, idatChunkSize)
   }
 
   private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {

@@ -117,11 +117,42 @@ object CodecFuzz {
         require(p.pixels.toSeq == expected, "pixels")
       }
     }
+    for (i <- 0 until 30) {
+      val w = 1 + rnd.nextInt(25)
+      val h = 1 + rnd.nextInt(12)
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val withAlpha = rnd.nextBoolean()
+      val alpha =
+        if (withAlpha) Array.fill(w * h)(rnd.nextInt(256))
+        else Array.emptyIntArray
+      check(s"png_gray_roundtrip_$i") {
+        val p = PngImage.parse(PngImage.encodeGray(w, h, gray, alpha,
+          y => (y + i) % 5, 1 + rnd.nextInt(500)))
+        require(p.hasAlpha == withAlpha, "alpha flag")
+        var ok = true
+        var k = 0
+        while (k < w * h && ok) {
+          val g = gray(k)
+          ok = p.pixels(k) == (((if (withAlpha) alpha(k) else 0xff) << 24) |
+            (g << 16) | (g << 8) | g)
+          k += 1
+        }
+        require(ok, "gray pixels")
+      }
+    }
     for (i <- 0 until 80) {
       val w = 1 + rnd.nextInt(14)
       val h = 1 + rnd.nextInt(9)
-      val good = PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
-        rnd.nextBoolean(), _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
+      // mutate across all four supported color layouts
+      val good = rnd.nextInt(4) match {
+        case 0 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
+          withAlpha = false, _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
+        case 1 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
+          withAlpha = true, _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
+        case 2 => PngImage.encodeGray(w, h, Array.fill(w * h)(rnd.nextInt(256)))
+        case 3 => PngImage.encodeGray(w, h, Array.fill(w * h)(rnd.nextInt(256)),
+          Array.fill(w * h)(rnd.nextInt(256)))
+      }
       val bad = mutate(good)
       mutationCase(s"png_mutation_$i", () => PngImage.parse(bad)) { p =>
         p.width > 0 && p.height > 0 &&

@@ -85,6 +85,45 @@ class PngImageSpec extends AnyFunSuite {
     }
   }
 
+  test("grayscale round-trip: types 0 and 4, all filters, R=G=B face") {
+    for {
+      filter <- 0 to 4
+      withAlpha <- Seq(false, true)
+    } {
+      val (w, h) = (7 + filter, 5)
+      val gray = Array.tabulate(w * h)(i => (i * 37 + filter * 11) & 0xff)
+      val alpha =
+        if (withAlpha) Array.tabulate(w * h)(i => (i * 53 + 9) & 0xff)
+        else Array.emptyIntArray
+      val png = PngImage.parse(PngImage.encodeGray(w, h, gray, alpha,
+        filterFor = _ => filter, idatChunkSize = 13))
+      assert(png.width == w && png.height == h)
+      assert(png.hasAlpha == withAlpha)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(y * w + x)
+        assert(png.pixel(x, y) == ((g << 16) | (g << 8) | g),
+          s"gray mismatch at ($x,$y) filter=$filter alpha=$withAlpha")
+        val expA = if (withAlpha) alpha(y * w + x) else 0xff
+        assert(png.alpha(x, y) == expA)
+      }
+    }
+  }
+
+  test("independently assembled GRAYSCALE container decodes") {
+    // 3x2 type-0, filter Sub on row 1 — hand-reconstructable:
+    // row 0 raw: f=0, 10, 20, 30; row 1 raw: f=1, 100, 5, 250
+    // row 1 recon: 100, 105, 105+250=355 & 0xff = 99
+    val raw = Array[Byte](0, 10, 20, 30, 1, 100, 5, 250.toByte)
+    val png = PngImage.parse(assemble(chunk("IHDR", ihdr(3, 2, color = 0)),
+      chunk("IDAT", deflate(raw)), chunk("IEND", Array.emptyByteArray)))
+    assert(!png.hasAlpha)
+    assert(Seq(png.pixel(0, 0), png.pixel(1, 0), png.pixel(2, 0))
+      .map(_ & 0xff) == Seq(10, 20, 30))
+    assert(Seq(png.pixel(0, 1), png.pixel(1, 1), png.pixel(2, 1))
+      .map(_ & 0xff) == Seq(100, 105, 99))
+    assert((0 until 3).forall(x => png.alpha(x, 0) == 0xff))
+  }
+
   test("mixed per-row filters round-trip (every row a different type)") {
     val (w, h) = (9, 10)
     val px = pxPattern(w, h, 42)
