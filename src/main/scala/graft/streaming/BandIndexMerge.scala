@@ -116,4 +116,34 @@ private[streaming] object BandIndexMerge {
         "that bucket is quadratic; schedule a batch rebuild")
     maxBucket
   }
+
+  /** The batch REBUILD the rebuild signal asks for — the drop-in swap
+    * both index streams document, made an operation instead of a
+    * sentence: recompute all three tables single-shot from the given
+    * signatures (candidates = full band self-join, a < b, de-duplicated
+    * — the batch form of the probe) and commit them under the SAME
+    * single pointer the incremental merges use. Because the swap is one
+    * atomic pointer replacement and the streaming checkpoint tracks
+    * consumed FILES (not state versions), a maintainer resumed after a
+    * rebuild merges new arrivals against the rebuilt snapshot with
+    * every exactly-once guarantee intact (spec-pinned: stream →
+    * rebuild → stream more ≡ one batch over everything).
+    *
+    * `batchId` must be outside the stream's id space (negative works:
+    * foreachBatch ids count up from 0) so the rebuild's marker can
+    * never make a future micro-batch replay think it already ran. */
+  def rebuild(state: VersionedState, batchId: Long,
+      allSigs: DataFrame, allBands: DataFrame,
+      score: (DataFrame, DataFrame) => DataFrame,
+      tables: (String, String, String)): Unit = {
+    val candKeys = allBands.as("x")
+      .join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    state.commit(Seq(tables._1 -> allSigs, tables._2 -> allBands,
+      tables._3 -> score(candKeys, allSigs)), batchId)
+    state.mark(batchId)
+  }
 }

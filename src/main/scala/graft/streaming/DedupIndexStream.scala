@@ -108,16 +108,33 @@ object DedupIndexStream {
     // never a max() against a stale higher similarity.
     val signal =
       try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
-        dSigs, Dedup.lshBands(dSigs),
-        (candKeys, allSigs) => candKeys
-          .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            round(Dedup.signatureMatchFraction, 6).as("est_sim")),
+        dSigs, Dedup.lshBands(dSigs), score,
         ("sigs", "bands", "pairs"))
       finally dSigs.unpersist(blocking = false) // released on commit failure too
     state.mark(batchId)
     signal
+  }
+
+  /** ONE copy of the pair scorer (signature-slot match fraction),
+    * shared by the incremental merge and [[rebuild]]. */
+  private def score(candKeys: DataFrame, allSigs: DataFrame): DataFrame =
+    candKeys
+      .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.signatureMatchFraction, 6).as("est_sim"))
+
+  /** Batch rebuild — the operation the rebuild signal asks for:
+    * recompute sigs/bands/pairs single-shot from `docs` (one shingle
+    * pass per distinct doc) and swap them in under the same pointer the
+    * incremental merges use. `batchId` must be outside the stream's id
+    * space (negative) so its marker can never alias a micro-batch. */
+  def rebuild(docs: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val state = new VersionedState(stateDir)
+    val sigs = Dedup.minhashWide(docs.dropDuplicates("doc_id")).cache()
+    try BandIndexMerge.rebuild(state, batchId, sigs,
+      Dedup.lshBands(sigs), score, ("sigs", "bands", "pairs"))
+    finally sigs.unpersist(blocking = false)
   }
 
   /** Maintain the index over a document stream; stable checkpoint under

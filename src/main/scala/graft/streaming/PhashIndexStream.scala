@@ -82,18 +82,36 @@ object PhashIndexStream {
     // text index)
     val signal =
       try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
-        dHashes, Multimodal.phashBands(dHashes),
-        (candKeys, allHashes) => candKeys
-          .join(allHashes.select(col("doc_id").as("doc_a"),
-            col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("doc_a"))
-          .join(allHashes.select(col("doc_id").as("doc_b"),
-            col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Multimodal.hammingExpr.as("hamming")),
+        dHashes, Multimodal.phashBands(dHashes), score,
         ("hashes", "bands", "pairs"))
       finally dHashes.unpersist(blocking = false)
     state.mark(batchId)
     signal
+  }
+
+  /** ONE copy of the pair scorer (exact Hamming from the hash halves),
+    * shared by the incremental merge and [[rebuild]]. */
+  private def score(candKeys: DataFrame, allHashes: DataFrame): DataFrame =
+    candKeys
+      .join(allHashes.select(col("doc_id").as("doc_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("doc_a"))
+      .join(allHashes.select(col("doc_id").as("doc_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Multimodal.hammingExpr.as("hamming"))
+
+  /** Batch rebuild — the operation the rebuild signal asks for:
+    * recompute hashes/bands/pairs single-shot from `docs` (one decode
+    * per distinct doc) and swap them in under the same pointer the
+    * incremental merges use. `batchId` must be outside the stream's id
+    * space (negative) so its marker can never alias a micro-batch. */
+  def rebuild(docs: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val state = new VersionedState(stateDir)
+    val hashes = Multimodal.imageHashesOf(
+      docs.select(col("doc_id")).dropDuplicates("doc_id")).cache()
+    try BandIndexMerge.rebuild(state, batchId, hashes,
+      Multimodal.phashBands(hashes), score, ("hashes", "bands", "pairs"))
+    finally hashes.unpersist(blocking = false)
   }
 
   /** Maintain the index over a document stream; stable checkpoint under
