@@ -316,9 +316,14 @@ object Graphs {
   def q140PagerankBucketed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (pairs, edges) = supplierPartEdges(s, dir)
-    // fixed per-process path: repeated runs (bench samples) OVERWRITE
-    // the same layout instead of accreting temp copies
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q140_wh"
+    // fixed per-PROCESS path (pid-suffixed): repeated runs in one JVM
+    // (bench samples) OVERWRITE the same layout instead of accreting
+    // temp copies, while two JVMs (a detached bench battery alongside
+    // an sbt test run — a combination this repo's workflow actually
+    // uses) can never drop each other's table directory mid-read
+    // (advisor find, r14)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q140_wh_" +
+      ProcessHandle.current.pid
     // caches released in the finally so a mid-query failure (disk-full
     // on the bucketed write, a transient task crash) cannot leave frames
     // pinned in a long-lived session (review find — the same failure-

@@ -751,6 +751,106 @@ object Multimodal {
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q143 — palette PNG decode (color type 3, PLTE + tRNS): closes the
+    * last common-real-corpus PNG layout. Per document an 8-bit indexed
+    * PNG is synthesized from an analytic palette (2..256 entries, RGB
+    * and — for even ids — a tRNS alpha table over a prefix of entries)
+    * and analytic indices, pushed through the full codec ladder
+    * (per-row filter cycling, multi-IDAT for ids % 4 == 0), decoded
+    * through the PLTE/tRNS lookup into the shared 0xAARRGGBB face, and
+    * reduced to integer stats the DuckDB oracle recomputes ANALYTICALLY
+    * from doc_id (index → palette-entry formulas, no palette
+    * materialization needed). Any defect — a PLTE triple misread, a
+    * tRNS entry applied to the wrong index, an opaque default lost, an
+    * index filter reversed wrong — corrupts sum_rgb/wsum/sum_alpha and
+    * hash-mismatches.
+    *
+    * Scale shape: task-local synth+encode+decode per row (the q139
+    * ladder rung); media bytes never shuffle; one presentation sort. */
+  def q143PngPaletteDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (4 + id % 9).toInt
+      val h = (3 + id % 6).toInt
+      val nPal = (2 + id % 255).toInt
+      val trnsN = if (id % 2 == 0) (1 + id % nPal).toInt else 0
+      val pal = Array.tabulate(nPal) { j =>
+        val r = ((id * 5 + j * 7) % 256).toInt
+        val g = ((id + j * 13) % 256).toInt
+        val b = ((id * 3 + j * 11) % 256).toInt
+        val a = if (j < trnsN) ((id + j * 17) % 256).toInt else 0xff
+        (a << 24) | (r << 16) | (g << 8) | b
+      }
+      val idx = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((id + x * 3 + y * 5) % nPal).toInt
+      }
+      val png = graft.sources.PngImage.parse(
+        graft.sources.PngImage.encodePalette(w, h, idx, pal,
+          filterFor = y => ((y + 3 * id) % 5).toInt,
+          idatChunkSize = if (id % 4 == 0) 40 else Int.MaxValue))
+      var sumRgb = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
+      var y = 0
+      while (y < png.height) {
+        var x = 0
+        while (x < png.width) {
+          val p = png.pixel(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          val s3 = (r + g + b).toLong
+          sumRgb += s3
+          wsum += (y + 1) * s3
+          val lum = 299L * r + 587L * g + 114L * b
+          if (lum > peak) peak = lum
+          sumA += png.alpha(x, y)
+          x += 1
+        }
+        y += 1
+      }
+      (png.width.toLong, png.height.toLong, png.pixels.length.toLong,
+        sumRgb, wsum, png.pixel(0, 0).toLong, peak, sumA)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q143Oracle: String =
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h,
+      |             2 + doc_id % 255 AS n_pal,
+      |             CASE WHEN doc_id % 2 = 0
+      |                  THEN 1 + doc_id % (2 + doc_id % 255)
+      |                  ELSE 0 END AS trns_n
+      |           FROM documents),
+      |ix AS (SELECT doc_id, w, h, n_pal, trns_n, x, y,
+      |         (doc_id + x * 3 + y * 5) % n_pal AS j
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 5 + j * 7) % 256 AS r,
+      |         (doc_id + j * 13) % 256 AS g,
+      |         (doc_id * 3 + j * 11) % 256 AS b,
+      |         CASE WHEN j < trns_n THEN (doc_id + j * 17) % 256
+      |              ELSE 255 END AS a
+      |       FROM ix)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT) AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
+      |       CAST(sum(a) AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -759,7 +859,8 @@ object Multimodal {
     "q138_phash_sensitivity" -> q138PhashSensitivity _,
     "q139_png_decode" -> q139PngDecode _,
     "q141_phash_png_container" -> q141PhashPngContainer _,
-    "q142_png_gray_decode" -> q142PngGrayDecode _)
+    "q142_png_gray_decode" -> q142PngGrayDecode _,
+    "q143_png_palette_decode" -> q143PngPaletteDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -770,5 +871,6 @@ object Multimodal {
     "q139_png_decode" -> q139Oracle,
     // container-independent hash (PngPhashParitySpec) — q136's oracle
     "q141_phash_png_container" -> q136Oracle,
-    "q142_png_gray_decode" -> q142Oracle)
+    "q142_png_gray_decode" -> q142Oracle,
+    "q143_png_palette_decode" -> q143Oracle)
 }

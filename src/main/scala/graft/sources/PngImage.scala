@@ -14,16 +14,16 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * so no new dependency appears.
   *
   * Scope (documented, not hidden): bit depth 8, color types 0
-  * (grayscale), 2 (truecolor), 4 (grayscale+alpha) and 6
-  * (truecolor+alpha), compression 0, filter method 0 (all five
-  * per-scanline filter types: None/Sub/Up/Average/Paeth), interlace 0.
-  * Palette, 16-bit and Adam7 are rejected with named errors — the
-  * corpus this seam models (synthesized fixtures + opaque media bytes)
-  * never produces them, and a partial decode of an unsupported layout
-  * is exactly the garbage-output failure mode the discipline bans.
-  * Grayscale decodes to the same 0xAARRGGBB pixel face with
-  * R = G = B = gray, so every consumer (phash, stats) is
-  * layout-agnostic.
+  * (grayscale), 2 (truecolor), 3 (palette, PLTE + optional tRNS), 4
+  * (grayscale+alpha) and 6 (truecolor+alpha), compression 0, filter
+  * method 0 (all five per-scanline filter types:
+  * None/Sub/Up/Average/Paeth), interlace 0. 16-bit, sub-8-bit palette
+  * depths and Adam7 are rejected with named errors — a partial decode
+  * of an unsupported layout is exactly the garbage-output failure mode
+  * the discipline bans. Grayscale decodes to the same 0xAARRGGBB pixel
+  * face with R = G = B = gray, and palette indices resolve through the
+  * PLTE/tRNS tables to the same face, so every consumer (phash, stats)
+  * is layout-agnostic.
   *
   * Reference semantics: the reference treats media as opaque binary
   * with typed metadata and delegates decode to external services
@@ -78,6 +78,10 @@ object PngImage {
     }
     var off = 8
     var width = 0; var height = 0; var colorType = -1
+    // palette state (color type 3): PLTE entries as 0xAARRGGBB (alpha
+    // 0xff until tRNS overrides); tRNS may only shorten-or-match PLTE
+    var palette: Array[Int] = null
+    var seenTrns = false
     var seenIhdr = false; var seenIend = false
     // seenIdat tracks CHUNKS, not accumulated bytes: a zero-length IDAT
     // (legal) still starts the run, so a gap after it must end it too
@@ -112,10 +116,10 @@ object PngImage {
         require(width > 0 && width <= (1 << 20), s"bad width $width")
         require(height > 0 && height <= (1 << 20), s"bad height $height")
         require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
-        require(colorType == 0 || colorType == 2 || colorType == 4 ||
-          colorType == 6,
+        require(colorType == 0 || colorType == 2 || colorType == 3 ||
+          colorType == 4 || colorType == 6,
           s"unsupported color type $colorType " +
-            "(only 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA)")
+            "(only 0=gray, 2=RGB, 3=palette, 4=gray+alpha, 6=RGBA)")
         require(compression == 0, s"bad compression method $compression")
         require(filterMethod == 0, s"bad filter method $filterMethod")
         require(interlace == 0,
@@ -128,6 +132,43 @@ object PngImage {
             "non-contiguous IDAT chunks (IDAT run resumed after a gap)")
           seenIdat = true
           idat.write(bytes, dataOff, len.toInt)
+        case "PLTE" =>
+          // spec §11.2.3: PLTE shall not appear for grayscale types,
+          // shall precede the first IDAT, at most once, 1–256 RGB
+          // triples. For truecolor (2/6) it is a legal suggested
+          // quantization palette — validated then ignored.
+          require(colorType != 0 && colorType != 4,
+            s"PLTE forbidden for grayscale color type $colorType")
+          require(palette == null, "duplicate PLTE")
+          require(!seenIdat, "PLTE after first IDAT")
+          require(len > 0 && len % 3 == 0 && len <= 768,
+            s"PLTE length $len (must be a positive multiple of 3, <= 768)")
+          palette = Array.tabulate((len / 3).toInt) { j =>
+            0xff000000 | ((bytes(dataOff + 3 * j) & 0xff) << 16) |
+              ((bytes(dataOff + 3 * j + 1) & 0xff) << 8) |
+              (bytes(dataOff + 3 * j + 2) & 0xff)
+          }
+        case "tRNS" =>
+          // for type 3: per-palette-entry alpha, after PLTE and before
+          // IDAT, no longer than the palette. For types 0/2 it is a
+          // legal color-key we deliberately ignore (ancillary — safely
+          // skippable, decode stays opaque); for 4/6 the spec forbids it.
+          require(colorType != 4 && colorType != 6,
+            s"tRNS forbidden for alpha color type $colorType")
+          if (colorType == 3) {
+            require(palette != null, "tRNS before PLTE")
+            require(!seenIdat, "tRNS after first IDAT")
+            require(!seenTrns, "duplicate tRNS")
+            require(len <= palette.length,
+              s"tRNS carries $len entries for ${palette.length}-entry palette")
+            seenTrns = true
+            var j = 0
+            while (j < len.toInt) {
+              palette(j) = (palette(j) & 0xffffff) |
+                ((bytes(dataOff + j) & 0xff) << 24)
+              j += 1
+            }
+          } else if (seenIdat) idatDone = true
         case "IEND" =>
           require(len == 0, s"IEND carries $len data bytes")
           seenIend = true
@@ -145,13 +186,24 @@ object PngImage {
     require(off == bytes.length,
       s"${bytes.length - off} trailing bytes after IEND")
     require(idat.size() > 0, "missing IDAT")
+    require(colorType != 3 || palette != null,
+      "palette image (color type 3) without PLTE")
 
     val bpp = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
     val rowBytes = 1 + width * bpp
     val expected = rowBytes.toLong * height
     require(expected <= Int.MaxValue, s"image too large: $expected bytes")
+    // memory-amplification guard for untrusted bytes: deflate expands at
+    // most ~1032:1 (each 5-byte stored-block header aside, a maximal
+    // back-reference run encodes 258 bytes in 2 bits of a dynamic-Huffman
+    // match). A crafted in-cap IHDR (up to 2^20 × 2^20) must not force a
+    // ~2 GB allocation before the IDAT payload proves it could plausibly
+    // produce that many bytes.
+    require(expected <= idat.size().toLong * 1032 + 64,
+      s"IHDR declares $expected pixel bytes but IDAT carries only " +
+        s"${idat.size()} compressed bytes (max deflate expansion exceeded)")
     val raw = inflateExact(idat.toByteArray, expected.toInt)
 
     val px = new Array[Int](width * height)
@@ -186,6 +238,14 @@ object PngImage {
           case 0 =>
             val g = recon(o) & 0xff
             0xff000000 | (g << 16) | (g << 8) | g
+          case 3 =>
+            val idx = recon(o) & 0xff
+            // spec §11.2.3: an index past the palette is an error —
+            // strict reject, never a clamped/garbage pixel
+            require(idx < palette.length,
+              s"palette index $idx at ($c,$y) out of range " +
+                s"(${palette.length}-entry PLTE)")
+            palette(idx)
           case 4 =>
             val g = recon(o) & 0xff
             ((recon(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
@@ -199,7 +259,8 @@ object PngImage {
       System.arraycopy(recon, 0, prior, 0, n)
       y += 1
     }
-    Png(width, height, colorType == 6 || colorType == 4, px)
+    Png(width, height,
+      colorType == 6 || colorType == 4 || (colorType == 3 && seenTrns), px)
   }
 
   /** Paeth predictor (PNG spec §9.4) — nearest of left/up/up-left to
@@ -302,11 +363,13 @@ object PngImage {
   }
 
   /** Deflate the filtered scanlines and assemble the container —
-    * signature, IHDR (bit depth 8, the given color type), IDAT split at
-    * `idatChunkSize`, IEND — the ONE copy shared by [[encode]] and
-    * [[encodeGray]]. */
+    * signature, IHDR (bit depth 8, the given color type), any `extra`
+    * chunks (PLTE/tRNS, in order) between IHDR and the first IDAT, IDAT
+    * split at `idatChunkSize`, IEND — the ONE copy shared by [[encode]],
+    * [[encodeGray]] and [[encodePalette]]. */
   private def wrapIdat(width: Int, height: Int, colorType: Int,
-      raw: Array[Byte], idatChunkSize: Int): Array[Byte] = {
+      raw: Array[Byte], idatChunkSize: Int,
+      extra: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     require(idatChunkSize > 0, s"bad idatChunkSize $idatChunkSize")
     val def_ = new Deflater()
     val z = try {
@@ -323,6 +386,7 @@ object PngImage {
     putU32(ihdr, 0, width); putU32(ihdr, 4, height)
     ihdr(8) = 8; ihdr(9) = colorType.toByte
     writeChunk(out, "IHDR", ihdr)
+    extra.foreach { case (t, d) => writeChunk(out, t, d) }
     var zo = 0
     while (zo < z.length) {
       val take = math.min(idatChunkSize, z.length - zo)
@@ -331,6 +395,74 @@ object PngImage {
     }
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Encode 8-bit palette PNG (color type 3) from top-down row-major
+    * palette indices and a palette of 0xAARRGGBB entries. Emits PLTE
+    * always; emits tRNS covering entries up to the LAST non-opaque one
+    * (the spec-minimal table — trailing opaque entries default to 255
+    * on decode, so round-trip alpha is exact either way). The generator
+    * half for the palette decode paths — same per-row filter selection
+    * and IDAT splitting as [[encode]]. */
+  def encodePalette(width: Int, height: Int, indices: Array[Int],
+      palette: Array[Int],
+      filterFor: Int => Int = _ => 0,
+      idatChunkSize: Int = Int.MaxValue): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(indices.length == width * height,
+      s"${indices.length} indices for ${width}x$height")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette has ${palette.length} entries (1..256)")
+    val raw = new Array[Byte]((1 + width) * height)
+    val cur = new Array[Byte](width)
+    val prior = new Array[Byte](width)
+    var y = 0
+    while (y < height) {
+      var c = 0
+      while (c < width) {
+        val idx = indices(y * width + c)
+        require(idx >= 0 && idx < palette.length,
+          s"index $idx at ($c,$y) out of palette range (${palette.length})")
+        cur(c) = idx.toByte
+        c += 1
+      }
+      val f = filterFor(y)
+      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
+      val ro = y * (1 + width)
+      raw(ro) = f.toByte
+      var x = 0
+      while (x < width) {
+        val v = cur(x) & 0xff
+        val left = if (x >= 1) cur(x - 1) & 0xff else 0
+        val up = if (y > 0) prior(x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= 1) prior(x - 1) & 0xff else 0
+        val enc = f match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - (left + up) / 2
+          case 4 => v - paeth(left, up, upLeft)
+        }
+        raw(ro + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, width)
+      y += 1
+    }
+    val plte = new Array[Byte](palette.length * 3)
+    var j = 0
+    while (j < palette.length) {
+      plte(3 * j) = ((palette(j) >> 16) & 0xff).toByte
+      plte(3 * j + 1) = ((palette(j) >> 8) & 0xff).toByte
+      plte(3 * j + 2) = (palette(j) & 0xff).toByte
+      j += 1
+    }
+    val trnsLen = palette.lastIndexWhere(p => ((p >>> 24) & 0xff) != 0xff) + 1
+    val extra =
+      if (trnsLen == 0) Seq("PLTE" -> plte)
+      else Seq("PLTE" -> plte,
+        "tRNS" -> Array.tabulate(trnsLen)(j => ((palette(j) >>> 24) & 0xff).toByte))
+    wrapIdat(width, height, 3, raw, idatChunkSize, extra)
   }
 
   /** Encode 8-bit grayscale PNG (color type 0, or 4 with `withAlpha`)

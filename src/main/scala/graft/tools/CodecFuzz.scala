@@ -1,12 +1,12 @@
 package graft.tools
 
-import graft.sources.{BmpImage, PngImage, WavAudio}
+import graft.sources.{BmpImage, PdfText, PngImage, WavAudio}
 
 /** Generator-driven mutation fuzz for the pure-JVM codec family
-  * (BMP / PNG / WAV) — the DedupFuzz discipline applied to parsers:
-  * the hand-written adversarial spec cases prove the KNOWN failure
-  * modes; this tool drives randomized ones. Two config classes per
-  * codec, all seeded-deterministic:
+  * (BMP / PNG / WAV / PDF) — the DedupFuzz discipline applied to
+  * parsers: the hand-written adversarial spec cases prove the KNOWN
+  * failure modes; this tool drives randomized ones. Two config classes
+  * per codec, all seeded-deterministic:
   *
   *  - ROUND-TRIP: encoder → parser under randomized dims / channels /
   *    filters / IDAT split / orientation / sample counts (including
@@ -24,6 +24,22 @@ import graft.sources.{BmpImage, PngImage, WavAudio}
   *    bytes past the declared BMP file size, WAV junk chunks) parsing
   *    successfully is correct behavior, which is why "rejects" alone
   *    is the wrong oracle.
+  *
+  * PDF is the outlier: [[PdfText.extract]] is a TOTAL function by
+  * contract (malformed input → "" / partial text, never a throw — the
+  * S9 FAILED-row isolation shape), so "reject" means degraded output,
+  * and the mutation oracles are class-specific instead of
+  * parse-or-reject: TRUNCATION must yield a PREFIX of the baseline
+  * text (a cut stream is dropped whole — endstream never found — so
+  * the result is the text of the surviving complete streams);
+  * FLATE-DAMAGE confined to one stream's payload must never throw,
+  * must keep every OTHER stream's sentences intact and in order, and
+  * must stay size-bounded; HEADER/XREF/TRAILER corruption must leave
+  * the extraction EXACTLY equal to baseline (those regions are dead to
+  * the content scan). Round-trips drive nested-paren literals, octal
+  * escapes and TJ arrays through synthesized multi-object documents
+  * with both Flate and raw content streams plus a non-text decoy
+  * stream.
   *
   * Run: `sbt "runMain graft.tools.CodecFuzz [seed]"` — prints one
   * summary line and exits nonzero on any failure. No Spark session:
@@ -140,11 +156,35 @@ object CodecFuzz {
         require(ok, "gray pixels")
       }
     }
+    for (i <- 0 until 30) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(12)
+      val nPal = 1 + rnd.nextInt(256)
+      val withTrns = rnd.nextBoolean()
+      val pal = Array.fill(nPal) {
+        val a = if (withTrns) rnd.nextInt(256) else 0xff
+        (a << 24) | rnd.nextInt(1 << 24)
+      }
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      check(s"png_palette_roundtrip_$i") {
+        val p = PngImage.parse(PngImage.encodePalette(w, h, idx, pal,
+          y => filters(y), 1 + rnd.nextInt(300)))
+        require(p.width == w && p.height == h, "dims")
+        var k = 0
+        var ok = true
+        // decode resolves every index through PLTE/tRNS back to the
+        // exact 0xAARRGGBB entry (opaque entries past the tRNS table
+        // default to 0xff — which is what the generator stored)
+        while (k < w * h && ok) { ok = p.pixels(k) == pal(idx(k)); k += 1 }
+        require(ok, "palette pixels")
+      }
+    }
     for (i <- 0 until 80) {
       val w = 1 + rnd.nextInt(14)
       val h = 1 + rnd.nextInt(9)
-      // mutate across all four supported color layouts
-      val good = rnd.nextInt(4) match {
+      // mutate across all five supported color layouts
+      val good = rnd.nextInt(5) match {
         case 0 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
           withAlpha = false, _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
         case 1 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
@@ -152,9 +192,30 @@ object CodecFuzz {
         case 2 => PngImage.encodeGray(w, h, Array.fill(w * h)(rnd.nextInt(256)))
         case 3 => PngImage.encodeGray(w, h, Array.fill(w * h)(rnd.nextInt(256)),
           Array.fill(w * h)(rnd.nextInt(256)))
+        case 4 =>
+          val nPal = 1 + rnd.nextInt(256)
+          PngImage.encodePalette(w, h, Array.fill(w * h)(rnd.nextInt(nPal)),
+            Array.fill(nPal)(rnd.nextInt()), _ => rnd.nextInt(5),
+            1 + rnd.nextInt(200))
       }
       val bad = mutate(good)
       mutationCase(s"png_mutation_$i", () => PngImage.parse(bad)) { p =>
+        p.width > 0 && p.height > 0 &&
+          p.pixels.length == p.width * p.height
+      }
+    }
+    for (i <- 0 until 50) {
+      // dedicated palette mutations: PLTE/tRNS table bytes are in the
+      // strike zone (a flipped PLTE length, a tRNS overrunning the
+      // palette, an index past the table) — reject-or-sound
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(8)
+      val nPal = 1 + rnd.nextInt(256)
+      val good = PngImage.encodePalette(w, h,
+        Array.fill(w * h)(rnd.nextInt(nPal)), Array.fill(nPal)(rnd.nextInt()),
+        _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
+      val bad = mutate(good)
+      mutationCase(s"png_palette_mutation_$i", () => PngImage.parse(bad)) { p =>
         p.width > 0 && p.height > 0 &&
           p.pixels.length == p.width * p.height
       }
@@ -180,6 +241,138 @@ object CodecFuzz {
         wv.channels >= 1 && wv.sampleRate > 0 &&
           (wv.bits == 8 || wv.bits == 16) &&
           wv.samples.length % wv.channels == 0
+      }
+    }
+
+    // ---------------------------------------------------------- PDF
+    // synthesized multi-object documents with tracked byte geometry so
+    // each mutation class can aim at (or avoid) stream payloads. Word
+    // alphabet deliberately has no 's': neither a raw text stream nor a
+    // sentence can ever spell "stream"/"endstream" and confuse the
+    // byte-level span scan.
+    val wordChars = "abcdfghiklmnopqruvwxyz0123456789"
+    def word(): String =
+      Array.fill(2 + rnd.nextInt(8))(wordChars(rnd.nextInt(wordChars.length)))
+        .mkString
+    def deflateBytes(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+    /** bytes, per-stream decoded sentences (in emission order), payload
+      * [start,end) spans of the CONTENT streams, and the xref/trailer
+      * start offset. */
+    def synthPdf(): (Array[Byte], Seq[Seq[String]], Seq[(Int, Int)], Int) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def put(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+      put("%PDF-1.4\n")
+      val nStreams = 2 + rnd.nextInt(3)
+      val sentences = scala.collection.mutable.Buffer[Seq[String]]()
+      val spans = scala.collection.mutable.Buffer[(Int, Int)]()
+      var objNum = 1
+      def emitStream(data: Array[Byte], flate: Boolean): (Int, Int) = {
+        val payload = if (flate) deflateBytes(data) else data
+        put(s"$objNum 0 obj\n<</Length ${payload.length}" +
+          (if (flate) "/Filter/FlateDecode" else "") + ">>\nstream\n")
+        val start = bos.size()
+        bos.write(payload, 0, payload.length)
+        put("\nendstream\nendobj\n")
+        objNum += 1
+        (start, start + payload.length)
+      }
+      for (_ <- 0 until nStreams) {
+        val ops = new StringBuilder
+        val sents = scala.collection.mutable.Buffer[String]()
+        for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(4) match {
+          case 0 => // plain literal
+            val s = s"${word()} ${word()}"
+            ops.append(s"BT ($s) Tj ET\n"); sents += s
+          case 1 => // nested parens (decode keeps them)
+            val s = s"${word()} (${word()}) ${word()}"
+            ops.append(s"BT ($s) Tj ET\n"); sents += s
+          case 2 => // octal escapes for the paren glyphs themselves
+            val a = word()
+            ops.append(s"BT ($a\\050x\\051) Tj ET\n"); sents += s"$a(x)"
+          case 3 => // TJ array: numbers skipped, strings concatenate
+            val a = word(); val b = word()
+            ops.append(s"BT [($a) ${-100 - rnd.nextInt(400)} ($b)] TJ ET\n")
+            sents += a; sents += b
+        }
+        spans += emitStream(ops.result().getBytes("ISO-8859-1"),
+          rnd.nextBoolean())
+        sentences += sents.toSeq
+      }
+      // non-text decoy stream (Flate of T-less bytes: decoded body can
+      // never contain Tj/TJ, so it must contribute NOTHING)
+      val decoy = Array.fill[Byte](20 + rnd.nextInt(200)) {
+        val b = rnd.nextInt(256); (if (b == 'T') 'U' else b).toByte
+      }
+      emitStream(decoy, flate = true)
+      val tailStart = bos.size()
+      put(s"xref\n0 $objNum\n0000000000 65535 f \n" +
+        (1 until objNum).map(_ => "0000000017 00000 n \n").mkString +
+        s"trailer\n<</Size $objNum/Root 1 0 R>>\nstartxref\n9\n%%EOF\n")
+      (bos.toByteArray, sentences.toSeq, spans.toSeq, tailStart)
+    }
+    def assertInOrder(text: String, sents: Seq[String], what: String): Unit = {
+      var from = 0
+      sents.foreach { s =>
+        val at = text.indexOf(s, from)
+        require(at >= 0, s"$what: sentence '$s' missing (from $from)")
+        from = at + s.length
+      }
+    }
+    for (i <- 0 until 40) {
+      val (bytes, sentences, _, _) = synthPdf()
+      check(s"pdf_roundtrip_$i") {
+        assertInOrder(PdfText.extract(bytes), sentences.flatten, "roundtrip")
+      }
+    }
+    for (i <- 0 until 70) {
+      val (bytes, _, _, _) = synthPdf()
+      val baseline = PdfText.extract(bytes)
+      val cut = rnd.nextInt(bytes.length)
+      check(s"pdf_truncate_$i") {
+        // a truncated stream loses its endstream and is dropped WHOLE,
+        // so the extraction must be a prefix of the baseline text
+        val got = PdfText.extract(java.util.Arrays.copyOf(bytes, cut))
+        require(baseline.startsWith(got),
+          s"truncation at $cut produced non-prefix text (${got.length} chars)")
+      }
+    }
+    for (i <- 0 until 60) {
+      val (bytes, sentences, spans, _) = synthPdf()
+      val k = rnd.nextInt(spans.length)
+      val (s0, e0) = spans(k)
+      val bad = bytes.clone()
+      val o = s0 + rnd.nextInt(e0 - s0)
+      bad(o) = (bad(o) ^ (1 + rnd.nextInt(255))).toByte
+      check(s"pdf_flip_stream_$i") {
+        // damage confined to stream k's payload: total, bounded, every
+        // OTHER stream's sentences intact and in order
+        val got = PdfText.extract(bad)
+        require(got.length < (1 << 22), s"unbounded output ${got.length}")
+        assertInOrder(got,
+          sentences.take(k).flatten ++ sentences.drop(k + 1).flatten,
+          "unflipped streams")
+      }
+    }
+    for (i <- 0 until 40) {
+      val (bytes, _, _, tailStart) = synthPdf()
+      val baseline = PdfText.extract(bytes)
+      val bad = bytes.clone()
+      val o = if (rnd.nextBoolean()) rnd.nextInt(8) // header
+        else tailStart + rnd.nextInt(bytes.length - tailStart) // xref/trailer
+      bad(o) = (bad(o) ^ (1 + rnd.nextInt(255))).toByte
+      check(s"pdf_flip_container_$i") {
+        // the header and xref/trailer are dead to the content scan:
+        // extraction must be EXACTLY the baseline
+        require(PdfText.extract(bad) == baseline,
+          s"container flip at $o changed extracted text")
       }
     }
 

@@ -258,6 +258,116 @@ class PngImageSpec extends AnyFunSuite {
       chunk("IDAT", z1), chunk("IDAT", z2), iend))
     assert(ok.pixel(0, 0) == ((1 << 16) | (2 << 8) | 3))
   }
+
+  test("palette round-trip: 5 filters x tRNS/opaque x IDAT split") {
+    for {
+      filter <- 0 to 4
+      withTrns <- Seq(false, true)
+      split <- Seq(Int.MaxValue, 32)
+    } {
+      val w = 9; val h = 6; val nPal = 17
+      val pal = Array.tabulate(nPal) { j =>
+        val a = if (withTrns && j % 3 == 0) (j * 29) & 0xff else 0xff
+        (a << 24) | (((j * 37) & 0xff) << 16) | (((j * 91) & 0xff) << 8) |
+          ((j * 13) & 0xff)
+      }
+      val idx = Array.tabulate(w * h)(i => (i * 7 + filter) % nPal)
+      val png = PngImage.parse(PngImage.encodePalette(w, h, idx, pal,
+        filterFor = _ => filter, idatChunkSize = split))
+      assert(png.width == w && png.height == h)
+      assert(png.hasAlpha == withTrns)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = pal(idx(y * w + x))
+        assert(png.pixel(x, y) == (want & 0xffffff) &&
+          png.alpha(x, y) == ((want >>> 24) & 0xff),
+          s"palette mismatch at ($x,$y) filter=$filter trns=$withTrns")
+      }
+    }
+  }
+
+  test("independently assembled PALETTE container decodes (PLTE + tRNS)") {
+    // 3x2, palette of 4; tRNS covers only the first 2 entries
+    val plte = Array[Byte](
+      10, 20, 30,   100,110, 120,   (200 - 256).toByte, 0, 50,   1, 2, 3)
+    val raw = Array[Byte](0, 0, 1, 2, /*row1*/ 0, 3, 2, 1)
+    val png = PngImage.parse(assemble(chunk("IHDR", ihdr(3, 2, color = 3)),
+      chunk("PLTE", plte), chunk("tRNS", Array[Byte](40, (200 - 256).toByte)),
+      chunk("IDAT", deflate(raw)), chunk("IEND", Array.emptyByteArray)))
+    assert(png.hasAlpha)
+    assert(png.pixel(0, 0) == ((10 << 16) | (20 << 8) | 30))
+    assert(png.alpha(0, 0) == 40)
+    assert(png.pixel(1, 0) == ((100 << 16) | (110 << 8) | 120))
+    assert(png.alpha(1, 0) == 200)
+    assert(png.pixel(2, 0) == ((200 << 16) | (0 << 8) | 50))
+    assert(png.alpha(2, 0) == 255) // beyond tRNS -> opaque default
+    assert(png.pixel(0, 1) == ((1 << 16) | (2 << 8) | 3))
+    assert(png.alpha(0, 1) == 255)
+  }
+
+  test("palette layout violations are rejected loudly") {
+    val iend = chunk("IEND", Array.emptyByteArray)
+    val plte3 = chunk("PLTE", Array[Byte](9, 9, 9)) // 1-entry palette
+    val idat0 = chunk("IDAT", deflate(Array[Byte](0, 0))) // 1x1 index 0
+    // type 3 without PLTE
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), idat0, iend)))
+      .getMessage.contains("PLTE"))
+    // PLTE length not a multiple of 3
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)),
+      chunk("PLTE", Array[Byte](9, 9)), idat0, iend)))
+      .getMessage.contains("PLTE length"))
+    // duplicate PLTE
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), plte3, plte3, idat0, iend)))
+      .getMessage.contains("duplicate PLTE"))
+    // PLTE after first IDAT
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), idat0, plte3, iend)))
+      .getMessage.contains("IDAT"))
+    // PLTE forbidden for grayscale
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 0)), plte3,
+      chunk("IDAT", deflate(Array[Byte](0, 7))), iend)))
+      .getMessage.contains("forbidden"))
+    // tRNS before PLTE
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)),
+      chunk("tRNS", Array[Byte](1)), plte3, idat0, iend)))
+      .getMessage.contains("tRNS before PLTE"))
+    // tRNS longer than the palette
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), plte3,
+      chunk("tRNS", Array[Byte](1, 2)), idat0, iend)))
+      .getMessage.contains("tRNS"))
+    // tRNS forbidden for alpha color types (4/6)
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 6)),
+      chunk("tRNS", Array[Byte](1)),
+      chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3, 4))), iend)))
+      .getMessage.contains("forbidden"))
+    // out-of-range palette index in the pixel data
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), plte3,
+      chunk("IDAT", deflate(Array[Byte](0, 5))), iend)))
+      .getMessage.contains("out of range"))
+    // ...while the minimal VALID palette file parses fine
+    val ok = PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, color = 3)), plte3, idat0, iend))
+    assert(ok.pixel(0, 0) == ((9 << 16) | (9 << 8) | 9) && !ok.hasAlpha)
+  }
+
+  test("dimension-bomb header is rejected before allocation") {
+    // valid CRCs, in-cap IHDR dims (2^20 x 512 at bpp 3 -> ~1.6 GB raw,
+    // under the Int.MaxValue size gate), but a tiny IDAT that could
+    // never inflate to that: must reject CHEAPLY before the ~1.6 GB + 2 GB
+    // allocations (advisor find, r14 — memory-amplification guard)
+    val e = intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1 << 20, 512)),
+      chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
+      chunk("IEND", Array.emptyByteArray))))
+    assert(e.getMessage.contains("max deflate expansion"))
+  }
 }
 
 /** Container-independence of the perceptual-hash seam: the SAME
