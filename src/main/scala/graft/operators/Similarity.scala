@@ -212,32 +212,59 @@ object Similarity {
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
     // ONE probed broadcast frame for both the assignment and the probe
     // joins — two boundedBroadcast calls on the same centroid set ran
-    // the O(cap) guard job twice per construction (review find)
+    // the O(cap) guard job twice per construction (review find) — now
+    // feeding the kernels SHARED with the incremental
+    // [[graft.streaming.IvfIndexStream]]: batch and stream assign and
+    // rank through the same code, so they can never disagree given the
+    // same centroid set.
     val bCent = boundedBroadcast(cent, "q44 centroid")
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"ccos".desc, $"c_id".asc)
-    val assigned = e.crossJoin(bCent)
-      .withColumn("ccos", dot_product($"v", $"cv") / ($"nrm" * $"cnrm"))
+    ivfReport(ivfAssign(e, bCent), bCent)
+  }
+
+  /** ONE copy of the IVF assignment (nearest centroid by cosine,
+    * centroid-id tiebreak) — shared by batch q44 and the incremental
+    * [[graft.streaming.IvfIndexStream]]. Input needs (vec_id, v, nrm);
+    * output is (vec_id, v, nrm, cell). */
+  private[graft] def ivfAssign(e: DataFrame, bCent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    e.crossJoin(bCent)
+      .withColumn("ccos",
+        dot_product(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"c_id".as("cell"))
-    val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val wProbe = Window.partitionBy($"q_id")
-      .orderBy($"qcos".desc, $"c_id".asc)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** ONE copy of the IVF probe + exact re-rank (queries = every 50th
+    * vector, nprobe = 2, top-3) — the report face shared by batch q44
+    * and the incremental index. Queries are drawn from `assigned`
+    * itself (one row per vector, the same v/nrm the corpus side
+    * carries), so the two faces stay in lockstep. */
+  private[graft] def ivfReport(assigned: DataFrame, bCent: DataFrame):
+      DataFrame = {
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("c_id").asc)
     val probes = q.crossJoin(bCent)
-      .withColumn("qcos", dot_product($"qv", $"cv") / ($"qnrm" * $"cnrm"))
+      .withColumn("qcos",
+        dot_product(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= 2)
-      .select($"q_id", $"qv", $"qnrm", $"c_id".as("cell"))
-    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(probes, Seq("cell"))
-      .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", dot_product($"v", $"qv") / ($"nrm" * $"qnrm"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot_product(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(wRank))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"rank", $"vec_id", $"cell", round($"cos", 6).as("cos"))
-      .orderBy($"q_id", $"rank")
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   val q44Oracle: String =
