@@ -851,6 +851,119 @@ object Multimodal {
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
+    * shape (S9) applied to the strict codec. At 10⁹ images, "strict
+    * parse-or-reject" is only operable if rejection is a COUNTED REPORT
+    * — per named reason, never a log grep and never a task abort. Per
+    * document a container is synthesized in one of seven layout
+    * classes: two DECODE (truecolor; palette) and five QUARANTINE —
+    * 16-bit depth and Adam7 interlace (the documented unsupported
+    * layouts, each built as an otherwise-valid container with a
+    * re-CRC'd patched IHDR so ONLY the named gate can fire), a
+    * PLTE-less type-3 file (the spliced-out palette table), a flipped
+    * IDAT CRC byte, and a mid-IEND truncation. The query attempts the
+    * strict parse on every row, classifies the IllegalArgumentException
+    * by its named reason, and reports (reason, n_files, sum_pixels) —
+    * the DuckDB oracle recomputes the expected triage analytically from
+    * doc_id, so a misclassified rejection (the wrong gate firing first,
+    * a rejection that stopped rejecting, a decode that changed pixel
+    * count) hash-mismatches.
+    *
+    * Scale shape: task-local synth+mutate+parse per row; only the
+    * ≤30-byte (reason, npx) verdict moves; one ≤7-group aggregate. */
+  def q144PngQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.PngImage
+      def rechunkIhdrCrc(b: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, 12, 4 + 13) // IHDR type + data
+        val v = crc.getValue
+        val o = 12 + 4 + 13
+        b(o) = ((v >>> 24) & 0xff).toByte
+        b(o + 1) = ((v >>> 16) & 0xff).toByte
+        b(o + 2) = ((v >>> 8) & 0xff).toByte
+        b(o + 3) = (v & 0xff).toByte
+        b
+      }
+      def rgb(): Array[Byte] = {
+        val w = (3 + id % 5).toInt; val h = (2 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          0xff000000 | ((((id * 7 + x) % 256).toInt) << 16) |
+            ((((id + y * 3) % 256).toInt) << 8) | (((id * 3 + x + y) % 256).toInt)
+        }
+        PngImage.encode(w, h, px, withAlpha = false,
+          filterFor = y => ((y + id) % 5).toInt)
+      }
+      def palette(): Array[Byte] = {
+        val w = (2 + id % 6).toInt; val h = (2 + id % 3).toInt
+        val nPal = (2 + id % 5).toInt
+        val pal = Array.tabulate(nPal)(j => 0xff000000 |
+          ((((id + j * 7) % 256).toInt) << 16) |
+          ((((id * 5 + j) % 256).toInt) << 8) | (((j * 11) % 256).toInt))
+        val idx = Array.tabulate(w * h) { i =>
+          ((id + (i % w) + (i / w) * 2) % nPal).toInt
+        }
+        PngImage.encodePalette(w, h, idx, pal)
+      }
+      val bytes = (id % 7) match {
+        case 0 => rgb()
+        case 1 => // 16-bit depth: valid container, depth byte patched
+          val b = rgb(); b(24) = 16; rechunkIhdrCrc(b)
+        case 2 => // Adam7: valid container, interlace byte patched
+          val b = rgb(); b(28) = 1; rechunkIhdrCrc(b)
+        case 3 => // type-3 without PLTE: splice the palette chunk out
+          val b = palette()
+          val nPal = (2 + id % 5).toInt
+          val plteLen = 12 + 3 * nPal // chunk framing + RGB triples
+          b.take(33) ++ b.drop(33 + plteLen)
+        case 4 => // flipped IDAT CRC byte (valid everywhere else)
+          val b = rgb(); b(b.length - 13) = (b(b.length - 13) ^ 0xff).toByte; b
+        case 5 => // truncation into the IEND chunk
+          val b = rgb(); java.util.Arrays.copyOf(b, b.length - 10)
+        case _ => palette()
+      }
+      try {
+        val p = PngImage.parse(bytes)
+        ("decoded", p.pixels.length.toLong)
+      } catch {
+        case e: IllegalArgumentException =>
+          val m = e.getMessage
+          val reason =
+            if (m.contains("bit depth")) "depth_unsupported"
+            else if (m.contains("interlace")) "interlace_unsupported"
+            else if (m.contains("without PLTE")) "palette_missing_plte"
+            else if (m.contains("CRC")) "crc_mismatch"
+            else if (m.contains("truncated")) "truncated"
+            else "other"
+          (reason, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"))
+      .orderBy($"reason")
+  }
+
+  val q144Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents),
+      |r AS (SELECT doc_id,
+      |        CASE WHEN m IN (0, 6) THEN 'decoded'
+      |             WHEN m = 1 THEN 'depth_unsupported'
+      |             WHEN m = 2 THEN 'interlace_unsupported'
+      |             WHEN m = 3 THEN 'palette_missing_plte'
+      |             WHEN m = 4 THEN 'crc_mismatch'
+      |             ELSE 'truncated' END AS reason,
+      |        CASE WHEN m = 0 THEN (3 + doc_id % 5) * (2 + doc_id % 4)
+      |             WHEN m = 6 THEN (2 + doc_id % 6) * (2 + doc_id % 3)
+      |             ELSE 0 END AS npx
+      |      FROM d)
+      |SELECT reason, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(npx) AS BIGINT) AS sum_pixels
+      |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -860,7 +973,8 @@ object Multimodal {
     "q139_png_decode" -> q139PngDecode _,
     "q141_phash_png_container" -> q141PhashPngContainer _,
     "q142_png_gray_decode" -> q142PngGrayDecode _,
-    "q143_png_palette_decode" -> q143PngPaletteDecode _)
+    "q143_png_palette_decode" -> q143PngPaletteDecode _,
+    "q144_png_quarantine" -> q144PngQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -872,5 +986,6 @@ object Multimodal {
     // container-independent hash (PngPhashParitySpec) — q136's oracle
     "q141_phash_png_container" -> q136Oracle,
     "q142_png_gray_decode" -> q142Oracle,
-    "q143_png_palette_decode" -> q143Oracle)
+    "q143_png_palette_decode" -> q143Oracle,
+    "q144_png_quarantine" -> q144Oracle)
 }

@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe for the codec/phash lane (q139/q141/q142's
+  * claim "task-local decode; media bytes never shuffle — only hashes
+  * move"): replicate the sf0.1 documents' doc_id space R× (the synth
+  * codec queries derive every image from doc_id alone, so R× ids = R×
+  * distinct decode work), run the FULL q141 pipeline (synthesize →
+  * PNG encode → strict decode → aHash → band index → capped candidates
+  * → exact Hamming) at 1× and R×, and measure BOTH wall time and total
+  * SHUFFLE WRITE BYTES via a stage listener. The claim is quantitative:
+  * decode throughput scales ~linearly, and shuffle bytes per image stay
+  * CONSTANT at a few tens of bytes (the 16-byte hash + band keys) — at
+  * no scale do image bytes appear in the shuffle, because they never
+  * leave the task that synthesized them.
+  *
+  * Usage: `sbt "runMain graft.tools.CodecScaleProbe [R]"` (default 100).
+  */
+object CodecScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val r = args.headOption.map(_.toInt).getOrElse(100)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id")
+    val n = ids.count()
+    // replica k offsets ids by k·n — doc_id is the ONLY input the codec
+    // queries read, so each replica is n distinct images; n stays
+    // 4-aligned in the fixtures, preserving the base/variant structure
+    def replicated(k: Int, out: String): String = {
+      (0 until k).map(i => ids.select(($"doc_id" + lit(i * n)).as("doc_id")))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(out)
+      out
+    }
+
+    def phashKernel(docs: DataFrame): Long = {
+      val hashes = Multimodal.imageHashesOf(docs, "png").cache()
+      try {
+        val pairs = Dedup.cappedBandCandidates(Multimodal.phashBands(hashes))
+          .join(hashes.select($"doc_id".as("doc_a"), $"lo".as("lo_a"),
+            $"hi".as("hi_a")), Seq("doc_a"))
+          .join(hashes.select($"doc_id".as("doc_b"), $"lo".as("lo_b"),
+            $"hi".as("hi_b")), Seq("doc_b"))
+          .withColumn("hamming", Multimodal.hammingExpr)
+        pairs.filter($"hamming" <= 8).count()
+      } finally hashes.unpersist()
+    }
+
+    def run(label: String, path: String, images: Long): Unit = {
+      val docs = spark.read.parquet(path)
+      // measurement window: drain listener events before and after
+      Thread.sleep(1500)
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val pairs = phashKernel(docs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // stage-completed events are delivered async
+      val moved = shuffleBytes.get() - b0
+      println(f"[codecscale] scale=$label images=$images pairs=$pairs " +
+        f"secs=$secs%.2f shuffle_bytes=$moved " +
+        f"bytes_per_image=${moved.toDouble / images}%.1f " +
+        f"images_per_sec=${images / secs}%.0f")
+    }
+
+    val base = "/tmp/graft_codecprobe"
+    run("1x", replicated(1, s"${base}_1x"), n)
+    run(s"${r}x", replicated(r, s"${base}_${r}x"), n * r)
+    spark.stop()
+  }
+}
