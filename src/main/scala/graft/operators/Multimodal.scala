@@ -611,27 +611,7 @@ object Multimodal {
         graft.sources.PngImage.encode(w, h, px, withAlpha = withAlpha,
           filterFor = y => ((y + id) % 5).toInt,
           idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue))
-      var sumRgb = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
-      var y = 0
-      while (y < png.height) {
-        var x = 0
-        while (x < png.width) {
-          val p = png.pixel(x, y)
-          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
-          val b = p & 0xff
-          val s3 = (r + g + b).toLong
-          sumRgb += s3
-          wsum += (y + 1) * s3
-          val lum = 299L * r + 587L * g + 114L * b
-          if (lum > peak) peak = lum
-          sumA += png.alpha(x, y)
-          x += 1
-        }
-        y += 1
-      }
-      (png.width.toLong, png.height.toLong,
-        png.pixels.length.toLong, sumRgb, wsum,
-        png.pixel(0, 0).toLong, peak, sumA)
+      faceStats(png)
     }
     Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
@@ -666,6 +646,36 @@ object Multimodal {
       |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** The q139 stat reduction over the decoded 0xAARRGGBB face — ONE
+    * copy shared by q139 (null-interlace 8-bit), q145 (Adam7) and q146
+    * (16-bit), so the three container layouts grade the SAME artifact
+    * under the SAME oracle and can never drift apart in how they
+    * reduce. */
+  private def faceStats(png: graft.sources.PngImage.Png):
+      (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    var sumRgb = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
+    var y = 0
+    while (y < png.height) {
+      var x = 0
+      while (x < png.width) {
+        val p = png.pixel(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        val s3 = (r + g + b).toLong
+        sumRgb += s3
+        wsum += (y + 1) * s3
+        val lum = 299L * r + 587L * g + 114L * b
+        if (lum > peak) peak = lum
+        sumA += png.alpha(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    (png.width.toLong, png.height.toLong,
+      png.pixels.length.toLong, sumRgb, wsum,
+      png.pixel(0, 0).toLong, peak, sumA)
+  }
 
   /** q142 — grayscale PNG decode (color types 0 and 4): q139's
     * oracle-gated ladder over the OTHER half of the PNG pixel layouts.
@@ -851,17 +861,111 @@ object Multimodal {
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q145 — Adam7 INTERLACED PNG decode: q139's exact synthesis and
+    * reduction, but every container is encoded with interlace method 1
+    * (seven independently filtered sub-image passes, empty passes for
+    * sub-8×8 dims carrying zero bytes per spec §8.2) and graded by
+    * q139's OWN oracle — the q141 container-independence move: a wrong
+    * pass origin/stride leaves holes or double-writes in the face and
+    * hash-mismatches an artifact whose expected values are pinned by an
+    * already-green query. Filter cycling runs over the OUTPUT scanline
+    * index, so every pass sees several filter types.
+    *
+    * Scale shape: identical to q139 — task-local synth+encode+decode
+    * per row; media bytes never shuffle; one presentation sort. */
+  def q145PngInterlacedDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val withAlpha = id % 3 == 0
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id + x * 11 + y) % 256).toInt
+        val b = ((id * 3 + x + y * 13) % 256).toInt
+        val a = if (withAlpha) ((id + x * 5 + y * 3) % 256).toInt else 0xff
+        (a << 24) | (r << 16) | (g << 8) | b
+      }
+      val png = graft.sources.PngImage.parse(
+        graft.sources.PngImage.encode(w, h, px, withAlpha = withAlpha,
+          filterFor = y => ((y + id) % 5).toInt,
+          idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue,
+          interlaced = true))
+      faceStats(png)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  /** q146 — 16-BIT PNG decode: the high bytes of every 16-bit sample
+    * carry q139's analytic channel values and the LOW bytes carry an
+    * independent analytic pattern, so the decoded 8-bit face (sample
+    * high byte, spec §12.5 rescale) must equal q139's exactly — graded
+    * by q139's OWN oracle. The low bytes are the teeth: they flow
+    * through the bytewise filter machinery (bpp 6/8, Paeth over
+    * big-endian sample pairs) and the doubled expected-size accounting,
+    * where any hi/lo mix-up, stride slip or dropped byte shifts every
+    * later sample and hash-mismatches. Ids divisible by 5 additionally
+    * interlace, composing BOTH new layouts in one container.
+    *
+    * Scale shape: identical to q139 — task-local synth+encode+decode
+    * per row; media bytes never shuffle; one presentation sort. */
+  def q146Png16BitDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val withAlpha = id % 3 == 0
+      val n = w * h
+      def ch(hi: (Int, Int) => Int, loSeed: Int): Array[Int] =
+        Array.tabulate(n) { i =>
+          val x = i % w; val y = i / w
+          (hi(x, y) << 8) | ((id * loSeed + x * 17 + y * 29) % 256).toInt
+        }
+      val r = ch((x, y) => ((id * 7 + x * 3 + y * 5) % 256).toInt, 13)
+      val g = ch((x, y) => ((id + x * 11 + y) % 256).toInt, 31)
+      val b = ch((x, y) => ((id * 3 + x + y * 13) % 256).toInt, 47)
+      val chans =
+        if (withAlpha) Array(r, g, b,
+          ch((x, y) => ((id + x * 5 + y * 3) % 256).toInt, 61))
+        else Array(r, g, b)
+      val png = graft.sources.PngImage.parse(
+        graft.sources.PngImage.encode16(w, h, chans,
+          colorType = if (withAlpha) 6 else 2,
+          filterFor = y => ((y + id) % 5).toInt,
+          idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue,
+          interlaced = id % 5 == 0))
+      faceStats(png)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
     * — per named reason, never a log grep and never a task abort. Per
     * document a container is synthesized in one of seven layout
     * classes: two DECODE (truecolor; palette) and five QUARANTINE —
-    * 16-bit depth and Adam7 interlace (the documented unsupported
-    * layouts, each built as an otherwise-valid container with a
-    * re-CRC'd patched IHDR so ONLY the named gate can fire), a
-    * PLTE-less type-3 file (the spliced-out palette table), a flipped
-    * IDAT CRC byte, and a mid-IEND truncation. The query attempts the
+    * sub-8-bit depth and compression method 1 (the remaining
+    * header-level rejections now that 16-bit and Adam7 decode, each
+    * built as an otherwise-valid container with a re-CRC'd patched
+    * IHDR so ONLY the named gate can fire), a PLTE-less type-3 file
+    * (the spliced-out palette table), a flipped IDAT CRC byte, and a
+    * mid-IEND truncation. The query attempts the
     * strict parse on every row, classifies the IllegalArgumentException
     * by its named reason, and reports (reason, n_files, sum_pixels) —
     * the DuckDB oracle recomputes the expected triage analytically from
@@ -909,10 +1013,10 @@ object Multimodal {
       }
       val bytes = (id % 7) match {
         case 0 => rgb()
-        case 1 => // 16-bit depth: valid container, depth byte patched
-          val b = rgb(); b(24) = 16; rechunkIhdrCrc(b)
-        case 2 => // Adam7: valid container, interlace byte patched
-          val b = rgb(); b(28) = 1; rechunkIhdrCrc(b)
+        case 1 => // sub-8-bit depth: valid container, depth byte patched
+          val b = rgb(); b(24) = 4; rechunkIhdrCrc(b)
+        case 2 => // compression method 1: valid container, byte patched
+          val b = rgb(); b(26) = 1; rechunkIhdrCrc(b)
         case 3 => // type-3 without PLTE: splice the palette chunk out
           val b = palette()
           val nPal = (2 + id % 5).toInt
@@ -932,7 +1036,7 @@ object Multimodal {
           val m = e.getMessage
           val reason =
             if (m.contains("bit depth")) "depth_unsupported"
-            else if (m.contains("interlace")) "interlace_unsupported"
+            else if (m.contains("compression")) "compression_unsupported"
             else if (m.contains("without PLTE")) "palette_missing_plte"
             else if (m.contains("CRC")) "crc_mismatch"
             else if (m.contains("truncated")) "truncated"
@@ -952,7 +1056,7 @@ object Multimodal {
       |r AS (SELECT doc_id,
       |        CASE WHEN m IN (0, 6) THEN 'decoded'
       |             WHEN m = 1 THEN 'depth_unsupported'
-      |             WHEN m = 2 THEN 'interlace_unsupported'
+      |             WHEN m = 2 THEN 'compression_unsupported'
       |             WHEN m = 3 THEN 'palette_missing_plte'
       |             WHEN m = 4 THEN 'crc_mismatch'
       |             ELSE 'truncated' END AS reason,
@@ -974,7 +1078,9 @@ object Multimodal {
     "q141_phash_png_container" -> q141PhashPngContainer _,
     "q142_png_gray_decode" -> q142PngGrayDecode _,
     "q143_png_palette_decode" -> q143PngPaletteDecode _,
-    "q144_png_quarantine" -> q144PngQuarantine _)
+    "q144_png_quarantine" -> q144PngQuarantine _,
+    "q145_png_interlaced_decode" -> q145PngInterlacedDecode _,
+    "q146_png_16bit_decode" -> q146Png16BitDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -987,5 +1093,10 @@ object Multimodal {
     "q141_phash_png_container" -> q136Oracle,
     "q142_png_gray_decode" -> q142Oracle,
     "q143_png_palette_decode" -> q143Oracle,
-    "q144_png_quarantine" -> q144Oracle)
+    "q144_png_quarantine" -> q144Oracle,
+    // q139's oracle, verbatim: the Adam7 and 16-bit containers carry
+    // the same analytic face, so a layout defect hash-mismatches an
+    // artifact pinned by an already-green query (the q141 move)
+    "q145_png_interlaced_decode" -> q139Oracle,
+    "q146_png_16bit_decode" -> q139Oracle)
 }

@@ -2,23 +2,28 @@ package graft.sources
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG codec (non-interlaced, 8-bit truecolor RGB / RGBA) —
-  * the COMPRESSED-container image half of the multimodal decode seam,
-  * closing the gap [[BmpImage]] left open: BMP proved decoded-pixel
-  * plumbing, but every real image corpus ships compressed containers.
-  * Built on the same strict-codec discipline as BmpImage / [[WavAudio]]
-  * / PdfText: implement the PUBLIC spec (ISO/IEC 15948) byte-by-byte,
-  * validate loudly, never return garbage pixels. The zlib half reuses
-  * the exact machinery PdfText's FlateDecode already proved
-  * (`java.util.zip.Inflater` — PNG's IDAT stream IS a zlib stream),
-  * so no new dependency appears.
+/** Pure-JVM PNG codec — the COMPRESSED-container image half of the
+  * multimodal decode seam, closing the gap [[BmpImage]] left open: BMP
+  * proved decoded-pixel plumbing, but every real image corpus ships
+  * compressed containers. Built on the same strict-codec discipline as
+  * BmpImage / [[WavAudio]] / PdfText: implement the PUBLIC spec
+  * (ISO/IEC 15948) byte-by-byte, validate loudly, never return garbage
+  * pixels. The zlib half reuses the exact machinery PdfText's
+  * FlateDecode already proved (`java.util.zip.Inflater` — PNG's IDAT
+  * stream IS a zlib stream), so no new dependency appears.
   *
-  * Scope (documented, not hidden): bit depth 8, color types 0
-  * (grayscale), 2 (truecolor), 3 (palette, PLTE + optional tRNS), 4
-  * (grayscale+alpha) and 6 (truecolor+alpha), compression 0, filter
-  * method 0 (all five per-scanline filter types:
-  * None/Sub/Up/Average/Paeth), interlace 0. 16-bit, sub-8-bit palette
-  * depths and Adam7 are rejected with named errors — a partial decode
+  * Scope (documented, not hidden): bit depths 8 and 16 (16-bit samples
+  * scale to the 8-bit face by their HIGH byte — the spec §12.5
+  * sanctioned depth rescale, what libpng's strip-16 does; the low byte
+  * is decoded, validated by the filter/size machinery, then dropped),
+  * color types 0 (grayscale), 2 (truecolor), 3 (palette, 8-bit only
+  * per spec §11.2.2's {1,2,4,8} with sub-8 out of scope, PLTE +
+  * optional tRNS), 4 (grayscale+alpha) and 6 (truecolor+alpha),
+  * compression 0, filter method 0 (all five per-scanline filter types:
+  * None/Sub/Up/Average/Paeth), interlace methods 0 (null) and 1
+  * (Adam7 — all seven passes, each an independently filtered
+  * sub-image, empty passes carrying zero bytes per spec §8.2).
+  * Sub-8-bit depths are rejected with named errors — a partial decode
   * of an unsupported layout is exactly the garbage-output failure mode
   * the discipline bans. Grayscale decodes to the same 0xAARRGGBB pixel
   * face with R = G = B = gray, and palette indices resolve through the
@@ -46,6 +51,23 @@ object PngImage {
   private val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass. A pass
+    * covers image pixels (x0 + i·dx, y0 + j·dy); a pass whose first
+    * pixel falls outside the image is EMPTY and contributes no bytes —
+    * not even filter bytes. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The single non-interlaced "pass": the whole image. */
+  private val NullPass: Array[(Int, Int, Int, Int)] = Array((0, 0, 1, 1))
+
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = p
+    (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+      if (h > y0) (h - y0 + dy - 1) / dy else 0)
+  }
+
   private def u32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -64,9 +86,9 @@ object PngImage {
     * unsupported depth/color/compression/filter/interlace, zero or
     * absurd dimensions, non-contiguous IDAT runs, missing IDAT, zlib
     * stream that fails or ends early or carries trailing compressed
-    * garbage, inflated size ≠ height × (1 + width·bpp), filter byte
-    * outside [0,4], IEND missing / non-empty / not last, or bytes after
-    * IEND. */
+    * garbage, inflated size ≠ the exact per-pass filtered-scanline
+    * total, filter byte outside [0,4], IEND missing / non-empty / not
+    * last, or bytes after IEND. */
   def parse(bytes: Array[Byte]): Png = {
     require(bytes.length >= 8 + 25 + 12 + 12, // sig + IHDR + IDAT + IEND
       s"not a PNG: ${bytes.length} bytes")
@@ -78,6 +100,7 @@ object PngImage {
     }
     var off = 8
     var width = 0; var height = 0; var colorType = -1
+    var sampleBytes = 1; var interlaced = false
     // palette state (color type 3): PLTE entries as 0xAARRGGBB (alpha
     // 0xff until tRNS overrides); tRNS may only shorten-or-match PLTE
     var palette: Array[Int] = null
@@ -115,15 +138,22 @@ object PngImage {
         val interlace = bytes(dataOff + 12) & 0xff
         require(width > 0 && width <= (1 << 20), s"bad width $width")
         require(height > 0 && height <= (1 << 20), s"bad height $height")
-        require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+        require(bitDepth == 8 || bitDepth == 16,
+          s"unsupported bit depth $bitDepth (only 8 and 16)")
         require(colorType == 0 || colorType == 2 || colorType == 3 ||
           colorType == 4 || colorType == 6,
           s"unsupported color type $colorType " +
             "(only 0=gray, 2=RGB, 3=palette, 4=gray+alpha, 6=RGBA)")
+        // spec §11.2.2: palette images allow depths {1,2,4,8} — 16 is
+        // INVALID (not merely out of scope), sub-8 is out of scope here
+        require(colorType != 3 || bitDepth == 8,
+          s"bit depth $bitDepth invalid for palette color type 3")
         require(compression == 0, s"bad compression method $compression")
         require(filterMethod == 0, s"bad filter method $filterMethod")
-        require(interlace == 0,
-          s"unsupported interlace $interlace (only non-interlaced)")
+        require(interlace == 0 || interlace == 1,
+          s"bad interlace method $interlace (0=null, 1=Adam7)")
+        sampleBytes = bitDepth / 8
+        interlaced = interlace == 1
         seenIhdr = true
       } else ctype match {
         case "IHDR" => throw new IllegalArgumentException("duplicate IHDR")
@@ -189,11 +219,15 @@ object PngImage {
     require(colorType != 3 || palette != null,
       "palette image (color type 3) without PLTE")
 
-    val bpp = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    val bpp = channelsOf(colorType) * sampleBytes
+    val passes = if (interlaced) Adam7 else NullPass
+    // exact filtered-scanline total: per NON-EMPTY pass, hp rows of
+    // (1 filter byte + wp·bpp) — empty Adam7 passes contribute nothing
+    var expected = 0L
+    passes.foreach { p =>
+      val (wp, hp) = passDims(width, height, p)
+      if (wp > 0 && hp > 0) expected += hp.toLong * (1 + wp.toLong * bpp)
     }
-    val rowBytes = 1 + width * bpp
-    val expected = rowBytes.toLong * height
     require(expected <= Int.MaxValue, s"image too large: $expected bytes")
     // memory-amplification guard for untrusted bytes: deflate expands at
     // most ~1032:1 (each 5-byte stored-block header aside, a maximal
@@ -207,20 +241,47 @@ object PngImage {
     val raw = inflateExact(idat.toByteArray, expected.toInt)
 
     val px = new Array[Int](width * height)
-    val prior = new Array[Byte](width * bpp) // previous recon scanline
-    val recon = new Array[Byte](width * bpp)
-    var y = 0
-    while (y < height) {
-      val ro = y * rowBytes
+    var segOff = 0
+    passes.foreach { p =>
+      val (x0, y0, dx, dy) = p
+      val (wp, hp) = passDims(width, height, p)
+      if (wp > 0 && hp > 0)
+        segOff = decodePass(raw, segOff, wp, hp, x0, y0, dx, dy,
+          width, bpp, sampleBytes, colorType, palette, px)
+    }
+    Png(width, height,
+      colorType == 6 || colorType == 4 || (colorType == 3 && seenTrns), px)
+  }
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+  }
+
+  /** Unfilter one (sub-)image of `hp` scanlines × `wp` pixels starting
+    * at `raw(segOff)` and scatter its pixels into `px` on the
+    * (x0 + i·dx, y0 + j·dy) grid. Filters operate BYTEWISE with the
+    * pass-local bpp (spec §9.2 — for Adam7 each pass filters as an
+    * independent image; for 16-bit, `sb` = 2 and the 8-bit face takes
+    * each sample's leading high byte). Returns the offset past this
+    * pass's bytes. */
+  private def decodePass(raw: Array[Byte], segOff: Int, wp: Int, hp: Int,
+      x0: Int, y0: Int, dx: Int, dy: Int, imgW: Int, bpp: Int, sb: Int,
+      colorType: Int, palette: Array[Int], px: Array[Int]): Int = {
+    val rowBytes = 1 + wp * bpp
+    val n = wp * bpp
+    val prior = new Array[Byte](n)
+    val recon = new Array[Byte](n)
+    var j = 0
+    while (j < hp) {
+      val ro = segOff + j * rowBytes
       val filter = raw(ro) & 0xff
-      require(filter <= 4, s"bad filter type $filter on scanline $y")
+      require(filter <= 4, s"bad filter type $filter on scanline $j")
       var x = 0
-      val n = width * bpp
       while (x < n) {
         val rawB = raw(ro + 1 + x) & 0xff
         val left = if (x >= bpp) recon(x - bpp) & 0xff else 0
-        val up = if (y > 0) prior(x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
+        val up = if (j > 0) prior(x) & 0xff else 0
+        val upLeft = if (j > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
         val rec = filter match {
           case 0 => rawB
           case 1 => rawB + left
@@ -231,10 +292,11 @@ object PngImage {
         recon(x) = (rec & 0xff).toByte
         x += 1
       }
+      val y = y0 + j * dy
       var c = 0
-      while (c < width) {
+      while (c < wp) {
         val o = c * bpp
-        px(y * width + c) = colorType match {
+        px(y * imgW + (x0 + c * dx)) = colorType match {
           case 0 =>
             val g = recon(o) & 0xff
             0xff000000 | (g << 16) | (g << 8) | g
@@ -243,24 +305,23 @@ object PngImage {
             // spec §11.2.3: an index past the palette is an error —
             // strict reject, never a clamped/garbage pixel
             require(idx < palette.length,
-              s"palette index $idx at ($c,$y) out of range " +
+              s"palette index $idx at (${x0 + c * dx},$y) out of range " +
                 s"(${palette.length}-entry PLTE)")
             palette(idx)
           case 4 =>
             val g = recon(o) & 0xff
-            ((recon(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+            ((recon(o + sb) & 0xff) << 24) | (g << 16) | (g << 8) | g
           case _ =>
-            val a = if (bpp == 4) recon(o + 3) & 0xff else 0xff
+            val a = if (colorType == 6) recon(o + 3 * sb) & 0xff else 0xff
             (a << 24) | ((recon(o) & 0xff) << 16) |
-              ((recon(o + 1) & 0xff) << 8) | (recon(o + 2) & 0xff)
+              ((recon(o + sb) & 0xff) << 8) | (recon(o + 2 * sb) & 0xff)
         }
         c += 1
       }
       System.arraycopy(recon, 0, prior, 0, n)
-      y += 1
+      j += 1
     }
-    Png(width, height,
-      colorType == 6 || colorType == 4 || (colorType == 3 && seenTrns), px)
+    segOff + hp * rowBytes
   }
 
   /** Paeth predictor (PNG spec §9.4) — nearest of left/up/up-left to
@@ -304,48 +365,29 @@ object PngImage {
     } finally inf.end()
   }
 
-  /** Encode 8-bit truecolor PNG from top-down row-major pixels
-    * (0xAARRGGBB; alpha ignored unless `withAlpha`). Each row's filter
-    * type comes from `filterFor(y)` — the encoder half exists so every
-    * decoder path (all five filters, RGB and RGBA, multi-IDAT
-    * concatenation) has a generator for round-trip testing and fixture
-    * synthesis; `idatChunkSize` splits the compressed stream into
-    * multiple IDAT chunks the way real encoders do. */
-  def encode(width: Int, height: Int, pixels: Array[Int],
-      withAlpha: Boolean = false,
-      filterFor: Int => Int = _ => 0,
-      idatChunkSize: Int = Int.MaxValue): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dims ${width}x$height")
-    require(pixels.length == width * height,
-      s"${pixels.length} pixels for ${width}x$height")
-    require(idatChunkSize > 0, s"bad idatChunkSize $idatChunkSize")
-    val bpp = if (withAlpha) 4 else 3
-    val n = width * bpp
-    val raw = new Array[Byte]((1 + n) * height)
-    val cur = new Array[Byte](n)
-    val prior = new Array[Byte](n)
-    var y = 0
-    while (y < height) {
-      var c = 0
-      while (c < width) {
-        val p = pixels(y * width + c)
-        val o = c * bpp
-        cur(o) = ((p >> 16) & 0xff).toByte
-        cur(o + 1) = ((p >> 8) & 0xff).toByte
-        cur(o + 2) = (p & 0xff).toByte
-        if (withAlpha) cur(o + 3) = ((p >>> 24) & 0xff).toByte
-        c += 1
-      }
-      val f = filterFor(y)
-      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
-      val ro = y * (1 + n)
-      raw(ro) = f.toByte
+  /** Filter the scanlines of one `wp`×`hp` sub-image whose packed
+    * sample bytes sit in `samples(sampOff ..)`, writing
+    * hp·(1 + wp·bpp) filtered bytes at `out(outOff)`. `filterAt(j)`
+    * picks row j's filter type — the ONE filtering kernel shared by
+    * every encoder path and both interlace methods. */
+  private def filterPass(samples: Array[Byte], sampOff: Int, wp: Int,
+      hp: Int, bpp: Int, filterAt: Int => Int, out: Array[Byte],
+      outOff: Int): Int = {
+    val n = wp * bpp
+    var j = 0
+    while (j < hp) {
+      val f = filterAt(j)
+      require(f >= 0 && f <= 4, s"bad filter $f for row $j")
+      val so = sampOff + j * n
+      val ro = outOff + j * (1 + n)
+      out(ro) = f.toByte
       var x = 0
       while (x < n) {
-        val v = cur(x) & 0xff
-        val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
-        val up = if (y > 0) prior(x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
+        val v = samples(so + x) & 0xff
+        val left = if (x >= bpp) samples(so + x - bpp) & 0xff else 0
+        val up = if (j > 0) samples(so + x - n) & 0xff else 0
+        val upLeft = if (j > 0 && x >= bpp) samples(so + x - n - bpp) & 0xff
+          else 0
         val enc = f match {
           case 0 => v
           case 1 => v - left
@@ -353,22 +395,103 @@ object PngImage {
           case 3 => v - (left + up) / 2
           case 4 => v - paeth(left, up, upLeft)
         }
-        raw(ro + 1 + x) = (enc & 0xff).toByte
+        out(ro + 1 + x) = (enc & 0xff).toByte
         x += 1
       }
-      System.arraycopy(cur, 0, prior, 0, n)
-      y += 1
+      j += 1
     }
-    wrapIdat(width, height, if (withAlpha) 6 else 2, raw, idatChunkSize)
+    outOff + hp * (1 + n)
+  }
+
+  /** Turn a full image's packed sample bytes (w·h·bpp, row-major) into
+    * the filtered-scanline stream for the chosen interlace method:
+    * null = one pass over the whole image; Adam7 = seven passes, each
+    * extracted onto its own sub-image grid and filtered independently.
+    * `filterFor` receives the GLOBAL output-scanline index (rows of
+    * pass k continue pass k−1's numbering), so per-row filter cycling
+    * in fixtures and fuzz exercises every filter in every pass. */
+  private def buildRaw(samples: Array[Byte], w: Int, h: Int, bpp: Int,
+      interlaced: Boolean, filterFor: Int => Int): Array[Byte] = {
+    if (!interlaced) {
+      val out = new Array[Byte]((1 + w * bpp) * h)
+      filterPass(samples, 0, w, h, bpp, filterFor, out, 0)
+      out
+    } else {
+      var total = 0
+      Adam7.foreach { p =>
+        val (wp, hp) = passDims(w, h, p)
+        if (wp > 0 && hp > 0) total += hp * (1 + wp * bpp)
+      }
+      val out = new Array[Byte](total)
+      var outOff = 0
+      var globalRow = 0
+      Adam7.foreach { p =>
+        val (x0, y0, dx, dy) = p
+        val (wp, hp) = passDims(w, h, p)
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Byte](wp * hp * bpp)
+          var j = 0
+          while (j < hp) {
+            var c = 0
+            while (c < wp) {
+              System.arraycopy(samples,
+                ((y0 + j * dy) * w + (x0 + c * dx)) * bpp,
+                sub, (j * wp + c) * bpp, bpp)
+              c += 1
+            }
+            j += 1
+          }
+          val base = globalRow
+          outOff = filterPass(sub, 0, wp, hp, bpp,
+            j => filterFor(base + j), out, outOff)
+          globalRow += hp
+        }
+      }
+      out
+    }
+  }
+
+  /** Encode 8-bit truecolor PNG from top-down row-major pixels
+    * (0xAARRGGBB; alpha ignored unless `withAlpha`). Each row's filter
+    * type comes from `filterFor(y)` — the encoder half exists so every
+    * decoder path (all five filters, RGB and RGBA, multi-IDAT
+    * concatenation, both interlace methods) has a generator for
+    * round-trip testing and fixture synthesis; `idatChunkSize` splits
+    * the compressed stream into multiple IDAT chunks the way real
+    * encoders do. */
+  def encode(width: Int, height: Int, pixels: Array[Int],
+      withAlpha: Boolean = false,
+      filterFor: Int => Int = _ => 0,
+      idatChunkSize: Int = Int.MaxValue,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels for ${width}x$height")
+    val bpp = if (withAlpha) 4 else 3
+    val samples = new Array[Byte](width * height * bpp)
+    var k = 0
+    while (k < pixels.length) {
+      val p = pixels(k)
+      val o = k * bpp
+      samples(o) = ((p >> 16) & 0xff).toByte
+      samples(o + 1) = ((p >> 8) & 0xff).toByte
+      samples(o + 2) = (p & 0xff).toByte
+      if (withAlpha) samples(o + 3) = ((p >>> 24) & 0xff).toByte
+      k += 1
+    }
+    val raw = buildRaw(samples, width, height, bpp, interlaced, filterFor)
+    wrapIdat(width, height, if (withAlpha) 6 else 2, 8, interlaced, raw,
+      idatChunkSize)
   }
 
   /** Deflate the filtered scanlines and assemble the container —
-    * signature, IHDR (bit depth 8, the given color type), any `extra`
+    * signature, IHDR (the given depth/color/interlace), any `extra`
     * chunks (PLTE/tRNS, in order) between IHDR and the first IDAT, IDAT
-    * split at `idatChunkSize`, IEND — the ONE copy shared by [[encode]],
-    * [[encodeGray]] and [[encodePalette]]. */
+    * split at `idatChunkSize`, IEND — the ONE copy shared by every
+    * encoder. */
   private def wrapIdat(width: Int, height: Int, colorType: Int,
-      raw: Array[Byte], idatChunkSize: Int,
+      bitDepth: Int, interlaced: Boolean, raw: Array[Byte],
+      idatChunkSize: Int,
       extra: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     require(idatChunkSize > 0, s"bad idatChunkSize $idatChunkSize")
     val def_ = new Deflater()
@@ -384,7 +507,8 @@ object PngImage {
     out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
     putU32(ihdr, 0, width); putU32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = if (interlaced) 1 else 0
     writeChunk(out, "IHDR", ihdr)
     extra.foreach { case (t, d) => writeChunk(out, t, d) }
     var zo = 0
@@ -402,53 +526,29 @@ object PngImage {
     * always; emits tRNS covering entries up to the LAST non-opaque one
     * (the spec-minimal table — trailing opaque entries default to 255
     * on decode, so round-trip alpha is exact either way). The generator
-    * half for the palette decode paths — same per-row filter selection
-    * and IDAT splitting as [[encode]]. */
+    * half for the palette decode paths — same per-row filter selection,
+    * IDAT splitting and interlace support as [[encode]]. */
   def encodePalette(width: Int, height: Int, indices: Array[Int],
       palette: Array[Int],
       filterFor: Int => Int = _ => 0,
-      idatChunkSize: Int = Int.MaxValue): Array[Byte] = {
+      idatChunkSize: Int = Int.MaxValue,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(indices.length == width * height,
       s"${indices.length} indices for ${width}x$height")
     require(palette.nonEmpty && palette.length <= 256,
       s"palette has ${palette.length} entries (1..256)")
-    val raw = new Array[Byte]((1 + width) * height)
-    val cur = new Array[Byte](width)
-    val prior = new Array[Byte](width)
-    var y = 0
-    while (y < height) {
-      var c = 0
-      while (c < width) {
-        val idx = indices(y * width + c)
-        require(idx >= 0 && idx < palette.length,
-          s"index $idx at ($c,$y) out of palette range (${palette.length})")
-        cur(c) = idx.toByte
-        c += 1
-      }
-      val f = filterFor(y)
-      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
-      val ro = y * (1 + width)
-      raw(ro) = f.toByte
-      var x = 0
-      while (x < width) {
-        val v = cur(x) & 0xff
-        val left = if (x >= 1) cur(x - 1) & 0xff else 0
-        val up = if (y > 0) prior(x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= 1) prior(x - 1) & 0xff else 0
-        val enc = f match {
-          case 0 => v
-          case 1 => v - left
-          case 2 => v - up
-          case 3 => v - (left + up) / 2
-          case 4 => v - paeth(left, up, upLeft)
-        }
-        raw(ro + 1 + x) = (enc & 0xff).toByte
-        x += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, width)
-      y += 1
+    val samples = new Array[Byte](indices.length)
+    var k = 0
+    while (k < indices.length) {
+      val idx = indices(k)
+      require(idx >= 0 && idx < palette.length,
+        s"index $idx at (${k % width},${k / width}) out of palette range " +
+          s"(${palette.length})")
+      samples(k) = idx.toByte
+      k += 1
     }
+    val raw = buildRaw(samples, width, height, 1, interlaced, filterFor)
     val plte = new Array[Byte](palette.length * 3)
     var j = 0
     while (j < palette.length) {
@@ -462,18 +562,19 @@ object PngImage {
       if (trnsLen == 0) Seq("PLTE" -> plte)
       else Seq("PLTE" -> plte,
         "tRNS" -> Array.tabulate(trnsLen)(j => ((palette(j) >>> 24) & 0xff).toByte))
-    wrapIdat(width, height, 3, raw, idatChunkSize, extra)
+    wrapIdat(width, height, 3, 8, interlaced, raw, idatChunkSize, extra)
   }
 
   /** Encode 8-bit grayscale PNG (color type 0, or 4 with `withAlpha`)
     * from top-down row-major gray values (`gray(i) & 0xff`; alpha from
     * `alpha(i) & 0xff` when present). The generator half for the
-    * grayscale decode paths — same per-row filter selection and IDAT
-    * splitting as [[encode]]. */
+    * grayscale decode paths — same per-row filter selection, IDAT
+    * splitting and interlace support as [[encode]]. */
   def encodeGray(width: Int, height: Int, gray: Array[Int],
       alpha: Array[Int] = Array.emptyIntArray,
       filterFor: Int => Int = _ => 0,
-      idatChunkSize: Int = Int.MaxValue): Array[Byte] = {
+      idatChunkSize: Int = Int.MaxValue,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(gray.length == width * height,
       s"${gray.length} gray values for ${width}x$height")
@@ -481,42 +582,60 @@ object PngImage {
     if (withAlpha) require(alpha.length == gray.length,
       s"${alpha.length} alpha values for ${gray.length} pixels")
     val bpp = if (withAlpha) 2 else 1
-    val n = width * bpp
-    val raw = new Array[Byte]((1 + n) * height)
-    val cur = new Array[Byte](n)
-    val prior = new Array[Byte](n)
-    var y = 0
-    while (y < height) {
-      var c = 0
-      while (c < width) {
-        cur(c * bpp) = (gray(y * width + c) & 0xff).toByte
-        if (withAlpha) cur(c * bpp + 1) = (alpha(y * width + c) & 0xff).toByte
-        c += 1
-      }
-      val f = filterFor(y)
-      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
-      val ro = y * (1 + n)
-      raw(ro) = f.toByte
-      var x = 0
-      while (x < n) {
-        val v = cur(x) & 0xff
-        val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
-        val up = if (y > 0) prior(x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
-        val enc = f match {
-          case 0 => v
-          case 1 => v - left
-          case 2 => v - up
-          case 3 => v - (left + up) / 2
-          case 4 => v - paeth(left, up, upLeft)
-        }
-        raw(ro + 1 + x) = (enc & 0xff).toByte
-        x += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, n)
-      y += 1
+    val samples = new Array[Byte](gray.length * bpp)
+    var k = 0
+    while (k < gray.length) {
+      samples(k * bpp) = (gray(k) & 0xff).toByte
+      if (withAlpha) samples(k * bpp + 1) = (alpha(k) & 0xff).toByte
+      k += 1
     }
-    wrapIdat(width, height, if (withAlpha) 4 else 0, raw, idatChunkSize)
+    val raw = buildRaw(samples, width, height, bpp, interlaced, filterFor)
+    wrapIdat(width, height, if (withAlpha) 4 else 0, 8, interlaced, raw,
+      idatChunkSize)
+  }
+
+  /** Encode a 16-bit PNG (color types 0/2/4/6) from per-channel
+    * top-down row-major 16-bit sample values (0..65535, stored
+    * big-endian per spec §7.1). `channels` carries exactly the color
+    * type's channel count in spec order (gray[,alpha] / R,G,B[,alpha]).
+    * The generator half for the 16-bit decode paths: the decoder's
+    * 8-bit face keeps each sample's HIGH byte, so fixtures with
+    * independently varying low bytes prove the low byte is carried
+    * through the filter/size machinery and then dropped — same per-row
+    * filter selection, IDAT splitting and interlace support as
+    * [[encode]]. */
+  def encode16(width: Int, height: Int, channels: Array[Array[Int]],
+      colorType: Int,
+      filterFor: Int => Int = _ => 0,
+      idatChunkSize: Int = Int.MaxValue,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(colorType == 0 || colorType == 2 || colorType == 4 ||
+      colorType == 6, s"color type $colorType has no 16-bit form here " +
+        "(palette is 8-bit only)")
+    val nCh = channelsOf(colorType)
+    require(channels.length == nCh,
+      s"${channels.length} channel arrays for color type $colorType " +
+        s"(needs $nCh)")
+    channels.foreach(ch => require(ch.length == width * height,
+      s"${ch.length} samples for ${width}x$height"))
+    val bpp = nCh * 2
+    val samples = new Array[Byte](width * height * bpp)
+    var k = 0
+    while (k < width * height) {
+      var ch = 0
+      while (ch < nCh) {
+        val v = channels(ch)(k)
+        require(v >= 0 && v <= 0xffff, s"16-bit sample $v out of range")
+        val o = k * bpp + ch * 2
+        samples(o) = ((v >> 8) & 0xff).toByte
+        samples(o + 1) = (v & 0xff).toByte
+        ch += 1
+      }
+      k += 1
+    }
+    val raw = buildRaw(samples, width, height, bpp, interlaced, filterFor)
+    wrapIdat(width, height, colorType, 16, interlaced, raw, idatChunkSize)
   }
 
   private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {

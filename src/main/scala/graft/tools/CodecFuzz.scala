@@ -180,11 +180,94 @@ object CodecFuzz {
         require(ok, "palette pixels")
       }
     }
+    for (i <- 0 until 40) {
+      // Adam7 interlaced round-trips across every color layout: the
+      // non-interlaced parse of the SAME samples is the oracle, and
+      // dims 1..16 straddle the 8x8 tile so empty passes (zero bytes)
+      // and multi-tile grids both occur
+      val w = 1 + rnd.nextInt(16)
+      val h = 1 + rnd.nextInt(16)
+      val filters = Array.fill(w * h + 8)(rnd.nextInt(5))
+      val split = 1 + rnd.nextInt(300)
+      def both(enc: Boolean => Array[Byte]): Unit = {
+        val plain = PngImage.parse(enc(false))
+        val inter = PngImage.parse(enc(true))
+        require(inter.width == w && inter.height == h, "dims")
+        require(inter.pixels.toSeq == plain.pixels.toSeq, "interlaced pixels")
+        require(inter.hasAlpha == plain.hasAlpha, "alpha flag")
+      }
+      check(s"png_interlaced_roundtrip_$i") {
+        rnd.nextInt(5) match {
+          case 0 | 1 =>
+            val px = Array.fill(w * h)(rnd.nextInt())
+            val wa = rnd.nextBoolean()
+            both(il => PngImage.encode(w, h, px, wa, y => filters(y), split,
+              interlaced = il))
+          case 2 =>
+            val gray = Array.fill(w * h)(rnd.nextInt(256))
+            both(il => PngImage.encodeGray(w, h, gray,
+              filterFor = y => filters(y), idatChunkSize = split,
+              interlaced = il))
+          case 3 =>
+            val gray = Array.fill(w * h)(rnd.nextInt(256))
+            val alpha = Array.fill(w * h)(rnd.nextInt(256))
+            both(il => PngImage.encodeGray(w, h, gray, alpha,
+              y => filters(y), split, interlaced = il))
+          case _ =>
+            val nPal = 1 + rnd.nextInt(256)
+            val pal = Array.fill(nPal)(rnd.nextInt())
+            val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+            both(il => PngImage.encodePalette(w, h, idx, pal,
+              y => filters(y), split, interlaced = il))
+        }
+      }
+    }
+    for (i <- 0 until 40) {
+      // 16-bit round-trips: the 8-bit face keeps each sample's HIGH
+      // byte; random low bytes prove they are carried through the
+      // bytewise filters and then dropped. Half the configs interlace,
+      // composing both layouts.
+      val w = 1 + rnd.nextInt(16)
+      val h = 1 + rnd.nextInt(12)
+      val colorType = Seq(0, 2, 4, 6)(rnd.nextInt(4))
+      val nCh = colorType match { case 0 => 1; case 2 => 3; case 4 => 2
+        case _ => 4 }
+      val chans = Array.fill(nCh)(Array.fill(w * h)(rnd.nextInt(65536)))
+      val inter = rnd.nextBoolean()
+      val filters = Array.fill(w * h + 8)(rnd.nextInt(5))
+      check(s"png16_roundtrip_$i") {
+        val p = PngImage.parse(PngImage.encode16(w, h, chans, colorType,
+          y => filters(y), 1 + rnd.nextInt(400), interlaced = inter))
+        require(p.width == w && p.height == h, "dims")
+        var k = 0
+        var ok = true
+        while (k < w * h && ok) {
+          val want = colorType match {
+            case 0 =>
+              val g = chans(0)(k) >> 8
+              0xff000000 | (g << 16) | (g << 8) | g
+            case 2 =>
+              0xff000000 | ((chans(0)(k) >> 8) << 16) |
+                ((chans(1)(k) >> 8) << 8) | (chans(2)(k) >> 8)
+            case 4 =>
+              val g = chans(0)(k) >> 8
+              ((chans(1)(k) >> 8) << 24) | (g << 16) | (g << 8) | g
+            case _ =>
+              ((chans(3)(k) >> 8) << 24) | ((chans(0)(k) >> 8) << 16) |
+                ((chans(1)(k) >> 8) << 8) | (chans(2)(k) >> 8)
+          }
+          ok = p.pixels(k) == want
+          k += 1
+        }
+        require(ok, "16-bit face")
+      }
+    }
     for (i <- 0 until 80) {
       val w = 1 + rnd.nextInt(14)
       val h = 1 + rnd.nextInt(9)
-      // mutate across all five supported color layouts
-      val good = rnd.nextInt(5) match {
+      // mutate across all seven supported container layouts (five 8-bit
+      // color layouts, an Adam7-interlaced one, a 16-bit one)
+      val good = rnd.nextInt(7) match {
         case 0 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
           withAlpha = false, _ => rnd.nextInt(5), 1 + rnd.nextInt(200))
         case 1 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
@@ -197,6 +280,17 @@ object CodecFuzz {
           PngImage.encodePalette(w, h, Array.fill(w * h)(rnd.nextInt(nPal)),
             Array.fill(nPal)(rnd.nextInt()), _ => rnd.nextInt(5),
             1 + rnd.nextInt(200))
+        case 5 => PngImage.encode(w, h, Array.fill(w * h)(rnd.nextInt()),
+          rnd.nextBoolean(), _ => rnd.nextInt(5), 1 + rnd.nextInt(200),
+          interlaced = true)
+        case 6 =>
+          val ct = Seq(0, 2, 4, 6)(rnd.nextInt(4))
+          val nCh = ct match { case 0 => 1; case 2 => 3; case 4 => 2
+            case _ => 4 }
+          PngImage.encode16(w, h,
+            Array.fill(nCh)(Array.fill(w * h)(rnd.nextInt(65536))), ct,
+            _ => rnd.nextInt(5), 1 + rnd.nextInt(200),
+            interlaced = rnd.nextBoolean())
       }
       val bad = mutate(good)
       mutationCase(s"png_mutation_$i", () => PngImage.parse(bad)) { p =>

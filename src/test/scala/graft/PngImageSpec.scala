@@ -188,16 +188,25 @@ class PngImageSpec extends AnyFunSuite {
     // trailing garbage after IEND
     intercept[IllegalArgumentException](
       PngImage.parse(good ++ Array[Byte](1, 2, 3)))
-    // unsupported: 16-bit depth, palette color, interlaced (each with a
-    // VALID CRC via the independent assembler, so the header gate—not
-    // the CRC gate—must reject)
+    // unsupported/invalid headers: sub-8-bit depth, PLTE-less palette
+    // color, 16-bit PALETTE (spec-invalid — palette depths are {1,2,4,8}),
+    // interlace method 2, zero dims (each with a VALID CRC via the
+    // independent assembler, so the header gate—not the CRC gate—must
+    // reject)
     val idat = chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3)))
     val iend = chunk("IEND", Array.emptyByteArray)
-    for (hdr <- Seq(ihdr(1, 1, depth = 16), ihdr(1, 1, color = 3),
-        ihdr(1, 1, interlace = 1), ihdr(0, 1), ihdr(1, 0))) {
+    for (hdr <- Seq(ihdr(1, 1, depth = 4), ihdr(1, 1, color = 3),
+        ihdr(1, 1, depth = 16, color = 3),
+        ihdr(1, 1, interlace = 2), ihdr(0, 1), ihdr(1, 0))) {
       intercept[IllegalArgumentException](
         PngImage.parse(assemble(chunk("IHDR", hdr), idat, iend)))
     }
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, depth = 16, color = 3)), idat, iend)))
+      .getMessage.contains("invalid for palette"))
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 1, interlace = 2)), idat, iend)))
+      .getMessage.contains("interlace"))
     // missing IDAT entirely
     intercept[IllegalArgumentException](
       PngImage.parse(assemble(chunk("IHDR", ihdr(1, 1)), iend)))
@@ -355,6 +364,147 @@ class PngImageSpec extends AnyFunSuite {
     val ok = PngImage.parse(assemble(
       chunk("IHDR", ihdr(1, 1, color = 3)), plte3, idat0, iend))
     assert(ok.pixel(0, 0) == ((9 << 16) | (9 << 8) | 9) && !ok.hasAlpha)
+  }
+
+  test("Adam7 interlaced decode equals non-interlaced, every color type") {
+    // sizes straddle the 8x8 tile so sub-8 images exercise EMPTY passes
+    // (zero bytes, not even filter bytes) and 9..16 exercise multi-tile;
+    // filters cycle per OUTPUT scanline so every pass sees several types.
+    // Equality against the non-interlaced decode of the SAME pixels is
+    // the strongest oracle here: a wrong pass origin/stride would leave
+    // holes or double-writes, not just scramble.
+    for ((w, h) <- Seq((1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (8, 8),
+        (9, 10), (16, 5), (7, 13))) {
+      val px = pxPattern(w, h, w * 31 + h)
+      for (withAlpha <- Seq(false, true)) {
+        val plain = PngImage.parse(PngImage.encode(w, h, px, withAlpha,
+          y => y % 5, 11))
+        val inter = PngImage.parse(PngImage.encode(w, h, px, withAlpha,
+          y => y % 5, 11, interlaced = true))
+        assert(inter.pixels.toSeq == plain.pixels.toSeq,
+          s"rgb(a=$withAlpha) interlaced mismatch at ${w}x$h")
+      }
+      val gray = Array.tabulate(w * h)(i => (i * 37 + 5) & 0xff)
+      val ga = Array.tabulate(w * h)(i => (i * 53 + 9) & 0xff)
+      for (alpha <- Seq(Array.emptyIntArray, ga)) {
+        val plain = PngImage.parse(PngImage.encodeGray(w, h, gray, alpha,
+          y => (y + 2) % 5, 9))
+        val inter = PngImage.parse(PngImage.encodeGray(w, h, gray, alpha,
+          y => (y + 2) % 5, 9, interlaced = true))
+        assert(inter.pixels.toSeq == plain.pixels.toSeq,
+          s"gray(alpha=${alpha.nonEmpty}) interlaced mismatch at ${w}x$h")
+      }
+      val nPal = 1 + (w * h) % 200
+      val pal = Array.tabulate(nPal) { j =>
+        val a = if (j % 4 == 1) (j * 29) & 0xff else 0xff
+        (a << 24) | (((j * 37) & 0xff) << 16) | (((j * 91) & 0xff) << 8) |
+          ((j * 13) & 0xff)
+      }
+      val idx = Array.tabulate(w * h)(i => (i * 7 + 3) % nPal)
+      val plain = PngImage.parse(PngImage.encodePalette(w, h, idx, pal,
+        y => (y + 4) % 5, 17))
+      val inter = PngImage.parse(PngImage.encodePalette(w, h, idx, pal,
+        y => (y + 4) % 5, 17, interlaced = true))
+      assert(inter.pixels.toSeq == plain.pixels.toSeq,
+        s"palette interlaced mismatch at ${w}x$h")
+    }
+  }
+
+  test("independently assembled Adam7 container decodes (hand-derived)") {
+    // 3x3 grayscale, g(x,y) = 10 + x + 3y. Non-empty passes in spec
+    // order for w=h=3: p1 -> (0,0); p4 (2,0,4,4) -> (2,0); p5 (0,2,2,4)
+    // -> (0,2),(2,2); p6 (1,0,2,2) -> (1,0),(1,2); p7 (0,1,1,2) ->
+    // (0,1),(1,1),(2,1). p2 (x0=4) and p3 (y0=4) are EMPTY and carry no
+    // bytes. Filters exercised WITHIN passes: p5 row uses Sub, p6's
+    // second row uses Up (prior = p6's own row 0, recon 11).
+    val raw = Array[Byte](
+      0, 10, // p1
+      0, 12, // p4
+      1, 16, 2, // p5: Sub -> 16, 16+2=18
+      0, 11, 2, 6, // p6 rows: 11 then Up -> 11+6=17
+      0, 13, 14, 15) // p7
+    val png = PngImage.parse(assemble(
+      chunk("IHDR", ihdr(3, 3, color = 0, interlace = 1)),
+      chunk("IDAT", deflate(raw)), chunk("IEND", Array.emptyByteArray)))
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val g = 10 + x + 3 * y
+      assert(png.pixel(x, y) == ((g << 16) | (g << 8) | g),
+        s"hand-derived Adam7 mismatch at ($x,$y)")
+    }
+  }
+
+  test("16-bit round-trip: high-byte face, low bytes carried then dropped") {
+    val (w, h) = (9, 6)
+    val n = w * h
+    def hiLo(seed: Int): Array[Int] =
+      Array.tabulate(n)(i => (((i * 37 + seed) & 0xff) << 8) |
+        ((i * 113 + seed * 7) & 0xff))
+    for (colorType <- Seq(0, 2, 4, 6); inter <- Seq(false, true)) {
+      val nCh = colorType match { case 0 => 1; case 2 => 3; case 4 => 2
+        case _ => 4 }
+      val chans = Array.tabulate(nCh)(c => hiLo(c * 19 + colorType))
+      val png = PngImage.parse(PngImage.encode16(w, h, chans, colorType,
+        y => y % 5, 23, interlaced = inter))
+      assert(png.width == w && png.height == h)
+      assert(png.hasAlpha == (colorType == 4 || colorType == 6))
+      var k = 0
+      while (k < n) {
+        val want = colorType match {
+          case 0 =>
+            val g = chans(0)(k) >> 8
+            0xff000000 | (g << 16) | (g << 8) | g
+          case 2 =>
+            0xff000000 | ((chans(0)(k) >> 8) << 16) |
+              ((chans(1)(k) >> 8) << 8) | (chans(2)(k) >> 8)
+          case 4 =>
+            val g = chans(0)(k) >> 8
+            ((chans(1)(k) >> 8) << 24) | (g << 16) | (g << 8) | g
+          case _ =>
+            ((chans(3)(k) >> 8) << 24) | ((chans(0)(k) >> 8) << 16) |
+              ((chans(1)(k) >> 8) << 8) | (chans(2)(k) >> 8)
+        }
+        assert(png.pixels(k) == want,
+          s"16-bit face mismatch type=$colorType inter=$inter at $k")
+        k += 1
+      }
+      // same high bytes, DIFFERENT low bytes -> identical 8-bit face:
+      // the low byte flows through the filter/size machinery (a missing
+      // byte would shift every later sample) and is then dropped
+      val chans2 = chans.map(_.map(v => (v & 0xff00) | ((v * 31 + 7) & 0xff)))
+      val png2 = PngImage.parse(PngImage.encode16(w, h, chans2, colorType,
+        y => (y + 1) % 5, 41, interlaced = inter))
+      assert(png2.pixels.toSeq == png.pixels.toSeq,
+        s"low-byte variation leaked into the face, type=$colorType")
+    }
+  }
+
+  test("independently assembled 16-BIT container decodes") {
+    // 1x2 grayscale-16: 0x1234 then 0xABCD; row 1 uses Up on BOTH bytes
+    // of the big-endian sample (filters are bytewise, bpp=2)
+    val raw = Array[Byte](0, 0x12, 0x34,
+      2, 0x99.toByte, 0x99.toByte) // 0x12+0x99=0xAB, 0x34+0x99=0xCD
+    val png = PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1, 2, depth = 16, color = 0)),
+      chunk("IDAT", deflate(raw)), chunk("IEND", Array.emptyByteArray)))
+    assert(png.pixel(0, 0) == ((0x12 << 16) | (0x12 << 8) | 0x12))
+    assert(png.pixel(0, 1) == ((0xAB << 16) | (0xAB << 8) | 0xAB))
+  }
+
+  test("interlace flag changes the EXACT expected stream size") {
+    // 4x3 RGB: non-interlaced filtered size is 3*(1+12)=39; Adam7 is 42
+    // (p1 4 + p4 4 + p5 7 + p6 14 + p7 13). A 39-byte stream under an
+    // interlace=1 header must reject on size, not half-decode.
+    val raw39 = new Array[Byte](39)
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(4, 3, interlace = 1)),
+      chunk("IDAT", deflate(raw39)), chunk("IEND", Array.emptyByteArray))))
+      .getMessage.contains("expected 42"))
+    // and the bomb guard covers interlaced headers too
+    val e = intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1 << 20, 512, interlace = 1)),
+      chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
+      chunk("IEND", Array.emptyByteArray))))
+    assert(e.getMessage.contains("max deflate expansion"))
   }
 
   test("dimension-bomb header is rejected before allocation") {
