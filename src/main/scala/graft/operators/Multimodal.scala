@@ -325,9 +325,8 @@ object Multimodal {
     * oracle. */
   private[graft] def imageHashesOf(docs: DataFrame,
       container: String = "bmp"): DataFrame = {
-    require(container == "bmp" || container == "png",
+    require(container == "bmp" || container == "png" || container == "gif",
       s"unknown container $container")
-    val usePng = container == "png"
     val ahash = udf { (id: Long) =>
       val base = id / 4
       val v = (id % 4).toInt
@@ -358,18 +357,33 @@ object Multimodal {
         val b = (mix(m + 99999) + 64 * pp) % 256
         ((r.toInt) << 16) | ((g.toInt) << 8) | b.toInt
       }
-      val pix: (Int, Int) => Int =
-        if (usePng) {
+      val pix: (Int, Int) => Int = container match {
+        case "png" =>
           val p = graft.sources.PngImage.parse(graft.sources.PngImage
             .encode(w, h, px, withAlpha = id % 3 == 0,
               filterFor = y => ((y + id) % 5).toInt,
               idatChunkSize = if (id % 2 == 0) 96 else Int.MaxValue))
           p.pixel _
-        } else {
+        case "gif" =>
+          // exact-palette path: these synth images have <= 192 pixels,
+          // so first-occurrence distinct colors always fit GIF's 256 —
+          // what a real lossless GIF writer does when no quantization
+          // is needed. Interlace and sub-block split vary by id so the
+          // container machinery is exercised corpus-wide.
+          val order = new java.util.LinkedHashMap[Int, Int]()
+          px.foreach(c => order.putIfAbsent(c & 0xffffff, order.size))
+          val pal = new Array[Int](order.size)
+          order.forEach((c, j) => pal(j) = 0xff000000 | c)
+          val idx = px.map(c => order.get(c & 0xffffff).intValue())
+          val g = graft.sources.GifImage.parse(graft.sources.GifImage
+            .encode(w, h, idx, pal, interlaced = id % 2 == 0,
+              subBlockSize = if (id % 5 == 0) 11 else 255))
+          g.pixel _
+        case _ =>
           val b = graft.sources.BmpImage.parse(
             graft.sources.BmpImage.encode24(w, h, px, topDown = id % 2 == 1))
           b.pixel _
-        }
+      }
       val lums = new Array[Long](64)
       var sum = 0L
       var k = 0
@@ -611,7 +625,7 @@ object Multimodal {
         graft.sources.PngImage.encode(w, h, px, withAlpha = withAlpha,
           filterFor = y => ((y + id) % 5).toInt,
           idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue))
-      faceStats(png)
+      faceStats(png.width, png.height, png.pixels)
     }
     Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
@@ -647,19 +661,19 @@ object Multimodal {
       |       CAST(sum(a) AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
-  /** The q139 stat reduction over the decoded 0xAARRGGBB face — ONE
-    * copy shared by q139 (null-interlace 8-bit), q145 (Adam7) and q146
-    * (16-bit), so the three container layouts grade the SAME artifact
-    * under the SAME oracle and can never drift apart in how they
-    * reduce. */
-  private def faceStats(png: graft.sources.PngImage.Png):
+  /** The q139 stat reduction over a decoded 0xAARRGGBB face — ONE copy
+    * shared by q139 (null-interlace 8-bit PNG), q145 (Adam7), q146
+    * (16-bit) and q147 (GIF), so every container layout grades the
+    * SAME artifact shape and the queries can never drift apart in how
+    * they reduce. */
+  private def faceStats(width: Int, height: Int, pixels: Array[Int]):
       (Long, Long, Long, Long, Long, Long, Long, Long) = {
     var sumRgb = 0L; var wsum = 0L; var peak = 0L; var sumA = 0L
     var y = 0
-    while (y < png.height) {
+    while (y < height) {
       var x = 0
-      while (x < png.width) {
-        val p = png.pixel(x, y)
+      while (x < width) {
+        val p = pixels(y * width + x) & 0xffffff
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
         val b = p & 0xff
         val s3 = (r + g + b).toLong
@@ -667,14 +681,13 @@ object Multimodal {
         wsum += (y + 1) * s3
         val lum = 299L * r + 587L * g + 114L * b
         if (lum > peak) peak = lum
-        sumA += png.alpha(x, y)
+        sumA += (pixels(y * width + x) >>> 24) & 0xff
         x += 1
       }
       y += 1
     }
-    (png.width.toLong, png.height.toLong,
-      png.pixels.length.toLong, sumRgb, wsum,
-      png.pixel(0, 0).toLong, peak, sumA)
+    (width.toLong, height.toLong, pixels.length.toLong, sumRgb, wsum,
+      (pixels(0) & 0xffffff).toLong, peak, sumA)
   }
 
   /** q142 — grayscale PNG decode (color types 0 and 4): q139's
@@ -892,7 +905,7 @@ object Multimodal {
           filterFor = y => ((y + id) % 5).toInt,
           idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue,
           interlaced = true))
-      faceStats(png)
+      faceStats(png.width, png.height, png.pixels)
     }
     Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
@@ -942,7 +955,7 @@ object Multimodal {
           filterFor = y => ((y + id) % 5).toInt,
           idatChunkSize = if (id % 2 == 0) 64 else Int.MaxValue,
           interlaced = id % 5 == 0))
-      faceStats(png)
+      faceStats(png.width, png.height, png.pixels)
     }
     Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
@@ -953,6 +966,92 @@ object Multimodal {
         $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
       .orderBy($"media_id")
   }
+
+  /** q147 — GIF decode (LZW): the dictionary-coded container through
+    * the q139 grading shape. Per document a single-frame GIF89a is
+    * synthesized from an analytic palette (2..251 entries; for ids
+    * divisible by 3 one entry is transparent, carried via a Graphic
+    * Control Extension) and analytic indices, encoded through the REAL
+    * LZW encoder (odd ids interlaced — the 4-pass row order; ids
+    * divisible by 4 split into 7-byte sub-blocks), strictly decoded
+    * ([[graft.sources.GifImage]]), and reduced by the SAME faceStats
+    * kernel to integer stats the DuckDB oracle recomputes ANALYTICALLY
+    * from doc_id. Any defect — a wrong LZW width bump, a dictionary
+    * entry mis-chained, an interlace row landed wrong, a transparent
+    * index painted opaque — corrupts sum_rgb/wsum/sum_alpha and
+    * hash-mismatches.
+    *
+    * Scale shape: task-local synth+encode+decode per row (the q139
+    * ladder rung); media bytes never shuffle; one presentation sort. */
+  def q147GifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (3 + id % 12).toInt
+      val h = (2 + id % 9).toInt
+      val nPal = (2 + id % 250).toInt
+      val tIdx = if (id % 3 == 0) (id % nPal).toInt else -1
+      val pal = Array.tabulate(nPal) { j =>
+        val a = if (j == tIdx) 0 else 0xff
+        (a << 24) | ((((id + j * 7) % 256).toInt) << 16) |
+          ((((id * 5 + j) % 256).toInt) << 8) | (((j * 11) % 256).toInt)
+      }
+      val idx = Array.tabulate(w * h) { i =>
+        ((id + (i % w) + (i / w) * 2) % nPal).toInt
+      }
+      val gif = graft.sources.GifImage.parse(
+        graft.sources.GifImage.encode(w, h, idx, pal,
+          interlaced = id % 2 == 1,
+          subBlockSize = if (id % 4 == 0) 7 else 255))
+      faceStats(gif.width, gif.height, gif.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q147Oracle: String =
+    """WITH p AS (SELECT doc_id, 3 + doc_id % 12 AS w, 2 + doc_id % 9 AS h,
+      |                  2 + doc_id % 250 AS np FROM documents),
+      |px AS (SELECT doc_id, w, h, np, x, y,
+      |         (doc_id + x + y * 2) % np AS j
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+      |e AS (SELECT doc_id, w, h, x, y,
+      |        (doc_id + j * 7) % 256 AS r,
+      |        (doc_id * 5 + j) % 256 AS g,
+      |        (j * 11) % 256 AS b,
+      |        CASE WHEN doc_id % 3 = 0 AND j = doc_id % np
+      |             THEN 0 ELSE 255 END AS a
+      |      FROM px)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT) AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
+      |       CAST(sum(a) AS BIGINT) AS sum_alpha
+      |FROM e GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** q148 — the WHOLE q136 phash near-dup pipeline through GIF
+    * containers, graded by q136's oracle bit-for-bit (the q141 move,
+    * third container): every synthesized image is paletted exactly
+    * (first-occurrence distinct colors — these images have ≤ 192
+    * pixels, so GIF's 256-entry table always suffices), LZW-encoded
+    * (interlace and sub-block split varying by id), strictly decoded,
+    * and hashed. A defect anywhere in the GIF layer corrupts hashes,
+    * bands, candidates and Hamming distances — all pinned by an
+    * already-green oracle. */
+  def q148PhashGifContainer(s: SparkSession, dir: String): DataFrame =
+    phashDedupVia(s, dir, "gif")
 
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
@@ -1080,7 +1179,9 @@ object Multimodal {
     "q143_png_palette_decode" -> q143PngPaletteDecode _,
     "q144_png_quarantine" -> q144PngQuarantine _,
     "q145_png_interlaced_decode" -> q145PngInterlacedDecode _,
-    "q146_png_16bit_decode" -> q146Png16BitDecode _)
+    "q146_png_16bit_decode" -> q146Png16BitDecode _,
+    "q147_gif_decode" -> q147GifDecode _,
+    "q148_phash_gif_container" -> q148PhashGifContainer _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1098,5 +1199,8 @@ object Multimodal {
     // the same analytic face, so a layout defect hash-mismatches an
     // artifact pinned by an already-green query (the q141 move)
     "q145_png_interlaced_decode" -> q139Oracle,
-    "q146_png_16bit_decode" -> q139Oracle)
+    "q146_png_16bit_decode" -> q139Oracle,
+    "q147_gif_decode" -> q147Oracle,
+    // q136's oracle, verbatim — the GIF container must not change a hash
+    "q148_phash_gif_container" -> q136Oracle)
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.sources.{BmpImage, PdfText, PngImage, WavAudio}
+import graft.sources.{BmpImage, GifImage, PdfText, PngImage, WavAudio}
 
 /** Generator-driven mutation fuzz for the pure-JVM codec family
   * (BMP / PNG / WAV / PDF) — the DedupFuzz discipline applied to
@@ -312,6 +312,47 @@ object CodecFuzz {
       mutationCase(s"png_palette_mutation_$i", () => PngImage.parse(bad)) { p =>
         p.width > 0 && p.height > 0 &&
           p.pixels.length == p.width * p.height
+      }
+    }
+
+    // ---------------------------------------------------------- GIF
+    for (i <- 0 until 40) {
+      // round-trips across palette sizes (incl. non-power-of-two and
+      // high-entropy streams — the class that exposed the LZW tail
+      // width-bump), interlace, sub-block splits, transparency
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(18)
+      val n = 1 + rnd.nextInt(256)
+      val tIdx = if (rnd.nextBoolean()) rnd.nextInt(n) else -1
+      val pal = Array.tabulate(n) { j =>
+        val a = if (j == tIdx) 0 else 0xff
+        (a << 24) | (rnd.nextInt() & 0xffffff)
+      }
+      val idx = Array.fill(w * h)(rnd.nextInt(n))
+      val interlaced = rnd.nextBoolean()
+      val split = 1 + rnd.nextInt(255)
+      check(s"gif_roundtrip_$i") {
+        val g = GifImage.parse(GifImage.encode(w, h, idx, pal, interlaced,
+          split))
+        require(g.width == w && g.height == h, "dims")
+        require(g.hasTransparency == (tIdx >= 0), "transparency flag")
+        var k = 0
+        var ok = true
+        while (k < w * h && ok) { ok = g.pixels(k) == pal(idx(k)); k += 1 }
+        require(ok, "gif pixels")
+      }
+    }
+    for (i <- 0 until 60) {
+      val w = 1 + rnd.nextInt(16)
+      val h = 1 + rnd.nextInt(10)
+      val n = 1 + rnd.nextInt(256)
+      val good = GifImage.encode(w, h, Array.fill(w * h)(rnd.nextInt(n)),
+        Array.tabulate(n)(j => 0xff000000 | (rnd.nextInt() & 0xffffff)),
+        rnd.nextBoolean(), 1 + rnd.nextInt(255))
+      val bad = mutate(good)
+      mutationCase(s"gif_mutation_$i", () => GifImage.parse(bad)) { g =>
+        g.width > 0 && g.height > 0 &&
+          g.pixels.length == g.width * g.height
       }
     }
 
