@@ -1053,6 +1053,96 @@ object Multimodal {
   def q148PhashGifContainer(s: SparkSession, dir: String): DataFrame =
     phashDedupVia(s, dir, "gif")
 
+  /** q149 — GIF corpus-triage quarantine report: the q144 shape for
+    * the dictionary-coded container. Six layout classes per document:
+    * one DECODE (analytic palette image) and five QUARANTINE — a
+    * multi-frame animation (the single most common real-corpus GIF
+    * rejection: the image body duplicated before the trailer), a
+    * truncation at ⅔ length (lands in the GCT / image data / trailer
+    * depending on id — every prefix rejects, GifImageSpec-pinned), a
+    * trailing byte after the trailer, a crafted LZW violation (the
+    * data stream replaced with a first code beyond the empty table),
+    * and a spliced-out color table with the GCT flag cleared. Rejection
+    * reasons are classified by named message and reported as
+    * (reason, n_files, sum_pixels) under an analytic DuckDB oracle.
+    *
+    * Scale shape: task-local synth+mutate+parse per row; only the
+    * ≤30-byte verdict moves; one ≤6-group aggregate. */
+  def q149GifQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.GifImage
+      val w = (2 + id % 6).toInt; val h = (2 + id % 4).toInt
+      val nPal = (2 + id % 5).toInt
+      val pal = Array.tabulate(nPal)(j => 0xff000000 |
+        ((((id + j * 7) % 256).toInt) << 16) |
+        ((((id * 5 + j) % 256).toInt) << 8) | (((j * 11) % 256).toInt))
+      val idx = Array.tabulate(w * h) { i =>
+        ((id + (i % w) + (i / w) * 2) % nPal).toInt
+      }
+      val good = GifImage.encode(w, h, idx, pal,
+        interlaced = id % 2 == 1)
+      // container geometry: 13-byte header+LSD, GCT of 2^ceil(log2 nPal)
+      var tableBits = 1
+      while ((1 << tableBits) < nPal) tableBits += 1
+      val bodyAt = 13 + 3 * (1 << tableBits)
+      val bytes = (id % 6) match {
+        case 0 => good
+        case 1 => // animation: image body duplicated before the trailer
+          val body = good.slice(bodyAt, good.length - 1)
+          good.take(bodyAt) ++ body ++ body ++ Array[Byte](0x3b)
+        case 2 => java.util.Arrays.copyOf(good, good.length * 2 / 3)
+        case 3 => good ++ Array[Byte](0)
+        case 4 => // first LZW code beyond the empty table (0xFF at any
+          // minCodeSize < 8 exceeds clear+1): keep header/GCT/descriptor,
+          // replace the data chain
+          good.take(bodyAt + 10 + 1) ++
+            Array[Byte](1, 0xff.toByte, 0, 0x3b)
+        case _ => // GCT flag cleared, table spliced out, no LCT
+          val b = good.take(13) ++ good.drop(bodyAt)
+          b(10) = (b(10) & 0x78).toByte // clear GCT-present bit (and size)
+          b
+      }
+      try {
+        val g = GifImage.parse(bytes)
+        ("decoded", g.pixels.length.toLong)
+      } catch {
+        case e: IllegalArgumentException =>
+          val m = e.getMessage
+          val reason =
+            if (m.contains("multi-frame")) "multi_frame"
+            else if (m.contains("truncated") || m.contains("overruns"))
+              "truncated"
+            else if (m.contains("trailing bytes")) "trailing_bytes"
+            else if (m.contains("beyond table")) "lzw_violation"
+            else if (m.contains("no color table")) "no_color_table"
+            else "other"
+          (reason, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"))
+      .orderBy($"reason")
+  }
+
+  val q149Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents),
+      |r AS (SELECT doc_id,
+      |        CASE m WHEN 0 THEN 'decoded'
+      |               WHEN 1 THEN 'multi_frame'
+      |               WHEN 2 THEN 'truncated'
+      |               WHEN 3 THEN 'trailing_bytes'
+      |               WHEN 4 THEN 'lzw_violation'
+      |               ELSE 'no_color_table' END AS reason,
+      |        CASE WHEN m = 0 THEN (2 + doc_id % 6) * (2 + doc_id % 4)
+      |             ELSE 0 END AS npx
+      |      FROM d)
+      |SELECT reason, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(npx) AS BIGINT) AS sum_pixels
+      |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
@@ -1181,7 +1271,8 @@ object Multimodal {
     "q145_png_interlaced_decode" -> q145PngInterlacedDecode _,
     "q146_png_16bit_decode" -> q146Png16BitDecode _,
     "q147_gif_decode" -> q147GifDecode _,
-    "q148_phash_gif_container" -> q148PhashGifContainer _)
+    "q148_phash_gif_container" -> q148PhashGifContainer _,
+    "q149_gif_quarantine" -> q149GifQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1202,5 +1293,6 @@ object Multimodal {
     "q146_png_16bit_decode" -> q139Oracle,
     "q147_gif_decode" -> q147Oracle,
     // q136's oracle, verbatim — the GIF container must not change a hash
-    "q148_phash_gif_container" -> q136Oracle)
+    "q148_phash_gif_container" -> q136Oracle,
+    "q149_gif_quarantine" -> q149Oracle)
 }
