@@ -1143,6 +1143,80 @@ object Multimodal {
       |       CAST(sum(npx) AS BIGINT) AS sum_pixels
       |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 
+
+  /** q150 — animated-GIF structural report: the metadata face for the
+    * population q149 counts as `multi_frame`. Per document a
+    * multi-frame GIF89a animation is synthesized (1..5 frames; frame 0
+    * covers the screen, later frames are analytic sub-rectangles with
+    * per-frame centisecond delays; real per-frame LZW payloads) and
+    * walked by [[graft.sources.GifImage.scanFrames]] — full container
+    * validation, no pixel expansion — into per-document totals the
+    * DuckDB oracle recomputes ANALYTICALLY from doc_id. At corpus
+    * scale "what animations do we hold" is exactly this query: frame
+    * counts, durations and bounding geometry without decoding a pixel.
+    *
+    * Scale shape: task-local synth+scan per row; only the ≤40-byte
+    * totals move; one presentation sort. */
+  def q150GifAnimationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scan = udf { (id: Long) =>
+      import graft.sources.GifImage
+      val w = (4 + id % 9).toInt
+      val h = (3 + id % 6).toInt
+      val nF = (1 + id % 5).toInt
+      val nPal = (2 + id % 5).toInt
+      val pal = Array.tabulate(nPal)(j => 0xff000000 |
+        ((((id + j * 7) % 256).toInt) << 16) |
+        ((((id * 5 + j) % 256).toInt) << 8) | (((j * 11) % 256).toInt))
+      val geoms = (0 until nF).map { f =>
+        if (f == 0) (0, 0, w, h, (10 + id % 90).toInt)
+        else {
+          val left = f % w
+          val top = f % h
+          val wf = (1 + (id + f) % (w - left)).toInt
+          val hf = (1 + (id + f * 3) % (h - top)).toInt
+          (left, top, wf, hf, (10 + id % 90 + f * 5).toInt)
+        }
+      }
+      val bytes = GifImage.encodeAnimation(w, h, pal, geoms,
+        f => {
+          val (_, _, wf, hf, _) = geoms(f)
+          Array.tabulate(wf * hf)(i => ((id + f + i) % nPal).toInt)
+        },
+        interlacedFrame = f => (id + f) % 2 == 0)
+      val frames = GifImage.scanFrames(bytes)
+      val nPx = frames.map(m => m.width.toLong * m.height).sum
+      (frames.size.toLong, frames.map(_.delayCs.toLong).sum, nPx,
+        frames.map(_.width).max.toLong, frames.map(_.height).max.toLong)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), scan($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("n_frames"), $"st._2".as("sum_delay_cs"),
+        $"st._3".as("sum_frame_px"), $"st._4".as("max_frame_w"),
+        $"st._5".as("max_frame_h"))
+      .orderBy($"media_id")
+  }
+
+  val q150Oracle: String =
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h,
+      |                  1 + doc_id % 5 AS nf FROM documents),
+      |fr AS (SELECT doc_id, w, h, f,
+      |         CASE WHEN f = 0 THEN w
+      |              ELSE 1 + (doc_id + f) % (w - (f % w)) END AS wf,
+      |         CASE WHEN f = 0 THEN h
+      |              ELSE 1 + (doc_id + f * 3) % (h - (f % h)) END AS hf,
+      |         10 + doc_id % 90 + f * 5 AS delay
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) fs)
+      |SELECT doc_id AS media_id,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(sum(delay) AS BIGINT) AS sum_delay_cs,
+      |       CAST(sum(wf * hf) AS BIGINT) AS sum_frame_px,
+      |       CAST(max(wf) AS BIGINT) AS max_frame_w,
+      |       CAST(max(hf) AS BIGINT) AS max_frame_h
+      |FROM fr GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
@@ -1272,7 +1346,8 @@ object Multimodal {
     "q146_png_16bit_decode" -> q146Png16BitDecode _,
     "q147_gif_decode" -> q147GifDecode _,
     "q148_phash_gif_container" -> q148PhashGifContainer _,
-    "q149_gif_quarantine" -> q149GifQuarantine _)
+    "q149_gif_quarantine" -> q149GifQuarantine _,
+    "q150_gif_animation_report" -> q150GifAnimationReport _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1294,5 +1369,6 @@ object Multimodal {
     "q147_gif_decode" -> q147Oracle,
     // q136's oracle, verbatim — the GIF container must not change a hash
     "q148_phash_gif_container" -> q136Oracle,
-    "q149_gif_quarantine" -> q149Oracle)
+    "q149_gif_quarantine" -> q149Oracle,
+    "q150_gif_animation_report" -> q150Oracle)
 }

@@ -365,6 +365,173 @@ object GifImage {
     out.toByteArray
   }
 
+
+  /** Structural metadata for one animation frame: bounding box, delay
+    * (centiseconds, from the preceding GCE; 0 if none), transparency
+    * flag, interlace flag, and the frame's compressed payload size. */
+  final case class FrameMeta(left: Int, top: Int, width: Int, height: Int,
+      delayCs: Int, transparent: Boolean, interlaced: Boolean,
+      lzwBytes: Int)
+
+  /** Structural walk of a (possibly animated) GIF: validates the FULL
+    * container — signature, screen descriptor, color tables, every
+    * frame's descriptor (bounds-checked against the screen), every
+    * GCE, every extension and image sub-block chain, trailer, no
+    * trailing bytes — and returns per-frame metadata WITHOUT decoding
+    * pixel data (the LZW payloads are size-accounted, not expanded).
+    * This is the triage face for the multi-frame class [[parse]]
+    * rejects: at corpus scale, "what animations do we hold" is a
+    * metadata query, and a structurally broken animation still rejects
+    * loudly here. A single-frame file yields one FrameMeta and is
+    * exactly the population [[parse]] decodes. */
+  def scanFrames(bytes: Array[Byte]): Seq[FrameMeta] = {
+    require(bytes.length >= 6 + 7 + 1, s"not a GIF: ${bytes.length} bytes")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
+    var off = 6
+    def u8(): Int = {
+      require(off < bytes.length, s"truncated at $off (${bytes.length} bytes)")
+      val v = bytes(off) & 0xff; off += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val screenW = u16(); val screenH = u16()
+    require(screenW > 0 && screenH > 0, s"bad screen ${screenW}x$screenH")
+    val flags = u8()
+    u8(); u8()
+    val hasGct = (flags & 0x80) != 0
+    if (hasGct) off += 3 * (2 << (flags & 7))
+    require(off <= bytes.length, "global color table overruns file")
+
+    val frames = Seq.newBuilder[FrameMeta]
+    var pendingDelay = 0
+    var pendingTransparent = false
+    var done = false
+    while (!done) {
+      u8() match {
+        case 0x3b =>
+          require(off == bytes.length,
+            s"${bytes.length - off} trailing bytes after GIF trailer")
+          done = true
+        case 0x21 =>
+          val label = u8()
+          if (label == 0xf9) {
+            require(u8() == 4, "GCE block size is not 4")
+            val gflags = u8()
+            pendingDelay = u16()
+            u8() // transparent index — structural walk keeps the flag only
+            require(u8() == 0, "GCE missing sub-block terminator")
+            pendingTransparent = (gflags & 1) != 0
+          } else {
+            var len = u8()
+            while (len != 0) {
+              require(off + len <= bytes.length,
+                s"extension sub-block overruns file at $off")
+              off += len
+              len = u8()
+            }
+          }
+        case 0x2c =>
+          val left = u16(); val top = u16()
+          val w = u16(); val h = u16()
+          require(w > 0 && h > 0, s"bad frame dims ${w}x$h")
+          require(left + w <= screenW && top + h <= screenH,
+            s"frame ${w}x$h+$left+$top outside ${screenW}x$screenH screen")
+          val iflags = u8()
+          val hasLct = (iflags & 0x80) != 0
+          if (hasLct) off += 3 * (2 << (iflags & 7))
+          require(off <= bytes.length, "local color table overruns file")
+          require(hasGct || hasLct,
+            "no color table (neither global nor local)")
+          val minCodeSize = u8()
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"bad LZW minimum code size $minCodeSize")
+          var lzwBytes = 0
+          var len = u8()
+          while (len != 0) {
+            require(off + len <= bytes.length,
+              s"image sub-block overruns file at $off")
+            lzwBytes += len
+            off += len
+            len = u8()
+          }
+          frames += FrameMeta(left, top, w, h, pendingDelay,
+            pendingTransparent, (iflags & 0x40) != 0, lzwBytes)
+          pendingDelay = 0
+          pendingTransparent = false
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02x at ${off - 1}")
+      }
+    }
+    val out = frames.result()
+    require(out.nonEmpty, "GIF carries no image frame")
+    out
+  }
+
+  /** Encode a multi-frame GIF89a animation: frame 0 covers the screen;
+    * later frames are sub-rectangles with per-frame delays
+    * (centiseconds). The generator half for [[scanFrames]] — real LZW
+    * payloads per frame, GCE per frame when it has a delay or
+    * transparency. Pixel content per frame comes from `framePx(f)`
+    * (palette indices for that frame's own w×h). */
+  def encodeAnimation(screenW: Int, screenH: Int, palette: Array[Int],
+      frames: Seq[(Int, Int, Int, Int, Int)], // (left, top, w, h, delayCs)
+      framePx: Int => Array[Int],
+      interlacedFrame: Int => Boolean = _ => false): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette has ${palette.length} entries (1..256)")
+    palette.foreach(p => require((p >>> 24) == 0xff,
+      "animation generator keeps all entries opaque"))
+    var tableBits = 1
+    while ((1 << tableBits) < palette.length) tableBits += 1
+    val minCodeSize = math.max(2, tableBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(screenW); u16(screenH)
+    u8(0x80 | (tableBits - 1)); u8(0); u8(0)
+    for (j <- 0 until (1 << tableBits)) {
+      val p = if (j < palette.length) palette(j) else 0
+      u8(p >> 16); u8(p >> 8); u8(p)
+    }
+    frames.zipWithIndex.foreach { case ((left, top, w, h, delay), f) =>
+      require(w > 0 && h > 0 && left + w <= screenW && top + h <= screenH,
+        s"frame $f out of bounds")
+      if (f == 0) require(left == 0 && top == 0 && w == screenW &&
+        h == screenH, "frame 0 must cover the screen")
+      if (delay > 0) {
+        u8(0x21); u8(0xf9); u8(4); u8(0); u16(delay); u8(0); u8(0)
+      }
+      u8(0x2c)
+      u16(left); u16(top); u16(w); u16(h)
+      u8(if (interlacedFrame(f)) 0x40 else 0)
+      u8(minCodeSize)
+      val idx = framePx(f)
+      require(idx.length == w * h, s"frame $f: ${idx.length} px for ${w}x$h")
+      val stream = new Array[Byte](idx.length)
+      var k = 0
+      while (k < idx.length) {
+        require(idx(k) >= 0 && idx(k) < palette.length, s"frame $f index")
+        stream(k) = idx(k).toByte
+        k += 1
+      }
+      // interlace only affects row order during DECODE; the scan is
+      // structural, so the payload row order here is sequential
+      val lzw = lzwEncode(stream, minCodeSize)
+      var o = 0
+      while (o < lzw.length) {
+        val take = math.min(255, lzw.length - o)
+        u8(take); out.write(lzw, o, take)
+        o += take
+      }
+      u8(0)
+    }
+    u8(0x3b)
+    out.toByteArray
+  }
+
   /** GIF-LZW encode (spec Appendix F): emits Clear, then codes with
     * the width-growth timing [[lzwDecode]] expects (bump AFTER
     * assigning the last code of the current width), resets the table

@@ -275,6 +275,72 @@ class GifImageSpec extends AnyFunSuite {
       GifImage.parse(gif(Seq(3, 0x58, 0x10, 0x92), minCode = 3)))
       .getMessage.contains("out of range"))
   }
+
+  test("scanFrames: single-frame metadata matches the decode face") {
+    val p = pal(5)
+    val enc = GifImage.encode(7, 4, Array.tabulate(28)(_ % 5), p,
+      interlaced = true)
+    val fs = GifImage.scanFrames(enc)
+    assert(fs.size == 1)
+    val m = fs.head
+    assert(m.left == 0 && m.top == 0 && m.width == 7 && m.height == 4)
+    assert(m.delayCs == 0 && !m.transparent && m.interlaced)
+    assert(m.lzwBytes > 0)
+  }
+
+  test("scanFrames: animation geometry, delays and flags round-trip") {
+    val p = pal(6)
+    val geoms = Seq((0, 0, 9, 6, 12), (2, 1, 4, 3, 25), (5, 2, 3, 2, 0),
+      (1, 4, 6, 1, 99))
+    val bytes = GifImage.encodeAnimation(9, 6, p, geoms,
+      f => Array.tabulate(geoms(f)._3 * geoms(f)._4)(i => (i + f) % 6),
+      interlacedFrame = f => f % 2 == 1)
+    // parse() stays strict about animations; the scan walks them
+    assert(intercept[IllegalArgumentException](GifImage.parse(bytes))
+      .getMessage.contains("multi-frame"))
+    val fs = GifImage.scanFrames(bytes)
+    assert(fs.size == 4)
+    for ((m, (l, t, w, h, d)) <- fs.zip(geoms)) {
+      assert(m.left == l && m.top == t && m.width == w && m.height == h,
+        s"geometry mismatch: $m vs ($l,$t,$w,$h)")
+      assert(m.delayCs == d, s"delay mismatch: $m")
+      assert(!m.transparent)
+    }
+    assert(fs.map(_.interlaced) == Seq(false, true, false, true))
+  }
+
+  test("scanFrames rejects structural damage loudly") {
+    val p = pal(4)
+    val geoms = Seq((0, 0, 5, 5, 10), (1, 1, 3, 3, 20))
+    val good = GifImage.encodeAnimation(5, 5, p, geoms,
+      f => Array.fill(geoms(f)._3 * geoms(f)._4)(f % 4))
+    // sanity: the good animation scans
+    assert(GifImage.scanFrames(good).size == 2)
+    // truncation at every prefix
+    for (cut <- 1 until good.length)
+      intercept[IllegalArgumentException](
+        GifImage.scanFrames(java.util.Arrays.copyOf(good, cut)))
+    // trailing bytes
+    intercept[IllegalArgumentException](
+      GifImage.scanFrames(good ++ Array[Byte](1)))
+    // a later frame pushed outside the screen: frame 1's left byte
+    // (descriptor starts after frame 0's body; patch via re-encode)
+    val badGeom = Seq((0, 0, 5, 5, 10), (3, 3, 3, 3, 20))
+    intercept[IllegalArgumentException](
+      GifImage.encodeAnimation(5, 5, p, badGeom,
+        f => Array.fill(badGeom(f)._3 * badGeom(f)._4)(0)))
+    // ...and a hand-assembled second frame outside the screen rejects
+    // at its descriptor (before any of its body is read): reuse a
+    // valid single-frame body, append a 4+3>5 descriptor, trailer
+    val single = GifImage.encode(5, 5, Array.fill(25)(1), p)
+    val bodyAt = 13 + 12 // header+LSD, GCT of 4
+    val body0 = single.slice(bodyAt, single.length - 1)
+    val oob = single.take(bodyAt) ++ body0 ++
+      bytesOf(Seq(0x2c, 4, 0, 4, 0, 3, 0, 3, 0, 0), Seq(0x3b))
+    assert(intercept[IllegalArgumentException](
+      GifImage.scanFrames(oob))
+      .getMessage.contains("outside"))
+  }
 }
 
 /** Container-independence of the perceptual-hash seam, third container:
