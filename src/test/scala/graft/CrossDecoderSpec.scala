@@ -249,6 +249,34 @@ class CrossDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV: javax.sound.sampled reads our PCM16 bytes back exactly") {
+    // same independence argument for the audio container: the JDK's
+    // own RIFF/WAV reader (AudioSystem) must recover the exact sample
+    // stream our encoder wrote and our parser reports
+    import javax.sound.sampled.AudioSystem
+    val rnd = new scala.util.Random(2101)
+    for (t <- 0 until 30) {
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(4000)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val bytes = graft.sources.WavAudio.encodePcm16Mono(rate, samples)
+      val ours = graft.sources.WavAudio.parse(bytes)
+      assert(ours.samples.toSeq == samples.toSeq)
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt == rate && fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16, s"WAV header mismatch (t=$t)")
+      val raw = in.readAllBytes()
+      in.close()
+      assert(raw.length == 2 * n, s"WAV payload length (t=$t)")
+      for (k <- 0 until n) {
+        val v = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort.toInt
+        assert(v == samples(k), s"WAV sample mismatch at $k (t=$t)")
+      }
+    }
+  }
+
   test("BMP: both row orders agree with ImageIO") {
     val rnd = new scala.util.Random(1801)
     for (t <- 0 until 60) {
