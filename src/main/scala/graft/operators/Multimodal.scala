@@ -1217,6 +1217,144 @@ object Multimodal {
       |       CAST(max(hf) AS BIGINT) AS max_frame_h
       |FROM fr GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q151 — baseline JPEG decode: the lossy container graded EXACTLY
+    * through the one aperture the format allows (engineered, not
+    * hoped-for): block-constant content with DC quant 8 is DC-only in
+    * the frequency domain, and 8c/8 = c survives quantization, so the
+    * FULL pipeline — markers, DQT/DHT/SOF0/SOS, Huffman with byte
+    * stuffing, DC difference coding, restart markers, dequant, IDCT,
+    * (for odd ids) the YCbCr path with neutral chroma — must
+    * reproduce every pixel bit-for-bit. Per document an analytic
+    * block-constant image (tile (bx,by) = (id·7 + bx·41 + by·113) %
+    * 256; grayscale for even ids, R=G=B color for odd; restart
+    * interval id%3) is encoded, strictly decoded
+    * ([[graft.sources.JpegImage]]), and reduced by the shared
+    * faceStats kernel under a DuckDB oracle that recomputes the tiles
+    * arithmetically. General (non-constant) content is covered by
+    * JpegImageSpec's quantization-bound and ImageIO cross-decoder
+    * tolerance tests — lossy content has no exact oracle by design.
+    *
+    * Scale shape: task-local synth+encode+decode per row (the q139
+    * ladder rung); media bytes never shuffle; one presentation sort. */
+  def q151JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (8 * (1 + id % 4)).toInt
+      val h = (8 * (1 + id % 3)).toInt
+      val gray = id % 2 == 0
+      val px = Array.tabulate(w * h) { i =>
+        val c = ((id * 7 + (i % w) / 8 * 41 + (i / w) / 8 * 113) % 256).toInt
+        if (gray) c else (c << 16) | (c << 8) | c
+      }
+      val jpeg = graft.sources.JpegImage.parse(
+        graft.sources.JpegImage.encode(w, h, px, grayscale = gray,
+          restartInterval = (id % 3).toInt))
+      faceStats(jpeg.width, jpeg.height, jpeg.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q151Oracle: String =
+    """WITH p AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+      |                  8 * (1 + doc_id % 3) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 7 + (x // 8) * 41 + (y // 8) * 113) % 256 AS c
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT) AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** q152 — JPEG corpus-triage quarantine report: the q144/q149 shape
+    * for the DCT container. Six per-document layout classes: decodable
+    * baseline; PROGRESSIVE (SOF0 patched to SOF2 — the most common
+    * real-corpus rejection for a baseline-only decoder); 4:2:0
+    * subsampling (the component h/v byte patched); a zero quantization
+    * entry; a mid-scan truncation; trailing bytes after EOI. Rejection
+    * reasons classified by named message, (reason, n_files,
+    * sum_pixels) graded against an analytic DuckDB oracle. */
+  def q152JpegQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.JpegImage
+      val w = (8 * (1 + id % 3)).toInt
+      val h = (8 * (1 + id % 2)).toInt
+      val px = Array.tabulate(w * h)(i =>
+        ((id * 11 + (i % w) / 8 * 37 + (i / w) / 8 * 71) % 256).toInt)
+      val good = JpegImage.encode(w, h, px, grayscale = true)
+      def markerAt(m: Int): Int = {
+        var i = 2
+        while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m))
+          i += 1
+        i
+      }
+      val bytes = (id % 6) match {
+        case 0 => good
+        case 1 => val b = good.clone()
+          b(markerAt(0xc0) + 1) = 0xc2.toByte; b
+        case 2 => val b = good.clone()
+          b(markerAt(0xc0) + 11) = 0x22.toByte; b
+        case 3 => val b = good.clone()
+          b(markerAt(0xdb) + 5) = 0; b
+        case 4 => java.util.Arrays.copyOf(good, good.length * 3 / 4)
+        case _ => good ++ Array[Byte](0x20)
+      }
+      try {
+        val j = JpegImage.parse(bytes)
+        ("decoded", j.pixels.length.toLong)
+      } catch {
+        case e: IllegalArgumentException =>
+          val m = e.getMessage
+          val reason =
+            if (m.contains("progressive")) "progressive"
+            else if (m.contains("subsampling")) "subsampled"
+            else if (m.contains("quant")) "bad_quant"
+            else if (m.contains("truncated")) "truncated"
+            else if (m.contains("trailing")) "trailing_bytes"
+            else "other"
+          (reason, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"))
+      .orderBy($"reason")
+  }
+
+  val q152Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents),
+      |r AS (SELECT doc_id,
+      |        CASE m WHEN 0 THEN 'decoded'
+      |               WHEN 1 THEN 'progressive'
+      |               WHEN 2 THEN 'subsampled'
+      |               WHEN 3 THEN 'bad_quant'
+      |               WHEN 4 THEN 'truncated'
+      |               ELSE 'trailing_bytes' END AS reason,
+      |        CASE WHEN m = 0
+      |             THEN 8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2)
+      |             ELSE 0 END AS npx
+      |      FROM d)
+      |SELECT reason, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(npx) AS BIGINT) AS sum_pixels
+      |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
@@ -1347,7 +1485,9 @@ object Multimodal {
     "q147_gif_decode" -> q147GifDecode _,
     "q148_phash_gif_container" -> q148PhashGifContainer _,
     "q149_gif_quarantine" -> q149GifQuarantine _,
-    "q150_gif_animation_report" -> q150GifAnimationReport _)
+    "q150_gif_animation_report" -> q150GifAnimationReport _,
+    "q151_jpeg_decode" -> q151JpegDecode _,
+    "q152_jpeg_quarantine" -> q152JpegQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1370,5 +1510,7 @@ object Multimodal {
     // q136's oracle, verbatim — the GIF container must not change a hash
     "q148_phash_gif_container" -> q136Oracle,
     "q149_gif_quarantine" -> q149Oracle,
-    "q150_gif_animation_report" -> q150Oracle)
+    "q150_gif_animation_report" -> q150Oracle,
+    "q151_jpeg_decode" -> q151Oracle,
+    "q152_jpeg_quarantine" -> q152Oracle)
 }

@@ -1,0 +1,595 @@
+package graft.sources
+
+/** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1: baseline
+  * sequential DCT, SOF0) — the most common real-corpus image format,
+  * and the third compression family in the codec ladder after zlib
+  * (PNG) and LZW (GIF): Huffman-coded DCT coefficients. Same strict
+  * discipline as the other codecs: implement the PUBLIC spec
+  * byte-by-byte, validate loudly, never emit garbage pixels.
+  *
+  * Scope (documented, not hidden): baseline sequential (SOF0) only —
+  * progressive (SOF2), arithmetic coding, hierarchical and lossless
+  * modes reject with named errors; 8-bit precision; 1 component
+  * (grayscale) or 3 components (YCbCr) at 4:4:4 (no chroma
+  * subsampling — 4:2:0 rejects by name: its upsampling filter is
+  * implementation-defined, exactly the silent-divergence this
+  * discipline bans); restart markers (DRI/RSTn) supported; APPn/COM
+  * segments length-validated and skipped. The entropy layer is
+  * strict: Huffman codes must resolve within 16 bits, coefficient
+  * runs must not overflow the block, every MCU must decode, padding
+  * bits must be 1s, EOI must follow, nothing may trail it.
+  *
+  * JPEG is lossy BY DESIGN, so exactness is engineered where the
+  * format allows it: a block-constant image encoded with DC quant 8
+  * survives the full pipeline EXACTLY (DCT of a constant block is
+  * DC-only; 8c/8 = c), which is what the oracle-gated query rides on;
+  * general content is validated against the JDK's own libjpeg-based
+  * codec within the IDCT tolerance the standard itself allows.
+  *
+  * Reference semantics: the reference treats media as opaque binary
+  * and delegates decode to external services (sanctioned stub
+  * boundary); this closes the decode half for the dominant compressed
+  * photo container.
+  */
+object JpegImage {
+
+  /** Decoded image: 0xAARRGGBB face (alpha 0xff; grayscale decodes
+    * with R = G = B) — [[PngImage.Png]]/[[GifImage.Gif]] parity. */
+  final case class Jpeg(width: Int, height: Int, channels: Int,
+      pixels: Array[Int]) {
+    def pixel(x: Int, y: Int): Int = pixels(y * width + x) & 0xffffff
+  }
+
+  /** Zigzag scan order (T.81 Figure 5), generated from the diagonal
+    * rule rather than transcribed: position k in the scan maps to
+    * block index Zigzag(k) = row·8 + col. */
+  private val Zigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    for (s <- 0 to 14) {
+      val rs = if (s % 2 == 1) 0 to s else s to 0 by -1
+      for (r <- rs) {
+        val c = s - r
+        if (r <= 7 && c <= 7) { out(k) = r * 8 + c; k += 1 }
+      }
+    }
+    require(k == 64 && out.distinct.length == 64, "zigzag generation")
+    out
+  }
+
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val C: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  // ------------------------------------------------------------ tables
+
+  /** Canonical Huffman table: BITS (count of codes per length 1..16)
+    * + symbol values in code order — exactly the DHT wire form. */
+  private final case class HuffSpec(bits: Array[Int], vals: Array[Int])
+
+  // encoder-side fixed tables: flat canonical codes (valid prefix
+  // codes by construction, never the all-ones code since the symbol
+  // count is strictly below the capacity of the length)
+  private val DcSpec: HuffSpec = {
+    val bits = new Array[Int](17); bits(4) = 12
+    HuffSpec(bits, (0 to 11).toArray)
+  }
+  private val AcSpec: HuffSpec = {
+    val bits = new Array[Int](17); bits(8) = 162
+    val vals = Array(0x00, 0xf0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+    HuffSpec(bits, vals.toArray)
+  }
+
+  /** Encoder view: symbol → (code, length). */
+  private def encTable(spec: HuffSpec): Array[Int] = {
+    // packed as (len << 24) | code, indexed by symbol
+    val out = new Array[Int](256)
+    java.util.Arrays.fill(out, -1)
+    var code = 0
+    var k = 0
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < spec.bits(len)) {
+        out(spec.vals(k)) = (len << 24) | code
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out
+  }
+
+  /** Decoder view (T.81 F.2.2.3): mincode/maxcode/valptr per length. */
+  private final class HuffDec(spec: HuffSpec) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val vals: Array[Int] = spec.vals
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += spec.bits(len); k += spec.bits(len)
+        maxCode(len) = if (spec.bits(len) == 0) -1 else code - 1
+        code <<= 1
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** Encode a baseline JPEG. `pixels` are 0xRRGGBB (or gray via
+    * `grayscale = true`, using each pixel's low byte). `quant` is the
+    * 64-entry quantization table in NATURAL (row-major) order, used
+    * for every component; entries 1..255. `restartInterval` > 0 emits
+    * DRI + RSTn markers every that many MCUs. The generator half for
+    * the decoder: block-constant content with quant(0) = 8 round-trips
+    * exactly (see object doc). */
+  def encode(width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean = false,
+      quant: Array[Int] = Array.fill(64)(8),
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels for ${width}x$height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
+    val nComp = if (grayscale) 1 else 3
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+
+    // component planes, level-shifted (sample − 128), edge-replicated
+    val planes = Array.ofDim[Double](nComp, bw * 8 * bh * 8)
+    var y = 0
+    while (y < bh * 8) {
+      val sy = math.min(y, height - 1)
+      var x = 0
+      while (x < bw * 8) {
+        val sx = math.min(x, width - 1)
+        val p = pixels(sy * width + sx)
+        val o = y * bw * 8 + x
+        if (grayscale) planes(0)(o) = (p & 0xff) - 128.0
+        else {
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+        x += 1
+      }
+      y += 1
+    }
+
+    val dcT = encTable(DcSpec); val acT = encTable(AcSpec)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT
+    u16(2 + 1 + 64)
+    u8(0) // Pq=0 (8-bit), Tq=0
+    for (k <- 0 until 64) u8(quant(Zigzag(k)))
+    marker(0xc0) // SOF0
+    u16(8 + 3 * nComp)
+    u8(8); u16(height); u16(width); u8(nComp)
+    for (c <- 0 until nComp) { u8(c + 1); u8(0x11); u8(0) }
+    for ((spec, cls) <- Seq((DcSpec, 0), (AcSpec, 1))) {
+      marker(0xc4) // DHT
+      u16(2 + 1 + 16 + spec.vals.length)
+      u8(cls << 4) // table id 0
+      for (len <- 1 to 16) u8(spec.bits(len))
+      spec.vals.foreach(u8)
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda) // SOS
+    u16(6 + 2 * nComp)
+    u8(nComp)
+    for (c <- 0 until nComp) { u8(c + 1); u8(0) } // DC table 0, AC table 0
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl (baseline fixed)
+
+    // entropy-coded data with byte stuffing
+    var acc = 0L; var accBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); accBits += len
+      while (accBits >= 8) {
+        val b = ((acc >> (accBits - 8)) & 0xff).toInt
+        u8(b); if (b == 0xff) u8(0x00)
+        accBits -= 8
+      }
+    }
+    def flushBits(): Unit = if (accBits > 0) {
+      // pad to a byte boundary with 1-bits (T.81 F.1.2.3)
+      val pad = 8 - accBits
+      putBits((1 << pad) - 1, pad)
+    }
+    def sizeOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putSym(t: Array[Int], sym: Int): Unit = {
+      val e = t(sym); require(e >= 0, s"symbol $sym not in table")
+      putBits(e & 0xffffff, e >>> 24)
+    }
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v - 1 + (1 << size), size)
+
+    val dcPred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          flushBits()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          // forward DCT + quantization, zigzag order
+          val plane = planes(c)
+          var k = 0
+          while (k < 64) {
+            val r = Zigzag(k) / 8; val col = Zigzag(k) % 8
+            var s = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                s += plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) *
+                  CosT(xx)(col) * CosT(yy)(r)
+                xx += 1
+              }
+              yy += 1
+            }
+            val f = 0.25 * C(col) * C(r) * s
+            coef(k) = math.round(f / quant(Zigzag(k))).toInt
+            k += 1
+          }
+          val diff = coef(0) - dcPred(c)
+          dcPred(c) = coef(0)
+          val dsz = sizeOf(diff)
+          require(dsz <= 11, s"DC diff $diff out of baseline range")
+          putSym(dcT, dsz); putAmp(diff, dsz)
+          var kk = 1
+          var run = 0
+          while (kk < 64) {
+            if (coef(kk) == 0) run += 1
+            else {
+              while (run >= 16) { putSym(acT, 0xf0); run -= 16 }
+              val asz = sizeOf(coef(kk))
+              require(asz <= 10, s"AC coefficient ${coef(kk)} out of range")
+              putSym(acT, (run << 4) | asz); putAmp(coef(kk), asz)
+              run = 0
+            }
+            kk += 1
+          }
+          if (run > 0) putSym(acT, 0x00) // EOB
+          c += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decode
+
+  /** Strict parse. Rejects loudly: bad/missing SOI, unsupported frame
+    * types (progressive, arithmetic, 12-bit, subsampled), malformed
+    * DQT/DHT/SOF/SOS/DRI segments, Huffman codes that do not resolve
+    * in 16 bits, coefficient runs overflowing a block, restart markers
+    * out of sequence, truncation anywhere, non-1 padding bits, a
+    * missing EOI, or bytes after it. */
+  def parse(bytes: Array[Byte]): Jpeg = {
+    require(bytes.length >= 4, s"not a JPEG: ${bytes.length} bytes")
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "missing SOI marker")
+    var off = 2
+    def u8(): Int = {
+      require(off < bytes.length, s"truncated at $off (${bytes.length} bytes)")
+      val v = bytes(off) & 0xff; off += 1; v
+    }
+    def u16(): Int = (u8() << 8) | u8()
+
+    val quant = Array.ofDim[Int](4, 64) // natural order; 0 = unset
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var width = 0; var height = 0; var nComp = 0
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var sawSof = false
+    var result: Jpeg = null
+
+    while (result == null) {
+      require(u8() == 0xff, s"expected marker at ${off - 1}")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes are legal before a marker
+      m match {
+        case 0xdb => // DQT
+          var len = u16() - 2
+          while (len > 0) {
+            val pqTq = u8()
+            require((pqTq >> 4) == 0, "only 8-bit quant tables (Pq=0)")
+            val tq = pqTq & 0x0f
+            require(tq < 4, s"bad quant table id $tq")
+            for (k <- 0 until 64) {
+              val q = u8()
+              require(q >= 1, "zero quantization entry")
+              quant(tq)(Zigzag(k)) = q
+            }
+            len -= 65
+          }
+          require(len == 0, "DQT length inconsistent")
+        case 0xc4 => // DHT
+          var len = u16() - 2
+          while (len > 0) {
+            val tcTh = u8()
+            val tc = tcTh >> 4; val th = tcTh & 0x0f
+            require(tc <= 1 && th < 4, s"bad DHT id ${tcTh}")
+            val bits = new Array[Int](17)
+            var total = 0
+            for (l <- 1 to 16) { bits(l) = u8(); total += bits(l) }
+            require(total >= 1 && total <= 256, s"DHT carries $total symbols")
+            val vals = Array.fill(total)(u8())
+            val dec = new HuffDec(HuffSpec(bits, vals))
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            len -= 1 + 16 + total
+          }
+          require(len == 0, "DHT length inconsistent")
+        case 0xc0 | 0xc1 => // SOF0 (baseline) / SOF1 (ext. sequential)
+          require(!sawSof, "duplicate SOF")
+          sawSof = true
+          val len = u16()
+          require(u8() == 8, "only 8-bit precision")
+          height = u16(); width = u16()
+          require(width > 0 && height > 0, s"bad dims ${width}x$height")
+          nComp = u8()
+          require(nComp == 1 || nComp == 3,
+            s"$nComp components (only 1=gray, 3=YCbCr)")
+          require(len == 8 + 3 * nComp, "SOF length inconsistent")
+          compQ = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            u8() // component id — positional here
+            val hv = u8()
+            require(hv == 0x11,
+              f"subsampling 0x$hv%02x unsupported (only 4:4:4 / 1x1)")
+            val tq = u8()
+            require(tq < 4, s"bad component quant id $tq")
+            compQ(c) = tq
+          }
+        case 0xc2 => throw new IllegalArgumentException(
+          "progressive JPEG (SOF2) unsupported (baseline only)")
+        case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
+          throw new IllegalArgumentException(
+            f"frame type 0x$x%02x unsupported (baseline only)")
+        case 0xdd => // DRI
+          require(u16() == 4, "DRI length")
+          restartInterval = u16()
+        case 0xda => // SOS — decode the scan
+          require(sawSof, "SOS before SOF")
+          val len = u16()
+          val ns = u8()
+          require(ns == nComp, s"scan has $ns of $nComp components")
+          require(len == 6 + 2 * ns, "SOS length inconsistent")
+          val dcSel = new Array[HuffDec](nComp)
+          val acSel = new Array[HuffDec](nComp)
+          for (c <- 0 until nComp) {
+            u8() // component selector — positional
+            val tdTa = u8()
+            val dc = dcTabs(tdTa >> 4); val ac = acTabs(tdTa & 0x0f)
+            require(dc != null && ac != null,
+              s"scan references undefined Huffman table ${tdTa}")
+            dcSel(c) = dc; acSel(c) = ac
+          }
+          require(u8() == 0 && u8() == 63 && u8() == 0,
+            "non-baseline scan parameters (Ss/Se/AhAl)")
+          for (c <- 0 until nComp)
+            require(quant(compQ(c)).forall(_ >= 1),
+              s"component $c references undefined quant table")
+          result = decodeScan(bytes, off, width, height, nComp,
+            compQ.map(quant), dcSel, acSel, restartInterval) match {
+            case (jpeg, end) => off = end; jpeg
+          }
+        case 0xd9 => throw new IllegalArgumentException("EOI before scan")
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => // APPn / COM
+          val len = u16()
+          require(len >= 2 && off + len - 2 <= bytes.length,
+            s"segment 0x${x.toHexString} overruns file")
+          off += len - 2
+        case other => throw new IllegalArgumentException(
+          f"unsupported marker 0x$other%02x at ${off - 2}")
+      }
+    }
+    // after the scan: EOI, then nothing
+    require(off + 2 <= bytes.length, "missing EOI")
+    require((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd9,
+      f"expected EOI, found 0x${bytes(off) & 0xff}%02x${bytes(off + 1) & 0xff}%02x")
+    require(off + 2 == bytes.length,
+      s"${bytes.length - off - 2} trailing bytes after EOI")
+    result
+  }
+
+  /** Entropy-decode the single baseline scan; returns the image and
+    * the offset of the byte after the scan data. */
+  private def decodeScan(bytes: Array[Byte], start: Int, width: Int,
+      height: Int, nComp: Int, quants: Array[Array[Int]],
+      dcSel: Array[HuffDec], acSel: Array[HuffDec],
+      restartInterval: Int): (Jpeg, Int) = {
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    var off = start
+    var acc = 0; var accBits = 0
+
+    def fillBits(need: Int): Unit = {
+      while (accBits < need) {
+        require(off < bytes.length, "entropy data truncated")
+        val b = bytes(off) & 0xff
+        if (b == 0xff) {
+          require(off + 1 < bytes.length, "entropy data truncated at 0xFF")
+          val b2 = bytes(off + 1) & 0xff
+          require(b2 == 0x00,
+            f"marker 0x$b2%02x inside entropy data")
+          off += 2
+        } else off += 1
+        acc = (acc << 8) | b; accBits += 8
+      }
+    }
+    def takeBits(n: Int): Int = {
+      fillBits(n)
+      val v = (acc >>> (accBits - n)) & ((1 << n) - 1)
+      accBits -= n
+      v
+    }
+    def decodeSym(t: HuffDec): Int = {
+      var code = takeBits(1)
+      var len = 1
+      while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
+        len += 1
+        require(len <= 16, "Huffman code does not resolve in 16 bits")
+        code = (code << 1) | takeBits(1)
+      }
+      t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+    def extend(v: Int, size: Int): Int =
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+
+    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    val dcPred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    var mcu = 0
+    var rstIdx = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align: discard padding (must be 1-bits), then RSTn
+          if (accBits > 0) {
+            val n = accBits
+            val pad = takeBits(n)
+            require(pad == (1 << n) - 1,
+              "non-1 padding bits before restart marker")
+          }
+          require(off + 2 <= bytes.length, "truncated at restart marker")
+          require((bytes(off) & 0xff) == 0xff &&
+            (bytes(off + 1) & 0xff) == (0xd0 + rstIdx),
+            f"expected RST$rstIdx, found " +
+              f"0x${bytes(off) & 0xff}%02x${bytes(off + 1) & 0xff}%02x")
+          off += 2
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          java.util.Arrays.fill(coef, 0)
+          val dsz = decodeSym(dcSel(c))
+          require(dsz <= 11, s"DC size $dsz out of baseline range")
+          dcPred(c) += extend(takeBits(dsz), dsz)
+          coef(0) = dcPred(c)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeSym(acSel(c))
+            val run = rs >> 4; val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) { k += 16 } // ZRL
+              else {
+                require(run == 0,
+                  s"AC symbol with size 0 and run $run (not EOB/ZRL)")
+                eob = true
+              }
+            } else {
+              k += run
+              require(k < 64, s"AC run overflows block at index $k")
+              require(size <= 10, s"AC size $size out of baseline range")
+              coef(k) = extend(takeBits(size), size)
+              k += 1
+            }
+          }
+          require(k <= 64, "coefficient index overflows block")
+          // dequantize + IDCT
+          val q = quants(c)
+          var i = 0
+          while (i < 64) { block(i) = 0.0; i += 1 }
+          i = 0
+          while (i < 64) {
+            val v = coef(i)
+            if (v != 0) block(Zigzag(i)) = v.toDouble * q(Zigzag(i))
+            i += 1
+          }
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = block(v * 8 + u)
+                  if (f != 0.0)
+                    s += C(u) * C(v) * f * CosT(xx)(u) * CosT(yy)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              planes(c)((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
+                math.round(0.25 * s).toInt + 128
+              xx += 1
+            }
+            yy += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    // padding to the byte boundary must be 1-bits (T.81 F.1.2.3)
+    if (accBits > 0) {
+      val pad = (acc & ((1 << accBits) - 1))
+      require(pad == (1 << accBits) - 1,
+        s"non-1 padding bits at end of scan ($accBits bits)")
+    }
+
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = y * bw * 8 + x
+        px(y * width + x) =
+          if (nComp == 1) {
+            val g = clamp(planes(0)(o))
+            0xff000000 | (g << 16) | (g << 8) | g
+          } else {
+            val yv = planes(0)(o)
+            val cb = planes(1)(o) - 128
+            val cr = planes(2)(o) - 128
+            val r = clamp(math.round(yv + 1.402 * cr).toInt)
+            val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+            val b = clamp(math.round(yv + 1.772 * cb).toInt)
+            0xff000000 | (r << 16) | (g << 8) | b
+          }
+        x += 1
+      }
+      y += 1
+    }
+    (Jpeg(width, height, nComp, px), off)
+  }
+}

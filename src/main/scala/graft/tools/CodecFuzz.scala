@@ -1,6 +1,7 @@
 package graft.tools
 
-import graft.sources.{BmpImage, GifImage, PdfText, PngImage, WavAudio}
+import graft.sources.{BmpImage, GifImage, JpegImage, PdfText, PngImage,
+  WavAudio}
 
 /** Generator-driven mutation fuzz for the pure-JVM codec family
   * (BMP / PNG / WAV / PDF) — the DedupFuzz discipline applied to
@@ -353,6 +354,49 @@ object CodecFuzz {
       mutationCase(s"gif_mutation_$i", () => GifImage.parse(bad)) { g =>
         g.width > 0 && g.height > 0 &&
           g.pixels.length == g.width * g.height
+      }
+    }
+
+    // ---------------------------------------------------------- JPEG
+    for (i <- 0 until 30) {
+      // the one exact aperture the lossy format allows: block-constant
+      // images with DC quant 8 — full pipeline, bit-for-bit
+      val bw = 1 + rnd.nextInt(5); val bh = 1 + rnd.nextInt(4)
+      val w = bw * 8 - rnd.nextInt(6); val h = bh * 8 - rnd.nextInt(6)
+      val gray = rnd.nextBoolean()
+      val cells = Array.fill(bw * bh)(rnd.nextInt(256))
+      val px = Array.tabulate(w * h) { k =>
+        val v = cells((k / w) / 8 * bw + (k % w) / 8)
+        if (gray) v else (v << 16) | (v << 8) | v
+      }
+      val rst = rnd.nextInt(3)
+      check(s"jpeg_exact_roundtrip_$i") {
+        val j = JpegImage.parse(JpegImage.encode(w, h, px,
+          grayscale = gray, restartInterval = rst))
+        require(j.width == w && j.height == h, "dims")
+        var k = 0
+        var ok = true
+        while (k < w * h && ok) {
+          val v = if (gray) px(k) else px(k) & 0xff
+          ok = j.pixels(k) == (0xff000000 | (v << 16) | (v << 8) | v)
+          k += 1
+        }
+        require(ok, "jpeg exact pixels")
+      }
+    }
+    for (i <- 0 until 60) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(18)
+      val gray = rnd.nextBoolean()
+      val px = Array.fill(w * h)(
+        if (gray) rnd.nextInt(256) else rnd.nextInt(1 << 24))
+      val good = JpegImage.encode(w, h, px, grayscale = gray,
+        quant = Array.fill(64)(2 + rnd.nextInt(30)),
+        restartInterval = rnd.nextInt(4))
+      val bad = mutate(good)
+      mutationCase(s"jpeg_mutation_$i", () => JpegImage.parse(bad)) { j =>
+        j.width > 0 && j.height > 0 &&
+          j.pixels.length == j.width * j.height
       }
     }
 
