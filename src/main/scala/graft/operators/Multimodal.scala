@@ -1230,7 +1230,11 @@ object Multimodal {
     * interval id%3) is encoded, strictly decoded
     * ([[graft.sources.JpegImage]]), and reduced by the shared
     * faceStats kernel under a DuckDB oracle that recomputes the tiles
-    * arithmetically. General (non-constant) content is covered by
+    * arithmetically. Ids ≡ 1 (mod 4) additionally encode 4:2:0 — the
+    * dominant real-world layout — with 16×16 tiles, where constant
+    * chroma makes the 2×2 average and ANY upsampling filter exact, so
+    * the subsampled MCU structure (4 luma blocks + Cb + Cr per MCU) is
+    * hash-gated too. General (non-constant) content is covered by
     * JpegImageSpec's quantization-bound and ImageIO cross-decoder
     * tolerance tests — lossy content has no exact oracle by design.
     *
@@ -1242,13 +1246,16 @@ object Multimodal {
       val w = (8 * (1 + id % 4)).toInt
       val h = (8 * (1 + id % 3)).toInt
       val gray = id % 2 == 0
+      val sub = id % 4 == 1
+      val tile = if (sub) 16 else 8
       val px = Array.tabulate(w * h) { i =>
-        val c = ((id * 7 + (i % w) / 8 * 41 + (i / w) / 8 * 113) % 256).toInt
+        val c = ((id * 7 + (i % w) / tile * 41 +
+          (i / w) / tile * 113) % 256).toInt
         if (gray) c else (c << 16) | (c << 8) | c
       }
       val jpeg = graft.sources.JpegImage.parse(
         graft.sources.JpegImage.encode(w, h, px, grayscale = gray,
-          restartInterval = (id % 3).toInt))
+          restartInterval = (id % 3).toInt, subsample = sub))
       faceStats(jpeg.width, jpeg.height, jpeg.pixels)
     }
     Tables.documents(s, dir)
@@ -1265,7 +1272,10 @@ object Multimodal {
     """WITH p AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
       |                  8 * (1 + doc_id % 3) AS h FROM documents),
       |px AS (SELECT doc_id, w, h, x, y,
-      |         (doc_id * 7 + (x // 8) * 41 + (y // 8) * 113) % 256 AS c
+      |         (doc_id * 7
+      |          + (x // (CASE WHEN doc_id % 4 = 1 THEN 16 ELSE 8 END)) * 41
+      |          + (y // (CASE WHEN doc_id % 4 = 1 THEN 16 ELSE 8 END)) * 113
+      |         ) % 256 AS c
       |       FROM p,
       |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
       |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)

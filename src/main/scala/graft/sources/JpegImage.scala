@@ -10,14 +10,17 @@ package graft.sources
   * Scope (documented, not hidden): baseline sequential (SOF0) only —
   * progressive (SOF2), arithmetic coding, hierarchical and lossless
   * modes reject with named errors; 8-bit precision; 1 component
-  * (grayscale) or 3 components (YCbCr) at 4:4:4 (no chroma
-  * subsampling — 4:2:0 rejects by name: its upsampling filter is
-  * implementation-defined, exactly the silent-divergence this
-  * discipline bans); restart markers (DRI/RSTn) supported; APPn/COM
-  * segments length-validated and skipped. The entropy layer is
-  * strict: Huffman codes must resolve within 16 bits, coefficient
-  * runs must not overflow the block, every MCU must decode, padding
-  * bits must be 1s, EOI must follow, nothing may trail it.
+  * (grayscale) or 3 components (YCbCr) at 4:4:4 or 4:2:0 (the two
+  * layouts real encoders emit; other sampling grids reject by name).
+  * 4:2:0 chroma upsamples by REPLICATION — T.81 leaves the filter
+  * implementation-defined, so the choice is documented rather than
+  * hidden, and the exactness aperture below sidesteps it entirely
+  * (constant chroma upsamples identically under any filter); restart
+  * markers (DRI/RSTn) supported; APPn/COM segments length-validated
+  * and skipped. The entropy layer is strict: Huffman codes must
+  * resolve within 16 bits, coefficient runs must not overflow the
+  * block, every MCU must decode, padding bits must be 1s, EOI must
+  * follow, nothing may trail it.
   *
   * JPEG is lossy BY DESIGN, so exactness is engineered where the
   * format allows it: a block-constant image encoded with DC quant 8
@@ -130,7 +133,8 @@ object JpegImage {
   def encode(width: Int, height: Int, pixels: Array[Int],
       grayscale: Boolean = false,
       quant: Array[Int] = Array.fill(64)(8),
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      subsample: Boolean = false): Array[Byte] = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"bad dims ${width}x$height")
     require(pixels.length == width * height,
@@ -139,30 +143,65 @@ object JpegImage {
       "quant table must be 64 entries in 1..255")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
+    require(!(grayscale && subsample), "grayscale has no chroma to subsample")
     val nComp = if (grayscale) 1 else 3
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    // sampling factors per component: 4:4:4 = all 1x1; 4:2:0 = luma
+    // 2x2, chroma 1x1 (per-MCU: 4 Y blocks + Cb + Cr)
+    val sampH = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
+    val sampV = sampH
+    val maxS = sampH(0)
+    val mcusX = (width + 8 * maxS - 1) / (8 * maxS)
+    val mcusY = (height + 8 * maxS - 1) / (8 * maxS)
+    val alignW = mcusX * 8 * maxS; val alignH = mcusY * 8 * maxS
 
-    // component planes, level-shifted (sample − 128), edge-replicated
-    val planes = Array.ofDim[Double](nComp, bw * 8 * bh * 8)
+    // full-resolution YCbCr (or gray), level-shifted, edge-replicated
+    // to the MCU-aligned grid
+    val full = Array.ofDim[Double](nComp, alignW * alignH)
     var y = 0
-    while (y < bh * 8) {
+    while (y < alignH) {
       val sy = math.min(y, height - 1)
       var x = 0
-      while (x < bw * 8) {
+      while (x < alignW) {
         val sx = math.min(x, width - 1)
         val p = pixels(sy * width + sx)
-        val o = y * bw * 8 + x
-        if (grayscale) planes(0)(o) = (p & 0xff) - 128.0
+        val o = y * alignW + x
+        if (grayscale) full(0)(o) = (p & 0xff) - 128.0
         else {
           val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
           val b = p & 0xff
-          planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-          planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
-          planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          full(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          full(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          full(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
         }
         x += 1
       }
       y += 1
+    }
+    // per-component planes at their own resolution (chroma averaged
+    // 2x2 when subsampling — exact for block-constant chroma)
+    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * sampH(c))
+    val planes = Array.tabulate(nComp) { c =>
+      val pw = planeW(c); val ph = mcusY * 8 * sampV(c)
+      if (sampH(c) == maxS) {
+        require(pw == alignW, "full-res plane grid")
+        full(c)
+      } else {
+        val out = new Array[Double](pw * ph)
+        var yy = 0
+        while (yy < ph) {
+          var xx = 0
+          while (xx < pw) {
+            out(yy * pw + xx) = 0.25 * (
+              full(c)((2 * yy) * alignW + 2 * xx) +
+              full(c)((2 * yy) * alignW + 2 * xx + 1) +
+              full(c)((2 * yy + 1) * alignW + 2 * xx) +
+              full(c)((2 * yy + 1) * alignW + 2 * xx + 1))
+            xx += 1
+          }
+          yy += 1
+        }
+        out
+      }
     }
 
     val dcT = encTable(DcSpec); val acT = encTable(AcSpec)
@@ -178,7 +217,9 @@ object JpegImage {
     marker(0xc0) // SOF0
     u16(8 + 3 * nComp)
     u8(8); u16(height); u16(width); u8(nComp)
-    for (c <- 0 until nComp) { u8(c + 1); u8(0x11); u8(0) }
+    for (c <- 0 until nComp) {
+      u8(c + 1); u8((sampH(c) << 4) | sampV(c)); u8(0)
+    }
     for ((spec, cls) <- Seq((DcSpec, 0), (AcSpec, 1))) {
       marker(0xc4) // DHT
       u16(2 + 1 + 16 + spec.vals.length)
@@ -218,12 +259,53 @@ object JpegImage {
 
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
+    def encodeBlock(c: Int, blockX: Int, blockY: Int): Unit = {
+      // forward DCT + quantization, zigzag order
+      val plane = planes(c); val pw = planeW(c)
+      var k = 0
+      while (k < 64) {
+        val r = Zigzag(k) / 8; val col = Zigzag(k) % 8
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            s += plane((blockY * 8 + yy) * pw + blockX * 8 + xx) *
+              CosT(xx)(col) * CosT(yy)(r)
+            xx += 1
+          }
+          yy += 1
+        }
+        val f = 0.25 * C(col) * C(r) * s
+        coef(k) = math.round(f / quant(Zigzag(k))).toInt
+        k += 1
+      }
+      val diff = coef(0) - dcPred(c)
+      dcPred(c) = coef(0)
+      val dsz = sizeOf(diff)
+      require(dsz <= 11, s"DC diff $diff out of baseline range")
+      putSym(dcT, dsz); putAmp(diff, dsz)
+      var kk = 1
+      var run = 0
+      while (kk < 64) {
+        if (coef(kk) == 0) run += 1
+        else {
+          while (run >= 16) { putSym(acT, 0xf0); run -= 16 }
+          val asz = sizeOf(coef(kk))
+          require(asz <= 10, s"AC coefficient ${coef(kk)} out of range")
+          putSym(acT, (run << 4) | asz); putAmp(coef(kk), asz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) putSym(acT, 0x00) // EOB
+    }
     var mcu = 0
     var rstIdx = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           flushBits()
           marker(0xd0 + rstIdx)
@@ -232,51 +314,21 @@ object JpegImage {
         }
         var c = 0
         while (c < nComp) {
-          // forward DCT + quantization, zigzag order
-          val plane = planes(c)
-          var k = 0
-          while (k < 64) {
-            val r = Zigzag(k) / 8; val col = Zigzag(k) % 8
-            var s = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                s += plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) *
-                  CosT(xx)(col) * CosT(yy)(r)
-                xx += 1
-              }
-              yy += 1
+          var v = 0
+          while (v < sampV(c)) {
+            var hh = 0
+            while (hh < sampH(c)) {
+              encodeBlock(c, mx * sampH(c) + hh, my * sampV(c) + v)
+              hh += 1
             }
-            val f = 0.25 * C(col) * C(r) * s
-            coef(k) = math.round(f / quant(Zigzag(k))).toInt
-            k += 1
+            v += 1
           }
-          val diff = coef(0) - dcPred(c)
-          dcPred(c) = coef(0)
-          val dsz = sizeOf(diff)
-          require(dsz <= 11, s"DC diff $diff out of baseline range")
-          putSym(dcT, dsz); putAmp(diff, dsz)
-          var kk = 1
-          var run = 0
-          while (kk < 64) {
-            if (coef(kk) == 0) run += 1
-            else {
-              while (run >= 16) { putSym(acT, 0xf0); run -= 16 }
-              val asz = sizeOf(coef(kk))
-              require(asz <= 10, s"AC coefficient ${coef(kk)} out of range")
-              putSym(acT, (run << 4) | asz); putAmp(coef(kk), asz)
-              run = 0
-            }
-            kk += 1
-          }
-          if (run > 0) putSym(acT, 0x00) // EOB
           c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     flushBits()
     marker(0xd9) // EOI
@@ -307,6 +359,7 @@ object JpegImage {
     val acTabs = new Array[HuffDec](4)
     var width = 0; var height = 0; var nComp = 0
     var compQ: Array[Int] = null
+    var compSamp: Array[Int] = null
     var restartInterval = 0
     var sawSof = false
     var result: Jpeg = null
@@ -359,15 +412,22 @@ object JpegImage {
             s"$nComp components (only 1=gray, 3=YCbCr)")
           require(len == 8 + 3 * nComp, "SOF length inconsistent")
           compQ = new Array[Int](nComp)
+          compSamp = new Array[Int](nComp)
           for (c <- 0 until nComp) {
             u8() // component id — positional here
-            val hv = u8()
-            require(hv == 0x11,
-              f"subsampling 0x$hv%02x unsupported (only 4:4:4 / 1x1)")
+            compSamp(c) = u8()
             val tq = u8()
             require(tq < 4, s"bad component quant id $tq")
             compQ(c) = tq
           }
+          // the two layouts real encoders emit: 4:4:4 (all 1x1) and
+          // 4:2:0 (luma 2x2, chroma 1x1); anything else rejects by name
+          val all444 = compSamp.forall(_ == 0x11)
+          val is420 = nComp == 3 && compSamp(0) == 0x22 &&
+            compSamp(1) == 0x11 && compSamp(2) == 0x11
+          require(all444 || is420,
+            s"subsampling ${compSamp.map(v => f"0x$v%02x").mkString("/")} " +
+              "unsupported (only 4:4:4 and 4:2:0)")
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) unsupported (baseline only)")
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
@@ -398,7 +458,8 @@ object JpegImage {
             require(quant(compQ(c)).forall(_ >= 1),
               s"component $c references undefined quant table")
           result = decodeScan(bytes, off, width, height, nComp,
-            compQ.map(quant), dcSel, acSel, restartInterval) match {
+            compQ.map(quant), compSamp.map(_ >> 4), compSamp.map(_ & 0x0f),
+            dcSel, acSel, restartInterval) match {
             case (jpeg, end) => off = end; jpeg
           }
         case 0xd9 => throw new IllegalArgumentException("EOI before scan")
@@ -424,9 +485,12 @@ object JpegImage {
     * the offset of the byte after the scan data. */
   private def decodeScan(bytes: Array[Byte], start: Int, width: Int,
       height: Int, nComp: Int, quants: Array[Array[Int]],
+      sampH: Array[Int], sampV: Array[Int],
       dcSel: Array[HuffDec], acSel: Array[HuffDec],
       restartInterval: Int): (Jpeg, Int) = {
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val maxH = sampH.max; val maxV = sampV.max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
     var off = start
     var acc = 0; var accBits = 0
 
@@ -465,16 +529,79 @@ object JpegImage {
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
 
-    val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
+    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * sampH(c))
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * mcusY * 8 * sampV(c)))
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
+    def decodeBlock(c: Int, blockX: Int, blockY: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val dsz = decodeSym(dcSel(c))
+      require(dsz <= 11, s"DC size $dsz out of baseline range")
+      dcPred(c) += extend(takeBits(dsz), dsz)
+      coef(0) = dcPred(c)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(acSel(c))
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) { k += 16 } // ZRL
+          else {
+            require(run == 0,
+              s"AC symbol with size 0 and run $run (not EOB/ZRL)")
+            eob = true
+          }
+        } else {
+          k += run
+          require(k < 64, s"AC run overflows block at index $k")
+          require(size <= 10, s"AC size $size out of baseline range")
+          coef(k) = extend(takeBits(size), size)
+          k += 1
+        }
+      }
+      require(k <= 64, "coefficient index overflows block")
+      // dequantize + IDCT
+      val q = quants(c)
+      var i = 0
+      while (i < 64) { block(i) = 0.0; i += 1 }
+      i = 0
+      while (i < 64) {
+        val v = coef(i)
+        if (v != 0) block(Zigzag(i)) = v.toDouble * q(Zigzag(i))
+        i += 1
+      }
+      val pw = planeW(c)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = block(v * 8 + u)
+              if (f != 0.0)
+                s += C(u) * C(v) * f * CosT(xx)(u) * CosT(yy)(v)
+              u += 1
+            }
+            v += 1
+          }
+          planes(c)((blockY * 8 + yy) * pw + blockX * 8 + xx) =
+            math.round(0.25 * s).toInt + 128
+          xx += 1
+        }
+        yy += 1
+      }
+    }
     var mcu = 0
     var rstIdx = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           // byte-align: discard padding (must be 1-bits), then RSTn
           if (accBits > 0) {
@@ -494,70 +621,21 @@ object JpegImage {
         }
         var c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val dsz = decodeSym(dcSel(c))
-          require(dsz <= 11, s"DC size $dsz out of baseline range")
-          dcPred(c) += extend(takeBits(dsz), dsz)
-          coef(0) = dcPred(c)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = decodeSym(acSel(c))
-            val run = rs >> 4; val size = rs & 0x0f
-            if (size == 0) {
-              if (run == 15) { k += 16 } // ZRL
-              else {
-                require(run == 0,
-                  s"AC symbol with size 0 and run $run (not EOB/ZRL)")
-                eob = true
-              }
-            } else {
-              k += run
-              require(k < 64, s"AC run overflows block at index $k")
-              require(size <= 10, s"AC size $size out of baseline range")
-              coef(k) = extend(takeBits(size), size)
-              k += 1
+          var v = 0
+          while (v < sampV(c)) {
+            var hh = 0
+            while (hh < sampH(c)) {
+              decodeBlock(c, mx * sampH(c) + hh, my * sampV(c) + v)
+              hh += 1
             }
-          }
-          require(k <= 64, "coefficient index overflows block")
-          // dequantize + IDCT
-          val q = quants(c)
-          var i = 0
-          while (i < 64) { block(i) = 0.0; i += 1 }
-          i = 0
-          while (i < 64) {
-            val v = coef(i)
-            if (v != 0) block(Zigzag(i)) = v.toDouble * q(Zigzag(i))
-            i += 1
-          }
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              var s = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val f = block(v * 8 + u)
-                  if (f != 0.0)
-                    s += C(u) * C(v) * f * CosT(xx)(u) * CosT(yy)(v)
-                  u += 1
-                }
-                v += 1
-              }
-              planes(c)((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
-                math.round(0.25 * s).toInt + 128
-              xx += 1
-            }
-            yy += 1
+            v += 1
           }
           c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     // padding to the byte boundary must be 1-bits (T.81 F.1.2.3)
     if (accBits > 0) {
@@ -567,20 +645,23 @@ object JpegImage {
     }
 
     def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    // per-component sample lookup with replication upsampling: image
+    // (x, y) reads component sample (x·h_c/maxH, y·v_c/maxV)
+    def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * sampV(c) / maxV) * planeW(c) + x * sampH(c) / maxH)
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val o = y * bw * 8 + x
         px(y * width + x) =
           if (nComp == 1) {
-            val g = clamp(planes(0)(o))
+            val g = clamp(sample(0, x, y))
             0xff000000 | (g << 16) | (g << 8) | g
           } else {
-            val yv = planes(0)(o)
-            val cb = planes(1)(o) - 128
-            val cr = planes(2)(o) - 128
+            val yv = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
             val r = clamp(math.round(yv + 1.402 * cr).toInt)
             val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
             val b = clamp(math.round(yv + 1.772 * cb).toInt)

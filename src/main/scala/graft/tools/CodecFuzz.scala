@@ -359,20 +359,23 @@ object CodecFuzz {
 
     // ---------------------------------------------------------- JPEG
     for (i <- 0 until 30) {
-      // the one exact aperture the lossy format allows: block-constant
-      // images with DC quant 8 — full pipeline, bit-for-bit
+      // the one exact aperture the lossy format allows: tile-constant
+      // images with DC quant 8 — full pipeline, bit-for-bit (tile 16
+      // for 4:2:0, where constant chroma makes the layout exact too)
+      val sub = rnd.nextInt(3) == 0
+      val gray = !sub && rnd.nextBoolean()
+      val tile = if (sub) 16 else 8
       val bw = 1 + rnd.nextInt(5); val bh = 1 + rnd.nextInt(4)
-      val w = bw * 8 - rnd.nextInt(6); val h = bh * 8 - rnd.nextInt(6)
-      val gray = rnd.nextBoolean()
+      val w = bw * tile - rnd.nextInt(6); val h = bh * tile - rnd.nextInt(6)
       val cells = Array.fill(bw * bh)(rnd.nextInt(256))
       val px = Array.tabulate(w * h) { k =>
-        val v = cells((k / w) / 8 * bw + (k % w) / 8)
+        val v = cells((k / w) / tile * bw + (k % w) / tile)
         if (gray) v else (v << 16) | (v << 8) | v
       }
       val rst = rnd.nextInt(3)
       check(s"jpeg_exact_roundtrip_$i") {
         val j = JpegImage.parse(JpegImage.encode(w, h, px,
-          grayscale = gray, restartInterval = rst))
+          grayscale = gray, restartInterval = rst, subsample = sub))
         require(j.width == w && j.height == h, "dims")
         var k = 0
         var ok = true

@@ -60,6 +60,80 @@ class JpegImageSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 subsampling: 16x16-constant content is EXACT") {
+    // macroblock-constant tiles keep chroma constant, so the 2x2
+    // average is exact and ANY upsampling filter reproduces it — the
+    // exact aperture extends to the dominant real-world layout, incl.
+    // at non-multiple-of-16 dims (edge replication stays tile-constant)
+    for ((w, h) <- Seq((16, 16), (48, 32), (33, 17), (16, 50), (15, 9))) {
+      val px = Array.tabulate(w * h) { i =>
+        val v = (((i % w) / 16) * 57 + ((i / w) / 16) * 91 + 13) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+      for (rst <- Seq(0, 2)) {
+        val j = JpegImage.parse(JpegImage.encode(w, h, px,
+          restartInterval = rst, subsample = true))
+        assert(j.width == w && j.height == h && j.channels == 3)
+        for (k <- 0 until w * h)
+          assert(j.pixels(k) == (0xff000000 | px(k)),
+            s"4:2:0 mismatch at $k (${w}x$h rst=$rst)")
+      }
+    }
+  }
+
+  test("4:2:0 with neutral chroma: ImageIO parity on the luma path") {
+    // gradient luma with R=G=B content keeps Cb=Cr exactly 128, so the
+    // two decoders' different (implementation-defined) upsampling
+    // filters see constant chroma and must agree within IDCT tolerance
+    val rnd = new scala.util.Random(377)
+    for (t <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val px = Array.tabulate(w * h) { i =>
+        val v = ((i % w) * 5 + (i / w) * 7 + t * 13) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+      val bytes = JpegImage.encode(w, h, px, subsample = true,
+        restartInterval = if (t % 2 == 0) 3 else 0)
+      val ours = JpegImage.parse(bytes)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w; sh <- Seq(16, 8, 0))
+        maxErr = math.max(maxErr,
+          math.abs(((ours.pixels(y * w + x) >> sh) & 0xff) -
+            ((img.getRGB(x, y) >> sh) & 0xff)))
+      assert(maxErr <= 2, s"4:2:0 ImageIO disagrees by $maxErr (t=$t)")
+    }
+  }
+
+  test("reverse direction: an ImageIO-WRITTEN 4:2:0 color JPEG decodes") {
+    // the JDK writer emits 4:2:0 for RGB BufferedImages; neutral-chroma
+    // content keeps the filter difference inside a small bound
+    val rnd = new scala.util.Random(477)
+    for (t <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 3 + y * 11 + t * 29) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos))
+      val bytes = bos.toByteArray
+      val ours = JpegImage.parse(bytes)
+      assert(ours.width == w && ours.height == h && ours.channels == 3)
+      val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w; sh <- Seq(16, 8, 0))
+        maxErr = math.max(maxErr,
+          math.abs(((ours.pixels(y * w + x) >> sh) & 0xff) -
+            ((theirs.getRGB(x, y) >> sh) & 0xff)))
+      assert(maxErr <= 4,
+        s"reverse 4:2:0 decode error $maxErr (${w}x$h t=$t)")
+    }
+  }
+
   test("general content round-trips within the quantization bound") {
     val rnd = new scala.util.Random(77)
     for (t <- 0 until 10) {
