@@ -1365,6 +1365,131 @@ object Multimodal {
       |       CAST(sum(npx) AS BIGINT) AS sum_pixels
       |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** q153 — mixed-corpus container dispatch: the five strict codecs
+    * composed into ONE ingest operator
+    * ([[graft.sources.MediaCodec.decodeImage]] — magic-byte sniff →
+    * route → shared 0xAARRGGBB face), which is the shape a 100 TB
+    * mixed-media ingest actually has: no trustworthy extensions, six
+    * per-document classes (an analytic PNG, GIF, BMP and exact-aperture
+    * JPEG, a truncated container, and a not-an-image byte blob), each
+    * decoded-or-quarantined, reported as per-container totals the
+    * DuckDB oracle recomputes ANALYTICALLY. A sniff routed to the
+    * wrong decoder rejects (wrong magic), a decode defect in ANY
+    * family corrupts its container's sum_rgb, and the two failure
+    * classes land in named report rows instead of task aborts.
+    *
+    * Scale shape: task-local sniff+decode per row; only the ≤40-byte
+    * verdict moves; one ≤6-group aggregate. */
+  def q153MediaDispatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dispatch = udf { (id: Long) =>
+      import graft.sources._
+      def pngBytes(): Array[Byte] = {
+        val w = (3 + id % 6).toInt; val h = (2 + id % 5).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          0xff000000 | ((((id * 7 + x * 3 + y * 5) % 256).toInt) << 16) |
+            ((((id + x * 11 + y) % 256).toInt) << 8) |
+            (((id * 3 + x + y * 13) % 256).toInt)
+        }
+        PngImage.encode(w, h, px, filterFor = y => ((y + id) % 5).toInt)
+      }
+      val bytes = (id % 6) match {
+        case 0 => pngBytes()
+        case 1 =>
+          val w = (2 + id % 6).toInt; val h = (2 + id % 4).toInt
+          val nPal = (2 + id % 5).toInt
+          val pal = Array.tabulate(nPal)(j => 0xff000000 |
+            ((((id + j * 7) % 256).toInt) << 16) |
+            ((((id * 5 + j) % 256).toInt) << 8) | (((j * 11) % 256).toInt))
+          val idx = Array.tabulate(w * h)(i =>
+            ((id + (i % w) + (i / w) * 2) % nPal).toInt)
+          GifImage.encode(w, h, idx, pal, interlaced = id % 2 == 1)
+        case 2 =>
+          val w = (3 + id % 5).toInt; val h = (2 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((((id * 13 + x * 7 + y * 3) % 256).toInt) << 16) |
+              ((((id * 3 + x * 5 + y * 11) % 256).toInt) << 8) |
+              (((id + x + y * 7) % 256).toInt)
+          }
+          BmpImage.encode24(w, h, px, topDown = id % 2 == 0)
+        case 3 =>
+          val w = (8 * (1 + id % 2)).toInt; val h = 8
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 11 + (i % w) / 8 * 37) % 256).toInt)
+          JpegImage.encode(w, h, px, grayscale = true)
+        case 4 => // a real container, truncated: quarantine, not abort
+          val b = pngBytes(); java.util.Arrays.copyOf(b, b.length * 2 / 3)
+        case _ => s"doc $id is plain text, not an image".getBytes("UTF-8")
+      }
+      try {
+        val m = MediaCodec.decodeImage(bytes)
+        var sumRgb = 0L
+        m.pixels.foreach { p =>
+          sumRgb += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+        (m.container, m.pixels.length.toLong, sumRgb)
+      } catch {
+        case e: IllegalArgumentException =>
+          val reason =
+            if (e.getMessage.contains("unknown container")) "unknown"
+            else "rejected"
+          (reason, 0L, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(dispatch($"doc_id").as("t"))
+      .groupBy($"t._1".as("container"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"),
+        sum($"t._3").as("sum_rgb"))
+      .orderBy($"container")
+  }
+
+  val q153Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents),
+      |geo AS (SELECT doc_id, m,
+      |    CASE m WHEN 0 THEN 3 + doc_id % 6 WHEN 1 THEN 2 + doc_id % 6
+      |           WHEN 2 THEN 3 + doc_id % 5
+      |           WHEN 3 THEN 8 * (1 + doc_id % 2) ELSE 0 END AS w,
+      |    CASE m WHEN 0 THEN 2 + doc_id % 5 WHEN 1 THEN 2 + doc_id % 4
+      |           WHEN 2 THEN 2 + doc_id % 3 WHEN 3 THEN 8
+      |           ELSE 0 END AS h
+      |  FROM d WHERE m <= 3),
+      |px AS (SELECT g.doc_id, g.m, x, y,
+      |    CASE g.m
+      |      WHEN 0 THEN (g.doc_id * 7 + x * 3 + y * 5) % 256
+      |                  + (g.doc_id + x * 11 + y) % 256
+      |                  + (g.doc_id * 3 + x + y * 13) % 256
+      |      WHEN 1 THEN (g.doc_id
+      |                   + ((g.doc_id + x + y * 2) % (2 + g.doc_id % 5)) * 7
+      |                  ) % 256
+      |                  + (g.doc_id * 5
+      |                     + ((g.doc_id + x + y * 2) % (2 + g.doc_id % 5))
+      |                    ) % 256
+      |                  + (((g.doc_id + x + y * 2) % (2 + g.doc_id % 5))
+      |                     * 11) % 256
+      |      WHEN 2 THEN (g.doc_id * 13 + x * 7 + y * 3) % 256
+      |                  + (g.doc_id * 3 + x * 5 + y * 11) % 256
+      |                  + (g.doc_id + x + y * 7) % 256
+      |      ELSE 3 * ((g.doc_id * 11 + (x // 8) * 37) % 256)
+      |    END AS rgb
+      |  FROM geo g,
+      |    LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS x) xs,
+      |    LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS y) ys),
+      |agg AS (SELECT doc_id, count(*) AS npx, sum(rgb) AS s
+      |        FROM px GROUP BY doc_id),
+      |r AS (SELECT d.doc_id,
+      |        CASE d.m WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                 WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+      |                 WHEN 4 THEN 'rejected' ELSE 'unknown' END AS container,
+      |        COALESCE(a.npx, 0) AS npx, COALESCE(a.s, 0) AS s
+      |      FROM d LEFT JOIN agg a USING (doc_id))
+      |SELECT container, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(npx) AS BIGINT) AS sum_pixels,
+      |       CAST(sum(s) AS BIGINT) AS sum_rgb
+      |FROM r GROUP BY container ORDER BY container""".stripMargin
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
@@ -1497,7 +1622,8 @@ object Multimodal {
     "q149_gif_quarantine" -> q149GifQuarantine _,
     "q150_gif_animation_report" -> q150GifAnimationReport _,
     "q151_jpeg_decode" -> q151JpegDecode _,
-    "q152_jpeg_quarantine" -> q152JpegQuarantine _)
+    "q152_jpeg_quarantine" -> q152JpegQuarantine _,
+    "q153_media_dispatch" -> q153MediaDispatch _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1522,5 +1648,6 @@ object Multimodal {
     "q149_gif_quarantine" -> q149Oracle,
     "q150_gif_animation_report" -> q150Oracle,
     "q151_jpeg_decode" -> q151Oracle,
-    "q152_jpeg_quarantine" -> q152Oracle)
+    "q152_jpeg_quarantine" -> q152Oracle,
+    "q153_media_dispatch" -> q153Oracle)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.{BmpImage, GifImage, JpegImage, MediaCodec, PngImage}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container sniffing + unified dispatch: every codec's output routes
+  * to the right decoder by magic bytes alone, mislabeled/truncated
+  * bytes land in named errors, and the dispatched face equals the
+  * direct decoder's face exactly. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private val px = Array.tabulate(12)(i => (i * 37) & 0xffffff)
+
+  test("sniff identifies every container from magic bytes") {
+    assert(MediaCodec.sniff(PngImage.encode(4, 3, px)) == "png")
+    assert(MediaCodec.sniff(GifImage.encode(4, 3,
+      Array.fill(12)(0), Array(0xff123456))) == "gif")
+    assert(MediaCodec.sniff(BmpImage.encode24(4, 3, px,
+      topDown = true)) == "bmp")
+    assert(MediaCodec.sniff(JpegImage.encode(4, 3,
+      Array.fill(12)(70), grayscale = true)) == "jpeg")
+    assert(MediaCodec.sniff("plain text".getBytes("UTF-8")) == "unknown")
+    assert(MediaCodec.sniff(Array.emptyByteArray) == "unknown")
+    // near misses: a PNG signature with one wrong byte; GIF90a
+    val p = PngImage.encode(4, 3, px); p(5) = 'X'.toByte
+    assert(MediaCodec.sniff(p) == "unknown")
+    assert(MediaCodec.sniff("GIF90a".getBytes("US-ASCII")) == "unknown")
+  }
+
+  test("dispatch equals the direct decoder, face-normalized") {
+    val png = PngImage.encode(4, 3, px)
+    assert(MediaCodec.decodeImage(png).pixels.toSeq ==
+      PngImage.parse(png).pixels.toSeq)
+    val bmp = BmpImage.encode24(4, 3, px, topDown = false)
+    assert(MediaCodec.decodeImage(bmp).pixels.toSeq ==
+      BmpImage.parse(bmp).pixels.map(0xff000000 | _).toSeq)
+    val gif = GifImage.encode(3, 4, Array.tabulate(12)(_ % 5),
+      Array.tabulate(5)(j => 0xff000000 | (j * 0x224466)))
+    assert(MediaCodec.decodeImage(gif).container == "gif")
+    assert(MediaCodec.decodeImage(gif).pixels.toSeq ==
+      GifImage.parse(gif).pixels.toSeq)
+    val jpg = JpegImage.encode(8, 8, Array.fill(64)(0x55), grayscale = true)
+    assert(MediaCodec.decodeImage(jpg).pixels.toSeq ==
+      JpegImage.parse(jpg).pixels.toSeq)
+  }
+
+  test("quarantine classes carry their own named errors") {
+    // unknown container
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeImage("not an image".getBytes("UTF-8")))
+      .getMessage.contains("unknown container"))
+    // a KNOWN container, damaged: the family's own strict error
+    // surfaces (so triage can distinguish "unknown" from "broken png")
+    val png = PngImage.encode(4, 3, px)
+    val cut = java.util.Arrays.copyOf(png, png.length - 4)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeImage(cut))
+    assert(!e.getMessage.contains("unknown container"))
+  }
+}
