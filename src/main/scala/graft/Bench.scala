@@ -35,9 +35,34 @@ import org.apache.spark.sql.SparkSession
   * amortize (the cache is keyed by generated source, so re-visits hit).
   */
 object Bench {
+
+  /** Fixed single-thread CPU yardstick (~0.5 s on an uncontended core):
+    * a deterministic xorshift loop whose wall time calibrates the BOX,
+    * not the code. Shuffled passes + cross-pass min reject contention
+    * WINDOWS shorter than a pass, but a host-steal episode spanning the
+    * whole run (observed r15: two same-tree runs 82.0 s vs 96.1 s with
+    * DISJOINT >1.5× query sets — the uniform-noise signature) inflates
+    * every pass equally and is invisible from inside. calib_ms in the
+    * headline JSON lets any two runs be compared box-normalized. */
+  private def calibrateMs(): Long = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    if (x == 0) println("") // keep the loop un-eliminable
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // box yardstick BEFORE the JVM is busy: min of three trials (JIT
+    // warms on the first), re-measured at the end to catch drift
+    val calibStart = Seq.fill(3)(calibrateMs()).min
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -133,7 +158,8 @@ object Bench {
             st.sorted.apply(1) >= 1.75 * math.max(st.min, 1e-9))
         } => "\"" + shortKey(k) + "\""
       }.mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
+      val calibEnd = Seq.fill(3)(calibrateMs()).min
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_ms":[$calibStart,$calibEnd],"queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
       Console.out.flush()
       // full raw-sample dump (small, one line per query) — the audit
       // trail the one-line headline can't carry; the round-end snapshot
