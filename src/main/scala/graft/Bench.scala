@@ -44,17 +44,31 @@ object Bench {
     * DISJOINT >1.5× query sets — the uniform-noise signature) inflates
     * every pass equally and is invisible from inside. calib_ms in the
     * headline JSON lets any two runs be compared box-normalized. */
-  private def calibrateMs(): Long = {
+  private def spin(): Long = {
     var x = 0x9e3779b97f4a7c15L
-    val t0 = System.nanoTime()
     var i = 0
     while (i < 200000000) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
-    val ms = (System.nanoTime() - t0) / 1000000
-    if (x == 0) println("") // keep the loop un-eliminable
-    ms
+    x
+  }
+
+  private def calibrateMs(): Long = {
+    val t0 = System.nanoTime()
+    if (spin() == 0) println("") // keep the loop un-eliminable
+    (System.nanoTime() - t0) / 1000000
+  }
+
+  /** All-cores variant: `n` threads spinning concurrently, wall time of
+    * the slowest. Host steal under FULL load is what actually squeezes
+    * a 32-thread Spark run — a single spinning core can look nominal
+    * while the box's parallel capacity is down. */
+  private def calibrateParMs(n: Int): Long = {
+    val t0 = System.nanoTime()
+    val ts = Array.fill(n)(new Thread(() => { spin(); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,6 +77,7 @@ object Bench {
     // box yardstick BEFORE the JVM is busy: min of three trials (JIT
     // warms on the first), re-measured at the end to catch drift
     val calibStart = Seq.fill(3)(calibrateMs()).min
+    val calibParStart = calibrateParMs(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -159,7 +174,8 @@ object Bench {
         } => "\"" + shortKey(k) + "\""
       }.mkString("[", ",", "]")
       val calibEnd = Seq.fill(3)(calibrateMs()).min
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_ms":[$calibStart,$calibEnd],"queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
+      val calibParEnd = calibrateParMs(cpus.toInt)
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_ms":[$calibStart,$calibEnd],"calib_par_ms":[$calibParStart,$calibParEnd],"queries":$qs,"deg":$deg,"noisy":$noisy,"failed":$fl,"sf":"$sfDir"}""")
       Console.out.flush()
       // full raw-sample dump (small, one line per query) — the audit
       // trail the one-line headline can't carry; the round-end snapshot
