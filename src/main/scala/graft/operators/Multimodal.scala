@@ -1490,6 +1490,87 @@ object Multimodal {
       |       CAST(sum(s) AS BIGINT) AS sum_rgb
       |FROM r GROUP BY container ORDER BY container""".stripMargin
 
+  /** q154 — WAV corpus-triage quarantine report: the counted-report
+    * quarantine shape extended to the AUDIO family, completing the
+    * quartet (q144 PNG / q149 GIF / q152 JPEG / q154 WAV). Six
+    * per-document classes: decodable PCM16 mono (analytic square-free
+    * sample stream, frames and Σ|s| reported); a non-PCM format tag; a
+    * 24-bit width; a ⅔ truncation (the declared RIFF size then
+    * overruns the file — the named error that gate exists for); junk
+    * magic; and a data chunk size knocked off frame alignment (the
+    * r12-advisor partial-frame gate). Classified by named message,
+    * (reason, n_files, sum_frames, sum_abs) under an analytic DuckDB
+    * oracle. */
+  def q154WavQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.WavAudio
+      val n = (4 + id % 60).toInt
+      val rate = (8000 + id % 1000).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i * 17) % 65536) - 32768).toInt)
+      val good = WavAudio.encodePcm16Mono(rate, samples)
+      // encoder layout is fixed: fmt tag at 20, bits at 34, data size
+      // at 52 (RIFF 12 + fmt 24 + LIST 12 + data header)
+      val bytes = (id % 6) match {
+        case 0 => good
+        case 1 => val b = good.clone(); b(20) = 3; b
+        case 2 => val b = good.clone(); b(34) = 24; b
+        case 3 => java.util.Arrays.copyOf(good, good.length * 2 / 3)
+        case 4 => val b = good.clone()
+          b(0) = 'J'; b(1) = 'U'; b(2) = 'N'; b(3) = 'K'; b
+        case _ => val b = good.clone()
+          val ds = n * 2 - 1
+          b(52) = (ds & 0xff).toByte; b(53) = ((ds >> 8) & 0xff).toByte
+          b
+      }
+      try {
+        val w = WavAudio.parse(bytes)
+        var sumAbs = 0L
+        w.samples.foreach(v => sumAbs += math.abs(v))
+        ("decoded", w.nFrames.toLong, sumAbs)
+      } catch {
+        case e: IllegalArgumentException =>
+          val m = e.getMessage
+          val reason =
+            if (m.contains("non-PCM")) "non_pcm"
+            else if (m.contains("bit width")) "width_unsupported"
+            else if (m.contains("RIFF size")) "truncated"
+            else if (m.contains("bad magic")) "bad_magic"
+            else if (m.contains("not a multiple")) "misaligned_data"
+            else "other"
+          (reason, 0L, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_frames"),
+        sum($"t._3").as("sum_abs"))
+      .orderBy($"reason")
+  }
+
+  val q154Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m, 4 + doc_id % 60 AS n
+      |           FROM documents),
+      |dec AS (SELECT d.doc_id, sum(abs((d.doc_id * 31 + i * 17) % 65536
+      |                                 - 32768)) AS sa
+      |        FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1))
+      |                         AS i) s
+      |        WHERE d.m = 0 GROUP BY d.doc_id),
+      |r AS (SELECT d.doc_id,
+      |        CASE d.m WHEN 0 THEN 'decoded' WHEN 1 THEN 'non_pcm'
+      |                 WHEN 2 THEN 'width_unsupported'
+      |                 WHEN 3 THEN 'truncated' WHEN 4 THEN 'bad_magic'
+      |                 ELSE 'misaligned_data' END AS reason,
+      |        CASE WHEN d.m = 0 THEN d.n ELSE 0 END AS nf,
+      |        CASE WHEN d.m = 0 THEN dec.sa ELSE 0 END AS sa
+      |      FROM d LEFT JOIN dec ON d.doc_id = dec.doc_id)
+      |SELECT reason, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(nf) AS BIGINT) AS sum_frames,
+      |       CAST(sum(sa) AS BIGINT) AS sum_abs
+      |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
   /** q144 — PNG corpus-triage quarantine report: the FAILED-isolation
     * shape (S9) applied to the strict codec. At 10⁹ images, "strict
     * parse-or-reject" is only operable if rejection is a COUNTED REPORT
@@ -1623,7 +1704,8 @@ object Multimodal {
     "q150_gif_animation_report" -> q150GifAnimationReport _,
     "q151_jpeg_decode" -> q151JpegDecode _,
     "q152_jpeg_quarantine" -> q152JpegQuarantine _,
-    "q153_media_dispatch" -> q153MediaDispatch _)
+    "q153_media_dispatch" -> q153MediaDispatch _,
+    "q154_wav_quarantine" -> q154WavQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1649,5 +1731,6 @@ object Multimodal {
     "q150_gif_animation_report" -> q150Oracle,
     "q151_jpeg_decode" -> q151Oracle,
     "q152_jpeg_quarantine" -> q152Oracle,
-    "q153_media_dispatch" -> q153Oracle)
+    "q153_media_dispatch" -> q153Oracle,
+    "q154_wav_quarantine" -> q154Oracle)
 }
