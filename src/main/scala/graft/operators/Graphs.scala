@@ -355,10 +355,15 @@ object Graphs {
       pairs.unpersist()
       if (deg != null) deg.unpersist()
       if (r1 != null) r1.unpersist()
-      // external-table bookkeeping must not leak across queries (the
-      // temp dir itself is OS-owned); data was already materialized
-      // into the returned local rows
+      // external-table bookkeeping must not leak across queries; data
+      // was already materialized into the returned local rows. The
+      // warehouse directory itself is deleted too: DROP TABLE on an
+      // external table keeps the files, and with a pid-suffixed path no
+      // later run would ever reuse them — without this delete every JVM
+      // run orphans one bucketed layout in tmpdir (advisor find, r15)
       s.sql("DROP TABLE IF EXISTS q140_edges")
+      graft.streaming.VersionedState.deleteTree(
+        java.nio.file.Paths.get(wh))
     }
   }
 

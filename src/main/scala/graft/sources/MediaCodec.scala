@@ -53,8 +53,9 @@ object MediaCodec {
     case "jpeg" =>
       val j = JpegImage.parse(bytes)
       Media("jpeg", j.width, j.height, j.pixels)
-    case other =>
+    case _ =>
+      val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new IllegalArgumentException(
-        s"unknown container (magic bytes match no supported format)")
+        s"unknown container (magic bytes 0x$magic match no supported format)")
   }
 }

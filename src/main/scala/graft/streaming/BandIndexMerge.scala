@@ -131,7 +131,11 @@ private[streaming] object BandIndexMerge {
     *
     * `batchId` must be outside the stream's id space (negative works:
     * foreachBatch ids count up from 0) so the rebuild's marker can
-    * never make a future micro-batch replay think it already ran. */
+    * never make a future micro-batch replay think it already ran —
+    * ENFORCED, and the committed `_batch` record keeps the MAX stream
+    * batchId seen so far so the `appliedBatch >= batchId` crash-window
+    * backstop survives the rebuild (the IvfIndexStream.rebuild
+    * discipline, applied uniformly; advisor find, r15). */
   def rebuild(state: VersionedState, batchId: Long,
       allSigs: DataFrame, allBands: DataFrame,
       score: (DataFrame, DataFrame) => DataFrame,
@@ -142,8 +146,11 @@ private[streaming] object BandIndexMerge {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    require(batchId < 0,
+      s"rebuild batchId $batchId must be negative (outside the stream id space)")
     state.commit(Seq(tables._1 -> allSigs, tables._2 -> allBands,
-      tables._3 -> score(candKeys, allSigs)), batchId)
+      tables._3 -> score(candKeys, allSigs)),
+      math.max(state.appliedBatch.getOrElse(-1L), batchId))
     state.mark(batchId)
   }
 }

@@ -145,8 +145,13 @@ object IvfIndexStream {
       // delta-scoped occupancy (only cells this batch touched)
       val wCent = state.read(spark, "centroids").get
       val wAssign = state.read(spark, "assign").get
+      // the centroid side goes through the SAME size-guarded broadcast
+      // as every other centroid use in this file — a raw broadcast here
+      // would bypass the tiny-broadcast contract the scaladoc claims
+      // (advisor find, r15)
       val missing = wAssign.filter(col("vec_id") % 40 === 0)
-        .join(broadcast(wCent.select(col("c_id").as("vec_id"))),
+        .join(Similarity.boundedBroadcast(
+            wCent.select(col("c_id").as("vec_id")), "ivf drift centroid"),
           Seq("vec_id"), "left_anti")
         .count()
       val nCent = wCent.count()
@@ -186,14 +191,25 @@ object IvfIndexStream {
     * FULL arrived corpus (the assign table's own vectors — exactly
     * batch q44's every-40th rule), reassign everything, swap both
     * tables under the same pointer the incremental merges use.
-    * `batchId` must be negative (outside the stream's id space). */
+    * `batchId` must be negative (outside the stream's id space) —
+    * ENFORCED: a non-negative id would mark a future stream batch as
+    * applied and silently drop it. The committed `_batch` record keeps
+    * the MAX stream batchId seen so far (not the rebuild's negative
+    * id), so the `appliedBatch >= batchId` crash-window backstop for
+    * already-committed stream batches survives the rebuild; the
+    * rebuild's own idempotency marker is its `mark` file (advisor
+    * find, r15). */
   def rebuild(spark: SparkSession, stateDir: String, batchId: Long): Unit = {
+    require(batchId < 0,
+      s"rebuild batchId $batchId must be negative (outside the stream id space)")
     val state = new VersionedState(stateDir)
+    val preservedBatch = math.max(state.appliedBatch.getOrElse(-1L), batchId)
     val (_, assign0) = readState(spark, stateDir)
     val vectors = assign0.select(col("vec_id"), col("v"), col("nrm"))
     val cent = seedFrom(vectors)
     val reassigned = assignDelta(vectors, cent)
-    state.commit(Seq("centroids" -> cent, "assign" -> reassigned), batchId)
+    state.commit(Seq("centroids" -> cent, "assign" -> reassigned),
+      preservedBatch)
     state.mark(batchId)
   }
 

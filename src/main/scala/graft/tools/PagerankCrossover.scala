@@ -95,8 +95,16 @@ object PagerankCrossover {
       } finally mat.unpersist()
     }
 
-    run("1x", pairs)
-    if (replicas > 1) run(s"${replicas}x", replicated(replicas))
+    try {
+      run("1x", pairs)
+      if (replicas > 1) run(s"${replicas}x", replicated(replicas))
+    } finally {
+      // DROP TABLE keeps an external table's files; without this the
+      // pid-suffixed warehouse accretes one layout per JVM run forever
+      // (advisor find, r15)
+      graft.streaming.VersionedState.deleteTree(
+        java.nio.file.Paths.get(wh))
+    }
     spark.stop()
   }
 }
