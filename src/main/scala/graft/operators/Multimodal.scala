@@ -1291,10 +1291,53 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q155 — PROGRESSIVE JPEG (SOF2) decode: q151's analytic face
+    * carried through the multi-scan container (spectral selection +
+    * successive approximation, the default scan script, restart
+    * markers, 4:2:0 on the id%4==1 rows). The oracle is q151's
+    * VERBATIM — the q141/q145 move: the block-constant exact aperture
+    * is container-independent (DC survives the point-transform
+    * refinement chain bit-for-bit; the AC bands are pure EOB runs), so
+    * any progressive-path defect hash-mismatches an artifact pinned by
+    * an already-green query.
+    *
+    * Scale shape: identical to q151 — task-local synth+decode per row,
+    * only the ≤72-byte stat tuple moves. */
+  def q155JpegProgressiveDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      val w = (8 * (1 + id % 4)).toInt
+      val h = (8 * (1 + id % 3)).toInt
+      val gray = id % 2 == 0
+      val sub = id % 4 == 1
+      val tile = if (sub) 16 else 8
+      val px = Array.tabulate(w * h) { i =>
+        val c = ((id * 7 + (i % w) / tile * 41 +
+          (i / w) / tile * 113) % 256).toInt
+        if (gray) c else (c << 16) | (c << 8) | c
+      }
+      val jpeg = graft.sources.JpegImage.parse(
+        graft.sources.JpegImage.encodeProgressive(w, h, px,
+          grayscale = gray, restartInterval = (id % 3).toInt,
+          subsample = sub))
+      faceStats(jpeg.width, jpeg.height, jpeg.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
   /** q152 — JPEG corpus-triage quarantine report: the q144/q149 shape
     * for the DCT container. Six per-document layout classes: decodable
-    * baseline; PROGRESSIVE (SOF0 patched to SOF2 — the most common
-    * real-corpus rejection for a baseline-only decoder); 4:2:0
+    * baseline; ARITHMETIC coding (SOF0 patched to SOF9 — retargeted
+    * from progressive in the same commit that made SOF2 decode, per
+    * the quarantine-retarget invariant: a quarantine class must sit on
+    * a still-invalid gate); 4:2:0
     * subsampling (the component h/v byte patched); a zero quantization
     * entry; a mid-scan truncation; trailing bytes after EOI. Rejection
     * reasons classified by named message, (reason, n_files,
@@ -1317,7 +1360,7 @@ object Multimodal {
       val bytes = (id % 6) match {
         case 0 => good
         case 1 => val b = good.clone()
-          b(markerAt(0xc0) + 1) = 0xc2.toByte; b
+          b(markerAt(0xc0) + 1) = 0xc9.toByte; b
         case 2 => val b = good.clone()
           b(markerAt(0xc0) + 11) = 0x22.toByte; b
         case 3 => val b = good.clone()
@@ -1332,7 +1375,7 @@ object Multimodal {
         case e: IllegalArgumentException =>
           val m = e.getMessage
           val reason =
-            if (m.contains("progressive")) "progressive"
+            if (m.contains("arithmetic")) "arithmetic"
             else if (m.contains("subsampling")) "subsampled"
             else if (m.contains("quant")) "bad_quant"
             else if (m.contains("truncated")) "truncated"
@@ -1352,7 +1395,7 @@ object Multimodal {
     """WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents),
       |r AS (SELECT doc_id,
       |        CASE m WHEN 0 THEN 'decoded'
-      |               WHEN 1 THEN 'progressive'
+      |               WHEN 1 THEN 'arithmetic'
       |               WHEN 2 THEN 'subsampled'
       |               WHEN 3 THEN 'bad_quant'
       |               WHEN 4 THEN 'truncated'
@@ -1705,7 +1748,8 @@ object Multimodal {
     "q151_jpeg_decode" -> q151JpegDecode _,
     "q152_jpeg_quarantine" -> q152JpegQuarantine _,
     "q153_media_dispatch" -> q153MediaDispatch _,
-    "q154_wav_quarantine" -> q154WavQuarantine _)
+    "q154_wav_quarantine" -> q154WavQuarantine _,
+    "q155_jpeg_progressive_decode" -> q155JpegProgressiveDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -1732,5 +1776,8 @@ object Multimodal {
     "q151_jpeg_decode" -> q151Oracle,
     "q152_jpeg_quarantine" -> q152Oracle,
     "q153_media_dispatch" -> q153Oracle,
-    "q154_wav_quarantine" -> q154Oracle)
+    "q154_wav_quarantine" -> q154Oracle,
+    // q151's oracle, verbatim — the progressive container carries the
+    // same analytic face (the q141/q145 move)
+    "q155_jpeg_progressive_decode" -> q151Oracle)
 }

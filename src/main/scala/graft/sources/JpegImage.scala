@@ -7,11 +7,14 @@ package graft.sources
   * discipline as the other codecs: implement the PUBLIC spec
   * byte-by-byte, validate loudly, never emit garbage pixels.
   *
-  * Scope (documented, not hidden): baseline sequential (SOF0) only —
-  * progressive (SOF2), arithmetic coding, hierarchical and lossless
-  * modes reject with named errors; 8-bit precision; 1 component
-  * (grayscale) or 3 components (YCbCr) at 4:4:4 or 4:2:0 (the two
-  * layouts real encoders emit; other sampling grids reject by name).
+  * Scope (documented, not hidden): baseline sequential (SOF0/SOF1)
+  * AND progressive (SOF2, round 16 — spectral selection + successive
+  * approximation, the single most common real-corpus layout a
+  * baseline-only decoder quarantines); arithmetic coding,
+  * hierarchical and lossless modes reject with named errors; 8-bit
+  * precision; 1 component (grayscale) or 3 components (YCbCr) at
+  * 4:4:4 or 4:2:0 (the two layouts real encoders emit; other
+  * sampling grids reject by name).
   * 4:2:0 chroma upsamples by REPLICATION — T.81 leaves the filter
   * implementation-defined, so the choice is documented rather than
   * hidden, and the exactness aperture below sidesteps it entirely
@@ -84,6 +87,47 @@ object JpegImage {
       (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
     HuffSpec(bits, vals.toArray)
   }
+  /** Progressive AC table: the baseline symbols plus the EOBn run
+    * symbols (r<<4 for r = 0..14, T.81 G.1.2.2) progressive AC scans
+    * need for end-of-band runs. 176 symbols, all length 8 — a valid
+    * canonical prefix code (strictly below the 255-code capacity, so
+    * the all-ones code is never assigned). */
+  private val AcSpecProg: HuffSpec = {
+    val bits = new Array[Int](17); bits(8) = 176
+    val vals = (0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+    HuffSpec(bits, vals.toArray)
+  }
+
+  /** Amplitude magnitude category (T.81 F.1.2.1.2). */
+  private def sizeOf(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Entropy-layer bit writer with 0xFF byte stuffing (T.81 F.1.2.3),
+    * shared by the baseline and progressive encoder halves. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var accBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); accBits += len
+      while (accBits >= 8) {
+        val b = ((acc >> (accBits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        accBits -= 8
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (accBits > 0) {
+      val pad = 8 - accBits
+      putBits((1 << pad) - 1, pad)
+    }
+    def putSym(t: Array[Int], sym: Int): Unit = {
+      val e = t(sym)
+      require(e >= 0, s"symbol $sym not in table")
+      putBits(e & 0xffffff, e >>> 24)
+    }
+    def putAmp(v: Int, size: Int): Unit =
+      if (size > 0) putBits(if (v >= 0) v else v - 1 + (1 << size), size)
+  }
 
   /** Encoder view: symbol → (code, length). */
   private def encTable(spec: HuffSpec): Array[Int] = {
@@ -123,26 +167,20 @@ object JpegImage {
 
   // ------------------------------------------------------------ encode
 
-  /** Encode a baseline JPEG. `pixels` are 0xRRGGBB (or gray via
-    * `grayscale = true`, using each pixel's low byte). `quant` is the
-    * 64-entry quantization table in NATURAL (row-major) order, used
-    * for every component; entries 1..255. `restartInterval` > 0 emits
-    * DRI + RSTn markers every that many MCUs. The generator half for
-    * the decoder: block-constant content with quant(0) = 8 round-trips
-    * exactly (see object doc). */
-  def encode(width: Int, height: Int, pixels: Array[Int],
-      grayscale: Boolean = false,
-      quant: Array[Int] = Array.fill(64)(8),
-      restartInterval: Int = 0,
-      subsample: Boolean = false): Array[Byte] = {
+  /** Level-shifted YCbCr (or gray) component planes on the MCU-aligned
+    * grid, edge-replicated; chroma averaged 2x2 when subsampling (exact
+    * for block-constant chroma). Shared by the baseline and progressive
+    * encoder halves — the two modes differ only in how coefficients are
+    * entropy-ordered, never in what the coefficients are.
+    * @return (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) */
+  private def buildPlanes(width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean, subsample: Boolean):
+      (Int, Array[Int], Array[Int], Int, Int,
+        Array[Array[Double]], Array[Int]) = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"bad dims ${width}x$height")
     require(pixels.length == width * height,
       s"${pixels.length} pixels for ${width}x$height")
-    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
-      "quant table must be 64 entries in 1..255")
-    require(restartInterval >= 0 && restartInterval <= 0xffff,
-      s"bad restart interval $restartInterval")
     require(!(grayscale && subsample), "grayscale has no chroma to subsample")
     val nComp = if (grayscale) 1 else 3
     // sampling factors per component: 4:4:4 = all 1x1; 4:2:0 = luma
@@ -203,6 +241,51 @@ object JpegImage {
         out
       }
     }
+    (nComp, sampH, sampV, mcusX, mcusY, planes, planeW)
+  }
+
+  /** Forward DCT + quantization of one 8x8 block into `coef`, zigzag
+    * order (shared by both encoder halves). */
+  private def fdctQuantBlock(plane: Array[Double], pw: Int, blockX: Int,
+      blockY: Int, quant: Array[Int], coef: Array[Int]): Unit = {
+    var k = 0
+    while (k < 64) {
+      val r = Zigzag(k) / 8; val col = Zigzag(k) % 8
+      var s = 0.0
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          s += plane((blockY * 8 + yy) * pw + blockX * 8 + xx) *
+            CosT(xx)(col) * CosT(yy)(r)
+          xx += 1
+        }
+        yy += 1
+      }
+      val f = 0.25 * C(col) * C(r) * s
+      coef(k) = math.round(f / quant(Zigzag(k))).toInt
+      k += 1
+    }
+  }
+
+  /** Encode a baseline JPEG. `pixels` are 0xRRGGBB (or gray via
+    * `grayscale = true`, using each pixel's low byte). `quant` is the
+    * 64-entry quantization table in NATURAL (row-major) order, used
+    * for every component; entries 1..255. `restartInterval` > 0 emits
+    * DRI + RSTn markers every that many MCUs. The generator half for
+    * the decoder: block-constant content with quant(0) = 8 round-trips
+    * exactly (see object doc). */
+  def encode(width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean = false,
+      quant: Array[Int] = Array.fill(64)(8),
+      restartInterval: Int = 0,
+      subsample: Boolean = false): Array[Byte] = {
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
+    val (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) =
+      buildPlanes(width, height, pixels, grayscale, subsample)
 
     val dcT = encTable(DcSpec); val acT = encTable(AcSpec)
     val out = new java.io.ByteArrayOutputStream()
@@ -235,70 +318,30 @@ object JpegImage {
     u8(0); u8(63); u8(0) // Ss, Se, AhAl (baseline fixed)
 
     // entropy-coded data with byte stuffing
-    var acc = 0L; var accBits = 0
-    def putBits(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1)); accBits += len
-      while (accBits >= 8) {
-        val b = ((acc >> (accBits - 8)) & 0xff).toInt
-        u8(b); if (b == 0xff) u8(0x00)
-        accBits -= 8
-      }
-    }
-    def flushBits(): Unit = if (accBits > 0) {
-      // pad to a byte boundary with 1-bits (T.81 F.1.2.3)
-      val pad = 8 - accBits
-      putBits((1 << pad) - 1, pad)
-    }
-    def sizeOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putSym(t: Array[Int], sym: Int): Unit = {
-      val e = t(sym); require(e >= 0, s"symbol $sym not in table")
-      putBits(e & 0xffffff, e >>> 24)
-    }
-    def putAmp(v: Int, size: Int): Unit =
-      if (size > 0) putBits(if (v >= 0) v else v - 1 + (1 << size), size)
-
+    val bw = new BitWriter(out)
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     def encodeBlock(c: Int, blockX: Int, blockY: Int): Unit = {
-      // forward DCT + quantization, zigzag order
-      val plane = planes(c); val pw = planeW(c)
-      var k = 0
-      while (k < 64) {
-        val r = Zigzag(k) / 8; val col = Zigzag(k) % 8
-        var s = 0.0
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            s += plane((blockY * 8 + yy) * pw + blockX * 8 + xx) *
-              CosT(xx)(col) * CosT(yy)(r)
-            xx += 1
-          }
-          yy += 1
-        }
-        val f = 0.25 * C(col) * C(r) * s
-        coef(k) = math.round(f / quant(Zigzag(k))).toInt
-        k += 1
-      }
+      fdctQuantBlock(planes(c), planeW(c), blockX, blockY, quant, coef)
       val diff = coef(0) - dcPred(c)
       dcPred(c) = coef(0)
       val dsz = sizeOf(diff)
       require(dsz <= 11, s"DC diff $diff out of baseline range")
-      putSym(dcT, dsz); putAmp(diff, dsz)
+      bw.putSym(dcT, dsz); bw.putAmp(diff, dsz)
       var kk = 1
       var run = 0
       while (kk < 64) {
         if (coef(kk) == 0) run += 1
         else {
-          while (run >= 16) { putSym(acT, 0xf0); run -= 16 }
+          while (run >= 16) { bw.putSym(acT, 0xf0); run -= 16 }
           val asz = sizeOf(coef(kk))
           require(asz <= 10, s"AC coefficient ${coef(kk)} out of range")
-          putSym(acT, (run << 4) | asz); putAmp(coef(kk), asz)
+          bw.putSym(acT, (run << 4) | asz); bw.putAmp(coef(kk), asz)
           run = 0
         }
         kk += 1
       }
-      if (run > 0) putSym(acT, 0x00) // EOB
+      if (run > 0) bw.putSym(acT, 0x00) // EOB
     }
     var mcu = 0
     var rstIdx = 0
@@ -307,7 +350,7 @@ object JpegImage {
       var mx = 0
       while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          flushBits()
+          bw.flush()
           marker(0xd0 + rstIdx)
           rstIdx = (rstIdx + 1) % 8
           java.util.Arrays.fill(dcPred, 0)
@@ -330,15 +373,389 @@ object JpegImage {
       }
       my += 1
     }
-    flushBits()
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // -------------------------------------------------- progressive encode
+
+  /** One progressive scan descriptor: `comps` are 0-based component
+    * indices in frame order, `ss..se` the spectral band (0,0 = DC),
+    * `ah`/`al` the successive-approximation bit positions (ah = 0 is a
+    * band's first pass at precision al; otherwise a refinement of bit
+    * al = ah − 1). */
+  final case class ProgScan(comps: Seq[Int], ss: Int, se: Int,
+      ah: Int, al: Int)
+
+  /** The standard spectral-selection + successive-approximation script
+    * (the shape real progressive encoders emit): interleaved DC first
+    * at Al=1, low-frequency luma band early, chroma in one band each,
+    * then refinement passes down to full precision for every
+    * coefficient of every component. */
+  def defaultProgScans(nComp: Int): Seq[ProgScan] =
+    if (nComp == 1) Seq(
+      ProgScan(Seq(0), 0, 0, 0, 1),
+      ProgScan(Seq(0), 1, 5, 0, 2),
+      ProgScan(Seq(0), 6, 63, 0, 2),
+      ProgScan(Seq(0), 1, 63, 2, 1),
+      ProgScan(Seq(0), 0, 0, 1, 0),
+      ProgScan(Seq(0), 1, 63, 1, 0))
+    else Seq(
+      ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+      ProgScan(Seq(0), 1, 5, 0, 2),
+      ProgScan(Seq(2), 1, 63, 0, 1),
+      ProgScan(Seq(1), 1, 63, 0, 1),
+      ProgScan(Seq(0), 6, 63, 0, 2),
+      ProgScan(Seq(0), 1, 63, 2, 1),
+      ProgScan(Seq(0, 1, 2), 0, 0, 1, 0),
+      ProgScan(Seq(2), 1, 63, 1, 0),
+      ProgScan(Seq(1), 1, 63, 1, 0),
+      ProgScan(Seq(0), 1, 63, 1, 0))
+
+  /** Validate a scan script against the progression rules the decoder
+    * enforces (T.81 G.1.1.1): per coefficient one first pass, then
+    * refinements stepping Al down by exactly one; a component's DC
+    * first pass precedes its AC scans; AC scans single-component; and
+    * COMPLETENESS — every coefficient refined to Al = 0, so this
+    * encoder can never synthesize a partial file. */
+  private def validateScript(scans: Seq[ProgScan], nComp: Int): Unit = {
+    val state = Array.fill(nComp, 64)(-1)
+    for (sc <- scans) {
+      require(sc.comps.nonEmpty && sc.comps.forall(c => c >= 0 && c < nComp),
+        s"scan components ${sc.comps} out of range")
+      require(sc.comps.distinct == sc.comps, "duplicate scan component")
+      require(sc.al >= 0 && sc.al <= 13, s"Al=${sc.al} out of range")
+      require(sc.ah == 0 || sc.ah == sc.al + 1,
+        s"Ah=${sc.ah}/Al=${sc.al}: refinement must step one bit")
+      if (sc.ss == 0) require(sc.se == 0, "DC scan must have Se=0")
+      else {
+        require(sc.comps.length == 1, "AC scan must be single-component")
+        require(sc.ss <= sc.se && sc.se <= 63,
+          s"bad band ${sc.ss}..${sc.se}")
+        require(state(sc.comps.head)(0) != -1,
+          "AC scan before the component's DC scan")
+      }
+      for (c <- sc.comps; k <- sc.ss to sc.se) {
+        if (sc.ah == 0) require(state(c)(k) == -1,
+          s"coefficient $k coded twice at first pass")
+        else require(state(c)(k) == sc.ah,
+          s"refinement Ah=${sc.ah} does not chain from ${state(c)(k)}")
+        state(c)(k) = sc.al
+      }
+    }
+    for (c <- 0 until nComp; k <- 0 until 64)
+      require(state(c)(k) == 0,
+        s"script leaves coefficient $k of component $c at " +
+          s"Al=${state(c)(k)} (must reach 0)")
+  }
+
+  /** Encode a PROGRESSIVE JPEG (SOF2) — the generator half for the
+    * progressive decoder, driven by an explicit scan script (default:
+    * [[defaultProgScans]]). Same parameters and exact aperture as
+    * [[encode]]: block-constant content with quant(0) = 8 survives the
+    * full pipeline bit-for-bit — the DC value's low bits travel through
+    * the refinement scans and the AC bands carry pure EOB runs.
+    * `restartInterval` > 0 emits DRI + RSTn every that many MCUs
+    * (interleaved scans) or blocks (single-component scans). */
+  def encodeProgressive(width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean = false,
+      quant: Array[Int] = Array.fill(64)(8),
+      scans: Seq[ProgScan] = Nil,
+      restartInterval: Int = 0,
+      subsample: Boolean = false): Array[Byte] = {
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
+    val (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) =
+      buildPlanes(width, height, pixels, grayscale, subsample)
+    val script = if (scans.nonEmpty) scans else defaultProgScans(nComp)
+    validateScript(script, nComp)
+
+    // all coefficient blocks up front (interleaved-grid layout, zigzag
+    // order per block): progressive scans revisit them band by band
+    val blocksW = Array.tabulate(nComp)(c => mcusX * sampH(c))
+    val blocksH = Array.tabulate(nComp)(c => mcusY * sampV(c))
+    val coefs = Array.tabulate(nComp) { c =>
+      val arr = new Array[Int](blocksW(c) * blocksH(c) * 64)
+      val tmp = new Array[Int](64)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          fdctQuantBlock(planes(c), planeW(c), bx, by, quant, tmp)
+          System.arraycopy(tmp, 0, arr, (by * blocksW(c) + bx) * 64, 64)
+          bx += 1
+        }
+        by += 1
+      }
+      arr
+    }
+    // non-interleaved scan geometry: the component's OWN sampled dims
+    // ceil'd to blocks (T.81 A.2.2) — fewer than the interleaved grid
+    // at the right/bottom edge (dummy blocks are interleaved-only)
+    val maxH = sampH.max; val maxV = sampV.max
+    val nbW = Array.tabulate(nComp)(c =>
+      (((width * sampH(c) + maxH - 1) / maxH) + 7) / 8)
+    val nbH = Array.tabulate(nComp)(c =>
+      (((height * sampV(c) + maxV - 1) / maxV) + 7) / 8)
+
+    val dcT = encTable(DcSpec); val acT = encTable(AcSpecProg)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT
+    u16(2 + 1 + 64)
+    u8(0)
+    for (k <- 0 until 64) u8(quant(Zigzag(k)))
+    marker(0xc2) // SOF2 — progressive DCT, Huffman
+    u16(8 + 3 * nComp)
+    u8(8); u16(height); u16(width); u8(nComp)
+    for (c <- 0 until nComp) {
+      u8(c + 1); u8((sampH(c) << 4) | sampV(c)); u8(0)
+    }
+    for ((spec, cls) <- Seq((DcSpec, 0), (AcSpecProg, 1))) {
+      marker(0xc4) // DHT
+      u16(2 + 1 + 16 + spec.vals.length)
+      u8(cls << 4) // table id 0
+      for (len <- 1 to 16) u8(spec.bits(len))
+      spec.vals.foreach(u8)
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+
+    val bw = new BitWriter(out)
+    for (sc <- script) {
+      marker(0xda) // SOS
+      u16(6 + 2 * sc.comps.length)
+      u8(sc.comps.length)
+      for (c <- sc.comps) { u8(c + 1); u8(0) } // DC table 0, AC table 0
+      u8(sc.ss); u8(sc.se); u8((sc.ah << 4) | sc.al)
+
+      val isDC = sc.ss == 0
+      val dcPred = new Array[Int](nComp)
+      var eobrun = 0
+      val runPend = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+        require(nbits <= 14, s"EOB run $eobrun too long")
+        bw.putSym(acT, nbits << 4)
+        if (nbits > 0) bw.putBits(eobrun, nbits) // low bits; top implied
+        eobrun = 0
+        runPend.foreach(b => bw.putBits(b, 1)); runPend.clear()
+      }
+      var rstIdx = 0 // RSTn numbering restarts at each scan (T.81 E.1.4)
+      var unit = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!isDC) emitEobrun() // EOB runs must not cross a restart
+          bw.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+      def emitDcFirst(c: Int, base: Int): Unit = {
+        val v = coefs(c)(base) >> sc.al // arithmetic shift: point transform
+        val diff = v - dcPred(c)
+        dcPred(c) = v
+        val dsz = sizeOf(diff)
+        require(dsz <= 11, s"DC diff $diff out of range")
+        bw.putSym(dcT, dsz); bw.putAmp(diff, dsz)
+      }
+      def emitDcRefine(c: Int, base: Int): Unit =
+        bw.putBits((coefs(c)(base) >> sc.al) & 1, 1)
+      def emitAcFirst(c: Int, base: Int): Unit = {
+        var r = 0
+        var k = sc.ss
+        while (k <= sc.se) {
+          val v0 = coefs(c)(base + k)
+          // point transform: sign-preserving magnitude shift
+          val t = if (v0 >= 0) v0 >> sc.al else -((-v0) >> sc.al)
+          if (t == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { bw.putSym(acT, 0xf0); r -= 16 }
+            val asz = sizeOf(t)
+            require(asz <= 10, s"AC coefficient $t out of range")
+            bw.putSym(acT, (r << 4) | asz); bw.putAmp(t, asz)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+      def emitAcRefine(c: Int, base: Int): Unit = {
+        // last NEWLY-nonzero position: zeros and already-nonzero
+        // (history) coefficients after it fold into the EOB run
+        var eobPos = sc.ss - 1
+        var k = sc.ss
+        while (k <= sc.se) {
+          if ((math.abs(coefs(c)(base + k)) >> sc.al) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val blockPend = scala.collection.mutable.ArrayBuffer.empty[Int]
+        k = sc.ss
+        while (k <= sc.se) {
+          val v0 = coefs(c)(base + k)
+          val a = math.abs(v0) >> sc.al
+          if (a == 0) r += 1
+          else {
+            // ZRLs — but only when not foldable into the EOB run
+            while (r > 15 && k <= eobPos) {
+              emitEobrun()
+              bw.putSym(acT, 0xf0); r -= 16
+              blockPend.foreach(b => bw.putBits(b, 1)); blockPend.clear()
+            }
+            if (a > 1) blockPend += (a & 1) // history: correction bit
+            else {
+              emitEobrun()
+              bw.putSym(acT, (r << 4) | 1)
+              bw.putBits(if (v0 >= 0) 1 else 0, 1) // sign: 1 = positive
+              blockPend.foreach(b => bw.putBits(b, 1)); blockPend.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || blockPend.nonEmpty) {
+          eobrun += 1
+          runPend ++= blockPend
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+
+      if (isDC && sc.comps.length > 1) {
+        // interleaved DC scan: frame MCU walk (incl. dummy edge blocks)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            for (c <- sc.comps; v <- 0 until sampV(c);
+                 hh <- 0 until sampH(c)) {
+              val base = ((my * sampV(c) + v) * blocksW(c) +
+                mx * sampH(c) + hh) * 64
+              if (sc.ah == 0) emitDcFirst(c, base) else emitDcRefine(c, base)
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan over the component's own block grid
+        val c = sc.comps.head
+        var by = 0
+        while (by < nbH(c)) {
+          var bx = 0
+          while (bx < nbW(c)) {
+            maybeRestart()
+            val base = (by * blocksW(c) + bx) * 64
+            if (isDC) {
+              if (sc.ah == 0) emitDcFirst(c, base) else emitDcRefine(c, base)
+            } else {
+              if (sc.ah == 0) emitAcFirst(c, base) else emitAcRefine(c, base)
+            }
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      if (!isDC) emitEobrun()
+      bw.flush()
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }
 
   // ------------------------------------------------------------ decode
 
+  /** Low-order-bits sign extension (T.81 F.2.2.1 EXTEND). */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  /** Dequantize + inverse-DCT one block: zigzag-order coefficients at
+    * `coefs(base .. base+63)` scaled by `q` (natural order), samples
+    * (+128, unclamped) written into the component plane. Shared by the
+    * baseline streaming scan and the progressive finalize — the two
+    * modes differ only in how coefficients ARRIVE. */
+  private def idctBlock(coefs: Array[Int], base: Int, q: Array[Int],
+      plane: Array[Int], pw: Int, blockX: Int, blockY: Int): Unit = {
+    val block = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val v = coefs(base + i)
+      if (v != 0) block(Zigzag(i)) = v.toDouble * q(Zigzag(i))
+      i += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val f = block(v * 8 + u)
+            if (f != 0.0)
+              s += C(u) * C(v) * f * CosT(xx)(u) * CosT(yy)(v)
+            u += 1
+          }
+          v += 1
+        }
+        plane((blockY * 8 + yy) * pw + blockX * 8 + xx) =
+          math.round(0.25 * s).toInt + 128
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Upsample (replication) + color-convert component planes to the
+    * 0xAARRGGBB face (shared by both decode modes). */
+  private def composePixels(planes: Array[Array[Int]], planeW: Array[Int],
+      sampH: Array[Int], sampV: Array[Int], width: Int, height: Int,
+      nComp: Int): Array[Int] = {
+    val maxH = sampH.max; val maxV = sampV.max
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    // per-component sample lookup with replication upsampling: image
+    // (x, y) reads component sample (x·h_c/maxH, y·v_c/maxV)
+    def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * sampV(c) / maxV) * planeW(c) + x * sampH(c) / maxH)
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        px(y * width + x) =
+          if (nComp == 1) {
+            val g = clamp(sample(0, x, y))
+            0xff000000 | (g << 16) | (g << 8) | g
+          } else {
+            val yv = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
+            val r = clamp(math.round(yv + 1.402 * cr).toInt)
+            val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+            val b = clamp(math.round(yv + 1.772 * cb).toInt)
+            0xff000000 | (r << 16) | (g << 8) | b
+          }
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   /** Strict parse. Rejects loudly: bad/missing SOI, unsupported frame
-    * types (progressive, arithmetic, 12-bit, subsampled), malformed
+    * types (arithmetic, 12-bit, exotic subsampling), malformed
     * DQT/DHT/SOF/SOS/DRI segments, Huffman codes that do not resolve
     * in 16 bits, coefficient runs overflowing a block, restart markers
     * out of sequence, truncation anywhere, non-1 padding bits, a
@@ -360,9 +777,260 @@ object JpegImage {
     var width = 0; var height = 0; var nComp = 0
     var compQ: Array[Int] = null
     var compSamp: Array[Int] = null
+    var compIds: Array[Int] = null
     var restartInterval = 0
     var sawSof = false
     var result: Jpeg = null
+    // progressive (SOF2) state: coefficients ACCUMULATE across scans
+    // (spectral bands × successive-approximation bits) and the IDCT
+    // runs once at EOI — vs baseline's single streaming scan
+    var progressive = false
+    var sampHArr: Array[Int] = null; var sampVArr: Array[Int] = null
+    var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    var nbW: Array[Int] = null; var nbH: Array[Int] = null
+    var coefStore: Array[Array[Int]] = null // per comp: grid blocks × 64, zigzag
+    var alStateArr: Array[Array[Int]] = null // per comp × 64: current Al, -1 unseen
+    var anyScan = false
+    var eoiConsumed = false
+
+    /** Entropy-decode one progressive scan into the coefficient store;
+      * returns the offset of the byte after the scan data. The four
+      * block procedures mirror T.81 G.2 (and the interoperable libjpeg
+      * realization of its refinement ambiguities — correction bits in
+      * coefficient order, EOB runs counting the current block). */
+    def decodeProgScan(start: Int, scanComps: Array[Int], ss: Int,
+        se: Int, ah: Int, al: Int, dcSel: Array[HuffDec],
+        acSel: Array[HuffDec]): Int = {
+      var o = start
+      var acc = 0; var accBits = 0
+      def fillBits(need: Int): Unit = {
+        while (accBits < need) {
+          require(o < bytes.length, "entropy data truncated")
+          val b = bytes(o) & 0xff
+          if (b == 0xff) {
+            require(o + 1 < bytes.length, "entropy data truncated at 0xFF")
+            val b2 = bytes(o + 1) & 0xff
+            require(b2 == 0x00, f"marker 0x$b2%02x inside entropy data")
+            o += 2
+          } else o += 1
+          acc = (acc << 8) | b; accBits += 8
+        }
+      }
+      def takeBits(n: Int): Int = {
+        fillBits(n)
+        val v = (acc >>> (accBits - n)) & ((1 << n) - 1)
+        accBits -= n
+        v
+      }
+      def decodeSym(t: HuffDec): Int = {
+        var code = takeBits(1)
+        var len = 1
+        while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
+          len += 1
+          require(len <= 16, "Huffman code does not resolve in 16 bits")
+          code = (code << 1) | takeBits(1)
+        }
+        t.vals(t.valPtr(len) + code - t.minCode(len))
+      }
+      val dcPred = new Array[Int](nComp)
+      var eobrun = 0
+      var rstIdx = 0
+      var unit = 0 // MCUs (interleaved) or blocks (single-component)
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          require(eobrun == 0, "EOB run crosses a restart boundary")
+          if (accBits > 0) {
+            val n = accBits
+            val pad = takeBits(n)
+            require(pad == (1 << n) - 1,
+              "non-1 padding bits before restart marker")
+          }
+          require(o + 2 <= bytes.length, "truncated at restart marker")
+          require((bytes(o) & 0xff) == 0xff &&
+            (bytes(o + 1) & 0xff) == (0xd0 + rstIdx),
+            f"expected RST$rstIdx, found " +
+              f"0x${bytes(o) & 0xff}%02x${bytes(o + 1) & 0xff}%02x")
+          o += 2
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+      def dcFirst(si: Int, c: Int, base: Int): Unit = {
+        val dsz = decodeSym(dcSel(si))
+        require(dsz <= 11, s"DC size $dsz out of range")
+        dcPred(c) += extend(takeBits(dsz), dsz)
+        coefStore(c)(base) = dcPred(c) << al
+      }
+      def dcRefine(c: Int, base: Int): Unit =
+        if (takeBits(1) == 1) coefStore(c)(base) |= (1 << al)
+      def acFirst(si: Int, c: Int, base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeSym(acSel(si))
+          val r = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) { // ZRL: 16 zeros, a coefficient must follow
+              k += 16
+              require(k <= se, "ZRL overflows the band")
+            } else {
+              // EOBn: run of 2^r + ext bits all-EOB blocks, INCLUDING
+              // this one (consumed now; the rest skip at block entry)
+              eobrun = (1 << r) - 1 + (if (r > 0) takeBits(r) else 0)
+              k = 64
+            }
+          } else {
+            k += r
+            require(k <= se, s"AC run overflows the band at index $k")
+            require(sz <= 10, s"AC size $sz out of range")
+            coefStore(c)(base + k) = extend(takeBits(sz), sz) << al
+            k += 1
+          }
+        }
+      }
+      def acRefine(si: Int, c: Int, base: Int): Unit = {
+        val p1 = 1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = decodeSym(acSel(si))
+            var r = rs >> 4; val sz = rs & 0x0f
+            var newval = 0
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) takeBits(r) else 0)
+                brk = true // current block's tail refines below
+              }
+              // r == 15 (ZRL): advance over 16 zero-HISTORY coefficients
+            } else {
+              require(sz == 1, s"AC refinement size $sz (must be 1)")
+              newval = if (takeBits(1) == 1) p1 else -p1
+            }
+            if (!brk) {
+              // advance over r zero-history positions; nonzero-history
+              // coefficients read one correction bit each (in order)
+              var placed = false
+              while (k <= se && !placed) {
+                val cur = coefStore(c)(base + k)
+                if (cur != 0) {
+                  if (takeBits(1) == 1 && (cur & p1) == 0)
+                    coefStore(c)(base + k) =
+                      cur + (if (cur >= 0) p1 else -p1)
+                  k += 1
+                } else if (r == 0) {
+                  if (newval != 0) coefStore(c)(base + k) = newval
+                  k += 1
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              require(placed || newval == 0,
+                "AC refinement run overflows the band")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // block inside an EOB run: only correction bits for already-
+          // nonzero coefficients in the (remaining) band
+          while (k <= se) {
+            val cur = coefStore(c)(base + k)
+            if (cur != 0 && takeBits(1) == 1 && (cur & p1) == 0)
+              coefStore(c)(base + k) = cur + (if (cur >= 0) p1 else -p1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (ss == 0 && scanComps.length > 1) {
+        // interleaved DC scan: frame MCU walk (incl. dummy edge blocks)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var si = 0
+            while (si < scanComps.length) {
+              val c = scanComps(si)
+              var v = 0
+              while (v < sampVArr(c)) {
+                var hh = 0
+                while (hh < sampHArr(c)) {
+                  val base = ((my * sampVArr(c) + v) * blocksW(c) +
+                    mx * sampHArr(c) + hh) * 64
+                  if (ah == 0) dcFirst(si, c, base) else dcRefine(c, base)
+                  hh += 1
+                }
+                v += 1
+              }
+              si += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan: the component's OWN block grid
+        val c = scanComps(0)
+        var by = 0
+        while (by < nbH(c)) {
+          var bx = 0
+          while (bx < nbW(c)) {
+            maybeRestart()
+            val base = (by * blocksW(c) + bx) * 64
+            if (ss == 0) {
+              if (ah == 0) dcFirst(0, c, base) else dcRefine(c, base)
+            } else {
+              if (ah == 0) acFirst(0, c, base) else acRefine(0, c, base)
+            }
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      require(eobrun == 0, "EOB run extends past the last block of the scan")
+      // padding to the byte boundary must be 1-bits (T.81 F.1.2.3)
+      if (accBits > 0) {
+        val pad = acc & ((1 << accBits) - 1)
+        require(pad == (1 << accBits) - 1,
+          s"non-1 padding bits at end of scan ($accBits bits)")
+      }
+      o
+    }
+
+    /** At EOI: the scan script must have coded every coefficient of
+      * every component (a complete frame); dequantize + IDCT the
+      * accumulated store and compose pixels — the same two kernels the
+      * baseline scan streams through. */
+    def finishProgressive(): Jpeg = {
+      for (c <- 0 until nComp; k <- 0 until 64)
+        require(alStateArr(c)(k) != -1,
+          s"progressive scan script leaves coefficient $k of component " +
+            s"$c uncoded")
+      for (c <- 0 until nComp)
+        require(quant(compQ(c)).forall(_ >= 1),
+          s"component $c references undefined quant table")
+      val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Int](blocksW(c) * blocksH(c) * 64))
+      for (c <- 0 until nComp) {
+        val q = quant(compQ(c))
+        var by = 0
+        while (by < blocksH(c)) {
+          var bx = 0
+          while (bx < blocksW(c)) {
+            idctBlock(coefStore(c), (by * blocksW(c) + bx) * 64, q,
+              planes(c), planeW(c), bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      Jpeg(width, height, nComp, composePixels(planes, planeW,
+        sampHArr, sampVArr, width, height, nComp))
+    }
 
     while (result == null) {
       require(u8() == 0xff, s"expected marker at ${off - 1}")
@@ -400,9 +1068,10 @@ object JpegImage {
             len -= 1 + 16 + total
           }
           require(len == 0, "DHT length inconsistent")
-        case 0xc0 | 0xc1 => // SOF0 (baseline) / SOF1 (ext. sequential)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 (sequential) / SOF2 (progressive)
           require(!sawSof, "duplicate SOF")
           sawSof = true
+          progressive = m == 0xc2
           val len = u16()
           require(u8() == 8, "only 8-bit precision")
           height = u16(); width = u16()
@@ -413,13 +1082,15 @@ object JpegImage {
           require(len == 8 + 3 * nComp, "SOF length inconsistent")
           compQ = new Array[Int](nComp)
           compSamp = new Array[Int](nComp)
+          compIds = new Array[Int](nComp)
           for (c <- 0 until nComp) {
-            u8() // component id — positional here
+            compIds(c) = u8()
             compSamp(c) = u8()
             val tq = u8()
             require(tq < 4, s"bad component quant id $tq")
             compQ(c) = tq
           }
+          require(compIds.distinct.length == nComp, "duplicate component id")
           // the two layouts real encoders emit: 4:4:4 (all 1x1) and
           // 4:2:0 (luma 2x2, chroma 1x1); anything else rejects by name
           val all444 = compSamp.forall(_ == 0x11)
@@ -428,41 +1099,135 @@ object JpegImage {
           require(all444 || is420,
             s"subsampling ${compSamp.map(v => f"0x$v%02x").mkString("/")} " +
               "unsupported (only 4:4:4 and 4:2:0)")
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) unsupported (baseline only)")
+          if (progressive) {
+            sampHArr = compSamp.map(_ >> 4)
+            sampVArr = compSamp.map(_ & 0x0f)
+            val maxH = sampHArr.max; val maxV = sampVArr.max
+            mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+            // interleaved grid (incl. the dummy edge blocks interleaved
+            // DC scans code) vs the component's OWN ceil'd block dims
+            // non-interleaved scans walk (T.81 A.2.2/A.2.3)
+            blocksW = Array.tabulate(nComp)(c => mcusX * sampHArr(c))
+            blocksH = Array.tabulate(nComp)(c => mcusY * sampVArr(c))
+            nbW = Array.tabulate(nComp)(c =>
+              (((width * sampHArr(c) + maxH - 1) / maxH) + 7) / 8)
+            nbH = Array.tabulate(nComp)(c =>
+              (((height * sampVArr(c) + maxV - 1) / maxV) + 7) / 8)
+            coefStore = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksW(c) * blocksH(c) * 64))
+            alStateArr = Array.fill(nComp)(Array.fill(64)(-1))
+          }
+        case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
+          f"arithmetic-coded JPEG (SOF 0x$m%02x) unsupported")
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
           throw new IllegalArgumentException(
-            f"frame type 0x$x%02x unsupported (baseline only)")
+            f"frame type 0x$x%02x unsupported")
         case 0xdd => // DRI
           require(u16() == 4, "DRI length")
           restartInterval = u16()
-        case 0xda => // SOS — decode the scan
+        case 0xda => // SOS — decode one scan
           require(sawSof, "SOS before SOF")
           val len = u16()
           val ns = u8()
-          require(ns == nComp, s"scan has $ns of $nComp components")
-          require(len == 6 + 2 * ns, "SOS length inconsistent")
-          val dcSel = new Array[HuffDec](nComp)
-          val acSel = new Array[HuffDec](nComp)
-          for (c <- 0 until nComp) {
-            u8() // component selector — positional
-            val tdTa = u8()
-            val dc = dcTabs(tdTa >> 4); val ac = acTabs(tdTa & 0x0f)
-            require(dc != null && ac != null,
-              s"scan references undefined Huffman table ${tdTa}")
-            dcSel(c) = dc; acSel(c) = ac
+          if (!progressive) {
+            require(ns == nComp, s"scan has $ns of $nComp components")
+            require(len == 6 + 2 * ns, "SOS length inconsistent")
+            val dcSel = new Array[HuffDec](nComp)
+            val acSel = new Array[HuffDec](nComp)
+            for (c <- 0 until nComp) {
+              u8() // component selector — positional
+              val tdTa = u8()
+              // table ids are 2-bit in baseline/extended modes; an
+              // out-of-range selector must reject by name, not index
+              // out of the 4-slot table array (fuzz find, r16)
+              require((tdTa >> 4) < 4 && (tdTa & 0x0f) < 4,
+                s"bad scan Huffman table selector $tdTa")
+              val dc = dcTabs(tdTa >> 4); val ac = acTabs(tdTa & 0x0f)
+              require(dc != null && ac != null,
+                s"scan references undefined Huffman table ${tdTa}")
+              dcSel(c) = dc; acSel(c) = ac
+            }
+            require(u8() == 0 && u8() == 63 && u8() == 0,
+              "non-baseline scan parameters (Ss/Se/AhAl)")
+            for (c <- 0 until nComp)
+              require(quant(compQ(c)).forall(_ >= 1),
+                s"component $c references undefined quant table")
+            result = decodeScan(bytes, off, width, height, nComp,
+              compQ.map(quant), compSamp.map(_ >> 4), compSamp.map(_ & 0x0f),
+              dcSel, acSel, restartInterval) match {
+              case (jpeg, end) => off = end; jpeg
+            }
+          } else {
+            // progressive scan header: explicit band + successive-
+            // approximation parameters, validated against the
+            // progression rules (T.81 G.1.1.1) per coefficient
+            require(ns >= 1 && ns <= nComp, s"scan has $ns components")
+            require(len == 6 + 2 * ns, "SOS length inconsistent")
+            val scanComps = new Array[Int](ns)
+            val tdTaArr = new Array[Int](ns)
+            for (i <- 0 until ns) {
+              val cs = u8()
+              val ci = compIds.indexOf(cs)
+              require(ci >= 0,
+                s"scan component selector $cs not declared in frame")
+              require(!scanComps.take(i).contains(ci),
+                s"duplicate scan component $cs")
+              scanComps(i) = ci
+              tdTaArr(i) = u8()
+            }
+            val ss = u8(); val se = u8()
+            val ahal = u8(); val ah = ahal >> 4; val al = ahal & 0x0f
+            if (ss == 0) require(se == 0,
+              s"progressive DC scan with Se=$se (must be 0)")
+            else {
+              require(ns == 1,
+                s"progressive AC scan must be single-component (has $ns)")
+              require(se >= ss && se <= 63, s"bad spectral band $ss..$se")
+            }
+            require(al <= 13, s"point transform Al=$al out of range")
+            require(ah == 0 || ah == al + 1,
+              s"successive approximation Ah=$ah Al=$al must step one bit")
+            val dcSelP = new Array[HuffDec](ns)
+            val acSelP = new Array[HuffDec](ns)
+            for (i <- 0 until ns) {
+              val ci = scanComps(i)
+              require((tdTaArr(i) >> 4) < 4 && (tdTaArr(i) & 0x0f) < 4,
+                s"bad scan Huffman table selector ${tdTaArr(i)}")
+              if (ss == 0 && ah == 0) {
+                dcSelP(i) = dcTabs(tdTaArr(i) >> 4)
+                require(dcSelP(i) != null,
+                  s"scan references undefined DC table ${tdTaArr(i) >> 4}")
+              }
+              if (ss > 0) {
+                acSelP(i) = acTabs(tdTaArr(i) & 0x0f)
+                require(acSelP(i) != null,
+                  s"scan references undefined AC table ${tdTaArr(i) & 0x0f}")
+              }
+              if (ss > 0) require(alStateArr(ci)(0) != -1,
+                s"AC scan before component $ci's DC scan")
+              for (k <- ss to se) {
+                val cur = alStateArr(ci)(k)
+                if (ah == 0) require(cur == -1,
+                  s"coefficient $k of component $ci coded twice at first pass")
+                else {
+                  require(cur != -1,
+                    s"refinement of never-coded coefficient $k")
+                  require(cur == ah, s"refinement Ah=$ah does not chain " +
+                    s"from prior Al=$cur at coefficient $k")
+                }
+                alStateArr(ci)(k) = al
+              }
+            }
+            off = decodeProgScan(off, scanComps, ss, se, ah, al,
+              dcSelP, acSelP)
+            anyScan = true
           }
-          require(u8() == 0 && u8() == 63 && u8() == 0,
-            "non-baseline scan parameters (Ss/Se/AhAl)")
-          for (c <- 0 until nComp)
-            require(quant(compQ(c)).forall(_ >= 1),
-              s"component $c references undefined quant table")
-          result = decodeScan(bytes, off, width, height, nComp,
-            compQ.map(quant), compSamp.map(_ >> 4), compSamp.map(_ & 0x0f),
-            dcSel, acSel, restartInterval) match {
-            case (jpeg, end) => off = end; jpeg
-          }
-        case 0xd9 => throw new IllegalArgumentException("EOI before scan")
+        case 0xd9 =>
+          if (progressive && anyScan) {
+            result = finishProgressive()
+            eoiConsumed = true
+          } else throw new IllegalArgumentException("EOI before scan")
         case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => // APPn / COM
           val len = u16()
           require(len >= 2 && off + len - 2 <= bytes.length,
@@ -472,12 +1237,18 @@ object JpegImage {
           f"unsupported marker 0x$other%02x at ${off - 2}")
       }
     }
-    // after the scan: EOI, then nothing
-    require(off + 2 <= bytes.length, "missing EOI")
-    require((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd9,
-      f"expected EOI, found 0x${bytes(off) & 0xff}%02x${bytes(off + 1) & 0xff}%02x")
-    require(off + 2 == bytes.length,
-      s"${bytes.length - off - 2} trailing bytes after EOI")
+    if (eoiConsumed) {
+      // progressive: the EOI was consumed by the marker loop
+      require(off == bytes.length,
+        s"${bytes.length - off} trailing bytes after EOI")
+    } else {
+      // baseline: after the single scan — EOI, then nothing
+      require(off + 2 <= bytes.length, "missing EOI")
+      require((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd9,
+        f"expected EOI, found 0x${bytes(off) & 0xff}%02x${bytes(off + 1) & 0xff}%02x")
+      require(off + 2 == bytes.length,
+        s"${bytes.length - off - 2} trailing bytes after EOI")
+    }
     result
   }
 
@@ -524,17 +1295,11 @@ object JpegImage {
       }
       t.vals(t.valPtr(len) + code - t.minCode(len))
     }
-    def extend(v: Int, size: Int): Int =
-      if (size == 0) 0
-      else if (v < (1 << (size - 1))) v - (1 << size) + 1
-      else v
-
     val planeW = Array.tabulate(nComp)(c => mcusX * 8 * sampH(c))
     val planes = Array.tabulate(nComp)(c =>
       new Array[Int](planeW(c) * mcusY * 8 * sampV(c)))
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
-    val block = new Array[Double](64)
     def decodeBlock(c: Int, blockX: Int, blockY: Int): Unit = {
       java.util.Arrays.fill(coef, 0)
       val dsz = decodeSym(dcSel(c))
@@ -562,39 +1327,7 @@ object JpegImage {
         }
       }
       require(k <= 64, "coefficient index overflows block")
-      // dequantize + IDCT
-      val q = quants(c)
-      var i = 0
-      while (i < 64) { block(i) = 0.0; i += 1 }
-      i = 0
-      while (i < 64) {
-        val v = coef(i)
-        if (v != 0) block(Zigzag(i)) = v.toDouble * q(Zigzag(i))
-        i += 1
-      }
-      val pw = planeW(c)
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            while (u < 8) {
-              val f = block(v * 8 + u)
-              if (f != 0.0)
-                s += C(u) * C(v) * f * CosT(xx)(u) * CosT(yy)(v)
-              u += 1
-            }
-            v += 1
-          }
-          planes(c)((blockY * 8 + yy) * pw + blockX * 8 + xx) =
-            math.round(0.25 * s).toInt + 128
-          xx += 1
-        }
-        yy += 1
-      }
+      idctBlock(coef, 0, quants(c), planes(c), planeW(c), blockX, blockY)
     }
     var mcu = 0
     var rstIdx = 0
@@ -644,33 +1377,8 @@ object JpegImage {
         s"non-1 padding bits at end of scan ($accBits bits)")
     }
 
-    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-    // per-component sample lookup with replication upsampling: image
-    // (x, y) reads component sample (x·h_c/maxH, y·v_c/maxV)
-    def sample(c: Int, x: Int, y: Int): Int =
-      planes(c)((y * sampV(c) / maxV) * planeW(c) + x * sampH(c) / maxH)
-    val px = new Array[Int](width * height)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        px(y * width + x) =
-          if (nComp == 1) {
-            val g = clamp(sample(0, x, y))
-            0xff000000 | (g << 16) | (g << 8) | g
-          } else {
-            val yv = sample(0, x, y)
-            val cb = sample(1, x, y) - 128
-            val cr = sample(2, x, y) - 128
-            val r = clamp(math.round(yv + 1.402 * cr).toInt)
-            val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
-            val b = clamp(math.round(yv + 1.772 * cb).toInt)
-            0xff000000 | (r << 16) | (g << 8) | b
-          }
-        x += 1
-      }
-      y += 1
-    }
+    val px = composePixels(planes, planeW, sampH, sampV, width, height,
+      nComp)
     (Jpeg(width, height, nComp, px), off)
   }
 }

@@ -403,6 +403,116 @@ object CodecFuzz {
       }
     }
 
+    // ------------------------------------------------ progressive JPEG
+    // random VALID scan script: random band partition of 1..63 per
+    // component, random successive-approximation depth per band (each
+    // chained down to Al=0), DC interleaved for color — the script
+    // space real encoders draw from, far wider than the default script
+    def randomScript(nComp: Int): Seq[JpegImage.ProgScan] = {
+      val scans = scala.collection.mutable.ArrayBuffer
+        .empty[JpegImage.ProgScan]
+      val dcAl = rnd.nextInt(3)
+      scans += JpegImage.ProgScan(0 until nComp, 0, 0, 0, dcAl)
+      val acFirsts = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Int)]
+      for (c <- 0 until nComp) {
+        var s = 1
+        while (s <= 63) {
+          val e = math.min(63, s + rnd.nextInt(63))
+          val al = rnd.nextInt(3)
+          scans += JpegImage.ProgScan(Seq(c), s, e, 0, al)
+          acFirsts += ((c, s, e, al))
+          s = e + 1
+        }
+      }
+      for (a <- dcAl to 1 by -1)
+        scans += JpegImage.ProgScan(0 until nComp, 0, 0, a, a - 1)
+      for ((c, s, e, al) <- rnd.shuffle(acFirsts.toSeq); a <- al to 1 by -1)
+        scans += JpegImage.ProgScan(Seq(c), s, e, a, a - 1)
+      scans.toSeq
+    }
+    for (i <- 0 until 40) {
+      // exact aperture through the MULTI-SCAN pipeline (default script)
+      val sub = rnd.nextInt(3) == 0
+      val gray = !sub && rnd.nextBoolean()
+      val tile = if (sub) 16 else 8
+      val bw = 1 + rnd.nextInt(5); val bh = 1 + rnd.nextInt(4)
+      val w = bw * tile - rnd.nextInt(6); val h = bh * tile - rnd.nextInt(6)
+      val cells = Array.fill(bw * bh)(rnd.nextInt(256))
+      val px = Array.tabulate(w * h) { k =>
+        val v = cells((k / w) / tile * bw + (k % w) / tile)
+        if (gray) v else (v << 16) | (v << 8) | v
+      }
+      val rst = rnd.nextInt(3)
+      check(s"jpegprog_exact_roundtrip_$i") {
+        val j = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+          grayscale = gray, restartInterval = rst, subsample = sub))
+        require(j.width == w && j.height == h, "dims")
+        var k = 0
+        var ok = true
+        while (k < w * h && ok) {
+          val v = if (gray) px(k) else px(k) & 0xff
+          ok = j.pixels(k) == (0xff000000 | (v << 16) | (v << 8) | v)
+          k += 1
+        }
+        require(ok, "progressive exact pixels")
+      }
+    }
+    for (i <- 0 until 120) {
+      // progressive ≡ baseline on arbitrary content under a RANDOM
+      // script: successive approximation is lossless on the quantized
+      // coefficients, so the two containers must decode identically —
+      // the one oracle that covers EVERY script shape
+      val w = 1 + rnd.nextInt(28); val h = 1 + rnd.nextInt(20)
+      val gray = rnd.nextBoolean()
+      val px = Array.fill(w * h)(
+        if (gray) rnd.nextInt(256) else rnd.nextInt(1 << 24))
+      val quant = Array.fill(64)(2 + rnd.nextInt(30))
+      val nComp = if (gray) 1 else 3
+      val script = randomScript(nComp)
+      val rst = rnd.nextInt(3)
+      check(s"jpegprog_equiv_$i") {
+        val base = JpegImage.parse(JpegImage.encode(w, h, px, gray, quant,
+          restartInterval = rst))
+        val prog = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+          gray, quant, scans = script, restartInterval = rst))
+        require(prog.pixels.toSeq == base.pixels.toSeq,
+          "progressive decode diverges from baseline")
+      }
+    }
+    for (i <- 0 until 60) {
+      // the 4:2:0 lane under random scripts (dummy-edge-block geometry:
+      // interleaved DC codes them, non-interleaved AC skips them)
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(36)
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val quant = Array.fill(64)(2 + rnd.nextInt(20))
+      val script = randomScript(3)
+      check(s"jpegprog_equiv420_$i") {
+        val base = JpegImage.parse(JpegImage.encode(w, h, px,
+          quant = quant, subsample = true))
+        val prog = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+          quant = quant, scans = script, subsample = true))
+        require(prog.pixels.toSeq == base.pixels.toSeq,
+          "4:2:0 progressive decode diverges from baseline")
+      }
+    }
+    for (i <- 0 until 160) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(18)
+      val gray = rnd.nextBoolean()
+      val px = Array.fill(w * h)(
+        if (gray) rnd.nextInt(256) else rnd.nextInt(1 << 24))
+      val good = JpegImage.encodeProgressive(w, h, px, grayscale = gray,
+        quant = Array.fill(64)(2 + rnd.nextInt(30)),
+        scans = randomScript(if (gray) 1 else 3),
+        restartInterval = rnd.nextInt(4))
+      val bad = mutate(good)
+      mutationCase(s"jpegprog_mutation_$i", () => JpegImage.parse(bad)) { j =>
+        j.width > 0 && j.height > 0 &&
+          j.pixels.length == j.width * j.height
+      }
+    }
+
     // ---------------------------------------------------------- WAV
     for (i <- 0 until 30) {
       val rate = 8000 + rnd.nextInt(40000)

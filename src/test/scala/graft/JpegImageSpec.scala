@@ -225,6 +225,213 @@ class JpegImageSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- progressive (SOF2)
+
+  test("progressive ≡ baseline: identical pixels on ARBITRARY content") {
+    // successive approximation transmits every quantized-coefficient
+    // bit down to Al=0, so a complete progressive file carries EXACTLY
+    // the coefficients the baseline file carries — the two decodes must
+    // agree bit-for-bit on any content, not just the exact aperture.
+    // This one equivalence pins the whole scan machinery (band splits,
+    // EOB runs, refinement correction bits, point transforms).
+    val rnd = new scala.util.Random(577)
+    for (t <- 0 until 12) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val sub = t % 4 == 1
+      val gray = !sub && rnd.nextBoolean()
+      val px = Array.fill(w * h)(
+        if (gray) rnd.nextInt(256) else rnd.nextInt(1 << 24))
+      val quant = Array.fill(64)(2 + rnd.nextInt(30))
+      val rst = rnd.nextInt(3)
+      val base = JpegImage.parse(JpegImage.encode(w, h, px, gray, quant,
+        restartInterval = rst, subsample = sub))
+      val prog = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+        gray, quant, restartInterval = rst, subsample = sub))
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(prog.pixels.toSeq == base.pixels.toSeq,
+        s"progressive≠baseline (t=$t ${w}x$h gray=$gray sub=$sub rst=$rst)")
+    }
+  }
+
+  test("progressive block-constant content is EXACT (the graded aperture)") {
+    for {
+      (bw, bh) <- Seq((1, 1), (3, 2), (2, 5))
+      gray <- Seq(true, false)
+      rst <- Seq(0, 2)
+    } {
+      val (w, h) = (bw * 8, bh * 8)
+      val px = blockConst(w, h, (x, y) => (x * 37 + y * 101 + 11) & 0xff,
+        gray)
+      val j = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+        grayscale = gray, restartInterval = rst))
+      for (k <- 0 until w * h) {
+        val v = if (gray) px(k) else px(k) & 0xff
+        assert(j.pixels(k) == (0xff000000 | (v << 16) | (v << 8) | v),
+          s"progressive exact mismatch at $k (gray=$gray rst=$rst ${w}x$h)")
+      }
+    }
+  }
+
+  test("progressive custom scan scripts: fine band splits + deep Al chains") {
+    // a deliberately adversarial script: one-coefficient bands, a
+    // 3-level successive-approximation chain, interleaved and
+    // non-interleaved DC — every script shape the decoder accepts
+    val script = Seq(
+      JpegImage.ProgScan(Seq(0), 0, 0, 0, 3),
+      JpegImage.ProgScan(Seq(0), 1, 1, 0, 1),
+      JpegImage.ProgScan(Seq(0), 2, 9, 0, 2),
+      JpegImage.ProgScan(Seq(0), 10, 63, 0, 0),
+      JpegImage.ProgScan(Seq(0), 0, 0, 3, 2),
+      JpegImage.ProgScan(Seq(0), 2, 9, 2, 1),
+      JpegImage.ProgScan(Seq(0), 0, 0, 2, 1),
+      JpegImage.ProgScan(Seq(0), 1, 1, 1, 0),
+      JpegImage.ProgScan(Seq(0), 0, 0, 1, 0),
+      JpegImage.ProgScan(Seq(0), 2, 9, 1, 0))
+    val rnd = new scala.util.Random(677)
+    for (t <- 0 until 6) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val quant = Array.fill(64)(2 + rnd.nextInt(20))
+      val base = JpegImage.parse(JpegImage.encode(w, h, px,
+        grayscale = true, quant))
+      val prog = JpegImage.parse(JpegImage.encodeProgressive(w, h, px,
+        grayscale = true, quant, scans = script,
+        restartInterval = if (t % 2 == 0) 3 else 0))
+      assert(prog.pixels.toSeq == base.pixels.toSeq,
+        s"custom-script mismatch (t=$t ${w}x$h)")
+    }
+  }
+
+  test("progressive cross-decoder: ImageIO reads our files (IDCT tolerance)") {
+    val rnd = new scala.util.Random(777)
+    for (t <- 0 until 12) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val gray = rnd.nextBoolean()
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val v = (x * 3 + y * 5 + t * 17) & 0xff
+        if (gray) v
+        else (v << 16) | (((v + 85) & 0xff) << 8) | ((v + 170) & 0xff)
+      }
+      val bytes = JpegImage.encodeProgressive(w, h, px, gray,
+        restartInterval = if (t % 3 == 0) 2 else 0)
+      val ours = JpegImage.parse(bytes)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected our progressive JPEG (t=$t)")
+      assert(img.getWidth == w && img.getHeight == h)
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = ours.pixels(y * w + x)
+        val b = if (gray) {
+          val g = img.getRaster.getSample(x, y, 0)
+          0xff000000 | (g << 16) | (g << 8) | g
+        } else img.getRGB(x, y)
+        for (sh <- Seq(16, 8, 0)) maxErr = math.max(maxErr,
+          math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff)))
+      }
+      assert(maxErr <= 2,
+        s"ImageIO disagrees by $maxErr on progressive (gray=$gray t=$t)")
+    }
+  }
+
+  test("reverse direction: ImageIO-WRITTEN progressive JPEGs decode") {
+    // the JDK writer in progressive mode emits its own scan script —
+    // a SOF2 file produced by an encoder we did not write
+    val rnd = new scala.util.Random(877)
+    for (t <- 0 until 8) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val gray = t % 2 == 0
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 3 + t * 29) & 0xff
+        if (gray) img.getRaster.setSample(x, y, 0, v)
+        else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // confirm the writer actually emitted SOF2
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        s"JDK writer did not emit SOF2 (t=$t)")
+      val ours = JpegImage.parse(bytes)
+      assert(ours.width == w && ours.height == h)
+      val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = if (gray) {
+          val g = theirs.getRaster.getSample(x, y, 0)
+          0xff000000 | (g << 16) | (g << 8) | g
+        } else theirs.getRGB(x, y)
+        for (sh <- Seq(16, 8, 0)) maxErr = math.max(maxErr,
+          math.abs(((ours.pixels(y * w + x) >> sh) & 0xff) -
+            ((b >> sh) & 0xff)))
+      }
+      assert(maxErr <= 4,
+        s"reverse progressive decode error $maxErr (${w}x$h t=$t gray=$gray)")
+    }
+  }
+
+  test("malformed progressive files are rejected loudly") {
+    val px = blockConst(16, 16, (x, y) => (x * 3 + y) & 0xff, gray = true)
+    val good = JpegImage.encodeProgressive(16, 16, px, grayscale = true)
+    assert(JpegImage.parse(good).width == 16) // sanity
+    // truncation at every prefix must throw
+    for (cut <- 1 until good.length)
+      intercept[IllegalArgumentException](
+        JpegImage.parse(java.util.Arrays.copyOf(good, cut)))
+    // trailing bytes
+    intercept[IllegalArgumentException](
+      JpegImage.parse(good ++ Array[Byte](0)))
+    // scan-script surgery: SOS markers cannot appear inside entropy
+    // data (byte stuffing), so FF DA offsets delimit the scans exactly
+    val sosAt = (2 until good.length - 1).filter(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    assert(sosAt.length == 6) // the default gray script
+    val eoi = Array[Byte](0xff.toByte, 0xd9.toByte)
+    // DC-only file (AC bands never coded) → named completeness gate
+    val dcOnly = good.take(sosAt(1)) ++ eoi
+    assert(intercept[IllegalArgumentException](JpegImage.parse(dcOnly))
+      .getMessage.contains("uncoded"))
+    // refinement of a band whose first pass was spliced out
+    val skipFirst = good.take(sosAt(1)) ++ good.drop(sosAt(3))
+    assert(intercept[IllegalArgumentException](JpegImage.parse(skipFirst))
+      .getMessage.contains("never-coded"))
+    // refinement chain broken: AC first at Al=2 then refine Ah=1
+    val badChain = good.take(sosAt(3)) ++ good.drop(sosAt(5))
+    assert(intercept[IllegalArgumentException](JpegImage.parse(badChain))
+      .getMessage.contains("chain"))
+    // a first pass arriving twice
+    val dupFirst = good.take(sosAt(2)) ++
+      good.slice(sosAt(1), sosAt(2)) ++ good.drop(sosAt(2))
+    assert(intercept[IllegalArgumentException](JpegImage.parse(dupFirst))
+      .getMessage.contains("twice"))
+  }
+
+  test("arithmetic-coded frames are rejected by name") {
+    val px = blockConst(8, 8, (_, _) => 42, gray = true)
+    val good = JpegImage.encode(8, 8, px, grayscale = true)
+    val sofAt = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0))
+        i += 1
+      i
+    }
+    for (m <- Seq(0xc9, 0xca, 0xcb)) {
+      val b = good.clone(); b(sofAt + 1) = m.toByte
+      assert(intercept[IllegalArgumentException](JpegImage.parse(b))
+        .getMessage.contains("arithmetic"))
+    }
+  }
+
   test("malformed files are rejected loudly") {
     val px = blockConst(16, 16, (x, y) => (x + y * 5) & 0xff, gray = true)
     val good = JpegImage.encode(16, 16, px, grayscale = true,
@@ -241,7 +448,9 @@ class JpegImageSpec extends AnyFunSuite {
     // bad SOI
     val badSoi = good.clone(); badSoi(1) = 0xd7.toByte
     intercept[IllegalArgumentException](JpegImage.parse(badSoi))
-    // progressive frame type: patch SOF0 marker to SOF2 (same length)
+    // SOF0 patched to SOF2: the stream is now a PROGRESSIVE frame whose
+    // single scan claims the baseline band (Ss=0, Se=63) — invalid in
+    // progressive mode, where a DC scan must have Se=0
     val sofAt = {
       var i = 2
       while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0))
@@ -250,7 +459,7 @@ class JpegImageSpec extends AnyFunSuite {
     }
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
     assert(intercept[IllegalArgumentException](JpegImage.parse(prog))
-      .getMessage.contains("progressive"))
+      .getMessage.contains("progressive DC scan"))
     // subsampled: patch the component's h/v byte (id, hv, tq follow
     // ncomp at sofAt + 2(marker) + 2(len) + 1(prec) + 4(dims) + 1(n))
     val sub = good.clone(); sub(sofAt + 11) = 0x22.toByte
@@ -269,6 +478,18 @@ class JpegImageSpec extends AnyFunSuite {
     val zq = good.clone(); zq(dqtAt + 5) = 0
     assert(intercept[IllegalArgumentException](JpegImage.parse(zq))
       .getMessage.contains("quant"))
+    // out-of-range Huffman table selector in the scan header (2-bit
+    // ids): must reject by name, not index past the 4-slot table array
+    // (found by the progressive mutation fuzz, latent in baseline too)
+    val sosAt0 = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda))
+        i += 1
+      i
+    }
+    val badSel = good.clone(); badSel(sosAt0 + 6) = 0x77
+    assert(intercept[IllegalArgumentException](JpegImage.parse(badSel))
+      .getMessage.contains("table selector"))
     // restart marker out of sequence: find the first RST0 (FFD0) in
     // the scan and bump it to RST1
     val rstAt = {
