@@ -5,13 +5,22 @@ package graft.sources
   * bytes arrive WITHOUT trustworthy extensions or MIME labels, the
   * container is identified from its magic bytes, routed to the right
   * strict decoder, and failures land in the counted quarantine lane
-  * rather than aborting the task (the S9 FAILED-isolation shape, now
-  * spanning every image family).
+  * rather than aborting the task (the S9 FAILED-isolation shape,
+  * spanning every family the engine can decode).
   *
   * Sniffing is by unambiguous magic prefixes (each from its public
-  * spec): PNG's 8-byte signature, GIF87a/89a, BMP's "BM", JPEG's SOI.
-  * Unknown prefixes are their own named class — at corpus scale,
-  * "not a container we know" is a report row, not an exception trace.
+  * spec): PNG's 8-byte signature, GIF87a/89a, BMP's "BM", JPEG's SOI,
+  * RIFF+WAVE (round 16 — the 12-byte two-part magic: a RIFF container
+  * whose form type is not WAVE is NOT claimed as audio), and "%PDF-"
+  * (round 16). Unknown prefixes are their own named class — at corpus
+  * scale, "not a container we know" is a report row, not an exception
+  * trace.
+  *
+  * Two dispatch faces: [[decodeImage]] (the image-only quartet,
+  * normalized onto the shared 0xAARRGGBB face) and [[decodeMedia]]
+  * (round 16 — the FULL family as a typed union: image stats, audio
+  * samples, or extracted text), so a mixed corpus routes through one
+  * operator regardless of modality.
   */
 object MediaCodec {
 
@@ -19,8 +28,21 @@ object MediaCodec {
   final case class Media(container: String, width: Int, height: Int,
       pixels: Array[Int])
 
+  /** Typed union for the full-family dispatch: one of the three
+    * modalities the engine decodes. */
+  sealed trait MediaItem { def container: String }
+  final case class ImageItem(container: String, width: Int, height: Int,
+      pixels: Array[Int]) extends MediaItem
+  final case class AudioItem(container: String, sampleRate: Int,
+      channels: Int, bits: Int, format: Int, samples: Array[Int])
+      extends MediaItem {
+    def nFrames: Int = samples.length / math.max(channels, 1)
+  }
+  final case class TextItem(container: String, text: String)
+      extends MediaItem
+
   /** Identify the container from magic bytes: "png", "gif", "bmp",
-    * "jpeg", or "unknown". Never throws. */
+    * "jpeg", "wav", "pdf", or "unknown". Never throws. */
   def sniff(bytes: Array[Byte]): String = {
     def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G' &&
@@ -31,14 +53,23 @@ object MediaCodec {
       "gif"
     else if (at(0) == 'B' && at(1) == 'M') "bmp"
     else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
+      "wav"
+    else if (at(0) == '%' && at(1) == 'P' && at(2) == 'D' && at(3) == 'F' &&
+      at(4) == '-')
+      "pdf"
     else "unknown"
   }
 
-  /** Sniff + dispatch to the container's strict decoder, normalizing
-    * every family onto the shared 0xAARRGGBB face (BMP gains the
-    * opaque alpha the other decoders already carry). Unknown
+  /** Sniff + dispatch to the container's strict IMAGE decoder,
+    * normalizing every family onto the shared 0xAARRGGBB face (BMP
+    * gains the opaque alpha the other decoders already carry). Unknown
     * containers and decode rejections throw the underlying named
-    * error — callers quarantine, they don't guess. */
+    * error — callers quarantine, they don't guess. Audio/document
+    * magics are "known but not an image" — their own named gate, so a
+    * WAV routed at an image-only ingest face is distinguishable from
+    * random bytes. */
   def decodeImage(bytes: Array[Byte]): Media = sniff(bytes) match {
     case "png" =>
       val p = PngImage.parse(bytes)
@@ -53,6 +84,30 @@ object MediaCodec {
     case "jpeg" =>
       val j = JpegImage.parse(bytes)
       Media("jpeg", j.width, j.height, j.pixels)
+    case "wav" | "pdf" =>
+      throw new IllegalArgumentException(
+        s"container is ${sniff(bytes)}, not an image (use decodeMedia)")
+    case _ =>
+      val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+      throw new IllegalArgumentException(
+        s"unknown container (magic bytes 0x$magic match no supported format)")
+  }
+
+  /** Sniff + dispatch across the FULL decode family — every container
+    * the engine holds a strict decoder for, as a typed union. This is
+    * the one ingest operator a genuinely mixed 100 TB corpus routes
+    * through: task-local decode, modality-appropriate stats downstream,
+    * failures as named report rows. */
+  def decodeMedia(bytes: Array[Byte]): MediaItem = sniff(bytes) match {
+    case "png" | "gif" | "bmp" | "jpeg" =>
+      val m = decodeImage(bytes)
+      ImageItem(m.container, m.width, m.height, m.pixels)
+    case "wav" =>
+      val w = WavAudio.parse(bytes)
+      AudioItem("wav", w.sampleRate, w.channels, w.bits, w.format,
+        w.samples)
+    case "pdf" =>
+      TextItem("pdf", PdfText.extract(bytes))
     case _ =>
       val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new IllegalArgumentException(

@@ -12,20 +12,22 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * FlateDecode already proved (`java.util.zip.Inflater` — PNG's IDAT
   * stream IS a zlib stream), so no new dependency appears.
   *
-  * Scope (documented, not hidden): bit depths 8 and 16 (16-bit samples
-  * scale to the 8-bit face by their HIGH byte — the spec §12.5
-  * sanctioned depth rescale, what libpng's strip-16 does; the low byte
-  * is decoded, validated by the filter/size machinery, then dropped),
-  * color types 0 (grayscale), 2 (truecolor), 3 (palette, 8-bit only
-  * per spec §11.2.2's {1,2,4,8} with sub-8 out of scope, PLTE +
-  * optional tRNS), 4 (grayscale+alpha) and 6 (truecolor+alpha),
+  * Scope (documented, not hidden): every spec-valid bit depth —
+  * 1/2/4-bit for grayscale and palette (round 16: packed MSB-first
+  * samples, the 1-byte filter-bpp floor of spec §9.2, gray rescaled to
+  * the 8-bit face by the §12.5 linear map ×255/(2^d−1)), 8, and 16
+  * (16-bit samples scale to the 8-bit face by their HIGH byte — the
+  * spec §12.5 sanctioned depth rescale, what libpng's strip-16 does;
+  * the low byte is decoded, validated by the filter/size machinery,
+  * then dropped), across color types 0 (grayscale), 2 (truecolor), 3
+  * (palette, depths {1,2,4,8} per §11.2.2, PLTE + optional tRNS), 4
+  * (grayscale+alpha) and 6 (truecolor+alpha) — each type restricted to
+  * ITS spec-valid depth set, anything else a named reject;
   * compression 0, filter method 0 (all five per-scanline filter types:
   * None/Sub/Up/Average/Paeth), interlace methods 0 (null) and 1
   * (Adam7 — all seven passes, each an independently filtered
   * sub-image, empty passes carrying zero bytes per spec §8.2).
-  * Sub-8-bit depths are rejected with named errors — a partial decode
-  * of an unsupported layout is exactly the garbage-output failure mode
-  * the discipline bans. Grayscale decodes to the same 0xAARRGGBB pixel
+  * Grayscale decodes to the same 0xAARRGGBB pixel
   * face with R = G = B = gray, and palette indices resolve through the
   * PLTE/tRNS tables to the same face, so every consumer (phash, stats)
   * is layout-agnostic.
@@ -100,7 +102,7 @@ object PngImage {
     }
     var off = 8
     var width = 0; var height = 0; var colorType = -1
-    var sampleBytes = 1; var interlaced = false
+    var bitDepth = 8; var sampleBytes = 1; var interlaced = false
     // palette state (color type 3): PLTE entries as 0xAARRGGBB (alpha
     // 0xff until tRNS overrides); tRNS may only shorten-or-match PLTE
     var palette: Array[Int] = null
@@ -131,28 +133,32 @@ object PngImage {
         require(len == 13, s"IHDR length $len, expected 13")
         width = u32(bytes, dataOff).toInt
         height = u32(bytes, dataOff + 4).toInt
-        val bitDepth = bytes(dataOff + 8) & 0xff
+        bitDepth = bytes(dataOff + 8) & 0xff
         colorType = bytes(dataOff + 9) & 0xff
         val compression = bytes(dataOff + 10) & 0xff
         val filterMethod = bytes(dataOff + 11) & 0xff
         val interlace = bytes(dataOff + 12) & 0xff
         require(width > 0 && width <= (1 << 20), s"bad width $width")
         require(height > 0 && height <= (1 << 20), s"bad height $height")
-        require(bitDepth == 8 || bitDepth == 16,
-          s"unsupported bit depth $bitDepth (only 8 and 16)")
         require(colorType == 0 || colorType == 2 || colorType == 3 ||
           colorType == 4 || colorType == 6,
           s"unsupported color type $colorType " +
             "(only 0=gray, 2=RGB, 3=palette, 4=gray+alpha, 6=RGBA)")
-        // spec §11.2.2: palette images allow depths {1,2,4,8} — 16 is
-        // INVALID (not merely out of scope), sub-8 is out of scope here
-        require(colorType != 3 || bitDepth == 8,
-          s"bit depth $bitDepth invalid for palette color type 3")
+        // spec §11.2.2's exact depth sets per color type: gray takes
+        // {1,2,4,8,16}, palette {1,2,4,8}, the multi-channel types
+        // {8,16} — any other pairing is INVALID, a named reject
+        val validDepths: Set[Int] = colorType match {
+          case 0 => Set(1, 2, 4, 8, 16)
+          case 3 => Set(1, 2, 4, 8)
+          case _ => Set(8, 16)
+        }
+        require(validDepths(bitDepth),
+          s"bit depth $bitDepth invalid for color type $colorType")
         require(compression == 0, s"bad compression method $compression")
         require(filterMethod == 0, s"bad filter method $filterMethod")
         require(interlace == 0 || interlace == 1,
           s"bad interlace method $interlace (0=null, 1=Adam7)")
-        sampleBytes = bitDepth / 8
+        sampleBytes = math.max(1, bitDepth / 8) // byte stride, depth >= 8
         interlaced = interlace == 1
         seenIhdr = true
       } else ctype match {
@@ -219,14 +225,18 @@ object PngImage {
     require(colorType != 3 || palette != null,
       "palette image (color type 3) without PLTE")
 
+    val bitsPP = channelsOf(colorType) * bitDepth
     val bpp = channelsOf(colorType) * sampleBytes
     val passes = if (interlaced) Adam7 else NullPass
     // exact filtered-scanline total: per NON-EMPTY pass, hp rows of
-    // (1 filter byte + wp·bpp) — empty Adam7 passes contribute nothing
+    // (1 filter byte + ceil(wp·bitsPP/8)) — sub-8 depths pack samples
+    // MSB-first into bytes (spec §7.2), empty Adam7 passes contribute
+    // nothing
     var expected = 0L
     passes.foreach { p =>
       val (wp, hp) = passDims(width, height, p)
-      if (wp > 0 && hp > 0) expected += hp.toLong * (1 + wp.toLong * bpp)
+      if (wp > 0 && hp > 0)
+        expected += hp.toLong * (1 + (wp.toLong * bitsPP + 7) / 8)
     }
     require(expected <= Int.MaxValue, s"image too large: $expected bytes")
     // memory-amplification guard for untrusted bytes: deflate expands at
@@ -247,7 +257,7 @@ object PngImage {
       val (wp, hp) = passDims(width, height, p)
       if (wp > 0 && hp > 0)
         segOff = decodePass(raw, segOff, wp, hp, x0, y0, dx, dy,
-          width, bpp, sampleBytes, colorType, palette, px)
+          width, bpp, sampleBytes, bitDepth, colorType, palette, px)
     }
     Png(width, height,
       colorType == 6 || colorType == 4 || (colorType == 3 && seenTrns), px)
@@ -262,13 +272,20 @@ object PngImage {
     * (x0 + i·dx, y0 + j·dy) grid. Filters operate BYTEWISE with the
     * pass-local bpp (spec §9.2 — for Adam7 each pass filters as an
     * independent image; for 16-bit, `sb` = 2 and the 8-bit face takes
-    * each sample's leading high byte). Returns the offset past this
-    * pass's bytes. */
+    * each sample's leading high byte; for sub-8 depths the filter bpp
+    * FLOORS AT ONE BYTE — spec §9.2's "rounding up to one" — and the
+    * unfiltered bytes then unpack MSB-first, `depth` bits per sample,
+    * gray rescaled ×255/(2^d−1) per §12.5, palette indices used raw).
+    * Returns the offset past this pass's bytes. */
   private def decodePass(raw: Array[Byte], segOff: Int, wp: Int, hp: Int,
       x0: Int, y0: Int, dx: Int, dy: Int, imgW: Int, bpp: Int, sb: Int,
-      colorType: Int, palette: Array[Int], px: Array[Int]): Int = {
-    val rowBytes = 1 + wp * bpp
-    val n = wp * bpp
+      depth: Int, colorType: Int, palette: Array[Int],
+      px: Array[Int]): Int = {
+    // packed row width and filter offset: sub-8 rows are ceil(wp·d/8)
+    // bytes filtered with bpp = 1; depths >= 8 keep the byte layout
+    val n = if (depth < 8) (wp * depth + 7) / 8 else wp * bpp
+    val fBpp = if (depth < 8) 1 else bpp
+    val rowBytes = 1 + n
     val prior = new Array[Byte](n)
     val recon = new Array[Byte](n)
     var j = 0
@@ -279,9 +296,9 @@ object PngImage {
       var x = 0
       while (x < n) {
         val rawB = raw(ro + 1 + x) & 0xff
-        val left = if (x >= bpp) recon(x - bpp) & 0xff else 0
+        val left = if (x >= fBpp) recon(x - fBpp) & 0xff else 0
         val up = if (j > 0) prior(x) & 0xff else 0
-        val upLeft = if (j > 0 && x >= bpp) prior(x - bpp) & 0xff else 0
+        val upLeft = if (j > 0 && x >= fBpp) prior(x - fBpp) & 0xff else 0
         val rec = filter match {
           case 0 => rawB
           case 1 => rawB + left
@@ -295,27 +312,45 @@ object PngImage {
       val y = y0 + j * dy
       var c = 0
       while (c < wp) {
-        val o = c * bpp
-        px(y * imgW + (x0 + c * dx)) = colorType match {
-          case 0 =>
-            val g = recon(o) & 0xff
-            0xff000000 | (g << 16) | (g << 8) | g
-          case 3 =>
-            val idx = recon(o) & 0xff
-            // spec §11.2.3: an index past the palette is an error —
-            // strict reject, never a clamped/garbage pixel
-            require(idx < palette.length,
-              s"palette index $idx at (${x0 + c * dx},$y) out of range " +
-                s"(${palette.length}-entry PLTE)")
-            palette(idx)
-          case 4 =>
-            val g = recon(o) & 0xff
-            ((recon(o + sb) & 0xff) << 24) | (g << 16) | (g << 8) | g
-          case _ =>
-            val a = if (colorType == 6) recon(o + 3 * sb) & 0xff else 0xff
-            (a << 24) | ((recon(o) & 0xff) << 16) |
-              ((recon(o + sb) & 0xff) << 8) | (recon(o + 2 * sb) & 0xff)
-        }
+        px(y * imgW + (x0 + c * dx)) =
+          if (depth < 8) {
+            // MSB-first bit unpack (spec §7.2)
+            val bitPos = c * depth
+            val v = ((recon(bitPos / 8) & 0xff) >>
+              (8 - depth - (bitPos % 8))) & ((1 << depth) - 1)
+            if (colorType == 0) {
+              // §12.5 linear rescale: 255/(2^d−1) is exact (255/85/17)
+              val g = v * (255 / ((1 << depth) - 1))
+              0xff000000 | (g << 16) | (g << 8) | g
+            } else { // colorType 3 (the only other sub-8-legal type)
+              require(v < palette.length,
+                s"palette index $v at (${x0 + c * dx},$y) out of range " +
+                  s"(${palette.length}-entry PLTE)")
+              palette(v)
+            }
+          } else {
+            val o = c * bpp
+            colorType match {
+              case 0 =>
+                val g = recon(o) & 0xff
+                0xff000000 | (g << 16) | (g << 8) | g
+              case 3 =>
+                val idx = recon(o) & 0xff
+                // spec §11.2.3: an index past the palette is an error —
+                // strict reject, never a clamped/garbage pixel
+                require(idx < palette.length,
+                  s"palette index $idx at (${x0 + c * dx},$y) out of range " +
+                    s"(${palette.length}-entry PLTE)")
+                palette(idx)
+              case 4 =>
+                val g = recon(o) & 0xff
+                ((recon(o + sb) & 0xff) << 24) | (g << 16) | (g << 8) | g
+              case _ =>
+                val a = if (colorType == 6) recon(o + 3 * sb) & 0xff else 0xff
+                (a << 24) | ((recon(o) & 0xff) << 16) |
+                  ((recon(o + sb) & 0xff) << 8) | (recon(o + 2 * sb) & 0xff)
+            }
+          }
         c += 1
       }
       System.arraycopy(recon, 0, prior, 0, n)
@@ -451,6 +486,66 @@ object PngImage {
     }
   }
 
+  /** Pack per-pixel sample VALUES (each < 2^d) into MSB-first d-bit
+    * rows (spec §7.2), ceil(w·d/8) bytes per row. */
+  private def packBitsRows(vals: Array[Int], w: Int, h: Int,
+      depth: Int): Array[Byte] = {
+    val rb = (w * depth + 7) / 8
+    val out = new Array[Byte](rb * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bitPos = x * depth
+        val o = y * rb + bitPos / 8
+        out(o) = (out(o) |
+          (vals(y * w + x) << (8 - depth - (bitPos % 8)))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[buildRaw]] for sub-8 depths: per pass, extract the sub-image's
+    * sample values, bit-pack its rows, and filter them — the packed
+    * row is handed to [[filterPass]] as rb one-byte "pixels", which IS
+    * the spec §9.2 one-byte filter-bpp floor. */
+  private def buildRawSub(vals: Array[Int], w: Int, h: Int, depth: Int,
+      interlaced: Boolean, filterFor: Int => Int): Array[Byte] = {
+    val passes = if (interlaced) Adam7 else NullPass
+    var total = 0
+    passes.foreach { p =>
+      val (wp, hp) = passDims(w, h, p)
+      if (wp > 0 && hp > 0) total += hp * (1 + (wp * depth + 7) / 8)
+    }
+    val out = new Array[Byte](total)
+    var outOff = 0
+    var globalRow = 0
+    passes.foreach { p =>
+      val (x0, y0, dx, dy) = p
+      val (wp, hp) = passDims(w, h, p)
+      if (wp > 0 && hp > 0) {
+        val sub = new Array[Int](wp * hp)
+        var j = 0
+        while (j < hp) {
+          var c = 0
+          while (c < wp) {
+            sub(j * wp + c) = vals((y0 + j * dy) * w + (x0 + c * dx))
+            c += 1
+          }
+          j += 1
+        }
+        val rb = (wp * depth + 7) / 8
+        val base = globalRow
+        outOff = filterPass(packBitsRows(sub, wp, hp, depth), 0, rb, hp, 1,
+          j => filterFor(base + j), out, outOff)
+        globalRow += hp
+      }
+    }
+    out
+  }
+
   /** Encode 8-bit truecolor PNG from top-down row-major pixels
     * (0xAARRGGBB; alpha ignored unless `withAlpha`). Each row's filter
     * type comes from `filterFor(y)` — the encoder half exists so every
@@ -532,12 +627,16 @@ object PngImage {
       palette: Array[Int],
       filterFor: Int => Int = _ => 0,
       idatChunkSize: Int = Int.MaxValue,
-      interlaced: Boolean = false): Array[Byte] = {
+      interlaced: Boolean = false,
+      depth: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"palette depth $depth (spec allows 1/2/4/8)")
     require(indices.length == width * height,
       s"${indices.length} indices for ${width}x$height")
-    require(palette.nonEmpty && palette.length <= 256,
-      s"palette has ${palette.length} entries (1..256)")
+    require(palette.nonEmpty && palette.length <= (1 << depth),
+      s"palette has ${palette.length} entries (1..${1 << depth} at " +
+        s"depth $depth)")
     val samples = new Array[Byte](indices.length)
     var k = 0
     while (k < indices.length) {
@@ -548,7 +647,10 @@ object PngImage {
       samples(k) = idx.toByte
       k += 1
     }
-    val raw = buildRaw(samples, width, height, 1, interlaced, filterFor)
+    val raw =
+      if (depth == 8) buildRaw(samples, width, height, 1, interlaced,
+        filterFor)
+      else buildRawSub(indices, width, height, depth, interlaced, filterFor)
     val plte = new Array[Byte](palette.length * 3)
     var j = 0
     while (j < palette.length) {
@@ -562,7 +664,7 @@ object PngImage {
       if (trnsLen == 0) Seq("PLTE" -> plte)
       else Seq("PLTE" -> plte,
         "tRNS" -> Array.tabulate(trnsLen)(j => ((palette(j) >>> 24) & 0xff).toByte))
-    wrapIdat(width, height, 3, 8, interlaced, raw, idatChunkSize, extra)
+    wrapIdat(width, height, 3, depth, interlaced, raw, idatChunkSize, extra)
   }
 
   /** Encode 8-bit grayscale PNG (color type 0, or 4 with `withAlpha`)
@@ -574,13 +676,28 @@ object PngImage {
       alpha: Array[Int] = Array.emptyIntArray,
       filterFor: Int => Int = _ => 0,
       idatChunkSize: Int = Int.MaxValue,
-      interlaced: Boolean = false): Array[Byte] = {
+      interlaced: Boolean = false,
+      depth: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"gray depth $depth here (16-bit via encode16)")
     require(gray.length == width * height,
       s"${gray.length} gray values for ${width}x$height")
     val withAlpha = alpha.nonEmpty
+    require(!(withAlpha && depth != 8),
+      s"gray+alpha (color type 4) has no depth-$depth form")
     if (withAlpha) require(alpha.length == gray.length,
       s"${alpha.length} alpha values for ${gray.length} pixels")
+    if (depth < 8) {
+      gray.zipWithIndex.foreach { case (g, k) =>
+        require(g >= 0 && g < (1 << depth),
+          s"gray value $g at pixel $k out of depth-$depth range")
+      }
+      val raw = buildRawSub(gray, width, height, depth, interlaced,
+        filterFor)
+      return wrapIdat(width, height, 0, depth, interlaced, raw,
+        idatChunkSize)
+    }
     val bpp = if (withAlpha) 2 else 1
     val samples = new Array[Byte](gray.length * bpp)
     var k = 0

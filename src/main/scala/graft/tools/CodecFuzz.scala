@@ -525,13 +525,46 @@ object CodecFuzz {
         require(wv.samples.toSeq == samples.toSeq, "samples")
       }
     }
-    for (i <- 0 until 80) {
-      val good = WavAudio.encodePcm16Mono(8000 + rnd.nextInt(40000),
-        Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(65536) - 32768))
+    for (i <- 0 until 25) {
+      // 24-bit PCM round-trip (round 16): sign extension + the odd
+      // data-size word-alignment pad
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(2000)
+      val samples = Array.fill(n)(rnd.nextInt(1 << 24) - (1 << 23))
+      check(s"wav24_roundtrip_$i") {
+        val wv = WavAudio.parse(WavAudio.encodePcm24Mono(rate, samples))
+        require(wv.bits == 24 && wv.format == 1, "header")
+        require(wv.samples.toSeq == samples.toSeq, "samples")
+      }
+    }
+    for (i <- 0 until 25) {
+      // IEEE-float (tag 3) round-trip: raw bit equality
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(2000)
+      val samples = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+      check(s"wavf32_roundtrip_$i") {
+        val wv = WavAudio.parse(WavAudio.encodeFloat32Mono(rate, samples))
+        require(wv.bits == 32 && wv.format == 3, "header")
+        var ok = true
+        for (k <- 0 until n) ok &&= wv.floatSample(k) == samples(k)
+        require(ok, "float samples")
+      }
+    }
+    for (i <- 0 until 120) {
+      val good = rnd.nextInt(3) match {
+        case 0 => WavAudio.encodePcm16Mono(8000 + rnd.nextInt(40000),
+          Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(65536) - 32768))
+        case 1 => WavAudio.encodePcm24Mono(8000 + rnd.nextInt(40000),
+          Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(1 << 24) - (1 << 23)))
+        case _ => WavAudio.encodeFloat32Mono(8000 + rnd.nextInt(40000),
+          Array.fill(1 + rnd.nextInt(500))(rnd.nextFloat() * 2f - 1f))
+      }
       val bad = mutate(good)
       mutationCase(s"wav_mutation_$i", () => WavAudio.parse(bad)) { wv =>
         wv.channels >= 1 && wv.sampleRate > 0 &&
-          (wv.bits == 8 || wv.bits == 16) &&
+          ((wv.format == 1 &&
+            (wv.bits == 8 || wv.bits == 16 || wv.bits == 24)) ||
+            (wv.format == 3 && wv.bits == 32)) &&
           wv.samples.length % wv.channels == 0
       }
     }

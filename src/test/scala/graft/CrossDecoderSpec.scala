@@ -1,6 +1,6 @@
 package graft
 
-import java.io.ByteArrayInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import graft.sources.{BmpImage, GifImage, PngImage}
@@ -274,6 +274,93 @@ class CrossDecoderSpec extends AnyFunSuite {
         val v = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort.toInt
         assert(v == samples(k), s"WAV sample mismatch at $k (t=$t)")
       }
+    }
+  }
+
+
+  test("WAV 24-bit: javax.sound reads our bytes; ours reads JDK-written") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val rnd = new scala.util.Random(2201)
+    for (t <- 0 until 15) {
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(2000)
+      val samples = Array.fill(n)(rnd.nextInt(1 << 24) - (1 << 23))
+      // forward: our 24-bit encoder → the JDK's RIFF reader
+      val bytes = graft.sources.WavAudio.encodePcm24Mono(rate, samples)
+      assert(graft.sources.WavAudio.parse(bytes).samples.toSeq ==
+        samples.toSeq)
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleSizeInBits == 24 &&
+        in.getFormat.getChannels == 1)
+      val raw = in.readAllBytes()
+      in.close()
+      assert(raw.length == 3 * n)
+      for (k <- 0 until n) {
+        val u = (raw(3 * k) & 0xff) | ((raw(3 * k + 1) & 0xff) << 8) |
+          ((raw(3 * k + 2) & 0xff) << 16)
+        assert(((u << 8) >> 8) == samples(k),
+          s"PCM24 sample mismatch at $k (t=$t)")
+      }
+      // reverse: a JDK-WRITTEN 24-bit WAV decodes through our parser
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 24, 1, 3, rate.toFloat, false)
+      val payload = new Array[Byte](3 * n)
+      for (k <- 0 until n) {
+        payload(3 * k) = (samples(k) & 0xff).toByte
+        payload(3 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+        payload(3 * k + 2) = ((samples(k) >> 16) & 0xff).toByte
+      }
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(payload), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val theirs = graft.sources.WavAudio.parse(bos.toByteArray)
+      assert(theirs.bits == 24 && theirs.samples.toSeq == samples.toSeq,
+        s"JDK-written PCM24 mismatch (t=$t)")
+    }
+  }
+
+  test("WAV float: javax.sound reads our tag-3 bytes; ours reads JDK-written") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val rnd = new scala.util.Random(2301)
+    for (t <- 0 until 15) {
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(2000)
+      val samples = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+      // forward: our float encoder → the JDK's RIFF reader
+      val bytes = graft.sources.WavAudio.encodeFloat32Mono(rate, samples)
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      assert(in.getFormat.getEncoding ==
+        AudioFormat.Encoding.PCM_FLOAT && in.getFormat.getChannels == 1)
+      val raw = in.readAllBytes()
+      in.close()
+      assert(raw.length == 4 * n)
+      for (k <- 0 until n) {
+        val bits = (raw(4 * k) & 0xff) | ((raw(4 * k + 1) & 0xff) << 8) |
+          ((raw(4 * k + 2) & 0xff) << 16) | ((raw(4 * k + 3) & 0xff) << 24)
+        assert(java.lang.Float.intBitsToFloat(bits) == samples(k),
+          s"float sample mismatch at $k (t=$t)")
+      }
+      // reverse: a JDK-WRITTEN float WAV decodes through our parser
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT,
+        rate.toFloat, 32, 1, 4, rate.toFloat, false)
+      val payload = new Array[Byte](4 * n)
+      for (k <- 0 until n) {
+        val bits = java.lang.Float.floatToRawIntBits(samples(k))
+        for (b <- 0 until 4)
+          payload(4 * k + b) = ((bits >> (8 * b)) & 0xff).toByte
+      }
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(payload), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val theirs = graft.sources.WavAudio.parse(bos.toByteArray)
+      assert(theirs.format == 3 && theirs.nFrames == n)
+      for (k <- 0 until n)
+        assert(theirs.floatSample(k) == samples(k),
+          s"JDK-written float mismatch at $k (t=$t)")
     }
   }
 

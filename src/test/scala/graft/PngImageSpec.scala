@@ -188,14 +188,16 @@ class PngImageSpec extends AnyFunSuite {
     // trailing garbage after IEND
     intercept[IllegalArgumentException](
       PngImage.parse(good ++ Array[Byte](1, 2, 3)))
-    // unsupported/invalid headers: sub-8-bit depth, PLTE-less palette
-    // color, 16-bit PALETTE (spec-invalid — palette depths are {1,2,4,8}),
-    // interlace method 2, zero dims (each with a VALID CRC via the
-    // independent assembler, so the header gate—not the CRC gate—must
-    // reject)
+    // unsupported/invalid headers: sub-8 depth ON TRUECOLOR (spec-valid
+    // only for gray/palette — §11.2.2), a depth valid for NO type (3),
+    // PLTE-less palette color, 16-bit PALETTE (spec-invalid — palette
+    // depths are {1,2,4,8}), interlace method 2, zero dims (each with a
+    // VALID CRC via the independent assembler, so the header gate—not
+    // the CRC gate—must reject)
     val idat = chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3)))
     val iend = chunk("IEND", Array.emptyByteArray)
-    for (hdr <- Seq(ihdr(1, 1, depth = 4), ihdr(1, 1, color = 3),
+    for (hdr <- Seq(ihdr(1, 1, depth = 4), ihdr(1, 1, depth = 3),
+        ihdr(1, 1, color = 3),
         ihdr(1, 1, depth = 16, color = 3),
         ihdr(1, 1, interlace = 2), ihdr(0, 1), ihdr(1, 0))) {
       intercept[IllegalArgumentException](
@@ -203,7 +205,7 @@ class PngImageSpec extends AnyFunSuite {
     }
     assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
       chunk("IHDR", ihdr(1, 1, depth = 16, color = 3)), idat, iend)))
-      .getMessage.contains("invalid for palette"))
+      .getMessage.contains("invalid for color type 3"))
     assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
       chunk("IHDR", ihdr(1, 1, interlace = 2)), idat, iend)))
       .getMessage.contains("interlace"))
@@ -517,6 +519,174 @@ class PngImageSpec extends AnyFunSuite {
       chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
       chunk("IEND", Array.emptyByteArray))))
     assert(e.getMessage.contains("max deflate expansion"))
+  }
+
+  test("sub-8 HAND FIXTURE: MSB-first packing + the 1-byte filter floor") {
+    // The Adam7 lesson applied to bit depths: self-consistent
+    // encoder+decoder round-trips cannot catch a wrong packing
+    // convention, so the container is assembled BY HAND from
+    // spec-derived bytes. Depth-4 gray, 3×2, filters Sub then Up.
+    //   row0 samples [1, 10, 15]  → packed 0x1A, 0xF0 (§7.2 MSB-first)
+    //   row1 samples [3, 7, 2]    → packed 0x37, 0x20
+    //   Sub  (bpp FLOORS AT 1 per §9.2): 0x1A, 0xF0−0x1A = 0xD6
+    //   Up:                              0x37−0x1A = 0x1D, 0x20−0xF0 = 0x30
+    val raw = Array[Byte](1, 0x1A, 0xD6.toByte, 2, 0x1D, 0x30)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!d.finished()) zBuf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      u32(data.length.toLong)
+      out.write(ctype.getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      u32(crc.getValue)
+      out.toByteArray
+    }
+    val ihdr = Array[Byte](0, 0, 0, 3, 0, 0, 0, 2, 4, 0, 0, 0, 0)
+    val file = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+      0x0a) ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val p = PngImage.parse(file)
+    assert(p.width == 3 && p.height == 2)
+    // §12.5 rescale ×17 for depth 4
+    val expect = Seq(1, 10, 15, 3, 7, 2).map(_ * 17)
+    for (k <- 0 until 6)
+      assert((p.pixels(k) & 0xff) == expect(k),
+        s"hand-fixture gray mismatch at $k: ${p.pixels(k) & 0xff}")
+    // and the encoder must reproduce the identical filtered stream
+    val enc = PngImage.parse(PngImage.encodeGray(3, 2,
+      Array(1, 10, 15, 3, 7, 2), filterFor = y => y + 1, depth = 4))
+    assert(enc.pixels.toSeq == p.pixels.toSeq)
+  }
+
+  test("sub-8 gray round-trips: depths 1/2/4 × filters × interlace") {
+    val rnd = new scala.util.Random(4161)
+    for (t <- 0 until 30) {
+      val depth = Seq(1, 2, 4)(t % 3)
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
+      val inter = t % 2 == 1
+      val vals = Array.fill(w * h)(rnd.nextInt(1 << depth))
+      val filters = Array.fill(2 * h + 8)(rnd.nextInt(5))
+      val p = PngImage.parse(PngImage.encodeGray(w, h, vals,
+        filterFor = y => filters(y), interlaced = inter, depth = depth))
+      assert(p.width == w && p.height == h && !p.hasAlpha)
+      val scale = 255 / ((1 << depth) - 1)
+      for (k <- 0 until w * h)
+        assert(p.pixels(k) == (0xff000000 | (vals(k) * scale * 0x10101)),
+          s"sub-8 gray mismatch at $k (d=$depth ${w}x$h inter=$inter)")
+    }
+  }
+
+  test("sub-8 palette round-trips, including tRNS alpha") {
+    val rnd = new scala.util.Random(4261)
+    for (t <- 0 until 30) {
+      val depth = Seq(1, 2, 4)(t % 3)
+      val nPal = 1 + rnd.nextInt(1 << depth)
+      val pal = Array.fill(nPal)(rnd.nextInt())
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
+      val inter = t % 2 == 0
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+      val filters = Array.fill(2 * h + 8)(rnd.nextInt(5))
+      val p = PngImage.parse(PngImage.encodePalette(w, h, idx, pal,
+        filterFor = y => filters(y), interlaced = inter, depth = depth))
+      assert(p.width == w && p.height == h)
+      for (k <- 0 until w * h)
+        assert(p.pixels(k) == pal(idx(k)),
+          s"sub-8 palette mismatch at $k (d=$depth ${w}x$h inter=$inter)")
+    }
+  }
+
+  test("sub-8 cross-decoder: ImageIO agrees on gray and palette") {
+    val rnd = new scala.util.Random(4361)
+    for (t <- 0 until 20) {
+      val depth = Seq(1, 2, 4)(t % 3)
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(16)
+      val inter = t % 4 == 2
+      if (t % 2 == 0) {
+        val vals = Array.fill(w * h)(rnd.nextInt(1 << depth))
+        val bytes = PngImage.encodeGray(w, h, vals,
+          filterFor = y => (y + t) % 5, interlaced = inter, depth = depth)
+        val ours = PngImage.parse(bytes)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null && img.getWidth == w && img.getHeight == h)
+        // raster samples carry the UNSCALED d-bit value (and dodge the
+        // JDK's gray color management) — ours is the §12.5 rescale
+        val scale = 255 / ((1 << depth) - 1)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((ours.pixels(y * w + x) & 0xff) ==
+            img.getRaster.getSample(x, y, 0) * scale,
+            s"ImageIO gray disagrees at ($x,$y) d=$depth t=$t")
+      } else {
+        val nPal = 1 + rnd.nextInt(1 << depth)
+        val pal = Array.fill(nPal)(0xff000000 | (rnd.nextInt() & 0xffffff))
+        val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+        val bytes = PngImage.encodePalette(w, h, idx, pal,
+          filterFor = y => (y + t) % 5, interlaced = inter, depth = depth)
+        val ours = PngImage.parse(bytes)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null && img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((ours.pixels(y * w + x) & 0xffffff) ==
+            (img.getRGB(x, y) & 0xffffff),
+            s"ImageIO palette disagrees at ($x,$y) d=$depth t=$t")
+      }
+    }
+  }
+
+  test("sub-8 gates: invalid depth/type pairings and oversized palettes") {
+    // depth 4 truecolor is spec-INVALID (§11.2.2) — the q144 class
+    intercept[IllegalArgumentException] {
+      val good = PngImage.encode(4, 2, Array.fill(8)(0xff112233))
+      val b = good.clone(); b(24) = 4
+      // re-CRC IHDR so only the depth gate can fire
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17)
+      val v = crc.getValue; val o = 29
+      b(o) = ((v >>> 24) & 0xff).toByte; b(o + 1) = ((v >>> 16) & 0xff).toByte
+      b(o + 2) = ((v >>> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+      PngImage.parse(b)
+    }
+    // encoder refuses an out-of-depth palette or gray value
+    intercept[IllegalArgumentException](
+      PngImage.encodePalette(2, 2, Array(0, 1, 2, 3),
+        Array.fill(5)(0xff000000), depth = 2))
+    intercept[IllegalArgumentException](
+      PngImage.encodeGray(2, 2, Array(0, 1, 2, 4), depth = 2))
+    // decoder rejects a depth-2 palette index past a 2-entry PLTE:
+    // encode with a 4-entry palette, then SPLICE the PLTE down to 2
+    // entries (re-lengthed, re-CRC'd) so only the index gate can fire
+    val good = PngImage.encodePalette(2, 2, Array(0, 1, 2, 3),
+      Array(0xff111111, 0xff222222, 0xff333333, 0xff444444), depth = 2)
+    val plteAt = 8 + 25 // after signature + IHDR chunk
+    val shrunk = new java.io.ByteArrayOutputStream()
+    shrunk.write(good, 0, plteAt)
+    val plteData = java.util.Arrays.copyOfRange(good, plteAt + 8,
+      plteAt + 8 + 6) // first two RGB triples
+    def u32b(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    shrunk.write(u32b(6))
+    shrunk.write("PLTE".getBytes("US-ASCII"))
+    shrunk.write(plteData)
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update("PLTE".getBytes("US-ASCII")); crc2.update(plteData)
+    shrunk.write(u32b(crc2.getValue))
+    val afterPlte = plteAt + 8 + 12 + 4 // len/type + 12 data + CRC
+    shrunk.write(good, afterPlte, good.length - afterPlte)
+    assert(intercept[IllegalArgumentException](
+      PngImage.parse(shrunk.toByteArray))
+      .getMessage.contains("palette index"))
   }
 }
 

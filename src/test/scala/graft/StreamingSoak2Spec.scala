@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Analytics, Dedup, Embedding, Similarity}
 import graft.sources.Tables
 import graft.streaming.{CapStream, DedupIndexStream, FunnelStream,
-  IvfIndexStream, MarkovStream}
+  IvfIndexStream, MarkovStream, PqIndexStream}
 
 import org.apache.spark.sql.functions._
 
@@ -23,19 +23,21 @@ import java.nio.file.Files
   *    isolation; here it happens mid-traffic, between the kill point
   *    and the resume, and the resume must merge against the REBUILT
   *    snapshot),
-  *  - [[IvfIndexStream]] (the round's new similarity-family maintainer,
-  *    composed the day it ships).
+  *  - [[IvfIndexStream]] (the similarity family's cell index),
+  *  - [[PqIndexStream]] (round 16 — the LAST ANN lane's maintainer:
+  *    its first half arrives SEEDLESS so every row parks, and the
+  *    second half pins the model trained on everything arrived).
   *
   * Every index must end ≡ its batch twin over the SAME final corpus
-  * from the SAME shared kernels — five state-algebra classes (top-k,
+  * from the SAME shared kernels — six state-algebra classes (top-k,
   * least-merge, additive+margin, LWW band index, pinned-centroid
-  * assignment) surviving interleaved kills, a crash-retry, and a
-  * rebuild swap in one run. */
+  * assignment, pinned-codebook encoding) surviving interleaved kills,
+  * a crash-retry, and a rebuild swap in one run. */
 class StreamingSoak2Spec extends SparkSuite {
 
   import spark.implicits._
 
-  test("5-maintainer soak: kill/resume, crash-retry, in-soak rebuild") {
+  test("6-maintainer soak: kill/resume, crash-retry, in-soak rebuild") {
     val docs = Tables.documents(spark, sfDir)
     val events = Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
@@ -50,6 +52,7 @@ class StreamingSoak2Spec extends SparkSuite {
     val dedupIn = Files.createTempDirectory("graft_soak2_dd_").toString
     val mkvIn = Files.createTempDirectory("graft_soak2_mkv_").toString
     val ivfIn = Files.createTempDirectory("graft_soak2_ivf_").toString
+    val pqIn = Files.createTempDirectory("graft_soak2_pq_").toString
     def shardDocs(dir: String, residues: Seq[Int]): Unit =
       residues.foreach { r =>
         docs.filter($"doc_id" % 6 === r).coalesce(1)
@@ -69,6 +72,7 @@ class StreamingSoak2Spec extends SparkSuite {
     val funnelState = Files.createTempDirectory("graft_soak2_fn_st_").toString
     val mkvState = Files.createTempDirectory("graft_soak2_mkv_st_").toString
     val ivfState = Files.createTempDirectory("graft_soak2_ivf_st_").toString
+    val pqState = Files.createTempDirectory("graft_soak2_pq_st_").toString
 
     // ---- first half up to the kill point (3 of 6 shards each)
     shardDocs(capIn, Seq(5, 3, 1))
@@ -83,6 +87,11 @@ class StreamingSoak2Spec extends SparkSuite {
     DedupIndexStream.maintain(spark, dedupIn, dedupState).awaitTermination()
     MarkovStream.maintain(spark, mkvIn, mkvState).awaitTermination()
     IvfIndexStream.maintain(spark, ivfIn, ivfState).awaitTermination()
+    // PQ first half: odd non-seed vec_ids only (the seed rule is
+    // vec_id < 16) — no model can pin, so every row PARKS unencoded
+    embs.filter($"vec_id" >= 16 && $"vec_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(pqIn)
+    PqIndexStream.maintain(spark, pqIn, pqState).awaitTermination()
     (0 to 2).foreach(k =>
       FunnelStream.mergeBatch(spark, funnelState,
         eventSlice(k).select($"user_id", $"event_type", $"ts"), k.toLong))
@@ -96,6 +105,7 @@ class StreamingSoak2Spec extends SparkSuite {
     assert(DedupIndexStream.mergeBatch(
       spark.read.parquet(dedupIn).limit(3), dedupState, 0L) == -1L)
     assert(!IvfIndexStream.mergeBatch(embs.limit(3), ivfState, 0L).applied)
+    assert(!PqIndexStream.mergeBatch(embs.limit(3), pqState, 0L).applied)
     CapStream.mergeBatch(spark.read.parquet(capIn).limit(3), capState, 0L)
     MarkovStream.mergeBatch(eventSlice(0), mkvState, 0L)
     FunnelStream.mergeBatch(spark, funnelState,
@@ -119,10 +129,16 @@ class StreamingSoak2Spec extends SparkSuite {
       .write.mode("append").parquet(mkvIn))
     embs.filter($"vec_id" % 40 =!= 0 && $"vec_id" % 2 === 0).coalesce(1)
       .write.mode("append").parquet(ivfIn)
+    // PQ second half: everything else, INCLUDING the 16 seeds — the
+    // model pins here, trained on the full arrived corpus (= the whole
+    // table), so the final report must equal batch q96 with no rebuild
+    embs.filter($"vec_id" < 16 || $"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(pqIn)
     CapStream.maintain(spark, capIn, capState).awaitTermination()
     DedupIndexStream.maintain(spark, dedupIn, dedupState).awaitTermination()
     MarkovStream.maintain(spark, mkvIn, mkvState).awaitTermination()
     IvfIndexStream.maintain(spark, ivfIn, ivfState).awaitTermination()
+    PqIndexStream.maintain(spark, pqIn, pqState).awaitTermination()
     (3 to 5).foreach(k =>
       FunnelStream.mergeBatch(spark, funnelState,
         eventSlice(k).select($"user_id", $"event_type", $"ts"), k.toLong))
@@ -136,6 +152,8 @@ class StreamingSoak2Spec extends SparkSuite {
       Analytics.q130MarkovTransitions(spark, sfDir).collect().toSeq)
     assert(IvfIndexStream.report(spark, ivfState).collect().toSeq ==
       Similarity.queries("q44_sim_ivf_ann")(spark, sfDir).collect().toSeq)
+    assert(PqIndexStream.report(spark, pqState).collect().toSeq ==
+      Similarity.queries("q96_pq_ann")(spark, sfDir).collect().toSeq)
 
     val wide = Dedup.minhashWide(docs)
     val bands = Dedup.lshBands(wide)

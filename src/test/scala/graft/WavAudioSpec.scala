@@ -156,4 +156,72 @@ class WavAudioSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](WavAudio.parse(dupData))
       .getMessage.contains("duplicate data"))
   }
+
+  test("24-bit PCM round-trip recovers every sample exactly") {
+    val rnd = new scala.util.Random(161)
+    for (t <- 0 until 6) {
+      val n = 1 + rnd.nextInt(500)
+      val samples = Array.fill(n)(rnd.nextInt(1 << 24) - (1 << 23))
+      val rate = 8000 + rnd.nextInt(40000)
+      val w = WavAudio.parse(WavAudio.encodePcm24Mono(rate, samples))
+      assert(w.sampleRate == rate && w.channels == 1 && w.bits == 24 &&
+        w.format == 1)
+      assert(w.samples.toSeq == samples.toSeq, s"PCM24 samples (t=$t)")
+      // odd data sizes exercise the word-alignment pad byte
+    }
+    // sign extension at the extremes and around zero
+    val edge = Array(-(1 << 23), (1 << 23) - 1, -1, 0, 1, -256, 256)
+    assert(WavAudio.parse(WavAudio.encodePcm24Mono(8000, edge))
+      .samples.toSeq == edge.toSeq)
+  }
+
+  test("IEEE-float WAV (tag 3) round-trips raw float bits exactly") {
+    val rnd = new scala.util.Random(261)
+    for (t <- 0 until 6) {
+      val n = 1 + rnd.nextInt(400)
+      val samples = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+      val rate = 8000 + rnd.nextInt(40000)
+      val w = WavAudio.parse(WavAudio.encodeFloat32Mono(rate, samples))
+      assert(w.format == 3 && w.bits == 32 && w.channels == 1)
+      assert(w.nFrames == n)
+      for (i <- 0 until n)
+        assert(w.floatSample(i) == samples(i), s"float sample $i (t=$t)")
+    }
+  }
+
+  test("float gates: non-finite samples, wrong width, misalignment") {
+    val good = WavAudio.encodeFloat32Mono(8000,
+      Array(0.5f, -0.25f, 1.0f, 0.0f))
+    assert(WavAudio.parse(good).nFrames == 4) // sanity
+    // NaN sample injected into the data chunk (never legitimate audio)
+    val nan = good.clone()
+    val dataAt = good.length - 16 // 4 samples x 4 bytes from the end
+    val nanBits = java.lang.Float.floatToRawIntBits(Float.NaN)
+    for (i <- 0 until 4)
+      nan(dataAt + i) = ((nanBits >> (8 * i)) & 0xff).toByte
+    assert(intercept[IllegalArgumentException](WavAudio.parse(nan))
+      .getMessage.contains("non-finite"))
+    // tag 3 with a 16-bit width: float requires 32
+    val w16 = good.clone(); w16(34) = 16
+    assert(intercept[IllegalArgumentException](WavAudio.parse(w16))
+      .getMessage.contains("must be 32"))
+    // data size knocked off the 4-byte frame grid
+    val mis = good.clone()
+    val ds = 4 * 4 - 1
+    mis(good.length - 16 - 8 + 4) = (ds & 0xff).toByte
+    intercept[IllegalArgumentException](WavAudio.parse(mis))
+  }
+
+  test("format tags beyond PCM/float reject by name (ADPCM, mu-law)") {
+    val good = WavAudio.encodePcm16Mono(8000, Array(1, -2, 3, -4))
+    for (tag <- Seq(2, 6, 7, 0x55)) {
+      val b = good.clone(); b(20) = tag.toByte
+      assert(intercept[IllegalArgumentException](WavAudio.parse(b))
+        .getMessage.contains(s"format tag $tag"))
+    }
+    // 20-bit width (the retargeted q154 quarantine class)
+    val w20 = good.clone(); w20(34) = 20
+    assert(intercept[IllegalArgumentException](WavAudio.parse(w20))
+      .getMessage.contains("bit width 20"))
+  }
 }
