@@ -879,6 +879,32 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+
+  /** Per-query ADC lookup tables (t0..t3 — K slots per subspace,
+    * missing cids hold 0: no candidate carries their code) over
+    * (q_id, q). Extracted from [[pqAdcReport]] so the flat PQ report
+    * and the IVF-composed lane (q159) build query tables through ONE
+    * copy. */
+  private[graft] def pqQueryTables(queries: DataFrame,
+      model: PqModel): DataFrame =
+    (0 until PqM).foldLeft(queries) { (df, sp) =>
+      val cmap = model.codebooks(sp).toMap
+      df.withColumn(s"t$sp", array((0 until PqK).map { cid =>
+        cmap.get(cid) match {
+          case Some(c) => pqSqDistLit(pqSub(col("q"), sp), c)
+          case None => lit(0L)
+        }
+      }: _*))
+    }.drop("q")
+
+  /** Candidate ADC distance: 4 table lookups + 3 adds (ONE copy). */
+  private[graft] def pqAdcDistance: Column =
+    element_at(col("t0"), col("c0") + 1) +
+      element_at(col("t1"), col("c1") + 1) +
+      element_at(col("t2"), col("c2") + 1) +
+      element_at(col("t3"), col("c3") + 1)
+
+
   def q96PqAnn(s: SparkSession, dir: String): DataFrame = {
     val qv = pqQuantized(Tables.embeddings(s, dir))
     val model = pqTrain(qv)
@@ -932,6 +958,161 @@ object Similarity {
       |             PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
       |           FROM ad)
       |SELECT q_id, rank, vec_id, adist
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+
+  /** q159 — IVF-PQ composed ANN (the FAISS IVFPQ shape, and exactly
+    * the composition q44 and q96 each document as the 100 TB path):
+    * probe the inverted file FIRST (nprobe = 2 cells of ~N/40), then
+    * ADC-rank ONLY the probed cells' members against the query's
+    * per-subspace lookup tables — the corpus is never exhaustively
+    * scored AND never touched as raw vectors (candidates are 4 small
+    * codes each). Same centroids/assignment as q44 (shared
+    * [[ivfAssign]] kernel, same bounded broadcast), same
+    * codebooks/codes/tables as q96 (shared [[pqTrain]]/[[pqEncode]]/
+    * [[pqQueryTables]] kernels) — this query CANNOT drift from either
+    * parent, and the DuckDB oracle is the two parents' proven CTE sets
+    * composed. Top-5 by asymmetric distance (vec_id tiebreak) within
+    * the probed cells.
+    *
+    * Scale shape: one corpus-scale assignment pass (broadcast
+    * centroids) + one corpus-scale encode pass (codebook literals);
+    * the probe join selects ~nprobe/ncells of the CODES table; ADC is
+    * 4 lookups + 3 adds per candidate against a broadcast query batch.
+    * At 100 TB this is the lane that replaces both parents: q44's
+    * exact re-rank reads full vectors inside the cell, q96's flat ADC
+    * scans every code — IVF-PQ reads codes AND only probed cells. */
+  /** ONE copy of the IVF probe (nprobe nearest cells per query by
+    * centroid cosine, c_id tiebreak) — q44's probe shape, shared by
+    * batch q159 and the composed incremental report
+    * ([[graft.streaming.PqIndexStream.ivfPqReport]]). Input
+    * (q_id, qv, qnrm); output (q_id, cell). */
+  private[graft] def ivfProbes(q: DataFrame, bCent: DataFrame,
+      nprobe: Int = 2): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("c_id").asc)
+    q.crossJoin(bCent)
+      .withColumn("qcos",
+        dot_product(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("c_id").as("cell"))
+  }
+
+  /** ONE copy of the IVF-PQ candidate scoring: cell-join the codes
+    * against the broadcast (probe × query-table) frame, ADC-rank
+    * within, top-5 (adist asc, vec_id tiebreak). `codesWithCell`
+    * carries (vec_id, c0..c3, cell); `probedQ` (q_id, cell, t0..t3). */
+  private[graft] def ivfPqRank(codesWithCell: DataFrame,
+      probedQ: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codesWithCell
+      .join(boundedBroadcast(probedQ, "ivf-pq probe"), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqAdcDistance)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q159IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    val cent = e.filter($"vec_id" % 40 === 0)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val bCent = boundedBroadcast(cent, "q159 centroid")
+    val cells = ivfAssign(e, bCent).select($"vec_id", $"cell")
+    val qv = pqQuantized(Tables.embeddings(s, dir))
+    val model = pqTrain(qv)
+    val codes = pqEncode(qv, model)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3")
+      .join(cells, Seq("vec_id"))
+    val probes = ivfProbes(
+      e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm")),
+      bCent)
+    val qTabs = pqQueryTables(
+      qv.filter($"vec_id" % 50 === 0).select($"vec_id".as("q_id"), $"q"),
+      model)
+    ivfPqRank(codes, probes.join(qTabs, Seq("q_id")))
+  }
+
+  val q159Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+      |         WHERE vec_id % 40 = 0),
+      |assigned AS (SELECT vec_id, c_id AS cell
+      |  FROM (SELECT n.vec_id, c.c_id,
+      |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM n, cent c)
+      |  WHERE rn = 1),
+      |qn AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |       WHERE vec_id % 50 = 0),
+      |probes AS (SELECT q_id, c_id AS cell
+      |  FROM (SELECT q.q_id, c.c_id,
+      |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> q.qv[i] * c.cv[i])) / (q.qnrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM qn q, cent c)
+      |  WHERE rn <= 2),
+      |qv AS (SELECT vec_id,
+      |         list_transform(embedding,
+      |           e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000) AS q
+      |       FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |vd AS (SELECT vec_id, CAST((dim - 1) // 16 AS INT) AS sub, dim,
+      |         q[dim] AS v FROM qv, dims),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, dim, v AS cv
+      |       FROM vd WHERE vec_id < 16),
+      |d1 AS (SELECT vd.vec_id, vd.sub, c0.cid,
+      |         sum((vd.v - c0.cv) * (vd.v - c0.cv)) AS d
+      |       FROM vd JOIN c0 ON vd.sub = c0.sub AND vd.dim = c0.dim
+      |       GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, cid FROM (
+      |         SELECT vec_id, sub, cid, row_number() OVER (
+      |           PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.sub, a1.cid, vd.dim,
+      |         CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |       FROM vd JOIN a1 ON vd.vec_id = a1.vec_id AND vd.sub = a1.sub
+      |       GROUP BY 1, 2, 3),
+      |d2 AS (SELECT vd.vec_id, vd.sub, c1.cid,
+      |         sum((vd.v - c1.cv) * (vd.v - c1.cv)) AS d
+      |       FROM vd JOIN c1 ON vd.sub = c1.sub AND vd.dim = c1.dim
+      |       GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, sub, cid FROM (
+      |            SELECT vec_id, sub, cid, row_number() OVER (
+      |              PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |            FROM d2) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, sub, dim, v FROM vd
+      |       WHERE vec_id % 50 = 0),
+      |cand AS (SELECT p.q_id, a.vec_id, a.cell
+      |         FROM probes p JOIN assigned a ON a.cell = p.cell
+      |         WHERE a.vec_id <> p.q_id),
+      |ad AS (SELECT cand.q_id, cand.vec_id, cand.cell,
+      |         CAST(sum((qs.v - c1.cv) * (qs.v - c1.cv)) AS BIGINT) AS adist
+      |       FROM cand
+      |       JOIN qs ON qs.q_id = cand.q_id
+      |       JOIN codes ON codes.vec_id = cand.vec_id
+      |                     AND codes.sub = qs.sub
+      |       JOIN c1 ON c1.sub = codes.sub AND c1.cid = codes.cid
+      |                  AND c1.dim = qs.dim
+      |       GROUP BY 1, 2, 3),
+      |ranked AS (SELECT q_id, vec_id, cell, adist, row_number() OVER (
+      |             PARTITION BY q_id ORDER BY adist ASC, vec_id ASC)
+      |             AS rank
+      |           FROM ad)
+      |SELECT q_id, rank, vec_id, cell, CAST(adist AS BIGINT) AS adist
       |FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
@@ -1049,7 +1230,8 @@ object Similarity {
     "q42_sim_topk_aggregate" -> q42TopKAggregate _,
     "q106_hard_negatives" -> q106HardNegatives _,
     "q124_ivf_recall" -> q124IvfRecall _,
-    "q125_pq_recall" -> q125PqRecall _)
+    "q125_pq_recall" -> q125PqRecall _,
+    "q159_ivf_pq_ann" -> q159IvfPqAnn _)
 
   val oracle: Map[String, String] = Map(
     "q137_semantic_decontamination" -> q137Oracle,
@@ -1063,5 +1245,6 @@ object Similarity {
     "q42_sim_topk_aggregate" -> q42Oracle,
     "q106_hard_negatives" -> q106Oracle,
     "q124_ivf_recall" -> q124Oracle,
-    "q125_pq_recall" -> q125OracleFrom(q96Oracle))
+    "q125_pq_recall" -> q125OracleFrom(q96Oracle),
+    "q159_ivf_pq_ann" -> q159Oracle)
 }

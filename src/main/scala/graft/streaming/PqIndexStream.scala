@@ -223,6 +223,39 @@ object PqIndexStream {
         .select(col("vec_id").as("q_id"), col("q")), m)
   }
 
+  /** The COMPOSED IVF-PQ report over TWO maintained indexes — batch
+    * q159's shape from incremental state: probe cells come from the
+    * IVF index's pinned centroids + assignments
+    * ([[IvfIndexStream.readState]]), ADC runs within them against this
+    * index's pinned codebooks + codes, through the SAME
+    * [[Similarity.ivfProbes]]/[[Similarity.ivfPqRank]] kernels batch
+    * q159 uses — so two independently-maintained indexes compose into
+    * the FAISS-IVFPQ query face without either being rebuilt. Given
+    * both maintainers fed the same corpus (and the IVF seed set equals
+    * the batch twin's), the report ≡ q159 exactly (spec-pinned).
+    * Parked rows on either side are excluded — unindexed is already a
+    * reported signal on both maintainers. */
+  def ivfPqReport(spark: SparkSession, ivfStateDir: String,
+      pqStateDir: String): DataFrame = {
+    val (cent, assign) = IvfIndexStream.readState(spark, ivfStateDir)
+    val (books, codes, _) = readState(spark, pqStateDir)
+    require(books.nonEmpty, s"pq index '$pqStateDir' has no trained model yet")
+    val m = Similarity.PqModel.fromRows(books)
+    val bCent = Similarity.boundedBroadcast(cent, "ivf-pq report centroid")
+    val indexedCells = assign.filter(col("cell") >= 0)
+    val codesWithCell = codes.filter(col("c0") >= 0)
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .join(indexedCells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val probes = Similarity.ivfProbes(
+      indexedCells.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")), bCent)
+    val qTabs = Similarity.pqQueryTables(
+      codes.filter(col("c0") >= 0 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("q")), m)
+    Similarity.ivfPqRank(codesWithCell, probes.join(qTabs, Seq("q_id")))
+  }
+
   /** Maintain the index over an embeddings stream; stable checkpoint
     * under stateDir so repeated invocations resume, not replay. */
   def maintain(spark: SparkSession, inDir: String, stateDir: String):

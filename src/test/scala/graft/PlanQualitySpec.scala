@@ -247,7 +247,11 @@ class PlanQualitySpec extends SparkSuite {
     "q34_sim_cosine_topk", "q40_dedup_embedding_cosine",
     "q42_sim_topk_aggregate", "q44_sim_ivf_ann", "q79_int8_ann",
     "q96_pq_ann", "q106_hard_negatives", "q124_ivf_recall",
-    "q125_pq_recall")
+    "q125_pq_recall",
+    // q159's two NLJs are its parents' lanes composed: the q44-shape
+    // centroid assignment/probe cross joins and the q96-shape broadcast
+    // query batch — both through boundedBroadcast (GlobalLimit evidence)
+    "q159_ivf_pq_ann")
 
   private val nljAllowed = Set(
     "q07_join_suffix_theta", "q36_bm25_topk",

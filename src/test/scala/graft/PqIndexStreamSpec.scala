@@ -49,6 +49,34 @@ class PqIndexStreamSpec extends SparkSuite {
     assert(PqIndexStream.report(spark, stateDir).collect().toSeq == batch)
   }
 
+  test("two maintained indexes compose into the IVF-PQ face ≡ batch q159") {
+    // the composed query lane: probe cells from the INCREMENTAL IVF
+    // index, ADC within from the INCREMENTAL PQ index — neither
+    // rebuilt, same kernels as batch q159, exact equality
+    val ivfIn = Files.createTempDirectory("graft_pqivf_a_").toString
+    val ivfState = Files.createTempDirectory("graft_pqivf_ast_").toString
+    val pqIn = Files.createTempDirectory("graft_pqivf_b_").toString
+    val pqState = Files.createTempDirectory("graft_pqivf_bst_").toString
+    // IVF: centroid-eligible shard first (pins batch q44's seed set)
+    embs.filter($"vec_id" % 40 === 0).coalesce(1)
+      .write.mode("append").parquet(ivfIn)
+    graft.streaming.IvfIndexStream.maintain(spark, ivfIn, ivfState)
+      .awaitTermination()
+    embs.filter($"vec_id" % 40 =!= 0).coalesce(1)
+      .write.mode("append").parquet(ivfIn)
+    graft.streaming.IvfIndexStream.maintain(spark, ivfIn, ivfState)
+      .awaitTermination()
+    // PQ: full corpus in one batch (pins batch q96's training corpus)
+    embs.coalesce(1).write.mode("append").parquet(pqIn)
+    PqIndexStream.maintain(spark, pqIn, pqState).awaitTermination()
+
+    val batch = Similarity.queries("q159_ivf_pq_ann")(spark, sfDir)
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    assert(PqIndexStream.ivfPqReport(spark, ivfState, pqState)
+      .collect().toSeq == batch)
+  }
+
   test("seedless parking, train-on-arrival ≡ q96, drift WARN + rebuild") {
     val stateDir = Files.createTempDirectory("graft_pq_drift_").toString
     // batch 0 carries NO seed (vec_id < 16): everything parks
