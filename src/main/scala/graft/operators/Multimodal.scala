@@ -2092,6 +2092,81 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q160 — EXIF-ORIENTED JPEG decode, NORMALIZED: per document a
+    * block-constant canonical image is stored under one of the eight
+    * EXIF orientations (rotated/flipped pixels + an APP1 Exif segment
+    * in alternating TIFF byte orders), decoded, the orientation read
+    * back strictly, and the upright face reconstructed
+    * ([[graft.sources.JpegImage.normalizeOrientation]]). The oracle is
+    * ORIENTATION-INDEPENDENT by design: it computes the CANONICAL
+    * image's stats from doc_id alone, so any mapping defect in any of
+    * the eight transforms (or either TIFF endianness) hash-mismatches —
+    * the orientation analog of the q141 container-independence move.
+    * This is the lane that makes decoded faces usable for near-dup
+    * work: a rotated re-upload must normalize to the same pixels (and
+    * phash) as the original.
+    *
+    * Scale shape: task-local synth+orient+encode+decode+normalize per
+    * row; only the ≤72-byte stat tuple moves. */
+  def q160JpegExifNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.JpegImage
+      val wc = (8 * (1 + id % 3)).toInt
+      val hc = (8 * (1 + id % 2)).toInt
+      val canon = Array.tabulate(wc * hc) { i =>
+        ((id * 13 + (i % wc) / 8 * 37 + (i / wc) / 8 * 59) % 256).toInt
+      }
+      val o = (1 + id % 8).toInt
+      val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
+      val stored = new Array[Int](sw * sh)
+      var y = 0
+      while (y < hc) {
+        var x = 0
+        while (x < wc) {
+          val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
+          stored(sy * sw + sx) = canon(y * wc + x)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = JpegImage.withExif(
+        JpegImage.encode(sw, sh, stored, grayscale = true), o,
+        bigEndian = id % 2 == 0)
+      val up = JpegImage.normalizeOrientation(JpegImage.parse(bytes),
+        JpegImage.parseOrientation(bytes))
+      faceStats(up.width, up.height, up.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q160Oracle: String =
+    """WITH p AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+      |                  8 * (1 + doc_id % 2) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 13 + (x // 8) * 37 + (y // 8) * 59) % 256 AS c
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT) AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2116,7 +2191,8 @@ object Multimodal {
     "q155_jpeg_progressive_decode" -> q155JpegProgressiveDecode _,
     "q156_wav_wide_decode" -> q156WavWideDecode _,
     "q157_media_dispatch_full" -> q157MediaDispatchFull _,
-    "q158_png_sub8_decode" -> q158PngSub8Decode _)
+    "q158_png_sub8_decode" -> q158PngSub8Decode _,
+    "q160_jpeg_exif_normalize" -> q160JpegExifNormalize _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2149,5 +2225,6 @@ object Multimodal {
     "q155_jpeg_progressive_decode" -> q151Oracle,
     "q156_wav_wide_decode" -> q156Oracle,
     "q157_media_dispatch_full" -> q157Oracle,
-    "q158_png_sub8_decode" -> q158Oracle)
+    "q158_png_sub8_decode" -> q158Oracle,
+    "q160_jpeg_exif_normalize" -> q160Oracle)
 }

@@ -672,6 +672,158 @@ object JpegImage {
     out.toByteArray
   }
 
+  // ------------------------------------------------------ EXIF orientation
+
+  /** Where upright pixel (x, y) reads from in a stored w×h image under
+    * EXIF orientation `o` (Exif 2.32 §4.6.4 tag 274) — ONE copy of the
+    * mapping, shared by [[normalizeOrientation]] and the fixture
+    * generators/tests (which write through it, so generation and
+    * normalization are exact inverses by construction and the mapping
+    * itself is pinned by hand-derived fixtures). */
+  private[graft] def exifSource(o: Int, x: Int, y: Int, w: Int,
+      h: Int): (Int, Int) = o match {
+    case 1 => (x, y)
+    case 2 => (w - 1 - x, y) // mirrored horizontal
+    case 3 => (w - 1 - x, h - 1 - y) // rotated 180
+    case 4 => (x, h - 1 - y) // mirrored vertical
+    case 5 => (y, x) // transposed
+    case 6 => (y, h - 1 - x) // rotate 90 CW to display upright
+    case 7 => (w - 1 - y, h - 1 - x) // transverse
+    case 8 => (w - 1 - y, x) // rotate 90 CCW to display upright
+  }
+
+  /** Apply EXIF orientation `o` (1..8): returns the UPRIGHT image (for
+    * o >= 5 width and height swap). Orientation-normalization is what
+    * makes a decoded-image face usable for near-dup work — a rotated
+    * re-upload of the same photo must produce the same pixels (and
+    * hence the same phash) as the original. */
+  def normalizeOrientation(img: Jpeg, o: Int): Jpeg = {
+    require(o >= 1 && o <= 8, s"bad EXIF orientation $o")
+    if (o == 1) return img
+    val w = img.width; val h = img.height
+    val (nw, nh) = if (o >= 5) (h, w) else (w, h)
+    val out = new Array[Int](nw * nh)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val (sx, sy) = exifSource(o, x, y, w, h)
+        out(y * nw + x) = img.pixels(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg(nw, nh, img.channels, out)
+  }
+
+  /** Read the EXIF orientation tag (274) from the APP1 Exif segment:
+    * 1 (the spec default) when no Exif APP1 or no orientation tag is
+    * present; a PRESENT Exif payload is parsed STRICTLY (TIFF byte
+    * order, the 42 magic, in-bounds IFD0, entry type/count/value) —
+    * a segment that claims to be Exif and lies is a named reject, not
+    * a silent default (the corpus-triage posture: wrong orientation
+    * silently poisons every normalized phash downstream). */
+  def parseOrientation(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      require((bytes(off) & 0xff) == 0xff, s"expected marker at $off")
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return 1 // scan reached: no Exif APP1
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 } // bare markers
+      else {
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        require(len >= 2 && off + 2 + len <= bytes.length,
+          f"segment 0x$m%02x overruns file")
+        if (m == 0xe1 && len >= 2 + 6 &&
+          bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+          bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+          bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+          return exifOrientation(bytes, off + 10, len - 2 - 6)
+        }
+        off += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Strict TIFF walk of an Exif payload at `tiff` (`n` bytes): IFD0's
+    * orientation SHORT, or 1 if the tag is absent. */
+  private def exifOrientation(bytes: Array[Byte], tiff: Int, n: Int): Int = {
+    require(n >= 8, s"Exif TIFF header truncated ($n bytes)")
+    val big = (bytes(tiff) & 0xff, bytes(tiff + 1) & 0xff) match {
+      case ('M', 'M') => true
+      case ('I', 'I') => false
+      case (a, b) => throw new IllegalArgumentException(
+        f"Exif TIFF byte order 0x$a%02x$b%02x (need II or MM)")
+    }
+    def u16(o: Int): Int = {
+      require(o >= tiff && o + 2 <= tiff + n, "Exif read out of bounds")
+      if (big) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    }
+    def u32(o: Int): Long = {
+      require(o >= tiff && o + 4 <= tiff + n, "Exif read out of bounds")
+      if (big) ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      else (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    }
+    require(u16(tiff + 2) == 42, s"Exif TIFF magic ${u16(tiff + 2)} (need 42)")
+    val ifd = u32(tiff + 4)
+    require(ifd >= 8 && ifd <= n - 2, s"Exif IFD0 offset $ifd out of range")
+    val base = tiff + ifd.toInt
+    val count = u16(base)
+    require(base + 2 + 12 * count <= tiff + n,
+      s"Exif IFD0 declares $count entries, overruns payload")
+    var i = 0
+    while (i < count) {
+      val e = base + 2 + 12 * i
+      if (u16(e) == 274) { // orientation
+        require(u16(e + 2) == 3 && u32(e + 4) == 1L,
+          s"Exif orientation entry malformed (type ${u16(e + 2)}, " +
+            s"count ${u32(e + 4)})")
+        val v = u16(e + 8) // SHORT rides the value field's first bytes
+        require(v >= 1 && v <= 8, s"Exif orientation $v out of range")
+        return v
+      }
+      i += 1
+    }
+    1
+  }
+
+  /** Splice a minimal APP1 Exif segment (TIFF header + a one-entry
+    * IFD0 carrying orientation tag 274) right after SOI — the writer
+    * half for the orientation lane, in the chosen byte order so both
+    * TIFF endiannesses are exercised corpus-wide. */
+  def withExif(jpeg: Array[Byte], orientation: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"bad EXIF orientation $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    val t = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (bigEndian) { t.write((v >> 8) & 0xff); t.write(v & 0xff) }
+      else { t.write(v & 0xff); t.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit =
+      if (bigEndian) { u16(v >>> 16); u16(v & 0xffff) }
+      else { u16(v & 0xffff); u16(v >>> 16) }
+    t.write(if (bigEndian) 'M' else 'I'); t.write(if (bigEndian) 'M' else 'I')
+    u16(42); u32(8) // IFD0 directly after the header
+    u16(1) // one entry
+    u16(274); u16(3); u32(1) // orientation, SHORT, count 1
+    u16(orientation); u16(0) // value field: SHORT + 2 pad bytes
+    u32(0) // no next IFD
+    val tiff = t.toByteArray
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
   // ------------------------------------------------------------ decode
 
   /** Low-order-bits sign extension (T.81 F.2.2.1 EXTEND). */

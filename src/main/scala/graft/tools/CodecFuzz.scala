@@ -513,6 +513,51 @@ object CodecFuzz {
       }
     }
 
+    // ------------------------------------------------ EXIF orientation
+    for (i <- 0 until 50) {
+      // canon → storify (through the shared mapping) → JPEG + APP1 →
+      // decode → parseOrientation → normalize must restore the canon
+      // EXACTLY (block-constant tiles, both TIFF byte orders)
+      val o = 1 + rnd.nextInt(8)
+      val big = rnd.nextBoolean()
+      val wc = 8 * (1 + rnd.nextInt(4)); val hc = 8 * (1 + rnd.nextInt(3))
+      val cells = Array.fill((wc / 8) * (hc / 8))(rnd.nextInt(256))
+      val canon = Array.tabulate(wc * hc)(k =>
+        cells((k / wc) / 8 * (wc / 8) + (k % wc) / 8))
+      check(s"exif_normalize_$i") {
+        val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
+        val stored = new Array[Int](sw * sh)
+        for (y <- 0 until hc; x <- 0 until wc) {
+          val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
+          stored(sy * sw + sx) = canon(y * wc + x)
+        }
+        val bytes = JpegImage.withExif(
+          JpegImage.encode(sw, sh, stored, grayscale = true), o, big)
+        require(JpegImage.parseOrientation(bytes) == o, "orientation read")
+        val up = JpegImage.normalizeOrientation(JpegImage.parse(bytes),
+          o)
+        require(up.width == wc && up.height == hc, "upright dims")
+        var ok = true
+        for (k <- 0 until wc * hc)
+          ok &&= (up.pixels(k) & 0xff) == canon(k)
+        require(ok, "normalized pixels")
+      }
+    }
+    for (i <- 0 until 60) {
+      // EXIF walk mutation: parseOrientation must reject by name or
+      // return a spec-valid orientation — never crash, never lie
+      val we = 8 * (1 + rnd.nextInt(3))
+      val good = JpegImage.withExif(
+        JpegImage.encode(we, 8, Array.fill(we * 8)(rnd.nextInt(256)),
+          grayscale = true),
+        1 + rnd.nextInt(8), rnd.nextBoolean())
+      val bad = mutate(good)
+      mutationCase(s"exif_mutation_$i",
+        () => JpegImage.parseOrientation(bad)) { o =>
+        o >= 1 && o <= 8
+      }
+    }
+
     // ---------------------------------------------------------- WAV
     for (i <- 0 until 30) {
       val rate = 8000 + rnd.nextInt(40000)

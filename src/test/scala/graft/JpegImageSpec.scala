@@ -432,6 +432,86 @@ class JpegImageSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- EXIF orientation
+
+  test("EXIF orientation HAND FIXTURE: o=6 rotates 90 CW to upright") {
+    // 2-wide × 3-tall stored image; physically rotating it 90° CW puts
+    // the left column (bottom-to-top) on the top row — derived by hand,
+    // NOT via exifSource, so a transposed mapping convention cannot
+    // hide behind generation/normalization symmetry
+    val stored = JpegImage.Jpeg(2, 3, 1, Array(3, 6, 2, 5, 1, 4))
+    val up = JpegImage.normalizeOrientation(stored, 6)
+    assert(up.width == 3 && up.height == 2)
+    assert(up.pixels.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    // and o=8 (90 CCW): the RIGHT column top-to-bottom becomes row 0
+    val up8 = JpegImage.normalizeOrientation(stored, 8)
+    assert(up8.pixels.toSeq == Seq(6, 5, 4, 3, 2, 1))
+  }
+
+  test("all 8 orientations round-trip through JPEG + EXIF to the canon") {
+    val rnd = new scala.util.Random(977)
+    for (o <- 1 to 8; big <- Seq(true, false)) {
+      // block-constant canonical image (tiles survive rotation exactly)
+      val wc = 8 * (1 + rnd.nextInt(3)); val hc = 8 * (1 + rnd.nextInt(2))
+      val canon = blockConst(wc, hc,
+        (x, y) => (x * 37 + y * 59 + o * 11) & 0xff, gray = true)
+      // stored = write canon THROUGH the shared mapping (generation and
+      // normalization are exact inverses; the mapping itself is pinned
+      // by the hand fixture above)
+      val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
+      val stored = new Array[Int](sw * sh)
+      for (y <- 0 until hc; x <- 0 until wc) {
+        val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
+        stored(sy * sw + sx) = canon(y * wc + x)
+      }
+      val bytes = JpegImage.withExif(
+        JpegImage.encode(sw, sh, stored, grayscale = true), o, big)
+      assert(JpegImage.parseOrientation(bytes) == o, s"o=$o big=$big")
+      val up = JpegImage.normalizeOrientation(JpegImage.parse(bytes), o)
+      assert(up.width == wc && up.height == hc)
+      for (k <- 0 until wc * hc)
+        assert((up.pixels(k) & 0xff) == canon(k),
+          s"orientation $o (big=$big) mismatch at $k")
+    }
+  }
+
+  test("EXIF parsing: defaults, tag-absent IFDs, and strict rejects") {
+    val px = blockConst(8, 8, (_, _) => 77, gray = true)
+    val plain = JpegImage.encode(8, 8, px, grayscale = true)
+    // no APP1 at all → the spec default
+    assert(JpegImage.parseOrientation(plain) == 1)
+    // an Exif APP1 whose IFD0 has no orientation tag → default, not err
+    val tagged = JpegImage.withExif(plain, 5, bigEndian = true)
+    val exifAt = 2 // spliced right after SOI
+    val noTag = tagged.clone()
+    // rewrite the entry's tag 274 → 306 (DateTime): MM order, tag at
+    // APP1(4) + "Exif\0\0"(6) + TIFF header(8) + count(2)
+    noTag(exifAt + 2 + 2 + 6 + 8 + 2) = 0x01
+    noTag(exifAt + 2 + 2 + 6 + 8 + 2 + 1) = 0x32
+    assert(JpegImage.parseOrientation(noTag) == 1)
+    // a payload that CLAIMS Exif and lies: bad TIFF order bytes
+    val badOrder = tagged.clone()
+    badOrder(exifAt + 2 + 2 + 6) = 'X'
+    assert(intercept[IllegalArgumentException](
+      JpegImage.parseOrientation(badOrder))
+      .getMessage.contains("byte order"))
+    // orientation value 9: out of the spec's 1..8
+    val badVal = tagged.clone()
+    badVal(exifAt + 2 + 2 + 6 + 8 + 2 + 9) = 9 // MM: SHORT's low byte
+    assert(intercept[IllegalArgumentException](
+      JpegImage.parseOrientation(badVal))
+      .getMessage.contains("out of range"))
+    // IFD offset past the payload
+    val badIfd = tagged.clone()
+    badIfd(exifAt + 2 + 2 + 6 + 7) = 0x7f
+    assert(intercept[IllegalArgumentException](
+      JpegImage.parseOrientation(badIfd))
+      .getMessage.contains("out of range"))
+    // the tagged file still DECODES (APP1 is skipped by the pixel path)
+    assert(JpegImage.parse(tagged).pixels.toSeq ==
+      JpegImage.parse(plain).pixels.toSeq)
+  }
+
   test("malformed files are rejected loudly") {
     val px = blockConst(16, 16, (x, y) => (x + y * 5) & 0xff, gray = true)
     val good = JpegImage.encode(16, 16, px, grayscale = true,
