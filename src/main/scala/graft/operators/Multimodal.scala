@@ -2167,6 +2167,166 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+
+  /** q161 — ORIENTED near-dup grouping: the end-to-end claim q160's
+    * machinery exists for, graded as a pipeline. Every 8 consecutive
+    * documents share one CANONICAL image (content keyed by the canon
+    * id through the multiplicative mix — the q136 collision defense);
+    * each document stores it under ITS OWN EXIF orientation
+    * (1 + doc_id % 8, alternating TIFF byte orders). The pipeline —
+    * strict decode → parseOrientation → normalizeOrientation → 64-bit
+    * aHash — must collapse all 8 oriented re-uploads of a canon onto
+    * ONE hash: the report is (canon_id, n_docs, n_hashes) and the
+    * analytic oracle expects n_hashes = 1 for every group (a defect in
+    * ANY of the eight transforms, either endianness, or the hash
+    * sampling grid splits a group and hash-mismatches). Cross-canon
+    * separation (different canons → different hashes) is spec-asserted
+    * in MultimodalSpec — it depends on hash non-collision, which is a
+    * property of the fixture, not an analytic identity.
+    *
+    * Scale shape: task-local synth+orient+encode+decode+normalize+hash
+    * per row; only (canon_id, 8-byte hash) shuffles to a ~N/8-group
+    * aggregate. This is the production posture for image dedup at
+    * 100 TB: hash the UPRIGHT face, or every rotated re-upload escapes
+    * the index. */
+  private[graft] def q161OrientedHash(id: Long): Long = {
+    import graft.sources.JpegImage
+    locally {
+      val canon = id / 8
+      // >= 3x3 tiles per canon: the aHash's entropy comes from the
+      // above/below-mean PATTERN of the tile values, and a 2x2-tile
+      // canon has at most 16 patterns — 40 sampled canons collided
+      // into 12 hashes on the first cut (spec find); 9..48 tiles give
+      // the mix-keyed values room to separate
+      val wc = (8 * (3 + canon % 6)).toInt
+      val hc = (8 * (3 + canon % 4)).toInt
+      // multiplicative-hash tile content (the q136 mix defense: linear
+      // tile formulas collide across canons; high-bit mixing does not)
+      def mix(m: Long): Long =
+        (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
+      val canonPx = Array.tabulate(wc * hc) { i =>
+        mix(canon * 64 + (i / wc) / 8 * (wc / 8) + (i % wc) / 8).toInt
+      }
+      val o = (1 + id % 8).toInt
+      val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
+      val stored = new Array[Int](sw * sh)
+      var y = 0
+      while (y < hc) {
+        var x = 0
+        while (x < wc) {
+          val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
+          stored(sy * sw + sx) = canonPx(y * wc + x)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = JpegImage.withExif(
+        JpegImage.encode(sw, sh, stored, grayscale = true), o,
+        bigEndian = id % 2 == 0)
+      val up = JpegImage.normalizeOrientation(JpegImage.parse(bytes),
+        JpegImage.parseOrientation(bytes))
+      // 64-bit aHash over the upright face (the q136 sampling grid)
+      val lums = new Array[Long](64)
+      var sum = 0L
+      var k = 0
+      while (k < 64) {
+        val px = up.pixels(
+          (k / 8) * up.height / 8 * up.width + (k % 8) * up.width / 8)
+        val lum = 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+          114L * (px & 0xff)
+        lums(k) = lum; sum += lum
+        k += 1
+      }
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (lums(k) * 64 > sum) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  def q161OrientedPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashOf = udf { (id: Long) => q161OrientedHash(id) }
+    Tables.documents(s, dir)
+      .select(($"doc_id" / 8).cast("long").as("canon_id"),
+        hashOf($"doc_id").as("hash"))
+      .groupBy($"canon_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"hash").as("n_hashes"))
+      .orderBy($"canon_id")
+  }
+
+  val q161Oracle: String =
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS canon_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(1 AS BIGINT) AS n_hashes
+      |FROM documents GROUP BY 1 ORDER BY canon_id""".stripMargin
+
+
+  /** q162 — 8-bit PALETTE BMP decode (round 16: the uncompressed
+    * container's other real-world layout, after 24-bit truecolor):
+    * per document an analytic palette + index grid is encoded through
+    * [[graft.sources.BmpImage.encode8]] (row order alternating, stride
+    * padding exercised by the width sweep) and strict-decoded back;
+    * same faceStats artifact as the rest of the image ladder (BMP has
+    * no alpha — the face is forced opaque like the dispatch path). The
+    * DuckDB oracle recomputes the palette lookup arithmetically (the
+    * q143 move, applied to the BMP container). */
+  def q162BmpPaletteDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.BmpImage
+      val w = (3 + id % 7).toInt; val h = (2 + id % 4).toInt
+      val nPal = (2 + id % 9).toInt
+      val pal = Array.tabulate(nPal)(j =>
+        ((((id * 11 + j * 29) % 256).toInt) << 16) |
+          ((((id * 3 + j * 17) % 256).toInt) << 8) |
+          (((id + j * 41) % 256).toInt)
+      )
+      val idx = Array.tabulate(w * h)(i =>
+        ((id + (i % w) * 3 + (i / w)) % nPal).toInt)
+      val b = BmpImage.parse(BmpImage.encode8(w, h, idx, pal,
+        topDown = id % 2 == 0))
+      faceStats(b.width, b.height, b.pixels.map(0xff000000 | _))
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q162Oracle: String =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 7 AS w, 2 + doc_id % 4 AS h,
+      |                  2 + doc_id % 9 AS npal FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, x, y,
+      |         (d.doc_id * 11
+      |          + ((d.doc_id + x * 3 + y) % d.npal) * 29) % 256 AS r,
+      |         (d.doc_id * 3
+      |          + ((d.doc_id + x * 3 + y) % d.npal) * 17) % 256 AS g,
+      |         (d.doc_id + ((d.doc_id + x * 3 + y) % d.npal) * 41) % 256 AS b
+      |       FROM d,
+      |         LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT)
+      |         AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2192,7 +2352,9 @@ object Multimodal {
     "q156_wav_wide_decode" -> q156WavWideDecode _,
     "q157_media_dispatch_full" -> q157MediaDispatchFull _,
     "q158_png_sub8_decode" -> q158PngSub8Decode _,
-    "q160_jpeg_exif_normalize" -> q160JpegExifNormalize _)
+    "q160_jpeg_exif_normalize" -> q160JpegExifNormalize _,
+    "q161_oriented_phash_dedup" -> q161OrientedPhashDedup _,
+    "q162_bmp_palette_decode" -> q162BmpPaletteDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2226,5 +2388,7 @@ object Multimodal {
     "q156_wav_wide_decode" -> q156Oracle,
     "q157_media_dispatch_full" -> q157Oracle,
     "q158_png_sub8_decode" -> q158Oracle,
-    "q160_jpeg_exif_normalize" -> q160Oracle)
+    "q160_jpeg_exif_normalize" -> q160Oracle,
+    "q161_oriented_phash_dedup" -> q161Oracle,
+    "q162_bmp_palette_decode" -> q162Oracle)
 }

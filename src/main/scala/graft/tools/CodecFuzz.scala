@@ -104,11 +104,35 @@ object CodecFuzz {
         require(b.pixels.toSeq == px.toSeq, "pixels")
       }
     }
+    for (i <- 0 until 30) {
+      // 8-bit palette round-trip (round 16): color table + index rows
+      val w = 1 + rnd.nextInt(21)
+      val h = 1 + rnd.nextInt(9)
+      val nPal = 1 + rnd.nextInt(256)
+      val pal = Array.fill(nPal)(rnd.nextInt() & 0xffffff)
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+      val topDown = rnd.nextBoolean()
+      check(s"bmp8_roundtrip_$i") {
+        val b = BmpImage.parse(BmpImage.encode8(w, h, idx, pal, topDown))
+        require(b.width == w && b.height == h, "dims")
+        var ok = true
+        var k = 0
+        while (k < w * h && ok) { ok = b.pixels(k) == pal(idx(k)); k += 1 }
+        require(ok, "palette pixels")
+      }
+    }
     for (i <- 0 until 80) {
       val w = 1 + rnd.nextInt(21)
       val h = 1 + rnd.nextInt(9)
-      val good = BmpImage.encode24(w, h,
-        Array.fill(w * h)(rnd.nextInt() & 0xffffff), rnd.nextBoolean())
+      val good =
+        if (rnd.nextBoolean())
+          BmpImage.encode24(w, h,
+            Array.fill(w * h)(rnd.nextInt() & 0xffffff), rnd.nextBoolean())
+        else {
+          val nPal = 1 + rnd.nextInt(256)
+          BmpImage.encode8(w, h, Array.fill(w * h)(rnd.nextInt(nPal)),
+            Array.fill(nPal)(rnd.nextInt() & 0xffffff), rnd.nextBoolean())
+        }
       val bad = mutate(good)
       mutationCase(s"bmp_mutation_$i", () => BmpImage.parse(bad)) { b =>
         b.width > 0 && b.height > 0 &&

@@ -59,8 +59,12 @@ class BmpImageSpec extends AnyFunSuite {
     // not even header-sized
     intercept[IllegalArgumentException](
       BmpImage.parse(Array[Byte]('B', 'M', 1, 2)))
-    // unsupported bit depth (8-bit palette)
-    intercept[IllegalArgumentException](BmpImage.parse(corrupt(28, 8)))
+    // bpp patched to 8 on a 24-bit file: since round 16 8-bit IS
+    // supported, the reject moves to the color-table gate (a 256-entry
+    // default table cannot fit before dataOff = 54)
+    assert(intercept[IllegalArgumentException](
+      BmpImage.parse(corrupt(28, 8)))
+      .getMessage.contains("color table"))
     // compressed (BI_RLE8)
     intercept[IllegalArgumentException](BmpImage.parse(corrupt(30, 1)))
     // OS/2 BITMAPCOREHEADER size
@@ -96,5 +100,77 @@ class BmpImageSpec extends AnyFunSuite {
     put32(10, 54 + gap)
     val bmp = BmpImage.parse(bytes)
     assert(bmp.pixels.toSeq == Seq(0xaabbcc, 0x112233))
+  }
+
+  test("8-bit palette round-trips: both row orders, stride residues") {
+    val rnd = new scala.util.Random(561)
+    for (t <- 0 until 25) {
+      val w = 1 + rnd.nextInt(17) // sweeps stride padding 0..3
+      val h = 1 + rnd.nextInt(9)
+      val nPal = 1 + rnd.nextInt(256)
+      val pal = Array.fill(nPal)(rnd.nextInt() & 0xffffff)
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+      val topDown = t % 2 == 0
+      val b = BmpImage.parse(BmpImage.encode8(w, h, idx, pal, topDown))
+      assert(b.width == w && b.height == h && b.topDown == topDown)
+      for (k <- 0 until w * h)
+        assert(b.pixels(k) == pal(idx(k)),
+          s"palette mismatch at $k (t=$t ${w}x$h topDown=$topDown)")
+    }
+  }
+
+  test("8-bit palette: ImageIO parity in both directions") {
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(661)
+    for (t <- 0 until 12) {
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
+      val nPal = 2 + rnd.nextInt(254)
+      val pal = Array.fill(nPal)(rnd.nextInt() & 0xffffff)
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal))
+      // forward: our 8-bit container through the JDK reader
+      val bytes = BmpImage.encode8(w, h, idx, pal, topDown = t % 2 == 1)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == pal(idx(y * w + x)),
+          s"ImageIO disagrees at ($x,$y) t=$t")
+      // reverse: a JDK-WRITTEN indexed BMP decodes through our parser
+      val cm = new java.awt.image.IndexColorModel(8, nPal,
+        pal.map(p => ((p >> 16) & 0xff).toByte),
+        pal.map(p => ((p >> 8) & 0xff).toByte),
+        pal.map(p => (p & 0xff).toByte))
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, idx(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(bi, "bmp", bos))
+      val ours = BmpImage.parse(bos.toByteArray)
+      assert(ours.width == w && ours.height == h)
+      for (k <- 0 until w * h)
+        assert(ours.pixels(k) == pal(idx(k)),
+          s"JDK-written indexed BMP mismatch at $k (t=$t)")
+    }
+  }
+
+  test("8-bit palette gates: short tables, oversized biClrUsed, overlap") {
+    val pal = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    val good = BmpImage.encode8(3, 2, Array(0, 1, 2, 3, 0, 1), pal)
+    assert(BmpImage.parse(good).pixels(3) == 0x444444) // sanity
+    // biClrUsed shrunk to 2: indices 2/3 must reject by name, and the
+    // pixel offset keeps pointing past the ORIGINAL table so only the
+    // index gate can fire
+    val shrunk = good.clone(); shrunk(46) = 2
+    assert(intercept[IllegalArgumentException](BmpImage.parse(shrunk))
+      .getMessage.contains("palette index"))
+    // biClrUsed above 256
+    val big = good.clone(); big(47) = 1 // 258
+    assert(intercept[IllegalArgumentException](BmpImage.parse(big))
+      .getMessage.contains("biClrUsed"))
+    // color table overrunning the pixel offset (biClrUsed raised past
+    // the written table)
+    val over = good.clone(); over(46) = 200.toByte
+    assert(intercept[IllegalArgumentException](BmpImage.parse(over))
+      .getMessage.contains("color table"))
   }
 }

@@ -114,4 +114,15 @@ class MultimodalSpec extends SparkSuite {
         byV(v).getAs[Long]("n_pairs"))
     assert(det == det.sorted.reverse, s"detection not monotone: $det")
   }
+
+  test("q161 fixture: upright hashes SEPARATE canons (oracle pins collapse)") {
+    // the analytic oracle can only state the collapse half (8 oriented
+    // re-uploads -> 1 hash per canon); separation — different canons
+    // hashing differently — is a property of the mix-keyed fixture,
+    // asserted here over the first 40 canon groups
+    val hashes = (0L until 40L).map(c =>
+      graft.operators.Multimodal.q161OrientedHash(c * 8))
+    assert(hashes.distinct.size == hashes.size,
+      "cross-canon hash collision in the q161 fixture")
+  }
 }
