@@ -2327,6 +2327,104 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q163 — ANIMATED GIF frame sampling over the full compositing
+    * model ([[graft.sources.GifImage.decodeAnimation]] — the
+    * frame-sample seam a video-adjacent pipeline needs): per document
+    * an animation is synthesized with an analytic full-screen base
+    * frame plus up to three DISJOINT 2×2 patches whose left column is
+    * GCE-TRANSPARENT, under one of three disposal regimes by document
+    * class — 1 (leave: patches accumulate), 2 (clear rect: each prior
+    * patch leaves an UNPAINTED hole), 3 (restore previous: only the
+    * current patch shows) — and every composited frame reports
+    * (n_painted, sum_rgb). The DuckDB oracle recomputes the whole
+    * disposal state machine in closed form (disjoint rects make every
+    * frame's canvas analytic), so a compositing defect in any regime,
+    * the transparency path, or the snapshot/dispose ordering
+    * hash-mismatches.
+    *
+    * Scale shape: task-local synth+decode+composite per row; one
+    * (media_id, frame) explode of ≤4 stat pairs; media bytes never
+    * shuffle. */
+  def q163GifFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sample = udf { (id: Long) =>
+      import graft.sources.GifImage
+      val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+      val nf = (2 + id % 3).toInt
+      val cls = (id % 3).toInt // patch disposal = cls + 1
+      val pal = Array.tabulate(256)(j => 0xff000000 | (j * 0x10101))
+      val geom = (0 until nf).map { f =>
+        if (f == 0) (0, 0, w, h, 1 + f)
+        else (2 * f - 2, f, 2, 2, 1 + f)
+      }
+      def framePx(f: Int): Array[Int] =
+        if (f == 0) Array.tabulate(w * h)(i =>
+          ((id + (i % w) * 3 + (i / w) * 7) % 256).toInt)
+        else Array.tabulate(4) { i =>
+          val u = i % 2; val v = i / 2
+          if (u == 0) 255 // GCE-transparent column
+          else ((id * 5 + f * 31 + 1 + v * 2) % 255).toInt
+        }
+      val bytes = GifImage.encodeAnimation(w, h, pal, geom, framePx,
+        disposalFor = f => if (f == 0) 0 else cls + 1,
+        transparentFor = f => if (f == 0) -1 else 255)
+      val (_, _, frames) = GifImage.decodeAnimation(bytes)
+      frames.map { fr =>
+        var painted = 0L
+        var sumRgb = 0L
+        fr.canvas.foreach { p =>
+          if ((p >>> 24) != 0) {
+            painted += 1
+            sumRgb += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          }
+        }
+        (fr.index, painted, sumRgb)
+      }
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), explode(sample($"doc_id")).as("t"))
+      .select($"media_id", $"t._1".as("frame_idx"),
+        $"t._2".as("n_painted"), $"t._3".as("sum_rgb"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q163Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 3 AS cls, 2 + doc_id % 3 AS nf,
+      |                  8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      |           FROM documents),
+      |fr AS (SELECT d.*, f
+      |       FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1))
+      |                        AS f) g),
+      |px AS (SELECT fr.doc_id, fr.cls, fr.nf, fr.f, x, y,
+      |         x // 2 + 1 AS gc, x % 2 AS u,
+      |         (fr.doc_id + x * 3 + y * 7) % 256 AS base
+      |       FROM fr,
+      |         LATERAL (SELECT unnest(generate_series(0, fr.w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, fr.h - 1)) AS y) ys),
+      |ev AS (SELECT *,
+      |         CASE WHEN gc >= 1 AND gc <= nf - 1
+      |                   AND (y = gc OR y = gc + 1)
+      |              THEN gc ELSE 0 END AS pg,
+      |         CASE WHEN gc >= 1 AND gc <= nf - 1
+      |                   AND (y = gc OR y = gc + 1)
+      |              THEN (doc_id * 5 + gc * 31 + 1 + (y - gc) * 2) % 255
+      |              ELSE 0 END AS pv
+      |       FROM px),
+      |st AS (SELECT doc_id, f, x, y,
+      |         CASE WHEN cls = 1 AND pg > 0 AND pg < f THEN 0
+      |              ELSE 1 END AS painted,
+      |         CASE
+      |           WHEN f = 0 OR pg = 0 OR u = 0 THEN base
+      |           WHEN cls = 0 AND pg <= f THEN pv
+      |           WHEN cls = 1 AND pg = f THEN pv
+      |           WHEN cls = 2 AND pg = f THEN pv
+      |           ELSE base END AS val
+      |       FROM ev)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+      |       CAST(sum(painted) AS BIGINT) AS n_painted,
+      |       CAST(sum(painted * 3 * val) AS BIGINT) AS sum_rgb
+      |FROM st GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2354,7 +2452,8 @@ object Multimodal {
     "q158_png_sub8_decode" -> q158PngSub8Decode _,
     "q160_jpeg_exif_normalize" -> q160JpegExifNormalize _,
     "q161_oriented_phash_dedup" -> q161OrientedPhashDedup _,
-    "q162_bmp_palette_decode" -> q162BmpPaletteDecode _)
+    "q162_bmp_palette_decode" -> q162BmpPaletteDecode _,
+    "q163_gif_frame_sample" -> q163GifFrameSample _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2390,5 +2489,6 @@ object Multimodal {
     "q158_png_sub8_decode" -> q158Oracle,
     "q160_jpeg_exif_normalize" -> q160Oracle,
     "q161_oriented_phash_dedup" -> q161Oracle,
-    "q162_bmp_palette_decode" -> q162Oracle)
+    "q162_bmp_palette_decode" -> q162Oracle,
+    "q163_gif_frame_sample" -> q163Oracle)
 }

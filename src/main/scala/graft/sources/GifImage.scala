@@ -468,16 +468,181 @@ object GifImage {
     out
   }
 
+  /** One COMPOSITED animation frame: the frame's own geometry/timing/
+    * disposal plus the full logical-screen canvas AS DISPLAYED after
+    * this frame draws (0xAARRGGBB; alpha 0 = a canvas cell no frame
+    * has painted — or one a disposal-2 clear un-painted). */
+  final case class AnimFrame(index: Int, left: Int, top: Int,
+      width: Int, height: Int, delayCs: Int, disposal: Int,
+      canvas: Array[Int])
+
+  /** Decode + COMPOSITE a (possibly animated) GIF per the GIF89a
+    * rendering model — the full-frame face [[scanFrames]]'s structural
+    * walk deliberately is not: each frame's indices expand (LZW,
+    * interlace, local/global palette, GCE transparency) and draw onto
+    * the logical screen at the frame's offset (transparent pixels
+    * leave the canvas untouched); after the displayed canvas is
+    * snapshotted, the frame's DISPOSAL method runs — 0/1 leave the
+    * canvas, 2 clears the frame RECT to unpainted (the universal
+    * modern-renderer convention; the spec's background-color variant
+    * is ignored by every real renderer), 3 restores the canvas to its
+    * pre-frame state; methods 4..7 are "to be defined" and reject by
+    * name. [[parse]]'s strictness ladder applies throughout. This is
+    * the FRAME-SAMPLING seam a video-adjacent pipeline needs: per-frame
+    * upright canvases to hash/stat, never raw payload guesswork.
+    * @return (screenW, screenH, frames in presentation order) */
+  def decodeAnimation(bytes: Array[Byte]): (Int, Int, Seq[AnimFrame]) = {
+    require(bytes.length >= 6 + 7 + 1, s"not a GIF: ${bytes.length} bytes")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
+    var off = 6
+    def u8(): Int = {
+      require(off < bytes.length, s"truncated at $off (${bytes.length} bytes)")
+      val v = bytes(off) & 0xff; off += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val screenW = u16(); val screenH = u16()
+    require(screenW > 0 && screenH > 0, s"bad screen ${screenW}x$screenH")
+    val flags = u8()
+    u8(); u8()
+    val globalTable: Array[Int] =
+      if ((flags & 0x80) != 0) readColorTable(bytes, 2 << (flags & 7),
+        () => u8())
+      else null
+
+    val canvas = new Array[Int](screenW * screenH) // alpha 0 = unpainted
+    val frames = Seq.newBuilder[AnimFrame]
+    var n = 0
+    var pendingDelay = 0
+    var pendingDisposal = 0
+    var transparentIdx = -1
+    var done = false
+    while (!done) {
+      u8() match {
+        case 0x3b =>
+          require(off == bytes.length,
+            s"${bytes.length - off} trailing bytes after GIF trailer")
+          done = true
+        case 0x21 =>
+          val label = u8()
+          if (label == 0xf9) {
+            require(u8() == 4, "GCE block size is not 4")
+            val gflags = u8()
+            pendingDisposal = (gflags >> 2) & 7
+            require(pendingDisposal <= 3,
+              s"disposal method $pendingDisposal undefined (spec allows 0..3)")
+            pendingDelay = u16()
+            val tIdx = u8()
+            require(u8() == 0, "GCE missing sub-block terminator")
+            transparentIdx = if ((gflags & 1) != 0) tIdx else -1
+          } else {
+            var len = u8()
+            while (len != 0) {
+              require(off + len <= bytes.length,
+                s"extension sub-block overruns file at $off")
+              off += len
+              len = u8()
+            }
+          }
+        case 0x2c =>
+          val left = u16(); val top = u16()
+          val w = u16(); val h = u16()
+          require(w > 0 && h > 0, s"bad frame dims ${w}x$h")
+          require(left + w <= screenW && top + h <= screenH,
+            s"frame ${w}x$h+$left+$top outside ${screenW}x$screenH screen")
+          val iflags = u8()
+          val table =
+            if ((iflags & 0x80) != 0)
+              readColorTable(bytes, 2 << (iflags & 7), () => u8())
+            else globalTable
+          require(table != null, "no color table (neither global nor local)")
+          val interlaced = (iflags & 0x40) != 0
+          val minCodeSize = u8()
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"bad LZW minimum code size $minCodeSize")
+          val data = new java.io.ByteArrayOutputStream()
+          var len = u8()
+          while (len != 0) {
+            require(off + len <= bytes.length,
+              s"image sub-block overruns file at $off")
+            data.write(bytes, off, len); off += len
+            len = u8()
+          }
+          val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(h)(identity)
+            else {
+              val order = new Array[Int](h)
+              var k = 0
+              InterlacePasses.foreach { case (y0, dy) =>
+                var y = y0
+                while (y < h) { order(k) = y; k += 1; y += dy }
+              }
+              order
+            }
+          // disposal 3 needs the pre-frame canvas to restore
+          val before =
+            if (pendingDisposal == 3) canvas.clone() else null
+          var row = 0
+          while (row < h) {
+            val y = rowOrder(row)
+            var x = 0
+            while (x < w) {
+              val idx = indices(row * w + x) & 0xff
+              require(idx < table.length,
+                s"color index $idx at ($x,$y) out of range " +
+                  s"(${table.length}-entry table)")
+              if (idx != transparentIdx)
+                canvas((top + y) * screenW + (left + x)) = table(idx)
+              x += 1
+            }
+            row += 1
+          }
+          frames += AnimFrame(n, left, top, w, h, pendingDelay,
+            pendingDisposal, canvas.clone())
+          pendingDisposal match {
+            case 2 => // clear the frame RECT to unpainted
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  canvas((top + y) * screenW + (left + x)) = 0
+                  x += 1
+                }
+                y += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => () // 0/1: leave
+          }
+          n += 1
+          pendingDelay = 0
+          pendingDisposal = 0
+          transparentIdx = -1
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02x at ${off - 1}")
+      }
+    }
+    val out = frames.result()
+    require(out.nonEmpty, "GIF carries no image frame")
+    (screenW, screenH, out)
+  }
+
   /** Encode a multi-frame GIF89a animation: frame 0 covers the screen;
     * later frames are sub-rectangles with per-frame delays
-    * (centiseconds). The generator half for [[scanFrames]] — real LZW
-    * payloads per frame, GCE per frame when it has a delay or
-    * transparency. Pixel content per frame comes from `framePx(f)`
-    * (palette indices for that frame's own w×h). */
+    * (centiseconds), disposal methods and GCE transparency. The
+    * generator half for [[scanFrames]] AND [[decodeAnimation]] — real
+    * LZW payloads per frame, a GCE whenever the frame has a delay, a
+    * non-0 disposal or a transparent index. Pixel content per frame
+    * comes from `framePx(f)` (palette indices for that frame's own
+    * w×h; `transparentFor(f)`, when >= 0, names the index that leaves
+    * the canvas untouched). */
   def encodeAnimation(screenW: Int, screenH: Int, palette: Array[Int],
       frames: Seq[(Int, Int, Int, Int, Int)], // (left, top, w, h, delayCs)
       framePx: Int => Array[Int],
-      interlacedFrame: Int => Boolean = _ => false): Array[Byte] = {
+      interlacedFrame: Int => Boolean = _ => false,
+      disposalFor: Int => Int = _ => 0,
+      transparentFor: Int => Int = _ => -1): Array[Byte] = {
     require(frames.nonEmpty, "no frames")
     require(palette.nonEmpty && palette.length <= 256,
       s"palette has ${palette.length} entries (1..256)")
@@ -501,8 +666,15 @@ object GifImage {
         s"frame $f out of bounds")
       if (f == 0) require(left == 0 && top == 0 && w == screenW &&
         h == screenH, "frame 0 must cover the screen")
-      if (delay > 0) {
-        u8(0x21); u8(0xf9); u8(4); u8(0); u16(delay); u8(0); u8(0)
+      val disp = disposalFor(f)
+      val tr = transparentFor(f)
+      require(disp >= 0 && disp <= 3, s"frame $f disposal $disp (0..3)")
+      require(tr >= -1 && tr < palette.length,
+        s"frame $f transparent index $tr")
+      if (delay > 0 || disp > 0 || tr >= 0) {
+        u8(0x21); u8(0xf9); u8(4)
+        u8((disp << 2) | (if (tr >= 0) 1 else 0))
+        u16(delay); u8(math.max(tr, 0)); u8(0)
       }
       u8(0x2c)
       u16(left); u16(top); u16(w); u16(h)
@@ -510,15 +682,34 @@ object GifImage {
       u8(minCodeSize)
       val idx = framePx(f)
       require(idx.length == w * h, s"frame $f: ${idx.length} px for ${w}x$h")
+      idx.foreach(i =>
+        require(i >= 0 && i < palette.length, s"frame $f index $i"))
+      // interlaced payloads carry the display rows in PASS order — the
+      // flag was write-only while scanFrames (structural) was the only
+      // consumer; decodeAnimation actually expands frames, so the
+      // encoder half now honors it (found by the independent-reference
+      // compositing spec)
       val stream = new Array[Byte](idx.length)
-      var k = 0
-      while (k < idx.length) {
-        require(idx(k) >= 0 && idx(k) < palette.length, s"frame $f index")
-        stream(k) = idx(k).toByte
-        k += 1
+      if (interlacedFrame(f)) {
+        val order = new Array[Int](h)
+        var k = 0
+        InterlacePasses.foreach { case (y0, dy) =>
+          var y = y0
+          while (y < h) { order(k) = y; k += 1; y += dy }
+        }
+        var r = 0
+        while (r < h) {
+          var x = 0
+          while (x < w) {
+            stream(r * w + x) = idx(order(r) * w + x).toByte
+            x += 1
+          }
+          r += 1
+        }
+      } else {
+        var k = 0
+        while (k < idx.length) { stream(k) = idx(k).toByte; k += 1 }
       }
-      // interlace only affects row order during DECODE; the scan is
-      // structural, so the payload row order here is sequential
       val lzw = lzwEncode(stream, minCodeSize)
       var o = 0
       while (o < lzw.length) {

@@ -427,6 +427,39 @@ object CodecFuzz {
       }
     }
 
+    // --------------------------------------------- GIF animation (composited)
+    for (i <- 0 until 40) {
+      // random scripted animation, mutated: decodeAnimation must reject
+      // by name or produce a structurally sound composite
+      val sw = 2 + rnd.nextInt(12); val sh = 2 + rnd.nextInt(9)
+      val nPal = 2 + rnd.nextInt(14)
+      val pal = Array.tabulate(nPal)(_ =>
+        0xff000000 | (rnd.nextInt() & 0xffffff))
+      val nf = 1 + rnd.nextInt(4)
+      val geom = (0 until nf).map { f =>
+        if (f == 0) (0, 0, sw, sh, rnd.nextInt(3))
+        else {
+          val fw = 1 + rnd.nextInt(sw); val fh = 1 + rnd.nextInt(sh)
+          (rnd.nextInt(sw - fw + 1), rnd.nextInt(sh - fh + 1), fw, fh,
+            rnd.nextInt(3))
+        }
+      }
+      val px = geom.map { case (_, _, fw, fh, _) =>
+        Array.fill(fw * fh)(rnd.nextInt(nPal)) }
+      val disp = (0 until nf).map(_ => rnd.nextInt(4))
+      val trans = (0 until nf).map(f =>
+        if (rnd.nextBoolean()) rnd.nextInt(nPal) else -1)
+      val good = GifImage.encodeAnimation(sw, sh, pal, geom, px(_),
+        interlacedFrame = _ => rnd.nextBoolean(),
+        disposalFor = disp(_), transparentFor = trans(_))
+      val bad = mutate(good)
+      mutationCase(s"gifanim_mutation_$i",
+        () => GifImage.decodeAnimation(bad)) { case (w, h, frames) =>
+        w > 0 && h > 0 && frames.nonEmpty &&
+          frames.forall(_.canvas.length == w * h)
+      }
+    }
+
     // ------------------------------------------------ progressive JPEG
     // random VALID scan script: random band partition of 1..63 per
     // component, random successive-approximation depth per band (each

@@ -341,6 +341,119 @@ class GifImageSpec extends AnyFunSuite {
       GifImage.scanFrames(oob))
       .getMessage.contains("outside"))
   }
+
+  // -------------------------------------------- animation compositing
+
+  test("compositing HAND FIXTURE: disposal 1/2/3 + transparency") {
+    // 3x2 screen, palette A/B/C/T; scripted by hand, canvases derived
+    // by hand — the disposal state machine cannot hide behind
+    // generator symmetry
+    val pal = Array(0xffff0000, 0xff00ff00, 0xff0000ff, 0xff111111)
+    val A = 0xffff0000; val B = 0xff00ff00; val C = 0xff0000ff
+    val bytes = GifImage.encodeAnimation(3, 2, pal,
+      Seq((0, 0, 3, 2, 1), (1, 0, 1, 1, 1), (1, 1, 2, 1, 1),
+        (0, 0, 1, 1, 1)),
+      framePx = {
+        case 0 => Array(0, 0, 0, 0, 0, 0) // all A
+        case 1 => Array(1) // B at (1,0)
+        case 2 => Array(3, 2) // T(transparent), C at (1,1)..(2,1)
+        case _ => Array(1) // B at (0,0)
+      },
+      disposalFor = { case 1 => 2; case 2 => 3; case _ => 1 },
+      transparentFor = { case 2 => 3; case _ => -1 })
+    val (w, h, frames) = GifImage.decodeAnimation(bytes)
+    assert(w == 3 && h == 2 && frames.length == 4)
+    // f0: all A
+    assert(frames(0).canvas.toSeq == Seq(A, A, A, A, A, A))
+    // f1: B drawn at (1,0); disposal 2 clears it AFTER the snapshot
+    assert(frames(1).canvas.toSeq == Seq(A, B, A, A, A, A))
+    // f2: (1,0) is now an unpainted hole; frame 2's (1,1) is
+    // transparent (stays A), (2,1) paints C; disposal 3 restores after
+    assert(frames(2).canvas.toSeq == Seq(A, 0, A, A, A, C))
+    assert(frames(2).disposal == 3)
+    // f3: the restore undid C; B paints (0,0); the hole persists
+    assert(frames(3).canvas.toSeq == Seq(B, 0, A, A, A, A))
+    // metadata carried through
+    assert(frames.map(_.delayCs) == Seq(1, 1, 1, 1))
+    assert(frames(1).disposal == 2 && frames(3).disposal == 1)
+  }
+
+  test("compositing matches an independent reference model on random scripts") {
+    // the reference compositor below is written directly from the
+    // GIF89a rendering rules, sharing NO code with decodeAnimation —
+    // randomized scripts (frames, offsets, disposals, transparency,
+    // interlace) must composite identically
+    val rnd = new scala.util.Random(3141)
+    for (t <- 0 until 25) {
+      val sw = 4 + rnd.nextInt(12); val sh = 3 + rnd.nextInt(9)
+      val nPal = 4 + rnd.nextInt(12)
+      val pal = Array.tabulate(nPal)(j => 0xff000000 | (rnd.nextInt() & 0xffffff))
+      val nf = 1 + rnd.nextInt(5)
+      val geom = (0 until nf).map { f =>
+        if (f == 0) (0, 0, sw, sh, rnd.nextInt(3))
+        else {
+          val fw = 1 + rnd.nextInt(sw); val fh = 1 + rnd.nextInt(sh)
+          (rnd.nextInt(sw - fw + 1), rnd.nextInt(sh - fh + 1), fw, fh,
+            rnd.nextInt(3))
+        }
+      }
+      val px = geom.map { case (_, _, fw, fh, _) =>
+        Array.fill(fw * fh)(rnd.nextInt(nPal)) }
+      val disp = (0 until nf).map(_ => rnd.nextInt(4))
+      val trans = (0 until nf).map(f =>
+        if (rnd.nextBoolean()) rnd.nextInt(nPal) else -1)
+      val inter = (0 until nf).map(_ => rnd.nextBoolean())
+      val bytes = GifImage.encodeAnimation(sw, sh, pal, geom, px(_),
+        interlacedFrame = inter(_), disposalFor = disp(_),
+        transparentFor = trans(_))
+      val (_, _, frames) = GifImage.decodeAnimation(bytes)
+      // independent reference: paint, snapshot, dispose
+      val canvas = new Array[Int](sw * sh)
+      for (f <- 0 until nf) {
+        val (l, tp, fw, fh, _) = geom(f)
+        val before = canvas.clone()
+        for (v <- 0 until fh; u <- 0 until fw) {
+          val idx = px(f)(v * fw + u)
+          if (idx != trans(f)) canvas((tp + v) * sw + (l + u)) = pal(idx)
+        }
+        assert(frames(f).canvas.toSeq == canvas.toSeq,
+          s"composite mismatch t=$t frame $f")
+        disp(f) match {
+          case 2 =>
+            for (v <- 0 until fh; u <- 0 until fw)
+              canvas((tp + v) * sw + (l + u)) = 0
+          case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("undefined disposal methods and multi-frame strictness") {
+    val pal = Array(0xff000000, 0xffffffff)
+    val good = GifImage.encodeAnimation(2, 2, pal,
+      Seq((0, 0, 2, 2, 1), (0, 0, 1, 1, 1)),
+      framePx = f => if (f == 0) Array(0, 1, 0, 1) else Array(1),
+      disposalFor = _ => 1)
+    assert(GifImage.decodeAnimation(good)._3.length == 2) // sanity
+    // disposal 4 ("to be defined"): patch the second GCE's flags —
+    // GCEs are the only 0x21 0xf9 pairs in the stream
+    val gceAt = (0 until good.length - 1).filter(i =>
+      (good(i) & 0xff) == 0x21 && (good(i + 1) & 0xff) == 0xf9)
+    assert(gceAt.length == 2)
+    val bad = good.clone()
+    bad(gceAt(1) + 3) = ((4 << 2) | (bad(gceAt(1) + 3) & 3)).toByte
+    assert(intercept[IllegalArgumentException](
+      GifImage.decodeAnimation(bad))
+      .getMessage.contains("disposal"))
+    // the single-frame parse() face still refuses animations
+    assert(intercept[IllegalArgumentException](GifImage.parse(good))
+      .getMessage.contains("multi-frame"))
+    // truncation anywhere must throw
+    for (cut <- Seq(good.length / 3, good.length / 2, good.length - 2))
+      intercept[IllegalArgumentException](
+        GifImage.decodeAnimation(java.util.Arrays.copyOf(good, cut)))
+  }
 }
 
 /** Container-independence of the perceptual-hash seam, third container:
