@@ -2345,8 +2345,10 @@ object Multimodal {
     * Scale shape: task-local synth+decode+composite per row; one
     * (media_id, frame) explode of ≤4 stat pairs; media bytes never
     * shuffle. */
-  def q163GifFrameSample(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** q163's synth→composite→per-frame-stats kernel over an arbitrary
+    * doc_id frame — shared with [[graft.tools.CodecScaleProbe]]'s
+    * animation lane so the 100× probe measures the GRADED pipeline. */
+  private[graft] def gifFrameStatsOf(ids: DataFrame): DataFrame = {
     val sample = udf { (id: Long) =>
       import graft.sources.GifImage
       val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
@@ -2381,11 +2383,16 @@ object Multimodal {
         (fr.index, painted, sumRgb)
       }
     }
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"), explode(sample($"doc_id")).as("t"))
-      .select($"media_id", $"t._1".as("frame_idx"),
-        $"t._2".as("n_painted"), $"t._3".as("sum_rgb"))
-      .orderBy($"media_id", $"frame_idx")
+    ids.select(col("doc_id").as("media_id"),
+        explode(sample(col("doc_id"))).as("t"))
+      .select(col("media_id"), col("t._1").as("frame_idx"),
+        col("t._2").as("n_painted"), col("t._3").as("sum_rgb"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  def q163GifFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifFrameStatsOf(Tables.documents(s, dir).select($"doc_id"))
   }
 
   val q163Oracle: String =

@@ -34,7 +34,7 @@ object CodecScaleProbe {
   def main(args: Array[String]): Unit = {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
-    require(Set("png", "gif", "jpeg")(lane), s"unknown lane $lane")
+    require(Set("png", "gif", "jpeg", "gifanim")(lane), s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -88,14 +88,24 @@ object CodecScaleProbe {
       Multimodal.jpegStatsOf(docs)
         .agg(sum($"sum_rgb")).first().getLong(0)
 
+    // the animation lane measures q163's graded kernel: multi-frame
+    // synth + LZW decode + disposal compositing per row, only the
+    // per-frame stat tuples shuffling
+    def gifAnimKernel(docs: DataFrame): Long =
+      Multimodal.gifFrameStatsOf(docs)
+        .agg(sum($"sum_rgb")).first().getLong(0)
+
     def run(label: String, path: String, images: Long): Unit = {
       val docs = spark.read.parquet(path)
       // measurement window: drain listener events before and after
       Thread.sleep(1500)
       val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      val figure =
-        if (lane == "jpeg") jpegKernel(docs) else phashKernel(docs)
+      val figure = lane match {
+        case "jpeg" => jpegKernel(docs)
+        case "gifanim" => gifAnimKernel(docs)
+        case _ => phashKernel(docs)
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // stage-completed events are delivered async
       val moved = shuffleBytes.get() - b0
