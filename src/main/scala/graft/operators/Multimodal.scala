@@ -1869,11 +1869,20 @@ object Multimodal {
               (((id + x + y * 7) % 256).toInt)
           }
           BmpImage.encode24(w, h, px, topDown = id % 2 == 0)
-        case 3 => // baseline JPEG, exact aperture
+        case 3 => // baseline JPEG, exact aperture — stored ROTATED under
+          // an EXIF orientation (round 17): decodeMedia normalizes, so
+          // these land on the same canonical stats row the oracle has
+          // always computed; a face that stopped normalizing would
+          // still have to parse the now-present APP1 strictly, and the
+          // oriented faceStats lane (q167) pins the pixel positions
           val w = (8 * (1 + id % 2)).toInt; val h = 8
           val px = Array.tabulate(w * h)(i =>
             ((id * 11 + (i % w) / 8 * 37) % 256).toInt)
-          JpegImage.encode(w, h, px, grayscale = true)
+          val o = (1 + id % 8).toInt
+          val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+          JpegImage.withExif(
+            JpegImage.encode(sw, sh, stored, grayscale = true), o,
+            bigEndian = id % 2 == 0)
         case 4 => // PROGRESSIVE JPEG, same aperture, multi-scan container
           val w = 8; val h = (8 * (1 + id % 3)).toInt
           val px = Array.tabulate(w * h)(i =>
@@ -2118,18 +2127,7 @@ object Multimodal {
         ((id * 13 + (i % wc) / 8 * 37 + (i / wc) / 8 * 59) % 256).toInt
       }
       val o = (1 + id % 8).toInt
-      val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
-      val stored = new Array[Int](sw * sh)
-      var y = 0
-      while (y < hc) {
-        var x = 0
-        while (x < wc) {
-          val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
-          stored(sy * sw + sx) = canon(y * wc + x)
-          x += 1
-        }
-        y += 1
-      }
+      val (sw, sh, stored) = JpegImage.exifStore(o, wc, hc, canon)
       val bytes = JpegImage.withExif(
         JpegImage.encode(sw, sh, stored, grayscale = true), o,
         bigEndian = id % 2 == 0)
@@ -2174,7 +2172,8 @@ object Multimodal {
     * id through the multiplicative mix — the q136 collision defense);
     * each document stores it under ITS OWN EXIF orientation
     * (1 + doc_id % 8, alternating TIFF byte orders). The pipeline —
-    * strict decode → parseOrientation → normalizeOrientation → 64-bit
+    * THE DISPATCH FACE ([[graft.sources.MediaCodec.decodeImage]]:
+    * sniff → strict decode → EXIF normalize, round 17) → 64-bit
     * aHash — must collapse all 8 oriented re-uploads of a canon onto
     * ONE hash: the report is (canon_id, n_docs, n_hashes) and the
     * analytic oracle expects n_hashes = 1 for every group (a defect in
@@ -2189,62 +2188,83 @@ object Multimodal {
     * aggregate. This is the production posture for image dedup at
     * 100 TB: hash the UPRIGHT face, or every rotated re-upload escapes
     * the index. */
-  private[graft] def q161OrientedHash(id: Long): Long = {
+  /** The q161 fixture's ENCODED bytes for a document id: every 8
+    * consecutive ids share one canonical image, stored under id's own
+    * EXIF orientation in alternating TIFF byte orders — the synthetic
+    * stand-in for "the same photo re-uploaded rotated 8 ways". */
+  private[graft] def q161OrientedBytes(id: Long): Array[Byte] = {
     import graft.sources.JpegImage
-    locally {
-      val canon = id / 8
-      // >= 3x3 tiles per canon: the aHash's entropy comes from the
-      // above/below-mean PATTERN of the tile values, and a 2x2-tile
-      // canon has at most 16 patterns — 40 sampled canons collided
-      // into 12 hashes on the first cut (spec find); 9..48 tiles give
-      // the mix-keyed values room to separate
-      val wc = (8 * (3 + canon % 6)).toInt
-      val hc = (8 * (3 + canon % 4)).toInt
-      // multiplicative-hash tile content (the q136 mix defense: linear
-      // tile formulas collide across canons; high-bit mixing does not)
-      def mix(m: Long): Long =
-        (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
-      val canonPx = Array.tabulate(wc * hc) { i =>
-        mix(canon * 64 + (i / wc) / 8 * (wc / 8) + (i % wc) / 8).toInt
-      }
-      val o = (1 + id % 8).toInt
-      val (sw, sh) = if (o >= 5) (hc, wc) else (wc, hc)
-      val stored = new Array[Int](sw * sh)
-      var y = 0
-      while (y < hc) {
-        var x = 0
-        while (x < wc) {
-          val (sx, sy) = JpegImage.exifSource(o, x, y, sw, sh)
-          stored(sy * sw + sx) = canonPx(y * wc + x)
-          x += 1
-        }
-        y += 1
-      }
-      val bytes = JpegImage.withExif(
-        JpegImage.encode(sw, sh, stored, grayscale = true), o,
-        bigEndian = id % 2 == 0)
-      val up = JpegImage.normalizeOrientation(JpegImage.parse(bytes),
-        JpegImage.parseOrientation(bytes))
-      // 64-bit aHash over the upright face (the q136 sampling grid)
-      val lums = new Array[Long](64)
-      var sum = 0L
-      var k = 0
-      while (k < 64) {
-        val px = up.pixels(
-          (k / 8) * up.height / 8 * up.width + (k % 8) * up.width / 8)
-        val lum = 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
-          114L * (px & 0xff)
-        lums(k) = lum; sum += lum
-        k += 1
-      }
-      var hash = 0L
-      k = 0
-      while (k < 64) {
-        if (lums(k) * 64 > sum) hash |= (1L << k)
-        k += 1
-      }
-      hash
+    val canon = id / 8
+    // >= 3x3 tiles per canon: the aHash's entropy comes from the
+    // above/below-mean PATTERN of the tile values, and a 2x2-tile
+    // canon has at most 16 patterns — 40 sampled canons collided
+    // into 12 hashes on the first cut (spec find); 9..48 tiles give
+    // the mix-keyed values room to separate
+    val wc = (8 * (3 + canon % 6)).toInt
+    val hc = (8 * (3 + canon % 4)).toInt
+    // multiplicative-hash tile content (the q136 mix defense: linear
+    // tile formulas collide across canons; high-bit mixing does not)
+    def mix(m: Long): Long =
+      (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
+    val canonPx = Array.tabulate(wc * hc) { i =>
+      mix(canon * 64 + (i / wc) / 8 * (wc / 8) + (i % wc) / 8).toInt
     }
+    val o = (1 + id % 8).toInt
+    val (sw, sh, stored) = JpegImage.exifStore(o, wc, hc, canonPx)
+    JpegImage.withExif(
+      JpegImage.encode(sw, sh, stored, grayscale = true), o,
+      bigEndian = id % 2 == 0)
+  }
+
+  /** 64-bit aHash over an already-upright face (the q136 8×8
+    * nearest-neighbor sampling grid) — ONE copy, shared by q161, the
+    * oriented hash core [[orientedHashesOf]] and their specs. */
+  private[graft] def uprightAhash64(width: Int, height: Int,
+      pixels: Array[Int]): Long = {
+    val lums = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val px = pixels((k / 8) * height / 8 * width + (k % 8) * width / 8)
+      val lum = 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+        114L * (px & 0xff)
+      lums(k) = lum; sum += lum
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (lums(k) * 64 > sum) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Oriented bytes → THE DISPATCH FACE → upright aHash (round 17: the
+    * decode+normalize step is [[graft.sources.MediaCodec.decodeImage]],
+    * not a direct JpegImage call — so q161's oracle now grades the face
+    * wiring itself: if the face ever stopped normalizing orientation,
+    * n_hashes would split and the hash would mismatch). */
+  private[graft] def q161OrientedHash(id: Long): Long = {
+    val m = graft.sources.MediaCodec.decodeImage(q161OrientedBytes(id))
+    uprightAhash64(m.width, m.height, m.pixels)
+  }
+
+  /** The oriented-corpus hash core in the [[imageHashesOf]] frame shape
+    * ((doc_id) → (doc_id, lo, hi)) — what [[graft.streaming
+    * .PhashIndexStream]] plugs in so a ROTATED RE-UPLOAD cannot escape
+    * the incremental image index (advisor r16 medium): stream hashing
+    * composes the same one-copy kernel (dispatch face + upright aHash)
+    * as batch q161, so stream ≡ batch oriented grouping by
+    * construction. */
+  private[graft] def orientedHashesOf(docs: DataFrame): DataFrame = {
+    val ahash = udf { (id: Long) =>
+      val h = q161OrientedHash(id)
+      (h & 0xffffffffL, h >>> 32)
+    }
+    docs
+      .select(col("doc_id"), ahash(col("doc_id")).as("hh"))
+      .select(col("doc_id"), col("hh._1").as("lo"), col("hh._2").as("hi"))
   }
 
   def q161OrientedPhashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -2432,6 +2452,73 @@ object Multimodal {
       |       CAST(sum(painted * 3 * val) AS BIGINT) AS sum_rgb
       |FROM st GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q167 — ORIENTED decode THROUGH THE DISPATCH FACE: q160 grades
+    * `JpegImage.normalizeOrientation` called directly; this grades the
+    * same orientation-independent artifact with the decode+normalize
+    * step being [[graft.sources.MediaCodec.decodeMedia]] — the one
+    * operator a mixed corpus actually routes through. Per document a
+    * block-constant canonical image is stored under one of the eight
+    * EXIF orientations (all eight covered: 1 + 3·id mod 8 walks the
+    * full cycle as id mod 8 does, in a DIFFERENT order from q160's so
+    * the two lanes don't share an id→orientation pairing), in
+    * alternating TIFF byte orders, and the dispatch face must hand back
+    * the CANONICAL width/height/wsum/first_px — every one of which is
+    * orientation-SENSITIVE, so a face that stopped normalizing (or
+    * normalized through a wrong transform) hash-mismatches even though
+    * the rotation-invariant q157 totals would not notice.
+    *
+    * Scale shape: task-local synth+orient+encode+dispatch per row; only
+    * the ≤72-byte stat tuple moves. */
+  def q167OrientedDispatchDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.{JpegImage, MediaCodec}
+      val wc = (8 * (2 + id % 2)).toInt
+      val hc = (8 * (1 + id % 3)).toInt
+      val canon = Array.tabulate(wc * hc) { i =>
+        ((id * 17 + (i % wc) / 8 * 41 + (i / wc) / 8 * 23) % 256).toInt
+      }
+      val o = (1 + (id * 3) % 8).toInt
+      val (sw, sh, stored) = JpegImage.exifStore(o, wc, hc, canon)
+      val bytes = JpegImage.withExif(
+        JpegImage.encode(sw, sh, stored, grayscale = true), o,
+        bigEndian = id % 3 == 0)
+      MediaCodec.decodeMedia(bytes) match {
+        case MediaCodec.ImageItem("jpeg", w, h, px) => faceStats(w, h, px)
+        case other => throw new IllegalStateException(
+          s"dispatch face returned $other for an oriented JPEG")
+      }
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q167Oracle: String =
+    """WITH p AS (SELECT doc_id, 8 * (2 + doc_id % 2) AS w,
+      |                  8 * (1 + doc_id % 3) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         (doc_id * 17 + (x // 8) * 41 + (y // 8) * 23) % 256 AS c
+      |       FROM p,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT) AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2460,7 +2547,8 @@ object Multimodal {
     "q160_jpeg_exif_normalize" -> q160JpegExifNormalize _,
     "q161_oriented_phash_dedup" -> q161OrientedPhashDedup _,
     "q162_bmp_palette_decode" -> q162BmpPaletteDecode _,
-    "q163_gif_frame_sample" -> q163GifFrameSample _)
+    "q163_gif_frame_sample" -> q163GifFrameSample _,
+    "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2497,5 +2585,6 @@ object Multimodal {
     "q160_jpeg_exif_normalize" -> q160Oracle,
     "q161_oriented_phash_dedup" -> q161Oracle,
     "q162_bmp_palette_decode" -> q162Oracle,
-    "q163_gif_frame_sample" -> q163Oracle)
+    "q163_gif_frame_sample" -> q163Oracle,
+    "q167_oriented_dispatch_decode" -> q167Oracle)
 }

@@ -692,6 +692,30 @@ object JpegImage {
     case 8 => (w - 1 - y, x) // rotate 90 CCW to display upright
   }
 
+  /** Store an upright w×h canonical pixel array under EXIF orientation
+    * `o`: returns (storedW, storedH, stored) such that
+    * [[normalizeOrientation]] of the stored image recovers the canon
+    * exactly — the generation half of the orientation lane, ONE copy
+    * (was duplicated across the q160/q161/q157 synthesizers). Writes
+    * through [[exifSource]], which is itself pinned by hand-derived
+    * fixtures, so generation and normalization stay exact inverses. */
+  private[graft] def exifStore(o: Int, w: Int, h: Int,
+      canon: Array[Int]): (Int, Int, Array[Int]) = {
+    val (sw, sh) = if (o >= 5) (h, w) else (w, h)
+    val stored = new Array[Int](sw * sh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (sx, sy) = exifSource(o, x, y, sw, sh)
+        stored(sy * sw + sx) = canon(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    (sw, sh, stored)
+  }
+
   /** Apply EXIF orientation `o` (1..8): returns the UPRIGHT image (for
     * o >= 5 width and height swap). Orientation-normalization is what
     * makes a decoded-image face usable for near-dup work — a rotated
@@ -1155,7 +1179,19 @@ object JpegImage {
     /** At EOI: the scan script must have coded every coefficient of
       * every component (a complete frame); dequantize + IDCT the
       * accumulated store and compose pixels — the same two kernels the
-      * baseline scan streams through. */
+      * baseline scan streams through.
+      *
+      * SCOPE (stricter than T.81, deliberately): the spec permits scan
+      * scripts that never code some AC bands at all — real decoders
+      * render the never-coded coefficients as zero. This parser
+      * REQUIRES completeness: a script that leaves a coefficient
+      * uncoded is a named reject, not a silent zero-fill, because in
+      * the corpus-triage posture a partial script is indistinguishable
+      * from a truncated file and zero-filling would silently alter
+      * pixels an oracle grades. (Contrast the Al > 0 final-pass case,
+      * which IS tolerated: there every coefficient was coded, just at
+      * reduced precision, so the rendered face is the spec-defined
+      * successive-approximation preview.) */
     def finishProgressive(): Jpeg = {
       for (c <- 0 until nComp; k <- 0 until 64)
         require(alStateArr(c)(k) != -1,

@@ -64,7 +64,8 @@ object MediaCodec {
 
   /** Sniff + dispatch to the container's strict IMAGE decoder,
     * normalizing every family onto the shared 0xAARRGGBB face (BMP
-    * gains the opaque alpha the other decoders already carry). Unknown
+    * gains the opaque alpha the other decoders already carry; JPEGs
+    * are EXIF-orientation-normalized to the upright face). Unknown
     * containers and decode rejections throw the underlying named
     * error — callers quarantine, they don't guess. Audio/document
     * magics are "known but not an image" — their own named gate, so a
@@ -82,7 +83,15 @@ object MediaCodec {
       Media("bmp", b.width, b.height,
         b.pixels.map(0xff000000 | _))
     case "jpeg" =>
-      val j = JpegImage.parse(bytes)
+      // EXIF-normalized (round 17): the dispatch face hashes/stats the
+      // UPRIGHT image, or every rotated re-upload escapes downstream
+      // dedup (q161's posture, wired where mixed corpora actually
+      // enter). parseOrientation is a headers-only marker walk (cheap)
+      // and returns 1 when no Exif APP1 is present, so EXIF-less JPEGs
+      // are byte-for-byte unchanged; a LYING Exif segment is a named
+      // reject into the quarantine lane, not a silent default.
+      val o = JpegImage.parseOrientation(bytes)
+      val j = JpegImage.normalizeOrientation(JpegImage.parse(bytes), o)
       Media("jpeg", j.width, j.height, j.pixels)
     case "wav" | "pdf" =>
       throw new IllegalArgumentException(

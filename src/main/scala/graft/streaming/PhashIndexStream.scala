@@ -39,6 +39,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - hashes (doc_id, lo, hi)       — 16 bytes per image, ever
   *  - bands  (doc_id, band, bkey)   — 4 rows per image, the inverted index
   *  - pairs  (doc_a, doc_b, hamming) — accumulated candidates
+  *
+  * The hash core is PLUGGABLE (round 17, advisor r16 medium): the
+  * default remains q136's [[Multimodal.imageHashesOf]]; passing
+  * [[Multimodal.orientedHashesOf]] routes hashing through the
+  * EXIF-normalizing dispatch face, so a ROTATED RE-UPLOAD hashes
+  * identically to its upright original and cannot escape the
+  * incremental index (PhashIndexStreamSpec pins stream ≡ batch q161
+  * oriented grouping over sharded replays).
   */
 object PhashIndexStream {
 
@@ -69,13 +77,14 @@ object PhashIndexStream {
     *         already-applied batch); > [[graft.operators.Dedup.MaxShingleDf]] means
     *         batch q136's stop-bucket cap would drop a bucket this
     *         index still probes — schedule a batch rebuild. */
-  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {
+  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      hashCore: DataFrame => DataFrame = Multimodal.imageHashesOf(_)): Long = {
     val state = new VersionedState(stateDir)
     if (state.isApplied(batchId)) { state.mark(batchId); return -1L }
     val spark = batch.sparkSession
     // Δ hashes: one decode per distinct batch image (intra-batch dup
     // ids collapse first — the DedupIndexStream discipline)
-    val dHashes = Multimodal.imageHashesOf(
+    val dHashes = hashCore(
       batch.select(col("doc_id")).dropDuplicates("doc_id")).cache()
     // LWW replacement, band probe, retract-and-recompute, composite
     // commit: the shared [[BandIndexMerge]] kernel (one copy with the
@@ -105,9 +114,10 @@ object PhashIndexStream {
     * per distinct doc) and swap them in under the same pointer the
     * incremental merges use. `batchId` must be outside the stream's id
     * space (negative) so its marker can never alias a micro-batch. */
-  def rebuild(docs: DataFrame, stateDir: String, batchId: Long): Unit = {
+  def rebuild(docs: DataFrame, stateDir: String, batchId: Long,
+      hashCore: DataFrame => DataFrame = Multimodal.imageHashesOf(_)): Unit = {
     val state = new VersionedState(stateDir)
-    val hashes = Multimodal.imageHashesOf(
+    val hashes = hashCore(
       docs.select(col("doc_id")).dropDuplicates("doc_id")).cache()
     try BandIndexMerge.rebuild(state, batchId, hashes,
       Multimodal.phashBands(hashes), score, ("hashes", "bands", "pairs"))
@@ -116,7 +126,8 @@ object PhashIndexStream {
 
   /** Maintain the index over a document stream; stable checkpoint under
     * stateDir so repeated invocations resume, not replay. */
-  def maintain(spark: SparkSession, inDir: String, stateDir: String):
+  def maintain(spark: SparkSession, inDir: String, stateDir: String,
+      hashCore: DataFrame => DataFrame = Multimodal.imageHashesOf(_)):
       StreamingQuery = {
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -124,7 +135,7 @@ object PhashIndexStream {
       .parquet(inDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, stateDir, batchId): Unit
+        mergeBatch(batch, stateDir, batchId, hashCore): Unit
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stateDir/_checkpoint")

@@ -66,8 +66,9 @@ object BenchGates {
     * the parallel capacity halved). A query missing from either side
     * is skipped (new queries have no baseline; a truncated baseline
     * pair must not masquerade as a regression). Sub-50ms baseline
-    * figures are skipped in the normalized gate: at that scale the
-    * ratio measures scheduler jitter, not code. */
+    * figures are skipped in BOTH gates (normalized and raw): at that
+    * scale the ratio measures scheduler jitter, not code — a genuine
+    * regression that matters starts from a measurable baseline. */
   def regressions(cur: Map[String, Double], curCalib: Option[Long],
       base: Map[String, Double], baseCalib: Option[Long],
       curCalibPar: Option[Long] = None, baseCalibPar: Option[Long] = None,

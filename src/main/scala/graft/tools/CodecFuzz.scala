@@ -449,8 +449,13 @@ object CodecFuzz {
       val disp = (0 until nf).map(_ => rnd.nextInt(4))
       val trans = (0 until nf).map(f =>
         if (rnd.nextBoolean()) rnd.nextInt(nPal) else -1)
+      // per-frame interlace sampled ONCE up front (advisor r16):
+      // encodeAnimation evaluates interlacedFrame(f) twice per frame
+      // (flag byte + payload row order), so a fresh-draw closure could
+      // emit a flag inconsistent with its own payload ordering
+      val inter = (0 until nf).map(_ => rnd.nextBoolean())
       val good = GifImage.encodeAnimation(sw, sh, pal, geom, px(_),
-        interlacedFrame = _ => rnd.nextBoolean(),
+        interlacedFrame = inter(_),
         disposalFor = disp(_), transparentFor = trans(_))
       val bad = mutate(good)
       mutationCase(s"gifanim_mutation_$i",
@@ -612,6 +617,40 @@ object CodecFuzz {
       mutationCase(s"exif_mutation_$i",
         () => JpegImage.parseOrientation(bad)) { o =>
         o >= 1 && o <= 8
+      }
+    }
+    for (i <- 0 until 40) {
+      // THE DISPATCH FACE (round 17): an oriented JPEG routed through
+      // MediaCodec.decodeMedia must come back as an upright ImageItem
+      // with the canonical dims and pixels — the wiring q161/q167
+      // grade, under randomized geometry/orientation/byte order
+      import graft.sources.MediaCodec
+      val o = 1 + rnd.nextInt(8)
+      val big = rnd.nextBoolean()
+      val wc = 8 * (1 + rnd.nextInt(4)); val hc = 8 * (1 + rnd.nextInt(3))
+      val cells = Array.fill((wc / 8) * (hc / 8))(rnd.nextInt(256))
+      val canon = Array.tabulate(wc * hc)(k =>
+        cells((k / wc) / 8 * (wc / 8) + (k % wc) / 8))
+      val (sw, sh, stored) = JpegImage.exifStore(o, wc, hc, canon)
+      val good = JpegImage.withExif(
+        JpegImage.encode(sw, sh, stored, grayscale = true), o, big)
+      check(s"dispatch_oriented_$i") {
+        MediaCodec.decodeMedia(good) match {
+          case MediaCodec.ImageItem("jpeg", w, h, px) =>
+            require(w == wc && h == hc, "dispatch upright dims")
+            var ok = true
+            for (k <- 0 until wc * hc) ok &&= (px(k) & 0xff) == canon(k)
+            require(ok, "dispatch upright pixels")
+          case other => require(false, s"dispatch returned $other")
+        }
+      }
+      // mutation through the face: reject by name or structurally sound
+      val bad = mutate(good)
+      mutationCase(s"dispatch_oriented_mutation_$i",
+        () => MediaCodec.decodeMedia(bad)) {
+        case MediaCodec.ImageItem(_, w, h, px) =>
+          w > 0 && h > 0 && px.length == w * h
+        case _ => true // a mutated magic re-sniffed into another family
       }
     }
 

@@ -27,6 +27,27 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.sniff("GIF90a".getBytes("US-ASCII")) == "unknown")
   }
 
+  test("dispatch face normalizes EXIF orientation to the upright image") {
+    // canonical 16×8, two block-constant tiles (exact JPEG aperture):
+    // left tile 40, right tile 200 — stored rotated under o=6 (8×16),
+    // both dispatch faces must hand back the upright 16×8 canon
+    val canon = Array.tabulate(16 * 8)(i => if (i % 16 < 8) 40 else 200)
+    val (sw, sh, stored) = JpegImage.exifStore(6, 16, 8, canon)
+    assert((sw, sh) == (8, 16))
+    val bytes = JpegImage.withExif(
+      JpegImage.encode(sw, sh, stored, grayscale = true), 6,
+      bigEndian = true)
+    val m = MediaCodec.decodeImage(bytes)
+    assert(m.container == "jpeg" && m.width == 16 && m.height == 8)
+    assert(m.pixels.map(_ & 0xff).toSeq == canon.toSeq)
+    val MediaCodec.ImageItem("jpeg", w, h, px2) = MediaCodec.decodeMedia(bytes)
+    assert(w == 16 && h == 8 && px2.map(_ & 0xff).toSeq == canon.toSeq)
+    // EXIF-less JPEGs are untouched (orientation defaults to 1)
+    val plain = JpegImage.encode(16, 8, canon, grayscale = true)
+    assert(MediaCodec.decodeImage(plain).pixels.toSeq ==
+      JpegImage.parse(plain).pixels.toSeq)
+  }
+
   test("dispatch equals the direct decoder, face-normalized") {
     val png = PngImage.encode(4, 3, px)
     assert(MediaCodec.decodeImage(png).pixels.toSeq ==

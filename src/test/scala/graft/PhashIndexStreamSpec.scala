@@ -77,4 +77,48 @@ class PhashIndexStreamSpec extends SparkSuite {
     // an already-applied batchId short-circuits with the -1 sentinel
     assert(PhashIndexStream.mergeBatch(redo, stateDir, 97L) == -1L)
   }
+
+  test("oriented hash core: a rotated re-upload cannot escape the incremental index") {
+    import graft.operators.Multimodal
+    // 10 canons × 8 orientations, sharded so every canon's re-uploads
+    // are SPLIT across triggers (doc_id % 3 never keeps a canon whole)
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 80)
+    val inDir = Files.createTempDirectory("graft_pho_in_").toString
+    for (r <- Seq(2, 0, 1))
+      docs.filter($"doc_id" % 3 === r).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    val stateDir = Files.createTempDirectory("graft_pho_state_").toString
+    PhashIndexStream.maintain(spark, inDir, stateDir,
+      hashCore = Multimodal.orientedHashesOf).awaitTermination()
+
+    // q161-style oriented grouping over the STREAM's accumulated
+    // hashes: all 8 EXIF re-uploads of a canon collapse to ONE hash
+    val (hashes, _, _) = PhashIndexStream.readState(spark, stateDir)
+    val grouping = hashes
+      .groupBy(($"doc_id" / 8).cast("long").as("canon"))
+      .agg(org.apache.spark.sql.functions
+        .countDistinct($"lo", $"hi").as("n_hashes"))
+      .collect()
+    assert(grouping.length == 10)
+    assert(grouping.forall(_.getAs[Long]("n_hashes") == 1L))
+
+    // every intra-canon pair surfaces in the index at Hamming 0 — the
+    // literal "rotated re-upload cannot escape" claim, discovered
+    // across triggers by the band probe (no canon arrived whole)
+    val report = PhashIndexStream.report(spark, stateDir).collect().toSeq
+    val zero = report.filter(_.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val wanted = (for {
+      c <- 0L until 10L; a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield (c * 8 + a, c * 8 + b)).toSet
+    assert(wanted.subsetOf(zero))
+
+    // stream ≡ batch: a single-shot oriented rebuild over the same
+    // docs reproduces the stream's report exactly
+    val rebuiltDir = Files.createTempDirectory("graft_pho_rb_").toString
+    PhashIndexStream.rebuild(docs, rebuiltDir, -1L,
+      hashCore = Multimodal.orientedHashesOf)
+    assert(PhashIndexStream.report(spark, rebuiltDir).collect().toSeq
+      == report)
+  }
 }
