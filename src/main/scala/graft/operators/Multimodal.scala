@@ -2519,6 +2519,230 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q164 — TIFF container decode (round 17): per document a canonical
+    * image is synthesized in one of three pixel classes (grayscale —
+    * both photometrics, WhiteIsZero odd ids —, RGB, palette), stored
+    * under an EXIF-style orientation (tag 274, all eight covered),
+    * laid out as strips or 16×16 tiles, LZW-compressed with and
+    * without horizontal differencing, in both byte orders — the full
+    * baseline matrix of [[graft.sources.TiffImage]] — and routed
+    * through THE DISPATCH FACE ([[graft.sources.MediaCodec
+    * .decodeImage]], so the `II*`/`MM*` sniff arms are part of the
+    * graded surface). Artifact = the faceStats ladder row; the DuckDB
+    * oracle recomputes the CANONICAL stats analytically from doc_id
+    * (orientation/layout/compression-independent by design — any
+    * defect in the IFD walk, either LZW width schedule, the predictor,
+    * tile edge padding or the orientation mapping hash-mismatches).
+    *
+    * Scale shape: task-local synth+encode+dispatch per row; only the
+    * ≤72-byte stat tuple moves. */
+  def q164TiffDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.{JpegImage, MediaCodec, TiffImage}
+      val w = (3 + id % 14).toInt; val h = (2 + id % 11).toInt
+      val m = (id % 3).toInt
+      val nPal = (2 + id % 9).toInt
+      // canonical face pixels (what the oracle computes) and the
+      // encoder-side sample array (indices for palette, pixels else)
+      val canonFace = new Array[Int](w * h)
+      val canonRaw = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val y = i / w
+        m match {
+          case 0 =>
+            val c = ((id * 7 + x * 13 + y * 31) % 256).toInt
+            canonFace(i) = (c << 16) | (c << 8) | c
+            canonRaw(i) = c
+          case 1 =>
+            val r = ((id * 13 + x * 7 + y * 3) % 256).toInt
+            val g = ((id * 3 + x * 5 + y * 11) % 256).toInt
+            val b = ((id + x + y * 7) % 256).toInt
+            canonFace(i) = (r << 16) | (g << 8) | b
+            canonRaw(i) = canonFace(i)
+          case _ =>
+            val k = ((id + x * 3 + y) % nPal).toInt
+            val r = ((id * 11 + k * 29) % 256).toInt
+            val g = ((id * 3 + k * 17) % 256).toInt
+            val b = ((id + k * 41) % 256).toInt
+            canonFace(i) = (r << 16) | (g << 8) | b
+            canonRaw(i) = k
+        }
+        i += 1
+      }
+      val pal = if (m == 2) Array.tabulate(nPal)(k =>
+        ((((id * 11 + k * 29) % 256).toInt) << 16) |
+          ((((id * 3 + k * 17) % 256).toInt) << 8) |
+          (((id + k * 41) % 256).toInt)) else null
+      val pm = m match {
+        case 0 => if (id % 2 == 1) 0 else 1 // WhiteIsZero odd ids
+        case 1 => 2
+        case _ => 3
+      }
+      val o = (1 + id % 8).toInt
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonRaw)
+      val bytes = (id % 4) match {
+        case 0 => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          rowsPerStrip = 3)
+        case 1 => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          lzw = true, rowsPerStrip = 4)
+        case 2 => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          lzw = true, predictor = 2, tileSize = 16)
+        case _ => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          lzw = true, predictor = 2, rowsPerStrip = 2)
+      }
+      val dec = MediaCodec.decodeImage(bytes)
+      require(dec.container == "tiff", s"sniffed ${dec.container}")
+      // guard the canonical face exactly, then reduce (a defect both
+      // in decode AND in the stat reduction cannot cancel out)
+      require(dec.width == w && dec.height == h, "canonical dims")
+      var j = 0
+      while (j < w * h) {
+        require((dec.pixels(j) & 0xffffff) == canonFace(j), s"pixel $j")
+        j += 1
+      }
+      faceStats(dec.width, dec.height, dec.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q164Oracle: String =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 11 AS h,
+      |                  doc_id % 3 AS m, 2 + doc_id % 9 AS npal
+      |           FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, x, y,
+      |    CASE d.m WHEN 0 THEN (d.doc_id * 7 + x * 13 + y * 31) % 256
+      |         WHEN 1 THEN (d.doc_id * 13 + x * 7 + y * 3) % 256
+      |         ELSE (d.doc_id * 11
+      |               + ((d.doc_id + x * 3 + y) % d.npal) * 29) % 256
+      |    END AS r,
+      |    CASE d.m WHEN 0 THEN (d.doc_id * 7 + x * 13 + y * 31) % 256
+      |         WHEN 1 THEN (d.doc_id * 3 + x * 5 + y * 11) % 256
+      |         ELSE (d.doc_id * 3
+      |               + ((d.doc_id + x * 3 + y) % d.npal) * 17) % 256
+      |    END AS g,
+      |    CASE d.m WHEN 0 THEN (d.doc_id * 7 + x * 13 + y * 31) % 256
+      |         WHEN 1 THEN (d.doc_id + x + y * 7) % 256
+      |         ELSE (d.doc_id
+      |               + ((d.doc_id + x * 3 + y) % d.npal) * 41) % 256
+      |    END AS b
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * (r + g + b)) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN r * 65536 + g * 256 + b END) AS BIGINT)
+      |         AS first_px,
+      |       CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** q168 — TIFF quarantine triage (the q144/q149/q152/q154 family
+    * member for the new container): six per-document classes — a good
+    * file plus five spec-invalid mutations, each produced by patching
+    * a VALID little-endian fixture — classified by NAMED gate through
+    * the strict parser. sum_pixels aggregates only the decoded class,
+    * so a reject that silently decodes (or a decode that silently
+    * rejects) shifts two rows at once. */
+  def q168TiffQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.TiffImage
+      val w = (3 + id % 5).toInt; val h = (2 + id % 4).toInt
+      val gray = Array.tabulate(w * h)(i =>
+        ((id * 7 + (i % w) * 13 + (i / w) * 31) % 256).toInt)
+      val good = TiffImage.encode(w, h, gray, photometric = 1,
+        lzw = id % 2 == 0, rowsPerStrip = 2)
+      def patchInline(bytes: Array[Byte], tag: Int, v: Int): Array[Byte] = {
+        val b = bytes.clone()
+        val ifd = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+          ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+        val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
+        var i = 0
+        while (i < n) {
+          val e = ifd + 2 + 12 * i
+          val t = (b(e) & 0xff) | ((b(e + 1) & 0xff) << 8)
+          if (t == tag) {
+            b(e + 8) = (v & 0xff).toByte
+            b(e + 9) = ((v >> 8) & 0xff).toByte
+          }
+          i += 1
+        }
+        b
+      }
+      val bytes = (id % 6) match {
+        case 0 => good
+        case 1 => val b = good.clone(); b(2) = 43; b // wrong magic
+        case 2 => java.util.Arrays.copyOf(good, good.length / 2)
+        case 3 => patchInline(good, 259, 32773) // PackBits: out of scope
+        case 4 => patchInline(good, 258, 16) // 16-bit samples
+        case _ => // non-ascending IFD: swap the first two entries
+          val b = good.clone()
+          val ifd = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+            ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+          var k = 0
+          while (k < 12) {
+            val t = b(ifd + 2 + k)
+            b(ifd + 2 + k) = b(ifd + 2 + 12 + k)
+            b(ifd + 2 + 12 + k) = t
+            k += 1
+          }
+          b
+      }
+      try {
+        val t = TiffImage.parse(bytes)
+        ("decoded", t.pixels.length.toLong)
+      } catch {
+        case e: IllegalArgumentException =>
+          val m = e.getMessage
+          val reason =
+            if (m.contains("magic")) "bad_magic"
+            else if (m.contains("overruns") || m.contains("out of range"))
+              "truncated"
+            else if (m.contains("compression")) "unsupported_compression"
+            else if (m.contains("BitsPerSample")) "deep_samples"
+            else if (m.contains("ascending")) "non_ascending_ifd"
+            else "other"
+          (reason, 0L)
+      }
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"))
+      .orderBy($"reason")
+  }
+
+  val q168Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS cls, 3 + doc_id % 5 AS w,
+      |                  2 + doc_id % 4 AS h FROM documents)
+      |SELECT CASE cls WHEN 0 THEN 'decoded' WHEN 1 THEN 'bad_magic'
+      |            WHEN 2 THEN 'truncated'
+      |            WHEN 3 THEN 'unsupported_compression'
+      |            WHEN 4 THEN 'deep_samples'
+      |            ELSE 'non_ascending_ifd' END AS reason,
+      |       CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(CASE WHEN cls = 0 THEN w * h ELSE 0 END) AS BIGINT)
+      |         AS sum_pixels
+      |FROM d GROUP BY 1 ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2548,7 +2772,9 @@ object Multimodal {
     "q161_oriented_phash_dedup" -> q161OrientedPhashDedup _,
     "q162_bmp_palette_decode" -> q162BmpPaletteDecode _,
     "q163_gif_frame_sample" -> q163GifFrameSample _,
-    "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _)
+    "q164_tiff_decode" -> q164TiffDecode _,
+    "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _,
+    "q168_tiff_quarantine" -> q168TiffQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2586,5 +2812,7 @@ object Multimodal {
     "q161_oriented_phash_dedup" -> q161Oracle,
     "q162_bmp_palette_decode" -> q162Oracle,
     "q163_gif_frame_sample" -> q163Oracle,
-    "q167_oriented_dispatch_decode" -> q167Oracle)
+    "q164_tiff_decode" -> q164Oracle,
+    "q167_oriented_dispatch_decode" -> q167Oracle,
+    "q168_tiff_quarantine" -> q168Oracle)
 }

@@ -10,13 +10,13 @@ package graft.sources
   *
   * Sniffing is by unambiguous magic prefixes (each from its public
   * spec): PNG's 8-byte signature, GIF87a/89a, BMP's "BM", JPEG's SOI,
-  * RIFF+WAVE (round 16 — the 12-byte two-part magic: a RIFF container
-  * whose form type is not WAVE is NOT claimed as audio), and "%PDF-"
-  * (round 16). Unknown prefixes are their own named class — at corpus
-  * scale, "not a container we know" is a report row, not an exception
-  * trace.
+  * TIFF's `II*`/`MM*` (round 17), RIFF+WAVE (round 16 — the 12-byte
+  * two-part magic: a RIFF container whose form type is not WAVE is NOT
+  * claimed as audio), and "%PDF-" (round 16). Unknown prefixes are
+  * their own named class — at corpus scale, "not a container we know"
+  * is a report row, not an exception trace.
   *
-  * Two dispatch faces: [[decodeImage]] (the image-only quartet,
+  * Two dispatch faces: [[decodeImage]] (the five image containers,
   * normalized onto the shared 0xAARRGGBB face) and [[decodeMedia]]
   * (round 16 — the FULL family as a typed union: image stats, audio
   * samples, or extracted text), so a mixed corpus routes through one
@@ -42,7 +42,7 @@ object MediaCodec {
       extends MediaItem
 
   /** Identify the container from magic bytes: "png", "gif", "bmp",
-    * "jpeg", "wav", "pdf", or "unknown". Never throws. */
+    * "jpeg", "tiff", "wav", "pdf", or "unknown". Never throws. */
   def sniff(bytes: Array[Byte]): String = {
     def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G' &&
@@ -53,6 +53,13 @@ object MediaCodec {
       "gif"
     else if (at(0) == 'B' && at(1) == 'M') "bmp"
     else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    // TIFF 6.0 header: byte order pair + the 42 magic in that order
+    // (round 17) — note JPEG's SOI is checked FIRST, so an Exif APP1
+    // (which embeds a TIFF payload) still sniffs as jpeg
+    else if (at(0) == 'I' && at(1) == 'I' && at(2) == 42 && at(3) == 0)
+      "tiff"
+    else if (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 42)
+      "tiff"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
       "wav"
@@ -93,6 +100,11 @@ object MediaCodec {
       val o = JpegImage.parseOrientation(bytes)
       val j = JpegImage.normalizeOrientation(JpegImage.parse(bytes), o)
       Media("jpeg", j.width, j.height, j.pixels)
+    case "tiff" =>
+      // TiffImage.parse already normalizes tag-274 orientation (same
+      // tag, same one-copy mapping as the JPEG arm's EXIF walk)
+      val t = TiffImage.parse(bytes)
+      Media("tiff", t.width, t.height, t.pixels.map(0xff000000 | _))
     case "wav" | "pdf" =>
       throw new IllegalArgumentException(
         s"container is ${sniff(bytes)}, not an image (use decodeMedia)")
@@ -108,7 +120,7 @@ object MediaCodec {
     * through: task-local decode, modality-appropriate stats downstream,
     * failures as named report rows. */
   def decodeMedia(bytes: Array[Byte]): MediaItem = sniff(bytes) match {
-    case "png" | "gif" | "bmp" | "jpeg" =>
+    case "png" | "gif" | "bmp" | "jpeg" | "tiff" =>
       val m = decodeImage(bytes)
       ImageItem(m.container, m.width, m.height, m.pixels)
     case "wav" =>

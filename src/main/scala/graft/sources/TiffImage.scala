@@ -1,0 +1,624 @@
+package graft.sources
+
+/** Pure-JVM baseline TIFF codec (TIFF 6.0) — the most common
+  * real-corpus image container the dispatch face could not yet sniff,
+  * built on the same discipline as [[BmpImage]]/[[PngImage]]/
+  * [[JpegImage]]: implement the PUBLIC spec byte-by-byte, validate
+  * strictly, never return garbage pixels.
+  *
+  * Scope (the real-world baseline, everything else a NAMED reject):
+  *  - both byte orders (`II*` little-endian, `MM*` big-endian);
+  *  - 8-bit samples; photometric 0 (WhiteIsZero), 1 (BlackIsZero),
+  *    2 (RGB, SamplesPerPixel 3) and 3 (palette through a 16-bit
+  *    ColorMap);
+  *  - compression 1 (none) and 5 (TIFF-LZW: MSB-first bit packing,
+  *    9→12-bit codes with the spec's EARLY width change — one code
+  *    sooner than GIF's LSB-first variant), with predictor 1 (none)
+  *    or 2 (horizontal differencing per sample channel);
+  *  - strip layout (RowsPerStrip + StripOffsets/StripByteCounts) AND
+  *    tile layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
+  *    edge tiles padded to full tile size per spec §15);
+  *  - orientation tag 274, normalized to the UPRIGHT face through the
+  *    same one-copy [[JpegImage.exifSource]] mapping the EXIF lane
+  *    uses (EXIF's orientation IS this TIFF tag — Exif 2.32 §4.6.4
+  *    adopts it verbatim), so a rotated TIFF cannot escape dedup any
+  *    more than a rotated JPEG can.
+  *
+  * The IFD walk is strict: entries must be ascending by tag (TIFF 6.0
+  * §2), counts/types must match the baseline spec, and every
+  * offset/byte-count is bounds-checked before a read — a file that
+  * lies about itself is a named reject into the quarantine lane, not
+  * an ArrayIndexOutOfBounds in an executor.
+  *
+  * Reference semantics: the reference treats downloaded documents as
+  * opaque binary and delegates any media decode to external services
+  * (epa_ingestion.py:1 stores attachments verbatim); this codec closes
+  * the decode half for the TIFF container the way BmpImage/PngImage
+  * did for BMP/PNG — no image libraries exist in this environment, but
+  * a container walk needs none.
+  */
+object TiffImage {
+
+  /** Decoded TIFF, already orientation-normalized: `pixels` are
+    * top-left row-major 0xRRGGBB ints (no alpha — callers add the
+    * opaque face like the BMP path). */
+  final case class Tiff(width: Int, height: Int, photometric: Int,
+      compression: Int, tiled: Boolean, pixels: Array[Int]) {
+    def pixel(x: Int, y: Int): Int = pixels(y * width + x)
+  }
+
+  // ------------------------------------------------------------ parse
+
+  /** Strict parse. Rejects loudly (named reasons): wrong magic/order,
+    * non-ascending IFD, unsupported bits/compression/photometric/
+    * planar config, missing layout tags, offsets or counts overrunning
+    * the file, LZW codes out of table range, short sample data. */
+  def parse(bytes: Array[Byte]): Tiff = {
+    require(bytes.length >= 8, s"not a TIFF: ${bytes.length} bytes")
+    val big = ((bytes(0) & 0xff).toChar, (bytes(1) & 0xff).toChar) match {
+      case ('M', 'M') => true
+      case ('I', 'I') => false
+      case (a, b) => throw new IllegalArgumentException(
+        s"bad TIFF byte order '$a$b' (need II or MM)")
+    }
+    def u16(o: Int): Int = {
+      require(o >= 0 && o + 2 <= bytes.length, s"u16 read at $o overruns file")
+      if (big) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    }
+    def u32(o: Int): Long = {
+      require(o >= 0 && o + 4 <= bytes.length, s"u32 read at $o overruns file")
+      if (big) ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      else (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    }
+    require(u16(2) == 42, s"bad TIFF magic ${u16(2)} (need 42)")
+    val ifdOff = u32(4)
+    require(ifdOff >= 8 && ifdOff + 2 <= bytes.length,
+      s"IFD offset $ifdOff out of range")
+
+    // one pass over IFD0: tag -> numeric values (SHORT or LONG only —
+    // the baseline tags this scope consumes are all integral)
+    val base = ifdOff.toInt
+    val nEntries = u16(base)
+    require(nEntries > 0, "empty IFD")
+    require(base + 2 + 12 * nEntries + 4 <= bytes.length,
+      s"IFD declares $nEntries entries, overruns file")
+    val tags = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Long]]
+    var prevTag = -1
+    var i = 0
+    while (i < nEntries) {
+      val e = base + 2 + 12 * i
+      val tag = u16(e)
+      require(tag > prevTag,
+        s"IFD entries not ascending (tag $tag after $prevTag)")
+      prevTag = tag
+      val typ = u16(e + 2)
+      val count = u32(e + 4)
+      require(count >= 1 && count <= (1L << 24), s"tag $tag count $count")
+      val width = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case _ => 0 // skipped (RATIONAL/ASCII metadata etc.)
+      }
+      if (width > 0) {
+        val totalBytes = width * count
+        val valOff =
+          if (totalBytes <= 4) e + 8
+          else {
+            val off = u32(e + 8)
+            require(off >= 8 && off + totalBytes <= bytes.length,
+              s"tag $tag value offset $off overruns file")
+            off.toInt
+          }
+        tags(tag) = Array.tabulate(count.toInt)(k =>
+          if (typ == 3) u16(valOff + 2 * k).toLong else u32(valOff + 4 * k))
+      }
+      i += 1
+    }
+    def one(tag: Int, default: Long = -1L): Long =
+      tags.get(tag).map { v =>
+        require(v.length == 1, s"tag $tag expects one value, got ${v.length}")
+        v(0)
+      }.getOrElse {
+        require(default >= 0, s"required tag $tag missing"); default
+      }
+
+    val width = one(256).toInt
+    val height = one(257).toInt
+    require(width > 0 && width <= (1 << 20), s"bad width $width")
+    require(height > 0 && height <= (1 << 20), s"bad height $height")
+    val spp = one(277, default = 1).toInt
+    val bits = tags.getOrElse(258, Array(1L))
+    require(bits.length == spp && bits.forall(_ == 8),
+      s"unsupported BitsPerSample ${bits.mkString("/")} (only 8 per sample)")
+    val compression = one(259, default = 1).toInt
+    require(compression == 1 || compression == 5,
+      s"compression $compression unsupported (only 1=none, 5=LZW)")
+    val photometric = one(262).toInt
+    require(photometric >= 0 && photometric <= 3,
+      s"photometric $photometric unsupported (only 0/1/2/3)")
+    require(one(284, default = 1) == 1,
+      "planar configuration 2 (separate planes) unsupported")
+    val predictor = one(317, default = 1).toInt
+    require(predictor == 1 || predictor == 2,
+      s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
+    require(predictor == 1 || compression == 5,
+      "predictor 2 without LZW compression")
+    val expectedSpp = if (photometric == 2) 3 else 1
+    require(spp == expectedSpp,
+      s"SamplesPerPixel $spp does not match photometric $photometric " +
+        s"(need $expectedSpp)")
+    val orientation = one(274, default = 1).toInt
+    require(orientation >= 1 && orientation <= 8,
+      s"orientation $orientation out of range")
+    val colorMap: Array[Int] =
+      if (photometric == 3) {
+        val cm = tags.getOrElse(320,
+          throw new IllegalArgumentException("palette TIFF missing ColorMap"))
+        require(cm.length == 3 * 256,
+          s"ColorMap has ${cm.length} values (need ${3 * 256} for 8-bit)")
+        // 16-bit channels -> 8-bit face (the spec's full-range scale)
+        Array.tabulate(256) { k =>
+          (((cm(k) >> 8).toInt & 0xff) << 16) |
+            (((cm(256 + k) >> 8).toInt & 0xff) << 8) |
+            ((cm(512 + k) >> 8).toInt & 0xff)
+        }
+      } else null
+
+    val tiled = tags.contains(322) || tags.contains(324)
+    require(!(tiled && tags.contains(273)),
+      "file declares BOTH strip and tile layouts")
+
+    // assemble raw sample bytes (after decompression + predictor),
+    // top-left row-major, spp bytes per pixel
+    val raw = new Array[Byte](width * height * spp)
+    def undiff(seg: Array[Byte], segW: Int, segH: Int): Unit =
+      if (predictor == 2) {
+        var y = 0
+        while (y < segH) {
+          var x = 1
+          while (x < segW) {
+            var c = 0
+            while (c < spp) {
+              val o = (y * segW + x) * spp + c
+              seg(o) = (seg(o) + seg(o - spp)).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+    def segment(off: Long, len: Long, outLen: Int): Array[Byte] = {
+      require(off >= 8 && len >= 0 && off + len <= bytes.length,
+        s"segment at $off+$len overruns file (${bytes.length} bytes)")
+      if (compression == 1) {
+        require(len == outLen,
+          s"uncompressed segment is $len bytes, layout needs $outLen")
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      } else lzwDecode(bytes, off.toInt, len.toInt, outLen)
+    }
+
+    if (!tiled) {
+      val rps = math.min(one(278, default = height.toLong), height.toLong).toInt
+      require(rps > 0, s"RowsPerStrip $rps")
+      val nStrips = (height + rps - 1) / rps
+      val offs = tags.getOrElse(273,
+        throw new IllegalArgumentException("missing StripOffsets"))
+      val cnts = tags.getOrElse(279,
+        throw new IllegalArgumentException("missing StripByteCounts"))
+      require(offs.length == nStrips && cnts.length == nStrips,
+        s"strip tables have ${offs.length}/${cnts.length} entries " +
+          s"(layout needs $nStrips)")
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, height - s * rps)
+        val seg = segment(offs(s), cnts(s), rows * width * spp)
+        undiff(seg, width, rows)
+        System.arraycopy(seg, 0, raw, s * rps * width * spp, seg.length)
+        s += 1
+      }
+    } else {
+      val tw = one(322).toInt
+      val th = one(323).toInt
+      require(tw > 0 && tw % 16 == 0 && th > 0 && th % 16 == 0,
+        s"tile size $tw x $th (spec requires multiples of 16)")
+      val tx = (width + tw - 1) / tw
+      val ty = (height + th - 1) / th
+      val offs = tags.getOrElse(324,
+        throw new IllegalArgumentException("missing TileOffsets"))
+      val cnts = tags.getOrElse(325,
+        throw new IllegalArgumentException("missing TileByteCounts"))
+      require(offs.length == tx * ty && cnts.length == tx * ty,
+        s"tile tables have ${offs.length}/${cnts.length} entries " +
+          s"(layout needs ${tx * ty})")
+      var t = 0
+      while (t < tx * ty) {
+        val seg = segment(offs(t), cnts(t), tw * th * spp)
+        undiff(seg, tw, th)
+        val ox = (t % tx) * tw; val oy = (t / tx) * th
+        var y = 0
+        while (y < th && oy + y < height) {
+          val copyW = math.min(tw, width - ox)
+          System.arraycopy(seg, y * tw * spp,
+            raw, ((oy + y) * width + ox) * spp, copyW * spp)
+          y += 1
+        }
+        t += 1
+      }
+    }
+
+    // samples -> 0xRRGGBB face
+    val px = new Array[Int](width * height)
+    var k = 0
+    while (k < width * height) {
+      px(k) = photometric match {
+        case 0 => val v = 255 - (raw(k) & 0xff); (v << 16) | (v << 8) | v
+        case 1 => val v = raw(k) & 0xff; (v << 16) | (v << 8) | v
+        case 2 => ((raw(3 * k) & 0xff) << 16) | ((raw(3 * k + 1) & 0xff) << 8) |
+          (raw(3 * k + 2) & 0xff)
+        case _ => colorMap(raw(k) & 0xff)
+      }
+      k += 1
+    }
+
+    if (orientation == 1)
+      Tiff(width, height, photometric, compression, tiled, px)
+    else {
+      // normalize to upright through the ONE orientation mapping (the
+      // EXIF lane's — tag 274 is the same tag, same semantics)
+      val (nw, nh) = if (orientation >= 5) (height, width) else (width, height)
+      val out = new Array[Int](nw * nh)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val (sx, sy) = JpegImage.exifSource(orientation, x, y, width, height)
+          out(y * nw + x) = px(sy * width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      Tiff(nw, nh, photometric, compression, tiled, out)
+    }
+  }
+
+  // -------------------------------------------------------- TIFF LZW
+
+  /** TIFF 6.0 §13 LZW decode: MSB-first bit packing, initial 9-bit
+    * codes, Clear=256, EOI=257, first table entry 258, and the EARLY
+    * width change (the decoder widens when its next entry index
+    * reaches 2^width − 1; the encoder — whose table runs one entry
+    * ahead — at 2^width: both one code sooner than the GIF variant,
+    * pinned against the JDK TIFF codec's streams in both directions).
+    * Strict: a code beyond the table (other than the KwKwK next-code
+    * case), a missing EOI, or output past `outLen` is a named
+    * reject. */
+  private[graft] def lzwDecode(bytes: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var outPos = 0
+    var bitPos = 0L
+    val endBit = len * 8L
+    var width = 9
+    def nextCode(): Int = {
+      require(bitPos + width <= endBit,
+        "LZW stream ends mid-code (no EOI)")
+      var v = 0
+      var b = 0
+      while (b < width) {
+        val bit = bitPos + b
+        v = (v << 1) |
+          ((bytes(off + (bit >> 3).toInt) >> (7 - (bit & 7).toInt)) & 1)
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    // table as (prefix code, appended byte); -1 prefix = root literal
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = 258
+    def reset(): Unit = { next = 258; width = 9 }
+    def expand(code: Int): Array[Byte] = {
+      var n = 0
+      var c = code
+      while (c >= 256) { n += 1; c = prefix(c) }
+      val s = new Array[Byte](n + 1)
+      c = code
+      var j = n
+      while (j > 0) { s(j) = append(c); c = prefix(c); j -= 1 }
+      s(0) = c.toByte
+      s
+    }
+    def write(s: Array[Byte]): Unit = {
+      require(outPos + s.length <= outLen,
+        s"LZW output exceeds segment size $outLen")
+      System.arraycopy(s, 0, out, 0 + outPos, s.length)
+      outPos += s.length
+    }
+    var old = -1
+    var done = false
+    while (!done) {
+      val code = nextCode()
+      if (code == 257) done = true // EOI
+      else if (code == 256) { reset(); old = -1 } // Clear
+      else {
+        require(next < 4096, "LZW table overflow without Clear")
+        if (old < 0) {
+          require(code < 256, s"first code after Clear is $code (not a root)")
+          write(Array(code.toByte))
+          old = code
+        } else {
+          require(code <= next, s"LZW code $code beyond table ($next)")
+          val s =
+            if (code < next) expand(code)
+            else { val p = expand(old); p :+ p(0) } // KwKwK
+          write(s)
+          prefix(next) = old; append(next) = s(0)
+          next += 1
+          // EARLY change, decoder side: widen at 511/1023/2047 (2^w−1,
+          // one entry before the table could address 2^w — the GIF
+          // variant widens only at 2^w). Pinned against the JDK TIFF
+          // writer's streams: a probe decoded all 8 strips of a
+          // high-entropy JDK LZW file at this boundary and at no
+          // neighboring one (the first crafted cut used 2^w−2, which
+          // round-tripped against its own mirror but desynced from
+          // the JDK's exactly at code index 254 — the first 10-bit
+          // code. Same family as the GIF width-bump lesson: only
+          // cross-decoder evidence catches a self-consistent pair.)
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          old = code
+        }
+      }
+    }
+    require(outPos == outLen,
+      s"LZW decoded $outPos bytes, layout needs $outLen")
+    out
+  }
+
+  /** TIFF LZW encode — the decoder's exact mirror (same early width
+    * change, including the pending bump BEFORE the final code and EOI:
+    * the GIF lesson, §13 variant), emitting a Clear whenever the table
+    * nears 4094 so width can never exceed 12. */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    val dict = new scala.collection.mutable.LongMap[Int]() // (prefix<<8)|byte
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    emit(256) // spec: each strip begins with a Clear
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur.toLong << 8) | b
+        val hit = dict.getOrElse(key, -1)
+        if (hit >= 0) cur = hit
+        else {
+          emit(cur)
+          dict.put(key, next)
+          next += 1
+          // encoder bumps at 2^w: its table runs ONE entry ahead of
+          // the decoder's (it adds on its first post-Clear emission,
+          // the decoder only from the second code), so 2^w here lands
+          // on the decoder's 2^w − 1
+          if (next == (1 << width) && width < 12) width += 1
+          if (next >= 4094) { emit(256); reset() }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) {
+      emit(cur)
+      // mirror the decoder's final table add + pending width bump
+      next += 1
+      if (next == (1 << width) && width < 12) width += 1
+    }
+    emit(257) // EOI
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------- encode
+
+  /** Encode an image for the fixture/parity lanes. `photometric`:
+    * 0/1 grayscale (pixels' low byte; 0 stores inverted), 2 RGB,
+    * 3 palette (`palette` 0xRRGGBB entries + `indices` in `pixels`).
+    * `tileSize` > 0 emits the tile layout (must be a multiple of 16);
+    * otherwise strips of `rowsPerStrip`. `orientation` != 1 writes tag
+    * 274 — the caller passes pixels ALREADY stored under it (the
+    * [[JpegImage.exifStore]] convention). */
+  def encode(width: Int, height: Int, pixels: Array[Int],
+      photometric: Int = 2, palette: Array[Int] = null,
+      bigEndian: Boolean = false, lzw: Boolean = false,
+      predictor: Int = 1, rowsPerStrip: Int = 0, tileSize: Int = 0,
+      orientation: Int = 1): Array[Byte] = {
+    require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
+    require(pixels.length == width * height, "pixel count")
+    require(predictor == 1 || lzw, "predictor 2 requires LZW")
+    require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
+    require(orientation >= 1 && orientation <= 8, "orientation")
+    val spp = if (photometric == 2) 3 else 1
+    // raw sample plane, top-left row-major
+    val raw = new Array[Byte](width * height * spp)
+    var k = 0
+    while (k < width * height) {
+      photometric match {
+        case 0 => raw(k) = (255 - (pixels(k) & 0xff)).toByte
+        case 1 => raw(k) = (pixels(k) & 0xff).toByte
+        case 2 =>
+          raw(3 * k) = ((pixels(k) >> 16) & 0xff).toByte
+          raw(3 * k + 1) = ((pixels(k) >> 8) & 0xff).toByte
+          raw(3 * k + 2) = (pixels(k) & 0xff).toByte
+        case _ =>
+          require(palette != null && pixels(k) >= 0 && pixels(k) < 256 &&
+            pixels(k) < palette.length, s"palette index ${pixels(k)}")
+          raw(k) = pixels(k).toByte
+      }
+      k += 1
+    }
+    def diff(seg: Array[Byte], segW: Int, segH: Int): Array[Byte] =
+      if (predictor == 1) seg
+      else {
+        val d = seg.clone()
+        var y = 0
+        while (y < segH) {
+          var x = segW - 1
+          while (x >= 1) {
+            var c = 0
+            while (c < spp) {
+              val o = (y * segW + x) * spp + c
+              d(o) = (seg(o) - seg(o - spp)).toByte
+              c += 1
+            }
+            x -= 1
+          }
+          y += 1
+        }
+        d
+      }
+    // segments
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val tiled = tileSize > 0
+    val rps = if (tiled) 0
+      else if (rowsPerStrip > 0) math.min(rowsPerStrip, height) else height
+    if (!tiled) {
+      var s = 0
+      while (s * rps < height) {
+        val rows = math.min(rps, height - s * rps)
+        val seg = new Array[Byte](rows * width * spp)
+        System.arraycopy(raw, s * rps * width * spp, seg, 0, seg.length)
+        val d = diff(seg, width, rows)
+        segs += (if (lzw) lzwEncode(d) else d)
+        s += 1
+      }
+    } else {
+      val tx = (width + tileSize - 1) / tileSize
+      val ty = (height + tileSize - 1) / tileSize
+      var t = 0
+      while (t < tx * ty) {
+        val ox = (t % tx) * tileSize; val oy = (t / tx) * tileSize
+        val seg = new Array[Byte](tileSize * tileSize * spp)
+        var y = 0
+        while (y < tileSize && oy + y < height) {
+          val copyW = math.min(tileSize, width - ox)
+          System.arraycopy(raw, ((oy + y) * width + ox) * spp,
+            seg, y * tileSize * spp, copyW * spp)
+          y += 1
+        }
+        val d = diff(seg, tileSize, tileSize)
+        segs += (if (lzw) lzwEncode(d) else d)
+        t += 1
+      }
+    }
+
+    // layout: header(8) | segment data | out-of-line values | IFD
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+    w16(42)
+    val ifdOffPatch = out.size()
+    w32(0) // patched below
+    val segOffs = segs.map { s => val o = out.size(); out.write(s); o }
+    if (out.size() % 2 == 1) out.write(0) // word-align values
+
+    // out-of-line value arrays (SHORT/LONG), gathered before the IFD
+    case class Entry(tag: Int, typ: Int, values: Array[Long], var off: Long = -1)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    def add(tag: Int, typ: Int, vs: Array[Long]): Unit =
+      entries += Entry(tag, typ, vs)
+    add(256, 4, Array(width.toLong))
+    add(257, 4, Array(height.toLong))
+    add(258, 3, Array.fill(spp)(8L))
+    add(259, 3, Array(if (lzw) 5L else 1L))
+    add(262, 3, Array(photometric.toLong))
+    if (!tiled) add(273, 4, segOffs.map(_.toLong).toArray)
+    if (orientation != 1) add(274, 3, Array(orientation.toLong))
+    add(277, 3, Array(spp.toLong))
+    if (!tiled) {
+      add(278, 4, Array(rps.toLong))
+      add(279, 4, segs.map(_.length.toLong).toArray)
+    }
+    if (predictor == 2) add(317, 3, Array(2L))
+    if (photometric == 3) {
+      val cm = new Array[Long](3 * 256)
+      for (j <- palette.indices) {
+        cm(j) = ((palette(j) >> 16) & 0xff).toLong * 257
+        cm(256 + j) = ((palette(j) >> 8) & 0xff).toLong * 257
+        cm(512 + j) = (palette(j) & 0xff).toLong * 257
+      }
+      add(320, 3, cm)
+    }
+    if (tiled) {
+      add(322, 4, Array(tileSize.toLong))
+      add(323, 4, Array(tileSize.toLong))
+      add(324, 4, segOffs.map(_.toLong).toArray)
+      add(325, 4, segs.map(_.length.toLong).toArray)
+    }
+    // write out-of-line arrays, remember their offsets
+    for (e <- entries) {
+      val w = if (e.typ == 3) 2 else 4
+      if (w * e.values.length > 4) {
+        e.off = out.size()
+        for (v <- e.values) if (e.typ == 3) w16(v.toInt) else w32(v)
+      }
+    }
+    // the IFD itself (entries are added in ascending tag order above)
+    val ifdOff = out.size()
+    w16(entries.length)
+    for (e <- entries) {
+      w16(e.tag); w16(e.typ); w32(e.values.length.toLong)
+      val w = if (e.typ == 3) 2 else 4
+      if (w * e.values.length > 4) w32(e.off)
+      else {
+        // inline: value field is ITSELF a byte area — fill left to right
+        val before = out.size()
+        for (v <- e.values) if (e.typ == 3) w16(v.toInt) else w32(v)
+        var pad = 4 - (out.size() - before)
+        while (pad > 0) { out.write(0); pad -= 1 }
+      }
+    }
+    w32(0) // no next IFD
+    val all = out.toByteArray
+    // patch the header's IFD offset
+    val o = ifdOff.toLong
+    if (bigEndian) {
+      all(ifdOffPatch) = ((o >> 24) & 0xff).toByte
+      all(ifdOffPatch + 1) = ((o >> 16) & 0xff).toByte
+      all(ifdOffPatch + 2) = ((o >> 8) & 0xff).toByte
+      all(ifdOffPatch + 3) = (o & 0xff).toByte
+    } else {
+      all(ifdOffPatch) = (o & 0xff).toByte
+      all(ifdOffPatch + 1) = ((o >> 8) & 0xff).toByte
+      all(ifdOffPatch + 2) = ((o >> 16) & 0xff).toByte
+      all(ifdOffPatch + 3) = ((o >> 24) & 0xff).toByte
+    }
+    all
+  }
+}

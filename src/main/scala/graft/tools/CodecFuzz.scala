@@ -654,6 +654,50 @@ object CodecFuzz {
       }
     }
 
+    // ---------------------------------------------------------- TIFF
+    for (i <- 0 until 45) {
+      // round-trip across the baseline matrix: photometric x layout x
+      // compression/predictor x byte order x orientation — decoded
+      // pixels must equal the canonical face exactly
+      import graft.sources.TiffImage
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val pm = rnd.nextInt(4)
+      val nPal = 2 + rnd.nextInt(254)
+      val pal = Array.tabulate(nPal)(_ => rnd.nextInt() & 0xffffff)
+      val raw = Array.tabulate(w * h)(_ =>
+        if (pm == 3) rnd.nextInt(nPal)
+        else if (pm == 2) rnd.nextInt() & 0xffffff
+        else rnd.nextInt(256))
+      val face = raw.map {
+        case k if pm == 3 => pal(k)
+        case v if pm == 2 => v
+        case v => (v << 16) | (v << 8) | v
+      }
+      val o = 1 + rnd.nextInt(8)
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, raw)
+      val lzw = rnd.nextBoolean()
+      val bytes = TiffImage.encode(sw, sh, stored, photometric = pm,
+        palette = if (pm == 3) pal else null,
+        bigEndian = rnd.nextBoolean(), lzw = lzw,
+        predictor = if (lzw && rnd.nextBoolean()) 2 else 1,
+        rowsPerStrip = if (rnd.nextBoolean()) 1 + rnd.nextInt(h + 2) else 0,
+        tileSize = if (rnd.nextInt(3) == 0) 16 * (1 + rnd.nextInt(2)) else 0,
+        orientation = o)
+      check(s"tiff_roundtrip_$i") {
+        val t = TiffImage.parse(bytes)
+        require(t.width == w && t.height == h, "upright dims")
+        var ok = true
+        for (k <- 0 until w * h) ok &&= (t.pixels(k) & 0xffffff) == face(k)
+        require(ok, "pixels")
+      }
+      // mutation: reject by name or structurally sound
+      val bad = mutate(bytes)
+      mutationCase(s"tiff_mutation_$i", () => TiffImage.parse(bad)) { t =>
+        t.width > 0 && t.height > 0 &&
+          t.pixels.length == t.width * t.height
+      }
+    }
+
     // ---------------------------------------------------------- WAV
     for (i <- 0 until 30) {
       val rate = 8000 + rnd.nextInt(40000)

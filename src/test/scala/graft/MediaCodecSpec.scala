@@ -19,6 +19,14 @@ class MediaCodecSpec extends AnyFunSuite {
       topDown = true)) == "bmp")
     assert(MediaCodec.sniff(JpegImage.encode(4, 3,
       Array.fill(12)(70), grayscale = true)) == "jpeg")
+    assert(MediaCodec.sniff(graft.sources.TiffImage.encode(4, 3, px))
+      == "tiff")
+    assert(MediaCodec.sniff(graft.sources.TiffImage.encode(4, 3, px,
+      bigEndian = true)) == "tiff")
+    // an Exif JPEG embeds a TIFF payload but must still sniff as jpeg
+    assert(MediaCodec.sniff(JpegImage.withExif(
+      JpegImage.encode(8, 8, Array.fill(64)(50), grayscale = true), 3,
+      bigEndian = true)) == "jpeg")
     assert(MediaCodec.sniff("plain text".getBytes("UTF-8")) == "unknown")
     assert(MediaCodec.sniff(Array.emptyByteArray) == "unknown")
     // near misses: a PNG signature with one wrong byte; GIF90a

@@ -1,0 +1,295 @@
+package graft
+
+import graft.sources.{JpegImage, TiffImage}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline TIFF codec: hand-derived fixtures (bytes written out by
+  * hand from TIFF 6.0, never through the encoder — the Adam7 lesson),
+  * round-trips across the layout matrix, a seeded random LZW scan
+  * (the GIF width-bump lesson: crafted patterns round-trip PAST a
+  * latent early-change boundary bug; only high-entropy data at many
+  * sizes lands on the boundaries), cross-decoder parity against the
+  * JDK's ImageIO TIFF plugin in BOTH directions, and named rejects. */
+class TiffImageSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------ hand fixture
+
+  test("hand-written little-endian gray strip file decodes exactly") {
+    // 2x2 gray (BlackIsZero), values 10,20,30,40, one strip,
+    // uncompressed, IFD at 8, data after it — written by hand
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42); w32(8) // header: IFD at 8
+    // IFD: 8 entries (2 + 8*12 + 4 = 102 bytes -> data at 110)
+    w16(8)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    entry(256, 3, 1, 2) // width 2 (SHORT, inline)
+    entry(257, 4, 1, 2) // height 2 (LONG)
+    entry(258, 3, 1, 8) // bits 8
+    entry(259, 3, 1, 1) // no compression
+    entry(262, 3, 1, 1) // BlackIsZero
+    entry(273, 4, 1, 110) // strip offset
+    entry(278, 4, 1, 2) // rows per strip
+    entry(279, 4, 1, 4) // strip byte count
+    w32(0) // no next IFD
+    out.write(10); out.write(20); out.write(30); out.write(40)
+    val t = TiffImage.parse(out.toByteArray)
+    assert(t.width == 2 && t.height == 2 && !t.tiled)
+    assert(t.pixels.toSeq == Seq(0x0a0a0a, 0x141414, 0x1e1e1e, 0x282828))
+  }
+
+  test("hand-written big-endian WhiteIsZero inverts samples") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit = { w16((v >> 16) & 0xffff); w16(v & 0xffff) }
+    out.write('M'); out.write('M'); w16(42); w32(8)
+    w16(8)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    entry(256, 3, 1, 2); entry(257, 3, 1, 1)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+    entry(262, 3, 1, 0) // WhiteIsZero
+    entry(273, 4, 1, 110); entry(278, 3, 1, 1); entry(279, 4, 1, 2)
+    w32(0)
+    out.write(0); out.write(255)
+    val t = TiffImage.parse(out.toByteArray)
+    // 0 -> white (255), 255 -> black (0)
+    assert(t.pixels.toSeq == Seq(0xffffff, 0x000000))
+  }
+
+  // --------------------------------------------- TIFF-LZW hand fixture
+
+  test("LZW decode: spec worked example bit layout (early change pinned by hand)") {
+    // encode 256 zero bytes: Clear, then codes for runs growing by the
+    // KwKwK pattern — verify against an independent hand simulation of
+    // the §13 decoder rather than trusting the encoder
+    val data = Array.fill[Byte](256)(0)
+    val enc = TiffImage.lzwEncode(data)
+    val dec = TiffImage.lzwDecode(enc, 0, enc.length, 256)
+    assert(dec.toSeq == data.toSeq)
+    // first 9-bit code must be Clear=256 = 1_0000_0000 MSB-first:
+    // byte0 = 0x80, and the second code (root 0) = 0_0000_0000 ->
+    // bits 9..17 all zero
+    assert((enc(0) & 0xff) == 0x80)
+    assert((enc(1) & 0x7f) == 0)
+  }
+
+  test("LZW round-trip: seeded random scan across sizes and alphabets") {
+    // the GIF lesson, §13 variant: only a brute scan with high-entropy
+    // payloads lands code assignments exactly on the 511/1023/2047
+    // early-change boundaries and on table-overflow Clears
+    val rnd = new scala.util.Random(0x717)
+    for (trial <- 0 until 60) {
+      val n = 1 + rnd.nextInt(20000)
+      val alphabet = 1 + rnd.nextInt(256)
+      val data = Array.fill[Byte](n)((rnd.nextInt(alphabet) - 128).toByte)
+      val enc = TiffImage.lzwEncode(data)
+      val dec = TiffImage.lzwDecode(enc, 0, enc.length, n)
+      assert(dec.toSeq == data.toSeq, s"trial $trial n=$n a=$alphabet")
+    }
+  }
+
+  // ------------------------------------------------- round-trip matrix
+
+  private def rgbPixels(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((seed * 7 + x * 13 + y * 31) % 256) << 16) |
+        (((seed * 3 + x * 5 + y * 17) % 256) << 8) |
+        ((seed + x * 11 + y * 3) % 256)
+    }
+
+  test("round-trip matrix: photometric x compression x layout x byte order") {
+    for {
+      big <- Seq(false, true)
+      lzw <- Seq(false, true)
+      pred <- if (lzw) Seq(1, 2) else Seq(1)
+      tile <- Seq(0, 16)
+      (w, h) <- Seq((5, 3), (16, 16), (33, 18))
+    } {
+      // RGB
+      val px = rgbPixels(w, h, w * 100 + h)
+      val t = TiffImage.parse(TiffImage.encode(w, h, px,
+        photometric = 2, bigEndian = big, lzw = lzw, predictor = pred,
+        rowsPerStrip = 7, tileSize = tile))
+      assert(t.width == w && t.height == h && t.tiled == (tile > 0))
+      assert(t.pixels.toSeq == px.toSeq,
+        s"rgb big=$big lzw=$lzw pred=$pred tile=$tile ${w}x$h")
+      // grayscale, both photometrics
+      val gray = Array.tabulate(w * h)(i => (i * 37 + w) % 256)
+      for (pm <- Seq(0, 1)) {
+        val g = TiffImage.parse(TiffImage.encode(w, h, gray,
+          photometric = pm, bigEndian = big, lzw = lzw, predictor = pred,
+          rowsPerStrip = 4, tileSize = tile))
+        assert(g.pixels.toSeq == gray.map(v => (v << 16) | (v << 8) | v).toSeq,
+          s"gray pm=$pm big=$big lzw=$lzw pred=$pred tile=$tile")
+      }
+      // palette
+      val pal = Array.tabulate(17)(j =>
+        ((j * 29 % 256) << 16) | ((j * 53 % 256) << 8) | (j * 11 % 256))
+      val idx = Array.tabulate(w * h)(i => (i * 7 + w) % 17)
+      val p = TiffImage.parse(TiffImage.encode(w, h, idx,
+        photometric = 3, palette = pal, bigEndian = big, lzw = lzw,
+        predictor = pred, tileSize = tile))
+      assert(p.pixels.toSeq == idx.map(pal).toSeq,
+        s"palette big=$big lzw=$lzw pred=$pred tile=$tile")
+    }
+  }
+
+  test("multi-strip layout splits and reassembles exactly") {
+    val px = rgbPixels(9, 11, 4)
+    for (rps <- Seq(1, 2, 5, 11); lzw <- Seq(false, true)) {
+      val t = TiffImage.parse(TiffImage.encode(9, 11, px,
+        rowsPerStrip = rps, lzw = lzw))
+      assert(t.pixels.toSeq == px.toSeq, s"rps=$rps lzw=$lzw")
+    }
+  }
+
+  test("orientation tag 274 normalizes to the upright face (hand fixture first)") {
+    // hand fixture: canonical 2x3, o=6 (rotate 90 CW to display):
+    // stored is 3x2 — pin the mapping by hand before trusting
+    // generation through the shared helper
+    val canon = Array(1, 2, 3, 4, 5, 6).map(v => (v << 16) | (v << 8) | v)
+    // o=6: upright (x,y) reads stored (sx,sy)=(y, h-1-x) with stored
+    // dims w=3,h=2, so st(0,1)=up(0,0)=1, st(0,0)=up(1,0)=2,
+    // st(1,1)=up(0,1)=3, st(1,0)=up(1,1)=4, st(2,1)=up(0,2)=5,
+    // st(2,0)=up(1,2)=6 -> stored row-major = 2 4 6 / 1 3 5
+    val stored = Array(2, 4, 6, 1, 3, 5).map(v => (v << 16) | (v << 8) | v)
+    val t = TiffImage.parse(TiffImage.encode(3, 2, stored,
+      photometric = 2, orientation = 6))
+    assert(t.width == 2 && t.height == 3)
+    assert(t.pixels.toSeq == canon.toSeq)
+    // and the full 8-orientation sweep through the shared generator
+    for (o <- 1 to 8; big <- Seq(false, true)) {
+      val cx = rgbPixels(6, 4, o)
+      val (sw, sh, st) = JpegImage.exifStore(o, 6, 4, cx)
+      val u = TiffImage.parse(TiffImage.encode(sw, sh, st,
+        photometric = 2, bigEndian = big, orientation = o, lzw = true,
+        predictor = 2))
+      assert(u.width == 6 && u.height == 4 && u.pixels.toSeq == cx.toSeq,
+        s"o=$o big=$big")
+    }
+  }
+
+  // ------------------------------------------------------ named rejects
+
+  test("strict parse rejects by name") {
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](TiffImage.parse(bytes)).getMessage
+    assert(err("XX".getBytes ++ Array[Byte](42, 0, 8, 0, 0, 0))
+      .contains("byte order"))
+    val good = TiffImage.encode(4, 4, rgbPixels(4, 4, 1))
+    val badMagic = good.clone(); badMagic(2) = 43
+    assert(err(badMagic).contains("magic"))
+    // truncation mid-IFD (the IFD trails the file, so the header's
+    // offset itself lands out of range)
+    val truncMsg = err(java.util.Arrays.copyOf(good, 20)).toLowerCase
+    assert(truncMsg.contains("overruns") || truncMsg.contains("out of range"))
+    // non-ascending IFD: swap the first two entries' 12-byte blocks
+    val swapped = good.clone()
+    val ifd = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
+    for (k <- 0 until 12) {
+      swapped(ifd + 2 + k) = good(ifd + 2 + 12 + k)
+      swapped(ifd + 2 + 12 + k) = good(ifd + 2 + k)
+    }
+    assert(err(swapped).contains("ascending"))
+    // unsupported compression: patch tag 259's inline value
+    val packbits = TiffImage.encode(4, 4, rgbPixels(4, 4, 2))
+    patchInlineShort(packbits, 259, 32773)
+    assert(err(packbits).contains("compression 32773"))
+    // 16-bit samples
+    val deep = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1)
+    patchInlineShort(deep, 258, 16)
+    assert(err(deep).contains("BitsPerSample"))
+    // palette missing its ColorMap: photometric patched to 3
+    val nopal = TiffImage.encode(4, 4, Array.fill(16)(7), photometric = 1)
+    patchInlineShort(nopal, 262, 3)
+    assert(err(nopal).contains("ColorMap"))
+  }
+
+  /** Patch the inline SHORT value of `tag` in a little-endian fixture. */
+  private def patchInlineShort(bytes: Array[Byte], tag: Int, v: Int): Unit = {
+    val ifd = ((bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
+      ((bytes(6) & 0xff) << 16) | ((bytes(7) & 0xff) << 24))
+    val n = (bytes(ifd) & 0xff) | ((bytes(ifd + 1) & 0xff) << 8)
+    for (i <- 0 until n) {
+      val e = ifd + 2 + 12 * i
+      val t = (bytes(e) & 0xff) | ((bytes(e + 1) & 0xff) << 8)
+      if (t == tag) {
+        bytes(e + 8) = (v & 0xff).toByte
+        bytes(e + 9) = ((v >> 8) & 0xff).toByte
+      }
+    }
+  }
+
+  // -------------------------------------------- ImageIO parity (JDK)
+
+  test("parity: our encode decodes identically under the JDK TIFF reader") {
+    for {
+      big <- Seq(false, true)
+      lzw <- Seq(false, true)
+      tile <- Seq(0, 16)
+    } {
+      val (w, h) = (19, 13)
+      val px = rgbPixels(w, h, if (big) 5 else 9)
+      val bytes = TiffImage.encode(w, h, px, photometric = 2,
+        bigEndian = big, lzw = lzw, rowsPerStrip = 5, tileSize = tile)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader refused big=$big lzw=$lzw tile=$tile")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
+          s"($x,$y) big=$big lzw=$lzw tile=$tile")
+    }
+    // and OUR LZW stream past every width boundary under the JDK reader
+    val (bw, bh) = (160, 120)
+    val rnd = new scala.util.Random(718)
+    val noisy = Array.fill(bw * bh)(rnd.nextInt() & 0xffffff)
+    val big = TiffImage.encode(bw, bh, noisy, photometric = 2, lzw = true)
+    val bimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(big))
+    assert(bimg != null && bimg.getWidth == bw && bimg.getHeight == bh)
+    for (y <- 0 until bh; x <- 0 until bw)
+      assert((bimg.getRGB(x, y) & 0xffffff) == noisy(y * bw + x), s"($x,$y)")
+  }
+
+  test("parity: a JDK-written LZW TIFF decodes identically under our parser") {
+    import javax.imageio.ImageIO
+    // HIGH-ENTROPY and large: random RGB never repeats long phrases,
+    // so the code stream crosses every early-change boundary (510/
+    // 1022/2046) and at least one table-overflow Clear — the decoder's
+    // width schedule is graded against the JDK encoder's, not only
+    // against our own mirror
+    val (w, h) = (160, 120)
+    val rnd = new scala.util.Random(717)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+    for (comp <- Seq("LZW", "disabled")) {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      if (comp == "disabled")
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      else {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(comp)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val t = TiffImage.parse(buf.toByteArray)
+      assert(t.width == w && t.height == h, s"comp=$comp")
+      assert(t.pixels.toSeq == px.toSeq, s"comp=$comp")
+    }
+  }
+}
