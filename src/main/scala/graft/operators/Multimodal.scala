@@ -1820,6 +1820,74 @@ object Multimodal {
       |       CAST(sum(q) AS BIGINT) AS sum_q
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q169 — G.711 companded WAV decode (round 17, the q156 recipe on
+    * the telephony formats): per document a mono A-law (even ids) or
+    * μ-law (odd ids) stream is synthesized from analytic CODE bytes,
+    * encoded through [[graft.sources.WavAudio.encodeG711Mono]] (18-byte
+    * fmt + fact chunk, the non-PCM container shape), decoded, and
+    * reduced to frame count plus BOTH the absolute and the SIGNED sum
+    * of the expanded linear values — the signed sum catches a sign-
+    * convention flip (μ-law signs on the inverted code's top bit,
+    * A-law's set bit means POSITIVE) that |·| alone would hide. The
+    * DuckDB oracle replays the exact ITU integer expansion from
+    * doc_id. */
+  def q169G711Decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synth = udf { (id: Long) =>
+      import graft.sources.WavAudio
+      val law = if (id % 2 == 0) 6 else 7
+      val n = (4 + id % 50).toInt
+      val codes = Array.tabulate(n)(i => ((id * 31 + i * 17) % 256).toInt)
+      val w = WavAudio.parse(WavAudio.encodeG711Mono(law,
+        (8000 + id % 500).toInt, codes))
+      var sumAbs = 0L
+      var sumLin = 0L
+      w.samples.foreach { v => sumAbs += math.abs(v.toLong); sumLin += v }
+      (if (law == 6) "alaw" else "ulaw", w.nFrames.toLong, sumAbs, sumLin)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synth($"doc_id").as("t"))
+      .select($"media_id", $"t._1".as("law"), $"t._2".as("n_frames"),
+        $"t._3".as("sum_abs"), $"t._4".as("sum_lin"))
+      .orderBy($"media_id")
+  }
+
+  val q169Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 2 AS odd, 4 + doc_id % 50 AS n
+      |           FROM documents),
+      |c AS (SELECT d.doc_id, d.odd, d.n,
+      |        (d.doc_id * 31 + i * 17) % 256 AS cb
+      |      FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1))
+      |                       AS i) g),
+      |ex AS (SELECT doc_id, odd, n,
+      |         CASE WHEN odd = 1 THEN 255 - cb ELSE xor(cb, 85) END AS a,
+      |         ((CASE WHEN odd = 1 THEN 255 - cb ELSE xor(cb, 85) END)
+      |          // 16) % 8 AS seg,
+      |         (CASE WHEN odd = 1 THEN 255 - cb ELSE xor(cb, 85) END)
+      |          % 16 AS m
+      |       FROM c),
+      |v AS (SELECT doc_id, odd, n,
+      |        CASE WHEN odd = 1 THEN
+      |          (m * 8 + 132) * CASE seg WHEN 0 THEN 1 WHEN 1 THEN 2
+      |             WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+      |             WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END - 132
+      |        ELSE
+      |          CASE WHEN seg = 0 THEN m * 16 + 8
+      |               WHEN seg = 1 THEN m * 16 + 264
+      |               ELSE (m * 16 + 264) * CASE seg WHEN 2 THEN 2
+      |                  WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16
+      |                  WHEN 6 THEN 32 ELSE 64 END END
+      |        END AS mag,
+      |        CASE WHEN odd = 1 THEN CASE WHEN a >= 128 THEN -1 ELSE 1 END
+      |             ELSE CASE WHEN a >= 128 THEN 1 ELSE -1 END END AS sgn
+      |      FROM ex)
+      |SELECT doc_id AS media_id,
+      |       CASE min(odd) WHEN 0 THEN 'alaw' ELSE 'ulaw' END AS law,
+      |       CAST(min(n) AS BIGINT) AS n_frames,
+      |       CAST(sum(mag) AS BIGINT) AS sum_abs,
+      |       CAST(sum(sgn * mag) AS BIGINT) AS sum_lin
+      |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** q157 — FULL-FAMILY mixed-media dispatch
     * ([[graft.sources.MediaCodec.decodeMedia]]): the q153 shape grown
     * to everything the engine can actually ingest — nine per-document
@@ -2774,7 +2842,8 @@ object Multimodal {
     "q163_gif_frame_sample" -> q163GifFrameSample _,
     "q164_tiff_decode" -> q164TiffDecode _,
     "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _,
-    "q168_tiff_quarantine" -> q168TiffQuarantine _)
+    "q168_tiff_quarantine" -> q168TiffQuarantine _,
+    "q169_g711_decode" -> q169G711Decode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -2814,5 +2883,6 @@ object Multimodal {
     "q163_gif_frame_sample" -> q163Oracle,
     "q164_tiff_decode" -> q164Oracle,
     "q167_oriented_dispatch_decode" -> q167Oracle,
-    "q168_tiff_quarantine" -> q168Oracle)
+    "q168_tiff_quarantine" -> q168Oracle,
+    "q169_g711_decode" -> q169Oracle)
 }

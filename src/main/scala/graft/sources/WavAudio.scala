@@ -9,7 +9,9 @@ package graft.sources
   * integer samples — 16-bit signed little-endian, 8-bit unsigned and
   * 24-bit signed (round 16) — plus IEEE-float samples (format tag 3,
   * 32-bit, round 16: the two largest formerly-quarantined real-corpus
-  * classes), with strict validation (truncated container, missing
+  * classes) and the G.711 companded formats (tags 6 A-law / 7 μ-law,
+  * round 17: closed-form 8-bit integer expansion — the telephony
+  * corpus formats), with strict validation (truncated container, missing
   * chunks, unsupported format tags and widths, non-finite float
   * samples all throw with the offending field named, never return
   * garbage samples).
@@ -25,7 +27,11 @@ object WavAudio {
     * sign-normalized sample VALUES (8-bit input re-centered to
     * signed). For IEEE float (tag 3, bits = 32) each Int holds the
     * sample's RAW FLOAT BITS — exactness-preserving in the same array
-    * shape — and [[Wav.floatSample]] is the typed accessor. */
+    * shape — and [[Wav.floatSample]] is the typed accessor. For the
+    * G.711 companded formats (tag 6 A-law, tag 7 μ-law — round 17)
+    * each Int holds the EXPANDED linear value (13/14-bit range): the
+    * expansion is an exact integer table, so downstream stats are
+    * oracle-replayable from the code bytes. */
   final case class Wav(sampleRate: Int, channels: Int, bits: Int,
       samples: Array[Int], format: Int = 1) {
     def nFrames: Int = samples.length / math.max(channels, 1)
@@ -90,8 +96,9 @@ object WavAudio {
       throw new IllegalArgumentException("missing fmt chunk"))
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("missing data chunk"))
-    require(format == 1 || format == 3,
-      s"unsupported format tag $format (only 1=PCM, 3=IEEE float)")
+    require(format == 1 || format == 3 || format == 6 || format == 7,
+      s"unsupported format tag $format " +
+        "(only 1=PCM, 3=IEEE float, 6=A-law, 7=mu-law)")
     require(ch >= 1, s"bad channel count $ch")
     require(rate > 0, s"bad sample rate $rate")
     // data size must be FRAME-aligned (bits/8 × channels), not merely
@@ -137,10 +144,78 @@ object WavAudio {
       case (3, w) =>
         throw new IllegalArgumentException(
           s"IEEE-float format (tag 3) with bit width $w (must be 32)")
+      case (6, 8) =>
+        frameAligned("ALAW")
+        Array.tabulate(dSize)(i => alawExpand(bytes(dOff + i) & 0xff))
+      case (7, 8) =>
+        frameAligned("ULAW")
+        Array.tabulate(dSize)(i => ulawExpand(bytes(dOff + i) & 0xff))
+      case (6 | 7, w) =>
+        throw new IllegalArgumentException(
+          s"G.711 format (tag $format) with bit width $w (must be 8)")
       case (_, w) =>
         throw new IllegalArgumentException(s"unsupported bit width $w")
     }
     Wav(rate, ch, bits, samples, format)
+  }
+
+  // -------------------------------------------------- G.711 companding
+
+  /** μ-law code byte → linear value (ITU-T G.711, exact integer form:
+    * magnitude = ((mantissa·8 + 132) << exponent) − 132, sign from the
+    * inverted code's top bit). Codes 0x7f and 0xff both expand to 0 —
+    * μ-law's positive and negative zero. */
+  private[graft] def ulawExpand(code: Int): Int = {
+    val u = ~code & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** A-law code byte → linear value (ITU-T G.711: even bits inverted
+    * by the 0x55 mask, 7 chord segments, minimum magnitude 8 — A-law
+    * has no zero sample). Sign bit SET means positive. */
+  private[graft] def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    val m = a & 0x0f
+    val mag = seg match {
+      case 0 => (m << 4) + 8
+      case 1 => (m << 4) + 0x108
+      case s => ((m << 4) + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Linear → μ-law code byte (BIAS 0x84, clip 32635). Pinned by the
+    * identity compress(expand(c)) == c over every code except 0x7f
+    * (negative zero folds onto 0xff) in WavAudioSpec. */
+  private[graft] def ulawCompress(pcm: Int): Int = {
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var e = 7
+    while (e > 0 && (s & (0x80 << e)) == 0) e -= 1
+    val m = (s >> (e + 3)) & 0x0f
+    ~(sign | (e << 4) | m) & 0xff
+  }
+
+  /** Linear → A-law code byte. Identity-pinned over all 256 codes. */
+  private[graft] def alawCompress(pcm: Int): Int = {
+    var s = pcm
+    val sign = if (s >= 0) 0x80 else { s = -s; 0 }
+    if (s > 32767) s = 32767
+    val (seg, m) =
+      if (s < 256) (0, s >> 4)
+      else {
+        var sg = 1
+        var t = s
+        while (t >= 512 && sg < 7) { t >>= 1; sg += 1 }
+        (sg, (t - 256) >> 4)
+      }
+    (sign | (seg << 4) | m) ^ 0x55
   }
 
   /** Encode mono PCM16 — the writer half (test vectors, fixture
@@ -216,6 +291,34 @@ object WavAudio {
       require(java.lang.Float.isFinite(s), s"non-finite sample $s")
       out.putFloat(s)
     }
+    out.array()
+  }
+
+  /** Encode a mono G.711 stream from raw CODE bytes (`law` 6 = A-law,
+    * 7 = μ-law) — the writer half for the companded decode paths. Same
+    * non-PCM container shape as the float writer (18-byte fmt with
+    * cbSize 0 + a fact chunk), byte rate = sample rate (one code byte
+    * per frame), word-aligned data chunk. */
+  def encodeG711Mono(law: Int, sampleRate: Int,
+      codes: Array[Int]): Array[Byte] = {
+    require(law == 6 || law == 7, s"law $law (6=A-law, 7=mu-law)")
+    val dataSize = codes.length
+    val riffSize = 4 + (8 + 18) + (8 + 4) + (8 + dataSize) + (dataSize & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(law.toShort).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8)
+      .putShort(0) // cbSize
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(codes.length)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    codes.foreach { c =>
+      require(c >= 0 && c <= 255, s"code byte $c")
+      out.put(c.toByte)
+    }
+    if ((dataSize & 1) == 1) out.put(0.toByte) // word-align the chunk
     out.array()
   }
 }

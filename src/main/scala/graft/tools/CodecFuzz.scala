@@ -735,12 +735,38 @@ object CodecFuzz {
         require(ok, "float samples")
       }
     }
+    for (i <- 0 until 25) {
+      // G.711 (round 17): expansion round-trip on random code bytes,
+      // plus the compand fixed-point under random linear probes
+      val law = if (rnd.nextBoolean()) 6 else 7
+      val rate = 8000 + rnd.nextInt(40000)
+      val n = 1 + rnd.nextInt(2000)
+      val codes = Array.fill(n)(rnd.nextInt(256))
+      check(s"wavg711_roundtrip_$i") {
+        val wv = WavAudio.parse(WavAudio.encodeG711Mono(law, rate, codes))
+        require(wv.bits == 8 && wv.format == law, "header")
+        val expand: Int => Int =
+          if (law == 6) WavAudio.alawExpand else WavAudio.ulawExpand
+        require(wv.samples.toSeq == codes.map(expand).toSeq, "samples")
+        // compress(expand(c)) == c, μ-law's −0 excepted
+        var ok = true
+        codes.foreach { c =>
+          val back = if (law == 6) WavAudio.alawCompress(WavAudio.alawExpand(c))
+            else WavAudio.ulawCompress(WavAudio.ulawExpand(c))
+          ok &&= back == (if (law == 7 && c == 0x7f) 0xff else c)
+        }
+        require(ok, "compand fixed point")
+      }
+    }
     for (i <- 0 until 120) {
-      val good = rnd.nextInt(3) match {
+      val good = rnd.nextInt(4) match {
         case 0 => WavAudio.encodePcm16Mono(8000 + rnd.nextInt(40000),
           Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(65536) - 32768))
         case 1 => WavAudio.encodePcm24Mono(8000 + rnd.nextInt(40000),
           Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(1 << 24) - (1 << 23)))
+        case 3 => WavAudio.encodeG711Mono(if (rnd.nextBoolean()) 6 else 7,
+          8000 + rnd.nextInt(40000),
+          Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(256)))
         case _ => WavAudio.encodeFloat32Mono(8000 + rnd.nextInt(40000),
           Array.fill(1 + rnd.nextInt(500))(rnd.nextFloat() * 2f - 1f))
       }
@@ -749,7 +775,8 @@ object CodecFuzz {
         wv.channels >= 1 && wv.sampleRate > 0 &&
           ((wv.format == 1 &&
             (wv.bits == 8 || wv.bits == 16 || wv.bits == 24)) ||
-            (wv.format == 3 && wv.bits == 32)) &&
+            (wv.format == 3 && wv.bits == 32) ||
+            ((wv.format == 6 || wv.format == 7) && wv.bits == 8)) &&
           wv.samples.length % wv.channels == 0
       }
     }

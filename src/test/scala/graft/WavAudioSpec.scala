@@ -212,16 +212,104 @@ class WavAudioSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavAudio.parse(mis))
   }
 
-  test("format tags beyond PCM/float reject by name (ADPCM, mu-law)") {
+  test("format tags beyond the decode family reject by name (ADPCM)") {
     val good = WavAudio.encodePcm16Mono(8000, Array(1, -2, 3, -4))
-    for (tag <- Seq(2, 6, 7, 0x55)) {
+    // tags 6/7 became the G.711 decode lane in round 17 — the
+    // formerly-rejected classes RETARGET onto still-invalid gates:
+    // unknown tags stay named rejects, and a G.711 tag claiming a
+    // non-8-bit width is its own gate (this container says 16)
+    for (tag <- Seq(2, 0x55)) {
       val b = good.clone(); b(20) = tag.toByte
       assert(intercept[IllegalArgumentException](WavAudio.parse(b))
         .getMessage.contains(s"format tag $tag"))
+    }
+    for (tag <- Seq(6, 7)) {
+      val b = good.clone(); b(20) = tag.toByte
+      assert(intercept[IllegalArgumentException](WavAudio.parse(b))
+        .getMessage.contains("must be 8"))
     }
     // 20-bit width (the retargeted q154 quarantine class)
     val w20 = good.clone(); w20(34) = 20
     assert(intercept[IllegalArgumentException](WavAudio.parse(w20))
       .getMessage.contains("bit width 20"))
+  }
+
+  test("G.711 expansion matches hand-derived ITU table values") {
+    // μ-law: both zero codes, both extremes (±32124)
+    assert(WavAudio.ulawExpand(0xff) == 0)
+    assert(WavAudio.ulawExpand(0x7f) == 0)
+    assert(WavAudio.ulawExpand(0x00) == -32124)
+    assert(WavAudio.ulawExpand(0x80) == 32124)
+    // A-law: minimum magnitude ±8 (no zero sample), extremes ±32256
+    assert(WavAudio.alawExpand(0x55) == -8)
+    assert(WavAudio.alawExpand(0xd5) == 8)
+    assert(WavAudio.alawExpand(0x2a) == -32256)
+    assert(WavAudio.alawExpand(0xaa) == 32256)
+    // compand identities over the full code space (μ-law's negative
+    // zero 0x7f folds onto 0xff; every other code is a fixed point)
+    for (c <- 0 until 256 if c != 0x7f)
+      assert(WavAudio.ulawCompress(WavAudio.ulawExpand(c)) == c, s"u $c")
+    for (c <- 0 until 256)
+      assert(WavAudio.alawCompress(WavAudio.alawExpand(c)) == c, s"a $c")
+  }
+
+  test("G.711 container round-trip: codes in, expanded linear out") {
+    for (law <- Seq(6, 7)) {
+      val codes = Array.tabulate(201)(i => (i * 37 + law) % 256)
+      val w = WavAudio.parse(WavAudio.encodeG711Mono(law, 8000, codes))
+      assert(w.format == law && w.bits == 8 && w.channels == 1)
+      assert(w.nFrames == 201)
+      val expand: Int => Int =
+        if (law == 6) WavAudio.alawExpand else WavAudio.ulawExpand
+      assert(w.samples.toSeq == codes.map(expand).toSeq, s"law $law")
+    }
+  }
+
+  test("G.711 parity: javax.sound decodes our files to the same linear values") {
+    import javax.sound.sampled._
+    for (law <- Seq(6, 7)) {
+      val codes = Array.tabulate(256)(identity) // every code once
+      val bytes = WavAudio.encodeG711Mono(law, 8000, codes)
+      val ours = WavAudio.parse(bytes).samples
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(8000f, 16, 1, true, false), ais)
+      val buf = pcm.readAllBytes()
+      assert(buf.length == 2 * 256, s"law $law frames")
+      val theirs = Array.tabulate(256)(i =>
+        ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt)
+      assert(ours.toSeq == theirs.toSeq, s"law $law")
+    }
+  }
+
+  test("G.711 parity: a javax.sound-written mu-law WAV decodes identically") {
+    import javax.sound.sampled._
+    // PCM16 source -> JDK μ-law transcode -> WAVE container; compare
+    // OUR parse of that file against the JDK's own decode of the same
+    // file (decoder-vs-decoder on the same bytes)
+    val n = 300
+    val pcmBytes = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = ((i * 211 + 17) % 32768 - 16384).toShort
+      pcmBytes(2 * i) = (v & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val srcFmt = new AudioFormat(8000f, 16, 1, true, false)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes), srcFmt, n.toLong)
+    val ulaw = AudioSystem.getAudioInputStream(
+      AudioFormat.Encoding.ULAW, src)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, out)
+    val file = out.toByteArray
+    val ours = WavAudio.parse(file)
+    assert(ours.format == 7 && ours.nFrames == n)
+    val back = AudioSystem.getAudioInputStream(srcFmt,
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(file)))
+    val buf = back.readAllBytes()
+    val theirs = Array.tabulate(n)(i =>
+      ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt)
+    assert(ours.samples.toSeq == theirs.toSeq)
   }
 }
