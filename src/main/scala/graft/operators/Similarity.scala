@@ -989,15 +989,22 @@ object Similarity {
     * ([[graft.streaming.PqIndexStream.ivfPqReport]]). Input
     * (q_id, qv, qnrm); output (q_id, cell). */
   private[graft] def ivfProbes(q: DataFrame, bCent: DataFrame,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ivfProbeRanks(q, bCent, nprobe).select(col("q_id"), col("cell"))
+
+  /** [[ivfProbes]] keeping the probe DEPTH (`pr` = the cell's rank in
+    * the query's probe order) — what the recall meter needs to grade
+    * all depths in one pass (q124's one-pass trick, composed lane). */
+  private[graft] def ivfProbeRanks(q: DataFrame, bCent: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("c_id").asc)
     q.crossJoin(bCent)
       .withColumn("qcos",
         dot_product(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("c_id").as("cell"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("c_id").as("cell"), col("pr"))
   }
 
   /** ONE copy of the IVF-PQ candidate scoring: cell-join the codes
@@ -1116,6 +1123,252 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q165 — IVF-PQ recall/cost meter (round 17): q159 composes TWO
+    * approximations (the IVF probe filter × the PQ distance), and this
+    * is the table that says what the composition costs — the
+    * q124/q125 "measure, don't guess" discipline applied to the lane
+    * that actually ships at 100 TB. One row per nprobe ∈ {1, 2, 4} ×
+    * variant: `membership` counts a true top-5 neighbor as retrievable
+    * whenever its cell is probed (the IVF-only recall CEILING — PQ
+    * cannot recover a candidate the probe filter dropped), `adc`
+    * counts it only when it ALSO survives the ADC top-5 re-rank (what
+    * q159 really returns). Ground truth is exact integer-L2 in the
+    * quantized domain (q125's kernel); scanned_frac is the probed
+    * corpus fraction (the query cost, identical for both variants).
+    * By construction adc ≤ membership at every depth and both are
+    * monotone in nprobe — SimilaritySpec pins both laws on the actual
+    * output.
+    *
+    * Scale shape: one assignment pass + one encode pass (both corpus-
+    * scale, broadcast models — q159's shape); ground truth is one
+    * exact pass over the broadcast query batch (the price of truth,
+    * paid per tuning run); candidates are query-batch × probed-cells
+    * sized, ranked per depth with window functions over the SAME
+    * cached candidate frame (probe sets are nested, so no per-depth
+    * re-probe). */
+  def q165IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("nrm", sqrt(dot_product($"v", $"v")))
+      .cache() // centroids, assignment, queries, corpus count
+    val cent = e.filter($"vec_id" % 40 === 0)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val bCent = boundedBroadcast(cent, "q165 centroid")
+    val cells = ivfAssign(e, bCent).select($"vec_id", $"cell").cache()
+    val cellSizes = cells.groupBy($"cell").agg(count(lit(1)).as("csz"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val pr = ivfProbeRanks(q, bCent, nprobe = 4).cache()
+    // cached: consumed by pqTrain's passes, the encode pass, the query
+    // tables AND both sides of the exact ground-truth join
+    val qv = pqQuantized(Tables.embeddings(s, dir)).cache()
+    val model = pqTrain(qv)
+    val codes = pqEncode(qv, model)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3")
+      .join(cells, Seq("vec_id"))
+    val qTabs = pqQueryTables(
+      qv.filter($"vec_id" % 50 === 0).select($"vec_id".as("q_id"), $"q"),
+      model)
+    // every candidate once, with its ADC distance and probe depth
+    val cand = codes
+      .join(boundedBroadcast(pr.join(qTabs, Seq("q_id")), "q165 probe"),
+        Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", pqAdcDistance)
+      .select($"q_id", $"vec_id", $"pr", $"adist")
+      .cache()
+    def adcTopAt(p: Int): DataFrame = {
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"adist".asc, $"vec_id".asc)
+      cand.filter($"pr" <= p)
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id", lit(p).as("np"))
+    }
+    val adcTop = adcTopAt(1).union(adcTopAt(2)).union(adcTopAt(4))
+    // exact integer-L2 top-5 (q125's ground-truth kernel)
+    val qs = qv.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"q".as("qq"))
+    val wTrue = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
+    val exact = qv
+      .join(boundedBroadcast(qs, "q165 query"), $"vec_id" =!= $"q_id")
+      .withColumn("d", expr(
+        """aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rnk", row_number().over(wTrue))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id")
+      .cache()
+    val memHits = exact.join(cells, Seq("vec_id"))
+      .join(pr, Seq("q_id", "cell"), "left")
+      .agg(sum(when($"pr" <= 1, 1L).otherwise(0L)).as("m1"),
+        sum(when($"pr" <= 2, 1L).otherwise(0L)).as("m2"),
+        sum(when($"pr" <= 4, 1L).otherwise(0L)).as("m4"),
+        countDistinct($"q_id").as("nq"))
+    val adcHits = exact.join(adcTop, Seq("q_id", "vec_id"))
+      .agg(coalesce(sum(when($"np" === 1, 1L).otherwise(0L)), lit(0L)).as("a1"),
+        coalesce(sum(when($"np" === 2, 1L).otherwise(0L)), lit(0L)).as("a2"),
+        coalesce(sum(when($"np" === 4, 1L).otherwise(0L)), lit(0L)).as("a4"))
+    val scanned = pr.join(cellSizes, Seq("cell"))
+      .agg(sum(when($"pr" <= 1, $"csz").otherwise(0L)).as("s1"),
+        sum(when($"pr" <= 2, $"csz").otherwise(0L)).as("s2"),
+        sum(when($"pr" <= 4, $"csz").otherwise(0L)).as("s4"))
+    val nTot = e.agg(count(lit(1)).as("nvec"))
+    memHits.crossJoin(adcHits).crossJoin(scanned).crossJoin(nTot)
+      .selectExpr(
+        "stack(6," +
+          " 1, 'membership', m1, s1, 1, 'adc', a1, s1," +
+          " 2, 'membership', m2, s2, 2, 'adc', a2, s2," +
+          " 4, 'membership', m4, s4, 4, 'adc', a4, s4)" +
+          " AS (nprobe, variant, n_hits, n_scanned)",
+        "nq", "nvec")
+      .select($"nprobe".cast("int").as("nprobe"), $"variant", $"nq",
+        $"n_hits", $"n_scanned",
+        round($"n_hits" / ($"nq" * lit(5L)).cast("double"), 6)
+          .as("recall_at_5"),
+        round($"n_scanned" / ($"nq" * $"nvec").cast("double"), 6)
+          .as("scanned_frac"))
+      .orderBy($"nprobe", $"variant")
+  }
+
+  val q165Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+      |         WHERE vec_id % 40 = 0),
+      |assigned AS (SELECT vec_id, c_id AS cell
+      |  FROM (SELECT n.vec_id, c.c_id,
+      |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS rn
+      |        FROM n, cent c)
+      |  WHERE rn = 1),
+      |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz
+      |        FROM assigned GROUP BY 1),
+      |qn AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+      |       WHERE vec_id % 50 = 0),
+      |pr AS (SELECT q_id, cell, pr
+      |  FROM (SELECT q.q_id, c.c_id AS cell,
+      |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> q.qv[i] * c.cv[i])) / (q.qnrm * c.cnrm) DESC,
+      |            c.c_id ASC) AS pr
+      |        FROM qn q, cent c)
+      |  WHERE pr <= 4),
+      |qv AS (SELECT vec_id,
+      |         list_transform(embedding,
+      |           e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000) AS q
+      |       FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |vd AS (SELECT vec_id, CAST((dim - 1) // 16 AS INT) AS sub, dim,
+      |         q[dim] AS v FROM qv, dims),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, dim, v AS cv
+      |       FROM vd WHERE vec_id < 16),
+      |d1 AS (SELECT vd.vec_id, vd.sub, c0.cid,
+      |         sum((vd.v - c0.cv) * (vd.v - c0.cv)) AS d
+      |       FROM vd JOIN c0 ON vd.sub = c0.sub AND vd.dim = c0.dim
+      |       GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, cid FROM (
+      |         SELECT vec_id, sub, cid, row_number() OVER (
+      |           PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.sub, a1.cid, vd.dim,
+      |         CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |       FROM vd JOIN a1 ON vd.vec_id = a1.vec_id AND vd.sub = a1.sub
+      |       GROUP BY 1, 2, 3),
+      |d2 AS (SELECT vd.vec_id, vd.sub, c1.cid,
+      |         sum((vd.v - c1.cv) * (vd.v - c1.cv)) AS d
+      |       FROM vd JOIN c1 ON vd.sub = c1.sub AND vd.dim = c1.dim
+      |       GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, sub, cid FROM (
+      |            SELECT vec_id, sub, cid, row_number() OVER (
+      |              PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+      |            FROM d2) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, sub, dim, v FROM vd
+      |       WHERE vec_id % 50 = 0),
+      |cand AS (SELECT p.q_id, a.vec_id, p.pr
+      |         FROM pr p JOIN assigned a ON a.cell = p.cell
+      |         WHERE a.vec_id <> p.q_id),
+      |ad AS (SELECT cand.q_id, cand.vec_id, cand.pr,
+      |         CAST(sum((qs.v - c1.cv) * (qs.v - c1.cv)) AS BIGINT) AS adist
+      |       FROM cand
+      |       JOIN qs ON qs.q_id = cand.q_id
+      |       JOIN codes ON codes.vec_id = cand.vec_id
+      |                     AND codes.sub = qs.sub
+      |       JOIN c1 ON c1.sub = codes.sub AND c1.cid = codes.cid
+      |                  AND c1.dim = qs.dim
+      |       GROUP BY 1, 2, 3),
+      |top1 AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist ASC, vec_id ASC) AS rnk
+      |           FROM ad WHERE pr <= 1) WHERE rnk <= 5),
+      |top2 AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist ASC, vec_id ASC) AS rnk
+      |           FROM ad WHERE pr <= 2) WHERE rnk <= 5),
+      |top4 AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist ASC, vec_id ASC) AS rnk
+      |           FROM ad WHERE pr <= 4) WHERE rnk <= 5),
+      |qs2 AS (SELECT vec_id AS q_id, q AS qq FROM qv WHERE vec_id % 50 = 0),
+      |ex AS (SELECT q_id, vec_id FROM (
+      |         SELECT s.q_id, v.vec_id, row_number() OVER (
+      |           PARTITION BY s.q_id ORDER BY
+      |             list_sum(list_transform(generate_series(1, 64),
+      |               i -> (v.q[i] - s.qq[i]) * (v.q[i] - s.qq[i]))) ASC,
+      |             v.vec_id ASC) AS rnk
+      |         FROM qv v, qs2 s WHERE v.vec_id <> s.q_id)
+      |  WHERE rnk <= 5),
+      |mem AS (SELECT
+      |          CAST(sum(CASE WHEN p.pr <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS m1,
+      |          CAST(sum(CASE WHEN p.pr <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS m2,
+      |          CAST(sum(CASE WHEN p.pr <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS m4,
+      |          CAST(count(DISTINCT ex.q_id) AS BIGINT) AS nq
+      |        FROM ex
+      |        JOIN assigned a ON ex.vec_id = a.vec_id
+      |        LEFT JOIN pr p ON p.q_id = ex.q_id AND p.cell = a.cell),
+      |aa AS (SELECT
+      |         CAST((SELECT count(*) FROM ex JOIN top1
+      |               USING (q_id, vec_id)) AS BIGINT) AS a1,
+      |         CAST((SELECT count(*) FROM ex JOIN top2
+      |               USING (q_id, vec_id)) AS BIGINT) AS a2,
+      |         CAST((SELECT count(*) FROM ex JOIN top4
+      |               USING (q_id, vec_id)) AS BIGINT) AS a4),
+      |sc AS (SELECT
+      |         CAST(sum(CASE WHEN pr <= 1 THEN csz ELSE 0 END) AS BIGINT)
+      |           AS s1,
+      |         CAST(sum(CASE WHEN pr <= 2 THEN csz ELSE 0 END) AS BIGINT)
+      |           AS s2,
+      |         CAST(sum(CASE WHEN pr <= 4 THEN csz ELSE 0 END) AS BIGINT)
+      |           AS s4
+      |       FROM pr JOIN csz USING (cell)),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS nvec FROM e)
+      |SELECT CAST(v.np AS INT) AS nprobe, v.variant, mem.nq,
+      |       CASE WHEN v.variant = 'membership' THEN
+      |              CASE v.np WHEN 1 THEN mem.m1 WHEN 2 THEN mem.m2
+      |                   ELSE mem.m4 END
+      |            ELSE CASE v.np WHEN 1 THEN aa.a1 WHEN 2 THEN aa.a2
+      |                 ELSE aa.a4 END END AS n_hits,
+      |       CASE v.np WHEN 1 THEN sc.s1 WHEN 2 THEN sc.s2 ELSE sc.s4 END
+      |         AS n_scanned,
+      |       round(CAST(CASE WHEN v.variant = 'membership' THEN
+      |                    CASE v.np WHEN 1 THEN mem.m1 WHEN 2 THEN mem.m2
+      |                         ELSE mem.m4 END
+      |                  ELSE CASE v.np WHEN 1 THEN aa.a1 WHEN 2 THEN aa.a2
+      |                       ELSE aa.a4 END END AS DOUBLE)
+      |             / CAST(5 * mem.nq AS DOUBLE), 6) AS recall_at_5,
+      |       round(CAST(CASE v.np WHEN 1 THEN sc.s1 WHEN 2 THEN sc.s2
+      |                  ELSE sc.s4 END AS DOUBLE)
+      |             / CAST(mem.nq * nv.nvec AS DOUBLE), 6) AS scanned_frac
+      |FROM (VALUES (1, 'adc'), (1, 'membership'), (2, 'adc'),
+      |      (2, 'membership'), (4, 'adc'), (4, 'membership'))
+      |     v(np, variant), mem, aa, sc, nv
+      |ORDER BY nprobe, variant""".stripMargin
+
   /** q137 — SEMANTIC decontamination: the embedding-space counterpart
     * of q81/q83's n-gram decontamination, i.e. benchmark-style "is any
     * train document too close to this eval document in meaning" — the
@@ -1231,7 +1484,8 @@ object Similarity {
     "q106_hard_negatives" -> q106HardNegatives _,
     "q124_ivf_recall" -> q124IvfRecall _,
     "q125_pq_recall" -> q125PqRecall _,
-    "q159_ivf_pq_ann" -> q159IvfPqAnn _)
+    "q159_ivf_pq_ann" -> q159IvfPqAnn _,
+    "q165_ivf_pq_recall" -> q165IvfPqRecall _)
 
   val oracle: Map[String, String] = Map(
     "q137_semantic_decontamination" -> q137Oracle,
@@ -1246,5 +1500,6 @@ object Similarity {
     "q106_hard_negatives" -> q106Oracle,
     "q124_ivf_recall" -> q124Oracle,
     "q125_pq_recall" -> q125OracleFrom(q96Oracle),
-    "q159_ivf_pq_ann" -> q159Oracle)
+    "q159_ivf_pq_ann" -> q159Oracle,
+    "q165_ivf_pq_recall" -> q165Oracle)
 }

@@ -214,4 +214,37 @@ class SimilaritySpec extends SparkSuite {
         s"$r vs recount ${probedRecount.get(m)}")
     }
   }
+
+  test("q165 IVF-PQ meter: monotone in nprobe, adc bounded by membership") {
+    val rows = graft.operators.Similarity
+      .q165IvfPqRecall(spark, sfDir).collect()
+    assert(rows.length == 6)
+    def at(np: Int, variant: String) =
+      rows.find(r => r.getAs[Int]("nprobe") == np &&
+        r.getAs[String]("variant") == variant).get
+    for (variant <- Seq("membership", "adc")) {
+      // recall and scanned fraction both monotone in probe depth
+      val rec = Seq(1, 2, 4).map(p =>
+        at(p, variant).getAs[Double]("recall_at_5"))
+      assert(rec == rec.sorted, s"$variant recall $rec")
+      val sc = Seq(1, 2, 4).map(p =>
+        at(p, variant).getAs[Long]("n_scanned"))
+      assert(sc == sc.sorted, s"$variant scanned $sc")
+    }
+    for (p <- Seq(1, 2, 4)) {
+      // the composed recall can never exceed the IVF-only ceiling:
+      // PQ cannot recover a candidate the probe filter dropped
+      assert(at(p, "adc").getAs[Long]("n_hits") <=
+        at(p, "membership").getAs[Long]("n_hits"), s"bound at nprobe $p")
+      // both variants scan the same cells — the cost column is shared
+      assert(at(p, "adc").getAs[Long]("n_scanned") ==
+        at(p, "membership").getAs[Long]("n_scanned"))
+    }
+    // the meter must measure something real at this SF: full-depth
+    // membership recall is positive and the scan is a strict subset
+    // of the corpus
+    val m4 = at(4, "membership")
+    assert(m4.getAs[Long]("n_hits") > 0)
+    assert(m4.getAs[Double]("scanned_frac") < 1.0)
+  }
 }
