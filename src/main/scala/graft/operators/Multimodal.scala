@@ -2811,6 +2811,100 @@ object Multimodal {
       |         AS sum_pixels
       |FROM d GROUP BY 1 ORDER BY reason""".stripMargin
 
+  /** The q166 fixture + hash core: every 4 consecutive ids share one
+    * canonical ANIMATION; each id stores a RE-ENCODE that must
+    * composite identically under the GIF89a rendering model — the
+    * knobs a real re-encoder turns: per-frame interlace, disposal
+    * method (every frame is a full-screen opaque repaint, so disposal
+    * 0/1/2/3 are all display-equivalent BY the model), frame delays,
+    * and a declared-but-unused transparent index. Returns the per-
+    * frame aHash sequence over the COMPOSITED canvases (the q136
+    * sampling grid via [[uprightAhash64]] — one copy). */
+  private[graft] def q166AnimHashes(id: Long): Array[Long] = {
+    import graft.sources.GifImage
+    val canon = id / 4
+    val v = (id % 4).toInt
+    def mix(m: Long): Long =
+      (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
+    val w = (8 + canon % 9).toInt; val h = (8 + canon % 7).toInt
+    val nf = (2 + canon % 3).toInt
+    val nPal = (4 + canon % 5).toInt
+    // content palette 0..nPal-1 plus a DECOY entry at nPal that frame
+    // pixels never use: odd variants declare it transparent, so the
+    // GCE path is exercised without changing a single composited pixel
+    val pal = Array.tabulate(nPal + 1)(j => 0xff000000 |
+      (mix(canon * 31 + j).toInt << 16) |
+      (mix(canon * 17 + j * 7).toInt << 8) | mix(canon * 7 + j * 13).toInt)
+    def framePx(f: Int): Array[Int] =
+      Array.tabulate(w * h)(i => (mix(canon * 1009 + f * 97 + i) % nPal).toInt)
+    val geom = (0 until nf).map(f => (0, 0, w, h, (v * 3 + f) % 10))
+    val bytes = GifImage.encodeAnimation(w, h, pal, geom, framePx,
+      interlacedFrame = f => (v + f) % 2 == 1,
+      disposalFor = f => (v + f) % 4,
+      transparentFor = f => if (v % 2 == 1) nPal else -1)
+    val (_, _, frames) = GifImage.decodeAnimation(bytes)
+    frames.map(fr => uprightAhash64(w, h, fr.canvas)).toArray
+  }
+
+  /** q166 — ANIMATION near-dup (round 17): the dedup lane for
+    * re-encoded animated memes, composing q163's compositing with the
+    * q136 hash/banding kernels. Pipeline: decode+composite → per-frame
+    * aHash → 4×16-bit Hamming bands over each frame hash → the shared
+    * capped band equi-join ([[Dedup.cappedBandCandidates]] — never all
+    * pairs) → FRAME-SET Jaccard over exact hash equality → pairs at
+    * sim ≥ 0.8. The oracle is analytic: re-encodes composite
+    * identically by the rendering model, so the surviving pairs are
+    * EXACTLY the intra-canon pairs at sim 1.0 with n_common = the
+    * canon's frame count — a defect in compositing (any disposal arm,
+    * interlace, the GCE path), hashing, banding or the join surfaces
+    * as a missing/extra/dented pair. Cross-canon separation (distinct
+    * frame hashes across canons) is spec-asserted; even a full 64-bit
+    * cross-canon frame-hash collision cannot forge a pair (one shared
+    * frame out of ≥2 gives Jaccard ≤ 1/3 < 0.8).
+    *
+    * Scale shape: decode+hash task-local per doc (media bytes never
+    * shuffle — only (doc_id, 8-byte hash) per frame); candidates come
+    * from the bucketed band join with the stop-bucket cap; the Jaccard
+    * join is candidate-pair × frame sized. */
+  def q166AnimationNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashesOf = udf { (id: Long) => q166AnimHashes(id) }
+    val fh = Tables.documents(s, dir)
+      .select($"doc_id", explode(hashesOf($"doc_id")).as("fhash"))
+      .distinct() // frame-SET semantics
+      .cache() // banding, both Jaccard sides, per-doc counts
+    val nPer = fh.groupBy($"doc_id").agg(count(lit(1)).as("nh"))
+    val bands = fh.select($"doc_id", posexplode(array(
+        expr("fhash & 65535"), expr("(fhash >> 16) & 65535"),
+        expr("(fhash >> 32) & 65535"), expr("(fhash >> 48) & 65535")))
+      .as(Seq("band", "bkey")))
+      .distinct()
+    val common = Dedup.cappedBandCandidates(bands)
+      .join(fh.select($"doc_id".as("doc_a"), $"fhash"), Seq("doc_a"))
+      .join(fh.select($"doc_id".as("doc_b"), $"fhash"),
+        Seq("doc_b", "fhash"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(nPer.select($"doc_id".as("doc_a"), $"nh".as("na")), Seq("doc_a"))
+      .join(nPer.select($"doc_id".as("doc_b"), $"nh".as("nb")), Seq("doc_b"))
+      .withColumn("sim", round($"n_common".cast("double") /
+        ($"na" + $"nb" - $"n_common").cast("double"), 6))
+      .filter($"sim" >= 0.8)
+      .select($"doc_a", $"doc_b", $"n_common", $"sim",
+        (expr("doc_a div 4") === expr("doc_b div 4")).as("same_canon"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q166Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS canon FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(2 + a.canon % 3 AS BIGINT) AS n_common,
+      |       round(CAST(1 AS DOUBLE), 6) AS sim,
+      |       TRUE AS same_canon
+      |FROM d a JOIN d b ON a.canon = b.canon AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -2841,6 +2935,7 @@ object Multimodal {
     "q162_bmp_palette_decode" -> q162BmpPaletteDecode _,
     "q163_gif_frame_sample" -> q163GifFrameSample _,
     "q164_tiff_decode" -> q164TiffDecode _,
+    "q166_animation_near_dup" -> q166AnimationNearDup _,
     "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _,
     "q168_tiff_quarantine" -> q168TiffQuarantine _,
     "q169_g711_decode" -> q169G711Decode _)
@@ -2882,6 +2977,7 @@ object Multimodal {
     "q162_bmp_palette_decode" -> q162Oracle,
     "q163_gif_frame_sample" -> q163Oracle,
     "q164_tiff_decode" -> q164Oracle,
+    "q166_animation_near_dup" -> q166Oracle,
     "q167_oriented_dispatch_decode" -> q167Oracle,
     "q168_tiff_quarantine" -> q168Oracle,
     "q169_g711_decode" -> q169Oracle)

@@ -125,4 +125,26 @@ class MultimodalSpec extends SparkSuite {
     assert(hashes.distinct.size == hashes.size,
       "cross-canon hash collision in the q161 fixture")
   }
+
+  test("q166 fixture: re-encodes collapse, canons and frames separate") {
+    import graft.operators.Multimodal
+    // collapse half (also stated by the oracle): every re-encode
+    // variant of a canon composites to the SAME frame-hash sequence —
+    // disposal/interlace/delay/decoy-transparency must not move a
+    // single composited pixel
+    for (canon <- 0L until 30L) {
+      val sigs = (0 until 4).map(v => Multimodal
+        .q166AnimHashes(canon * 4 + v).toSeq)
+      assert(sigs.distinct.size == 1, s"canon $canon variants split: $sigs")
+      // intra-animation frame hashes distinct (the oracle's n_common
+      // claim rides on it)
+      assert(sigs.head.distinct.size == sigs.head.size,
+        s"canon $canon has colliding frame hashes")
+    }
+    // separation half: different canons share NO frame hash (so even
+    // one banded candidate between canons cannot reach the 0.8 bar)
+    val all = (0L until 30L).flatMap(c => Multimodal.q166AnimHashes(c * 4))
+    assert(all.distinct.size == all.size,
+      "cross-canon frame-hash collision in the q166 fixture")
+  }
 }
