@@ -2604,8 +2604,13 @@ object Multimodal {
     *
     * Scale shape: task-local synth+encode+dispatch per row; only the
     * ≤72-byte stat tuple moves. */
-  def q164TiffDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q164TiffDecode(s: SparkSession, dir: String): DataFrame =
+    tiffStatsOf(Tables.documents(s, dir))
+
+  /** The q164 synth→encode→dispatch→faceStats kernel as a frame core
+    * ((doc_id) → stats), shared with the scale probe so the probe
+    * measures the pipeline the oracle grades. */
+  private[graft] def tiffStatsOf(docs: DataFrame): DataFrame = {
     val synthDecode = udf { (id: Long) =>
       import graft.sources.{JpegImage, MediaCodec, TiffImage}
       val w = (3 + id % 14).toInt; val h = (2 + id % 11).toInt
@@ -2676,14 +2681,15 @@ object Multimodal {
       }
       faceStats(dec.width, dec.height, dec.pixels)
     }
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
-      .select($"media_id",
-        $"st._1".as("width"), $"st._2".as("height"),
-        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
-        $"st._5".as("wsum"), $"st._6".as("first_px"),
-        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
-      .orderBy($"media_id")
+    docs
+      .select(col("doc_id").as("media_id"),
+        synthDecode(col("doc_id")).as("st"))
+      .select(col("media_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_pixels"), col("st._4").as("sum_rgb"),
+        col("st._5").as("wsum"), col("st._6").as("first_px"),
+        col("st._7").as("peak_lum"), col("st._8").as("sum_alpha"))
+      .orderBy(col("media_id"))
   }
 
   val q164Oracle: String =
@@ -2824,8 +2830,20 @@ object Multimodal {
     import graft.sources.GifImage
     val canon = id / 4
     val v = (id % 4).toInt
-    def mix(m: Long): Long =
-      (((m & 0x7fffffffL) * 2654435761L) / 4096) % 256
+    // splitmix64 finalizer, NOT the q136 multiplicative mix: that
+    // trick decorrelates BASES but over consecutive pixel indices its
+    // high bits walk a near-linear sequence mod 256, and `% nPal` of a
+    // linear walk is periodic — at the 100× probe scale 5% of sampled
+    // canons collided into structured hash patterns (0x0F0F…), forging
+    // 300k cross-canon "identical" animations. The oracle never
+    // replays content (it states pair structure only), so the fixture
+    // is free to use a full-avalanche hash.
+    def mix(m: Long): Long = {
+      var z = m * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 32)
+      z & 0xff
+    }
     val w = (8 + canon % 9).toInt; val h = (8 + canon % 7).toInt
     val nf = (2 + canon % 3).toInt
     val nPal = (4 + canon % 5).toInt
@@ -2849,9 +2867,9 @@ object Multimodal {
   /** q166 — ANIMATION near-dup (round 17): the dedup lane for
     * re-encoded animated memes, composing q163's compositing with the
     * q136 hash/banding kernels. Pipeline: decode+composite → per-frame
-    * aHash → 4×16-bit Hamming bands over each frame hash → the shared
-    * capped band equi-join ([[Dedup.cappedBandCandidates]] — never all
-    * pairs) → FRAME-SET Jaccard over exact hash equality → pairs at
+    * aHash → full-hash buckets through the shared capped band
+    * equi-join ([[Dedup.cappedBandCandidates]] — never all pairs) →
+    * FRAME-SET Jaccard over exact hash equality → pairs at
     * sim ≥ 0.8. The oracle is analytic: re-encodes composite
     * identically by the rendering model, so the surviving pairs are
     * EXACTLY the intra-canon pairs at sim 1.0 with n_common = the
@@ -2866,34 +2884,46 @@ object Multimodal {
     * shuffle — only (doc_id, 8-byte hash) per frame); candidates come
     * from the bucketed band join with the stop-bucket cap; the Jaccard
     * join is candidate-pair × frame sized. */
-  def q166AnimationNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q166AnimationNearDup(s: SparkSession, dir: String): DataFrame =
+    animNearDupOf(Tables.documents(s, dir))
+
+  /** The full q166 pipeline as a frame core ((doc_id) → surviving
+    * pairs), shared with the scale probe. */
+  private[graft] def animNearDupOf(docs: DataFrame): DataFrame = {
     val hashesOf = udf { (id: Long) => q166AnimHashes(id) }
-    val fh = Tables.documents(s, dir)
-      .select($"doc_id", explode(hashesOf($"doc_id")).as("fhash"))
+    val fh = docs
+      .select(col("doc_id"), explode(hashesOf(col("doc_id"))).as("fhash"))
       .distinct() // frame-SET semantics
       .cache() // banding, both Jaccard sides, per-doc counts
-    val nPer = fh.groupBy($"doc_id").agg(count(lit(1)).as("nh"))
-    val bands = fh.select($"doc_id", posexplode(array(
-        expr("fhash & 65535"), expr("(fhash >> 16) & 65535"),
-        expr("(fhash >> 32) & 65535"), expr("(fhash >> 48) & 65535")))
-      .as(Seq("band", "bkey")))
-      .distinct()
+    val nPer = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+    // bucket on the FULL frame hash: the similarity metric is EXACT
+    // hash Jaccard (GIF re-encodes are lossless), so 16-bit Hamming
+    // slices buy no tolerance — and the 100× scale probe measured
+    // them SATURATING the stop-bucket cap (642,536 of 750,000 pairs
+    // survived: the 4×65,536 pigeonhole space itself was the scale
+    // limiter). Full-hash buckets hold one animation's re-encodes
+    // (plus true frame collisions), stay cap-free at any corpus size,
+    // and the cap still guards the real degenerate case — a blank
+    // frame shared by thousands of animations
+    val bands = fh.select(col("doc_id"), lit(0).as("band"),
+      col("fhash").as("bkey"))
     val common = Dedup.cappedBandCandidates(bands)
-      .join(fh.select($"doc_id".as("doc_a"), $"fhash"), Seq("doc_a"))
-      .join(fh.select($"doc_id".as("doc_b"), $"fhash"),
+      .join(fh.select(col("doc_id").as("doc_a"), col("fhash")), Seq("doc_a"))
+      .join(fh.select(col("doc_id").as("doc_b"), col("fhash")),
         Seq("doc_b", "fhash"))
-      .groupBy($"doc_a", $"doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
-      .join(nPer.select($"doc_id".as("doc_a"), $"nh".as("na")), Seq("doc_a"))
-      .join(nPer.select($"doc_id".as("doc_b"), $"nh".as("nb")), Seq("doc_b"))
-      .withColumn("sim", round($"n_common".cast("double") /
-        ($"na" + $"nb" - $"n_common").cast("double"), 6))
-      .filter($"sim" >= 0.8)
-      .select($"doc_a", $"doc_b", $"n_common", $"sim",
+      .join(nPer.select(col("doc_id").as("doc_a"), col("nh").as("na")),
+        Seq("doc_a"))
+      .join(nPer.select(col("doc_id").as("doc_b"), col("nh").as("nb")),
+        Seq("doc_b"))
+      .withColumn("sim", round(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"), 6))
+      .filter(col("sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sim"),
         (expr("doc_a div 4") === expr("doc_b div 4")).as("same_canon"))
-      .orderBy($"doc_a", $"doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val q166Oracle: String =

@@ -34,7 +34,8 @@ object CodecScaleProbe {
   def main(args: Array[String]): Unit = {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
-    require(Set("png", "gif", "jpeg", "gifanim")(lane), s"unknown lane $lane")
+    require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
+      "tiff")(lane), s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -95,6 +96,31 @@ object CodecScaleProbe {
       Multimodal.gifFrameStatsOf(docs)
         .agg(sum($"sum_rgb")).first().getLong(0)
 
+    // the oriented lane measures q161's full graded pipeline: synth →
+    // EXIF-oriented JPEG encode → THE DISPATCH FACE (sniff + strict
+    // decode + normalize) → upright aHash → canon grouping; only
+    // (canon, 16-byte hash) rows shuffle. Figure = canons whose 8
+    // re-uploads collapsed to one hash (must equal images/8 at every
+    // scale, so the probe is also a correctness canary).
+    def orientedKernel(docs: DataFrame): Long =
+      Multimodal.orientedHashesOf(docs.select($"doc_id"))
+        .select(($"doc_id" / 8).cast("long").as("canon"), $"lo", $"hi")
+        .groupBy($"canon")
+        .agg(countDistinct($"lo", $"hi").as("nh"))
+        .filter($"nh" === 1).count()
+
+    // the animation near-dup lane measures q166's full graded pipeline
+    // (decode+composite → frame aHashes → capped band join → Jaccard);
+    // figure = surviving pairs (6 per canon at every scale)
+    def animDupKernel(docs: DataFrame): Long =
+      Multimodal.animNearDupOf(docs.select($"doc_id")).count()
+
+    // the TIFF lane measures q164's graded kernel (synth → oriented
+    // TIFF encode across the layout matrix → dispatch decode → stats)
+    def tiffKernel(docs: DataFrame): Long =
+      Multimodal.tiffStatsOf(docs.select($"doc_id"))
+        .agg(sum($"sum_rgb")).first().getLong(0)
+
     def run(label: String, path: String, images: Long): Unit = {
       val docs = spark.read.parquet(path)
       // measurement window: drain listener events before and after
@@ -104,6 +130,9 @@ object CodecScaleProbe {
       val figure = lane match {
         case "jpeg" => jpegKernel(docs)
         case "gifanim" => gifAnimKernel(docs)
+        case "oriented" => orientedKernel(docs)
+        case "animdup" => animDupKernel(docs)
+        case "tiff" => tiffKernel(docs)
         case _ => phashKernel(docs)
       }
       val secs = (System.nanoTime() - t0) / 1e9

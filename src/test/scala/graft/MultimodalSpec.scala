@@ -142,8 +142,14 @@ class MultimodalSpec extends SparkSuite {
         s"canon $canon has colliding frame hashes")
     }
     // separation half: different canons share NO frame hash (so even
-    // one banded candidate between canons cannot reach the 0.8 bar)
-    val all = (0L until 30L).flatMap(c => Multimodal.q166AnimHashes(c * 4))
+    // one banded candidate between canons cannot reach the 0.8 bar) —
+    // sampled across the LOW and the 100×-probe-scale HIGH canon
+    // ranges: the first fixture cut (multiplicative mix) was clean at
+    // low canons and collided 5% of HIGH canons into structured
+    // patterns, found only by the scale probe's pair-count canary
+    val sample = ((0L until 30L) ++ (100000L until 100030L) ++
+      (0L until 125000L by 997L)).distinct
+    val all = sample.flatMap(c => Multimodal.q166AnimHashes(c * 4))
     assert(all.distinct.size == all.size,
       "cross-canon frame-hash collision in the q166 fixture")
   }
