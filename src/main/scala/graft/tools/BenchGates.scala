@@ -88,4 +88,32 @@ object BenchGates {
     }
     (normalized, raw)
   }
+
+  /** Is the baseline itself DEGRADED — sealed on a slow box? A slow
+    * baseline inflates every figure it carries, and because the
+    * normalization ratio is clamped at 1.0 (it may only EXCUSE current
+    * slowness), a baseline 1.5× too slow silently RAISES the gate by
+    * 1.5× and can mask a real regression two rounds later (judge r16
+    * item 7). Detection consults the baseline's own calib stamps
+    * against the best stamps in the sealed-headline HISTORY: degraded
+    * when either yardstick (single-thread or all-cores) exceeds `tol`
+    * × the history's best. A baseline with no stamp (pre-r15) is never
+    * flagged — the caller falls back to raw gating anyway. */
+  def baselineDegraded(base: String, history: Seq[String],
+      tol: Double = 1.3): Boolean = {
+    def worse(stamp: Option[Long], best: Seq[Long]): Boolean =
+      (for (b <- stamp; m <- best.minOption) yield b > tol * m)
+        .getOrElse(false)
+    worse(parseCalib(base), history.flatMap(parseCalib)) ||
+      worse(parseCalibPar(base), history.flatMap(parseCalibPar))
+  }
+
+  /** The best-box line among the candidates (min single-thread calib;
+    * ties by min parallel calib) — the baseline to gate against when
+    * the configured one is degraded. Lines without a calib stamp are
+    * never chosen. */
+  def bestBaseline(candidates: Seq[String]): Option[String] =
+    candidates.filter(l => parseCalib(l).isDefined)
+      .minByOption(l => (parseCalib(l).get,
+        parseCalibPar(l).getOrElse(Long.MaxValue)))
 }

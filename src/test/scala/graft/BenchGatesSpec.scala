@@ -94,4 +94,40 @@ class BenchGatesSpec extends AnyFunSuite {
     assert(q.get("q28").contains(1.405) && q.get("q155").contains(0.210))
     assert(BenchGates.parseCalib(clipped).contains(309L))
   }
+
+  test("a degraded baseline is detected via its own calib stamp") {
+    // the r16 scenario two rounds on: a baseline SEALED on a slow box
+    // (calib 811 vs the fleet's usual ~330) raises every gate by ~2.5×
+    // — normalization can't help because the clamp only excuses
+    // CURRENT slowness. The history of sealed headlines carries the
+    // best demonstrated box speed; the slow baseline is flagged
+    // against it.
+    val history = Seq(
+      """{"calib_ms":[330,345],"calib_par_ms":[440,460],"queries":{"q01":1.0}}""",
+      """{"calib_ms":[360,371],"calib_par_ms":[452,455],"queries":{"q01":1.1}}""")
+    val slowBase =
+      """{"calib_ms":[811,790],"calib_par_ms":[1494,1402],"queries":{"q01":2.4}}"""
+    val goodBase =
+      """{"calib_ms":[338,352],"calib_par_ms":[445,441],"queries":{"q01":1.0}}"""
+    assert(BenchGates.baselineDegraded(slowBase, history))
+    assert(!BenchGates.baselineDegraded(goodBase, history))
+    // a parallel-only squeeze in the baseline is also caught
+    val parSlow =
+      """{"calib_ms":[335,331],"calib_par_ms":[1490,1500],"queries":{"q01":1.0}}"""
+    assert(BenchGates.baselineDegraded(parSlow, history))
+    // no stamp (pre-r15 baseline) or no history: never flagged
+    assert(!BenchGates.baselineDegraded("""{"queries":{"q01":1.0}}""", history))
+    assert(!BenchGates.baselineDegraded(slowBase, Nil))
+    // the replacement pick is the best-box line, and gating against it
+    // catches the regression the slow baseline would have masked
+    val best = BenchGates.bestBaseline(slowBase +: history)
+    assert(best.exists(_.contains("[330,345]")))
+    val cur = Map("q01" -> 2.3) // real 2.3× regression vs the fleet
+    val (nSlow, _) = BenchGates.regressions(cur, Some(340L),
+      BenchGates.parseQueries(slowBase), BenchGates.parseCalib(slowBase))
+    assert(nSlow.isEmpty) // masked by the inflated baseline
+    val (nBest, _) = BenchGates.regressions(cur, Some(340L),
+      BenchGates.parseQueries(best.get), BenchGates.parseCalib(best.get))
+    assert(nBest == Seq("q01")) // caught against the history's best box
+  }
 }
