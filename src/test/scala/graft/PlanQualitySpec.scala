@@ -251,7 +251,12 @@ class PlanQualitySpec extends SparkSuite {
     // q159's two NLJs are its parents' lanes composed: the q44-shape
     // centroid assignment/probe cross joins and the q96-shape broadcast
     // query batch — both through boundedBroadcast (GlobalLimit evidence)
-    "q159_ivf_pq_ann")
+    "q159_ivf_pq_ann",
+    // q165 is the METER over that composition: the same q44-shape
+    // centroid crossJoins (assignment + probe ranks) plus the q125-
+    // shape exact-ground-truth pass against the boundedBroadcast query
+    // batch — three NLJs, every broadcast side bounded
+    "q165_ivf_pq_recall")
 
   private val nljAllowed = Set(
     "q07_join_suffix_theta", "q36_bm25_topk",
