@@ -2655,7 +2655,10 @@ object Multimodal {
       }
       val o = (1 + id % 8).toInt
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonRaw)
-      val bytes = (id % 4) match {
+      // six layouts over the SAME canonical face — the oracle states
+      // canonical stats only, so widening the matrix (round 17 adds
+      // PackBits and Deflate) needs no oracle change
+      val bytes = (id % 6) match {
         case 0 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           rowsPerStrip = 3)
@@ -2665,9 +2668,15 @@ object Multimodal {
         case 2 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           lzw = true, predictor = 2, tileSize = 16)
-        case _ => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 3 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           lzw = true, predictor = 2, rowsPerStrip = 2)
+        case 4 => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          compression = 32773, rowsPerStrip = 5)
+        case _ => TiffImage.encode(sw, sh, stored, photometric = pm,
+          palette = pal, bigEndian = id % 2 == 0, orientation = o,
+          compression = 8, predictor = 2, tileSize = 16)
       }
       val dec = MediaCodec.decodeImage(bytes)
       require(dec.container == "tiff", s"sniffed ${dec.container}")
@@ -2765,7 +2774,10 @@ object Multimodal {
         case 0 => good
         case 1 => val b = good.clone(); b(2) = 43; b // wrong magic
         case 2 => java.util.Arrays.copyOf(good, good.length / 2)
-        case 3 => patchInline(good, 259, 32773) // PackBits: out of scope
+        case 3 => patchInline(good, 259, 4) // CCITT T.6: out of scope
+          // (retargeted round 17 — 32773 PackBits became decodable, so
+          // this class moved onto a still-invalid gate in the same
+          // commit: the q144/q152/q153/q154 retarget invariant)
         case 4 => patchInline(good, 258, 16) // 16-bit samples
         case _ => // non-ascending IFD: swap the first two entries
           val b = good.clone()

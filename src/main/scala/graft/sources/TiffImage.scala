@@ -11,10 +11,11 @@ package graft.sources
   *  - 8-bit samples; photometric 0 (WhiteIsZero), 1 (BlackIsZero),
   *    2 (RGB, SamplesPerPixel 3) and 3 (palette through a 16-bit
   *    ColorMap);
-  *  - compression 1 (none) and 5 (TIFF-LZW: MSB-first bit packing,
+  *  - compression 1 (none), 5 (TIFF-LZW: MSB-first bit packing,
   *    9→12-bit codes with the spec's EARLY width change — one code
-  *    sooner than GIF's LSB-first variant), with predictor 1 (none)
-  *    or 2 (horizontal differencing per sample channel);
+  *    sooner than GIF's LSB-first variant), 8/32946 (zlib Deflate)
+  *    and 32773 (PackBits RLE) — with predictor 1 (none) or 2
+  *    (horizontal differencing per sample channel);
   *  - strip layout (RowsPerStrip + StripOffsets/StripByteCounts) AND
   *    tile layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
   *    edge tiles padded to full tile size per spec §15);
@@ -134,8 +135,10 @@ object TiffImage {
     require(bits.length == spp && bits.forall(_ == 8),
       s"unsupported BitsPerSample ${bits.mkString("/")} (only 8 per sample)")
     val compression = one(259, default = 1).toInt
-    require(compression == 1 || compression == 5,
-      s"compression $compression unsupported (only 1=none, 5=LZW)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773 || compression == 32946,
+      s"compression $compression unsupported " +
+        "(only 1=none, 5=LZW, 8/32946=Deflate, 32773=PackBits)")
     val photometric = one(262).toInt
     require(photometric >= 0 && photometric <= 3,
       s"photometric $photometric unsupported (only 0/1/2/3)")
@@ -144,8 +147,6 @@ object TiffImage {
     val predictor = one(317, default = 1).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
-    require(predictor == 1 || compression == 5,
-      "predictor 2 without LZW compression")
     val expectedSpp = if (photometric == 2) 3 else 1
     require(spp == expectedSpp,
       s"SamplesPerPixel $spp does not match photometric $photometric " +
@@ -194,11 +195,15 @@ object TiffImage {
     def segment(off: Long, len: Long, outLen: Int): Array[Byte] = {
       require(off >= 8 && len >= 0 && off + len <= bytes.length,
         s"segment at $off+$len overruns file (${bytes.length} bytes)")
-      if (compression == 1) {
-        require(len == outLen,
-          s"uncompressed segment is $len bytes, layout needs $outLen")
-        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
-      } else lzwDecode(bytes, off.toInt, len.toInt, outLen)
+      compression match {
+        case 1 =>
+          require(len == outLen,
+            s"uncompressed segment is $len bytes, layout needs $outLen")
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        case 5 => lzwDecode(bytes, off.toInt, len.toInt, outLen)
+        case 8 | 32946 => inflate(bytes, off.toInt, len.toInt, outLen)
+        case _ => packBitsDecode(bytes, off.toInt, len.toInt, outLen)
+      }
     }
 
     if (!tiled) {
@@ -435,6 +440,123 @@ object TiffImage {
     out.toByteArray
   }
 
+  // ------------------------------------------------ PackBits / Deflate
+
+  /** TIFF 6.0 §9 PackBits decode: n ≥ 0 → copy n+1 literal bytes;
+    * −127 ≤ n ≤ −1 → repeat the next byte 1−n times; −128 → no-op.
+    * Strict: output must land exactly on `outLen` and the segment must
+    * be fully consumed (a token overrunning either side is a named
+    * reject). Tokens never NEED to cross row boundaries (the spec
+    * compresses per row) but a decoder is insensitive to where rows
+    * end — PackBits carries no inter-token state. */
+  private[graft] def packBitsDecode(bytes: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = off
+    val end = off + len
+    var o = 0
+    while (o < outLen) {
+      require(i < end, "PackBits segment ends mid-stream")
+      val n = bytes(i)
+      i += 1
+      if (n >= 0) {
+        require(i + n + 1 <= end, "PackBits literal run overruns segment")
+        require(o + n + 1 <= outLen, "PackBits output exceeds segment size")
+        System.arraycopy(bytes, i, out, o, n + 1)
+        i += n + 1; o += n + 1
+      } else if (n != -128) { // -128 is a spec no-op
+        require(i < end, "PackBits replicate run missing its byte")
+        val cnt = 1 - n
+        require(o + cnt <= outLen, "PackBits output exceeds segment size")
+        java.util.Arrays.fill(out, o, o + cnt, bytes(i))
+        i += 1; o += cnt
+      }
+    }
+    require(i == end, s"PackBits segment carries ${end - i} trailing bytes")
+    out
+  }
+
+  /** PackBits encode, per ROW (`rowBytes` per row — TIFF 6.0: "each
+    * row must be compressed separately"): runs of ≥ 3 identical bytes
+    * become replicate tokens, everything else literal tokens of up to
+    * 128 bytes. */
+  private[graft] def packBitsEncode(data: Array[Byte],
+      rowBytes: Int): Array[Byte] = {
+    require(rowBytes > 0 && data.length % rowBytes == 0, "row size")
+    val out = new java.io.ByteArrayOutputStream()
+    var rowStart = 0
+    while (rowStart < data.length) {
+      val rowEnd = rowStart + rowBytes
+      var i = rowStart
+      var litStart = i
+      def flushLit(until: Int): Unit = {
+        var s = litStart
+        while (s < until) {
+          val n = math.min(128, until - s)
+          out.write(n - 1)
+          out.write(data, s, n)
+          s += n
+        }
+      }
+      while (i < rowEnd) {
+        var run = 1
+        while (i + run < rowEnd && run < 128 && data(i + run) == data(i))
+          run += 1
+        if (run >= 3) {
+          flushLit(i)
+          out.write(1 - run) // two's complement byte
+          out.write(data(i))
+          i += run
+          litStart = i
+        } else i += run
+      }
+      flushLit(rowEnd)
+      rowStart = rowEnd
+    }
+    out.toByteArray
+  }
+
+  /** zlib inflate for Deflate-compressed segments (compression 8 and
+    * the old-style 32946): strict — exactly `outLen` bytes and a
+    * finished stream, or a named reject. */
+  private[graft] def inflate(bytes: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes, off, len)
+      val out = new Array[Byte](outLen)
+      var o = 0
+      while (o < outLen && !inf.finished()) {
+        val n =
+          try inf.inflate(out, o, outLen - o)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"Deflate segment corrupt: ${e.getMessage}")
+          }
+        require(n > 0 || inf.finished(),
+          "Deflate segment truncated (inflater stalled)")
+        o += n
+      }
+      require(o == outLen,
+        s"Deflate segment decoded $o bytes, layout needs $outLen")
+      require(inf.finished() || inf.inflate(new Array[Byte](1)) == 0 &&
+        inf.finished(),
+        s"Deflate segment decodes past the layout's $outLen bytes")
+      out
+    } finally inf.end()
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](math.max(64, data.length + 64))
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
   // ----------------------------------------------------------- encode
 
   /** Encode an image for the fixture/parity lanes. `photometric`:
@@ -443,15 +565,21 @@ object TiffImage {
     * `tileSize` > 0 emits the tile layout (must be a multiple of 16);
     * otherwise strips of `rowsPerStrip`. `orientation` != 1 writes tag
     * 274 — the caller passes pixels ALREADY stored under it (the
-    * [[JpegImage.exifStore]] convention). */
+    * [[JpegImage.exifStore]] convention). `compression` 0 derives from
+    * the legacy `lzw` flag (1 or 5); explicit values: 1 none, 5 LZW,
+    * 8 Deflate, 32773 PackBits. */
   def encode(width: Int, height: Int, pixels: Array[Int],
       photometric: Int = 2, palette: Array[Int] = null,
       bigEndian: Boolean = false, lzw: Boolean = false,
       predictor: Int = 1, rowsPerStrip: Int = 0, tileSize: Int = 0,
-      orientation: Int = 1): Array[Byte] = {
+      orientation: Int = 1, compression: Int = 0): Array[Byte] = {
+    val comp = if (compression == 0) { if (lzw) 5 else 1 } else compression
+    require(comp == 1 || comp == 5 || comp == 8 || comp == 32773,
+      s"compression $comp")
     require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
     require(pixels.length == width * height, "pixel count")
-    require(predictor == 1 || lzw, "predictor 2 requires LZW")
+    require(predictor == 1 || comp != 1,
+      "predictor 2 requires a compression scheme")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
     require(orientation >= 1 && orientation <= 8, "orientation")
     val spp = if (photometric == 2) 3 else 1
@@ -494,6 +622,12 @@ object TiffImage {
         d
       }
     // segments
+    def compress(d: Array[Byte], rowBytes: Int): Array[Byte] = comp match {
+      case 1 => d
+      case 5 => lzwEncode(d)
+      case 8 => deflate(d)
+      case _ => packBitsEncode(d, rowBytes)
+    }
     val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val tiled = tileSize > 0
     val rps = if (tiled) 0
@@ -505,7 +639,7 @@ object TiffImage {
         val seg = new Array[Byte](rows * width * spp)
         System.arraycopy(raw, s * rps * width * spp, seg, 0, seg.length)
         val d = diff(seg, width, rows)
-        segs += (if (lzw) lzwEncode(d) else d)
+        segs += compress(d, width * spp)
         s += 1
       }
     } else {
@@ -523,7 +657,7 @@ object TiffImage {
           y += 1
         }
         val d = diff(seg, tileSize, tileSize)
-        segs += (if (lzw) lzwEncode(d) else d)
+        segs += compress(d, tileSize * spp)
         t += 1
       }
     }
@@ -556,7 +690,7 @@ object TiffImage {
     add(256, 4, Array(width.toLong))
     add(257, 4, Array(height.toLong))
     add(258, 3, Array.fill(spp)(8L))
-    add(259, 3, Array(if (lzw) 5L else 1L))
+    add(259, 3, Array(comp.toLong))
     add(262, 3, Array(photometric.toLong))
     if (!tiled) add(273, 4, segOffs.map(_.toLong).toArray)
     if (orientation != 1) add(274, 3, Array(orientation.toLong))

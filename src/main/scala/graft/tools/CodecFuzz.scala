@@ -675,11 +675,11 @@ object CodecFuzz {
       }
       val o = 1 + rnd.nextInt(8)
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, raw)
-      val lzw = rnd.nextBoolean()
+      val comp = Seq(1, 5, 8, 32773)(rnd.nextInt(4))
       val bytes = TiffImage.encode(sw, sh, stored, photometric = pm,
         palette = if (pm == 3) pal else null,
-        bigEndian = rnd.nextBoolean(), lzw = lzw,
-        predictor = if (lzw && rnd.nextBoolean()) 2 else 1,
+        bigEndian = rnd.nextBoolean(), compression = comp,
+        predictor = if (comp != 1 && rnd.nextBoolean()) 2 else 1,
         rowsPerStrip = if (rnd.nextBoolean()) 1 + rnd.nextInt(h + 2) else 0,
         tileSize = if (rnd.nextInt(3) == 0) 16 * (1 + rnd.nextInt(2)) else 0,
         orientation = o)

@@ -56,6 +56,20 @@ class MediaCodecSpec extends AnyFunSuite {
       JpegImage.parse(plain).pixels.toSeq)
   }
 
+  test("TIFF routes through both dispatch faces, orientation-normalized") {
+    import graft.sources.TiffImage
+    val canon = Array.tabulate(6 * 4)(i => ((i * 41 + 7) % 256) * 0x010101)
+    val (sw, sh, stored) = JpegImage.exifStore(8, 6, 4, canon)
+    val bytes = TiffImage.encode(sw, sh, stored, photometric = 2,
+      compression = 32773, orientation = 8, bigEndian = true)
+    val m = MediaCodec.decodeImage(bytes)
+    assert(m.container == "tiff" && m.width == 6 && m.height == 4)
+    assert(m.pixels.map(_ & 0xffffff).toSeq == canon.toSeq)
+    assert(m.pixels.forall(p => (p >>> 24) == 0xff)) // opaque face
+    val MediaCodec.ImageItem("tiff", w2, h2, px2) = MediaCodec.decodeMedia(bytes)
+    assert(w2 == 6 && h2 == 4 && px2.map(_ & 0xffffff).toSeq == canon.toSeq)
+  }
+
   test("dispatch equals the direct decoder, face-normalized") {
     val png = PngImage.encode(4, 3, px)
     assert(MediaCodec.decodeImage(png).pixels.toSeq ==

@@ -107,38 +107,59 @@ class TiffImageSpec extends AnyFunSuite {
   test("round-trip matrix: photometric x compression x layout x byte order") {
     for {
       big <- Seq(false, true)
-      lzw <- Seq(false, true)
-      pred <- if (lzw) Seq(1, 2) else Seq(1)
+      comp <- Seq(1, 5, 8, 32773)
+      pred <- if (comp != 1) Seq(1, 2) else Seq(1)
       tile <- Seq(0, 16)
       (w, h) <- Seq((5, 3), (16, 16), (33, 18))
     } {
       // RGB
       val px = rgbPixels(w, h, w * 100 + h)
       val t = TiffImage.parse(TiffImage.encode(w, h, px,
-        photometric = 2, bigEndian = big, lzw = lzw, predictor = pred,
-        rowsPerStrip = 7, tileSize = tile))
+        photometric = 2, bigEndian = big, compression = comp,
+        predictor = pred, rowsPerStrip = 7, tileSize = tile))
       assert(t.width == w && t.height == h && t.tiled == (tile > 0))
       assert(t.pixels.toSeq == px.toSeq,
-        s"rgb big=$big lzw=$lzw pred=$pred tile=$tile ${w}x$h")
+        s"rgb big=$big comp=$comp pred=$pred tile=$tile ${w}x$h")
       // grayscale, both photometrics
       val gray = Array.tabulate(w * h)(i => (i * 37 + w) % 256)
       for (pm <- Seq(0, 1)) {
         val g = TiffImage.parse(TiffImage.encode(w, h, gray,
-          photometric = pm, bigEndian = big, lzw = lzw, predictor = pred,
-          rowsPerStrip = 4, tileSize = tile))
+          photometric = pm, bigEndian = big, compression = comp,
+          predictor = pred, rowsPerStrip = 4, tileSize = tile))
         assert(g.pixels.toSeq == gray.map(v => (v << 16) | (v << 8) | v).toSeq,
-          s"gray pm=$pm big=$big lzw=$lzw pred=$pred tile=$tile")
+          s"gray pm=$pm big=$big comp=$comp pred=$pred tile=$tile")
       }
       // palette
       val pal = Array.tabulate(17)(j =>
         ((j * 29 % 256) << 16) | ((j * 53 % 256) << 8) | (j * 11 % 256))
       val idx = Array.tabulate(w * h)(i => (i * 7 + w) % 17)
       val p = TiffImage.parse(TiffImage.encode(w, h, idx,
-        photometric = 3, palette = pal, bigEndian = big, lzw = lzw,
+        photometric = 3, palette = pal, bigEndian = big, compression = comp,
         predictor = pred, tileSize = tile))
       assert(p.pixels.toSeq == idx.map(pal).toSeq,
-        s"palette big=$big lzw=$lzw pred=$pred tile=$tile")
+        s"palette big=$big comp=$comp pred=$pred tile=$tile")
     }
+  }
+
+  test("PackBits: hand-derived token stream and strict gates") {
+    // spec example tokens: literal(3) A B C | run(4) X | noop | literal(1) Z
+    val seg = Array[Byte](2, 'A', 'B', 'C', -3, 'X', -128, 0, 'Z')
+    val out = TiffImage.packBitsDecode(seg, 0, seg.length, 8)
+    assert(out.toSeq == "ABCXXXXZ".getBytes("US-ASCII").toSeq)
+    // output overrun (mid-token at 6; unread tail at 7), mid-stream
+    // end, trailing garbage: named rejects
+    assert(intercept[IllegalArgumentException](
+      TiffImage.packBitsDecode(seg, 0, seg.length, 6)).getMessage
+      .contains("exceeds"))
+    assert(intercept[IllegalArgumentException](
+      TiffImage.packBitsDecode(seg, 0, seg.length, 7)).getMessage
+      .contains("trailing"))
+    assert(intercept[IllegalArgumentException](
+      TiffImage.packBitsDecode(seg, 0, 3, 8)).getMessage
+      .contains("overruns"))
+    assert(intercept[IllegalArgumentException](
+      TiffImage.packBitsDecode(seg ++ Array[Byte](9), 0, seg.length + 1, 8))
+      .getMessage.contains("trailing"))
   }
 
   test("multi-strip layout splits and reassembles exactly") {
@@ -199,10 +220,11 @@ class TiffImageSpec extends AnyFunSuite {
       swapped(ifd + 2 + 12 + k) = good(ifd + 2 + k)
     }
     assert(err(swapped).contains("ascending"))
-    // unsupported compression: patch tag 259's inline value
-    val packbits = TiffImage.encode(4, 4, rgbPixels(4, 4, 2))
-    patchInlineShort(packbits, 259, 32773)
-    assert(err(packbits).contains("compression 32773"))
+    // unsupported compression: patch tag 259's inline value (CCITT
+    // T.6 — 32773/8, the round-16 rejects, are decodable since r17)
+    val ccitt = TiffImage.encode(4, 4, rgbPixels(4, 4, 2))
+    patchInlineShort(ccitt, 259, 4)
+    assert(err(ccitt).contains("compression 4"))
     // 16-bit samples
     val deep = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1)
     patchInlineShort(deep, 258, 16)
@@ -233,20 +255,21 @@ class TiffImageSpec extends AnyFunSuite {
   test("parity: our encode decodes identically under the JDK TIFF reader") {
     for {
       big <- Seq(false, true)
-      lzw <- Seq(false, true)
+      comp <- Seq(1, 5, 8, 32773)
       tile <- Seq(0, 16)
     } {
       val (w, h) = (19, 13)
       val px = rgbPixels(w, h, if (big) 5 else 9)
       val bytes = TiffImage.encode(w, h, px, photometric = 2,
-        bigEndian = big, lzw = lzw, rowsPerStrip = 5, tileSize = tile)
+        bigEndian = big, compression = comp, rowsPerStrip = 5,
+        tileSize = tile)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      assert(img != null, s"JDK reader refused big=$big lzw=$lzw tile=$tile")
+      assert(img != null, s"JDK reader refused big=$big comp=$comp tile=$tile")
       assert(img.getWidth == w && img.getHeight == h)
       for (y <- 0 until h; x <- 0 until w)
         assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
-          s"($x,$y) big=$big lzw=$lzw tile=$tile")
+          s"($x,$y) big=$big comp=$comp tile=$tile")
     }
     // and OUR LZW stream past every width boundary under the JDK reader
     val (bw, bh) = (160, 120)
@@ -273,7 +296,7 @@ class TiffImageSpec extends AnyFunSuite {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
-    for (comp <- Seq("LZW", "disabled")) {
+    for (comp <- Seq("LZW", "PackBits", "Deflate", "disabled")) {
       val writer = ImageIO.getImageWritersByFormatName("tiff").next()
       val param = writer.getDefaultWriteParam
       if (comp == "disabled")
