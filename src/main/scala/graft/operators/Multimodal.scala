@@ -1890,9 +1890,10 @@ object Multimodal {
 
   /** q157 — FULL-FAMILY mixed-media dispatch
     * ([[graft.sources.MediaCodec.decodeMedia]]): the q153 shape grown
-    * to everything the engine can actually ingest — nine per-document
-    * classes spanning three MODALITIES (four image containers incl.
-    * progressive JPEG, float WAV audio, PDF text) plus a truncated
+    * to everything the engine can actually ingest — ten per-document
+    * classes spanning three MODALITIES (five image containers incl.
+    * progressive JPEG and, round 17, oriented TIFF rotating all four
+    * compressions; float WAV audio, PDF text) plus a truncated
     * container and a junk blob, each decoded through the ONE typed
     * dispatch face and reported as per-container totals with a
     * modality-appropriate quantity (images Σrgb, audio Σ|k|, text word
@@ -1917,7 +1918,7 @@ object Multimodal {
         }
         PngImage.encode(w, h, px, filterFor = y => ((y + id) % 5).toInt)
       }
-      val bytes = (id % 9) match {
+      val bytes = (id % 10) match {
         case 0 => pngBytes()
         case 1 =>
           val w = (2 + id % 6).toInt; val h = (2 + id % 4).toInt
@@ -1969,7 +1970,20 @@ object Multimodal {
             ") Tj ET\nendstream\nendobj").getBytes("ISO-8859-1")
         case 7 => // a real container, truncated: a NAMED quarantine row
           val b = pngBytes(); java.util.Arrays.copyOf(b, b.length * 2 / 3)
-        case _ => s"doc $id is plain text, not a container".getBytes("UTF-8")
+        case 8 => s"doc $id is plain text, not a container".getBytes("UTF-8")
+        case _ => // TIFF (round 17): oriented, compression rotating
+          val w = (3 + id % 7).toInt; val h = (2 + id % 5).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((((id * 23 + x * 3 + y * 9) % 256).toInt) << 16) |
+              ((((id * 7 + x * 13 + y) % 256).toInt) << 8) |
+              (((id * 5 + x + y * 11) % 256).toInt)
+          }
+          val o = (1 + id % 8).toInt
+          val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+          TiffImage.encode(sw, sh, stored, photometric = 2,
+            bigEndian = id % 2 == 0, orientation = o,
+            compression = Array(1, 5, 8, 32773)((id % 4).toInt))
       }
       try {
         MediaCodec.decodeMedia(bytes) match {
@@ -2012,16 +2026,18 @@ object Multimodal {
   }
 
   val q157Oracle: String =
-    """WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents),
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS m FROM documents),
       |geo AS (SELECT doc_id, m,
       |    CASE m WHEN 0 THEN 3 + doc_id % 6 WHEN 1 THEN 2 + doc_id % 6
       |           WHEN 2 THEN 3 + doc_id % 5
       |           WHEN 3 THEN 8 * (1 + doc_id % 2) WHEN 4 THEN 8
+      |           WHEN 9 THEN 3 + doc_id % 7
       |           ELSE 0 END AS w,
       |    CASE m WHEN 0 THEN 2 + doc_id % 5 WHEN 1 THEN 2 + doc_id % 4
       |           WHEN 2 THEN 2 + doc_id % 3 WHEN 3 THEN 8
-      |           WHEN 4 THEN 8 * (1 + doc_id % 3) ELSE 0 END AS h
-      |  FROM d WHERE m <= 4),
+      |           WHEN 4 THEN 8 * (1 + doc_id % 3)
+      |           WHEN 9 THEN 2 + doc_id % 5 ELSE 0 END AS h
+      |  FROM d WHERE m <= 4 OR m = 9),
       |px AS (SELECT g.doc_id, g.m, x, y,
       |    CASE g.m
       |      WHEN 0 THEN (g.doc_id * 7 + x * 3 + y * 5) % 256
@@ -2039,6 +2055,9 @@ object Multimodal {
       |                  + (g.doc_id * 3 + x * 5 + y * 11) % 256
       |                  + (g.doc_id + x + y * 7) % 256
       |      WHEN 3 THEN 3 * ((g.doc_id * 11 + (x // 8) * 37) % 256)
+      |      WHEN 9 THEN (g.doc_id * 23 + x * 3 + y * 9) % 256
+      |                  + (g.doc_id * 7 + x * 13 + y) % 256
+      |                  + (g.doc_id * 5 + x + y * 11) % 256
       |      ELSE 3 * ((g.doc_id * 19 + (y // 8) * 53) % 256)
       |    END AS rgb
       |  FROM geo g,
@@ -2057,12 +2076,13 @@ object Multimodal {
       |                 WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
       |                 WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav'
       |                 WHEN 6 THEN 'pdf' WHEN 7 THEN 'truncated'
+      |                 WHEN 9 THEN 'tiff'
       |                 ELSE 'unknown' END AS container,
-      |        CASE WHEN d.m <= 4 THEN COALESCE(i.nu, 0)
+      |        CASE WHEN d.m <= 4 OR d.m = 9 THEN COALESCE(i.nu, 0)
       |             WHEN d.m = 5 THEN w.nu
       |             WHEN d.m = 6 THEN 1 + d.doc_id % 5
       |             ELSE 0 END AS nu,
-      |        CASE WHEN d.m <= 4 THEN COALESCE(i.q, 0)
+      |        CASE WHEN d.m <= 4 OR d.m = 9 THEN COALESCE(i.q, 0)
       |             WHEN d.m = 5 THEN w.q
       |             WHEN d.m = 6 THEN 1 + d.doc_id % 5
       |             ELSE 0 END AS q
