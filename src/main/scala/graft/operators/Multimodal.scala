@@ -2675,28 +2675,30 @@ object Multimodal {
       }
       val o = (1 + id % 8).toInt
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonRaw)
-      // six layouts over the SAME canonical face — the oracle states
-      // canonical stats only, so widening the matrix (round 17 adds
-      // PackBits and Deflate) needs no oracle change
+      // layout matrix over the SAME canonical face — the oracle states
+      // canonical stats only, so widening it (round 17 adds PackBits,
+      // Deflate and a 16-bit-sample axis) needs no oracle change
+      val deep = id % 5 == 0 && m != 2 // 16-bit (palette stays 8-bit)
+      val bits = if (deep) 16 else 8
       val bytes = (id % 6) match {
         case 0 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          rowsPerStrip = 3)
+          rowsPerStrip = 3, bits = bits)
         case 1 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, rowsPerStrip = 4)
+          lzw = true, rowsPerStrip = 4, bits = bits)
         case 2 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, tileSize = 16)
+          lzw = true, predictor = 2, tileSize = 16, bits = bits)
         case 3 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, rowsPerStrip = 2)
+          lzw = true, predictor = 2, rowsPerStrip = 2, bits = bits)
         case 4 => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          compression = 32773, rowsPerStrip = 5)
+          compression = 32773, rowsPerStrip = 5, bits = bits)
         case _ => TiffImage.encode(sw, sh, stored, photometric = pm,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          compression = 8, predictor = 2, tileSize = 16)
+          compression = 8, predictor = 2, tileSize = 16, bits = bits)
       }
       val dec = MediaCodec.decodeImage(bytes)
       require(dec.container == "tiff", s"sniffed ${dec.container}")
@@ -2798,7 +2800,9 @@ object Multimodal {
           // (retargeted round 17 — 32773 PackBits became decodable, so
           // this class moved onto a still-invalid gate in the same
           // commit: the q144/q152/q153/q154 retarget invariant)
-        case 4 => patchInline(good, 258, 16) // 16-bit samples
+        case 4 => patchInline(good, 258, 12) // 12-bit samples
+          // (retargeted round 17 — 16-bit became decodable; 12-bit
+          // packed samples remain out of scope)
         case _ => // non-ascending IFD: swap the first two entries
           val b = good.clone()
           val ifd = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |

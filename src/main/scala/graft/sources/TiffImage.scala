@@ -8,9 +8,10 @@ package graft.sources
   *
   * Scope (the real-world baseline, everything else a NAMED reject):
   *  - both byte orders (`II*` little-endian, `MM*` big-endian);
-  *  - 8-bit samples; photometric 0 (WhiteIsZero), 1 (BlackIsZero),
-  *    2 (RGB, SamplesPerPixel 3) and 3 (palette through a 16-bit
-  *    ColorMap);
+  *  - 8-bit and 16-bit samples (16-bit scales to the 8-bit face by
+  *    high byte, the PNG-16 convention); photometric 0 (WhiteIsZero),
+  *    1 (BlackIsZero), 2 (RGB, SamplesPerPixel 3) and 3 (8-bit
+  *    palette through a 16-bit ColorMap);
   *  - compression 1 (none), 5 (TIFF-LZW: MSB-first bit packing,
   *    9→12-bit codes with the spec's EARLY width change — one code
   *    sooner than GIF's LSB-first variant), 8/32946 (zlib Deflate)
@@ -132,8 +133,11 @@ object TiffImage {
     require(height > 0 && height <= (1 << 20), s"bad height $height")
     val spp = one(277, default = 1).toInt
     val bits = tags.getOrElse(258, Array(1L))
-    require(bits.length == spp && bits.forall(_ == 8),
-      s"unsupported BitsPerSample ${bits.mkString("/")} (only 8 per sample)")
+    require(bits.length == spp &&
+      (bits.forall(_ == 8) || bits.forall(_ == 16)),
+      s"unsupported BitsPerSample ${bits.mkString("/")} " +
+        "(only uniform 8 or 16 per sample)")
+    val bps = (bits(0) / 8).toInt // bytes per sample
     val compression = one(259, default = 1).toInt
     require(compression == 1 || compression == 5 || compression == 8 ||
       compression == 32773 || compression == 32946,
@@ -156,6 +160,7 @@ object TiffImage {
       s"orientation $orientation out of range")
     val colorMap: Array[Int] =
       if (photometric == 3) {
+        require(bps == 1, "palette TIFF with 16-bit indices unsupported")
         val cm = tags.getOrElse(320,
           throw new IllegalArgumentException("palette TIFF missing ColorMap"))
         require(cm.length == 3 * 256,
@@ -173,8 +178,9 @@ object TiffImage {
       "file declares BOTH strip and tile layouts")
 
     // assemble raw sample bytes (after decompression + predictor),
-    // top-left row-major, spp bytes per pixel
-    val raw = new Array[Byte](width * height * spp)
+    // top-left row-major, spp * bps bytes per pixel
+    val spb = spp * bps
+    val raw = new Array[Byte](width * height * spb)
     def undiff(seg: Array[Byte], segW: Int, segH: Int): Unit =
       if (predictor == 2) {
         var y = 0
@@ -183,8 +189,18 @@ object TiffImage {
           while (x < segW) {
             var c = 0
             while (c < spp) {
-              val o = (y * segW + x) * spp + c
-              seg(o) = (seg(o) + seg(o - spp)).toByte
+              val o = ((y * segW + x) * spp + c) * bps
+              if (bps == 1) seg(o) = (seg(o) + seg(o - spp)).toByte
+              else {
+                // 16-bit differencing operates on sample VALUES in the
+                // file byte order (TIFF 6.0 §14), not on bytes
+                def rd(p: Int): Int =
+                  if (big) ((seg(p) & 0xff) << 8) | (seg(p + 1) & 0xff)
+                  else (seg(p) & 0xff) | ((seg(p + 1) & 0xff) << 8)
+                val v = (rd(o) + rd(o - spb)) & 0xffff
+                if (big) { seg(o) = (v >> 8).toByte; seg(o + 1) = v.toByte }
+                else { seg(o) = v.toByte; seg(o + 1) = (v >> 8).toByte }
+              }
               c += 1
             }
             x += 1
@@ -220,9 +236,9 @@ object TiffImage {
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rps, height - s * rps)
-        val seg = segment(offs(s), cnts(s), rows * width * spp)
+        val seg = segment(offs(s), cnts(s), rows * width * spb)
         undiff(seg, width, rows)
-        System.arraycopy(seg, 0, raw, s * rps * width * spp, seg.length)
+        System.arraycopy(seg, 0, raw, s * rps * width * spb, seg.length)
         s += 1
       }
     } else {
@@ -241,30 +257,42 @@ object TiffImage {
           s"(layout needs ${tx * ty})")
       var t = 0
       while (t < tx * ty) {
-        val seg = segment(offs(t), cnts(t), tw * th * spp)
+        val seg = segment(offs(t), cnts(t), tw * th * spb)
         undiff(seg, tw, th)
         val ox = (t % tx) * tw; val oy = (t / tx) * th
         var y = 0
         while (y < th && oy + y < height) {
           val copyW = math.min(tw, width - ox)
-          System.arraycopy(seg, y * tw * spp,
-            raw, ((oy + y) * width + ox) * spp, copyW * spp)
+          System.arraycopy(seg, y * tw * spb,
+            raw, ((oy + y) * width + ox) * spb, copyW * spb)
           y += 1
         }
         t += 1
       }
     }
 
-    // samples -> 0xRRGGBB face
+    // samples -> 0xRRGGBB face (16-bit samples scale to the 8-bit face
+    // by taking the high byte — the same full-range convention the
+    // 16-bit ColorMap and the PNG 16-bit path use; WhiteIsZero inverts
+    // at FULL sample precision before scaling)
+    def samp(k: Int, c: Int): Int = {
+      val o = (k * spp + c) * bps
+      if (bps == 1) raw(o) & 0xff
+      else if (big) ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+      else (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
+    }
+    def to8(v: Int): Int = if (bps == 1) v else v >> 8
     val px = new Array[Int](width * height)
     var k = 0
     while (k < width * height) {
       px(k) = photometric match {
-        case 0 => val v = 255 - (raw(k) & 0xff); (v << 16) | (v << 8) | v
-        case 1 => val v = raw(k) & 0xff; (v << 16) | (v << 8) | v
-        case 2 => ((raw(3 * k) & 0xff) << 16) | ((raw(3 * k + 1) & 0xff) << 8) |
-          (raw(3 * k + 2) & 0xff)
-        case _ => colorMap(raw(k) & 0xff)
+        case 0 =>
+          val v = to8((if (bps == 1) 255 else 65535) - samp(k, 0))
+          (v << 16) | (v << 8) | v
+        case 1 => val v = to8(samp(k, 0)); (v << 16) | (v << 8) | v
+        case 2 => (to8(samp(k, 0)) << 16) | (to8(samp(k, 1)) << 8) |
+          to8(samp(k, 2))
+        case _ => colorMap(samp(k, 0))
       }
       k += 1
     }
@@ -567,33 +595,49 @@ object TiffImage {
     * 274 — the caller passes pixels ALREADY stored under it (the
     * [[JpegImage.exifStore]] convention). `compression` 0 derives from
     * the legacy `lzw` flag (1 or 5); explicit values: 1 none, 5 LZW,
-    * 8 Deflate, 32773 PackBits. */
+    * 8 Deflate, 32773 PackBits. `bits` 16 stores each 8-bit channel
+    * value c as the full-range 16-bit sample c·257 (the ColorMap
+    * scale), so decode's high-byte reduction recovers c exactly. */
   def encode(width: Int, height: Int, pixels: Array[Int],
       photometric: Int = 2, palette: Array[Int] = null,
       bigEndian: Boolean = false, lzw: Boolean = false,
       predictor: Int = 1, rowsPerStrip: Int = 0, tileSize: Int = 0,
-      orientation: Int = 1, compression: Int = 0): Array[Byte] = {
+      orientation: Int = 1, compression: Int = 0,
+      bits: Int = 8): Array[Byte] = {
     val comp = if (compression == 0) { if (lzw) 5 else 1 } else compression
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32773,
       s"compression $comp")
     require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
+    require(bits == 8 || bits == 16, s"bits $bits")
+    require(bits == 8 || photometric != 3, "palette is 8-bit only")
     require(pixels.length == width * height, "pixel count")
     require(predictor == 1 || comp != 1,
       "predictor 2 requires a compression scheme")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
     require(orientation >= 1 && orientation <= 8, "orientation")
     val spp = if (photometric == 2) 3 else 1
+    val bps = bits / 8
+    val spb = spp * bps
     // raw sample plane, top-left row-major
-    val raw = new Array[Byte](width * height * spp)
+    val raw = new Array[Byte](width * height * spb)
+    def put(sampleIdx: Int, value8: Int): Unit =
+      if (bps == 1) raw(sampleIdx) = value8.toByte
+      else {
+        val v = if (photometric == 0) 65535 - (255 - value8) * 257
+          else value8 * 257
+        val o = sampleIdx * 2
+        if (bigEndian) { raw(o) = (v >> 8).toByte; raw(o + 1) = v.toByte }
+        else { raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte }
+      }
     var k = 0
     while (k < width * height) {
       photometric match {
-        case 0 => raw(k) = (255 - (pixels(k) & 0xff)).toByte
-        case 1 => raw(k) = (pixels(k) & 0xff).toByte
+        case 0 => put(k, 255 - (pixels(k) & 0xff))
+        case 1 => put(k, pixels(k) & 0xff)
         case 2 =>
-          raw(3 * k) = ((pixels(k) >> 16) & 0xff).toByte
-          raw(3 * k + 1) = ((pixels(k) >> 8) & 0xff).toByte
-          raw(3 * k + 2) = (pixels(k) & 0xff).toByte
+          put(3 * k, (pixels(k) >> 16) & 0xff)
+          put(3 * k + 1, (pixels(k) >> 8) & 0xff)
+          put(3 * k + 2, pixels(k) & 0xff)
         case _ =>
           require(palette != null && pixels(k) >= 0 && pixels(k) < 256 &&
             pixels(k) < palette.length, s"palette index ${pixels(k)}")
@@ -611,8 +655,16 @@ object TiffImage {
           while (x >= 1) {
             var c = 0
             while (c < spp) {
-              val o = (y * segW + x) * spp + c
-              d(o) = (seg(o) - seg(o - spp)).toByte
+              val o = ((y * segW + x) * spp + c) * bps
+              if (bps == 1) d(o) = (seg(o) - seg(o - spp)).toByte
+              else {
+                def rd(pp: Int): Int =
+                  if (bigEndian) ((seg(pp) & 0xff) << 8) | (seg(pp + 1) & 0xff)
+                  else (seg(pp) & 0xff) | ((seg(pp + 1) & 0xff) << 8)
+                val v = (rd(o) - rd(o - spb)) & 0xffff
+                if (bigEndian) { d(o) = (v >> 8).toByte; d(o + 1) = v.toByte }
+                else { d(o) = v.toByte; d(o + 1) = (v >> 8).toByte }
+              }
               c += 1
             }
             x -= 1
@@ -636,10 +688,10 @@ object TiffImage {
       var s = 0
       while (s * rps < height) {
         val rows = math.min(rps, height - s * rps)
-        val seg = new Array[Byte](rows * width * spp)
-        System.arraycopy(raw, s * rps * width * spp, seg, 0, seg.length)
+        val seg = new Array[Byte](rows * width * spb)
+        System.arraycopy(raw, s * rps * width * spb, seg, 0, seg.length)
         val d = diff(seg, width, rows)
-        segs += compress(d, width * spp)
+        segs += compress(d, width * spb)
         s += 1
       }
     } else {
@@ -648,16 +700,16 @@ object TiffImage {
       var t = 0
       while (t < tx * ty) {
         val ox = (t % tx) * tileSize; val oy = (t / tx) * tileSize
-        val seg = new Array[Byte](tileSize * tileSize * spp)
+        val seg = new Array[Byte](tileSize * tileSize * spb)
         var y = 0
         while (y < tileSize && oy + y < height) {
           val copyW = math.min(tileSize, width - ox)
-          System.arraycopy(raw, ((oy + y) * width + ox) * spp,
-            seg, y * tileSize * spp, copyW * spp)
+          System.arraycopy(raw, ((oy + y) * width + ox) * spb,
+            seg, y * tileSize * spb, copyW * spb)
           y += 1
         }
         val d = diff(seg, tileSize, tileSize)
-        segs += compress(d, tileSize * spp)
+        segs += compress(d, tileSize * spb)
         t += 1
       }
     }
@@ -689,7 +741,7 @@ object TiffImage {
       entries += Entry(tag, typ, vs)
     add(256, 4, Array(width.toLong))
     add(257, 4, Array(height.toLong))
-    add(258, 3, Array.fill(spp)(8L))
+    add(258, 3, Array.fill(spp)(bits.toLong))
     add(259, 3, Array(comp.toLong))
     add(262, 3, Array(photometric.toLong))
     if (!tiled) add(273, 4, segOffs.map(_.toLong).toArray)

@@ -682,7 +682,8 @@ object CodecFuzz {
         predictor = if (comp != 1 && rnd.nextBoolean()) 2 else 1,
         rowsPerStrip = if (rnd.nextBoolean()) 1 + rnd.nextInt(h + 2) else 0,
         tileSize = if (rnd.nextInt(3) == 0) 16 * (1 + rnd.nextInt(2)) else 0,
-        orientation = o)
+        orientation = o,
+        bits = if (pm != 3 && rnd.nextBoolean()) 16 else 8)
       check(s"tiff_roundtrip_$i") {
         val t = TiffImage.parse(bytes)
         require(t.width == w && t.height == h, "upright dims")

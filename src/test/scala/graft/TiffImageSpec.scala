@@ -141,6 +141,76 @@ class TiffImageSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit samples: round-trip matrix and value-level predictor") {
+    for {
+      big <- Seq(false, true)
+      comp <- Seq(1, 5, 8, 32773)
+      pred <- if (comp != 1) Seq(1, 2) else Seq(1)
+      tile <- Seq(0, 16)
+    } {
+      val (w, h) = (21, 9)
+      val px = rgbPixels(w, h, comp + tile)
+      val t = TiffImage.parse(TiffImage.encode(w, h, px, photometric = 2,
+        bigEndian = big, compression = comp, predictor = pred,
+        rowsPerStrip = 4, tileSize = tile, bits = 16))
+      assert(t.pixels.toSeq == px.toSeq,
+        s"rgb16 big=$big comp=$comp pred=$pred tile=$tile")
+      val gray = Array.tabulate(w * h)(i => (i * 53 + 11) % 256)
+      for (pm <- Seq(0, 1)) {
+        val g = TiffImage.parse(TiffImage.encode(w, h, gray,
+          photometric = pm, bigEndian = big, compression = comp,
+          predictor = pred, rowsPerStrip = 3, tileSize = tile, bits = 16))
+        assert(g.pixels.toSeq ==
+          gray.map(v => (v << 16) | (v << 8) | v).toSeq,
+          s"gray16 pm=$pm big=$big comp=$comp pred=$pred tile=$tile")
+      }
+    }
+    // 16-bit palette indices are a named reject
+    val deep = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1,
+      bits = 16)
+    patchInlineShort(deep, 262, 3) // claim palette without a ColorMap
+    val msg = intercept[IllegalArgumentException](TiffImage.parse(deep))
+      .getMessage
+    assert(msg.contains("16-bit indices"))
+  }
+
+  test("parity: 16-bit gray crosses the JDK boundary in both directions") {
+    import javax.imageio.ImageIO
+    // our 16-bit gray file under the JDK reader — compare RASTER
+    // samples (getRGB color-manages grayscale through a linear
+    // ColorSpace and would skew values)
+    val (w, h) = (17, 11)
+    val gray = Array.tabulate(w * h)(i => (i * 37 + 5) % 256)
+    val bytes = TiffImage.encode(w, h, gray, photometric = 1,
+      compression = 5, bits = 16, rowsPerStrip = 4)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == gray(y * w + x) * 257,
+        s"($x,$y)")
+    // a JDK-written TYPE_USHORT_GRAY TIFF under our parser: our 8-bit
+    // face must be the raster's high byte
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (y * w + x) * 523 % 65536)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val t = TiffImage.parse(buf.toByteArray)
+    assert(t.width == w && t.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val hi = src.getRaster.getSample(x, y, 0) >> 8
+      assert((t.pixels(y * w + x) & 0xff) == hi, s"($x,$y)")
+    }
+  }
+
   test("PackBits: hand-derived token stream and strict gates") {
     // spec example tokens: literal(3) A B C | run(4) X | noop | literal(1) Z
     val seg = Array[Byte](2, 'A', 'B', 'C', -3, 'X', -128, 0, 'Z')
@@ -225,9 +295,10 @@ class TiffImageSpec extends AnyFunSuite {
     val ccitt = TiffImage.encode(4, 4, rgbPixels(4, 4, 2))
     patchInlineShort(ccitt, 259, 4)
     assert(err(ccitt).contains("compression 4"))
-    // 16-bit samples
+    // 12-bit packed samples (16-bit became decodable in round 17 —
+    // the reject class retargets onto a still-invalid depth)
     val deep = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1)
-    patchInlineShort(deep, 258, 16)
+    patchInlineShort(deep, 258, 12)
     assert(err(deep).contains("BitsPerSample"))
     // palette missing its ColorMap: photometric patched to 3
     val nopal = TiffImage.encode(4, 4, Array.fill(16)(7), photometric = 1)
