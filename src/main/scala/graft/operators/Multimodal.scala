@@ -2923,43 +2923,69 @@ object Multimodal {
   def q166AnimationNearDup(s: SparkSession, dir: String): DataFrame =
     animNearDupOf(Tables.documents(s, dir))
 
-  /** The full q166 pipeline as a frame core ((doc_id) → surviving
-    * pairs), shared with the scale probe. */
-  private[graft] def animNearDupOf(docs: DataFrame): DataFrame = {
+  /** The q166 hash core as a frame: (doc_id) → DISTINCT (doc_id,
+    * fhash) rows (frame-SET semantics) — shared by the batch query,
+    * the scale probe, and the incremental index
+    * ([[graft.streaming.AnimIndexStream]]) so stream hashing ≡ batch
+    * hashing by construction. */
+  private[graft] def animHashFrame(docs: DataFrame): DataFrame = {
     val hashesOf = udf { (id: Long) => q166AnimHashes(id) }
-    val fh = docs
+    docs
       .select(col("doc_id"), explode(hashesOf(col("doc_id"))).as("fhash"))
-      .distinct() // frame-SET semantics
-      .cache() // banding, both Jaccard sides, per-doc counts
-    val nPer = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-    // bucket on the FULL frame hash: the similarity metric is EXACT
-    // hash Jaccard (GIF re-encodes are lossless), so 16-bit Hamming
-    // slices buy no tolerance — and the 100× scale probe measured
-    // them SATURATING the stop-bucket cap (642,536 of 750,000 pairs
-    // survived: the 4×65,536 pigeonhole space itself was the scale
-    // limiter). Full-hash buckets hold one animation's re-encodes
-    // (plus true frame collisions), stay cap-free at any corpus size,
-    // and the cap still guards the real degenerate case — a blank
-    // frame shared by thousands of animations
-    val bands = fh.select(col("doc_id"), lit(0).as("band"),
-      col("fhash").as("bkey"))
-    val common = Dedup.cappedBandCandidates(bands)
-      .join(fh.select(col("doc_id").as("doc_a"), col("fhash")), Seq("doc_a"))
-      .join(fh.select(col("doc_id").as("doc_b"), col("fhash")),
+      .distinct()
+  }
+
+  /** Bucket rows over a frame-hash frame — the FULL 64-bit hash is the
+    * key: the similarity metric is EXACT hash Jaccard (GIF re-encodes
+    * are lossless), so 16-bit Hamming slices buy no tolerance — and
+    * the 100× scale probe measured them SATURATING the stop-bucket cap
+    * (642,536 of 750,000 pairs survived: the 4×65,536 pigeonhole space
+    * itself was the scale limiter). Full-hash buckets hold one
+    * animation's re-encodes (plus true frame collisions), stay
+    * cap-free at any corpus size, and the cap still guards the real
+    * degenerate case — a blank frame shared by thousands of
+    * animations. */
+  private[graft] def animBands(fh: DataFrame): DataFrame =
+    fh.select(col("doc_id"), lit(0).as("band"), col("fhash").as("bkey"))
+
+  /** ONE copy of the frame-set Jaccard scorer ((doc_a, doc_b)
+    * candidate keys × the frame-hash table → n_common + sim), shared
+    * by batch q166 and the incremental merge. */
+  private[graft] def animScore(candKeys: DataFrame,
+      allFh: DataFrame): DataFrame = {
+    val nPer = allFh.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+    candKeys
+      .join(allFh.select(col("doc_id").as("doc_a"), col("fhash")),
+        Seq("doc_a"))
+      .join(allFh.select(col("doc_id").as("doc_b"), col("fhash")),
         Seq("doc_b", "fhash"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
       .join(nPer.select(col("doc_id").as("doc_a"), col("nh").as("na")),
         Seq("doc_a"))
       .join(nPer.select(col("doc_id").as("doc_b"), col("nh").as("nb")),
         Seq("doc_b"))
-      .withColumn("sim", round(col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common")).cast("double"), 6))
-      .filter(col("sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+          .as("sim"))
+  }
+
+  /** q166's presentation face over a scored pair frame — ONE copy
+    * shared with AnimIndexStream.report. */
+  private[graft] def animPresentation(scored: DataFrame): DataFrame =
+    scored.filter(col("sim") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("sim"),
         (expr("doc_a div 4") === expr("doc_b div 4")).as("same_canon"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The full q166 pipeline as a frame core ((doc_id) → surviving
+    * pairs), shared with the scale probe. */
+  private[graft] def animNearDupOf(docs: DataFrame): DataFrame = {
+    val fh = animHashFrame(docs)
+      .cache() // banding, both Jaccard sides, per-doc counts
+    animPresentation(
+      animScore(Dedup.cappedBandCandidates(animBands(fh)), fh))
   }
 
   val q166Oracle: String =
