@@ -2997,6 +2997,78 @@ object Multimodal {
       |FROM d a JOIN d b ON a.canon = b.canon AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q170 — MULTI-PAGE TIFF decode (round 17, post-seal): the
+    * scanned-document shape, and the container analog of q163's
+    * per-frame rows. Per document a 2–4-page TIFF is synthesized —
+    * every page with its OWN geometry, analytic grayscale content,
+    * and compression (rotating all four), IFDs chained through their
+    * next pointers — decoded via [[graft.sources.TiffImage
+    * .parsePages]], and reduced to one faceStats row PER PAGE. The
+    * DuckDB oracle recomputes every page's stats from (doc_id, page)
+    * alone; a chain-walk defect (wrong next pointer, page skipped,
+    * state leaking between pages) changes a row an oracle pins.
+    * Single-page [[TiffImage.parse]] REJECTS multi-page files by name
+    * (silent first-page decode of a 50-page document is silent data
+    * loss) — spec-asserted.
+    *
+    * Scale shape: task-local synth+encode+chain-walk per row; one
+    * (doc, page) stat tuple per page moves. */
+  def q170TiffMultiPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synth = udf { (id: Long) =>
+      import graft.sources.TiffImage
+      val np = (2 + id % 3).toInt
+      val pages = (0 until np).map { p =>
+        val w = (3 + (id + p) % 6).toInt
+        val h = (2 + (id + 2 * p) % 5).toInt
+        val gray = Array.tabulate(w * h) { i =>
+          ((id * 11 + p * 67 + (i % w) * 5 + (i / w) * 13) % 256).toInt
+        }
+        TiffImage.Page(w, h, gray, photometric = 1,
+          compression = Array(1, 5, 8, 32773)(((id + p) % 4).toInt),
+          rowsPerStrip = 2)
+      }
+      val decoded = TiffImage.parsePages(
+        TiffImage.encodePages(pages, bigEndian = id % 2 == 0))
+      decoded.zipWithIndex.map { case (t, p) =>
+        val st = faceStats(t.width, t.height, t.pixels.map(0xff000000 | _))
+        (p, st._1, st._2, st._3, st._4, st._5, st._6, st._7)
+      }
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), explode(synth($"doc_id")).as("t"))
+      .select($"media_id", $"t._1".as("page"),
+        $"t._2".as("width"), $"t._3".as("height"),
+        $"t._4".as("n_pixels"), $"t._5".as("sum_rgb"),
+        $"t._6".as("wsum"), $"t._7".as("first_px"),
+        $"t._8".as("peak_lum"))
+      .orderBy($"media_id", $"page")
+  }
+
+  val q170Oracle: String =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS np FROM documents),
+      |pg AS (SELECT d.doc_id, p,
+      |         3 + (d.doc_id + p) % 6 AS w,
+      |         2 + (d.doc_id + 2 * p) % 5 AS h
+      |       FROM d, LATERAL (SELECT unnest(generate_series(0, d.np - 1))
+      |                        AS p) g),
+      |px AS (SELECT pg.doc_id, pg.p, pg.w, pg.h, x, y,
+      |         (pg.doc_id * 11 + pg.p * 67 + x * 5 + y * 13) % 256 AS c
+      |       FROM pg,
+      |         LATERAL (SELECT unnest(generate_series(0, pg.w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, pg.h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id, CAST(p AS INT) AS page,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT)
+      |         AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum
+      |FROM px GROUP BY doc_id, p ORDER BY media_id, page""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3030,7 +3102,8 @@ object Multimodal {
     "q166_animation_near_dup" -> q166AnimationNearDup _,
     "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _,
     "q168_tiff_quarantine" -> q168TiffQuarantine _,
-    "q169_g711_decode" -> q169G711Decode _)
+    "q169_g711_decode" -> q169G711Decode _,
+    "q170_tiff_multipage" -> q170TiffMultiPage _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3072,5 +3145,6 @@ object Multimodal {
     "q166_animation_near_dup" -> q166Oracle,
     "q167_oriented_dispatch_decode" -> q167Oracle,
     "q168_tiff_quarantine" -> q168Oracle,
-    "q169_g711_decode" -> q169Oracle)
+    "q169_g711_decode" -> q169Oracle,
+    "q170_tiff_multipage" -> q170Oracle)
 }

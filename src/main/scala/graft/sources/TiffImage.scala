@@ -56,6 +56,38 @@ object TiffImage {
     * planar config, missing layout tags, offsets or counts overrunning
     * the file, LZW codes out of table range, short sample data. */
   def parse(bytes: Array[Byte]): Tiff = {
+    val (big, ifd0) = header(bytes)
+    val (page, next) = parseIfd(bytes, big, ifd0)
+    // a silent first-page decode of a 50-page scanned document is
+    // silent data loss — the GIF "multi-frame" posture applies
+    require(next == 0,
+      s"multi-page TIFF (next IFD at $next — use parsePages)")
+    page
+  }
+
+  /** Decode every page of a (possibly multi-page) TIFF — the scanned-
+    * document shape, and the container analog of
+    * [[GifImage.decodeAnimation]]: IFDs chain through their trailing
+    * next pointer; each page carries its own geometry, photometric,
+    * layout and compression. Strict: a chain that cycles or exceeds
+    * `maxPages` is a named reject. */
+  def parsePages(bytes: Array[Byte], maxPages: Int = 256): Seq[Tiff] = {
+    val (big, ifd0) = header(bytes)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val pages = scala.collection.mutable.ArrayBuffer.empty[Tiff]
+    var off = ifd0
+    while (off != 0) {
+      require(seen.add(off), s"IFD chain cycles back to offset $off")
+      require(pages.length < maxPages,
+        s"IFD chain exceeds $maxPages pages")
+      val (page, next) = parseIfd(bytes, big, off)
+      pages += page
+      off = next
+    }
+    pages.toSeq
+  }
+
+  private def header(bytes: Array[Byte]): (Boolean, Long) = {
     require(bytes.length >= 8, s"not a TIFF: ${bytes.length} bytes")
     val big = ((bytes(0) & 0xff).toChar, (bytes(1) & 0xff).toChar) match {
       case ('M', 'M') => true
@@ -63,6 +95,22 @@ object TiffImage {
       case (a, b) => throw new IllegalArgumentException(
         s"bad TIFF byte order '$a$b' (need II or MM)")
     }
+    val magic = if (big) ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+      else (bytes(2) & 0xff) | ((bytes(3) & 0xff) << 8)
+    require(magic == 42, s"bad TIFF magic $magic (need 42)")
+    val ifdOff =
+      if (big) ((bytes(4) & 0xffL) << 24) | ((bytes(5) & 0xffL) << 16) |
+        ((bytes(6) & 0xffL) << 8) | (bytes(7) & 0xffL)
+      else (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+    require(ifdOff >= 8 && ifdOff + 2 <= bytes.length,
+      s"IFD offset $ifdOff out of range")
+    (big, ifdOff)
+  }
+
+  /** One IFD's page + the chain's next-IFD offset (0 = end). */
+  private def parseIfd(bytes: Array[Byte], big: Boolean,
+      ifdOff: Long): (Tiff, Long) = {
     def u16(o: Int): Int = {
       require(o >= 0 && o + 2 <= bytes.length, s"u16 read at $o overruns file")
       if (big) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
@@ -75,13 +123,9 @@ object TiffImage {
       else (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     }
-    require(u16(2) == 42, s"bad TIFF magic ${u16(2)} (need 42)")
-    val ifdOff = u32(4)
-    require(ifdOff >= 8 && ifdOff + 2 <= bytes.length,
-      s"IFD offset $ifdOff out of range")
 
-    // one pass over IFD0: tag -> numeric values (SHORT or LONG only —
-    // the baseline tags this scope consumes are all integral)
+    // one pass over the IFD: tag -> numeric values (SHORT or LONG only
+    // — the baseline tags this scope consumes are all integral)
     val base = ifdOff.toInt
     val nEntries = u16(base)
     require(nEntries > 0, "empty IFD")
@@ -297,8 +341,12 @@ object TiffImage {
       k += 1
     }
 
+    val nextIfd = u32(base + 2 + 12 * nEntries)
+    require(nextIfd == 0 ||
+      (nextIfd >= 8 && nextIfd + 2 <= bytes.length),
+      s"next IFD offset $nextIfd out of range")
     if (orientation == 1)
-      Tiff(width, height, photometric, compression, tiled, px)
+      (Tiff(width, height, photometric, compression, tiled, px), nextIfd)
     else {
       // normalize to upright through the ONE orientation mapping (the
       // EXIF lane's — tag 274 is the same tag, same semantics)
@@ -314,7 +362,7 @@ object TiffImage {
         }
         y += 1
       }
-      Tiff(nw, nh, photometric, compression, tiled, out)
+      (Tiff(nw, nh, photometric, compression, tiled, out), nextIfd)
     }
   }
 
@@ -605,6 +653,60 @@ object TiffImage {
       orientation: Int = 1, compression: Int = 0,
       bits: Int = 8): Array[Byte] = {
     val comp = if (compression == 0) { if (lzw) 5 else 1 } else compression
+    encodePages(Seq(Page(width, height, pixels, photometric, palette,
+      comp, predictor, rowsPerStrip, tileSize, orientation, bits)),
+      bigEndian)
+  }
+
+  /** Per-page spec for [[encodePages]] — the same knobs as [[encode]]
+    * minus the file-level byte order. */
+  final case class Page(width: Int, height: Int, pixels: Array[Int],
+      photometric: Int = 2, palette: Array[Int] = null,
+      compression: Int = 1, predictor: Int = 1, rowsPerStrip: Int = 0,
+      tileSize: Int = 0, orientation: Int = 1, bits: Int = 8)
+
+  /** Encode a MULTI-PAGE TIFF (the scanned-document shape): one shared
+    * header, each page's segments + out-of-line values + IFD written
+    * in order, IFDs chained through their trailing next pointers. A
+    * single page yields exactly [[encode]]'s layout. */
+  def encodePages(pages: Seq[Page],
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "no pages")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16o(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write(if (bigEndian) 'M' else 'I')
+    out.write(if (bigEndian) 'M' else 'I')
+    w16o(42)
+    out.write(0); out.write(0); out.write(0); out.write(0) // IFD0, patched
+    val spans = pages.map(pg => writePage(out, pg, bigEndian))
+    val all = out.toByteArray
+    def patch(pos: Int, v: Long): Unit =
+      if (bigEndian) {
+        all(pos) = ((v >> 24) & 0xff).toByte
+        all(pos + 1) = ((v >> 16) & 0xff).toByte
+        all(pos + 2) = ((v >> 8) & 0xff).toByte
+        all(pos + 3) = (v & 0xff).toByte
+      } else {
+        all(pos) = (v & 0xff).toByte
+        all(pos + 1) = ((v >> 8) & 0xff).toByte
+        all(pos + 2) = ((v >> 16) & 0xff).toByte
+        all(pos + 3) = ((v >> 24) & 0xff).toByte
+      }
+    patch(4, spans.head._1)
+    for (k <- 0 until spans.length - 1)
+      patch(spans(k)._2, spans(k + 1)._1) // chain next pointers
+    all
+  }
+
+  /** Write one page's segments, value arrays and IFD into `out`;
+    * @return (this page's IFD offset, byte position of its next-IFD
+    *         pointer — written as 0, patched by the caller). */
+  private def writePage(out: java.io.ByteArrayOutputStream, page: Page,
+      bigEndian: Boolean): (Long, Int) = {
+    val Page(width, height, pixels, photometric, palette, comp,
+      predictor, rowsPerStrip, tileSize, orientation, bits) = page
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32773,
       s"compression $comp")
     require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
@@ -714,8 +816,8 @@ object TiffImage {
       }
     }
 
-    // layout: header(8) | segment data | out-of-line values | IFD
-    val out = new java.io.ByteArrayOutputStream()
+    // layout within the shared stream: segment data | out-of-line
+    // values | IFD (the caller wrote the file header)
     def w16(v: Int): Unit =
       if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
       else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -727,10 +829,6 @@ object TiffImage {
         out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
         out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
       }
-    out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
-    w16(42)
-    val ifdOffPatch = out.size()
-    w32(0) // patched below
     val segOffs = segs.map { s => val o = out.size(); out.write(s); o }
     if (out.size() % 2 == 1) out.write(0) // word-align values
 
@@ -790,21 +888,8 @@ object TiffImage {
         while (pad > 0) { out.write(0); pad -= 1 }
       }
     }
-    w32(0) // no next IFD
-    val all = out.toByteArray
-    // patch the header's IFD offset
-    val o = ifdOff.toLong
-    if (bigEndian) {
-      all(ifdOffPatch) = ((o >> 24) & 0xff).toByte
-      all(ifdOffPatch + 1) = ((o >> 16) & 0xff).toByte
-      all(ifdOffPatch + 2) = ((o >> 8) & 0xff).toByte
-      all(ifdOffPatch + 3) = (o & 0xff).toByte
-    } else {
-      all(ifdOffPatch) = (o & 0xff).toByte
-      all(ifdOffPatch + 1) = ((o >> 8) & 0xff).toByte
-      all(ifdOffPatch + 2) = ((o >> 16) & 0xff).toByte
-      all(ifdOffPatch + 3) = ((o >> 24) & 0xff).toByte
-    }
-    all
+    val nextPtrPos = out.size()
+    w32(0) // next-IFD pointer: 0 = last page; caller patches the chain
+    (ifdOff.toLong, nextPtrPos)
   }
 }

@@ -698,6 +698,43 @@ object CodecFuzz {
           t.pixels.length == t.width * t.height
       }
     }
+    for (i <- 0 until 20) {
+      // multi-page: random heterogeneous chains round-trip page-exact;
+      // mutations through the chain walk reject by name or stay sound
+      import graft.sources.TiffImage
+      val np = 2 + rnd.nextInt(4)
+      val pages = (0 until np).map { _ =>
+        val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
+        val pm = rnd.nextInt(3) // gray0/gray1/rgb (palette covered above)
+        val px = Array.tabulate(w * h)(_ =>
+          if (pm == 2) rnd.nextInt() & 0xffffff else rnd.nextInt(256))
+        TiffImage.Page(w, h, px, photometric = pm,
+          compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
+          rowsPerStrip = 1 + rnd.nextInt(h + 1),
+          bits = if (rnd.nextBoolean()) 16 else 8)
+      }
+      val good = TiffImage.encodePages(pages, bigEndian = rnd.nextBoolean())
+      check(s"tiffpages_roundtrip_$i") {
+        val ps = TiffImage.parsePages(good)
+        require(ps.length == np, "page count")
+        for ((t, p) <- ps.zipWithIndex) {
+          val pg = pages(p)
+          require(t.width == pg.width && t.height == pg.height, s"dims $p")
+          val want = pg.photometric match {
+            case 2 => pg.pixels.toSeq
+            case _ => pg.pixels.map(v => (v << 16) | (v << 8) | v).toSeq
+          }
+          require(t.pixels.toSeq == want, s"pixels $p")
+        }
+      }
+      val bad = mutate(good)
+      mutationCase(s"tiffpages_mutation_$i",
+        () => TiffImage.parsePages(bad)) { ps =>
+        ps.nonEmpty && ps.forall(t =>
+          t.width > 0 && t.height > 0 &&
+            t.pixels.length == t.width * t.height)
+      }
+    }
 
     // ---------------------------------------------------------- WAV
     for (i <- 0 until 30) {

@@ -211,6 +211,95 @@ class TiffImageSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-page: chain round-trip, single-page reject, cycle reject") {
+    // heterogeneous pages: per-page geometry, photometric, compression,
+    // bit depth and orientation — each page a full citizen of the
+    // single-page matrix
+    val p0px = rgbPixels(9, 5, 1)
+    val gray = Array.tabulate(7 * 6)(i => (i * 29 + 3) % 256)
+    val (sw, sh, stored) = JpegImage.exifStore(6, 9, 5, p0px)
+    val pages = Seq(
+      TiffImage.Page(sw, sh, stored, photometric = 2, compression = 5,
+        predictor = 2, orientation = 6),
+      TiffImage.Page(7, 6, gray, photometric = 1, compression = 32773,
+        rowsPerStrip = 2),
+      TiffImage.Page(7, 6, gray, photometric = 0, compression = 8,
+        bits = 16, tileSize = 16))
+    for (big <- Seq(false, true)) {
+      val bytes = TiffImage.encodePages(pages, bigEndian = big)
+      val ps = TiffImage.parsePages(bytes)
+      assert(ps.length == 3, s"big=$big")
+      assert(ps(0).width == 9 && ps(0).height == 5 &&
+        ps(0).pixels.toSeq == p0px.toSeq, s"page0 big=$big")
+      val grayFace = gray.map(v => (v << 16) | (v << 8) | v).toSeq
+      assert(ps(1).pixels.toSeq == grayFace, s"page1 big=$big")
+      assert(ps(2).pixels.toSeq == grayFace, s"page2 big=$big")
+      // single-page parse must REJECT rather than silently decode
+      // page 1 of 3
+      assert(intercept[IllegalArgumentException](TiffImage.parse(bytes))
+        .getMessage.contains("multi-page"))
+      // a single page through encodePages is byte-identical to encode
+      assert(TiffImage.encodePages(Seq(TiffImage.Page(7, 6, gray,
+        photometric = 1, compression = 5)), bigEndian = big).toSeq ==
+        TiffImage.encode(7, 6, gray, photometric = 1, lzw = true,
+          bigEndian = big).toSeq)
+    }
+    // cycle: patch page 3's next pointer (last 4 bytes) back to IFD0
+    val bytes = TiffImage.encodePages(pages)
+    val cyc = bytes.clone()
+    for (k <- 0 until 4)
+      cyc(cyc.length - 4 + k) = bytes(4 + k) // next := header's IFD0
+    assert(intercept[IllegalArgumentException](TiffImage.parsePages(cyc))
+      .getMessage.contains("cycles"))
+  }
+
+  test("parity: multi-page crosses the JDK boundary in both directions") {
+    import javax.imageio.ImageIO
+    // ours -> JDK: the reader must see every page with the right pixels
+    val pages = (0 until 3).map { p =>
+      TiffImage.Page(8 + p, 5 + p, rgbPixels(8 + p, 5 + p, p + 2),
+        photometric = 2, compression = Seq(1, 5, 32773)(p))
+    }
+    val bytes = TiffImage.encodePages(pages)
+    val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+    reader.setInput(ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == 3)
+    for (p <- 0 until 3) {
+      val img = reader.read(p)
+      assert(img.getWidth == 8 + p && img.getHeight == 5 + p, s"page $p")
+      for (y <- 0 until 5 + p; x <- 0 until 8 + p)
+        assert((img.getRGB(x, y) & 0xffffff) ==
+          pages(p).pixels(y * (8 + p) + x), s"page $p ($x,$y)")
+    }
+    reader.dispose()
+    // JDK -> ours: writeToSequence a 3-page file, our chain walk must
+    // recover every page
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val px = (0 until 3).map(p => rgbPixels(11, 7, p + 9))
+    for (p <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(11, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 11)
+        img.setRGB(x, y, px(p)(y * 11 + x))
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        param)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val ps = TiffImage.parsePages(buf.toByteArray)
+    assert(ps.length == 3)
+    for (p <- 0 until 3)
+      assert(ps(p).pixels.toSeq == px(p).toSeq, s"jdk page $p")
+  }
+
   test("PackBits: hand-derived token stream and strict gates") {
     // spec example tokens: literal(3) A B C | run(4) X | noop | literal(1) Z
     val seg = Array[Byte](2, 'A', 'B', 'C', -3, 'X', -128, 0, 'Z')
