@@ -68,6 +68,16 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(m.pixels.forall(p => (p >>> 24) == 0xff)) // opaque face
     val MediaCodec.ImageItem("tiff", w2, h2, px2) = MediaCodec.decodeMedia(bytes)
     assert(w2 == 6 && h2 == 4 && px2.map(_ & 0xffffff).toSeq == canon.toSeq)
+    // a MULTI-page TIFF at the single-image faces is a NAMED
+    // quarantine row, never a silent first-page decode
+    val multi = TiffImage.encodePages(Seq(
+      TiffImage.Page(4, 3, Array.fill(12)(7), photometric = 1),
+      TiffImage.Page(4, 3, Array.fill(12)(9), photometric = 1)))
+    assert(MediaCodec.sniff(multi) == "tiff")
+    assert(intercept[IllegalArgumentException](MediaCodec.decodeImage(multi))
+      .getMessage.contains("multi-page"))
+    assert(intercept[IllegalArgumentException](MediaCodec.decodeMedia(multi))
+      .getMessage.contains("multi-page"))
   }
 
   test("dispatch equals the direct decoder, face-normalized") {
