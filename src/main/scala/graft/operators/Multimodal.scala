@@ -1947,11 +1947,17 @@ object Multimodal {
           val w = (8 * (1 + id % 2)).toInt; val h = 8
           val px = Array.tabulate(w * h)(i =>
             ((id * 11 + (i % w) / 8 * 37) % 256).toInt)
-          val o = (1 + id % 8).toInt
+          // knobs derive from id/10, NOT id: class ids are ≡3 (mod 10),
+          // always odd, so id%2 pinned the byte order to little-endian
+          // and 1+id%8 hit only the odd orientations — the flips never
+          // ran (advisor r17 coverage-drift find, extended). Stats are
+          // byte-order- and orientation-independent (the face
+          // normalizes), so the oracle is unchanged.
+          val o = (1 + (id / 10) % 8).toInt
           val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
           JpegImage.withExif(
             JpegImage.encode(sw, sh, stored, grayscale = true), o,
-            bigEndian = id % 2 == 0)
+            bigEndian = (id / 10) % 2 == 0)
         case 4 => // PROGRESSIVE JPEG, same aperture, multi-scan container
           val w = 8; val h = (8 * (1 + id % 3)).toInt
           val px = Array.tabulate(w * h)(i =>
@@ -1979,11 +1985,18 @@ object Multimodal {
               ((((id * 7 + x * 13 + y) % 256).toInt) << 8) |
               (((id * 5 + x + y * 11) % 256).toInt)
           }
-          val o = (1 + id % 8).toInt
+          // knobs derive from id/10, NOT id: class ids are ≡9 (mod 10),
+          // always odd, so id%2 pinned big-endian OFF, id%4 ∈ {1,3}
+          // exercised only the LZW/PackBits arms, and 1+id%8 hit only
+          // the odd orientations (advisor r17 coverage-drift find,
+          // extended); id/10 is parity-independent, so byte order, ALL
+          // FOUR compression arms and all 8 orientations actually
+          // rotate. Stats are layout-independent — oracle unchanged.
+          val o = (1 + (id / 10) % 8).toInt
           val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
           TiffImage.encode(sw, sh, stored, photometric = 2,
-            bigEndian = id % 2 == 0, orientation = o,
-            compression = Array(1, 5, 8, 32773)((id % 4).toInt))
+            bigEndian = (id / 10) % 2 == 0, orientation = o,
+            compression = Array(1, 5, 8, 32773)(((id / 10) % 4).toInt))
       }
       try {
         MediaCodec.decodeMedia(bytes) match {
@@ -2984,8 +2997,15 @@ object Multimodal {
   private[graft] def animNearDupOf(docs: DataFrame): DataFrame = {
     val fh = animHashFrame(docs)
       .cache() // banding, both Jaccard sides, per-doc counts
-    animPresentation(
-      animScore(Dedup.cappedBandCandidates(animBands(fh)), fh))
+    // materialize the (candidate-pair-sized) result eagerly so the
+    // frame-hash cache can be RELEASED before returning — repeated
+    // invocations (scale-probe lanes, long sessions) must not
+    // accumulate a cached RDD per call (advisor r17). The checkpoint
+    // blocks themselves are freed by the harness's Checkpoints.sweep
+    // once the result is consumed.
+    try graft.tools.Checkpoints.tracked(animPresentation(
+      animScore(Dedup.cappedBandCandidates(animBands(fh)), fh)))._1
+    finally fh.unpersist(blocking = false)
   }
 
   val q166Oracle: String =

@@ -1213,7 +1213,7 @@ object Similarity {
         sum(when($"pr" <= 2, $"csz").otherwise(0L)).as("s2"),
         sum(when($"pr" <= 4, $"csz").otherwise(0L)).as("s4"))
     val nTot = e.agg(count(lit(1)).as("nvec"))
-    memHits.crossJoin(adcHits).crossJoin(scanned).crossJoin(nTot)
+    val result = memHits.crossJoin(adcHits).crossJoin(scanned).crossJoin(nTot)
       .selectExpr(
         "stack(6," +
           " 1, 'membership', m1, s1, 1, 'adc', a1, s1," +
@@ -1228,6 +1228,14 @@ object Similarity {
         round($"n_scanned" / ($"nq" * $"nvec").cast("double"), 6)
           .as("scanned_frac"))
       .orderBy($"nprobe", $"variant")
+    // materialize the 6-row table eagerly so every intermediate cache
+    // is RELEASED before returning — a tuning meter re-run per
+    // configuration must not accumulate six cached RDDs per call
+    // (advisor r17); the harness's Checkpoints.sweep frees the 6-row
+    // checkpoint once consumed
+    try graft.tools.Checkpoints.tracked(result)._1
+    finally Seq(e, cells, pr, qv, cand, exact)
+      .foreach(_.unpersist(blocking = false))
   }
 
   val q165Oracle: String =

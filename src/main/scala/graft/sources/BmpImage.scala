@@ -60,6 +60,11 @@ object BmpImage {
     require(width > 0 && width <= (1 << 20), s"bad width $width")
     require(rawHeight != 0 && math.abs(rawHeight) <= (1 << 20),
       s"bad height $rawHeight")
+    // total-pixel budget in LONG arithmetic (advisor r17, TIFF find
+    // applied family-wide): per-dim caps alone admit products whose
+    // Int byte sizes wrap
+    require(width.toLong * math.abs(rawHeight) <= (1L << 26),
+      s"image ${width}x$rawHeight exceeds the ${1L << 26}-pixel budget")
     require(planes == 1, s"bad plane count $planes")
     require(bpp == 24 || bpp == 8,
       s"unsupported bit depth $bpp (only 24-bit BGR and 8-bit palette)")

@@ -678,7 +678,13 @@ object GifImage {
       }
       u8(0x2c)
       u16(left); u16(top); u16(w); u16(h)
-      u8(if (interlacedFrame(f)) 0x40 else 0)
+      // sample the caller's predicate ONCE per frame: the flag byte and
+      // the payload row order below must come from the same evaluation,
+      // or a non-deterministic closure silently emits a GIF whose
+      // interlace flag contradicts its payload (advisor r17 — the r16
+      // fix only pinned the CodecFuzz call site)
+      val ilace = interlacedFrame(f)
+      u8(if (ilace) 0x40 else 0)
       u8(minCodeSize)
       val idx = framePx(f)
       require(idx.length == w * h, s"frame $f: ${idx.length} px for ${w}x$h")
@@ -690,7 +696,7 @@ object GifImage {
       // encoder half now honors it (found by the independent-reference
       // compositing spec)
       val stream = new Array[Byte](idx.length)
-      if (interlacedFrame(f)) {
+      if (ilace) {
         val order = new Array[Int](h)
         var k = 0
         InterlacePasses.foreach { case (y0, dy) =>

@@ -140,6 +140,11 @@ object PngImage {
         val interlace = bytes(dataOff + 12) & 0xff
         require(width > 0 && width <= (1 << 20), s"bad width $width")
         require(height > 0 && height <= (1 << 20), s"bad height $height")
+        // total-pixel budget in LONG arithmetic (advisor r17, TIFF
+        // find applied family-wide): per-dim caps alone admit products
+        // whose Int byte sizes wrap
+        require(width.toLong * height <= (1L << 26),
+          s"image ${width}x$height exceeds the ${1L << 26}-pixel budget")
         require(colorType == 0 || colorType == 2 || colorType == 3 ||
           colorType == 4 || colorType == 6,
           s"unsupported color type $colorType " +

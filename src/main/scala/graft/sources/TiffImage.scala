@@ -175,6 +175,14 @@ object TiffImage {
     val height = one(257).toInt
     require(width > 0 && width <= (1 << 20), s"bad width $width")
     require(height > 0 && height <= (1 << 20), s"bad height $height")
+    // total-pixel budget in LONG arithmetic (advisor r17): the per-dim
+    // caps alone admit 2^40-pixel products whose Int byte sizes wrap —
+    // a crafted 1048576x2048 header would NegativeArraySize (or, with
+    // dims chosen so the product wraps non-negative, allocate a buffer
+    // SMALLER than width*height and break the never-return-garbage
+    // contract). 2^26 pixels bounds every buffer below 403 MB.
+    require(width.toLong * height <= (1L << 26),
+      s"image ${width}x$height exceeds the ${1L << 26}-pixel budget")
     val spp = one(277, default = 1).toInt
     val bits = tags.getOrElse(258, Array(1L))
     require(bits.length == spp &&
@@ -290,6 +298,11 @@ object TiffImage {
       val th = one(323).toInt
       require(tw > 0 && tw % 16 == 0 && th > 0 && th % 16 == 0,
         s"tile size $tw x $th (spec requires multiples of 16)")
+      // same Long-domain budget for the per-tile buffer: tile dims have
+      // no per-dim cap of their own, so a lying header could otherwise
+      // wrap tw*th*spb (advisor r17)
+      require(tw.toLong * th <= (1L << 26),
+        s"tile ${tw}x$th exceeds the ${1L << 26}-pixel budget")
       val tx = (width + tw - 1) / tw
       val ty = (height + th - 1) / th
       val offs = tags.getOrElse(324,

@@ -173,4 +173,20 @@ class BmpImageSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](BmpImage.parse(over))
       .getMessage.contains("color table"))
   }
+
+  test("pixel budget: dims whose product wraps Int are a named reject") {
+    // width/height each inside the per-dim cap, product 2^31 — the
+    // allocation must never be reached (advisor r17, TIFF find applied
+    // family-wide)
+    val good = BmpImage.encode24(4, 4, Array.fill(16)(0x336699))
+    val bad = good.clone()
+    def putI32(off: Int, v: Int): Unit = {
+      bad(off) = (v & 0xff).toByte; bad(off + 1) = ((v >> 8) & 0xff).toByte
+      bad(off + 2) = ((v >> 16) & 0xff).toByte
+      bad(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putI32(18, 1 << 20); putI32(22, 2048)
+    assert(intercept[IllegalArgumentException](BmpImage.parse(bad))
+      .getMessage.contains("pixel budget"))
+  }
 }

@@ -454,6 +454,24 @@ class GifImageSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](
         GifImage.decodeAnimation(java.util.Arrays.copyOf(good, cut)))
   }
+
+  test("encodeAnimation samples the interlace predicate ONCE per frame") {
+    // a non-deterministic closure must not produce a GIF whose
+    // interlace flag contradicts its payload row order — the flag byte
+    // and the row permutation must come from the SAME evaluation
+    // (advisor r17: the r16 fix only pinned the CodecFuzz call site)
+    val pal = Array(0xff102030, 0xffffffff, 0xff336699, 0xff995511)
+    val w = 5; val h = 7
+    val px = Array.tabulate(w * h)(i => i % 4)
+    var calls = 0
+    val bytes = GifImage.encodeAnimation(w, h, pal, Seq((0, 0, w, h, 0)),
+      _ => px,
+      interlacedFrame = _ => { calls += 1; calls % 2 == 1 })
+    val (_, _, frames) = GifImage.decodeAnimation(bytes)
+    assert(frames.length == 1)
+    assert(frames.head.canvas.map(_ & 0xffffff).toSeq ==
+      px.map(k => pal(k) & 0xffffff).toSeq)
+  }
 }
 
 /** Container-independence of the perceptual-hash seam, third container:

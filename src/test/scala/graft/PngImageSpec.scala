@@ -501,24 +501,32 @@ class PngImageSpec extends AnyFunSuite {
       chunk("IHDR", ihdr(4, 3, interlace = 1)),
       chunk("IDAT", deflate(raw39)), chunk("IEND", Array.emptyByteArray))))
       .getMessage.contains("expected 42"))
-    // and the bomb guard covers interlaced headers too
+    // and the bomb guard covers interlaced headers too (dims inside
+    // the r17 pixel budget so the EXPANSION gate is the one under test)
     val e = intercept[IllegalArgumentException](PngImage.parse(assemble(
-      chunk("IHDR", ihdr(1 << 20, 512, interlace = 1)),
+      chunk("IHDR", ihdr(1 << 13, 1 << 13, interlace = 1)),
       chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
       chunk("IEND", Array.emptyByteArray))))
     assert(e.getMessage.contains("max deflate expansion"))
   }
 
   test("dimension-bomb header is rejected before allocation") {
-    // valid CRCs, in-cap IHDR dims (2^20 x 512 at bpp 3 -> ~1.6 GB raw,
-    // under the Int.MaxValue size gate), but a tiny IDAT that could
-    // never inflate to that: must reject CHEAPLY before the ~1.6 GB + 2 GB
-    // allocations (advisor find, r14 — memory-amplification guard)
+    // valid CRCs, in-budget IHDR dims (2^13 x 2^13 = 2^26 px at bpp 3
+    // -> ~201 MB raw, under the Int.MaxValue size gate), but a tiny
+    // IDAT that could never inflate to that: must reject CHEAPLY before
+    // the raw + pixel allocations (advisor find, r14 —
+    // memory-amplification guard)
     val e = intercept[IllegalArgumentException](PngImage.parse(assemble(
-      chunk("IHDR", ihdr(1 << 20, 512)),
+      chunk("IHDR", ihdr(1 << 13, 1 << 13)),
       chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
       chunk("IEND", Array.emptyByteArray))))
     assert(e.getMessage.contains("max deflate expansion"))
+    // headers past the r17 pixel budget reject even earlier, by name
+    assert(intercept[IllegalArgumentException](PngImage.parse(assemble(
+      chunk("IHDR", ihdr(1 << 20, 512)),
+      chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))),
+      chunk("IEND", Array.emptyByteArray))))
+      .getMessage.contains("pixel budget"))
   }
 
   test("sub-8 HAND FIXTURE: MSB-first packing + the 1-byte filter floor") {
@@ -687,6 +695,26 @@ class PngImageSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       PngImage.parse(shrunk.toByteArray))
       .getMessage.contains("palette index"))
+  }
+
+  test("pixel budget: IHDR dims whose product wraps Int are a named reject") {
+    // 1048576 x 2048 passes BOTH per-dim caps but the pixel count is
+    // 2^31 — pre-guard the allocation was a NegativeArraySizeException
+    // in an executor task, not the named gate the quarantine lane maps
+    // (advisor r17, TIFF find applied family-wide)
+    val bad = assemble(chunk("IHDR", ihdr(1 << 20, 2048, 8, 0)),
+      chunk("IDAT", deflate(new Array[Byte](8))),
+      chunk("IEND", Array.emptyByteArray))
+    assert(intercept[IllegalArgumentException](PngImage.parse(bad))
+      .getMessage.contains("pixel budget"))
+    // the reachable pre-guard wrap: at depth 1 the Long `expected` for
+    // 2^20 x 2^11 is only ~2^28 (inside the Int.MaxValue gate), yet
+    // width*height = 2^31 wrapped the pixel-array allocation
+    val oneBit = assemble(chunk("IHDR", ihdr(1 << 20, 1 << 11, 1, 0)),
+      chunk("IDAT", deflate(new Array[Byte](8))),
+      chunk("IEND", Array.emptyByteArray))
+    assert(intercept[IllegalArgumentException](PngImage.parse(oneBit))
+      .getMessage.contains("pixel budget"))
   }
 }
 

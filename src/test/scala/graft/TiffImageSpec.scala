@@ -395,6 +395,50 @@ class TiffImageSpec extends AnyFunSuite {
     assert(err(nopal).contains("ColorMap"))
   }
 
+  test("pixel budget: dims whose product wraps Int are a named reject") {
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](TiffImage.parse(bytes)).getMessage
+    // 1048576 x 2048 passes BOTH per-dim caps; the product is 2^31, so
+    // pre-guard the buffer sizing wrapped negative — a
+    // NegativeArraySizeException in an executor task, not the named
+    // IllegalArgumentException q168's triage catches (advisor r17)
+    val big1 = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1)
+    patchInlineLong(big1, 256, 1L << 20)
+    patchInlineLong(big1, 257, 2048L)
+    assert(err(big1).contains("pixel budget"))
+    // dims whose product wraps PAST 2^32 to a small NON-NEGATIVE Int
+    // (2^20 x 4097 = 2^32 + 2^20): pre-guard, parse could even SUCCEED
+    // with pixels.length != width*height — the worse failure mode
+    val big2 = TiffImage.encode(4, 4, Array.fill(16)(9), photometric = 1)
+    patchInlineLong(big2, 256, 1L << 20)
+    patchInlineLong(big2, 257, 4097L)
+    assert(err(big2).contains("pixel budget"))
+    // tile dims have NO per-dim cap of their own: a lying 2^20-square
+    // TileWidth/TileLength header must hit the same Long-domain gate
+    val tiled = TiffImage.encode(16, 16, rgbPixels(16, 16, 3), tileSize = 16)
+    patchInlineLong(tiled, 322, 1L << 20)
+    patchInlineLong(tiled, 323, 1L << 20)
+    assert(err(tiled).contains("pixel budget"))
+  }
+
+  /** Patch the inline LONG (4-byte) value of `tag` in a little-endian
+    * fixture. */
+  private def patchInlineLong(bytes: Array[Byte], tag: Int, v: Long): Unit = {
+    val ifd = ((bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
+      ((bytes(6) & 0xff) << 16) | ((bytes(7) & 0xff) << 24))
+    val n = (bytes(ifd) & 0xff) | ((bytes(ifd + 1) & 0xff) << 8)
+    for (i <- 0 until n) {
+      val e = ifd + 2 + 12 * i
+      val t = (bytes(e) & 0xff) | ((bytes(e + 1) & 0xff) << 8)
+      if (t == tag) {
+        bytes(e + 8) = (v & 0xff).toByte
+        bytes(e + 9) = ((v >> 8) & 0xff).toByte
+        bytes(e + 10) = ((v >> 16) & 0xff).toByte
+        bytes(e + 11) = ((v >> 24) & 0xff).toByte
+      }
+    }
+  }
+
   /** Patch the inline SHORT value of `tag` in a little-endian fixture. */
   private def patchInlineShort(bytes: Array[Byte], tag: Int, v: Int): Unit = {
     val ifd = ((bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
