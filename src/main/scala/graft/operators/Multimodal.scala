@@ -2809,10 +2809,12 @@ object Multimodal {
         case 0 => good
         case 1 => val b = good.clone(); b(2) = 43; b // wrong magic
         case 2 => java.util.Arrays.copyOf(good, good.length / 2)
-        case 3 => patchInline(good, 259, 4) // CCITT T.6: out of scope
-          // (retargeted round 17 — 32773 PackBits became decodable, so
-          // this class moved onto a still-invalid gate in the same
-          // commit: the q144/q152/q153/q154 retarget invariant)
+        case 3 => patchInline(good, 259, 7) // JPEG-in-TIFF: out of scope
+          // (retargeted round 18 — CCITT G3/G4 became decodable
+          // (q172), so this class moved onto a still-invalid gate in
+          // the same commit: the q144/q152/q153/q154 retarget
+          // invariant, 7th application. Round 17 it sat on CCITT after
+          // PackBits became decodable.)
         case 4 => patchInline(good, 258, 12) // 12-bit samples
           // (retargeted round 17 — 16-bit became decodable; 12-bit
           // packed samples remain out of scope)
@@ -2941,12 +2943,21 @@ object Multimodal {
     * the scale probe, and the incremental index
     * ([[graft.streaming.AnimIndexStream]]) so stream hashing ≡ batch
     * hashing by construction. */
-  private[graft] def animHashFrame(docs: DataFrame): DataFrame = {
-    val hashesOf = udf { (id: Long) => q166AnimHashes(id) }
+  private[graft] def animHashFrame(docs: DataFrame): DataFrame =
+    frameSetHashFrame(docs, udf { (id: Long) => q166AnimHashes(id) })
+
+  /** q171's hash core in the same frame shape — the scanned-document
+    * twin, shared by batch q171, the scale probe, and
+    * [[graft.streaming.DocIndexStream]]. */
+  private[graft] def docHashFrame(docs: DataFrame): DataFrame =
+    frameSetHashFrame(docs, udf { (id: Long) => q171DocHashes(id) })
+
+  private def frameSetHashFrame(docs: DataFrame,
+      hashesOf: org.apache.spark.sql.expressions.UserDefinedFunction):
+      DataFrame =
     docs
       .select(col("doc_id"), explode(hashesOf(col("doc_id"))).as("fhash"))
       .distinct()
-  }
 
   /** Bucket rows over a frame-hash frame — the FULL 64-bit hash is the
     * key: the similarity metric is EXACT hash Jaccard (GIF re-encodes
@@ -2994,9 +3005,16 @@ object Multimodal {
 
   /** The full q166 pipeline as a frame core ((doc_id) → surviving
     * pairs), shared with the scale probe. */
-  private[graft] def animNearDupOf(docs: DataFrame): DataFrame = {
-    val fh = animHashFrame(docs)
-      .cache() // banding, both Jaccard sides, per-doc counts
+  private[graft] def animNearDupOf(docs: DataFrame): DataFrame =
+    frameSetNearDupOf(animHashFrame(docs))
+
+  /** The full q171 pipeline as a frame core — the scanned-document
+    * twin, shared with its scale-probe lane. */
+  private[graft] def docNearDupOf(docs: DataFrame): DataFrame =
+    frameSetNearDupOf(docHashFrame(docs))
+
+  private def frameSetNearDupOf(fh0: DataFrame): DataFrame = {
+    val fh = fh0.cache() // banding, both Jaccard sides, per-doc counts
     // materialize the (candidate-pair-sized) result eagerly so the
     // frame-hash cache can be RELEASED before returning — repeated
     // invocations (scale-probe lanes, long sessions) must not
@@ -3089,6 +3107,171 @@ object Multimodal {
       |       CAST(max(1000 * c) AS BIGINT) AS peak_lum
       |FROM px GROUP BY doc_id, p ORDER BY media_id, page""".stripMargin
 
+  /** The q171 fixture + hash core: every 4 consecutive ids share one
+    * canonical multi-page DOCUMENT (2–4 grayscale pages of full-
+    * avalanche content); each id stores a RE-ENCODE of the same pages
+    * — the knobs a real re-scan/re-export pipeline turns: file byte
+    * order, per-page compression (rotating none/LZW/Deflate/PackBits),
+    * predictor, strip size vs a 16×16 tile layout, and a stored
+    * ORIENTATION under tag 274 (a page scanned sideways and tagged —
+    * [[graft.sources.TiffImage]] normalizes it back to the upright
+    * face, so rotation cannot split the page-hash set any more than it
+    * splits q161's image canons). Returns the per-page upright aHash
+    * sequence over the decoded chain ([[uprightAhash64]] — one
+    * copy). */
+  private[graft] def q171DocHashes(id: Long): Array[Long] = {
+    import graft.sources.{JpegImage, TiffImage}
+    val canon = id / 4
+    val v = (id % 4).toInt
+    // splitmix64 finalizer — the q166 lesson: per-INDEX randomness must
+    // fully avalanche or probe-scale canons collide into structured
+    // patterns (the fixture-separation spec samples the 100× id range)
+    def mix(m: Long): Long = {
+      var z = m * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 32)
+      z & 0xff
+    }
+    val np = (2 + canon % 3).toInt
+    val pages = (0 until np).map { p =>
+      val w = (8 + mix(canon * 131 + p * 17) % 9).toInt
+      val h = (8 + mix(canon * 173 + p * 29) % 7).toInt
+      val px = Array.tabulate(w * h) { i =>
+        val c = mix(canon * 1009 + p * 97 + i).toInt
+        (c << 16) | (c << 8) | c
+      }
+      (w, h, px)
+    }
+    val tpages = pages.zipWithIndex.map { case ((w, h, px), p) =>
+      val o = (1 + (v * 2 + p * 3) % 8).toInt
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+      val comp = Array(1, 5, 8, 32773)((v + p) % 4)
+      val tiledPage = (v + p) % 5 == 4
+      TiffImage.Page(sw, sh, stored, photometric = 1,
+        compression = comp,
+        predictor = if (comp == 5 && (v + p) % 2 == 0) 2 else 1,
+        rowsPerStrip = if (tiledPage) 0 else 1 + (v + p) % 3,
+        tileSize = if (tiledPage) 16 else 0,
+        orientation = o)
+    }
+    TiffImage.parsePages(TiffImage.encodePages(tpages, bigEndian = v % 2 == 0))
+      .map(t => uprightAhash64(t.width, t.height, t.pixels))
+      .toArray
+  }
+
+  /** q171 — SCANNED-DOCUMENT near-dup (round 18): the dedup lane for
+    * re-scanned/re-encoded multi-page documents — the reference's own
+    * corpus shape (51 scanned label PDFs) — composing q170's
+    * multi-page TIFF chain walk with q166's frame-set kernel, one
+    * copy each. Pipeline: parsePages → per-page upright aHash →
+    * full-hash buckets through the shared capped band equi-join
+    * ([[Dedup.cappedBandCandidates]] — never all pairs) → PAGE-SET
+    * Jaccard over exact hash equality → pairs at sim ≥ 0.8. The
+    * oracle is analytic: re-encodes decode to identical upright pages
+    * (compression is lossless, orientation normalizes at the face),
+    * so the surviving pairs are EXACTLY the intra-canon pairs at sim
+    * 1.0 with n_common = the document's page count — a defect in the
+    * chain walk, any compression arm, the predictor, tile padding,
+    * the orientation mapping, hashing, banding or the join surfaces
+    * as a missing/extra/dented pair. Cross-canon separation is
+    * spec-asserted; even a full 64-bit cross-canon page-hash collision
+    * cannot forge a pair (one shared page out of ≥2 gives Jaccard
+    * ≤ 1/3 < 0.8).
+    *
+    * Scale shape: decode+hash task-local per doc (document bytes never
+    * shuffle — only (doc_id, 8-byte hash) per page); candidates come
+    * from the bucketed band join with the stop-bucket cap; the Jaccard
+    * join is candidate-pair × page sized. Incremental twin:
+    * [[graft.streaming.DocIndexStream]]. */
+  def q171ScannedDocNearDup(s: SparkSession, dir: String): DataFrame =
+    docNearDupOf(Tables.documents(s, dir))
+
+  val q171Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS canon FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(2 + a.canon % 3 AS BIGINT) AS n_common,
+      |       round(CAST(1 AS DOUBLE), 6) AS sim,
+      |       TRUE AS same_canon
+      |FROM d a JOIN d b ON a.canon = b.canon AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q172 — BILEVEL (scanned-page) TIFF decode matrix (round 18): the
+    * CCITT arm of the q164 design. Per document a canonical 1-bit
+    * page is synthesized (a deterministic dot pattern with mixed-length
+    * runs), stored under an orientation, in either photometric (0
+    * stores white as the 0 bit, 1 inverts), either byte order, a
+    * rotating strip height, and one of SEVEN compressions — none,
+    * CCITT G3 Modified Huffman (2), CCITT T.4 in 1D AND 2D mode (3),
+    * CCITT T.6 (4), PackBits, LZW and Deflate over packed rows — and
+    * routed through THE DISPATCH FACE. The oracle states the CANONICAL
+    * stats analytically from doc_id (layout-independent, the q164
+    * move): any defect in the ITU Huffman tables, the 2D mode kernel,
+    * EOL/RTC framing, bit packing, or the photometric/orientation
+    * mapping hash-mismatches. The ITU tables themselves are
+    * additionally pinned by JDK ImageIO parity in both directions
+    * (TiffImageSpec).
+    *
+    * Scale shape: task-local synth+encode+dispatch per row; only the
+    * ≤72-byte stat tuple moves. */
+  def q172CcittDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.{JpegImage, MediaCodec, TiffImage}
+      val w = (8 + id % 17).toInt; val h = (6 + id % 11).toInt
+      val canonFace = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        if ((id * 7 + x * 3 + y * 5) % 11 < 5) 0x000000 else 0xffffff
+      }
+      val o = (1 + id % 8).toInt
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonFace)
+      val comp = Array(1, 2, 3, 4, 32773, 5, 8)((id % 7).toInt)
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
+        photometric = ((id / 7) % 2).toInt, compression = comp,
+        rowsPerStrip = (1 + (id / 3) % 4).toInt, bits = 1,
+        t4TwoD = (id / 5) % 2 == 0, orientation = o)),
+        bigEndian = (id / 2) % 2 == 0)
+      val dec = MediaCodec.decodeImage(bytes)
+      require(dec.container == "tiff", s"sniffed ${dec.container}")
+      require(dec.width == w && dec.height == h, "canonical dims")
+      var j = 0
+      while (j < w * h) {
+        require((dec.pixels(j) & 0xffffff) == canonFace(j), s"pixel $j")
+        j += 1
+      }
+      faceStats(dec.width, dec.height, dec.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q172Oracle: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 17 AS w, 6 + doc_id % 11 AS h
+      |           FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, x, y,
+      |         CASE WHEN (d.doc_id * 7 + x * 3 + y * 5) % 11 < 5
+      |              THEN 0 ELSE 255 END AS c
+      |       FROM d,
+      |         LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT)
+      |         AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3123,7 +3306,9 @@ object Multimodal {
     "q167_oriented_dispatch_decode" -> q167OrientedDispatchDecode _,
     "q168_tiff_quarantine" -> q168TiffQuarantine _,
     "q169_g711_decode" -> q169G711Decode _,
-    "q170_tiff_multipage" -> q170TiffMultiPage _)
+    "q170_tiff_multipage" -> q170TiffMultiPage _,
+    "q171_scanned_doc_neardup" -> q171ScannedDocNearDup _,
+    "q172_ccitt_decode" -> q172CcittDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3166,5 +3351,7 @@ object Multimodal {
     "q167_oriented_dispatch_decode" -> q167Oracle,
     "q168_tiff_quarantine" -> q168Oracle,
     "q169_g711_decode" -> q169Oracle,
-    "q170_tiff_multipage" -> q170Oracle)
+    "q170_tiff_multipage" -> q170Oracle,
+    "q171_scanned_doc_neardup" -> q171Oracle,
+    "q172_ccitt_decode" -> q172Oracle)
 }

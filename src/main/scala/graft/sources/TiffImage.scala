@@ -11,12 +11,18 @@ package graft.sources
   *  - 8-bit and 16-bit samples (16-bit scales to the 8-bit face by
   *    high byte, the PNG-16 convention); photometric 0 (WhiteIsZero),
   *    1 (BlackIsZero), 2 (RGB, SamplesPerPixel 3) and 3 (8-bit
-  *    palette through a 16-bit ColorMap);
+  *    palette through a 16-bit ColorMap); 1-BIT bilevel samples
+  *    (round 18 — the scanned-document depth; photometric 0/1,
+  *    strips only, MSB-first FillOrder 1);
   *  - compression 1 (none), 5 (TIFF-LZW: MSB-first bit packing,
   *    9→12-bit codes with the spec's EARLY width change — one code
   *    sooner than GIF's LSB-first variant), 8/32946 (zlib Deflate)
   *    and 32773 (PackBits RLE) — with predictor 1 (none) or 2
-  *    (horizontal differencing per sample channel);
+  *    (horizontal differencing per sample channel); on 1-bit pages
+  *    additionally the CCITT family via [[CcittCodec]]: 2 (G3
+  *    Modified Huffman), 3 (T.4, 1D and 2D per T4Options bit 0,
+  *    fill bits tolerated, uncompressed-mode escape rejected) and
+  *    4 (T.6, extensions rejected);
   *  - strip layout (RowsPerStrip + StripOffsets/StripByteCounts) AND
   *    tile layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
   *    edge tiles padded to full tile size per spec §15);
@@ -186,23 +192,42 @@ object TiffImage {
     val spp = one(277, default = 1).toInt
     val bits = tags.getOrElse(258, Array(1L))
     require(bits.length == spp &&
-      (bits.forall(_ == 8) || bits.forall(_ == 16)),
+      (bits.forall(_ == 8) || bits.forall(_ == 16) || bits.forall(_ == 1)),
       s"unsupported BitsPerSample ${bits.mkString("/")} " +
-        "(only uniform 8 or 16 per sample)")
-    val bps = (bits(0) / 8).toInt // bytes per sample
+        "(only uniform 1, 8 or 16 per sample)")
+    val oneBit = bits(0) == 1
+    val bps = if (oneBit) 1 else (bits(0) / 8).toInt // bytes per sample
     val compression = one(259, default = 1).toInt
+    val ccitt = compression == 2 || compression == 3 || compression == 4
     require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32773 || compression == 32946,
+      compression == 32773 || compression == 32946 || ccitt,
       s"compression $compression unsupported " +
-        "(only 1=none, 5=LZW, 8/32946=Deflate, 32773=PackBits)")
+        "(only 1=none, 2/3/4=CCITT, 5=LZW, 8/32946=Deflate, 32773=PackBits)")
+    require(!ccitt || oneBit,
+      s"CCITT compression $compression requires 1-bit samples " +
+        s"(BitsPerSample ${bits(0)})")
+    require(one(266, default = 1) == 1,
+      "FillOrder 2 (LSB-first bits) unsupported")
+    // T.4/T.6 option tags: 2D T.4 and fill bits are in scope, the
+    // uncompressed-mode escape (bit 1) and every T.6 extension are not
+    val t4opts = one(292, default = 0).toInt
+    require(compression != 3 || (t4opts & ~5) == 0,
+      s"T4Options $t4opts unsupported (uncompressed-mode escape)")
+    val t4TwoD = compression == 3 && (t4opts & 1) == 1
+    require(compression != 4 || one(293, default = 0) == 0,
+      "T6Options extensions unsupported")
     val photometric = one(262).toInt
     require(photometric >= 0 && photometric <= 3,
       s"photometric $photometric unsupported (only 0/1/2/3)")
+    require(!oneBit || photometric <= 1,
+      s"1-bit photometric $photometric unsupported (only 0/1)")
     require(one(284, default = 1) == 1,
       "planar configuration 2 (separate planes) unsupported")
     val predictor = one(317, default = 1).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
+    require(!oneBit || predictor == 1,
+      "predictor 2 on 1-bit samples unsupported")
     val expectedSpp = if (photometric == 2) 3 else 1
     require(spp == expectedSpp,
       s"SamplesPerPixel $spp does not match photometric $photometric " +
@@ -228,6 +253,7 @@ object TiffImage {
     val tiled = tags.contains(322) || tags.contains(324)
     require(!(tiled && tags.contains(273)),
       "file declares BOTH strip and tile layouts")
+    require(!(oneBit && tiled), "tiled 1-bit TIFF unsupported")
 
     // assemble raw sample bytes (after decompression + predictor),
     // top-left row-major, spp * bps bytes per pixel
@@ -273,6 +299,35 @@ object TiffImage {
         case _ => packBitsDecode(bytes, off.toInt, len.toInt, outLen)
       }
     }
+    // 1-bit strip → one byte per pixel, 0 or 255 (the bit scaled to the
+    // 8-bit face, so the photometric arms below apply unchanged): CCITT
+    // segments decode straight to a 0/1 plane; the byte-packed
+    // compressions decompress to MSB-first packed rows first
+    def oneBitSegment(off: Long, len: Long, rows: Int): Array[Byte] = {
+      require(off >= 8 && len >= 0 && off + len <= bytes.length,
+        s"segment at $off+$len overruns file (${bytes.length} bytes)")
+      val rowBytes = (width + 7) / 8
+      val out = new Array[Byte](rows * width)
+      if (ccitt) {
+        val plane = CcittCodec.decode(bytes, off.toInt, len.toInt,
+          width, rows, compression, t4TwoD)
+        var i = 0
+        while (i < plane.length) { out(i) = (plane(i) * 255).toByte; i += 1 }
+      } else {
+        val packed = segment(off, len, rows * rowBytes)
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < width) {
+            val bit = (packed(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            out(y * width + x) = (bit * 255).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
 
     if (!tiled) {
       val rps = math.min(one(278, default = height.toLong), height.toLong).toInt
@@ -288,8 +343,13 @@ object TiffImage {
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rps, height - s * rps)
-        val seg = segment(offs(s), cnts(s), rows * width * spb)
-        undiff(seg, width, rows)
+        val seg =
+          if (oneBit) oneBitSegment(offs(s), cnts(s), rows)
+          else {
+            val g = segment(offs(s), cnts(s), rows * width * spb)
+            undiff(g, width, rows)
+            g
+          }
         System.arraycopy(seg, 0, raw, s * rps * width * spb, seg.length)
         s += 1
       }
@@ -672,11 +732,16 @@ object TiffImage {
   }
 
   /** Per-page spec for [[encodePages]] — the same knobs as [[encode]]
-    * minus the file-level byte order. */
+    * minus the file-level byte order. `bits` 1 writes a bilevel page
+    * (pixels must be 0x000000/0xFFFFFF; photometric 0/1 picks which is
+    * the 0 bit; compressions 1/5/8/32773 pack rows MSB-first,
+    * 2/3/4 CCITT-code the bit plane — `t4TwoD` selects T.4's 2D mode,
+    * written as T4Options 1). */
   final case class Page(width: Int, height: Int, pixels: Array[Int],
       photometric: Int = 2, palette: Array[Int] = null,
       compression: Int = 1, predictor: Int = 1, rowsPerStrip: Int = 0,
-      tileSize: Int = 0, orientation: Int = 1, bits: Int = 8)
+      tileSize: Int = 0, orientation: Int = 1, bits: Int = 8,
+      t4TwoD: Boolean = false)
 
   /** Encode a MULTI-PAGE TIFF (the scanned-document shape): one shared
     * header, each page's segments + out-of-line values + IFD written
@@ -719,15 +784,18 @@ object TiffImage {
   private def writePage(out: java.io.ByteArrayOutputStream, page: Page,
       bigEndian: Boolean): (Long, Int) = {
     val Page(width, height, pixels, photometric, palette, comp,
-      predictor, rowsPerStrip, tileSize, orientation, bits) = page
-    require(comp == 1 || comp == 5 || comp == 8 || comp == 32773,
-      s"compression $comp")
+      predictor, rowsPerStrip, tileSize, orientation, bits, t4TwoD) = page
+    val ccitt = comp == 2 || comp == 3 || comp == 4
+    require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 ||
+      (ccitt && bits == 1), s"compression $comp")
     require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
-    require(bits == 8 || bits == 16, s"bits $bits")
+    require(bits == 8 || bits == 16 || bits == 1, s"bits $bits")
     require(bits == 8 || photometric != 3, "palette is 8-bit only")
+    require(bits != 1 || (photometric <= 1 && predictor == 1 &&
+      tileSize == 0), "1-bit pages are untiled grayscale, no predictor")
     require(pixels.length == width * height, "pixel count")
-    require(predictor == 1 || comp != 1,
-      "predictor 2 requires a compression scheme")
+    require(predictor == 1 || (comp != 1 && !ccitt),
+      "predictor 2 requires a byte-oriented compression scheme")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
     require(orientation >= 1 && orientation <= 8, "orientation")
     val spp = if (photometric == 2) 3 else 1
@@ -745,7 +813,7 @@ object TiffImage {
         else { raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte }
       }
     var k = 0
-    while (k < width * height) {
+    while (bits != 1 && k < width * height) {
       photometric match {
         case 0 => put(k, 255 - (pixels(k) & 0xff))
         case 1 => put(k, pixels(k) & 0xff)
@@ -799,7 +867,46 @@ object TiffImage {
     val tiled = tileSize > 0
     val rps = if (tiled) 0
       else if (rowsPerStrip > 0) math.min(rowsPerStrip, height) else height
-    if (!tiled) {
+    if (bits == 1) {
+      // bilevel plane: one SAMPLE BIT per pixel (photometric 0 stores
+      // white as 0, photometric 1 stores black as 0 — the decoder's
+      // exact inverse); CCITT codes the bit plane per strip, the
+      // byte-oriented compressions get MSB-first packed rows
+      val plane = new Array[Byte](width * height)
+      var j = 0
+      while (j < width * height) {
+        val v = pixels(j) & 0xff
+        require(v == 0 || v == 255, s"1-bit pixel value $v (need 0 or 255)")
+        plane(j) = (if (photometric == 0) { if (v == 0) 1 else 0 }
+          else v / 255).toByte
+        j += 1
+      }
+      val rowBytes = (width + 7) / 8
+      var s = 0
+      while (s * rps < height) {
+        val rows = math.min(rps, height - s * rps)
+        val slice = java.util.Arrays.copyOfRange(plane,
+          s * rps * width, (s * rps + rows) * width)
+        segs += (comp match {
+          case 2 | 3 | 4 => CcittCodec.encode(slice, width, rows, comp, t4TwoD)
+          case _ =>
+            val packed = new Array[Byte](rows * rowBytes)
+            var y = 0
+            while (y < rows) {
+              var x = 0
+              while (x < width) {
+                if (slice(y * width + x) == 1)
+                  packed(y * rowBytes + (x >> 3)) =
+                    (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+                x += 1
+              }
+              y += 1
+            }
+            compress(packed, rowBytes)
+        })
+        s += 1
+      }
+    } else if (!tiled) {
       var s = 0
       while (s * rps < height) {
         val rows = math.min(rps, height - s * rps)
@@ -862,6 +969,7 @@ object TiffImage {
       add(278, 4, Array(rps.toLong))
       add(279, 4, segs.map(_.length.toLong).toArray)
     }
+    if (comp == 3) add(292, 4, Array(if (t4TwoD) 1L else 0L))
     if (predictor == 2) add(317, 3, Array(2L))
     if (photometric == 3) {
       val cm = new Array[Long](3 * 256)

@@ -1,110 +1,47 @@
 package graft.streaming
 
 import graft.operators.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.DataFrame
 
 /** Incrementally-maintained ANIMATION near-dup index — q166's
-  * streaming twin and the multi-row member of the incremental-index
-  * family ([[DedupIndexStream]] text MinHash / [[PhashIndexStream]]
-  * image aHash → THIS for animations, where one document contributes
-  * a frame-hash SET rather than a single signature). As new animations
-  * arrive they are decoded+composited ONCE (Δ work), their per-frame
-  * aHashes land in the `frames` table, candidates come from probing
-  * the accumulated full-hash bucket index, and pairs accumulate with
-  * exact frame-set Jaccard — a re-encoded animated meme arriving on
-  * the stream is paired with every earlier re-encode without ever
-  * re-decoding the corpus.
-  *
-  * Everything rides the shared [[BandIndexMerge]] kernel, whose
-  * last-writer-wins replacement is row-set based and therefore handles
-  * multi-row signatures unchanged: a re-arriving doc_id replaces ALL
-  * its frame rows, bucket rows, and accumulated pairs. Hashing is
-  * [[Multimodal.animHashFrame]], scoring [[Multimodal.animScore]],
-  * presentation [[Multimodal.animPresentation]] — the same one-copy
-  * kernels batch q166 runs, so stream ≡ batch by construction
-  * (AnimIndexStreamSpec pins it over sharded replays where every
-  * canon's re-encodes are split across triggers). The no-cap caveat
-  * and rebuild signal are inherited: [[mergeBatch]] returns the
-  * post-merge max bucket population among batch-touched buckets
-  * (full-hash buckets make a cap crossing the genuine blank-frame
-  * degeneracy, not a pigeonhole artifact — see the round-17 SCALE.md
-  * finding).
-  *
-  * State tables (hash-partitionable at scale):
-  *  - frames  (doc_id, fhash)        — 8 bytes per FRAME, ever
-  *  - buckets (doc_id, band, bkey)   — one row per frame row
-  *  - pairs   (doc_a, doc_b, n_common, sim) — accumulated candidates
-  */
-object AnimIndexStream {
-
-  def readState(spark: SparkSession, stateDir: String):
-      (DataFrame, DataFrame, DataFrame) = {
-    import spark.implicits._
-    val state = new VersionedState(stateDir)
-    (state.read(spark, "frames")
-      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "fhash")),
-      state.read(spark, "buckets")
-        .getOrElse(Seq.empty[(Long, Int, Long)]
-          .toDF("doc_id", "band", "bkey")),
-      state.read(spark, "pairs")
-        .getOrElse(Seq.empty[(Long, Long, Long, Double)]
-          .toDF("doc_a", "doc_b", "n_common", "sim")))
-  }
-
-  /** q166's presentation face over the accumulated pairs (one copy
-    * with the batch query). */
-  def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val (_, _, pairs) = readState(spark, stateDir)
+  * streaming twin: a re-encoded animated meme arriving on the stream
+  * is paired with every earlier re-encode without ever re-decoding the
+  * corpus. All mechanics live in the shared [[FrameSetIndex]] kernel
+  * (round 18 extracted it when [[DocIndexStream]] became the second
+  * multi-row instantiation); hashing is [[Multimodal.animHashFrame]]
+  * (decode + GIF89a compositing + per-frame aHash), scoring
+  * [[Multimodal.animScore]], presentation
+  * [[Multimodal.animPresentation]] — the same one-copy kernels batch
+  * q166 runs, so stream ≡ batch by construction (AnimIndexStreamSpec
+  * pins it over sharded replays where every canon's re-encodes are
+  * split across triggers). */
+object AnimIndexStream extends FrameSetIndex {
+  protected def hashFrame(docs: DataFrame): DataFrame =
+    Multimodal.animHashFrame(docs)
+  protected def bands(fh: DataFrame): DataFrame = Multimodal.animBands(fh)
+  protected def score(candKeys: DataFrame, allFh: DataFrame): DataFrame =
+    Multimodal.animScore(candKeys, allFh)
+  protected def present(pairs: DataFrame): DataFrame =
     Multimodal.animPresentation(pairs)
-  }
+}
 
-  /** @return the [[BandIndexMerge]] rebuild signal (−1 for an
-    *         already-applied batch): max post-merge population among
-    *         the buckets this batch touched — above the batch cap
-    *         means a genuinely degenerate shared frame. */
-  def mergeBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {
-    val state = new VersionedState(stateDir)
-    if (state.isApplied(batchId)) { state.mark(batchId); return -1L }
-    val spark = batch.sparkSession
-    val dFrames = Multimodal.animHashFrame(
-      batch.select(col("doc_id")).dropDuplicates("doc_id")).cache()
-    val signal =
-      try BandIndexMerge.merge(state, batchId, readState(spark, stateDir),
-        dFrames, Multimodal.animBands(dFrames), Multimodal.animScore,
-        ("frames", "buckets", "pairs"))
-      finally dFrames.unpersist(blocking = false)
-    state.mark(batchId)
-    signal
-  }
-
-  /** Single-shot batch rebuild under the same pointer (`batchId` must
-    * be negative — outside the stream's id space). */
-  def rebuild(docs: DataFrame, stateDir: String, batchId: Long): Unit = {
-    val state = new VersionedState(stateDir)
-    val frames = Multimodal.animHashFrame(
-      docs.select(col("doc_id")).dropDuplicates("doc_id")).cache()
-    try BandIndexMerge.rebuild(state, batchId, frames,
-      Multimodal.animBands(frames), Multimodal.animScore,
-      ("frames", "buckets", "pairs"))
-    finally frames.unpersist(blocking = false)
-  }
-
-  /** Maintain the index over a document stream; stable checkpoint so
-    * repeated invocations resume, not replay. */
-  def maintain(spark: SparkSession, inDir: String, stateDir: String):
-      StreamingQuery = {
-    val stream = spark.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir)
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, stateDir, batchId): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$stateDir/_checkpoint")
-      .start()
-  }
+/** Incrementally-maintained SCANNED-DOCUMENT near-dup index — q171's
+  * streaming twin and the second instantiation of the multi-row
+  * [[FrameSetIndex]] kernel: a re-scanned/re-encoded multi-page
+  * document (different byte order, per-page compression, strip/tile
+  * layout, stored orientation) arriving on the stream is paired with
+  * every earlier re-encode of the same document through the
+  * accumulated full-hash page-set index. Hashing is
+  * [[Multimodal.docHashFrame]] (multi-page TIFF chain walk + per-page
+  * upright aHash), scoring/presentation the shared frame-set kernels —
+  * batch q171's exact pipeline, so stream ≡ batch by construction
+  * (DocIndexStreamSpec pins it over sharded replays). */
+object DocIndexStream extends FrameSetIndex {
+  protected def hashFrame(docs: DataFrame): DataFrame =
+    Multimodal.docHashFrame(docs)
+  protected def bands(fh: DataFrame): DataFrame = Multimodal.animBands(fh)
+  protected def score(candKeys: DataFrame, allFh: DataFrame): DataFrame =
+    Multimodal.animScore(candKeys, allFh)
+  protected def present(pairs: DataFrame): DataFrame =
+    Multimodal.animPresentation(pairs)
 }

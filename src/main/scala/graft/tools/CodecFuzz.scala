@@ -699,32 +699,49 @@ object CodecFuzz {
       }
     }
     for (i <- 0 until 20) {
-      // multi-page: random heterogeneous chains round-trip page-exact;
-      // mutations through the chain walk reject by name or stay sound
+      // multi-page: random heterogeneous chains round-trip page-exact,
+      // EVERY page under its own stored orientation (the r17 verdict's
+      // page x orientation cross) and a bilevel/CCITT page class in
+      // the rotation; mutations through the chain walk reject by name
+      // or stay sound
       import graft.sources.TiffImage
       val np = 2 + rnd.nextInt(4)
       val pages = (0 until np).map { _ =>
         val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
-        val pm = rnd.nextInt(3) // gray0/gray1/rgb (palette covered above)
-        val px = Array.tabulate(w * h)(_ =>
-          if (pm == 2) rnd.nextInt() & 0xffffff else rnd.nextInt(256))
-        TiffImage.Page(w, h, px, photometric = pm,
-          compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
-          rowsPerStrip = 1 + rnd.nextInt(h + 1),
-          bits = if (rnd.nextBoolean()) 16 else 8)
+        val cls = rnd.nextInt(4) // gray0/gray1/rgb/bilevel
+        val o = 1 + rnd.nextInt(8)
+        if (cls == 3) {
+          val face = Array.fill(w * h)(if (rnd.nextBoolean()) 0xffffff else 0)
+          val (sw, sh, stored) = JpegImage.exifStore(o, w, h, face)
+          (w, h, face, TiffImage.Page(sw, sh, stored,
+            photometric = rnd.nextInt(2),
+            compression = Seq(1, 2, 3, 4, 32773)(rnd.nextInt(5)),
+            rowsPerStrip = 1 + rnd.nextInt(h + 1), bits = 1,
+            t4TwoD = rnd.nextBoolean(), orientation = o))
+        } else {
+          val px = Array.tabulate(w * h)(_ =>
+            if (cls == 2) rnd.nextInt() & 0xffffff else rnd.nextInt(256))
+          val face = if (cls == 2) px
+            else px.map(v => (v << 16) | (v << 8) | v)
+          val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+          (w, h, face, TiffImage.Page(sw, sh, stored, photometric = cls,
+            compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
+            rowsPerStrip = 1 + rnd.nextInt(h + 1),
+            bits = if (rnd.nextBoolean()) 16 else 8, orientation = o))
+        }
       }
-      val good = TiffImage.encodePages(pages, bigEndian = rnd.nextBoolean())
+      val good = TiffImage.encodePages(pages.map(_._4),
+        bigEndian = rnd.nextBoolean())
       check(s"tiffpages_roundtrip_$i") {
         val ps = TiffImage.parsePages(good)
         require(ps.length == np, "page count")
         for ((t, p) <- ps.zipWithIndex) {
-          val pg = pages(p)
-          require(t.width == pg.width && t.height == pg.height, s"dims $p")
-          val want = pg.photometric match {
-            case 2 => pg.pixels.toSeq
-            case _ => pg.pixels.map(v => (v << 16) | (v << 8) | v).toSeq
-          }
-          require(t.pixels.toSeq == want, s"pixels $p")
+          val (cw, ch, face, _) = pages(p)
+          require(t.width == cw && t.height == ch, s"upright dims $p")
+          var ok = true
+          for (k <- 0 until cw * ch)
+            ok &&= (t.pixels(k) & 0xffffff) == face(k)
+          require(ok, s"pixels $p")
         }
       }
       val bad = mutate(good)
@@ -733,6 +750,37 @@ object CodecFuzz {
         ps.nonEmpty && ps.forall(t =>
           t.width > 0 && t.height > 0 &&
             t.pixels.length == t.width * t.height)
+      }
+    }
+    for (i <- 0 until 30) {
+      // CCITT family: random bilevel content across all three schemes
+      // (MH / T.4 1D+2D / T.6), both photometrics, both byte orders,
+      // random strip heights — round-trip exact; byte mutations
+      // through the strict parser reject by name or stay sound (this
+      // is the family that catches an unvalidated table index or an
+      // unchecked run overflow, the JPEG selector lesson)
+      import graft.sources.TiffImage
+      val w = 1 + rnd.nextInt(70); val h = 1 + rnd.nextInt(20)
+      val face = Array.fill(w * h)(if (rnd.nextBoolean()) 0xffffff else 0)
+      val o = 1 + rnd.nextInt(8)
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, face)
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
+        photometric = rnd.nextInt(2),
+        compression = Seq(2, 3, 4)(rnd.nextInt(3)),
+        rowsPerStrip = 1 + rnd.nextInt(h + 1), bits = 1,
+        t4TwoD = rnd.nextBoolean(), orientation = o)),
+        bigEndian = rnd.nextBoolean())
+      check(s"ccitt_roundtrip_$i") {
+        val t = TiffImage.parse(bytes)
+        require(t.width == w && t.height == h, "upright dims")
+        var ok = true
+        for (k <- 0 until w * h) ok &&= (t.pixels(k) & 0xffffff) == face(k)
+        require(ok, "pixels")
+      }
+      val bad = mutate(bytes)
+      mutationCase(s"ccitt_mutation_$i", () => TiffImage.parse(bad)) { t =>
+        t.width > 0 && t.height > 0 &&
+          t.pixels.length == t.width * t.height
       }
     }
 

@@ -35,7 +35,7 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff")(lane), s"unknown lane $lane")
+      "tiff", "docdup")(lane), s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -115,6 +115,13 @@ object CodecScaleProbe {
     def animDupKernel(docs: DataFrame): Long =
       Multimodal.animNearDupOf(docs.select($"doc_id")).count()
 
+    // the scanned-document near-dup lane measures q171's full graded
+    // pipeline (multi-page TIFF chain decode → per-page aHash → capped
+    // band join → page-set Jaccard); figure = surviving pairs (6 per
+    // canon at every scale — the exact-figure correctness canary)
+    def docDupKernel(docs: DataFrame): Long =
+      Multimodal.docNearDupOf(docs.select($"doc_id")).count()
+
     // the TIFF lane measures q164's graded kernel (synth → oriented
     // TIFF encode across the layout matrix → dispatch decode → stats)
     def tiffKernel(docs: DataFrame): Long =
@@ -132,6 +139,7 @@ object CodecScaleProbe {
         case "gifanim" => gifAnimKernel(docs)
         case "oriented" => orientedKernel(docs)
         case "animdup" => animDupKernel(docs)
+        case "docdup" => docDupKernel(docs)
         case "tiff" => tiffKernel(docs)
         case _ => phashKernel(docs)
       }

@@ -153,4 +153,30 @@ class MultimodalSpec extends SparkSuite {
     assert(all.distinct.size == all.size,
       "cross-canon frame-hash collision in the q166 fixture")
   }
+
+  test("q171 fixture: re-encodes collapse, documents and pages separate") {
+    import graft.operators.Multimodal
+    // collapse half (also stated by the oracle): every re-encode of a
+    // document — byte order, per-page compression/predictor, strips vs
+    // tiles, stored orientation — decodes to the SAME page-hash
+    // sequence through the chain walk + upright normalization
+    for (canon <- 0L until 30L) {
+      val sigs = (0 until 4).map(v => Multimodal
+        .q171DocHashes(canon * 4 + v).toSeq)
+      assert(sigs.distinct.size == 1, s"canon $canon variants split: $sigs")
+      // intra-document page hashes distinct (the oracle's n_common
+      // claim rides on it)
+      assert(sigs.head.distinct.size == sigs.head.size,
+        s"canon $canon has colliding page hashes")
+    }
+    // separation half: different documents share NO page hash (so even
+    // one banded candidate between canons cannot reach the 0.8 bar) —
+    // sampled across the LOW and the 100×-probe-scale HIGH canon
+    // ranges (the q166 entropy-collapse lesson)
+    val sample = ((0L until 30L) ++ (100000L until 100030L) ++
+      (0L until 125000L by 997L)).distinct
+    val all = sample.flatMap(c => Multimodal.q171DocHashes(c * 4))
+    assert(all.distinct.size == all.size,
+      "cross-canon page-hash collision in the q171 fixture")
+  }
 }

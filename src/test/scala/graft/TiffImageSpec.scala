@@ -519,4 +519,171 @@ class TiffImageSpec extends AnyFunSuite {
       assert(t.pixels.toSeq == px.toSeq, s"comp=$comp")
     }
   }
+
+  // ------------------------------------------------- CCITT (round 18)
+
+  test("CCITT hand fixtures: MH codes and T.6 modes derived from the ITU tables") {
+    import graft.sources.CcittCodec
+    // MH row, width 8: white 4 (1011) black 3 (10) white 1 (000111)
+    // = 1011 10 000111, byte-padded -> 0xB8 0x70
+    val mh = CcittCodec.decode(Array(0xB8.toByte, 0x70.toByte), 0, 2,
+      width = 8, rows = 1, scheme = 2)
+    assert(mh.toSeq == Seq[Byte](0, 0, 0, 0, 1, 1, 1, 0))
+    // T.6, width 8, two rows: all-white (V0 against the imaginary
+    // white reference: "1"), then white 3 + black 5 (H: 001, white 3 =
+    // 1000, black 5 = 0011), EOFB = 2x 000000000001:
+    // 1 001 1000 0011 | 000000000001 000000000001 -> bits
+    val bits = "100110000011" + "000000000001" + "000000000001"
+    val padded = bits + "0" * (8 - bits.length % 8)
+    val g4 = padded.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+    val px = CcittCodec.decode(g4, 0, g4.length, width = 8, rows = 2,
+      scheme = 4)
+    assert(px.slice(0, 8).forall(_ == 0))
+    assert(px.slice(8, 16).toSeq == Seq[Byte](0, 0, 0, 1, 1, 1, 1, 1))
+  }
+
+  test("CCITT round-trip: schemes x content classes x awkward widths") {
+    import graft.sources.CcittCodec
+    val rnd = new scala.util.Random(1801)
+    def randomPlane(w: Int, h: Int): Array[Byte] =
+      Array.fill(w * h)(if (rnd.nextBoolean()) 1.toByte else 0.toByte)
+    def stripes(w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i % w) % 2).toByte)
+    def solid(v: Byte)(w: Int, h: Int): Array[Byte] = Array.fill(w * h)(v)
+    def longRuns(w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h) { i => if ((i % w) < w / 2) 0.toByte else 1.toByte }
+    val contents: Seq[(Int, Int) => Array[Byte]] =
+      Seq(randomPlane, stripes, solid(0), solid(1), longRuns)
+    for {
+      (w, h) <- Seq((1, 3), (7, 4), (8, 2), (9, 5), (64, 3), (65, 2),
+        (130, 7), (2749, 2)) // 2749 crosses the 2560 makeup ceiling
+      gen <- contents
+      (scheme, twoD) <- Seq((2, false), (3, false), (3, true), (4, false))
+    } {
+      val px = gen(w, h)
+      val enc = CcittCodec.encode(px, w, h, scheme, twoD)
+      val dec = CcittCodec.decode(enc, 0, enc.length, w, h, scheme, twoD)
+      assert(dec.toSeq == px.toSeq,
+        s"scheme=$scheme twoD=$twoD ${w}x$h ${gen}")
+    }
+  }
+
+  test("1-bit TIFF: round-trip matrix across compressions, photometrics, orders") {
+    val rnd = new scala.util.Random(1811)
+    val (w, h) = (37, 23)
+    val bw = Array.fill(w * h)(if (rnd.nextBoolean()) 0xffffff else 0)
+    for {
+      big <- Seq(false, true)
+      pm <- Seq(0, 1)
+      comp <- Seq(1, 2, 3, 4, 5, 8, 32773)
+      rps <- Seq(0, 5)
+      twoD <- if (comp == 3) Seq(false, true) else Seq(false)
+    } {
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(w, h, bw,
+        photometric = pm, compression = comp, rowsPerStrip = rps,
+        bits = 1, t4TwoD = twoD)), bigEndian = big)
+      val t = TiffImage.parse(bytes)
+      assert(t.width == w && t.height == h)
+      assert(t.pixels.toSeq == bw.toSeq,
+        s"big=$big pm=$pm comp=$comp rps=$rps twoD=$twoD")
+    }
+    // orientation composes with the bilevel path
+    val o = 6
+    val (sw, sh, stored) = graft.sources.JpegImage.exifStore(o, w, h, bw)
+    val rot = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+      sw, sh, stored, photometric = 0, compression = 4, bits = 1,
+      orientation = o))))
+    assert(rot.width == w && rot.height == h && rot.pixels.toSeq == bw.toSeq)
+  }
+
+  test("CCITT strict gates reject by name") {
+    import graft.sources.CcittCodec
+    val (w, h) = (16, 4)
+    val px = Array.tabulate(w * h)(i => (i % 2).toByte)
+    val g4 = CcittCodec.encode(px, w, h, 4)
+    // truncated stream ends mid-code
+    val exTrunc = intercept[IllegalArgumentException] {
+      CcittCodec.decode(g4, 0, g4.length / 2, w, h, 4)
+    }
+    assert(exTrunc.getMessage.contains("mid-code") ||
+      exTrunc.getMessage.contains("code"))
+    // trailing garbage past the last row
+    val exTrail = intercept[IllegalArgumentException] {
+      CcittCodec.decode(g4 ++ Array[Byte](0x55, 0x55), 0, g4.length + 2,
+        w, h, 4)
+    }
+    assert(exTrail.getMessage.contains("trailing") ||
+      exTrail.getMessage.contains("EOL"))
+    // 2D extension code (0000001 then 000 = extension escape) rejects
+    val ext = Array(0x02.toByte, 0x00.toByte) // 0000001000000000
+    val exExt = intercept[IllegalArgumentException] {
+      CcittCodec.decode(ext, 0, 2, w, 1, 4)
+    }
+    assert(exExt.getMessage.contains("extension"))
+    // container-level gates
+    val good = TiffImage.encodePages(Seq(TiffImage.Page(w, h, Array.fill(
+      w * h)(0xffffff), photometric = 0, compression = 4, bits = 1)))
+    val ccittOn8 = intercept[IllegalArgumentException] {
+      // patch BitsPerSample 1 -> 8 on the CCITT file
+      val b = good.clone(); patchInlineShort(b, 258, 8); TiffImage.parse(b)
+    }
+    assert(ccittOn8.getMessage.contains("CCITT"))
+    val fillOrder2 = intercept[IllegalArgumentException] {
+      val b = TiffImage.encodePages(Seq(TiffImage.Page(w, h, Array.fill(
+        w * h)(0xffffff), photometric = 0, compression = 1, bits = 1)))
+      // FillOrder tag 266 is not written by our encoder; patch
+      // Compression (259) to CCITT and BitsPerSample stays 1 — instead
+      // exercise the T4Options gate: compression 3 + uncompressed bit
+      patchInlineShort(b, 259, 3)
+      TiffImage.parse(b)
+    }
+    // compression 3 without EOL framing in the packed data is a stream
+    // error — any named reject is acceptable here, the point is no
+    // garbage pixels
+    assert(fillOrder2.isInstanceOf[IllegalArgumentException])
+  }
+
+  test("parity: our CCITT encodes decode identically under the JDK TIFF reader") {
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(1821)
+    val (w, h) = (160, 120) // high-entropy, crosses makeup boundaries
+    val bw = Array.fill(w * h)(if (rnd.nextBoolean()) 0xffffff else 0)
+    for ((comp, twoD) <- Seq((2, false), (3, false), (3, true), (4, false))) {
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(w, h, bw,
+        photometric = 0, compression = comp, bits = 1, t4TwoD = twoD)))
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader refused comp=$comp twoD=$twoD")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == bw(y * w + x),
+          s"($x,$y) comp=$comp twoD=$twoD")
+    }
+  }
+
+  test("parity: JDK-written CCITT TIFFs decode identically under our parser") {
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(1822)
+    val (w, h) = (160, 120)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val bw = Array.fill(w * h)(rnd.nextBoolean())
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (bw(y * w + x)) 0xffffff else 0)
+    for (comp <- Seq("CCITT RLE", "CCITT T.4", "CCITT T.6")) {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(comp)
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val t = TiffImage.parse(buf.toByteArray)
+      assert(t.width == w && t.height == h, s"comp=$comp")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((t.pixel(x, y) & 0xffffff) ==
+          (if (bw(y * w + x)) 0xffffff else 0), s"($x,$y) comp=$comp")
+    }
+  }
 }
