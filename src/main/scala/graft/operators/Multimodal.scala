@@ -1574,7 +1574,12 @@ object Multimodal {
       // at 52 (RIFF 12 + fmt 24 + LIST 12 + data header)
       val bytes = (id % 6) match {
         case 0 => good
-        case 1 => val b = good.clone(); b(20) = 2; b // ADPCM tag
+        case 1 => val b = good.clone(); b(20) = 2; b // MS-ADPCM tag
+          // (still a valid gate after round 18 made IMA ADPCM — tag
+          // 0x11, a DIFFERENT codec family — decodable via q173: tag 2
+          // is Microsoft ADPCM and remains a named reject, so no
+          // retarget was needed; the invariant is "sits on a
+          // still-invalid gate", verified this round)
         case 2 => val b = good.clone(); b(34) = 20; b // 20-bit width
         case 3 => java.util.Arrays.copyOf(good, good.length * 2 / 3)
         case 4 => val b = good.clone()
@@ -2693,23 +2698,27 @@ object Multimodal {
       // Deflate and a 16-bit-sample axis) needs no oracle change
       val deep = id % 5 == 0 && m != 2 // 16-bit (palette stays 8-bit)
       val bits = if (deep) 16 else 8
+      // round-18 axis: a slice of the RGB class stores as CMYK
+      // (photometric 5, K=0 exact) — same canonical face, zero oracle
+      // edits (the layout-independent-oracle design win, 3rd use)
+      val pm2 = if (m == 1 && !deep && id % 7 == 3) 5 else pm
       val bytes = (id % 6) match {
-        case 0 => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 0 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           rowsPerStrip = 3, bits = bits)
-        case 1 => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 1 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           lzw = true, rowsPerStrip = 4, bits = bits)
-        case 2 => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 2 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           lzw = true, predictor = 2, tileSize = 16, bits = bits)
-        case 3 => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 3 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           lzw = true, predictor = 2, rowsPerStrip = 2, bits = bits)
-        case 4 => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case 4 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           compression = 32773, rowsPerStrip = 5, bits = bits)
-        case _ => TiffImage.encode(sw, sh, stored, photometric = pm,
+        case _ => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           compression = 8, predictor = 2, tileSize = 16, bits = bits)
       }
@@ -3272,6 +3281,68 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+
+  /** q173 — IMA ADPCM WAV decode (round 18): the last common
+    * real-corpus WAV compression family after G.711, through the
+    * strict container walk. javax.sound has NO ADPCM codec, so the
+    * general path is graded by WavAudioSpec's fixture ladder
+    * (hand-derived step-table fixtures, encoder-mirror round-trips,
+    * mutation fuzz) and THIS query grades the engineered exact
+    * aperture (the q150/JPEG-DC move): per-block CONSTANT samples
+    * with initial step index 0 are DRIFT-FREE — step 7 >> 3 == 0, so
+    * nibble 0 reconstructs +0 and the index can never rise — which
+    * makes the full pipeline (fmt extension fields, block headers,
+    * nibble order, per-block predictor reset) bit-exact and
+    * DuckDB-replayable from doc_id alone. Block boundaries are real:
+    * each block carries a DIFFERENT constant, so a header-offset or
+    * predictor-reset defect shifts sum_v/sum_abs.
+    *
+    * Scale shape: task-local synth+encode+decode per row; one stat
+    * tuple per doc moves. */
+  def q173AdpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decode = udf { (id: Long) =>
+      import graft.sources.WavAudio
+      val spb = (9 + 8 * (id % 4)).toInt
+      val nBlocks = (1 + id % 3).toInt
+      val samples = Array.tabulate(nBlocks * spb) { i =>
+        val b = i / spb
+        (((id * 31 + b * 47) % 65536) - 32768).toInt
+      }
+      val (bytes, recon) =
+        WavAudio.encodeImaAdpcmMono((8000 + id % 1000).toInt, samples, spb)
+      require(java.util.Arrays.equals(recon, samples),
+        "constant blocks must encode drift-free")
+      val w = WavAudio.parse(bytes)
+      require(w.format == 17 && w.nFrames == samples.length, "adpcm shape")
+      var sumAbs = 0L; var sumV = 0L; var peak = 0L
+      w.samples.foreach { v =>
+        sumAbs += math.abs(v); sumV += v
+        peak = math.max(peak, math.abs(v))
+      }
+      (w.nFrames.toLong, sumAbs, sumV, peak)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), decode($"doc_id").as("t"))
+      .select($"media_id", $"t._1".as("n_frames"), $"t._2".as("sum_abs"),
+        $"t._3".as("sum_v"), $"t._4".as("peak_abs"))
+      .orderBy($"media_id")
+  }
+
+  val q173Oracle: String =
+    """WITH d AS (SELECT doc_id, 9 + 8 * (doc_id % 4) AS spb,
+      |                  1 + doc_id % 3 AS nb FROM documents),
+      |blk AS (SELECT d.doc_id, d.spb, b,
+      |          (d.doc_id * 31 + b * 47) % 65536 - 32768 AS c
+      |        FROM d, LATERAL (SELECT unnest(generate_series(0, d.nb - 1))
+      |                         AS b) g)
+      |SELECT doc_id AS media_id,
+      |       CAST(sum(spb) AS BIGINT) AS n_frames,
+      |       CAST(sum(spb * abs(c)) AS BIGINT) AS sum_abs,
+      |       CAST(sum(spb * c) AS BIGINT) AS sum_v,
+      |       CAST(max(abs(c)) AS BIGINT) AS peak_abs
+      |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3308,7 +3379,8 @@ object Multimodal {
     "q169_g711_decode" -> q169G711Decode _,
     "q170_tiff_multipage" -> q170TiffMultiPage _,
     "q171_scanned_doc_neardup" -> q171ScannedDocNearDup _,
-    "q172_ccitt_decode" -> q172CcittDecode _)
+    "q172_ccitt_decode" -> q172CcittDecode _,
+    "q173_adpcm_decode" -> q173AdpcmDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3353,5 +3425,6 @@ object Multimodal {
     "q169_g711_decode" -> q169Oracle,
     "q170_tiff_multipage" -> q170Oracle,
     "q171_scanned_doc_neardup" -> q171Oracle,
-    "q172_ccitt_decode" -> q172Oracle)
+    "q172_ccitt_decode" -> q172Oracle,
+    "q173_adpcm_decode" -> q173Oracle)
 }

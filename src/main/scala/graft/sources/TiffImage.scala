@@ -217,10 +217,18 @@ object TiffImage {
     require(compression != 4 || one(293, default = 0) == 0,
       "T6Options extensions unsupported")
     val photometric = one(262).toInt
-    require(photometric >= 0 && photometric <= 3,
-      s"photometric $photometric unsupported (only 0/1/2/3)")
+    require(photometric >= 0 && photometric <= 3 || photometric == 5,
+      s"photometric $photometric unsupported (only 0/1/2/3/5)")
     require(!oneBit || photometric <= 1,
       s"1-bit photometric $photometric unsupported (only 0/1)")
+    // CMYK (photometric 5, "separated"): 8-bit, InkSet 1 only — the
+    // real scanned-press layout; the face conversion is the public
+    // multiplicative convention R = (255-C)(255-K)/255 (libtiff
+    // tif_getimage), exactly invertible at K = 0
+    require(photometric != 5 || bits(0) == 8,
+      s"CMYK with ${bits(0)}-bit samples unsupported (only 8)")
+    require(photometric != 5 || one(332, default = 1) == 1,
+      "InkSet 2 (non-CMYK separations) unsupported")
     require(one(284, default = 1) == 1,
       "planar configuration 2 (separate planes) unsupported")
     val predictor = one(317, default = 1).toInt
@@ -228,7 +236,8 @@ object TiffImage {
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
     require(!oneBit || predictor == 1,
       "predictor 2 on 1-bit samples unsupported")
-    val expectedSpp = if (photometric == 2) 3 else 1
+    val expectedSpp =
+      if (photometric == 2) 3 else if (photometric == 5) 4 else 1
     require(spp == expectedSpp,
       s"SamplesPerPixel $spp does not match photometric $photometric " +
         s"(need $expectedSpp)")
@@ -409,6 +418,11 @@ object TiffImage {
         case 1 => val v = to8(samp(k, 0)); (v << 16) | (v << 8) | v
         case 2 => (to8(samp(k, 0)) << 16) | (to8(samp(k, 1)) << 8) |
           to8(samp(k, 2))
+        case 5 =>
+          val kk = 255 - samp(k, 3)
+          ((((255 - samp(k, 0)) * kk) / 255) << 16) |
+            ((((255 - samp(k, 1)) * kk) / 255) << 8) |
+            (((255 - samp(k, 2)) * kk) / 255)
         case _ => colorMap(samp(k, 0))
       }
       k += 1
@@ -788,7 +802,9 @@ object TiffImage {
     val ccitt = comp == 2 || comp == 3 || comp == 4
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 ||
       (ccitt && bits == 1), s"compression $comp")
-    require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
+    require(photometric >= 0 && photometric <= 3 || photometric == 5,
+      s"photometric $photometric")
+    require(photometric != 5 || bits == 8, "CMYK pages are 8-bit")
     require(bits == 8 || bits == 16 || bits == 1, s"bits $bits")
     require(bits == 8 || photometric != 3, "palette is 8-bit only")
     require(bits != 1 || (photometric <= 1 && predictor == 1 &&
@@ -798,7 +814,8 @@ object TiffImage {
       "predictor 2 requires a byte-oriented compression scheme")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
     require(orientation >= 1 && orientation <= 8, "orientation")
-    val spp = if (photometric == 2) 3 else 1
+    val spp =
+      if (photometric == 2) 3 else if (photometric == 5) 4 else 1
     val bps = bits / 8
     val spb = spp * bps
     // raw sample plane, top-left row-major
@@ -821,6 +838,13 @@ object TiffImage {
           put(3 * k, (pixels(k) >> 16) & 0xff)
           put(3 * k + 1, (pixels(k) >> 8) & 0xff)
           put(3 * k + 2, pixels(k) & 0xff)
+        case 5 =>
+          // K = 0 makes the multiplicative face conversion exactly
+          // invertible; nonzero-K decode is pinned by hand fixture
+          put(4 * k, 255 - ((pixels(k) >> 16) & 0xff))
+          put(4 * k + 1, 255 - ((pixels(k) >> 8) & 0xff))
+          put(4 * k + 2, 255 - (pixels(k) & 0xff))
+          put(4 * k + 3, 0)
         case _ =>
           require(palette != null && pixels(k) >= 0 && pixels(k) < 256 &&
             pixels(k) < palette.length, s"palette index ${pixels(k)}")

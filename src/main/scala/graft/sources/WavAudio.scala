@@ -9,9 +9,15 @@ package graft.sources
   * integer samples — 16-bit signed little-endian, 8-bit unsigned and
   * 24-bit signed (round 16) — plus IEEE-float samples (format tag 3,
   * 32-bit, round 16: the two largest formerly-quarantined real-corpus
-  * classes) and the G.711 companded formats (tags 6 A-law / 7 μ-law,
+  * classes), the G.711 companded formats (tags 6 A-law / 7 μ-law,
   * round 17: closed-form 8-bit integer expansion — the telephony
-  * corpus formats), with strict validation (truncated container, missing
+  * corpus formats) and IMA/DVI ADPCM (tag 0x11, round 18: the last
+  * common real-corpus WAV compression family — block-structured
+  * 4-bit differential coding over the public IMA step tables; no
+  * javax.sound codec exists for it, so correctness rides the fixture
+  * ladder: hand-derived table fixtures, encoder-mirror round-trips,
+  * a drift-free constant-block aperture for the DuckDB oracle, and
+  * mutation fuzz), with strict validation (truncated container, missing
   * chunks, unsupported format tags and widths, non-finite float
   * samples all throw with the offending field named, never return
   * garbage samples).
@@ -68,6 +74,8 @@ object WavAudio {
     val end = (8 + riffSize).toInt
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var blockAlign = 0
+    var samplesPerBlock = -1 // IMA ADPCM extension field (cbSize >= 2)
     var data: Option[(Int, Int)] = None // (offset, size)
     while (off + 8 <= end) {
       val id = tag(bytes, off)
@@ -85,6 +93,8 @@ object WavAudio {
           require(size >= 16, s"fmt chunk too small: $size")
           fmt = Some((u16(bytes, off + 8), u16(bytes, off + 10),
             u32(bytes, off + 12).toInt, u16(bytes, off + 22)))
+          blockAlign = u16(bytes, off + 20)
+          if (size >= 20) samplesPerBlock = u16(bytes, off + 26)
         case "data" =>
           require(data.isEmpty, "duplicate data chunk")
           data = Some((off + 8, size.toInt))
@@ -96,9 +106,10 @@ object WavAudio {
       throw new IllegalArgumentException("missing fmt chunk"))
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("missing data chunk"))
-    require(format == 1 || format == 3 || format == 6 || format == 7,
+    require(format == 1 || format == 3 || format == 6 || format == 7 ||
+      format == 17,
       s"unsupported format tag $format " +
-        "(only 1=PCM, 3=IEEE float, 6=A-law, 7=mu-law)")
+        "(only 1=PCM, 3=IEEE float, 6=A-law, 7=mu-law, 17=IMA ADPCM)")
     require(ch >= 1, s"bad channel count $ch")
     require(rate > 0, s"bad sample rate $rate")
     // data size must be FRAME-aligned (bits/8 × channels), not merely
@@ -153,6 +164,22 @@ object WavAudio {
       case (6 | 7, w) =>
         throw new IllegalArgumentException(
           s"G.711 format (tag $format) with bit width $w (must be 8)")
+      case (17, 4) =>
+        require(ch <= 2, s"IMA ADPCM with $ch channels (only mono/stereo)")
+        require(blockAlign >= 4 * ch + 4 * ch &&
+          blockAlign % (4 * ch) == 0,
+          s"IMA ADPCM block align $blockAlign invalid for $ch channel(s)")
+        val spbWant = (blockAlign / ch - 4) * 2 + 1
+        require(samplesPerBlock == spbWant,
+          s"IMA ADPCM declares $samplesPerBlock samples/block, " +
+            s"block align $blockAlign implies $spbWant")
+        require(dSize % blockAlign == 0,
+          s"data chunk size $dSize not a multiple of block align " +
+            s"$blockAlign (truncated final ADPCM block)")
+        imaDecodeBlocks(bytes, dOff, dSize, ch, blockAlign)
+      case (17, w) =>
+        throw new IllegalArgumentException(
+          s"IMA ADPCM format (tag 17) with bit width $w (must be 4)")
       case (_, w) =>
         throw new IllegalArgumentException(s"unsupported bit width $w")
     }
@@ -216,6 +243,172 @@ object WavAudio {
         (sg, (t - 256) >> 4)
       }
     (sign | (seg << 4) | m) ^ 0x55
+  }
+
+
+  // ------------------------------------------------ IMA/DVI ADPCM
+
+  /** IMA ADPCM step-size table (89 entries) — the public DVI/IMA
+    * table; indexed by the clamped step index. */
+  private[graft] val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment per nibble (sign bit ignored by the table). */
+  private[graft] val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA decode step: (predictor, index, nibble) → (sample,
+    * index'). The reconstruction uses the shift form (step>>3 +
+    * bit-gated step, step>>1, step>>2) — the exact arithmetic the
+    * encoder mirrors, pinned by hand fixtures in WavAudioSpec. */
+  private[graft] def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val s = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val clamped = math.max(-32768, math.min(32767, s))
+    val idx = math.max(0, math.min(88, index + imaIndexTable(nibble)))
+    (clamped, idx)
+  }
+
+  /** Decode the data chunk's IMA blocks to interleaved PCM16. Each
+    * block: one 4-byte header PER CHANNEL (int16 predictor, uint8 step
+    * index, zero pad — all validated), then nibble data in 4-byte
+    * per-channel groups (stereo interleaves groups); low nibble first
+    * within a byte. The header sample is the block's first output
+    * frame (predictor state resets per block — a corrupt block cannot
+    * poison its successors). */
+  private def imaDecodeBlocks(bytes: Array[Byte], dOff: Int, dSize: Int,
+      ch: Int, blockAlign: Int): Array[Int] = {
+    val spb = (blockAlign / ch - 4) * 2 + 1
+    val nBlocks = dSize / blockAlign
+    val out = new Array[Int](nBlocks * spb * ch)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dOff + b * blockAlign
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var c = 0
+      while (c < ch) {
+        val o = base + 4 * c
+        pred(c) = ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8))
+          .toShort.toInt
+        idx(c) = bytes(o + 2) & 0xff
+        require(idx(c) <= 88,
+          s"IMA ADPCM block $b channel $c step index ${idx(c)} > 88")
+        require(bytes(o + 3) == 0,
+          s"IMA ADPCM block $b channel $c header pad byte nonzero")
+        out((b * spb) * ch + c) = pred(c)
+        c += 1
+      }
+      // nibble area: groups of 4 bytes per channel, channels rotating
+      val dataBytes = blockAlign - 4 * ch
+      val groups = dataBytes / (4 * ch)
+      var g = 0
+      var emitted = 1 // frames emitted so far in this block
+      while (g < groups) {
+        var c2 = 0
+        while (c2 < ch) {
+          val go = base + 4 * ch + g * 4 * ch + 4 * c2
+          var k = 0
+          while (k < 8) {
+            val byt = bytes(go + (k >> 1)) & 0xff
+            val nib = if ((k & 1) == 0) byt & 0x0f else byt >> 4
+            val (s, ni) = imaStep(pred(c2), idx(c2), nib)
+            pred(c2) = s; idx(c2) = ni
+            val frame = emitted + k
+            out((b * spb + frame) * ch + c2) = s
+            k += 1
+          }
+          c2 += 1
+        }
+        emitted += 8
+        g += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Encode mono PCM16 as IMA ADPCM (tag 0x11) — the writer half.
+    * `samplesPerBlock` must be 8k+1 (block align 4+4k). Each block
+    * header carries the block's FIRST SAMPLE as predictor and the
+    * running step index; remaining samples quantize through the
+    * encoder mirror of [[imaStep]]. Returns the container bytes AND
+    * the exact reconstruction the decoder must reproduce (ADPCM is
+    * lossy; the mirror property decode(encode(x)) == reconstruction is
+    * what the spec pins, plus a per-sample step-bounded error).
+    * Input length must fill whole blocks. */
+  def encodeImaAdpcmMono(sampleRate: Int, samples: Array[Int],
+      samplesPerBlock: Int): (Array[Byte], Array[Int]) = {
+    require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+      s"samples/block $samplesPerBlock (need 8k+1)")
+    require(samples.nonEmpty && samples.length % samplesPerBlock == 0,
+      s"sample count ${samples.length} not whole blocks of $samplesPerBlock")
+    samples.foreach(s => require(s >= Short.MinValue && s <= Short.MaxValue,
+      s"sample $s"))
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks = samples.length / samplesPerBlock
+    val data = new Array[Byte](nBlocks * blockAlign)
+    val recon = new Array[Int](samples.length)
+    var index = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      var pred = samples(b * samplesPerBlock)
+      data(base) = (pred & 0xff).toByte
+      data(base + 1) = ((pred >> 8) & 0xff).toByte
+      data(base + 2) = index.toByte
+      data(base + 3) = 0
+      recon(b * samplesPerBlock) = pred
+      var k = 1
+      while (k < samplesPerBlock) {
+        val target = samples(b * samplesPerBlock + k)
+        val step = imaStepTable(index)
+        var diff = target - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        if (diff >= step) { nib |= 4; diff -= step }
+        if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { nib |= 1 }
+        val (s, ni) = imaStep(pred, index, nib)
+        pred = s; index = ni
+        recon(b * samplesPerBlock + k) = s
+        val o = base + 4 + (k - 1) / 2
+        if ((k - 1) % 2 == 0) data(o) = (nib & 0x0f).toByte
+        else data(o) = (data(o) | (nib << 4)).toByte
+        k += 1
+      }
+      b += 1
+    }
+    val dataSize = data.length
+    val nFrames = samples.length
+    val riffSize = 4 + (8 + 20) + (8 + 4) + (8 + dataSize) + (dataSize & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nFrames)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    out.put(data)
+    if ((dataSize & 1) == 1) out.put(0.toByte)
+    (out.array(), recon)
   }
 
   /** Encode mono PCM16 — the writer half (test vectors, fixture

@@ -796,6 +796,26 @@ object CodecFuzz {
         require(wv.samples.toSeq == samples.toSeq, "samples")
       }
     }
+    for (i <- 0 until 20) {
+      // IMA ADPCM: encoder-mirror round-trip (decode must reproduce
+      // the encoder's reconstruction exactly) + byte mutations through
+      // the strict block walk — reject by name or stay sound
+      val spb = Seq(9, 17, 25, 33)(rnd.nextInt(4))
+      val n = spb * (1 + rnd.nextInt(5))
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val (bytes, recon) =
+        WavAudio.encodeImaAdpcmMono(8000 + rnd.nextInt(40000), samples, spb)
+      check(s"adpcm_roundtrip_$i") {
+        val wv = WavAudio.parse(bytes)
+        require(wv.format == 17 && wv.channels == 1, "header")
+        require(wv.samples.toSeq == recon.toSeq, "mirror reconstruction")
+      }
+      val bad = mutate(bytes)
+      mutationCase(s"adpcm_mutation_$i", () => WavAudio.parse(bad)) { wv =>
+        wv.sampleRate > 0 && wv.channels >= 1 &&
+          wv.samples.length % wv.channels == 0
+      }
+    }
     for (i <- 0 until 25) {
       // 24-bit PCM round-trip (round 16): sign extension + the odd
       // data-size word-alignment pad

@@ -686,4 +686,92 @@ class TiffImageSpec extends AnyFunSuite {
           (if (bw(y * w + x)) 0xffffff else 0), s"($x,$y) comp=$comp")
     }
   }
+
+  // ------------------------------------------------- CMYK (round 18)
+
+  test("CMYK: nonzero-K hand fixture through the multiplicative face") {
+    // hand-built 2x1 uncompressed CMYK (photometric 5): pixel 0 =
+    // (C 55, M 105, Y 155, K 51): R = 200*204/255 = 160,
+    // G = 150*204/255 = 120, B = 100*204/255 = 80; pixel 1 = no ink
+    val bytes = TiffImage.encode(2, 1, Array(0xffffff, 0xffffff),
+      photometric = 5)
+    // patch sample bytes in place (uncompressed data starts at 8):
+    // C M Y K | C M Y K
+    val b = bytes.clone()
+    b(8) = 55; b(9) = 105; b(10) = (155 & 0xff).toByte; b(11) = 51
+    val t = TiffImage.parse(b)
+    assert(t.photometric == 5)
+    assert(t.pixels(0) == ((160 << 16) | (120 << 8) | 80))
+    assert(t.pixels(1) == 0xffffff)
+  }
+
+  test("CMYK: round-trip matrix (K=0 exact) and strict gates") {
+    val rnd = new scala.util.Random(1841)
+    val (w, h) = (21, 9)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    for {
+      big <- Seq(false, true)
+      comp <- Seq(1, 5, 8, 32773)
+      tile <- Seq(0, 16)
+      pred <- if (comp == 5) Seq(1, 2) else Seq(1)
+    } {
+      val bytes = TiffImage.encode(w, h, px, photometric = 5,
+        bigEndian = big, compression = comp, rowsPerStrip = 4,
+        tileSize = tile, predictor = pred)
+      val t = TiffImage.parse(bytes)
+      assert(t.width == w && t.height == h)
+      assert(t.pixels.toSeq == px.toSeq,
+        s"big=$big comp=$comp tile=$tile pred=$pred")
+    }
+    // orientation composes
+    val o = 7
+    val (sw, sh, stored) = graft.sources.JpegImage.exifStore(o, w, h, px)
+    val rot = TiffImage.parse(TiffImage.encode(sw, sh, stored,
+      photometric = 5, orientation = o, lzw = true))
+    assert(rot.width == w && rot.height == h && rot.pixels.toSeq == px.toSeq)
+    // 16-bit CMYK and InkSet 2 are named rejects
+    val good = TiffImage.encode(2, 1, Array(0, 0), photometric = 5)
+    val e16 = intercept[IllegalArgumentException] {
+      TiffImage.encode(2, 1, Array(0, 0), photometric = 5, bits = 16)
+    }
+    assert(e16.getMessage.contains("8-bit"))
+    val eSpp = intercept[IllegalArgumentException] {
+      val bb = good.clone(); patchInlineShort(bb, 277, 3); TiffImage.parse(bb)
+    }
+    assert(eSpp.getMessage.contains("SamplesPerPixel") ||
+      eSpp.getMessage.contains("BitsPerSample"))
+  }
+
+  test("parity: our CMYK encodes carry raw samples the JDK raster reproduces") {
+    // the JDK color-manages CMYK getRGB through a generic ColorSpace
+    // (not the naive multiplicative face), but its RASTER preserves the
+    // file's raw C/M/Y/K samples — so parity grades the container walk
+    // (strips/tiles, LZW + predictor over spp=4, byte orders) on the
+    // sample plane, the GRAYSCALE-lane lesson applied to separations
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(1842)
+    val (w, h) = (40, 17)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    for {
+      big <- Seq(false, true)
+      comp <- Seq(1, 5, 32773)
+    } {
+      val bytes = TiffImage.encode(w, h, px, photometric = 5,
+        bigEndian = big, compression = comp, rowsPerStrip = 5,
+        predictor = if (comp == 5) 2 else 1)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader refused big=$big comp=$comp")
+      val r = img.getRaster
+      assert(r.getNumBands == 4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x)
+        assert(r.getSample(x, y, 0) == 255 - ((p >> 16) & 0xff),
+          s"C ($x,$y) big=$big comp=$comp")
+        assert(r.getSample(x, y, 1) == 255 - ((p >> 8) & 0xff),
+          s"M ($x,$y)")
+        assert(r.getSample(x, y, 2) == 255 - (p & 0xff), s"Y ($x,$y)")
+        assert(r.getSample(x, y, 3) == 0, s"K ($x,$y)")
+      }
+    }
+  }
 }

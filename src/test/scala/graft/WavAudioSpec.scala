@@ -312,4 +312,119 @@ class WavAudioSpec extends AnyFunSuite {
       ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt)
     assert(ours.samples.toSeq == theirs.toSeq)
   }
+
+  // ------------------------------------------------ IMA ADPCM (r18)
+
+  /** Hand-assemble a mono IMA ADPCM container independent of the
+    * encoder (the fixture-ladder rule: the decoder's oracle must not
+    * share code with the writer under test). */
+  private def imaContainer(spb: Int, blocks: Array[Byte]): Array[Byte] = {
+    val blockAlign = 4 + (spb - 1) / 2
+    val riffSize = 4 + (8 + 20) + (8 + blocks.length) + (blocks.length & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(8000)
+      .putInt(8000 * blockAlign / spb).putShort(blockAlign.toShort)
+      .putShort(4).putShort(2).putShort(spb.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(blocks.length)
+    out.put(blocks)
+    if ((blocks.length & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  test("IMA ADPCM: hand-derived step-table fixture decodes exactly") {
+    // pred=0 idx=0 (step 7); nibbles 2,12,7,0,1,8,15,4 walked by hand
+    // through the public IMA tables:
+    //  nib 2 : diff 0+3        -> s   3, idx 0-1 -> 0  (step 7)
+    //  nib 12: diff 0+7, sign  -> s  -4, idx 0+2 -> 2  (step 9)
+    //  nib 7 : diff 1+9+4+2=16 -> s  12, idx 2+8 -> 10 (step 19)
+    //  nib 0 : diff 19>>3=2    -> s  14, idx 10-1-> 9  (step 17)
+    //  nib 1 : diff 2+4=6      -> s  20, idx 9-1 -> 8  (step 16)
+    //  nib 8 : diff 2, sign    -> s  18, idx 8-1 -> 7  (step 14)
+    //  nib 15: diff 1+14+7+3=25, sign -> s -7, idx 7+8 -> 15 (step 31)
+    //  nib 4 : diff 3+31=34    -> s  27, idx 15+2 -> 17
+    val block = Array[Byte](0, 0, 0, 0,
+      0xC2.toByte, 0x07, 0x81.toByte, 0x4F)
+    val w = WavAudio.parse(imaContainer(9, block))
+    assert(w.format == 17 && w.channels == 1 && w.nFrames == 9)
+    assert(w.samples.toSeq == Seq(0, 3, -4, 12, 14, 20, 18, -7, 27))
+  }
+
+  test("IMA ADPCM: stereo blocks interleave 4-byte groups per channel") {
+    // same nibble stream on both channels but different header
+    // predictors: decoded channels must be the mono fixture shifted
+    val hdr0 = Array[Byte](100, 0, 0, 0)
+    val hdr1 = Array[Byte](-100.toByte, 0xFF.toByte, 0, 0) // int16 -100
+    val nibs = Array[Byte](0xC2.toByte, 0x07, 0x81.toByte, 0x4F)
+    val block = hdr0 ++ hdr1 ++ nibs ++ nibs
+    val blockAlign = 16
+    val riffSize = 4 + (8 + 20) + (8 + block.length)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(2).putInt(8000)
+      .putInt(8000 * blockAlign / 9).putShort(blockAlign.toShort)
+      .putShort(4).putShort(2).putShort(9)
+    out.put("data".getBytes("US-ASCII")).putInt(block.length)
+    out.put(block)
+    val w = WavAudio.parse(out.array())
+    assert(w.channels == 2 && w.nFrames == 9)
+    val mono = Seq(0, 3, -4, 12, 14, 20, 18, -7, 27)
+    val ch0 = (0 until 9).map(i => w.samples(2 * i))
+    val ch1 = (0 until 9).map(i => w.samples(2 * i + 1))
+    assert(ch0 == mono.map(_ + 100))
+    assert(ch1 == mono.map(_ - 100))
+  }
+
+  test("IMA ADPCM: encoder-mirror round-trip and constant-block aperture") {
+    val rnd = new scala.util.Random(1831)
+    for (spb <- Seq(9, 17, 33); trial <- 0 until 5) {
+      val n = spb * (1 + rnd.nextInt(4))
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val (bytes, recon) = WavAudio.encodeImaAdpcmMono(8000, samples, spb)
+      val w = WavAudio.parse(bytes)
+      // the mirror property: the decoder reproduces the encoder's
+      // internal reconstruction EXACTLY (this is what makes a lossy
+      // codec testable without an external oracle)
+      assert(w.samples.toSeq == recon.toSeq, s"spb=$spb trial=$trial")
+      // block-leading samples are carried verbatim in the headers
+      for (b <- 0 until n / spb)
+        assert(recon(b * spb) == samples(b * spb))
+    }
+    // the q173 aperture: constant blocks at initial index 0 are
+    // drift-free because step 7 >> 3 == 0 and index can never rise
+    val const = Array.fill(3 * 17)(-12345)
+    val (bytes, recon) = WavAudio.encodeImaAdpcmMono(8000, const, 17)
+    assert(recon.toSeq == const.toSeq)
+    assert(WavAudio.parse(bytes).samples.toSeq == const.toSeq)
+  }
+
+  test("IMA ADPCM: strict gates reject by name") {
+    val good = WavAudio.encodeImaAdpcmMono(8000,
+      Array.fill(9)(5), 9)._1
+    // step index > 88 in a block header
+    val badIdx = good.clone()
+    // data chunk starts after RIFF(12) + fmt(28) + fact(12) + hdr(8)
+    val dOff = 12 + 28 + 12 + 8
+    badIdx(dOff + 2) = 89.toByte
+    val e1 = intercept[IllegalArgumentException](WavAudio.parse(badIdx))
+    assert(e1.getMessage.contains("step index"))
+    // nonzero header pad byte
+    val badPad = good.clone(); badPad(dOff + 3) = 1
+    val e2 = intercept[IllegalArgumentException](WavAudio.parse(badPad))
+    assert(e2.getMessage.contains("pad byte"))
+    // a 20-bit ADPCM width claim
+    val badBits = good.clone(); badBits(34) = 20
+    val e3 = intercept[IllegalArgumentException](WavAudio.parse(badBits))
+    assert(e3.getMessage.contains("bit width"))
+    // samples/block contradicting block align
+    val badSpb = good.clone(); badSpb(38) = 11
+    val e4 = intercept[IllegalArgumentException](WavAudio.parse(badSpb))
+    assert(e4.getMessage.contains("samples/block"))
+  }
 }
