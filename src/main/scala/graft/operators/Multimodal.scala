@@ -3222,8 +3222,14 @@ object Multimodal {
     *
     * Scale shape: task-local synth+encode+dispatch per row; only the
     * ≤72-byte stat tuple moves. */
-  def q172CcittDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q172CcittDecode(s: SparkSession, dir: String): DataFrame =
+    ccittStatsOf(Tables.documents(s, dir))
+
+  /** The q172 synth→encode→dispatch→faceStats kernel as a frame core
+    * ((doc_id) → stats), shared with the scale probe so the probe
+    * measures the pipeline the oracle grades (the tiffStatsOf
+    * pattern). */
+  private[graft] def ccittStatsOf(docs: DataFrame): DataFrame = {
     val synthDecode = udf { (id: Long) =>
       import graft.sources.{JpegImage, MediaCodec, TiffImage}
       val w = (8 + id % 17).toInt; val h = (6 + id % 11).toInt
@@ -3237,7 +3243,10 @@ object Multimodal {
       val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
         photometric = ((id / 7) % 2).toInt, compression = comp,
         rowsPerStrip = (1 + (id / 3) % 4).toInt, bits = 1,
-        t4TwoD = (id / 5) % 2 == 0, orientation = o)),
+        t4TwoD = (id / 5) % 2 == 0, orientation = o,
+        // the fax byte layout rotates in too (round 18: FillOrder 2 —
+        // LSB-first bits; only the CCITT/uncompressed arms carry it)
+        fillOrder2 = (comp <= 4) && (id / 11) % 2 == 0)),
         bigEndian = (id / 2) % 2 == 0)
       val dec = MediaCodec.decodeImage(bytes)
       require(dec.container == "tiff", s"sniffed ${dec.container}")
@@ -3249,14 +3258,15 @@ object Multimodal {
       }
       faceStats(dec.width, dec.height, dec.pixels)
     }
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
-      .select($"media_id",
-        $"st._1".as("width"), $"st._2".as("height"),
-        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
-        $"st._5".as("wsum"), $"st._6".as("first_px"),
-        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
-      .orderBy($"media_id")
+    docs
+      .select(col("doc_id").as("media_id"),
+        synthDecode(col("doc_id")).as("st"))
+      .select(col("media_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_pixels"), col("st._4").as("sum_rgb"),
+        col("st._5").as("wsum"), col("st._6").as("first_px"),
+        col("st._7").as("peak_lum"), col("st._8").as("sum_alpha"))
+      .orderBy(col("media_id"))
   }
 
   val q172Oracle: String =

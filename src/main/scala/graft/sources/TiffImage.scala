@@ -206,8 +206,17 @@ object TiffImage {
     require(!ccitt || oneBit,
       s"CCITT compression $compression requires 1-bit samples " +
         s"(BitsPerSample ${bits(0)})")
-    require(one(266, default = 1) == 1,
-      "FillOrder 2 (LSB-first bits) unsupported")
+    // FillOrder 2 (LSB-first bits within a byte) — the common layout
+    // of real fax TIFFs (TIFF 6.0 §4 allows it; spec recommends it
+    // only with CCITT data). In scope for 1-bit pages: the segment
+    // bytes are bit-reversed before decode. On deeper samples the tag
+    // is meaningless noise and stays a named reject.
+    val fillOrder = one(266, default = 1).toInt
+    require(fillOrder == 1 || (fillOrder == 2 && oneBit &&
+      (ccitt || compression == 1)),
+      s"FillOrder 2 (LSB-first bits) only supported on 1-bit " +
+        s"CCITT/uncompressed pages (compression $compression, " +
+        s"BitsPerSample ${bits(0)})")
     // T.4/T.6 option tags: 2D T.4 and fill bits are in scope, the
     // uncompressed-mode escape (bit 1) and every T.6 extension are not
     val t4opts = one(292, default = 0).toInt
@@ -317,13 +326,33 @@ object TiffImage {
         s"segment at $off+$len overruns file (${bytes.length} bytes)")
       val rowBytes = (width + 7) / 8
       val out = new Array[Byte](rows * width)
+      // FillOrder 2: reverse each segment byte's bit order up front so
+      // the MSB-first readers below apply unchanged
+      def src: Array[Byte] =
+        if (fillOrder == 1) bytes
+        else {
+          val r = new Array[Byte](len.toInt)
+          var i = 0
+          while (i < r.length) {
+            r(i) = reverseBits(bytes(off.toInt + i)); i += 1
+          }
+          r
+        }
+      val srcOff = if (fillOrder == 1) off.toInt else 0
       if (ccitt) {
-        val plane = CcittCodec.decode(bytes, off.toInt, len.toInt,
+        val plane = CcittCodec.decode(src, srcOff, len.toInt,
           width, rows, compression, t4TwoD)
         var i = 0
         while (i < plane.length) { out(i) = (plane(i) * 255).toByte; i += 1 }
       } else {
-        val packed = segment(off, len, rows * rowBytes)
+        val packed =
+          if (fillOrder == 1) segment(off, len, rows * rowBytes)
+          else {
+            require(len == rows * rowBytes,
+              s"uncompressed segment is $len bytes, layout needs " +
+                s"${rows * rowBytes}")
+            src
+          }
         var y = 0
         while (y < rows) {
           var x = 0
@@ -451,6 +480,14 @@ object TiffImage {
       }
       (Tiff(nw, nh, photometric, compression, tiled, out), nextIfd)
     }
+  }
+
+  /** Bit-reverse one byte (FillOrder 2 -> MSB-first). */
+  private[graft] def reverseBits(b: Byte): Byte = {
+    var v = b & 0xff
+    v = ((v & 0x55) << 1) | ((v >> 1) & 0x55)
+    v = ((v & 0x33) << 2) | ((v >> 2) & 0x33)
+    (((v & 0x0f) << 4) | (v >> 4)).toByte
   }
 
   // -------------------------------------------------------- TIFF LZW
@@ -755,7 +792,7 @@ object TiffImage {
       photometric: Int = 2, palette: Array[Int] = null,
       compression: Int = 1, predictor: Int = 1, rowsPerStrip: Int = 0,
       tileSize: Int = 0, orientation: Int = 1, bits: Int = 8,
-      t4TwoD: Boolean = false)
+      t4TwoD: Boolean = false, fillOrder2: Boolean = false)
 
   /** Encode a MULTI-PAGE TIFF (the scanned-document shape): one shared
     * header, each page's segments + out-of-line values + IFD written
@@ -798,8 +835,11 @@ object TiffImage {
   private def writePage(out: java.io.ByteArrayOutputStream, page: Page,
       bigEndian: Boolean): (Long, Int) = {
     val Page(width, height, pixels, photometric, palette, comp,
-      predictor, rowsPerStrip, tileSize, orientation, bits, t4TwoD) = page
+      predictor, rowsPerStrip, tileSize, orientation, bits, t4TwoD,
+      fillOrder2) = page
     val ccitt = comp == 2 || comp == 3 || comp == 4
+    require(!fillOrder2 || (bits == 1 && (ccitt || comp == 1)),
+      "fillOrder2 is a 1-bit CCITT/uncompressed knob")
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 ||
       (ccitt && bits == 1), s"compression $comp")
     require(photometric >= 0 && photometric <= 3 || photometric == 5,
@@ -911,7 +951,9 @@ object TiffImage {
         val rows = math.min(rps, height - s * rps)
         val slice = java.util.Arrays.copyOfRange(plane,
           s * rps * width, (s * rps + rows) * width)
-        segs += (comp match {
+        def rev(seg: Array[Byte]): Array[Byte] =
+          if (!fillOrder2) seg else seg.map(reverseBits)
+        segs += rev(comp match {
           case 2 | 3 | 4 => CcittCodec.encode(slice, width, rows, comp, t4TwoD)
           case _ =>
             val packed = new Array[Byte](rows * rowBytes)
@@ -986,6 +1028,7 @@ object TiffImage {
     add(258, 3, Array.fill(spp)(bits.toLong))
     add(259, 3, Array(comp.toLong))
     add(262, 3, Array(photometric.toLong))
+    if (fillOrder2) add(266, 3, Array(2L))
     if (!tiled) add(273, 4, segOffs.map(_.toLong).toArray)
     if (orientation != 1) add(274, 3, Array(orientation.toLong))
     add(277, 3, Array(spp.toLong))

@@ -768,7 +768,8 @@ object CodecFuzz {
         photometric = rnd.nextInt(2),
         compression = Seq(2, 3, 4)(rnd.nextInt(3)),
         rowsPerStrip = 1 + rnd.nextInt(h + 1), bits = 1,
-        t4TwoD = rnd.nextBoolean(), orientation = o)),
+        t4TwoD = rnd.nextBoolean(), orientation = o,
+        fillOrder2 = rnd.nextBoolean())),
         bigEndian = rnd.nextBoolean())
       check(s"ccitt_roundtrip_$i") {
         val t = TiffImage.parse(bytes)

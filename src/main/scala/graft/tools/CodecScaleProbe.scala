@@ -35,7 +35,7 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff", "docdup")(lane), s"unknown lane $lane")
+      "tiff", "docdup", "ccitt")(lane), s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,6 +122,13 @@ object CodecScaleProbe {
     def docDupKernel(docs: DataFrame): Long =
       Multimodal.docNearDupOf(docs.select($"doc_id")).count()
 
+    // the CCITT lane measures q172's graded kernel (bilevel synth →
+    // CCITT/packed encode across the 7-compression matrix → dispatch
+    // decode → stats)
+    def ccittKernel(docs: DataFrame): Long =
+      Multimodal.ccittStatsOf(docs.select($"doc_id"))
+        .agg(sum($"sum_rgb")).first().getLong(0)
+
     // the TIFF lane measures q164's graded kernel (synth → oriented
     // TIFF encode across the layout matrix → dispatch decode → stats)
     def tiffKernel(docs: DataFrame): Long =
@@ -140,6 +147,7 @@ object CodecScaleProbe {
         case "oriented" => orientedKernel(docs)
         case "animdup" => animDupKernel(docs)
         case "docdup" => docDupKernel(docs)
+        case "ccitt" => ccittKernel(docs)
         case "tiff" => tiffKernel(docs)
         case _ => phashKernel(docs)
       }
