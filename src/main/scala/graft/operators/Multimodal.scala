@@ -1574,12 +1574,13 @@ object Multimodal {
       // at 52 (RIFF 12 + fmt 24 + LIST 12 + data header)
       val bytes = (id % 6) match {
         case 0 => good
-        case 1 => val b = good.clone(); b(20) = 2; b // MS-ADPCM tag
-          // (still a valid gate after round 18 made IMA ADPCM — tag
-          // 0x11, a DIFFERENT codec family — decodable via q173: tag 2
-          // is Microsoft ADPCM and remains a named reject, so no
-          // retarget was needed; the invariant is "sits on a
-          // still-invalid gate", verified this round)
+        case 1 => val b = good.clone(); b(20) = 0x55; b // MPEG Layer 3
+          // tag (retargeted TWICE in round 18: first IMA — tag 0x11 —
+          // became decodable via q173 while tag 2 MS-ADPCM stayed a
+          // valid gate, then q174 made MS-ADPCM itself decodable, so
+          // the class moved onto 0x55 in the same commit — compressed
+          // bitstream audio stays out of scope; the q144 retarget
+          // invariant, 8th application)
         case 2 => val b = good.clone(); b(34) = 20; b // 20-bit width
         case 3 => java.util.Arrays.copyOf(good, good.length * 2 / 3)
         case 4 => val b = good.clone()
@@ -3353,6 +3354,65 @@ object Multimodal {
       |       CAST(max(abs(c)) AS BIGINT) AS peak_abs
       |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q174 — MICROSOFT ADPCM WAV decode (round 18): the q173 shape for
+    * the OTHER common ADPCM family (tag 2 — predictor-coefficient
+    * blocks instead of IMA's step table; the format q154 quarantined
+    * since round 16). Same engineered exact aperture: per-block
+    * CONSTANT samples encode with all-zero codes under predictor 0
+    * (pred = s1·256/256 = c exactly), so the full pipeline — fmt
+    * coefficient table, 7-byte block headers, high-nibble-first codes,
+    * per-block reset — is bit-exact and DuckDB-replayable; block
+    * boundaries carry different constants so a header-offset defect
+    * shifts the sums. General content is graded by WavAudioSpec's
+    * fixture ladder + fuzz (no javax.sound codec exists — the q173
+    * posture).
+    *
+    * Scale shape: task-local synth+encode+decode per row; one stat
+    * tuple per doc moves. */
+  def q174MsAdpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decode = udf { (id: Long) =>
+      import graft.sources.WavAudio
+      val spb = (8 + 2 * (id % 4)).toInt
+      val nBlocks = (1 + id % 3).toInt
+      val samples = Array.tabulate(nBlocks * spb) { i =>
+        val b = i / spb
+        (((id * 37 + b * 53) % 65536) - 32768).toInt
+      }
+      val (bytes, recon) =
+        WavAudio.encodeMsAdpcmMono((8000 + id % 1000).toInt, samples, spb)
+      require(java.util.Arrays.equals(recon, samples),
+        "constant blocks must encode exactly under predictor 0")
+      val w = WavAudio.parse(bytes)
+      require(w.format == 2 && w.nFrames == samples.length, "ms-adpcm shape")
+      var sumAbs = 0L; var sumV = 0L; var peak = 0L
+      w.samples.foreach { v =>
+        sumAbs += math.abs(v); sumV += v
+        peak = math.max(peak, math.abs(v))
+      }
+      (w.nFrames.toLong, sumAbs, sumV, peak)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), decode($"doc_id").as("t"))
+      .select($"media_id", $"t._1".as("n_frames"), $"t._2".as("sum_abs"),
+        $"t._3".as("sum_v"), $"t._4".as("peak_abs"))
+      .orderBy($"media_id")
+  }
+
+  val q174Oracle: String =
+    """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 4) AS spb,
+      |                  1 + doc_id % 3 AS nb FROM documents),
+      |blk AS (SELECT d.doc_id, d.spb, b,
+      |          (d.doc_id * 37 + b * 53) % 65536 - 32768 AS c
+      |        FROM d, LATERAL (SELECT unnest(generate_series(0, d.nb - 1))
+      |                         AS b) g)
+      |SELECT doc_id AS media_id,
+      |       CAST(sum(spb) AS BIGINT) AS n_frames,
+      |       CAST(sum(spb * abs(c)) AS BIGINT) AS sum_abs,
+      |       CAST(sum(spb * c) AS BIGINT) AS sum_v,
+      |       CAST(max(abs(c)) AS BIGINT) AS peak_abs
+      |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3390,7 +3450,8 @@ object Multimodal {
     "q170_tiff_multipage" -> q170TiffMultiPage _,
     "q171_scanned_doc_neardup" -> q171ScannedDocNearDup _,
     "q172_ccitt_decode" -> q172CcittDecode _,
-    "q173_adpcm_decode" -> q173AdpcmDecode _)
+    "q173_adpcm_decode" -> q173AdpcmDecode _,
+    "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3436,5 +3497,6 @@ object Multimodal {
     "q170_tiff_multipage" -> q170Oracle,
     "q171_scanned_doc_neardup" -> q171Oracle,
     "q172_ccitt_decode" -> q172Oracle,
-    "q173_adpcm_decode" -> q173Oracle)
+    "q173_adpcm_decode" -> q173Oracle,
+    "q174_ms_adpcm_decode" -> q174Oracle)
 }

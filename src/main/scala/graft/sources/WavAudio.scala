@@ -11,13 +11,15 @@ package graft.sources
   * 32-bit, round 16: the two largest formerly-quarantined real-corpus
   * classes), the G.711 companded formats (tags 6 A-law / 7 μ-law,
   * round 17: closed-form 8-bit integer expansion — the telephony
-  * corpus formats) and IMA/DVI ADPCM (tag 0x11, round 18: the last
-  * common real-corpus WAV compression family — block-structured
-  * 4-bit differential coding over the public IMA step tables; no
-  * javax.sound codec exists for it, so correctness rides the fixture
-  * ladder: hand-derived table fixtures, encoder-mirror round-trips,
-  * a drift-free constant-block aperture for the DuckDB oracle, and
-  * mutation fuzz), with strict validation (truncated container, missing
+  * corpus formats) and BOTH common ADPCM families
+  * (round 18): IMA/DVI (tag 0x11 — block-structured 4-bit coding over
+  * the public IMA step tables) and Microsoft ADPCM (tag 2 —
+  * predictor-coefficient blocks over the fmt chunk's own coefficient
+  * table, high-nibble-first codes). No javax.sound codec exists for
+  * either, so correctness rides the fixture ladder: hand-derived
+  * table fixtures (mono + stereo), encoder-mirror round-trips,
+  * drift-free constant-block apertures for the DuckDB oracles
+  * (q173/q174), and mutation fuzz — with strict validation (truncated container, missing
   * chunks, unsupported format tags and widths, non-finite float
   * samples all throw with the offending field named, never return
   * garbage samples).
@@ -75,7 +77,8 @@ object WavAudio {
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
     var blockAlign = 0
-    var samplesPerBlock = -1 // IMA ADPCM extension field (cbSize >= 2)
+    var samplesPerBlock = -1 // ADPCM extension field (cbSize >= 2)
+    var msCoefs: Seq[(Int, Int)] = Nil // MS-ADPCM predictor pairs
     var data: Option[(Int, Int)] = None // (offset, size)
     while (off + 8 <= end) {
       val id = tag(bytes, off)
@@ -95,6 +98,14 @@ object WavAudio {
             u32(bytes, off + 12).toInt, u16(bytes, off + 22)))
           blockAlign = u16(bytes, off + 20)
           if (size >= 20) samplesPerBlock = u16(bytes, off + 26)
+          if (size >= 22) { // MS-ADPCM extension: wNumCoef + coef pairs
+            val nCoef = u16(bytes, off + 28)
+            if (size >= 22 + 4 * nCoef && nCoef <= 16)
+              msCoefs = (0 until nCoef).map { k =>
+                (u16(bytes, off + 30 + 4 * k).toShort.toInt,
+                  u16(bytes, off + 32 + 4 * k).toShort.toInt)
+              }
+          }
         case "data" =>
           require(data.isEmpty, "duplicate data chunk")
           data = Some((off + 8, size.toInt))
@@ -106,10 +117,11 @@ object WavAudio {
       throw new IllegalArgumentException("missing fmt chunk"))
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("missing data chunk"))
-    require(format == 1 || format == 3 || format == 6 || format == 7 ||
-      format == 17,
+    require(format == 1 || format == 2 || format == 3 || format == 6 ||
+      format == 7 || format == 17,
       s"unsupported format tag $format " +
-        "(only 1=PCM, 3=IEEE float, 6=A-law, 7=mu-law, 17=IMA ADPCM)")
+        "(only 1=PCM, 2=MS ADPCM, 3=IEEE float, 6=A-law, 7=mu-law, " +
+        "17=IMA ADPCM)")
     require(ch >= 1, s"bad channel count $ch")
     require(rate > 0, s"bad sample rate $rate")
     // data size must be FRAME-aligned (bits/8 × channels), not merely
@@ -180,6 +192,23 @@ object WavAudio {
       case (17, w) =>
         throw new IllegalArgumentException(
           s"IMA ADPCM format (tag 17) with bit width $w (must be 4)")
+      case (2, 4) =>
+        require(ch <= 2, s"MS ADPCM with $ch channels (only mono/stereo)")
+        require(msCoefs.nonEmpty,
+          "MS ADPCM fmt chunk missing its coefficient table")
+        require(blockAlign > 7 * ch && (blockAlign - 7 * ch) % ch == 0,
+          s"MS ADPCM block align $blockAlign invalid for $ch channel(s)")
+        val spbWant = (blockAlign - 7 * ch) * 2 / ch + 2
+        require(samplesPerBlock == spbWant,
+          s"MS ADPCM declares $samplesPerBlock samples/block, " +
+            s"block align $blockAlign implies $spbWant")
+        require(dSize % blockAlign == 0,
+          s"data chunk size $dSize not a multiple of block align " +
+            s"$blockAlign (truncated final ADPCM block)")
+        msDecodeBlocks(bytes, dOff, dSize, ch, blockAlign, msCoefs)
+      case (2, w) =>
+        throw new IllegalArgumentException(
+          s"MS ADPCM format (tag 2) with bit width $w (must be 4)")
       case (_, w) =>
         throw new IllegalArgumentException(s"unsupported bit width $w")
     }
@@ -338,6 +367,189 @@ object WavAudio {
       b += 1
     }
     out
+  }
+
+  // ------------------------------------------------ Microsoft ADPCM
+
+  /** The standard MS-ADPCM predictor coefficient pairs (the 7 pairs
+    * every conforming fmt chunk carries first) and the delta
+    * adaptation table — public WAVE_FORMAT_ADPCM constants. */
+  private[graft] val msAdpcmCoefs: Seq[(Int, Int)] =
+    Seq((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+  private[graft] val msAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** One MS-ADPCM decode step: (s1, s2, delta, coefs, 4-bit code) →
+    * (sample, delta'). Predictor arithmetic is C-style truncating
+    * division by 256 (the public reference implementations'); delta
+    * floors at 16. */
+  private[graft] def msStep(s1: Int, s2: Int, delta: Int,
+      c1: Int, c2: Int, code: Int): (Int, Int) = {
+    val signed = (code << 28) >> 28 // sign-extend the 4-bit code
+    val pred = (s1 * c1 + s2 * c2) / 256 + signed * delta
+    val sample = math.max(-32768, math.min(32767, pred))
+    val nd = math.max(16, (msAdaptTable(code & 0x0f) * delta) / 256)
+    (sample, nd)
+  }
+
+  /** Decode the data chunk's MS-ADPCM blocks to interleaved PCM16.
+    * Block header (fields grouped by channel): predictor index byte
+    * per channel (validated against the fmt coefficient table), int16
+    * initial delta, int16 sample1 (the block's SECOND sample), int16
+    * sample2 (the FIRST); then 4-bit codes, HIGH nibble first (the
+    * opposite of IMA), channels alternating per nibble. Per-block
+    * header reset keeps a corrupt block from poisoning successors. */
+  private def msDecodeBlocks(bytes: Array[Byte], dOff: Int, dSize: Int,
+      ch: Int, blockAlign: Int, coefs: Seq[(Int, Int)]): Array[Int] = {
+    val spb = (blockAlign - 7 * ch) * 2 / ch + 2
+    val nBlocks = dSize / blockAlign
+    val out = new Array[Int](nBlocks * spb * ch)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dOff + b * blockAlign
+      val c1 = new Array[Int](ch); val c2 = new Array[Int](ch)
+      val delta = new Array[Int](ch)
+      val s1 = new Array[Int](ch); val s2 = new Array[Int](ch)
+      var c = 0
+      while (c < ch) {
+        val pidx = bytes(base + c) & 0xff
+        require(pidx < coefs.length,
+          s"MS ADPCM block $b channel $c predictor index $pidx " +
+            s"outside the ${coefs.length}-entry coefficient table")
+        c1(c) = coefs(pidx)._1; c2(c) = coefs(pidx)._2
+        delta(c) = ((bytes(base + ch + 2 * c) & 0xff) |
+          ((bytes(base + ch + 2 * c + 1) & 0xff) << 8)).toShort.toInt
+        require(delta(c) > 0,
+          s"MS ADPCM block $b channel $c initial delta ${delta(c)} <= 0")
+        s1(c) = ((bytes(base + 3 * ch + 2 * c) & 0xff) |
+          ((bytes(base + 3 * ch + 2 * c + 1) & 0xff) << 8)).toShort.toInt
+        s2(c) = ((bytes(base + 5 * ch + 2 * c) & 0xff) |
+          ((bytes(base + 5 * ch + 2 * c + 1) & 0xff) << 8)).toShort.toInt
+        out((b * spb) * ch + c) = s2(c) // first output frame
+        out((b * spb + 1) * ch + c) = s1(c) // second
+        c += 1
+      }
+      val dataBytes = blockAlign - 7 * ch
+      var k = 0 // nibble index across the block's data area
+      while (k < dataBytes * 2) {
+        val byt = bytes(base + 7 * ch + (k >> 1)) & 0xff
+        val code = if ((k & 1) == 0) byt >> 4 else byt & 0x0f
+        val cc = k % ch
+        val (sample, nd) = msStep(s1(cc), s2(cc), delta(cc),
+          c1(cc), c2(cc), code)
+        s2(cc) = s1(cc); s1(cc) = sample; delta(cc) = nd
+        val frame = 2 + k / ch
+        out((b * spb + frame) * ch + cc) = sample
+        k += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Encode mono PCM16 as MS ADPCM (tag 2) — the writer half. Each
+    * block tries all 7 standard predictors and keeps the first with
+    * minimal total quantization error (constant blocks therefore
+    * encode EXACTLY: predictor 0 reproduces them with all-zero codes —
+    * the q174 aperture); initial delta is 16. Returns the container
+    * bytes AND the exact reconstruction the decoder must reproduce
+    * (the IMA mirror discipline). `samplesPerBlock` must be even and
+    * ≥ 4; input fills whole blocks. */
+  def encodeMsAdpcmMono(sampleRate: Int, samples: Array[Int],
+      samplesPerBlock: Int): (Array[Byte], Array[Int]) = {
+    require(samplesPerBlock >= 4 && samplesPerBlock % 2 == 0,
+      s"samples/block $samplesPerBlock (need even, >= 4)")
+    require(samples.nonEmpty && samples.length % samplesPerBlock == 0,
+      s"sample count ${samples.length} not whole blocks of $samplesPerBlock")
+    samples.foreach(s => require(s >= Short.MinValue && s <= Short.MaxValue,
+      s"sample $s"))
+    val blockAlign = 7 + (samplesPerBlock - 2) / 2
+    val nBlocks = samples.length / samplesPerBlock
+    val data = new Array[Byte](nBlocks * blockAlign)
+    val recon = new Array[Int](samples.length)
+    def encodeBlock(b: Int, pidx: Int, out: Array[Byte], off: Int,
+        rec: Array[Int]): Long = {
+      val (c1v, c2v) = msAdpcmCoefs(pidx)
+      var s2 = samples(b * samplesPerBlock)
+      var s1 = samples(b * samplesPerBlock + 1)
+      var delta = 16
+      out(off) = pidx.toByte
+      out(off + 1) = (delta & 0xff).toByte
+      out(off + 2) = ((delta >> 8) & 0xff).toByte
+      out(off + 3) = (s1 & 0xff).toByte
+      out(off + 4) = ((s1 >> 8) & 0xff).toByte
+      out(off + 5) = (s2 & 0xff).toByte
+      out(off + 6) = ((s2 >> 8) & 0xff).toByte
+      rec(0) = s2; rec(1) = s1
+      var err = 0L
+      var k = 2
+      while (k < samplesPerBlock) {
+        val target = samples(b * samplesPerBlock + k)
+        val pred = (s1 * c1v + s2 * c2v) / 256
+        val diff = target - pred
+        val bias = if (diff >= 0) delta / 2 else -(delta / 2)
+        val code = math.max(-8, math.min(7, (diff + bias) / delta))
+        val (sample, nd) = msStep(s1, s2, delta, c1v, c2v, code & 0x0f)
+        s2 = s1; s1 = sample; delta = nd
+        rec(k) = sample
+        err += (sample - target).toLong * (sample - target)
+        val o = off + 7 + (k - 2) / 2
+        if ((k - 2) % 2 == 0) out(o) = ((code & 0x0f) << 4).toByte
+        else out(o) = (out(o) | (code & 0x0f)).toByte
+        k += 1
+      }
+      err
+    }
+    var b = 0
+    while (b < nBlocks) {
+      var best = -1
+      var bestErr = Long.MaxValue
+      val bestBlock = new Array[Byte](blockAlign)
+      val bestRec = new Array[Int](samplesPerBlock)
+      var p = 0
+      while (p < msAdpcmCoefs.length) {
+        val trial = new Array[Byte](blockAlign)
+        val rec = new Array[Int](samplesPerBlock)
+        val err = encodeBlock(b, p, trial, 0, rec)
+        if (err < bestErr) {
+          bestErr = err; best = p
+          System.arraycopy(trial, 0, bestBlock, 0, blockAlign)
+          System.arraycopy(rec, 0, bestRec, 0, samplesPerBlock)
+        }
+        p += 1
+      }
+      require(best >= 0, "no predictor")
+      System.arraycopy(bestBlock, 0, data, b * blockAlign, blockAlign)
+      System.arraycopy(bestRec, 0, recon, b * samplesPerBlock,
+        samplesPerBlock)
+      b += 1
+    }
+    val dataSize = data.length
+    val nCoef = msAdpcmCoefs.length
+    val fmtSize = 16 + 2 + 2 + 2 + 4 * nCoef
+    val riffSize = 4 + (8 + fmtSize) + (8 + 4) + (8 + dataSize) +
+      (dataSize & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(fmtSize)
+      .putShort(2).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort((fmtSize - 18).toShort) // cbSize
+      .putShort(samplesPerBlock.toShort)
+      .putShort(nCoef.toShort)
+    msAdpcmCoefs.foreach { case (a, c) =>
+      out.putShort(a.toShort).putShort(c.toShort)
+    }
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    out.put(data)
+    if ((dataSize & 1) == 1) out.put(0.toByte)
+    (out.array(), recon)
   }
 
   /** Encode mono PCM16 as IMA ADPCM (tag 0x11) — the writer half.

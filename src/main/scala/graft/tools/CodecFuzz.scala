@@ -817,6 +817,24 @@ object CodecFuzz {
           wv.samples.length % wv.channels == 0
       }
     }
+    for (i <- 0 until 20) {
+      // MS ADPCM: same mirror + mutation discipline as the IMA family
+      val spb = Seq(4, 8, 14, 22)(rnd.nextInt(4))
+      val n = spb * (1 + rnd.nextInt(5))
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val (bytes, recon) =
+        WavAudio.encodeMsAdpcmMono(8000 + rnd.nextInt(40000), samples, spb)
+      check(s"msadpcm_roundtrip_$i") {
+        val wv = WavAudio.parse(bytes)
+        require(wv.format == 2 && wv.channels == 1, "header")
+        require(wv.samples.toSeq == recon.toSeq, "mirror reconstruction")
+      }
+      val bad = mutate(bytes)
+      mutationCase(s"msadpcm_mutation_$i", () => WavAudio.parse(bad)) { wv =>
+        wv.sampleRate > 0 && wv.channels >= 1 &&
+          wv.samples.length % wv.channels == 0
+      }
+    }
     for (i <- 0 until 25) {
       // 24-bit PCM round-trip (round 16): sign extension + the odd
       // data-size word-alignment pad

@@ -214,14 +214,20 @@ class WavAudioSpec extends AnyFunSuite {
 
   test("format tags beyond the decode family reject by name (ADPCM)") {
     val good = WavAudio.encodePcm16Mono(8000, Array(1, -2, 3, -4))
-    // tags 6/7 became the G.711 decode lane in round 17 — the
-    // formerly-rejected classes RETARGET onto still-invalid gates:
-    // unknown tags stay named rejects, and a G.711 tag claiming a
-    // non-8-bit width is its own gate (this container says 16)
-    for (tag <- Seq(2, 0x55)) {
+    // tags 6/7 became the G.711 decode lane in round 17, tags 2/17
+    // the ADPCM lanes in round 18 — the formerly-rejected classes
+    // RETARGET onto still-invalid gates: unknown tags stay named
+    // rejects, and an in-family tag claiming the wrong width is its
+    // own gate (this container says 16)
+    for (tag <- Seq(0x55, 0x31)) { // MPEG L3, GSM 6.10
       val b = good.clone(); b(20) = tag.toByte
       assert(intercept[IllegalArgumentException](WavAudio.parse(b))
         .getMessage.contains(s"format tag $tag"))
+    }
+    for (tag <- Seq(2, 17)) { // ADPCM on a 16-bit container: width gate
+      val b = good.clone(); b(20) = tag.toByte
+      assert(intercept[IllegalArgumentException](WavAudio.parse(b))
+        .getMessage.contains("must be 4"))
     }
     for (tag <- Seq(6, 7)) {
       val b = good.clone(); b(20) = tag.toByte
@@ -426,5 +432,105 @@ class WavAudioSpec extends AnyFunSuite {
     val badSpb = good.clone(); badSpb(38) = 11
     val e4 = intercept[IllegalArgumentException](WavAudio.parse(badSpb))
     assert(e4.getMessage.contains("samples/block"))
+  }
+
+  // ------------------------------------------------ MS ADPCM (r18)
+
+  /** Hand-assemble a MS-ADPCM container independent of the encoder,
+    * with the standard 7-pair coefficient table in the fmt chunk. */
+  private def msContainer(ch: Int, blockAlign: Int, spb: Int,
+      blocks: Array[Byte]): Array[Byte] = {
+    val fmtSize = 16 + 2 + 2 + 2 + 28
+    val riffSize = 4 + (8 + fmtSize) + (8 + blocks.length) +
+      (blocks.length & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(fmtSize)
+      .putShort(2).putShort(ch.toShort).putInt(8000)
+      .putInt(8000 * blockAlign / spb).putShort(blockAlign.toShort)
+      .putShort(4).putShort(32).putShort(spb.toShort).putShort(7)
+    for ((a, c) <- Seq((256, 0), (512, -256), (0, 0), (192, 64),
+      (240, 0), (460, -208), (392, -232)))
+      out.putShort(a.toShort).putShort(c.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(blocks.length)
+    out.put(blocks)
+    if ((blocks.length & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  test("MS ADPCM: hand-derived coefficient-table fixture decodes exactly") {
+    // predictor 1 (512,-256), delta 16, s1=100, s2=50; nibbles
+    // 3, 12(-4), 7, 8(-8) walked by hand:
+    //  3: pred (100*512-50*256)/256 = 150, +3*16  -> 198, delta 16
+    // 12: pred (198*512-100*256)/256 = 296, -4*16 -> 232, delta 19
+    //  7: pred (232*512-198*256)/256 = 266, +7*19 -> 399, delta 45
+    //  8: pred (399*512-232*256)/256 = 566, -8*45 -> 206
+    val block = Array[Byte](1, 16, 0, 100, 0, 50, 0, 0x3C, 0x78)
+    val w = WavAudio.parse(msContainer(1, 9, 6, block))
+    assert(w.format == 2 && w.channels == 1 && w.nFrames == 6)
+    assert(w.samples.toSeq == Seq(50, 100, 198, 232, 399, 206))
+  }
+
+  test("MS ADPCM: stereo headers group by field, nibbles alternate channels") {
+    // both channels predictor 1, delta 16; ch0 s1=100 s2=50 (the mono
+    // fixture), ch1 s1=200 s2=-50 (hand walk: 450+48=498, 796-64=732,
+    // 966+133=1099, 1466-360=1106); interleaved nibbles 0x33 0xCC
+    // 0x77 0x88
+    val block = Array[Byte](1, 1, 16, 0, 16, 0,
+      100, 0, (200 & 0xff).toByte, 0,
+      50, 0, (-50).toByte, 0xFF.toByte,
+      0x33, 0xCC.toByte, 0x77, 0x88.toByte)
+    val w = WavAudio.parse(msContainer(2, 18, 6, block))
+    assert(w.channels == 2 && w.nFrames == 6)
+    val ch0 = (0 until 6).map(i => w.samples(2 * i))
+    val ch1 = (0 until 6).map(i => w.samples(2 * i + 1))
+    assert(ch0 == Seq(50, 100, 198, 232, 399, 206))
+    assert(ch1 == Seq(-50, 200, 498, 732, 1099, 1106))
+  }
+
+  test("MS ADPCM: encoder-mirror round-trip and constant-block aperture") {
+    val rnd = new scala.util.Random(1861)
+    for (spb <- Seq(4, 8, 14); trial <- 0 until 5) {
+      val n = spb * (1 + rnd.nextInt(4))
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val (bytes, recon) = WavAudio.encodeMsAdpcmMono(8000, samples, spb)
+      val w = WavAudio.parse(bytes)
+      assert(w.samples.toSeq == recon.toSeq, s"spb=$spb trial=$trial")
+      // block-leading pairs are carried verbatim in the headers
+      for (b <- 0 until n / spb) {
+        assert(recon(b * spb) == samples(b * spb))
+        assert(recon(b * spb + 1) == samples(b * spb + 1))
+      }
+    }
+    // the q174 aperture: constant blocks encode exactly (predictor 0
+    // reproduces them with all-zero codes)
+    val const = Array.fill(3 * 10)(23456)
+    val (bytes, recon) = WavAudio.encodeMsAdpcmMono(8000, const, 10)
+    assert(recon.toSeq == const.toSeq)
+    assert(WavAudio.parse(bytes).samples.toSeq == const.toSeq)
+  }
+
+  test("MS ADPCM: strict gates reject by name") {
+    val good = WavAudio.encodeMsAdpcmMono(8000, Array.fill(8)(7), 8)._1
+    // data starts after RIFF(12) + fmt(8+50) + fact(12) + data hdr(8)
+    val dOff = 12 + 58 + 12 + 8
+    // predictor index outside the coefficient table
+    val badP = good.clone(); badP(dOff) = 9
+    val e1 = intercept[IllegalArgumentException](WavAudio.parse(badP))
+    assert(e1.getMessage.contains("predictor index"))
+    // non-positive initial delta
+    val badD = good.clone(); badD(dOff + 1) = 0; badD(dOff + 2) = 0
+    val e2 = intercept[IllegalArgumentException](WavAudio.parse(badD))
+    assert(e2.getMessage.contains("delta"))
+    // samples/block contradicting block align
+    val badSpb = good.clone(); badSpb(38) = 99
+    val e3 = intercept[IllegalArgumentException](WavAudio.parse(badSpb))
+    assert(e3.getMessage.contains("samples/block"))
+    // a 20-bit width claim
+    val badBits = good.clone(); badBits(34) = 20
+    val e4 = intercept[IllegalArgumentException](WavAudio.parse(badBits))
+    assert(e4.getMessage.contains("bit width"))
   }
 }
