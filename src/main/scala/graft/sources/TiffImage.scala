@@ -739,8 +739,20 @@ object TiffImage {
       }
       require(o == outLen,
         s"Deflate segment decoded $o bytes, layout needs $outLen")
-      require(inf.finished() || inf.inflate(new Array[Byte](1)) == 0 &&
-        inf.finished(),
+      // the overlong-stream drain probe parses MORE of the stream and
+      // can itself hit corruption — it needs the same named-reject
+      // wrap as the loop (r18 seal fuzz: a mutated tile that inflated
+      // to exactly outLen with a corrupt continuation leaked
+      // DataFormatException from here; seeds 9004/9005/9010)
+      val drained =
+        try inf.finished() || inf.inflate(new Array[Byte](1)) == 0 &&
+          inf.finished()
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"Deflate segment corrupt past the layout's $outLen bytes: " +
+              e.getMessage)
+        }
+      require(drained,
         s"Deflate segment decodes past the layout's $outLen bytes")
       out
     } finally inf.end()

@@ -53,12 +53,19 @@ object CodecFuzz {
     val rnd = new scala.util.Random(seed)
     var ran = 0
     var failed = 0
+    var lastMutated: Array[Byte] = null // dumped on failure (triage aid)
     def check(name: String)(body: => Unit): Unit = {
       ran += 1
       try body catch { case e: Throwable =>
         failed += 1
         System.err.println((s"[codecfuzz] $name FAILED: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}").take(400))
+        // triage aid: persist the failing mutated payload so a leak
+        // can be replayed outside the rnd stream (the r18 Deflate
+        // drain leak was reproduced from exactly this dump)
+        if (lastMutated != null)
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"/tmp/codecfuzz_fail_$name.bin"), lastMutated)
       }
     }
     // mutation oracle: reject-with-reason or structurally sound. The
@@ -75,7 +82,7 @@ object CodecFuzz {
         require(sound(v), "parsed but structural invariant broken")
       }
     }
-    def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+    def mutate(b: Array[Byte]): Array[Byte] = { lastMutated = rnd.nextInt(4) match {
       case 0 => // byte flip
         val c = b.clone()
         val o = rnd.nextInt(c.length)
@@ -89,9 +96,7 @@ object CodecFuzz {
         var i = 0
         while (i < 4 && o + i < c.length) { c(o + i) = 0; i += 1 }
         c
-    }
-
-    // ---------------------------------------------------------- BMP
+    }; lastMutated }
     for (i <- 0 until 40) {
       // width sweeps every stride-padding residue (w mod 4 ∈ 0..3)
       val w = 1 + rnd.nextInt(37)

@@ -818,4 +818,48 @@ class TiffImageSpec extends AnyFunSuite {
       bits = 1)))
     assert(gray8.nonEmpty && lzw1.nonEmpty)
   }
+
+  test("Deflate mutations never leak zlib internals (r18 seal-battery regression)") {
+    // the round-18 seal fuzz caught DataFormatException escaping from
+    // inflate's final overlong-stream drain (seeds 9004/9005/9010):
+    // a mutated segment that yields exactly outLen bytes and THEN goes
+    // corrupt hit the unprotected inf.inflate(one-byte) probe. This
+    // replays the family densely: every outcome must be a named
+    // IllegalArgumentException or a structurally sound parse — any
+    // other throwable (zlib internals) fails.
+    // dense replay of the failing family: tiled 16-bit predictor-2
+    // Deflate files (where a mid-stream corruption can keep the
+    // decoded LENGTH at outLen while leaving the stream unfinished)
+    // under all four fuzz mutation classes
+    val rnd = new scala.util.Random(0x9005)
+    val (w, h) = (24, 27)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    val good = TiffImage.encode(w, h, px, photometric = 2,
+      compression = 8, predictor = 2, tileSize = 32, bits = 16,
+      bigEndian = true, orientation = 8)
+    for (trial <- 0 until 4000) {
+      val bad = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          val o = rnd.nextInt(bad.length)
+          bad(o) = (bad(o) ^ (1 + rnd.nextInt(255))).toByte
+        case 1 =>
+          val o = rnd.nextInt(math.max(bad.length - 4, 1))
+          for (i <- 0 until 4 if o + i < bad.length) bad(o + i) = 0
+        case _ =>
+          val o = rnd.nextInt(math.max(bad.length - 16, 1))
+          for (i <- 0 until 16 if o + i < bad.length)
+            bad(o + i) = rnd.nextInt().toByte
+      }
+      try {
+        val t = TiffImage.parse(bad)
+        assert(t.pixels.length == t.width * t.height, s"trial $trial")
+      } catch {
+        case _: IllegalArgumentException => () // named reject
+        case e: Throwable =>
+          fail(s"trial $trial leaked ${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}")
+      }
+    }
+  }
 }
