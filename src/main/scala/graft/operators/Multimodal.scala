@@ -2819,12 +2819,13 @@ object Multimodal {
         case 0 => good
         case 1 => val b = good.clone(); b(2) = 43; b // wrong magic
         case 2 => java.util.Arrays.copyOf(good, good.length / 2)
-        case 3 => patchInline(good, 259, 7) // JPEG-in-TIFF: out of scope
-          // (retargeted round 18 — CCITT G3/G4 became decodable
-          // (q172), so this class moved onto a still-invalid gate in
-          // the same commit: the q144/q152/q153/q154 retarget
-          // invariant, 7th application. Round 17 it sat on CCITT after
-          // PackBits became decodable.)
+        case 3 => patchInline(good, 259, 6) // old-style JPEG (spec-
+          // deprecated, permanently out of scope). Retargeted TWICE in
+          // round 18: CCITT G3/G4 became decodable (q172) so the class
+          // moved onto NEW-style JPEG (7), then q175 made THAT
+          // decodable and the class moved onto the deprecated old
+          // style in the same commit — the q144 retarget invariant,
+          // 9th application.
         case 4 => patchInline(good, 258, 12) // 12-bit samples
           // (retargeted round 17 — 16-bit became decodable; 12-bit
           // packed samples remain out of scope)
@@ -3413,6 +3414,82 @@ object Multimodal {
       |       CAST(max(abs(c)) AS BIGINT) AS peak_abs
       |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q175 — JPEG-in-TIFF decode matrix (round 18): the container
+    * pairing that dominates real scanned/photographed TIFFs
+    * (compression 7, TTN2), riding the engine's own JPEG codec per
+    * strip. Per document a BLOCK-CONSTANT grayscale canonical image is
+    * synthesized (the r15 JPEG aperture: DC-only blocks under quant 8
+    * are bit-exact, so a lossy codec becomes DuckDB-gradable), stored
+    * under an orientation in either photometric arm — 1 (gray
+    * streams) or 6 (YCbCr: gray-valued RGB keeps the color transform
+    * exact at Cb=Cr=128, so the 3-channel plumbing is graded too) —
+    * across strip heights and byte orders, and routed through THE
+    * DISPATCH FACE. The oracle states canonical stats analytically
+    * (layout-independent, the q164/q172 design): a defect in the
+    * strip JPEG framing, the tables path, channel validation or the
+    * orientation mapping hash-mismatches. Abbreviated JPEGTables
+    * streams and JDK parity both directions are spec-pinned
+    * (TiffImageSpec).
+    *
+    * Scale shape: task-local synth+encode+dispatch per row; only the
+    * ≤72-byte stat tuple moves. */
+  def q175JpegTiffDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synthDecode = udf { (id: Long) =>
+      import graft.sources.{JpegImage, MediaCodec, TiffImage}
+      val w = (8 * (1 + id % 3)).toInt; val h = (8 * (1 + id % 2)).toInt
+      val canonFace = Array.tabulate(w * h) { i =>
+        val c = ((id * 37 + (i % w) / 8 * 41 + (i / w) / 8 * 113) % 256).toInt
+        (c << 16) | (c << 8) | c
+      }
+      val o = (1 + id % 8).toInt
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonFace)
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
+        photometric = if (id % 2 == 0) 1 else 6, compression = 7,
+        rowsPerStrip = Array(8, 16, 0)(((id / 3) % 3).toInt),
+        orientation = o)),
+        bigEndian = (id / 5) % 2 == 0)
+      val dec = MediaCodec.decodeImage(bytes)
+      require(dec.container == "tiff", s"sniffed ${dec.container}")
+      require(dec.width == w && dec.height == h, "canonical dims")
+      var j = 0
+      while (j < w * h) {
+        require((dec.pixels(j) & 0xffffff) == canonFace(j), s"pixel $j")
+        j += 1
+      }
+      faceStats(dec.width, dec.height, dec.pixels)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
+      .select($"media_id",
+        $"st._1".as("width"), $"st._2".as("height"),
+        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
+        $"st._5".as("wsum"), $"st._6".as("first_px"),
+        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
+      .orderBy($"media_id")
+  }
+
+  val q175Oracle: String =
+    """WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+      |                  8 * (1 + doc_id % 2) AS h FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, x, y,
+      |         (d.doc_id * 37 + (x // 8) * 41 + (y // 8) * 113) % 256 AS c
+      |       FROM d,
+      |         LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      |         LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+      |SELECT doc_id AS media_id,
+      |       CAST(min(w) AS BIGINT) AS width,
+      |       CAST(min(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(3 * c) AS BIGINT) AS sum_rgb,
+      |       CAST(sum((y + 1) * 3 * c) AS BIGINT) AS wsum,
+      |       CAST(min(CASE WHEN x = 0 AND y = 0
+      |                THEN c * 65536 + c * 256 + c END) AS BIGINT)
+      |         AS first_px,
+      |       CAST(max(1000 * c) AS BIGINT) AS peak_lum,
+      |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3451,7 +3528,8 @@ object Multimodal {
     "q171_scanned_doc_neardup" -> q171ScannedDocNearDup _,
     "q172_ccitt_decode" -> q172CcittDecode _,
     "q173_adpcm_decode" -> q173AdpcmDecode _,
-    "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _)
+    "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _,
+    "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3498,5 +3576,6 @@ object Multimodal {
     "q171_scanned_doc_neardup" -> q171Oracle,
     "q172_ccitt_decode" -> q172Oracle,
     "q173_adpcm_decode" -> q173Oracle,
-    "q174_ms_adpcm_decode" -> q174Oracle)
+    "q174_ms_adpcm_decode" -> q174Oracle,
+    "q175_jpeg_tiff_decode" -> q175Oracle)
 }

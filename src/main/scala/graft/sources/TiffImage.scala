@@ -22,7 +22,11 @@ package graft.sources
   *    additionally the CCITT family via [[CcittCodec]]: 2 (G3
   *    Modified Huffman), 3 (T.4, 1D and 2D per T4Options bit 0,
   *    fill bits tolerated, uncompressed-mode escape rejected) and
-  *    4 (T.6, extensions rejected);
+  *    4 (T.6, extensions rejected); and NEW-STYLE JPEG (compression
+  *    7, TTN2) on 8-bit gray/YCbCr pages — each strip an embedded
+  *    [[JpegImage]] stream, abbreviated streams merged with the
+  *    shared tag-347 JPEGTables payload (old-style JPEG, compression
+  *    6, is spec-deprecated and stays a named reject);
   *  - strip layout (RowsPerStrip + StripOffsets/StripByteCounts) AND
   *    tile layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
   *    edge tiles padded to full tile size per spec §15);
@@ -138,6 +142,7 @@ object TiffImage {
     require(base + 2 + 12 * nEntries + 4 <= bytes.length,
       s"IFD declares $nEntries entries, overruns file")
     val tags = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Long]]
+    var jpegTables: Array[Byte] = null // tag 347 (UNDEFINED payload)
     var prevTag = -1
     var i = 0
     while (i < nEntries) {
@@ -149,6 +154,23 @@ object TiffImage {
       val typ = u16(e + 2)
       val count = u32(e + 4)
       require(count >= 1 && count <= (1L << 24), s"tag $tag count $count")
+      if (tag == 347 && typ == 7) {
+        // JPEGTables: an abbreviated tables-only JPEG stream shared by
+        // every strip (new-style JPEG-in-TIFF, TTN2)
+        val valOff =
+          if (count <= 4) e + 8
+          else {
+            val off = u32(e + 8)
+            require(off >= 8 && off + count <= bytes.length,
+              s"tag 347 value offset $off overruns file")
+            off.toInt
+          }
+        jpegTables = java.util.Arrays.copyOfRange(bytes, valOff,
+          valOff + count.toInt)
+        require(jpegTables.length >= 4 &&
+          (jpegTables(0) & 0xff) == 0xff && (jpegTables(1) & 0xff) == 0xd8,
+          "JPEGTables payload does not start with SOI")
+      }
       val width = typ match {
         case 3 => 2 // SHORT
         case 4 => 4 // LONG
@@ -199,10 +221,12 @@ object TiffImage {
     val bps = if (oneBit) 1 else (bits(0) / 8).toInt // bytes per sample
     val compression = one(259, default = 1).toInt
     val ccitt = compression == 2 || compression == 3 || compression == 4
+    val jpegComp = compression == 7 // new-style JPEG-in-TIFF (TTN2)
     require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32773 || compression == 32946 || ccitt,
+      compression == 32773 || compression == 32946 || ccitt || jpegComp,
       s"compression $compression unsupported " +
-        "(only 1=none, 2/3/4=CCITT, 5=LZW, 8/32946=Deflate, 32773=PackBits)")
+        "(only 1=none, 2/3/4=CCITT, 5=LZW, 7=JPEG, 8/32946=Deflate, " +
+        "32773=PackBits)")
     require(!ccitt || oneBit,
       s"CCITT compression $compression requires 1-bit samples " +
         s"(BitsPerSample ${bits(0)})")
@@ -226,10 +250,25 @@ object TiffImage {
     require(compression != 4 || one(293, default = 0) == 0,
       "T6Options extensions unsupported")
     val photometric = one(262).toInt
-    require(photometric >= 0 && photometric <= 3 || photometric == 5,
-      s"photometric $photometric unsupported (only 0/1/2/3/5)")
+    require(photometric >= 0 && photometric <= 3 || photometric == 5 ||
+      photometric == 6,
+      s"photometric $photometric unsupported (only 0/1/2/3/5/6)")
     require(!oneBit || photometric <= 1,
       s"1-bit photometric $photometric unsupported (only 0/1)")
+    // new-style JPEG-in-TIFF: each strip is an embedded JPEG stream
+    // (abbreviated when tag 347 carries the shared tables) decoded by
+    // the house [[JpegImage]] codec — grayscale (photometric 1) or
+    // YCbCr (photometric 6, the standard pairing; the color transform
+    // lives inside the JPEG decoder)
+    require(photometric != 6 || jpegComp,
+      "photometric 6 (YCbCr) requires JPEG compression (7)")
+    require(!jpegComp || (photometric == 1 || photometric == 6),
+      s"JPEG compression with photometric $photometric unsupported " +
+        "(only 1=gray, 6=YCbCr)")
+    require(!jpegComp || bits(0) == 8,
+      s"JPEG compression with ${bits(0)}-bit samples unsupported")
+    require(!jpegComp || !tags.contains(322) && !tags.contains(324),
+      "tiled JPEG-in-TIFF unsupported")
     // CMYK (photometric 5, "separated"): 8-bit, InkSet 1 only — the
     // real scanned-press layout; the face conversion is the public
     // multiplicative convention R = (255-C)(255-K)/255 (libtiff
@@ -245,8 +284,11 @@ object TiffImage {
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
     require(!oneBit || predictor == 1,
       "predictor 2 on 1-bit samples unsupported")
+    require(!jpegComp || predictor == 1,
+      "predictor 2 on JPEG-compressed samples unsupported")
     val expectedSpp =
-      if (photometric == 2) 3 else if (photometric == 5) 4 else 1
+      if (photometric == 2 || photometric == 6) 3
+      else if (photometric == 5) 4 else 1
     require(spp == expectedSpp,
       s"SamplesPerPixel $spp does not match photometric $photometric " +
         s"(need $expectedSpp)")
@@ -274,9 +316,50 @@ object TiffImage {
     require(!(oneBit && tiled), "tiled 1-bit TIFF unsupported")
 
     // assemble raw sample bytes (after decompression + predictor),
-    // top-left row-major, spp * bps bytes per pixel
+    // top-left row-major, spp * bps bytes per pixel; the JPEG arm
+    // bypasses the sample plane and decodes straight into the face
     val spb = spp * bps
-    val raw = new Array[Byte](width * height * spb)
+    val raw = new Array[Byte](if (jpegComp) 0 else width * height * spb)
+    val px = new Array[Int](width * height)
+    // embedded-JPEG strip (new-style, TTN2): prepend the shared
+    // JPEGTables (when present) to the strip's abbreviated stream,
+    // decode with the house [[JpegImage]] codec, validate geometry and
+    // channel count strictly — a strip that lies about itself is a
+    // named reject like every other segment
+    def jpegSegment(off: Long, len: Long, rows: Int, rowOff: Int): Unit = {
+      require(off >= 8 && len >= 4 && off + len <= bytes.length,
+        s"segment at $off+$len overruns file (${bytes.length} bytes)")
+      require((bytes(off.toInt) & 0xff) == 0xff &&
+        (bytes(off.toInt + 1) & 0xff) == 0xd8,
+        "JPEG strip does not start with SOI")
+      val stream =
+        if (jpegTables == null)
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        else {
+          val t = jpegTables
+          require(t.length >= 4 && (t(t.length - 2) & 0xff) == 0xff &&
+            (t(t.length - 1) & 0xff) == 0xd9,
+            "JPEGTables payload does not end with EOI")
+          // SOI ++ tables interior (sans SOI/EOI) ++ strip sans SOI
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(0xff); out.write(0xd8)
+          out.write(t, 2, t.length - 4)
+          out.write(bytes, off.toInt + 2, len.toInt - 2)
+          out.toByteArray
+        }
+      val jp = JpegImage.parse(stream)
+      require(jp.width == width && jp.height == rows,
+        s"JPEG strip decodes to ${jp.width}x${jp.height}, layout needs " +
+          s"${width}x$rows")
+      require(jp.channels == (if (photometric == 1) 1 else 3),
+        s"JPEG strip has ${jp.channels} channel(s), photometric " +
+          s"$photometric needs ${if (photometric == 1) 1 else 3}")
+      var j = 0
+      while (j < rows * width) {
+        px(rowOff * width + j) = jp.pixels(j) & 0xffffff
+        j += 1
+      }
+    }
     def undiff(seg: Array[Byte], segW: Int, segH: Int): Unit =
       if (predictor == 2) {
         var y = 0
@@ -381,14 +464,17 @@ object TiffImage {
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rps, height - s * rps)
-        val seg =
-          if (oneBit) oneBitSegment(offs(s), cnts(s), rows)
-          else {
-            val g = segment(offs(s), cnts(s), rows * width * spb)
-            undiff(g, width, rows)
-            g
-          }
-        System.arraycopy(seg, 0, raw, s * rps * width * spb, seg.length)
+        if (jpegComp) jpegSegment(offs(s), cnts(s), rows, s * rps)
+        else {
+          val seg =
+            if (oneBit) oneBitSegment(offs(s), cnts(s), rows)
+            else {
+              val g = segment(offs(s), cnts(s), rows * width * spb)
+              undiff(g, width, rows)
+              g
+            }
+          System.arraycopy(seg, 0, raw, s * rps * width * spb, seg.length)
+        }
         s += 1
       }
     } else {
@@ -437,9 +523,8 @@ object TiffImage {
       else (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
     }
     def to8(v: Int): Int = if (bps == 1) v else v >> 8
-    val px = new Array[Int](width * height)
     var k = 0
-    while (k < width * height) {
+    while (!jpegComp && k < width * height) {
       px(k) = photometric match {
         case 0 =>
           val v = to8((if (bps == 1) 255 else 65535) - samp(k, 0))
@@ -853,21 +938,26 @@ object TiffImage {
     require(!fillOrder2 || (bits == 1 && (ccitt || comp == 1)),
       "fillOrder2 is a 1-bit CCITT/uncompressed knob")
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 ||
-      (ccitt && bits == 1), s"compression $comp")
-    require(photometric >= 0 && photometric <= 3 || photometric == 5,
-      s"photometric $photometric")
+      (ccitt && bits == 1) || comp == 7, s"compression $comp")
+    require(photometric >= 0 && photometric <= 3 || photometric == 5 ||
+      photometric == 6, s"photometric $photometric")
     require(photometric != 5 || bits == 8, "CMYK pages are 8-bit")
+    require(comp != 7 || (bits == 8 && tileSize == 0 &&
+      (photometric == 1 || photometric == 6)),
+      "JPEG pages are untiled 8-bit gray/YCbCr")
+    require(photometric != 6 || comp == 7, "YCbCr pages require JPEG")
     require(bits == 8 || bits == 16 || bits == 1, s"bits $bits")
     require(bits == 8 || photometric != 3, "palette is 8-bit only")
     require(bits != 1 || (photometric <= 1 && predictor == 1 &&
       tileSize == 0), "1-bit pages are untiled grayscale, no predictor")
     require(pixels.length == width * height, "pixel count")
-    require(predictor == 1 || (comp != 1 && !ccitt),
+    require(predictor == 1 || (comp != 1 && !ccitt && comp != 7),
       "predictor 2 requires a byte-oriented compression scheme")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size multiple of 16")
     require(orientation >= 1 && orientation <= 8, "orientation")
     val spp =
-      if (photometric == 2) 3 else if (photometric == 5) 4 else 1
+      if (photometric == 2 || photometric == 6) 3
+      else if (photometric == 5) 4 else 1
     val bps = bits / 8
     val spb = spp * bps
     // raw sample plane, top-left row-major
@@ -882,7 +972,7 @@ object TiffImage {
         else { raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte }
       }
     var k = 0
-    while (bits != 1 && k < width * height) {
+    while (bits != 1 && comp != 7 && k < width * height) {
       photometric match {
         case 0 => put(k, 255 - (pixels(k) & 0xff))
         case 1 => put(k, pixels(k) & 0xff)
@@ -984,6 +1074,21 @@ object TiffImage {
         })
         s += 1
       }
+    } else if (comp == 7) {
+      // each strip is a COMPLETE embedded JPEG stream (tables
+      // included — the unabridged TTN2 shape; the abbreviated
+      // JPEGTables shape is exercised by hand-split specs and the
+      // JDK writer's own files). Default quant (all 8s) keeps the
+      // block-constant aperture exact.
+      var s = 0
+      while (s * rps < height) {
+        val rows = math.min(rps, height - s * rps)
+        val slice = java.util.Arrays.copyOfRange(pixels,
+          s * rps * width, (s * rps + rows) * width)
+        segs += JpegImage.encode(width, rows, slice,
+          grayscale = photometric == 1)
+        s += 1
+      }
     } else if (!tiled) {
       var s = 0
       while (s * rps < height) {
@@ -1065,6 +1170,9 @@ object TiffImage {
       add(324, 4, segOffs.map(_.toLong).toArray)
       add(325, 4, segs.map(_.length.toLong).toArray)
     }
+    // YCbCr-in-JPEG pages are 4:4:4 (the encoder's subsample=false);
+    // without the tag readers would assume the TIFF default of 2x2
+    if (photometric == 6) add(530, 3, Array(1L, 1L))
     // write out-of-line arrays, remember their offsets
     for (e <- entries) {
       val w = if (e.typ == 3) 2 else 4

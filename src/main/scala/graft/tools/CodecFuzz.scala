@@ -789,6 +789,36 @@ object CodecFuzz {
           t.pixels.length == t.width * t.height
       }
     }
+    for (i <- 0 until 25) {
+      // JPEG-in-TIFF family: block-constant aperture content (exact
+      // round-trips despite the lossy codec) across photometrics,
+      // strip heights, byte orders, orientations; mutations through
+      // the embedded-JPEG strip walk reject by name or stay sound
+      import graft.sources.TiffImage
+      val w = 8 * (1 + rnd.nextInt(4)); val h = 8 * (1 + rnd.nextInt(3))
+      val face = Array.tabulate(w * h) { k =>
+        val c = (i * 29 + (k % w) / 8 * 37 + (k / w) / 8 * 91) % 256
+        (c << 16) | (c << 8) | c
+      }
+      val o = 1 + rnd.nextInt(8)
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, face)
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
+        photometric = if (rnd.nextBoolean()) 1 else 6, compression = 7,
+        rowsPerStrip = Seq(0, 8, 16)(rnd.nextInt(3)), orientation = o)),
+        bigEndian = rnd.nextBoolean())
+      check(s"jpegtiff_roundtrip_$i") {
+        val t = TiffImage.parse(bytes)
+        require(t.width == w && t.height == h, "upright dims")
+        var ok = true
+        for (k <- 0 until w * h) ok &&= (t.pixels(k) & 0xffffff) == face(k)
+        require(ok, "pixels")
+      }
+      val bad = mutate(bytes)
+      mutationCase(s"jpegtiff_mutation_$i", () => TiffImage.parse(bad)) { t =>
+        t.width > 0 && t.height > 0 &&
+          t.pixels.length == t.width * t.height
+      }
+    }
 
     // ---------------------------------------------------------- WAV
     for (i <- 0 until 30) {

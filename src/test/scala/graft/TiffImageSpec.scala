@@ -862,4 +862,192 @@ class TiffImageSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------- JPEG-in-TIFF (round 18)
+
+  /** Block-constant gray content (the r15 JPEG aperture: DC-only
+    * blocks under quant 8 are bit-exact). */
+  private def blockGray(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val c = ((seed * 37 + (i % w) / 8 * 41 + (i / w) / 8 * 113) % 256)
+      (c << 16) | (c << 8) | c
+    }
+
+  test("JPEG-in-TIFF: gray and YCbCr apertures round-trip exactly") {
+    for {
+      big <- Seq(false, true)
+      rps <- Seq(8, 16, 0)
+      (w, h) <- Seq((16, 24), (32, 8))
+    } {
+      val px = blockGray(w, h, w + rps)
+      // gray (photometric 1): pixels' low byte through the gray path
+      val g = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+        w, h, px, photometric = 1, compression = 7, rowsPerStrip = rps)),
+        bigEndian = big))
+      assert(g.width == w && g.height == h && g.compression == 7)
+      assert(g.pixels.toSeq == px.toSeq, s"gray big=$big rps=$rps ${w}x$h")
+      // YCbCr (photometric 6): gray-valued RGB keeps the color
+      // transform exact (Y=c, Cb=Cr=128), so the 3-channel plumbing is
+      // graded bit-exactly too
+      val c = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+        w, h, px, photometric = 6, compression = 7, rowsPerStrip = rps)),
+        bigEndian = big))
+      assert(c.photometric == 6)
+      assert(c.pixels.toSeq == px.toSeq, s"ycbcr big=$big rps=$rps")
+    }
+    // orientation composes with the embedded-JPEG path
+    val (w, h) = (16, 24)
+    val px = blockGray(w, h, 5)
+    val o = 6
+    val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+    val rot = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+      sw, sh, stored, photometric = 1, compression = 7, orientation = o))))
+    assert(rot.width == w && rot.height == h && rot.pixels.toSeq == px.toSeq)
+  }
+
+  test("JPEG-in-TIFF: abbreviated JPEGTables streams decode (hand-split fixture)") {
+    // split a complete stream: DQT/DHT segments into the tag-347
+    // payload, everything else stays in the strip — the TTN2
+    // abbreviated shape, assembled by hand so the decoder's merge is
+    // graded against an independent construction
+    val (w, h) = (16, 16)
+    val px = blockGray(w, h, 9)
+    val full = JpegImage.encode(w, h, px, grayscale = true)
+    val tables = new java.io.ByteArrayOutputStream()
+    val strip = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    strip.write(0xff); strip.write(0xd8)
+    var i = 2
+    var inScan = false
+    while (i < full.length) {
+      if (!inScan) {
+        require((full(i) & 0xff) == 0xff, "marker expected")
+        val m = full(i + 1) & 0xff
+        if (m == 0xd9) { i += 2 }
+        else {
+          val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+          val seg = java.util.Arrays.copyOfRange(full, i, i + 2 + len)
+          if (m == 0xdb || m == 0xc4) tables.write(seg) // DQT / DHT
+          else strip.write(seg)
+          if (m == 0xda) inScan = true // entropy data follows SOS
+          i += 2 + len
+        }
+      } else { strip.write(full(i)); i += 1 } // scan data incl. EOI
+    }
+    tables.write(0xff); tables.write(0xd9)
+    // hand-assemble the TIFF: strip data | tables | IFD
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42)
+    val stripBytes = strip.toByteArray
+    val tabBytes = tables.toByteArray
+    val stripOff = 8
+    val tabOff = stripOff + stripBytes.length + (stripBytes.length & 1)
+    val ifdOff = tabOff + tabBytes.length + (tabBytes.length & 1)
+    w32(ifdOff)
+    out.write(stripBytes)
+    if ((stripBytes.length & 1) == 1) out.write(0)
+    out.write(tabBytes)
+    if ((tabBytes.length & 1) == 1) out.write(0)
+    w16(9)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 7)
+    entry(262, 3, 1, 1)
+    entry(273, 4, 1, stripOff)
+    entry(278, 3, 1, h)
+    entry(279, 4, 1, stripBytes.length)
+    entry(347, 7, tabBytes.length, tabOff)
+    w32(0)
+    val t = TiffImage.parse(out.toByteArray)
+    assert(t.width == w && t.height == h)
+    assert(t.pixels.toSeq == px.toSeq)
+  }
+
+  test("JPEG-in-TIFF: strict gates reject by name") {
+    val (w, h) = (16, 16)
+    val px = blockGray(w, h, 3)
+    val good = TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
+      photometric = 1, compression = 7)))
+    // YCbCr without JPEG compression
+    val e1 = intercept[IllegalArgumentException] {
+      val b = good.clone(); patchInlineShort(b, 259, 1)
+      patchInlineShort(b, 262, 6); TiffImage.parse(b)
+    }
+    assert(e1.getMessage.contains("YCbCr"))
+    // 16-bit JPEG pages (encoder gate)
+    val e2 = intercept[IllegalArgumentException] {
+      TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
+        photometric = 1, compression = 7, bits = 16)))
+    }
+    assert(e2.getMessage.contains("JPEG"))
+    // a strip that does not start with SOI
+    val e3 = intercept[IllegalArgumentException] {
+      val b = good.clone()
+      // strip data starts at 8 (encodePages layout)
+      b(8) = 0; TiffImage.parse(b)
+    }
+    assert(e3.getMessage.contains("SOI"))
+    // a strip whose embedded JPEG contradicts the declared geometry
+    val e4 = intercept[IllegalArgumentException] {
+      val b = good.clone(); patchInlineShort(b, 257, h + 8)
+      TiffImage.parse(b)
+    }
+    assert(e4.getMessage.contains("strip") ||
+      e4.getMessage.contains("layout"))
+  }
+
+  test("parity: JPEG-in-TIFF crosses the JDK boundary in both directions") {
+    import javax.imageio.ImageIO
+    val (w, h) = (32, 24)
+    val px = blockGray(w, h, 13)
+    // ours -> JDK: DC-only quant-8 blocks are exact under any
+    // conformant decoder
+    for (pm <- Seq(1, 6)) {
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
+        photometric = pm, compression = 7, rowsPerStrip = 8)))
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader refused pm=$pm")
+      assert(img.getWidth == w && img.getHeight == h)
+      // gray: compare RASTER samples — ImageIO color-manages grayscale
+      // getRGB through a linear ColorSpace (the r15 lesson); color:
+      // getRGB is sRGB and the gray-valued aperture is exact
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = px(y * w + x) & 0xff
+        val got =
+          if (pm == 1) img.getRaster.getSample(x, y, 0)
+          else img.getRGB(x, y) & 0xff
+        assert(got == want, s"($x,$y) pm=$pm want=$want got=$got")
+      }
+    }
+    // JDK -> ours: the JDK's own quant tables are NOT the aperture, so
+    // this is decoder-vs-decoder on the same file with the documented
+    // IDCT tolerance (r15: +-2 per sample)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (px(y * w + x)) & 0xff)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jdkBytes = buf.toByteArray
+    val mine = TiffImage.parse(jdkBytes)
+    val jdkImg = ImageIO.read(new java.io.ByteArrayInputStream(jdkBytes))
+    assert(mine.width == w && mine.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = mine.pixel(x, y) & 0xff
+      val b = jdkImg.getRaster.getSample(x, y, 0) // not getRGB: r15 lesson
+      assert(math.abs(a - b) <= 2, s"($x,$y) ours=$a jdk=$b")
+    }
+  }
 }
