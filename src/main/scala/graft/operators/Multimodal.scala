@@ -3433,8 +3433,13 @@ object Multimodal {
     *
     * Scale shape: task-local synth+encode+dispatch per row; only the
     * ≤72-byte stat tuple moves. */
-  def q175JpegTiffDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q175JpegTiffDecode(s: SparkSession, dir: String): DataFrame =
+    jpegTiffStatsOf(Tables.documents(s, dir))
+
+  /** The q175 synth→encode→dispatch→faceStats kernel as a frame core
+    * ((doc_id) → stats), shared with the scale probe (the
+    * tiffStatsOf/ccittStatsOf pattern). */
+  private[graft] def jpegTiffStatsOf(docs: DataFrame): DataFrame = {
     val synthDecode = udf { (id: Long) =>
       import graft.sources.{JpegImage, MediaCodec, TiffImage}
       val w = (8 * (1 + id % 3)).toInt; val h = (8 * (1 + id % 2)).toInt
@@ -3459,14 +3464,15 @@ object Multimodal {
       }
       faceStats(dec.width, dec.height, dec.pixels)
     }
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"), synthDecode($"doc_id").as("st"))
-      .select($"media_id",
-        $"st._1".as("width"), $"st._2".as("height"),
-        $"st._3".as("n_pixels"), $"st._4".as("sum_rgb"),
-        $"st._5".as("wsum"), $"st._6".as("first_px"),
-        $"st._7".as("peak_lum"), $"st._8".as("sum_alpha"))
-      .orderBy($"media_id")
+    docs
+      .select(col("doc_id").as("media_id"),
+        synthDecode(col("doc_id")).as("st"))
+      .select(col("media_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_pixels"), col("st._4").as("sum_rgb"),
+        col("st._5").as("wsum"), col("st._6").as("first_px"),
+        col("st._7").as("peak_lum"), col("st._8").as("sum_alpha"))
+      .orderBy(col("media_id"))
   }
 
   val q175Oracle: String =

@@ -35,7 +35,7 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff", "docdup", "ccitt")(lane), s"unknown lane $lane")
+      "tiff", "docdup", "ccitt", "jpegtiff")(lane), s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -129,6 +129,12 @@ object CodecScaleProbe {
       Multimodal.ccittStatsOf(docs.select($"doc_id"))
         .agg(sum($"sum_rgb")).first().getLong(0)
 
+    // the JPEG-in-TIFF lane measures q175's graded kernel (aperture
+    // synth -> per-strip JPEG encode -> dispatch decode -> stats)
+    def jpegTiffKernel(docs: DataFrame): Long =
+      Multimodal.jpegTiffStatsOf(docs.select($"doc_id"))
+        .agg(sum($"sum_rgb")).first().getLong(0)
+
     // the TIFF lane measures q164's graded kernel (synth → oriented
     // TIFF encode across the layout matrix → dispatch decode → stats)
     def tiffKernel(docs: DataFrame): Long =
@@ -148,6 +154,7 @@ object CodecScaleProbe {
         case "animdup" => animDupKernel(docs)
         case "docdup" => docDupKernel(docs)
         case "ccitt" => ccittKernel(docs)
+        case "jpegtiff" => jpegTiffKernel(docs)
         case "tiff" => tiffKernel(docs)
         case _ => phashKernel(docs)
       }
