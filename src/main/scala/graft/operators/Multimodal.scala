@@ -3130,6 +3130,19 @@ object Multimodal {
     * splits q161's image canons). Returns the per-page upright aHash
     * sequence over the decoded chain ([[uprightAhash64]] — one
     * copy). */
+  /** Encoding knobs for variant `v`, page `p` of a q171 fixture doc:
+    * (compression, predictor, tiled). Exposed so the fixture-coverage
+    * spec can assert every knob VALUE actually occurs — the advisor
+    * r18 find was a predictor-2 arm made unreachable by a parity
+    * interaction between the comp and predictor derivations. comp == 5
+    * iff (v+p) % 4 == 1, which forces v+p odd, so the predictor must
+    * derive from a residue independent of (v+p) mod 4 — (v+p)/4 is. */
+  private[graft] def q171PageKnobs(v: Int, p: Int): (Int, Int, Boolean) = {
+    val comp = Array(1, 5, 8, 32773)((v + p) % 4)
+    val pred = if (comp == 5 && ((v + p) / 4) % 2 == 0) 2 else 1
+    (comp, pred, (v + p) % 5 == 4)
+  }
+
   private[graft] def q171DocHashes(id: Long): Array[Long] = {
     import graft.sources.{JpegImage, TiffImage}
     val canon = id / 4
@@ -3156,11 +3169,10 @@ object Multimodal {
     val tpages = pages.zipWithIndex.map { case ((w, h, px), p) =>
       val o = (1 + (v * 2 + p * 3) % 8).toInt
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
-      val comp = Array(1, 5, 8, 32773)((v + p) % 4)
-      val tiledPage = (v + p) % 5 == 4
+      val (comp, pred, tiledPage) = q171PageKnobs(v, p)
       TiffImage.Page(sw, sh, stored, photometric = 1,
         compression = comp,
-        predictor = if (comp == 5 && (v + p) % 2 == 0) 2 else 1,
+        predictor = pred,
         rowsPerStrip = if (tiledPage) 0 else 1 + (v + p) % 3,
         tileSize = if (tiledPage) 16 else 0,
         orientation = o)

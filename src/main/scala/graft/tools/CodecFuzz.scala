@@ -56,6 +56,10 @@ object CodecFuzz {
     var lastMutated: Array[Byte] = null // dumped on failure (triage aid)
     def check(name: String)(body: => Unit): Unit = {
       ran += 1
+      // the dump below must only ever hold THIS check's payload: a
+      // round-trip failure dumping a stale mutation from a previous
+      // family would mislead replay triage (advisor find, r18)
+      lastMutated = null
       try body catch { case e: Throwable =>
         failed += 1
         System.err.println((s"[codecfuzz] $name FAILED: " +

@@ -179,4 +179,20 @@ class MultimodalSpec extends SparkSuite {
     assert(all.distinct.size == all.size,
       "cross-canon page-hash collision in the q171 fixture")
   }
+
+  test("q171 fixture coverage: every encoding knob value occurs") {
+    import graft.operators.Multimodal
+    // the advisor r18 class: a knob whose derivation is parity-coupled
+    // to another knob can silently never take one of its values, and
+    // the lane's coverage claim drifts. Enumerate the full (v, p) grid
+    // the fixture can reach (v 0..3, p 0..3) and assert every value of
+    // every knob appears, including the (comp=5, predictor=2) pair.
+    val knobs = for (v <- 0 to 3; p <- 0 to 3)
+      yield Multimodal.q171PageKnobs(v, p)
+    assert(knobs.map(_._1).toSet == Set(1, 5, 8, 32773), "compressions")
+    assert(knobs.map(_._2).toSet == Set(1, 2), "predictors")
+    assert(knobs.map(_._3).toSet == Set(false, true), "strips vs tiles")
+    assert(knobs.exists(k => k._1 == 5 && k._2 == 2),
+      "the LZW+predictor-2 arm must be reachable")
+  }
 }
