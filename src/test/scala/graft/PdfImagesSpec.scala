@@ -1,0 +1,152 @@
+package graft
+
+import graft.sources.PdfImages
+import graft.sources.PdfImages.PageEnc
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF embedded-image extraction: round-trips across every filter arm
+  * (raw/Flate-gray8/Flate-1bit/DCT/CCITT-G4/CCITT-2D/CCITT-MH/
+  * Flate-RGB), container-axis invariance (filter name vs array form;
+  * BlackIs1 + /Decode [1 0] vs the default convention), decoy-stream
+  * skipping (the per-page content stream has no /Subtype /Image),
+  * mixed-arm multi-page documents, and named rejects. The DCT arm
+  * uses the r15 block-constant aperture so the lossy codec round-trips
+  * bit-exactly and the assertion can be equality, not tolerance. */
+class PdfImagesSpec extends AnyFunSuite {
+
+  /** Block-constant bilevel page (8×8 cells, each all-0 or all-255):
+    * legal for EVERY arm — bilevel for CCITT/1-bit, block-constant
+    * for the exact DCT aperture. */
+  private def bilevelPage(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val cell = (i % w) / 8 + ((i / w) / 8) * ((w + 7) / 8)
+      var z = (seed * 1009 + cell) * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 32)
+      val c = if ((z & 1) == 0) 0 else 255
+      (c << 16) | (c << 8) | c
+    }
+
+  private def grayPage(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val c = ((seed * 31 + i * 7) % 256).toInt
+      (c << 16) | (c << 8) | c
+    }
+
+  private def rgbPage(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h)(i => ((seed + i) * 0x9E3779B9).toInt & 0xffffff)
+
+  private def assertPixels(img: PdfImages.Img, w: Int, h: Int,
+      px: Array[Int], label: String): Unit = {
+    assert(img.width == w && img.height == h, s"$label dims")
+    var i = 0
+    while (i < w * h) {
+      assert((img.pixels(i) & 0xffffff) == (px(i) & 0xffffff),
+        s"$label pixel $i")
+      i += 1
+    }
+  }
+
+  test("every filter arm round-trips exactly") {
+    for (arm <- 0 to 7) {
+      val (w, h) = (24, 16)
+      val px = arm match {
+        case 2 | 4 | 5 | 6 => bilevelPage(w, h, arm)
+        case 3 => bilevelPage(w, h, arm) // block-constant: exact DCT
+        case 7 => rgbPage(w, h, arm)
+        case _ => grayPage(w, h, arm)
+      }
+      val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, arm)))
+      val imgs = PdfImages.extract(pdf)
+      assert(imgs.length == 1, s"arm $arm image count")
+      assertPixels(imgs.head, w, h, px, s"arm $arm")
+    }
+  }
+
+  test("non-byte-multiple widths pad 1-bit rows correctly") {
+    for (w <- Seq(9, 15, 17, 23); arm <- Seq(2, 4, 5, 6)) {
+      val h = 11
+      val px = Array.tabulate(w * h) { i =>
+        var z = (i * 2654435761L + w * 97) * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 31)
+        val c = if ((z & 1) == 0) 0 else 255
+        (c << 16) | (c << 8) | c
+      }
+      val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, arm)))
+      assertPixels(PdfImages.extract(pdf).head, w, h, px, s"w=$w arm=$arm")
+    }
+  }
+
+  test("container axes are pixel-invariant: filter array form, BlackIs1+Decode") {
+    val (w, h) = (32, 24)
+    val px = bilevelPage(w, h, 7)
+    val base = PdfImages.extract(
+      PdfImages.encodePdf(Seq(PageEnc(w, h, px, 4)))).head
+    for (arr <- Seq(false, true); b1 <- Seq(false, true);
+         arm <- Seq(4, 5, 6)) {
+      val v = PdfImages.extract(PdfImages.encodePdf(Seq(
+        PageEnc(w, h, px, arm, filterAsArray = arr, blackIs1 = b1)))).head
+      assert(v.pixels.toSeq == base.pixels.toSeq,
+        s"arm=$arm array=$arr blackIs1=$b1 split from the name-form G4 decode")
+    }
+  }
+
+  test("multi-page mixed-arm document extracts every page in order") {
+    val pages = (0 to 7).map { arm =>
+      val px = arm match {
+        case 0 | 1 => grayPage(16, 16, arm + 10)
+        case 7 => rgbPage(16, 16, 3)
+        case _ => bilevelPage(16, 16, arm + 20)
+      }
+      PageEnc(16, 16, px, arm)
+    }
+    val imgs = PdfImages.extract(PdfImages.encodePdf(pages))
+    assert(imgs.length == 8)
+    pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
+      assertPixels(img, 16, 16, p.pixels, s"page $i")
+    }
+  }
+
+  test("a PDF with text streams but no images yields an empty set") {
+    val textPdf = ("%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n" +
+      "BT /F1 12 Tf 72 712 Td (Hello world) Tj ET\nstream-free\nendstream\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(PdfImages.extract(textPdf).isEmpty)
+  }
+
+  test("named rejects: unsupported filter, geometry mismatch, bad flate") {
+    val px = grayPage(8, 8, 1)
+    val pdf = PdfImages.encodePdf(Seq(PageEnc(8, 8, px, 1)))
+    val s = new String(pdf, "ISO-8859-1")
+    // unsupported filter name
+    val lzw = s.replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+    val e1 = intercept[IllegalArgumentException] {
+      PdfImages.extract(lzw.getBytes("ISO-8859-1"))
+    }
+    assert(e1.getMessage.contains("unsupported image filter"))
+    // dict geometry no longer matches the payload raster
+    val wrongW = s.replace("/Width 8", "/Width 9")
+      .replace("/Columns 8", "/Columns 9")
+    intercept[IllegalArgumentException] {
+      PdfImages.extract(wrongW.getBytes("ISO-8859-1"))
+    }
+    // CCITT K=0 with neither EncodedByteAlign nor EndOfLine
+    val ccitt = new String(PdfImages.encodePdf(
+      Seq(PageEnc(8, 8, bilevelPage(8, 8, 2), 6))), "ISO-8859-1")
+    val unframed = ccitt.replace(" /EncodedByteAlign true", "")
+    val e2 = intercept[IllegalArgumentException] {
+      PdfImages.extract(unframed.getBytes("ISO-8859-1"))
+    }
+    assert(e2.getMessage.contains("K=0"))
+  }
+
+  test("DCT arm dims must match the dict") {
+    val px = bilevelPage(16, 16, 3)
+    val pdf = new String(PdfImages.encodePdf(Seq(PageEnc(16, 16, px, 3))),
+      "ISO-8859-1")
+    val lied = pdf.replace("/Width 16", "/Width 24")
+    val e = intercept[IllegalArgumentException] {
+      PdfImages.extract(lied.getBytes("ISO-8859-1"))
+    }
+    assert(e.getMessage.contains("DCT geometry"))
+  }
+}
