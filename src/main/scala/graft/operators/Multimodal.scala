@@ -2649,11 +2649,27 @@ object Multimodal {
   /** The q164 synth→encode→dispatch→faceStats kernel as a frame core
     * ((doc_id) → stats), shared with the scale probe so the probe
     * measures the pipeline the oracle grades. */
+  /** q164 encoding knobs for doc `id`: (content class m, layout arm,
+    * 16-bit deep, CMYK slice, planar-separate). Exposed so the
+    * fixture-coverage spec can assert every (class × arm) pair and
+    * every axis value actually occurs — the layout arm derives from
+    * id/3, not id%6, because id%6 DETERMINES id%3 = m and the old
+    * derivation silently locked each class to two of the six arms
+    * (the q171-predictor coverage-drift class, round 19). */
+  private[graft] def q164Knobs(id: Long):
+      (Int, Int, Boolean, Boolean, Boolean) = {
+    val m = (id % 3).toInt
+    val deep = id % 5 == 0 && m != 2
+    val cmyk = m == 1 && !deep && id % 7 == 3
+    val plan2 = m == 1 && (id / 18) % 3 == 1
+    (m, ((id / 3) % 6).toInt, deep, cmyk, plan2)
+  }
+
   private[graft] def tiffStatsOf(docs: DataFrame): DataFrame = {
     val synthDecode = udf { (id: Long) =>
       import graft.sources.{JpegImage, MediaCodec, TiffImage}
       val w = (3 + id % 14).toInt; val h = (2 + id % 11).toInt
-      val m = (id % 3).toInt
+      val (m, lay, deep, cmyk, plan2) = q164Knobs(id)
       val nPal = (2 + id % 9).toInt
       // canonical face pixels (what the oracle computes) and the
       // encoder-side sample array (indices for palette, pixels else)
@@ -2696,32 +2712,34 @@ object Multimodal {
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonRaw)
       // layout matrix over the SAME canonical face — the oracle states
       // canonical stats only, so widening it (round 17 adds PackBits,
-      // Deflate and a 16-bit-sample axis) needs no oracle change
-      val deep = id % 5 == 0 && m != 2 // 16-bit (palette stays 8-bit)
+      // Deflate and a 16-bit-sample axis; round 18 the CMYK slice;
+      // round 19 PlanarConfiguration 2) needs no oracle change. All
+      // knob derivations live in [[q164Knobs]] under a coverage spec.
       val bits = if (deep) 16 else 8
-      // round-18 axis: a slice of the RGB class stores as CMYK
-      // (photometric 5, K=0 exact) — same canonical face, zero oracle
-      // edits (the layout-independent-oracle design win, 3rd use)
-      val pm2 = if (m == 1 && !deep && id % 7 == 3) 5 else pm
-      val bytes = (id % 6) match {
+      val pm2 = if (cmyk) 5 else pm
+      val bytes = lay match {
         case 0 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          rowsPerStrip = 3, bits = bits)
+          rowsPerStrip = 3, bits = bits, planar2 = plan2)
         case 1 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, rowsPerStrip = 4, bits = bits)
+          lzw = true, rowsPerStrip = 4, bits = bits, planar2 = plan2)
         case 2 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, tileSize = 16, bits = bits)
+          lzw = true, predictor = 2, tileSize = 16, bits = bits,
+          planar2 = plan2)
         case 3 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, rowsPerStrip = 2, bits = bits)
+          lzw = true, predictor = 2, rowsPerStrip = 2, bits = bits,
+          planar2 = plan2)
         case 4 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          compression = 32773, rowsPerStrip = 5, bits = bits)
+          compression = 32773, rowsPerStrip = 5, bits = bits,
+          planar2 = plan2)
         case _ => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          compression = 8, predictor = 2, tileSize = 16, bits = bits)
+          compression = 8, predictor = 2, tileSize = 16, bits = bits,
+          planar2 = plan2)
       }
       val dec = MediaCodec.decodeImage(bytes)
       require(dec.container == "tiff", s"sniffed ${dec.container}")
@@ -2967,6 +2985,15 @@ object Multimodal {
       hashesOf: org.apache.spark.sql.expressions.UserDefinedFunction):
       DataFrame =
     docs
+      .select(col("doc_id"))
+      // decode cost is per-ROW (ms of codec work), not per-byte — a
+      // bytes-partitioned scan of a small parquet file hands the WHOLE
+      // corpus to one task (round 19: q176's 6.25 s bench was 5000 ×
+      // 1.34 ms of decode serialized on a single input partition).
+      // Spreading the 8-byte ids first costs one trivial shuffle and
+      // makes decode parallelism independent of input file layout; at
+      // real scale it also levels decode skew across executors.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(hashesOf(col("doc_id"))).as("fhash"))
       .distinct()
 
@@ -3461,9 +3488,16 @@ object Multimodal {
       }
       val o = (1 + id % 8).toInt
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonFace)
+      // round-19 axis: a slice stores TILED (the dominant
+      // aerial/medical JPEG-TIFF layout) — id/7 decouples it from the
+      // size (id%3, id%2), photometric (id%2), strip (id/3) and byte
+      // order (id/5) knobs, so tiles meet every other axis value
+      val tiledPage = (id / 7) % 4 == 3
       val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
         photometric = if (id % 2 == 0) 1 else 6, compression = 7,
-        rowsPerStrip = Array(8, 16, 0)(((id / 3) % 3).toInt),
+        rowsPerStrip =
+          if (tiledPage) 0 else Array(8, 16, 0)(((id / 3) % 3).toInt),
+        tileSize = if (tiledPage) 16 else 0,
         orientation = o)),
         bigEndian = (id / 5) % 2 == 0)
       val dec = MediaCodec.decodeImage(bytes)
@@ -3508,6 +3542,100 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Encoding knobs for variant `v`, page `p` of a q176 fixture PDF:
+    * (filter arm per [[graft.sources.PdfImages.PageEnc]], filter
+    * written as array-singleton, BlackIs1+/Decode[1 0] convention).
+    * Exposed for the fixture-coverage spec (the q171 lesson: knob
+    * derivations coupled through a shared residue can silently kill an
+    * arm). v + 2p walks 0..9, so all eight filter arms occur on the
+    * (v 0..3, p 0..3) grid, and each CCITT arm meets both BlackIs1
+    * values. */
+  private[graft] def q176PageKnobs(v: Int, p: Int): (Int, Boolean, Boolean) =
+    ((v + 2 * p) % 8, (v + p) % 2 == 0, (v + p) % 3 == 0)
+
+  /** q176 fixture: doc_id = canon·4 + v — four PDF "re-scans" of the
+    * same canonical multi-page document. Canonical page content is
+    * BILEVEL BLOCK-CONSTANT (8×8 cells, each all-0 or all-255 gray):
+    * legal for every filter arm at once — bilevel for CCITT/1-bit,
+    * block-constant for the exact DCT aperture (r15: DC-only blocks
+    * under quant 8 round-trip bit-exactly), trivially exact for
+    * raw/Flate/RGB-of-gray — so all eight arms decode to IDENTICAL
+    * pixels and the analytic oracle can claim exact page-set equality.
+    * Pages are ≥64×64 with cell size 8 so the aHash 8×8 sampling grid
+    * lands on 64 DISTINCT cells (the q166 entropy-collapse lesson:
+    * smaller pages would alias grid points into the same cell and
+    * collapse the hash space). Geometry and content derive from
+    * (canon, page) only; the filter arm, array-form and BlackIs1 axes
+    * from (v, page) — pure container variation. */
+  private[graft] def q176PdfHashes(id: Long): Array[Long] = {
+    import graft.sources.PdfImages
+    val canon = id / 4
+    val v = (id % 4).toInt
+    def mix(m: Long): Long = {
+      var z = m * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 32)
+      z
+    }
+    val np = (2 + canon % 3).toInt
+    val pages = (0 until np).map { p =>
+      val w = 64 + 8 * (math.floorMod(mix(canon * 419 + p * 23), 3)).toInt
+      val h = 64 + 8 * (math.floorMod(mix(canon * 541 + p * 31), 2)).toInt
+      val cols = w / 8
+      val px = Array.tabulate(w * h) { i =>
+        val cell = (i % w) / 8 + ((i / w) / 8) * cols
+        val c = if ((mix(canon * 7919 + p * 101 + cell) & 1) == 0) 0 else 255
+        (c << 16) | (c << 8) | c
+      }
+      val (arm, asArr, b1) = q176PageKnobs(v, p)
+      PdfImages.PageEnc(w, h, px, arm, filterAsArray = asArr, blackIs1 = b1)
+    }
+    PdfImages.extract(PdfImages.encodePdf(pages))
+      .map(img => uprightAhash64(img.width, img.height, img.pixels))
+      .toArray
+  }
+
+  /** q176's hash core in the frame-set shape — shared by batch q176,
+    * the scale probe and [[graft.streaming.PdfIndexStream]] (the
+    * kernel's third instantiation), so stream ≡ batch by
+    * construction. */
+  private[graft] def pdfHashFrame(docs: DataFrame): DataFrame =
+    frameSetHashFrame(docs, udf { (id: Long) => q176PdfHashes(id) })
+
+  /** The full q176 pipeline as a frame core — shared with its
+    * scale-probe lane. */
+  private[graft] def pdfNearDupOf(docs: DataFrame): DataFrame =
+    frameSetNearDupOf(pdfHashFrame(docs))
+
+  /** q176 — SCANNED-PDF embedded-image near-dup (round 19): the
+    * reference's OWN corpus shape end-to-end — its 51 label PDFs are
+    * re-scanned pages whose content travels as image XObjects
+    * (epa_ingestion.py:763-764's PARSE_DOCUMENT LAYOUT mode covers
+    * such image-bearing pages; [[graft.sources.PdfText]] already owns
+    * their text). This lane gives the IMAGE payloads a dedup path:
+    * [[graft.sources.PdfImages.extract]] walks the object structure
+    * for /Subtype /Image streams, decodes DCTDecode through the house
+    * [[graft.sources.JpegImage]], CCITTFaxDecode through
+    * [[graft.sources.CcittCodec]] and FlateDecode/raw rasters through
+    * java.util.zip — then per-page upright aHash → full-hash buckets
+    * through the shared capped band equi-join (never all pairs) →
+    * page-set Jaccard, the exact q171 kernel. The oracle is analytic
+    * (the q166/q171 move): every filter arm decodes to identical
+    * pixels by construction, so surviving pairs are EXACTLY the
+    * intra-canon pairs at sim 1.0 with n_common = the document's page
+    * count — a defect in the object walk, any filter arm (CCITT K
+    * mapping, BlackIs1/Decode, 1-bit row padding, the DCT aperture),
+    * the /Length framing, hashing, banding or the join surfaces as a
+    * missing/extra/dented pair.
+    *
+    * Scale shape: encode+extract+hash task-local per doc (PDF bytes
+    * never shuffle — only (doc_id, 8-byte hash) per page); candidates
+    * from the bucketed band join with the stop-bucket cap; the Jaccard
+    * join is candidate-pair × page sized. Incremental twin:
+    * [[graft.streaming.PdfIndexStream]]. */
+  def q176ScannedPdfNearDup(s: SparkSession, dir: String): DataFrame =
+    pdfNearDupOf(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3547,7 +3675,8 @@ object Multimodal {
     "q172_ccitt_decode" -> q172CcittDecode _,
     "q173_adpcm_decode" -> q173AdpcmDecode _,
     "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _,
-    "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _)
+    "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _,
+    "q176_scanned_pdf_neardup" -> q176ScannedPdfNearDup _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3595,5 +3724,10 @@ object Multimodal {
     "q172_ccitt_decode" -> q172Oracle,
     "q173_adpcm_decode" -> q173Oracle,
     "q174_ms_adpcm_decode" -> q174Oracle,
-    "q175_jpeg_tiff_decode" -> q175Oracle)
+    "q175_jpeg_tiff_decode" -> q175Oracle,
+    // q171's oracle, verbatim: the PDF lane's fixture shares the
+    // page-count formula (2 + canon % 3) and the same analytic truth —
+    // re-encodes collapse exactly, so pairs are the intra-canon pairs
+    // at sim 1.0 (the q141/q145/q155 shared-oracle move)
+    "q176_scanned_pdf_neardup" -> q171Oracle)
 }

@@ -45,3 +45,24 @@ object DocIndexStream extends FrameSetIndex {
   protected def present(pairs: DataFrame): DataFrame =
     Multimodal.animPresentation(pairs)
 }
+
+/** Incrementally-maintained SCANNED-PDF near-dup index — q176's
+  * streaming twin and the third instantiation of the multi-row
+  * [[FrameSetIndex]] kernel: a re-scanned PDF (different image-XObject
+  * filter — DCT vs CCITT vs Flate — array vs name filter form,
+  * BlackIs1 convention) arriving on the stream is paired with every
+  * earlier re-encode through the accumulated full-hash page-set index.
+  * Hashing is [[Multimodal.pdfHashFrame]] (PDF object walk +
+  * per-filter decode + per-page aHash), scoring/presentation the
+  * shared frame-set kernels — batch q176's exact pipeline, so
+  * stream ≡ batch by construction (PdfIndexStreamSpec pins it over
+  * sharded replays). */
+object PdfIndexStream extends FrameSetIndex {
+  protected def hashFrame(docs: DataFrame): DataFrame =
+    Multimodal.pdfHashFrame(docs)
+  protected def bands(fh: DataFrame): DataFrame = Multimodal.animBands(fh)
+  protected def score(candKeys: DataFrame, allFh: DataFrame): DataFrame =
+    Multimodal.animScore(candKeys, allFh)
+  protected def present(pairs: DataFrame): DataFrame =
+    Multimodal.animPresentation(pairs)
+}

@@ -688,11 +688,13 @@ object CodecFuzz {
       val bytes = TiffImage.encode(sw, sh, stored, photometric = pm,
         palette = if (pm == 3) pal else null,
         bigEndian = rnd.nextBoolean(), compression = comp,
-        predictor = if (comp != 1 && rnd.nextBoolean()) 2 else 1,
+        predictor =
+          if ((comp == 5 || comp == 8) && rnd.nextBoolean()) 2 else 1,
         rowsPerStrip = if (rnd.nextBoolean()) 1 + rnd.nextInt(h + 2) else 0,
         tileSize = if (rnd.nextInt(3) == 0) 16 * (1 + rnd.nextInt(2)) else 0,
         orientation = o,
-        bits = if (pm != 3 && rnd.nextBoolean()) 16 else 8)
+        bits = if (pm != 3 && rnd.nextBoolean()) 16 else 8,
+        planar2 = pm == 2 && rnd.nextBoolean()) // round 19: separate planes
       check(s"tiff_roundtrip_$i") {
         val t = TiffImage.parse(bytes)
         require(t.width == w && t.height == h, "upright dims")
@@ -806,9 +808,11 @@ object CodecFuzz {
       }
       val o = 1 + rnd.nextInt(8)
       val (sw, sh, stored) = JpegImage.exifStore(o, w, h, face)
+      val tiledPage = rnd.nextInt(3) == 0 // round 19: the tiled arm
       val bytes = TiffImage.encodePages(Seq(TiffImage.Page(sw, sh, stored,
         photometric = if (rnd.nextBoolean()) 1 else 6, compression = 7,
-        rowsPerStrip = Seq(0, 8, 16)(rnd.nextInt(3)), orientation = o)),
+        rowsPerStrip = if (tiledPage) 0 else Seq(0, 8, 16)(rnd.nextInt(3)),
+        tileSize = if (tiledPage) 16 else 0, orientation = o)),
         bigEndian = rnd.nextBoolean())
       check(s"jpegtiff_roundtrip_$i") {
         val t = TiffImage.parse(bytes)
@@ -1074,6 +1078,85 @@ object CodecFuzz {
         // extraction must be EXACTLY the baseline
         require(PdfText.extract(bad) == baseline,
           s"container flip at $o changed extracted text")
+      }
+    }
+
+    // ------------------------------------------------------ PDF images
+    // q176's container: embedded image XObjects across the eight filter
+    // arms. Round-trips at random geometries (the width-residue lesson:
+    // 1-bit row padding and CCITT change-element logic both key on
+    // w mod 8), whole-file mutations under the reject-or-sound oracle,
+    // and dead-region flips (header, trailer) that must leave the
+    // extraction EXACTLY equal.
+    def randImagePage(): graft.sources.PdfImages.PageEnc = {
+      val arm = rnd.nextInt(8)
+      val (w, h) =
+        if (arm == 3) (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
+        else (1 + rnd.nextInt(37), 1 + rnd.nextInt(19))
+      val px = arm match {
+        case 0 | 1 => Array.fill(w * h) {
+          val c = rnd.nextInt(256); (c << 16) | (c << 8) | c
+        }
+        case 7 => Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+        case 3 => // block-constant bilevel: the exact DCT aperture
+          val cols = (w + 7) / 8
+          val cells = Array.fill(cols * ((h + 7) / 8))(rnd.nextBoolean())
+          Array.tabulate(w * h) { i =>
+            val c = if (cells((i % w) / 8 + (i / w) / 8 * cols)) 255 else 0
+            (c << 16) | (c << 8) | c
+          }
+        case _ => Array.fill(w * h) {
+          val c = if (rnd.nextBoolean()) 255 else 0
+          (c << 16) | (c << 8) | c
+        }
+      }
+      graft.sources.PdfImages.PageEnc(w, h, px, arm,
+        filterAsArray = rnd.nextBoolean(), blackIs1 = rnd.nextBoolean())
+    }
+    for (i <- 0 until 30) {
+      val pages = Seq.fill(1 + rnd.nextInt(3))(randImagePage())
+      check(s"pdfimg_roundtrip_$i") {
+        val imgs = graft.sources.PdfImages.extract(
+          graft.sources.PdfImages.encodePdf(pages))
+        require(imgs.length == pages.length, "image count")
+        pages.zip(imgs).foreach { case (p, img) =>
+          require(img.width == p.width && img.height == p.height, "dims")
+          require(img.pixels.zip(p.pixels).forall {
+            case (a, b) => (a & 0xffffff) == (b & 0xffffff)
+          }, "pixels")
+        }
+      }
+    }
+    for (i <- 0 until 80) {
+      val good = graft.sources.PdfImages.encodePdf(
+        Seq.fill(1 + rnd.nextInt(2))(randImagePage()))
+      val bad = mutate(good)
+      mutationCase(s"pdfimg_mutation_$i",
+        () => graft.sources.PdfImages.extract(bad)) { imgs =>
+        imgs.forall(img => img.width > 0 && img.height > 0 &&
+          img.pixels.length == img.width * img.height &&
+          img.width.toLong * img.height <= (1L << 26))
+      }
+    }
+    for (i <- 0 until 25) {
+      val good = graft.sources.PdfImages.encodePdf(
+        Seq.fill(1 + rnd.nextInt(2))(randImagePage()))
+      val baseline = graft.sources.PdfImages.extract(good)
+      val s = new String(good, "ISO-8859-1")
+      val trailerAt = s.lastIndexOf("trailer")
+      val bad = good.clone()
+      val o = if (rnd.nextBoolean()) rnd.nextInt(8) // %PDF header
+        else trailerAt + rnd.nextInt(good.length - trailerAt)
+      bad(o) = (bad(o) ^ (1 + rnd.nextInt(255))).toByte
+      check(s"pdfimg_deadflip_$i") {
+        // header and trailer are dead to the object walk: the
+        // extraction must be byte-identical
+        val got = graft.sources.PdfImages.extract(bad)
+        require(got.length == baseline.length &&
+          got.zip(baseline).forall { case (a, b) =>
+            a.width == b.width && a.height == b.height &&
+              a.pixels.sameElements(b.pixels)
+          }, s"dead-region flip at $o changed the extraction")
       }
     }
 

@@ -35,7 +35,8 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff", "docdup", "ccitt", "jpegtiff")(lane), s"unknown lane $lane")
+      "tiff", "docdup", "ccitt", "jpegtiff", "pdfdup")(lane),
+      s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,6 +123,14 @@ object CodecScaleProbe {
     def docDupKernel(docs: DataFrame): Long =
       Multimodal.docNearDupOf(docs.select($"doc_id")).count()
 
+    // the scanned-PDF near-dup lane measures q176's full graded
+    // pipeline (PDF object walk → per-filter decode via the house
+    // JPEG/CCITT/Flate codecs → per-page aHash → capped band join →
+    // page-set Jaccard); figure = surviving pairs (6 per canon at
+    // every scale — the exact-figure correctness canary)
+    def pdfDupKernel(docs: DataFrame): Long =
+      Multimodal.pdfNearDupOf(docs.select($"doc_id")).count()
+
     // the CCITT lane measures q172's graded kernel (bilevel synth →
     // CCITT/packed encode across the 7-compression matrix → dispatch
     // decode → stats)
@@ -153,6 +162,7 @@ object CodecScaleProbe {
         case "oriented" => orientedKernel(docs)
         case "animdup" => animDupKernel(docs)
         case "docdup" => docDupKernel(docs)
+        case "pdfdup" => pdfDupKernel(docs)
         case "ccitt" => ccittKernel(docs)
         case "jpegtiff" => jpegTiffKernel(docs)
         case "tiff" => tiffKernel(docs)

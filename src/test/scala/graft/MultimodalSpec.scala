@@ -180,6 +180,63 @@ class MultimodalSpec extends SparkSuite {
       "cross-canon page-hash collision in the q171 fixture")
   }
 
+  test("q176 fixture: PDF re-encodes collapse, documents and pages separate") {
+    import graft.operators.Multimodal
+    // collapse half (also stated by the oracle): every PDF re-encode of
+    // a document — filter arm, array vs name form, BlackIs1 convention —
+    // extracts to the SAME page-hash sequence
+    for (canon <- 0L until 30L) {
+      val sigs = (0 until 4).map(v => Multimodal
+        .q176PdfHashes(canon * 4 + v).toSeq)
+      assert(sigs.distinct.size == 1, s"canon $canon variants split: $sigs")
+      assert(sigs.head.distinct.size == sigs.head.size,
+        s"canon $canon has colliding page hashes")
+    }
+    // separation half: different documents share NO page hash — sampled
+    // across the LOW and the 100×-probe-scale HIGH canon ranges
+    val sample = ((0L until 30L) ++ (100000L until 100030L) ++
+      (0L until 125000L by 997L)).distinct
+    val all = sample.flatMap(c => Multimodal.q176PdfHashes(c * 4))
+    assert(all.distinct.size == all.size,
+      "cross-canon page-hash collision in the q176 fixture")
+  }
+
+  test("q176 fixture coverage: every filter arm and container knob occurs") {
+    import graft.operators.Multimodal
+    val knobs = for (v <- 0 to 3; p <- 0 to 3)
+      yield Multimodal.q176PageKnobs(v, p)
+    assert(knobs.map(_._1).toSet == (0 to 7).toSet, "filter arms")
+    assert(knobs.map(_._2).toSet == Set(false, true), "array form")
+    assert(knobs.map(_._3).toSet == Set(false, true), "BlackIs1")
+    // BlackIs1 only binds on CCITT arms — both values must occur THERE
+    for (arm <- Seq(4, 5, 6)) {
+      val b1s = knobs.filter(_._1 == arm).map(_._3).toSet
+      assert(b1s == Set(false, true), s"CCITT arm $arm BlackIs1 coverage")
+    }
+  }
+
+  test("q164 fixture coverage: every class meets every layout arm and axis") {
+    import graft.operators.Multimodal
+    val knobs = (0L until 2000L).map(Multimodal.q164Knobs)
+    // the round-19 find: lay derived from id%6 was DETERMINED by
+    // m = id%3, locking each content class to two of the six layout
+    // arms — every (class, arm) pair must occur
+    val pairs = knobs.map(k => (k._1, k._2)).toSet
+    assert(pairs == (for (m <- 0 to 2; l <- 0 to 5) yield (m, l)).toSet,
+      s"missing (class, layout) pairs: ${pairs.size}/18")
+    // each axis takes both values where it can bind
+    assert(knobs.exists(_._3) && knobs.exists(k => k._1 != 2 && !k._3),
+      "16-bit axis")
+    assert(knobs.exists(_._4), "CMYK slice")
+    assert(knobs.exists(k => k._1 == 1 && k._5) &&
+      knobs.exists(k => k._1 == 1 && !k._5), "planar axis within RGB")
+    // planar must meet the CMYK slice and every layout arm
+    assert(knobs.exists(k => k._4 && k._5), "planar CMYK")
+    assert(knobs.filter(_._5).map(_._2).toSet == (0 to 5).toSet,
+      "planar must rotate through all six layout arms")
+    assert(knobs.exists(k => k._5 && k._3), "planar 16-bit")
+  }
+
   test("q171 fixture coverage: every encoding knob value occurs") {
     import graft.operators.Multimodal
     // the advisor r18 class: a knob whose derivation is parity-coupled

@@ -108,7 +108,7 @@ class TiffImageSpec extends AnyFunSuite {
     for {
       big <- Seq(false, true)
       comp <- Seq(1, 5, 8, 32773)
-      pred <- if (comp != 1) Seq(1, 2) else Seq(1)
+      pred <- if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1)
       tile <- Seq(0, 16)
       (w, h) <- Seq((5, 3), (16, 16), (33, 18))
     } {
@@ -145,7 +145,7 @@ class TiffImageSpec extends AnyFunSuite {
     for {
       big <- Seq(false, true)
       comp <- Seq(1, 5, 8, 32773)
-      pred <- if (comp != 1) Seq(1, 2) else Seq(1)
+      pred <- if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1)
       tile <- Seq(0, 16)
     } {
       val (w, h) = (21, 9)
@@ -1049,5 +1049,253 @@ class TiffImageSpec extends AnyFunSuite {
       val b = jdkImg.getRaster.getSample(x, y, 0) // not getRGB: r15 lesson
       assert(math.abs(a - b) <= 2, s"($x,$y) ours=$a jdk=$b")
     }
+  }
+
+  // ------------------------------------ tiled JPEG-in-TIFF (round 19)
+
+  test("JPEG-in-TIFF: tiled layout round-trips exactly and matches strips") {
+    for {
+      big <- Seq(false, true)
+      pm <- Seq(1, 6)
+      (w, h) <- Seq((16, 24), (32, 8), (24, 16), (40, 32))
+    } {
+      val px = blockGray(w, h, w + h + pm)
+      val tiled = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+        w, h, px, photometric = pm, compression = 7, tileSize = 16)),
+        bigEndian = big))
+      assert(tiled.tiled && tiled.compression == 7)
+      assert(tiled.pixels.toSeq == px.toSeq,
+        s"tiled pm=$pm big=$big ${w}x$h")
+      // strips-vs-tiles: the same canonical pixels (layout-independent)
+      val strips = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+        w, h, px, photometric = pm, compression = 7, rowsPerStrip = 8))))
+      assert(tiled.pixels.toSeq == strips.pixels.toSeq,
+        s"tiled/strips split pm=$pm ${w}x$h")
+    }
+    // orientation composes with the tiled-JPEG path
+    val (w, h) = (24, 40)
+    val px = blockGray(w, h, 9)
+    for (o <- Seq(3, 6, 8)) {
+      val (sw, sh, stored) = graft.sources.JpegImage.exifStore(o, w, h, px)
+      val t = TiffImage.parse(TiffImage.encodePages(Seq(TiffImage.Page(
+        sw, sh, stored, photometric = 1, compression = 7, tileSize = 16,
+        orientation = o))))
+      assert(t.width == w && t.height == h && t.pixels.toSeq == px.toSeq,
+        s"o=$o")
+    }
+  }
+
+  test("parity: tiled JPEG-in-TIFF crosses the JDK boundary in both directions") {
+    import javax.imageio.ImageIO
+    val (w, h) = (40, 24) // 3x2 tiles of 16, edge tiles padded
+    val px = blockGray(w, h, 21)
+    for (pm <- Seq(1, 6)) {
+      val bytes = TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
+        photometric = pm, compression = 7, tileSize = 16)))
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader refused tiled pm=$pm")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = px(y * w + x) & 0xff
+        val got =
+          if (pm == 1) img.getRaster.getSample(x, y, 0)
+          else img.getRGB(x, y) & 0xff
+        assert(got == want, s"($x,$y) tiled pm=$pm want=$want got=$got")
+      }
+    }
+    // JDK-written TILED JPEG TIFF -> our parser (decoder-vs-decoder
+    // with the documented r15 IDCT tolerance)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(16, 16, 0, 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jdkBytes = buf.toByteArray
+    val mine = TiffImage.parse(jdkBytes)
+    assert(mine.tiled, "JDK file did not come out tiled")
+    val jdkImg = ImageIO.read(new java.io.ByteArrayInputStream(jdkBytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = mine.pixel(x, y) & 0xff
+      val b = jdkImg.getRaster.getSample(x, y, 0)
+      assert(math.abs(a - b) <= 2, s"($x,$y) ours=$a jdk=$b")
+    }
+  }
+
+  // -------------------------------------- planar-separate (round 19)
+
+  test("planar hand fixture: plane-major strips decode exactly") {
+    // 2x2 RGB, PlanarConfiguration 2, uncompressed, RowsPerStrip 1:
+    // SIX strips (2 per plane, plane-major), each one row of ONE
+    // component — written by hand from TIFF 6.0 §14
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42); w32(8) // IFD at 8
+    // IFD: 10 entries (2 + 10*12 + 4 = 126 -> out-of-line data at 134)
+    w16(10)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    // pixels: (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    // plane-major rows: R rows 10 40 | 70 100; G rows 20 50 | 80 110;
+    // B rows 30 60 | 90 120 — each strip 2 bytes, at 134+2s
+    entry(256, 3, 1, 2)  // width
+    entry(257, 4, 1, 2)  // height
+    entry(258, 3, 3, 146) // bits 8,8,8 out-of-line (3 SHORTs at 146)
+    entry(259, 3, 1, 1)  // uncompressed
+    entry(262, 3, 1, 2)  // RGB
+    entry(273, 4, 6, 152) // strip offsets out-of-line (6 LONGs at 152)
+    entry(277, 3, 1, 3)  // spp 3
+    entry(278, 4, 1, 1)  // rows/strip 1
+    entry(279, 4, 6, 176) // strip byte counts out-of-line (at 176)
+    entry(284, 3, 1, 2)  // PLANAR
+    w32(0) // next IFD — data begins at 8 + 2 + 10*12 + 4 = 134
+    // strip data at 134: 6 one-row single-plane strips x 2 bytes,
+    // plane-major — R rows [10,40] [70,100], G rows [20,50] [80,110],
+    // B rows [30,60] [90,120]
+    for (v <- Seq(10, 40, 70, 100, 20, 50, 80, 110, 30, 60, 90, 120))
+      out.write(v)
+    // 258 values at 146
+    w16(8); w16(8); w16(8)
+    // 273 values at 152: consecutive 2-byte strips from 134
+    for (o <- Seq(134, 136, 138, 140, 142, 144)) w32(o)
+    // 279 values at 176
+    for (_ <- 0 until 6) w32(2)
+    val t = TiffImage.parse(out.toByteArray)
+    assert(t.width == 2 && t.height == 2)
+    assert(t.pixels.toSeq == Seq(0x0A141E, 0x28323C, 0x46505A, 0x646E78))
+  }
+
+  test("planar round-trip matrix: layout-independent pixels across the knobs") {
+    for {
+      big <- Seq(false, true)
+      comp <- Seq(1, 5, 8, 32773)
+      pred <- if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1)
+      tile <- Seq(0, 16)
+      bits <- Seq(8, 16)
+      pm <- Seq(2, 5)
+      if !(pm == 5 && bits == 16)
+    } {
+      val (w, h) = (19, 13)
+      val px = rgbPixels(w, h, comp * 31 + tile + bits)
+      val planar = TiffImage.parse(TiffImage.encode(w, h, px,
+        photometric = pm, bigEndian = big, compression = comp,
+        predictor = pred, rowsPerStrip = 5, tileSize = tile, bits = bits,
+        planar2 = true))
+      assert(planar.width == w && planar.height == h)
+      assert(planar.pixels.toSeq == px.toSeq,
+        s"planar pm=$pm big=$big comp=$comp pred=$pred tile=$tile bits=$bits")
+      // layout independence: chunky encode of the same pixels decodes
+      // identically — planar is pure container variation
+      val chunky = TiffImage.parse(TiffImage.encode(w, h, px,
+        photometric = pm, bigEndian = big, compression = comp,
+        predictor = pred, rowsPerStrip = 5, tileSize = tile, bits = bits))
+      assert(planar.pixels.toSeq == chunky.pixels.toSeq,
+        s"planar/chunky split pm=$pm comp=$comp pred=$pred tile=$tile")
+    }
+  }
+
+  test("planar with orientation normalizes through the same upright face") {
+    for (o <- 1 to 8) {
+      val (w, h) = (9, 6)
+      val px = rgbPixels(w, h, o * 7)
+      val (sw, sh, stored) = graft.sources.JpegImage.exifStore(o, w, h, px)
+      val t = TiffImage.parse(TiffImage.encode(sw, sh, stored,
+        photometric = 2, compression = 5, predictor = 2,
+        rowsPerStrip = 2, orientation = o, planar2 = true))
+      assert(t.width == w && t.height == h, s"o=$o")
+      assert(t.pixels.toSeq == px.toSeq, s"o=$o")
+    }
+  }
+
+  test("parity: our planar encodes decode identically under the JDK TIFF reader") {
+    for {
+      comp <- Seq(1, 5, 8, 32773)
+      tile <- Seq(0, 16)
+      pred <- if (comp == 5 || comp == 8) Seq(1, 2) else Seq(1)
+    } {
+      val (w, h) = (19, 13)
+      val px = rgbPixels(w, h, comp + tile + pred)
+      val bytes = TiffImage.encode(w, h, px, photometric = 2,
+        compression = comp, rowsPerStrip = 5, tileSize = tile,
+        predictor = pred, planar2 = true)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK refused planar comp=$comp tile=$tile")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
+          s"($x,$y) comp=$comp tile=$tile pred=$pred")
+    }
+  }
+
+  test("planar and predictor strict gates reject by name") {
+    val px = rgbPixels(8, 8, 3)
+    // planar configuration 3 is not a thing
+    val good = TiffImage.encode(8, 8, px, photometric = 2, planar2 = true)
+    // tag 284 value patch: find the entry (SHORT 2) and bump it — the
+    // encoder writes the IFD last, so scan from the back
+    val bad = good.clone()
+    var i = bad.length - 12
+    var patched = false
+    while (i >= 8 && !patched) {
+      if ((bad(i) & 0xff) == 28 && (bad(i + 1) & 0xff) == 1 &&
+          (bad(i + 8) & 0xff) == 2) { // tag 284 LE, value 2
+        bad(i + 8) = 3; patched = true
+      }
+      i -= 1
+    }
+    assert(patched, "fixture: tag 284 not found")
+    val e1 = intercept[IllegalArgumentException](TiffImage.parse(bad))
+    assert(e1.getMessage.contains("planar configuration"))
+    // strip-table arity: a planar file must carry spp x strips entries;
+    // re-tagging a CHUNKY file as planar breaks the count
+    val chunky = TiffImage.encode(8, 8, px, photometric = 2,
+      rowsPerStrip = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      // encode as planar=1, lie the tag to 2 by appending? simpler:
+      // planar file with chunky strip tables is synthesized by
+      // parsing a hand-retag — reuse the hand-fixture approach: flip
+      // tag 284 into the chunky file is absent, so instead assert the
+      // ENCODER gate on the unsupported pairings
+      TiffImage.encode(8, 8, Array.fill(64)(0x010101), photometric = 1,
+        planar2 = true) // spp = 1
+    }
+    assert(e2.getMessage.contains("planar2"))
+    // predictor 2 + PackBits: the ecosystem misreads it (JDK ignores
+    // tag 317 on PackBits) — named reject both ways
+    val e3 = intercept[IllegalArgumentException] {
+      TiffImage.encode(8, 8, px, photometric = 2, compression = 32773,
+        predictor = 2)
+    }
+    assert(e3.getMessage.contains("predictor 2"))
+    val lzwPred = TiffImage.encode(8, 8, px, photometric = 2,
+      compression = 5, predictor = 2)
+    // re-tag the compression to PackBits in the decoder's view: patch
+    // tag 259's inline SHORT from 5 to 32773
+    val bad2 = lzwPred.clone()
+    var j = bad2.length - 12
+    var done = false
+    while (j >= 8 && !done) {
+      if ((bad2(j) & 0xff) == 3 && (bad2(j + 1) & 0xff) == 1 &&
+          (bad2(j + 8) & 0xff) == 5) { // tag 259 LE, value 5
+        bad2(j + 8) = (32773 & 0xff).toByte
+        bad2(j + 9) = ((32773 >> 8) & 0xff).toByte
+        done = true
+      }
+      j -= 1
+    }
+    assert(done, "fixture: tag 259 not found")
+    val e4 = intercept[IllegalArgumentException](TiffImage.parse(bad2))
+    assert(e4.getMessage.contains("predictor 2 with compression"))
   }
 }
