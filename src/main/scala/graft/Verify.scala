@@ -50,6 +50,15 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a throwing query must not leave a STALE result from an
+        // earlier run for the checker to grade as a pass (round 19:
+        // q164 threw mid-write and the previous round's parquet
+        // passed the oracle) — a failed query leaves NO output
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // release any cache() a query pinned (they are per-query scratch)
       spark.catalog.clearCache()

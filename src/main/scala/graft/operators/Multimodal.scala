@@ -2657,19 +2657,25 @@ object Multimodal {
     * derivation silently locked each class to two of the six arms
     * (the q171-predictor coverage-drift class, round 19). */
   private[graft] def q164Knobs(id: Long):
-      (Int, Int, Boolean, Boolean, Boolean) = {
+      (Int, Int, Boolean, Boolean, Boolean, Boolean, (Int, Int)) = {
     val m = (id % 3).toInt
     val deep = id % 5 == 0 && m != 2
     val cmyk = m == 1 && !deep && id % 7 == 3
     val plan2 = m == 1 && (id / 18) % 3 == 1
-    (m, ((id / 3) % 6).toInt, deep, cmyk, plan2)
+    // round-19 axis: a slice of the GRAY class stores as NATIVE YCbCr
+    // (photometric 6 outside JPEG) — gray content is the exact
+    // aperture (Y = c, Cb = Cr = 128 survive subsampling and both
+    // roundings), so the analytic oracle needs zero edits (6th use)
+    val ycc = m == 0 && !deep && (id / 2) % 7 == 4
+    val sub = Seq((1, 1), (2, 1), (2, 2))(((id / 4) % 3).toInt)
+    (m, ((id / 3) % 6).toInt, deep, cmyk, plan2, ycc, sub)
   }
 
   private[graft] def tiffStatsOf(docs: DataFrame): DataFrame = {
     val synthDecode = udf { (id: Long) =>
       import graft.sources.{JpegImage, MediaCodec, TiffImage}
       val w = (3 + id % 14).toInt; val h = (2 + id % 11).toInt
-      val (m, lay, deep, cmyk, plan2) = q164Knobs(id)
+      val (m, lay, deep, cmyk, plan2, ycc, sub) = q164Knobs(id)
       val nPal = (2 + id % 9).toInt
       // canonical face pixels (what the oracle computes) and the
       // encoder-side sample array (indices for palette, pixels else)
@@ -2709,37 +2715,42 @@ object Multimodal {
         case _ => 3
       }
       val o = (1 + id % 8).toInt
-      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, canonRaw)
+      // the ycc arm encodes RGB-shaped gray (rgbToYcc reads all three
+      // channels); the gray/palette arms encode their raw sample bytes
+      val (sw, sh, stored) =
+        JpegImage.exifStore(o, w, h, if (ycc) canonFace else canonRaw)
       // layout matrix over the SAME canonical face — the oracle states
       // canonical stats only, so widening it (round 17 adds PackBits,
       // Deflate and a 16-bit-sample axis; round 18 the CMYK slice;
       // round 19 PlanarConfiguration 2) needs no oracle change. All
       // knob derivations live in [[q164Knobs]] under a coverage spec.
       val bits = if (deep) 16 else 8
-      val pm2 = if (cmyk) 5 else pm
+      val pm2 = if (cmyk) 5 else if (ycc) 6 else pm
+      val pred2 = if (ycc) 1 else 2 // no predictor stage on data units
       val bytes = lay match {
         case 0 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          rowsPerStrip = 3, bits = bits, planar2 = plan2)
+          rowsPerStrip = 3, bits = bits, planar2 = plan2, yccSub = sub)
         case 1 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, rowsPerStrip = 4, bits = bits, planar2 = plan2)
+          lzw = true, rowsPerStrip = 4, bits = bits, planar2 = plan2,
+          yccSub = sub)
         case 2 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, tileSize = 16, bits = bits,
-          planar2 = plan2)
+          lzw = true, predictor = pred2, tileSize = 16, bits = bits,
+          planar2 = plan2, yccSub = sub)
         case 3 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          lzw = true, predictor = 2, rowsPerStrip = 2, bits = bits,
-          planar2 = plan2)
+          lzw = true, predictor = pred2, rowsPerStrip = 2, bits = bits,
+          planar2 = plan2, yccSub = sub)
         case 4 => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
           compression = 32773, rowsPerStrip = 5, bits = bits,
-          planar2 = plan2)
+          planar2 = plan2, yccSub = sub)
         case _ => TiffImage.encode(sw, sh, stored, photometric = pm2,
           palette = pal, bigEndian = id % 2 == 0, orientation = o,
-          compression = 8, predictor = 2, tileSize = 16, bits = bits,
-          planar2 = plan2)
+          compression = 8, predictor = pred2, tileSize = 16, bits = bits,
+          planar2 = plan2, yccSub = sub)
       }
       val dec = MediaCodec.decodeImage(bytes)
       require(dec.container == "tiff", s"sniffed ${dec.container}")
@@ -3636,6 +3647,113 @@ object Multimodal {
   def q176ScannedPdfNearDup(s: SparkSession, dir: String): DataFrame =
     pdfNearDupOf(Tables.documents(s, dir))
 
+  /** Encoding knobs for variant `v` of canon `c` in the q177 fixture:
+    * (codec family 0=PCM16 1=mu-law 2=A-law 3=IMA-ADPCM 4=MS-ADPCM,
+    * sample rate). The family rotates with the canon so all five
+    * appear across any 5 consecutive canons while every canon's four
+    * variants span four DIFFERENT families; the rate is a pure
+    * container axis (the hash reads samples only). Exposed for the
+    * fixture-coverage spec (the q171/q164 knob-drift lesson). */
+  private[graft] def q177Knobs(v: Int, canon: Long): (Int, Int) =
+    (((v + canon) % 5).toInt, 8000 + 4000 * v)
+
+  /** q177 fixture: doc_id = canon·4 + v — four WAV re-encodes of the
+    * same canonical audio across FIVE codec families. The canonical
+    * signal is a run-constant aperture engineered to be EXACT in every
+    * family at once: constant runs of 18 samples whose values come
+    * from the 16-value INTERSECTION of the mu-law and A-law expansion
+    * sets (odd multiples of 8, |v| <= 120 — computed from G.711's
+    * chord tables: mu-law's e=0 chord gives multiples of 8, A-law's
+    * seg-0 gives odd multiples of 16 shifted by 8, and they meet only
+    * there), so companding is the identity on every sample; PCM16 is
+    * trivially exact; MS ADPCM blocks of 18 and IMA blocks of 9 align
+    * inside the runs (18 = lcm-compatible with IMA's 8k+1 block shape:
+    * two 9-sample blocks per run), where constant blocks reproduce
+    * exactly (the q173/q174 apertures). The hash core REQUIREs decoded
+    * == canonical, so any aperture defect is loud, then hashes each
+    * 1152-sample window (64 runs) with a splitmix fold. */
+  private[graft] def q177AudioHashes(id: Long): Array[Long] = {
+    import graft.sources.WavAudio
+    val canon = id / 4
+    val v = (id % 4).toInt
+    def mix(m: Long): Long = {
+      var z = m * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 32)
+      z
+    }
+    val nf = (2 + canon % 3).toInt
+    val Run = 18; val Runs = 64
+    val win = Run * Runs
+    val samples = Array.tabulate(nf * win) { i =>
+      val b = (mix(canon * 6007 + (i / Run) * 131) & 15).toInt
+      val mag = (b & 7) * 16 + 8 // 8, 24, ..., 120
+      if ((b & 8) != 0) -mag else mag
+    }
+    val (family, rate) = q177Knobs(v, canon)
+    val bytes = family match {
+      case 0 => WavAudio.encodePcm16Mono(rate, samples)
+      case 1 => WavAudio.encodeG711Mono(7, rate,
+        samples.map(WavAudio.ulawCompress))
+      case 2 => WavAudio.encodeG711Mono(6, rate,
+        samples.map(WavAudio.alawCompress))
+      case 3 => WavAudio.encodeImaAdpcmMono(rate, samples, 9)._1
+      case _ => WavAudio.encodeMsAdpcmMono(rate, samples, 18)._1
+    }
+    val w = WavAudio.parse(bytes)
+    require(w.channels == 1 && w.samples.length == samples.length,
+      s"decoded shape ${w.channels}x${w.samples.length}")
+    var i = 0
+    while (i < samples.length) {
+      // the aperture claim, graded sample-by-sample: every family must
+      // reproduce the canonical signal EXACTLY
+      require(w.samples(i) == samples(i),
+        s"sample $i: decoded ${w.samples(i)} != canonical ${samples(i)} " +
+          s"(family $family)")
+      i += 1
+    }
+    Array.tabulate(nf) { f =>
+      var z = 0x243F6A8885A308DL
+      var j = 0
+      while (j < win) {
+        z = mix(z * 31 + w.samples(f * win + j))
+        j += 1
+      }
+      z
+    }
+  }
+
+  /** q177's hash core in the frame-set shape — shared by batch q177,
+    * the scale probe and [[graft.streaming.PcmIndexStream]] (the
+    * kernel's fourth instantiation). */
+  private[graft] def audioHashFrame(docs: DataFrame): DataFrame =
+    frameSetHashFrame(docs, udf { (id: Long) => q177AudioHashes(id) })
+
+  /** The full q177 pipeline as a frame core — shared with its
+    * scale-probe lane. */
+  private[graft] def audioNearDupOf(docs: DataFrame): DataFrame =
+    frameSetNearDupOf(audioHashFrame(docs))
+
+  /** q177 — AUDIO near-dup (round 19): the last modality without a
+    * dedup lane. A re-encoded recording (same signal published as
+    * PCM16, G.711 mu/A-law, IMA or MS ADPCM at different sample-rate
+    * tags) is paired with every other re-encode: decode via
+    * [[graft.sources.WavAudio]] → fixed 1152-sample window hashes →
+    * the shared frame-set kernel (full-hash buckets through the capped
+    * band join, window-set Jaccard) — the fourth lane on that ONE
+    * kernel after GIF animations (q166), TIFF documents (q171) and
+    * PDFs (q176). The oracle is analytic (q171's verbatim): the
+    * run-constant intersection aperture makes all five families decode
+    * to identical samples, so surviving pairs are exactly the
+    * intra-canon pairs at sim 1.0 with n_common = the window count.
+    *
+    * Scale shape: decode+hash task-local per doc (audio bytes never
+    * shuffle — only (doc_id, 8-byte hash) per window); candidates from
+    * the bucketed band join; Jaccard candidate-pair × window sized.
+    * Incremental twin: [[graft.streaming.PcmIndexStream]]. */
+  def q177AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    audioNearDupOf(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3676,7 +3794,8 @@ object Multimodal {
     "q173_adpcm_decode" -> q173AdpcmDecode _,
     "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _,
     "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _,
-    "q176_scanned_pdf_neardup" -> q176ScannedPdfNearDup _)
+    "q176_scanned_pdf_neardup" -> q176ScannedPdfNearDup _,
+    "q177_audio_neardup" -> q177AudioNearDup _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3729,5 +3848,8 @@ object Multimodal {
     // page-count formula (2 + canon % 3) and the same analytic truth —
     // re-encodes collapse exactly, so pairs are the intra-canon pairs
     // at sim 1.0 (the q141/q145/q155 shared-oracle move)
-    "q176_scanned_pdf_neardup" -> q171Oracle)
+    "q176_scanned_pdf_neardup" -> q171Oracle,
+    // q171's oracle again: the audio lane shares the window-count
+    // formula (2 + canon % 3) and the same analytic collapse truth
+    "q177_audio_neardup" -> q171Oracle)
 }

@@ -46,6 +46,31 @@ object JpegImage {
     def pixel(x: Int, y: Int): Int = pixels(y * width + x) & 0xffffff
   }
 
+  /** Rec.601 full-range YCbCr codes → 0xRRGGBB (T.871's matrix and
+    * rounding) — ONE copy, shared by the JPEG color path and the
+    * native-YCbCr TIFF arm (TIFF 6.0 §21 defaults to the same CCIR 601
+    * coefficients with centered full-range chroma). */
+  private[sources] def yccToRgb(yv: Int, cb0: Int, cr0: Int): Int = {
+    val cb = cb0 - 128; val cr = cr0 - 128
+    def c8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = c8(math.round(yv + 1.402 * cr).toInt)
+    val g = c8(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+    val b = c8(math.round(yv + 1.772 * cb).toInt)
+    (r << 16) | (g << 8) | b
+  }
+
+  /** RGB → Rec.601 full-range YCbCr codes — [[yccToRgb]]'s generator
+    * half (T.871 forward matrix), shared with the native-YCbCr TIFF
+    * encoder. Gray-valued input (R = G = B = c) maps to (c, 128, 128)
+    * exactly, the aperture the graded lanes ride. */
+  private[sources] def rgbToYcc(px: Int): (Int, Int, Int) = {
+    val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+    def c8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    (c8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt),
+      c8(math.round(-0.168736 * r - 0.331264 * g + 0.5 * b).toInt + 128),
+      c8(math.round(0.5 * r - 0.418688 * g - 0.081312 * b).toInt + 128))
+  }
+
   /** Zigzag scan order (T.81 Figure 5), generated from the diagonal
     * rule rather than transcribed: position k in the scan maps to
     * block index Zigzag(k) = row·8 + col. */
@@ -914,15 +939,8 @@ object JpegImage {
           if (nComp == 1) {
             val g = clamp(sample(0, x, y))
             0xff000000 | (g << 16) | (g << 8) | g
-          } else {
-            val yv = sample(0, x, y)
-            val cb = sample(1, x, y) - 128
-            val cr = sample(2, x, y) - 128
-            val r = clamp(math.round(yv + 1.402 * cr).toInt)
-            val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
-            val b = clamp(math.round(yv + 1.772 * cb).toInt)
-            0xff000000 | (r << 16) | (g << 8) | b
-          }
+          } else 0xff000000 |
+            yccToRgb(sample(0, x, y), sample(1, x, y), sample(2, x, y))
         x += 1
       }
       y += 1

@@ -174,7 +174,10 @@ object TiffImage {
       val width = typ match {
         case 3 => 2 // SHORT
         case 4 => 4 // LONG
-        case _ => 0 // skipped (RATIONAL/ASCII metadata etc.)
+        case 5 => 8 // RATIONAL (round 19: YCbCrCoefficients / RefBW
+                    // must be VALIDATED, not skipped — a headroom-coded
+                    // file read as full-range is silent garbage pixels)
+        case _ => 0 // skipped (ASCII metadata etc.)
       }
       if (width > 0) {
         val totalBytes = width * count
@@ -186,8 +189,12 @@ object TiffImage {
               s"tag $tag value offset $off overruns file")
             off.toInt
           }
-        tags(tag) = Array.tabulate(count.toInt)(k =>
-          if (typ == 3) u16(valOff + 2 * k).toLong else u32(valOff + 4 * k))
+        // RATIONALs store as interleaved numerator/denominator pairs
+        tags(tag) =
+          if (typ == 5) Array.tabulate(2 * count.toInt)(k =>
+            u32(valOff + 4 * k))
+          else Array.tabulate(count.toInt)(k =>
+            if (typ == 3) u16(valOff + 2 * k).toLong else u32(valOff + 4 * k))
       }
       i += 1
     }
@@ -255,13 +262,40 @@ object TiffImage {
       s"photometric $photometric unsupported (only 0/1/2/3/5/6)")
     require(!oneBit || photometric <= 1,
       s"1-bit photometric $photometric unsupported (only 0/1)")
-    // new-style JPEG-in-TIFF: each strip is an embedded JPEG stream
-    // (abbreviated when tag 347 carries the shared tables) decoded by
-    // the house [[JpegImage]] codec — grayscale (photometric 1) or
-    // YCbCr (photometric 6, the standard pairing; the color transform
-    // lives inside the JPEG decoder)
-    require(photometric != 6 || jpegComp,
-      "photometric 6 (YCbCr) requires JPEG compression (7)")
+    // photometric 6: inside JPEG (compression 7) the transform lives
+    // in the JPEG stream; outside it (round 19 — NATIVE YCbCr, the
+    // digital-camera TIFF layout) the sample data is subsampled
+    // chroma data units per TIFF 6.0 §21, decoded below
+    val yccNative = photometric == 6 && !jpegComp
+    require(!yccNative || bits(0) == 8,
+      s"native YCbCr with ${bits(0)}-bit samples unsupported")
+    val (subH, subV) =
+      if (yccNative) {
+        val s = tags.getOrElse(530, Array(2L, 2L))
+        require(s.length == 2 && (s(0) == 1 || s(0) == 2) &&
+          (s(1) == 1 || s(1) == 2),
+          s"YCbCrSubSampling ${s.mkString("x")} unsupported (only 1/2)")
+        (s(0).toInt, s(1).toInt)
+      } else (1, 1)
+    if (yccNative) {
+      // num/den pairs: value k is v(2k)/v(2k+1)
+      def frac(v: Array[Long], k: Int, num: Long, den: Long): Boolean =
+        v(2 * k + 1) != 0 && v(2 * k) * den == num * v(2 * k + 1)
+      tags.get(529).foreach { v => // YCbCrCoefficients
+        require(v.length == 6 && frac(v, 0, 299, 1000) &&
+          frac(v, 1, 587, 1000) && frac(v, 2, 114, 1000),
+          "YCbCrCoefficients other than CCIR 601 (the spec default) " +
+            "unsupported")
+      }
+      tags.get(532).foreach { v => // ReferenceBlackWhite
+        val want = Seq((0L, 255L), (128L, 255L), (128L, 255L))
+        require(v.length == 12 && want.zipWithIndex.forall {
+          case ((blk, wht), c) =>
+            frac(v, 2 * c, blk, 1) && frac(v, 2 * c + 1, wht, 1)
+        }, "ReferenceBlackWhite with headroom/footroom unsupported " +
+          "(only the centered full-range 0,255/128,255/128,255)")
+      }
+    }
     require(!jpegComp || (photometric == 1 || photometric == 6),
       s"JPEG compression with photometric $photometric unsupported " +
         "(only 1=gray, 6=YCbCr)")
@@ -291,6 +325,8 @@ object TiffImage {
     }
     require(!planar2 || !jpegComp,
       "planar JPEG-in-TIFF unsupported (TTN2 JPEG strips interleave)")
+    require(!planar2 || !yccNative,
+      "planar native YCbCr unsupported (subsampled planes)")
     val predictor = one(317, default = 1).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
@@ -308,6 +344,8 @@ object TiffImage {
       compression == 32946,
       s"predictor 2 with compression $compression unsupported " +
         "(only LZW/Deflate carry a predictor stage)")
+    require(predictor == 1 || !yccNative,
+      "predictor 2 on native-YCbCr data units unsupported")
     val expectedSpp =
       if (photometric == 2 || photometric == 6) 3
       else if (photometric == 5) 4 else 1
@@ -444,6 +482,48 @@ object TiffImage {
         y += 1
       }
     }
+    // native-YCbCr segment (§21): decompress to subsampled data units
+    // (subH×subV Y samples row-major, then Cb, Cr), scatter into the
+    // interleaved sample plane with chroma replicated across the unit —
+    // edge-unit padding samples are discarded. Unit geometry is exact:
+    // a segment of segW×segH pixels carries ⌈segW/subH⌉×⌈segH/subV⌉
+    // full units (spec: strips/tiles contain complete data units).
+    def yccSegment(off: Long, len: Long, segW: Int, segH: Int,
+        rowOff: Int, colOff: Int): Unit = {
+      val uX = (segW + subH - 1) / subH
+      val uY = (segH + subV - 1) / subV
+      val unit = subH * subV + 2
+      val seg = segment(off, len, uX * uY * unit)
+      var uy = 0
+      while (uy < uY) {
+        var ux = 0
+        while (ux < uX) {
+          val base = (uy * uX + ux) * unit
+          val cb = seg(base + subH * subV)
+          val cr = seg(base + subH * subV + 1)
+          var dy = 0
+          while (dy < subV) {
+            val sy = uy * subV + dy
+            val y0 = rowOff + sy
+            var dx = 0
+            while (dx < subH) {
+              val sx = ux * subH + dx
+              val x0 = colOff + sx
+              if (sy < segH && sx < segW && y0 < height && x0 < width) {
+                val o = (y0 * width + x0) * 3
+                raw(o) = seg(base + dy * subH + dx)
+                raw(o + 1) = cb
+                raw(o + 2) = cr
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          ux += 1
+        }
+        uy += 1
+      }
+    }
     def segment(off: Long, len: Long, outLen: Int): Array[Byte] = {
       require(off >= 8 && len >= 0 && off + len <= bytes.length,
         s"segment at $off+$len overruns file (${bytes.length} bytes)")
@@ -525,6 +605,14 @@ object TiffImage {
         val si = s % nStrips // strips are PLANE-MAJOR (TIFF 6.0 §14)
         val rows = math.min(rps, height - si * rps)
         if (jpegComp) jpegSegment(offs(s), cnts(s), width, rows, si * rps, 0)
+        else if (yccNative) {
+          // data units cannot straddle strips (§21: RowsPerStrip must
+          // be a multiple of the vertical subsampling when the image
+          // spans several strips; the LAST strip pads up to a unit)
+          require(nStrips == 1 || rps % subV == 0,
+            s"RowsPerStrip $rps not a multiple of YCbCr subsampling $subV")
+          yccSegment(offs(s), cnts(s), width, rows, si * rps, 0)
+        }
         else if (planar2) {
           val seg = segment(offs(s), cnts(s), rows * width * bps)
           undiff(seg, width, rows, 1)
@@ -567,6 +655,7 @@ object TiffImage {
         val ti = t % (tx * ty) // tiles are PLANE-MAJOR, like strips
         val ox = (ti % tx) * tw; val oy = (ti / tx) * th
         if (jpegComp) jpegSegment(offs(t), cnts(t), tw, th, oy, ox)
+        else if (yccNative) yccSegment(offs(t), cnts(t), tw, th, oy, ox)
         else if (planar2) {
           val seg = segment(offs(t), cnts(t), tw * th * bps)
           undiff(seg, tw, th, 1)
@@ -612,6 +701,8 @@ object TiffImage {
           ((((255 - samp(k, 0)) * kk) / 255) << 16) |
             ((((255 - samp(k, 1)) * kk) / 255) << 8) |
             (((255 - samp(k, 2)) * kk) / 255)
+        case 6 => // native YCbCr: the ONE Rec.601 transform (JPEG's)
+          JpegImage.yccToRgb(samp(k, 0), samp(k, 1), samp(k, 2))
         case _ => colorMap(samp(k, 0))
       }
       k += 1
@@ -947,11 +1038,12 @@ object TiffImage {
       bigEndian: Boolean = false, lzw: Boolean = false,
       predictor: Int = 1, rowsPerStrip: Int = 0, tileSize: Int = 0,
       orientation: Int = 1, compression: Int = 0,
-      bits: Int = 8, planar2: Boolean = false): Array[Byte] = {
+      bits: Int = 8, planar2: Boolean = false,
+      yccSub: (Int, Int) = (2, 2)): Array[Byte] = {
     val comp = if (compression == 0) { if (lzw) 5 else 1 } else compression
     encodePages(Seq(Page(width, height, pixels, photometric, palette,
       comp, predictor, rowsPerStrip, tileSize, orientation, bits,
-      planar2 = planar2)),
+      planar2 = planar2, yccSub = yccSub)),
       bigEndian)
   }
 
@@ -966,7 +1058,7 @@ object TiffImage {
       compression: Int = 1, predictor: Int = 1, rowsPerStrip: Int = 0,
       tileSize: Int = 0, orientation: Int = 1, bits: Int = 8,
       t4TwoD: Boolean = false, fillOrder2: Boolean = false,
-      planar2: Boolean = false)
+      planar2: Boolean = false, yccSub: (Int, Int) = (2, 2))
 
   /** Encode a MULTI-PAGE TIFF (the scanned-document shape): one shared
     * header, each page's segments + out-of-line values + IFD written
@@ -1010,7 +1102,7 @@ object TiffImage {
       bigEndian: Boolean): (Long, Int) = {
     val Page(width, height, pixels, photometric, palette, comp,
       predictor, rowsPerStrip, tileSize, orientation, bits, t4TwoD,
-      fillOrder2, planar2) = page
+      fillOrder2, planar2, yccSub) = page
     val ccitt = comp == 2 || comp == 3 || comp == 4
     require(!fillOrder2 || (bits == 1 && (ccitt || comp == 1)),
       "fillOrder2 is a 1-bit CCITT/uncompressed knob")
@@ -1022,7 +1114,17 @@ object TiffImage {
     require(comp != 7 || (bits == 8 &&
       (photometric == 1 || photometric == 6)),
       "JPEG pages are 8-bit gray/YCbCr")
-    require(photometric != 6 || comp == 7, "YCbCr pages require JPEG")
+    // photometric 6 pages: inside JPEG the transform lives in the
+    // stream; outside it (native YCbCr) the writer emits subsampled
+    // data units per TIFF 6.0 section 21
+    val yccNative = photometric == 6 && comp != 7
+    require(!yccNative || (comp == 1 || comp == 5 || comp == 8 ||
+      comp == 32773), "native YCbCr needs a byte-oriented compression")
+    require(!yccNative || (bits == 8 && predictor == 1 && !planar2),
+      "native YCbCr pages are 8-bit chunky, no predictor")
+    val (subH, subV) = yccSub
+    require(!yccNative || ((subH == 1 || subH == 2) &&
+      (subV == 1 || subV == 2)), s"YCbCr subsampling ${subH}x$subV")
     require(bits == 8 || bits == 16 || bits == 1, s"bits $bits")
     require(bits == 8 || photometric != 3, "palette is 8-bit only")
     require(bits != 1 || (photometric <= 1 && predictor == 1 &&
@@ -1052,7 +1154,7 @@ object TiffImage {
         else { raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte }
       }
     var k = 0
-    while (bits != 1 && comp != 7 && k < width * height) {
+    while (bits != 1 && comp != 7 && !yccNative && k < width * height) {
       photometric match {
         case 0 => put(k, 255 - (pixels(k) & 0xff))
         case 1 => put(k, pixels(k) & 0xff)
@@ -1135,8 +1237,12 @@ object TiffImage {
     }
     val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val tiled = tileSize > 0
-    val rps = if (tiled) 0
+    val rps0 = if (tiled) 0
       else if (rowsPerStrip > 0) math.min(rowsPerStrip, height) else height
+    // section 21: RowsPerStrip must be a multiple of the vertical
+    // subsampling (libtiff's writer adjusts it the same way)
+    val rps = if (yccNative && !tiled) ((rps0 + subV - 1) / subV) * subV
+      else rps0
     if (bits == 1) {
       // bilevel plane: one SAMPLE BIT per pixel (photometric 0 stores
       // white as 0, photometric 1 stores black as 0 — the decoder's
@@ -1213,6 +1319,74 @@ object TiffImage {
         segs += JpegImage.encode(tileSize, tileSize, tilePx,
           grayscale = photometric == 1)
         t += 1
+      }
+    } else if (yccNative) {
+      // native-YCbCr data units (section 21): per unit, subH x subV Y
+      // samples row-major, then ONE Cb and Cr averaged over the unit
+      // (exact for gray-valued pixels: chroma is 128 everywhere, the
+      // graded lanes' aperture); edge units pad Y by edge replication
+      val yP = new Array[Int](width * height)
+      val cbP = new Array[Int](width * height)
+      val crP = new Array[Int](width * height)
+      var j = 0
+      while (j < width * height) {
+        val t = JpegImage.rgbToYcc(pixels(j))
+        yP(j) = t._1; cbP(j) = t._2; crP(j) = t._3
+        j += 1
+      }
+      def unitBytes(ox: Int, oy: Int, segW: Int, segH: Int): Array[Byte] = {
+        val uX = (segW + subH - 1) / subH
+        val uY = (segH + subV - 1) / subV
+        val out = new Array[Byte](uX * uY * (subH * subV + 2))
+        var o = 0
+        var uy = 0
+        while (uy < uY) {
+          var ux = 0
+          while (ux < uX) {
+            var cbSum = 0; var crSum = 0; var n = 0
+            var dy = 0
+            while (dy < subV) {
+              var dx = 0
+              while (dx < subH) {
+                val x = math.min(ox + ux * subH + dx, width - 1)
+                val y = math.min(oy + uy * subV + dy, height - 1)
+                out(o) = yP(y * width + x).toByte
+                o += 1
+                cbSum += cbP(y * width + x); crSum += crP(y * width + x)
+                n += 1
+                dx += 1
+              }
+              dy += 1
+            }
+            out(o) = math.round(cbSum.toDouble / n).toInt.toByte
+            out(o + 1) = math.round(crSum.toDouble / n).toInt.toByte
+            o += 2
+            ux += 1
+          }
+          uy += 1
+        }
+        out
+      }
+      if (!tiled) {
+        var sIdx = 0
+        while (sIdx * rps < height) {
+          val rows = math.min(rps, height - sIdx * rps)
+          val u = unitBytes(0, sIdx * rps, width, rows)
+          segs += compress(u,
+            ((width + subH - 1) / subH) * (subH * subV + 2))
+          sIdx += 1
+        }
+      } else {
+        val tx = (width + tileSize - 1) / tileSize
+        val ty = (height + tileSize - 1) / tileSize
+        var t = 0
+        while (t < tx * ty) {
+          val u = unitBytes((t % tx) * tileSize, (t / tx) * tileSize,
+            tileSize, tileSize)
+          segs += compress(u,
+            (tileSize / subH) * (subH * subV + 2))
+          t += 1
+        }
       }
     } else if (!tiled && planar2) {
       // plane-major strips (TIFF 6.0 §14): all of component 0's
@@ -1325,9 +1499,18 @@ object TiffImage {
       add(324, 4, segOffs.map(_.toLong).toArray)
       add(325, 4, segs.map(_.length.toLong).toArray)
     }
-    // YCbCr-in-JPEG pages are 4:4:4 (the encoder's subsample=false);
-    // without the tag readers would assume the TIFF default of 2x2
-    if (photometric == 6) add(530, 3, Array(1L, 1L))
+    // YCbCr subsampling: JPEG pages are 4:4:4 (the encoder's
+    // subsample=false) — without the tag readers would assume the TIFF
+    // default of 2x2; native pages state their actual unit geometry
+    if (photometric == 6)
+      add(530, 3,
+        if (yccNative) Array(subH.toLong, subV.toLong) else Array(1L, 1L))
+    // ReferenceBlackWhite (RATIONAL x6): state the centered full-range
+    // mapping explicitly — identity for Y, code-128 centering with a
+    // 127-step range for chroma (the JPEG-equivalent coding)
+    if (yccNative)
+      add(532, 5, Array(0L, 1L, 255L, 1L, 128L, 1L, 255L, 1L,
+        128L, 1L, 255L, 1L))
     // write out-of-line arrays, remember their offsets
     for (e <- entries) {
       val w = if (e.typ == 3) 2 else 4
@@ -1340,7 +1523,9 @@ object TiffImage {
     val ifdOff = out.size()
     w16(entries.length)
     for (e <- entries) {
-      w16(e.tag); w16(e.typ); w32(e.values.length.toLong)
+      w16(e.tag); w16(e.typ)
+      // RATIONAL values store as num/den Long pairs: count is in PAIRS
+      w32(if (e.typ == 5) e.values.length / 2L else e.values.length.toLong)
       val w = if (e.typ == 3) 2 else 4
       if (w * e.values.length > 4) w32(e.off)
       else {

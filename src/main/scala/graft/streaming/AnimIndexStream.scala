@@ -66,3 +66,23 @@ object PdfIndexStream extends FrameSetIndex {
   protected def present(pairs: DataFrame): DataFrame =
     Multimodal.animPresentation(pairs)
 }
+
+/** Incrementally-maintained AUDIO near-dup index — q177's streaming
+  * twin and the fourth instantiation of the multi-row [[FrameSetIndex]]
+  * kernel: a re-encoded recording (PCM16 / G.711 mu/A-law / IMA / MS
+  * ADPCM, any sample-rate tag) arriving on the stream is paired with
+  * every earlier re-encode through the accumulated full-hash
+  * window-set index. Hashing is [[Multimodal.audioHashFrame]] (WAV
+  * decode + fixed-window splitmix fold), scoring/presentation the
+  * shared frame-set kernels — batch q177's exact pipeline, so
+  * stream ≡ batch by construction (PcmIndexStreamSpec pins it over
+  * sharded replays). */
+object PcmIndexStream extends FrameSetIndex {
+  protected def hashFrame(docs: DataFrame): DataFrame =
+    Multimodal.audioHashFrame(docs)
+  protected def bands(fh: DataFrame): DataFrame = Multimodal.animBands(fh)
+  protected def score(candKeys: DataFrame, allFh: DataFrame): DataFrame =
+    Multimodal.animScore(candKeys, allFh)
+  protected def present(pairs: DataFrame): DataFrame =
+    Multimodal.animPresentation(pairs)
+}

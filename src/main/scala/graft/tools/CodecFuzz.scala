@@ -796,6 +796,40 @@ object CodecFuzz {
       }
     }
     for (i <- 0 until 25) {
+      // native-YCbCr TIFF family (round 19): gray-valued content (the
+      // exact aperture — Y=c, Cb=Cr=128 survive subsampling and both
+      // matrix roundings) across subsamplings, compressions, layouts,
+      // byte orders and orientations; mutations through the data-unit
+      // walk reject by name or stay sound
+      import graft.sources.TiffImage
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val gray = Array.tabulate(w * h) { _ =>
+        val c = rnd.nextInt(256); (c << 16) | (c << 8) | c
+      }
+      val o = 1 + rnd.nextInt(8)
+      val (sw, sh, stored) = JpegImage.exifStore(o, w, h, gray)
+      val bytes = TiffImage.encode(sw, sh, stored, photometric = 6,
+        compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
+        bigEndian = rnd.nextBoolean(),
+        rowsPerStrip =
+          if (rnd.nextBoolean()) 1 + rnd.nextInt(h + 2) else 0,
+        tileSize = if (rnd.nextInt(3) == 0) 16 else 0,
+        orientation = o,
+        yccSub = Seq((1, 1), (2, 1), (2, 2))(rnd.nextInt(3)))
+      check(s"ycctiff_roundtrip_$i") {
+        val t = TiffImage.parse(bytes)
+        require(t.width == w && t.height == h, "upright dims")
+        var ok = true
+        for (k <- 0 until w * h) ok &&= (t.pixels(k) & 0xffffff) == gray(k)
+        require(ok, "pixels")
+      }
+      val bad = mutate(bytes)
+      mutationCase(s"ycctiff_mutation_$i", () => TiffImage.parse(bad)) { t =>
+        t.width > 0 && t.height > 0 &&
+          t.pixels.length == t.width * t.height
+      }
+    }
+    for (i <- 0 until 25) {
       // JPEG-in-TIFF family: block-constant aperture content (exact
       // round-trips despite the lossy codec) across photometrics,
       // strip heights, byte orders, orientations; mutations through

@@ -35,7 +35,7 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff", "docdup", "ccitt", "jpegtiff", "pdfdup")(lane),
+      "tiff", "docdup", "ccitt", "jpegtiff", "pdfdup", "audiodup")(lane),
       s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,6 +131,13 @@ object CodecScaleProbe {
     def pdfDupKernel(docs: DataFrame): Long =
       Multimodal.pdfNearDupOf(docs.select($"doc_id")).count()
 
+    // the audio near-dup lane measures q177's full graded pipeline
+    // (WAV decode across five codec families -> window hashes ->
+    // capped band join -> window-set Jaccard); figure = surviving
+    // pairs (6 per canon at every scale)
+    def audioDupKernel(docs: DataFrame): Long =
+      Multimodal.audioNearDupOf(docs.select($"doc_id")).count()
+
     // the CCITT lane measures q172's graded kernel (bilevel synth →
     // CCITT/packed encode across the 7-compression matrix → dispatch
     // decode → stats)
@@ -163,6 +170,7 @@ object CodecScaleProbe {
         case "animdup" => animDupKernel(docs)
         case "docdup" => docDupKernel(docs)
         case "pdfdup" => pdfDupKernel(docs)
+        case "audiodup" => audioDupKernel(docs)
         case "ccitt" => ccittKernel(docs)
         case "jpegtiff" => jpegTiffKernel(docs)
         case "tiff" => tiffKernel(docs)

@@ -215,6 +215,41 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("q177 fixture: audio re-encodes collapse, documents and windows separate") {
+    import graft.operators.Multimodal
+    // collapse half (also stated by the oracle): every re-encode of a
+    // recording — PCM16, mu-law, A-law, IMA ADPCM, MS ADPCM, any rate
+    // tag — decodes to the SAME window-hash sequence (the run-constant
+    // intersection aperture; the hash core REQUIREs sample equality,
+    // so a dented aperture throws rather than silently splitting)
+    for (canon <- 0L until 30L) {
+      val sigs = (0 until 4).map(v => Multimodal
+        .q177AudioHashes(canon * 4 + v).toSeq)
+      assert(sigs.distinct.size == 1, s"canon $canon variants split")
+      assert(sigs.head.distinct.size == sigs.head.size,
+        s"canon $canon has colliding window hashes")
+    }
+    // separation half, sampled into the 100x-probe canon range
+    val sample = ((0L until 30L) ++ (100000L until 100030L) ++
+      (0L until 125000L by 997L)).distinct
+    val all = sample.flatMap(c => Multimodal.q177AudioHashes(c * 4))
+    assert(all.distinct.size == all.size,
+      "cross-canon window-hash collision in the q177 fixture")
+  }
+
+  test("q177 fixture coverage: every codec family and rate occurs") {
+    import graft.operators.Multimodal
+    val knobs = for (v <- 0 to 3; c <- 0L to 9L)
+      yield Multimodal.q177Knobs(v, c)
+    assert(knobs.map(_._1).toSet == (0 to 4).toSet, "codec families")
+    assert(knobs.map(_._2).toSet.size == 4, "rate axis")
+    // every family must occur at more than one rate (family and rate
+    // must not be locked together — the q164/q171 drift class)
+    for (f <- 0 to 4)
+      assert(knobs.filter(_._1 == f).map(_._2).toSet.size >= 2,
+        s"family $f locked to one rate")
+  }
+
   test("q164 fixture coverage: every class meets every layout arm and axis") {
     import graft.operators.Multimodal
     val knobs = (0L until 2000L).map(Multimodal.q164Knobs)
@@ -235,6 +270,14 @@ class MultimodalSpec extends SparkSuite {
     assert(knobs.filter(_._5).map(_._2).toSet == (0 to 5).toSet,
       "planar must rotate through all six layout arms")
     assert(knobs.exists(k => k._5 && k._3), "planar 16-bit")
+    // native YCbCr (round 19): occurs, rotates all six layout arms,
+    // and meets every subsampling value
+    assert(knobs.exists(k => k._1 == 0 && k._6) &&
+      knobs.exists(k => k._1 == 0 && !k._6), "ycc axis within gray")
+    assert(knobs.filter(_._6).map(_._2).toSet == (0 to 5).toSet,
+      "ycc must rotate through all six layout arms")
+    assert(knobs.filter(_._6).map(_._7).toSet ==
+      Set((1, 1), (2, 1), (2, 2)), "ycc subsampling coverage")
   }
 
   test("q171 fixture coverage: every encoding knob value occurs") {

@@ -973,12 +973,15 @@ class TiffImageSpec extends AnyFunSuite {
     val px = blockGray(w, h, 3)
     val good = TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
       photometric = 1, compression = 7)))
-    // YCbCr without JPEG compression
+    // re-tagging the gray JPEG page as uncompressed photometric 6 is
+    // still a named reject — since round 19 native YCbCr is LEGAL, so
+    // the gate that fires is the SamplesPerPixel cross-check (a
+    // 1-sample page cannot carry YCbCr data units)
     val e1 = intercept[IllegalArgumentException] {
       val b = good.clone(); patchInlineShort(b, 259, 1)
       patchInlineShort(b, 262, 6); TiffImage.parse(b)
     }
-    assert(e1.getMessage.contains("YCbCr"))
+    assert(e1.getMessage.contains("SamplesPerPixel"))
     // 16-bit JPEG pages (encoder gate)
     val e2 = intercept[IllegalArgumentException] {
       TiffImage.encodePages(Seq(TiffImage.Page(w, h, px,
@@ -1129,6 +1132,190 @@ class TiffImageSpec extends AnyFunSuite {
       val b = jdkImg.getRaster.getSample(x, y, 0)
       assert(math.abs(a - b) <= 2, s"($x,$y) ours=$a jdk=$b")
     }
+  }
+
+  // ----------------------------------- native YCbCr TIFF (round 19)
+
+  test("native YCbCr hand fixture: subsampled data units decode through Rec.601") {
+    // 2x2 image, subsampling (2,2): ONE data unit = Y00 Y01 Y10 Y11
+    // Cb Cr. Hand-pick codes and compute RGB by hand from T.871:
+    // Y=(90,100,110,120), Cb=150, Cr=100 -> cb=+22, cr=-28
+    //   R = Y + 1.402*(-28)  = Y - 39.256  -> round(Y - 39.256)
+    //   G = Y - 0.344136*22 - 0.714136*(-28) = Y + 12.425
+    //   B = Y + 1.772*22     = Y + 38.984
+    val ys = Seq(90, 100, 110, 120)
+    val want = ys.map { yv =>
+      def c8(v: Long): Int = math.max(0, math.min(255, v)).toInt
+      (c8(math.round(yv - 39.256)) << 16) |
+        (c8(math.round(yv + 12.425)) << 8) | c8(math.round(yv + 38.984))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42); w32(8)
+    w16(10) // 10 entries -> data at 8 + 2 + 120 + 4 = 134
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    entry(256, 3, 1, 2)   // width 2
+    entry(257, 4, 1, 2)   // height 2
+    entry(258, 3, 3, 140) // bits 8,8,8 out-of-line at 140
+    entry(259, 3, 1, 1)   // uncompressed
+    entry(262, 3, 1, 6)   // YCbCr
+    entry(273, 4, 1, 134) // one strip at 134
+    entry(277, 3, 1, 3)
+    entry(278, 4, 1, 2)
+    entry(279, 4, 1, 6)   // 6 bytes: one (2,2) unit
+    entry(530, 3, 2, (2 << 16) | 2) // subsampling 2,2 inline (LE SHORTs)
+    w32(0)
+    for (v <- ys) out.write(v) // at 134
+    out.write(150); out.write(100) // Cb, Cr
+    w16(8); w16(8); w16(8) // bits at 140
+    val t = TiffImage.parse(out.toByteArray)
+    assert(t.width == 2 && t.height == 2 && t.photometric == 6)
+    assert(t.pixels.toSeq == want, s"got ${t.pixels.toSeq}, want $want")
+  }
+
+  test("native YCbCr: gray aperture round-trips exactly across the matrix") {
+    for {
+      big <- Seq(false, true)
+      sub <- Seq((1, 1), (2, 1), (2, 2))
+      comp <- Seq(1, 5, 8, 32773)
+      (tile, rps) <- Seq((0, 3), (0, 5), (0, 0), (16, 0))
+      (w, h) <- Seq((19, 13), (16, 16))
+    } {
+      val gray = Array.tabulate(w * h) { i =>
+        val c = (i * 37 + comp) % 256; (c << 16) | (c << 8) | c
+      }
+      val t = TiffImage.parse(TiffImage.encode(w, h, gray, photometric = 6,
+        bigEndian = big, compression = comp, rowsPerStrip = rps,
+        tileSize = tile, yccSub = sub))
+      assert(t.width == w && t.height == h && t.photometric == 6)
+      assert(t.pixels.toSeq == gray.toSeq,
+        s"ycc big=$big sub=$sub comp=$comp tile=$tile rps=$rps ${w}x$h")
+    }
+    // orientation composes
+    val (w, h) = (12, 10)
+    val gray = Array.tabulate(w * h)(i => { val c = (i * 7) % 256
+      (c << 16) | (c << 8) | c })
+    for (o <- Seq(3, 5, 8)) {
+      val (sw, sh, stored) = graft.sources.JpegImage.exifStore(o, w, h, gray)
+      val t = TiffImage.parse(TiffImage.encode(sw, sh, stored,
+        photometric = 6, compression = 5, rowsPerStrip = 4,
+        orientation = o, yccSub = (2, 2)))
+      assert(t.width == w && t.height == h && t.pixels.toSeq == gray.toSeq,
+        s"o=$o")
+    }
+  }
+
+  test("native YCbCr: colored content round-trips within the rounding budget") {
+    // one forward rounding (encode) + one inverse rounding (decode):
+    // subsampling (1,1) keeps chroma unaveraged, so the budget is tight
+    val (w, h) = (19, 13)
+    val rnd = new scala.util.Random(61)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    val t = TiffImage.parse(TiffImage.encode(w, h, px, photometric = 6,
+      compression = 8, rowsPerStrip = 4, yccSub = (1, 1)))
+    for (k <- 0 until w * h; sh <- Seq(16, 8, 0)) {
+      val a = (t.pixels(k) >> sh) & 0xff; val b = (px(k) >> sh) & 0xff
+      assert(math.abs(a - b) <= 2, s"px $k shift $sh: $a vs $b")
+    }
+  }
+
+  test("parity: native YCbCr decodes identically under the JDK TIFF reader") {
+    // RASTER samples, not getRGB — the JDK color-manages the converted
+    // RGB through a linear ColorSpace (the r15 grayscale lesson, again:
+    // getRGB gamma-lifts 16 -> 71). Boundary documented below: the JDK
+    // deviates from TIFF 6.0 §21 on ODD-width (2,2) strip edge units
+    // (the spec and libtiff pad to FULL units; the JDK does not), so
+    // the (2,2) matrix here keeps even widths; odd widths are covered
+    // by the self round-trip matrix above, which follows the spec.
+    for {
+      sub <- Seq((1, 1), (2, 1), (2, 2))
+      comp <- Seq(1, 5, 8, 32773)
+      tile <- Seq(0, 16)
+      (w, h) <- if (sub == (2, 2)) Seq((20, 13), (16, 16))
+        else Seq((19, 13), (16, 16))
+    } {
+      val gray = Array.tabulate(w * h) { i =>
+        val c = (i * 37 + 11) % 256; (c << 16) | (c << 8) | c
+      }
+      val bytes = TiffImage.encode(w, h, gray, photometric = 6,
+        compression = comp, rowsPerStrip = if (tile > 0) 0 else 4,
+        tileSize = tile, yccSub = sub)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK refused ycc sub=$sub comp=$comp tile=$tile")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val a = (gray(y * w + x) >> (16 - 8 * c)) & 0xff
+        val b = img.getRaster.getSample(x, y, c)
+        assert(math.abs(a - b) <= 1,
+          s"($x,$y,$c) sub=$sub comp=$comp tile=$tile ours=$a jdk=$b")
+      }
+    }
+    // colored content, (1,1): decoder-vs-decoder on the same file
+    val (w, h) = (19, 13)
+    val rnd = new scala.util.Random(62)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    val bytes = TiffImage.encode(w, h, px, photometric = 6,
+      compression = 8, rowsPerStrip = 4, yccSub = (1, 1))
+    val mine = TiffImage.parse(bytes)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val a = (mine.pixel(x, y) >> (16 - 8 * c)) & 0xff
+      val b = img.getRaster.getSample(x, y, c)
+      assert(math.abs(a - b) <= 1, s"($x,$y,$c) ours=$a jdk=$b")
+    }
+    // the JDK TIFF writer cannot emit native (non-JPEG) YCbCr, so the
+    // reverse direction has no generator; the hand fixture above pins
+    // the byte layout instead
+  }
+
+  test("native YCbCr strict gates reject by name") {
+    val (w, h) = (8, 8)
+    val gray = Array.tabulate(w * h)(i => { val c = i * 3 % 256
+      (c << 16) | (c << 8) | c })
+    val good = TiffImage.encode(w, h, gray, photometric = 6,
+      compression = 1, rowsPerStrip = 0, yccSub = (2, 2))
+    // non-601 coefficients (tag 529): patch one in — append is hard, so
+    // synthesize via the encoder file + a hand-added entry is overkill;
+    // instead check the OTHER rational gate: break ReferenceBlackWhite
+    // (the encoder writes it, so patch its out-of-line numerator)
+    val s = good.clone()
+    // RBW values are 12 LE u32s ending ...128,1,255,1 — find the exact
+    // 48-byte pattern and bump the Cb reference black 128 -> 16
+    val pat = Array[Long](0, 1, 255, 1, 128, 1, 255, 1, 128, 1, 255, 1)
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 48 <= s.length) {
+      var ok = true
+      for (k <- 0 until 12)
+        ok &&= java.nio.ByteBuffer.wrap(s, i + 4 * k, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong == pat(k)
+      if (ok) at = i else i += 1
+    }
+    assert(at > 0, "fixture: RBW values not found")
+    s(at + 16) = 16 // Cb reference black 128 -> 16 (headroom coding)
+    val e1 = intercept[IllegalArgumentException](TiffImage.parse(s))
+    assert(e1.getMessage.contains("ReferenceBlackWhite"))
+    // 16-bit native YCbCr (encoder gate)
+    val e2 = intercept[IllegalArgumentException] {
+      TiffImage.encode(w, h, gray, photometric = 6, compression = 1,
+        bits = 16)
+    }
+    assert(e2.getMessage.contains("YCbCr"))
+    // subsampling 4 (decoder gate): patch tag 530's first inline SHORT
+    val s2 = good.clone()
+    patchInlineShort(s2, 530, 4)
+    val e3 = intercept[IllegalArgumentException](TiffImage.parse(s2))
+    assert(e3.getMessage.contains("YCbCrSubSampling"))
+    // predictor on ycc (encoder gate)
+    val e4 = intercept[IllegalArgumentException] {
+      TiffImage.encode(w, h, gray, photometric = 6, compression = 5,
+        predictor = 2)
+    }
+    assert(e4.getMessage.toLowerCase.contains("predictor"))
   }
 
   // -------------------------------------- planar-separate (round 19)
