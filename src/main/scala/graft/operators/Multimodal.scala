@@ -3553,16 +3553,21 @@ object Multimodal {
       |       CAST(count(*) * 255 AS BIGINT) AS sum_alpha
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
-  /** Encoding knobs for variant `v`, page `p` of a q176 fixture PDF:
-    * (filter arm per [[graft.sources.PdfImages.PageEnc]], filter
-    * written as array-singleton, BlackIs1+/Decode[1 0] convention).
-    * Exposed for the fixture-coverage spec (the q171 lesson: knob
-    * derivations coupled through a shared residue can silently kill an
-    * arm). v + 2p walks 0..9, so all eight filter arms occur on the
-    * (v 0..3, p 0..3) grid, and each CCITT arm meets both BlackIs1
-    * values. */
-  private[graft] def q176PageKnobs(v: Int, p: Int): (Int, Boolean, Boolean) =
-    ((v + 2 * p) % 8, (v + p) % 2 == 0, (v + p) % 3 == 0)
+  /** Encoding knobs for variant `v`, page `p` of a q176 fixture PDF
+    * (canonBit = canon parity): (filter arm per
+    * [[graft.sources.PdfImages.PageEnc]], filter written as
+    * array-singleton, BlackIs1+/Decode[1 0] convention). Exposed for
+    * the fixture-coverage spec (the q171 lesson: knob derivations
+    * coupled through a shared residue can silently kill an arm).
+    * Round 19 widened the rotation to ALL 14 ARMS: v·4+p walks 0..15
+    * over the (v 0..3, p 0..3) grid, covering every arm mod 14. With
+    * only ~1 grid cell per CCITT arm, the BlackIs1 axis now draws on
+    * the CANON bit so each arm still meets both values across
+    * documents. */
+  private[graft] def q176PageKnobs(v: Int, p: Int,
+      canonBit: Boolean): (Int, Boolean, Boolean) =
+    ((v * 4 + p) % 14, (v + p) % 2 == 0,
+      canonBit ^ ((v + p) % 3 == 0))
 
   /** q176 fixture: doc_id = canon·4 + v — four PDF "re-scans" of the
     * same canonical multi-page document. Canonical page content is
@@ -3598,7 +3603,7 @@ object Multimodal {
         val c = if ((mix(canon * 7919 + p * 101 + cell) & 1) == 0) 0 else 255
         (c << 16) | (c << 8) | c
       }
-      val (arm, asArr, b1) = q176PageKnobs(v, p)
+      val (arm, asArr, b1) = q176PageKnobs(v, p, canon % 2 == 0)
       PdfImages.PageEnc(w, h, px, arm, filterAsArray = asArr, blackIs1 = b1)
     }
     PdfImages.extract(PdfImages.encodePdf(pages))

@@ -205,7 +205,8 @@ object CcittCodec {
     * 4 = T.6 (pure 2D, optional EOFB).
     * @return one byte per pixel, 0 = white, 1 = black. */
   def decode(bytes: Array[Byte], off: Int, len: Int, width: Int,
-      rows: Int, scheme: Int, t4TwoD: Boolean = false): Array[Byte] = {
+      rows: Int, scheme: Int, t4TwoD: Boolean = false,
+      lenientTail: Boolean = false): Array[Byte] = {
     require(width > 0 && rows > 0, s"bad geometry ${width}x$rows")
     val r = new Reader(bytes, off, len)
     val out = new Array[Byte](width * rows)
@@ -242,7 +243,13 @@ object CcittCodec {
     }
     // trailing content: T.6 allows an optional EOFB (EOL EOL); T.4 an
     // optional RTC (6 EOLs); MH pads the last byte. Anything else past
-    // the last row is a named reject (strict posture).
+    // the last row is a named reject (strict posture) — EXCEPT under
+    // `lenientTail`, the PDF CCITTFaxDecode posture: /Rows states the
+    // exact geometry, real scanner encoders pad the segment tail with
+    // arbitrary fill (the round-19 corpus probe measured it), and the
+    // spec's EncodedByteAlign/EOL machinery doesn't govern what
+    // follows the last row. TIFF callers stay strict.
+    if (lenientTail) return out
     if (scheme == 4 || scheme == 3) {
       var eols = 0
       while (tryEol(r)) {

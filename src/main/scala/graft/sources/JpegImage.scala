@@ -199,7 +199,7 @@ object JpegImage {
     * entropy-ordered, never in what the coefficients are.
     * @return (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) */
   private def buildPlanes(width: Int, height: Int, pixels: Array[Int],
-      grayscale: Boolean, subsample: Boolean):
+      grayscale: Boolean, subsample: Boolean, adobeYcck: Boolean = false):
       (Int, Array[Int], Array[Int], Int, Int,
         Array[Array[Double]], Array[Int]) = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
@@ -207,7 +207,9 @@ object JpegImage {
     require(pixels.length == width * height,
       s"${pixels.length} pixels for ${width}x$height")
     require(!(grayscale && subsample), "grayscale has no chroma to subsample")
-    val nComp = if (grayscale) 1 else 3
+    require(!(adobeYcck && (grayscale || subsample)),
+      "adobeYcck is its own 4-component 4:4:4 mode")
+    val nComp = if (adobeYcck) 4 else if (grayscale) 1 else 3
     // sampling factors per component: 4:4:4 = all 1x1; 4:2:0 = luma
     // 2x2, chroma 1x1 (per-MCU: 4 Y blocks + Cb + Cr)
     val sampH = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
@@ -228,7 +230,16 @@ object JpegImage {
         val sx = math.min(x, width - 1)
         val p = pixels(sy * width + sx)
         val o = y * alignW + x
-        if (grayscale) full(0)(o) = (p & 0xff) - 128.0
+        if (adobeYcck) {
+          // YCCK at K = 0 (stored directly, the corpus-pinned
+          // convention): YCC of the INVERTED CMY of gray content g is
+          // (g, 128, 128) — level-shifted planes (g-128, 0, 0) — and
+          // the K plane is 0 ink (level-shifted -128)
+          full(0)(o) = (p & 0xff) - 128.0
+          full(1)(o) = 0.0
+          full(2)(o) = 0.0
+          full(3)(o) = -128.0
+        } else if (grayscale) full(0)(o) = (p & 0xff) - 128.0
         else {
           val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
           val b = p & 0xff
@@ -304,13 +315,14 @@ object JpegImage {
       grayscale: Boolean = false,
       quant: Array[Int] = Array.fill(64)(8),
       restartInterval: Int = 0,
-      subsample: Boolean = false): Array[Byte] = {
+      subsample: Boolean = false,
+      adobeYcck: Boolean = false): Array[Byte] = {
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 entries in 1..255")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     val (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) =
-      buildPlanes(width, height, pixels, grayscale, subsample)
+      buildPlanes(width, height, pixels, grayscale, subsample, adobeYcck)
 
     val dcT = encTable(DcSpec); val acT = encTable(AcSpec)
     val out = new java.io.ByteArrayOutputStream()
@@ -318,6 +330,15 @@ object JpegImage {
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xff); u8(m) }
     marker(0xd8) // SOI
+    if (adobeYcck) {
+      // APP14 "Adobe", transform 2 (YCCK) — the 4-component streams
+      // real scanners emit (round-19 corpus)
+      marker(0xee)
+      u16(2 + 12)
+      "Adobe".foreach(ch => u8(ch))
+      u16(100); u16(0); u16(0) // version, flags0, flags1
+      u8(2) // transform: YCCK
+    }
     marker(0xdb) // DQT
     u16(2 + 1 + 64)
     u8(0) // Pq=0 (8-bit), Tq=0
@@ -919,13 +940,36 @@ object JpegImage {
     }
   }
 
+  /** DeviceCMYK → RGB by the multiplicative device convention
+    * R = (255−C)(255−K)/255 — ONE copy (libtiff tif_getimage's),
+    * shared by the 4-component JPEG face, the PDF raster arms and the
+    * TIFF photometric-5 arm. Exactly invertible at K = 0. */
+  private[sources] def cmykToRgb(c: Int, m: Int, y: Int, k: Int): Int = {
+    val kk = 255 - k
+    ((((255 - c) * kk) / 255) << 16) | ((((255 - m) * kk) / 255) << 8) |
+      (((255 - y) * kk) / 255)
+  }
+
   /** Upsample (replication) + color-convert component planes to the
-    * 0xAARRGGBB face (shared by both decode modes). */
+    * 0xAARRGGBB face (shared by both decode modes). `adobeTransform`
+    * is APP14's transform byte (−1 = no APP14): 4-component streams
+    * are CMYK (0) or YCCK (2). For transform 2 the file carries the
+    * YCC transform of the INVERTED CMY channels (the Photoshop
+    * inversion is baked into the transform), so C = 255 − R_ycc
+    * recovers true ink and K passes through UN-inverted — pinned
+    * empirically on the round-19 corpus (the banner's white knockout
+    * text must carry ZERO black ink, which only this reading
+    * satisfies; it is also pdf.js's _convertYcckToCmyk arithmetic:
+    * 434.456 − Y − 1.402·Cr = 255 − R_ycc). Transform 0 / absent =
+    * plain CMYK samples. */
   private def composePixels(planes: Array[Array[Int]], planeW: Array[Int],
       sampH: Array[Int], sampV: Array[Int], width: Int, height: Int,
-      nComp: Int): Array[Int] = {
+      nComp: Int, adobeTransform: Int = -1): Array[Int] = {
     val maxH = sampH.max; val maxV = sampV.max
     def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    require(nComp != 4 || adobeTransform == 0 || adobeTransform == 2 ||
+      adobeTransform == -1,
+      s"4-component JPEG with Adobe transform $adobeTransform unsupported")
     // per-component sample lookup with replication upsampling: image
     // (x, y) reads component sample (x·h_c/maxH, y·v_c/maxV)
     def sample(c: Int, x: Int, y: Int): Int =
@@ -939,6 +983,16 @@ object JpegImage {
           if (nComp == 1) {
             val g = clamp(sample(0, x, y))
             0xff000000 | (g << 16) | (g << 8) | g
+          } else if (nComp == 4) {
+            val (c0, m0, y0) =
+              if (adobeTransform == 2) {
+                val rgb = yccToRgb(sample(0, x, y), sample(1, x, y),
+                  sample(2, x, y))
+                (255 - ((rgb >> 16) & 0xff), 255 - ((rgb >> 8) & 0xff),
+                  255 - (rgb & 0xff))
+              } else (clamp(sample(0, x, y)), clamp(sample(1, x, y)),
+                clamp(sample(2, x, y)))
+            0xff000000 | cmykToRgb(c0, m0, y0, clamp(sample(3, x, y)))
           } else 0xff000000 |
             yccToRgb(sample(0, x, y), sample(1, x, y), sample(2, x, y))
         x += 1
@@ -973,6 +1027,7 @@ object JpegImage {
     var compSamp: Array[Int] = null
     var compIds: Array[Int] = null
     var restartInterval = 0
+    var adobeTransform = -1 // APP14 transform byte; -1 = absent
     var sawSof = false
     var result: Jpeg = null
     // progressive (SOF2) state: coefficients ACCUMULATE across scans
@@ -1235,7 +1290,7 @@ object JpegImage {
         }
       }
       Jpeg(width, height, nComp, composePixels(planes, planeW,
-        sampHArr, sampVArr, width, height, nComp))
+        sampHArr, sampVArr, width, height, nComp, adobeTransform))
     }
 
     while (result == null) {
@@ -1283,8 +1338,10 @@ object JpegImage {
           height = u16(); width = u16()
           require(width > 0 && height > 0, s"bad dims ${width}x$height")
           nComp = u8()
-          require(nComp == 1 || nComp == 3,
-            s"$nComp components (only 1=gray, 3=YCbCr)")
+          require(nComp == 1 || nComp == 3 ||
+            (nComp == 4 && !progressive),
+            s"$nComp components (only 1=gray, 3=YCbCr, 4=CMYK/YCCK " +
+              "sequential)")
           require(len == 8 + 3 * nComp, "SOF length inconsistent")
           compQ = new Array[Int](nComp)
           compSamp = new Array[Int](nComp)
@@ -1302,7 +1359,13 @@ object JpegImage {
           val all444 = compSamp.forall(_ == 0x11)
           val is420 = nComp == 3 && compSamp(0) == 0x22 &&
             compSamp(1) == 0x11 && compSamp(2) == 0x11
-          require(all444 || is420,
+          // YCCK's 4:2:0 twin: luma AND K full-resolution (2x2),
+          // chroma subsampled — the Photoshop CMYK layout (round-19
+          // corpus)
+          val is420Ycck = nComp == 4 && compSamp(0) == 0x22 &&
+            compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
+            compSamp(3) == 0x22
+          require(all444 || is420 || is420Ycck,
             s"subsampling ${compSamp.map(v => f"0x$v%02x").mkString("/")} " +
               "unsupported (only 4:4:4 and 4:2:0)")
           if (progressive) {
@@ -1361,7 +1424,7 @@ object JpegImage {
                 s"component $c references undefined quant table")
             result = decodeScan(bytes, off, width, height, nComp,
               compQ.map(quant), compSamp.map(_ >> 4), compSamp.map(_ & 0x0f),
-              dcSel, acSel, restartInterval) match {
+              dcSel, acSel, restartInterval, adobeTransform) match {
               case (jpeg, end) => off = end; jpeg
             }
           } else {
@@ -1438,6 +1501,13 @@ object JpegImage {
           val len = u16()
           require(len >= 2 && off + len - 2 <= bytes.length,
             s"segment 0x${x.toHexString} overruns file")
+          // APP14 "Adobe": the transform byte governs 4-component
+          // interpretation (0 = CMYK, 2 = YCCK) and marks the samples
+          // as Adobe-INVERTED (the Photoshop convention libjpeg
+          // mirrors)
+          if (x == 0xee && len >= 2 + 12 &&
+              new String(bytes, off, 5, "US-ASCII") == "Adobe")
+            adobeTransform = bytes(off + 11) & 0xff
           off += len - 2
         case other => throw new IllegalArgumentException(
           f"unsupported marker 0x$other%02x at ${off - 2}")
@@ -1464,7 +1534,7 @@ object JpegImage {
       height: Int, nComp: Int, quants: Array[Array[Int]],
       sampH: Array[Int], sampV: Array[Int],
       dcSel: Array[HuffDec], acSel: Array[HuffDec],
-      restartInterval: Int): (Jpeg, Int) = {
+      restartInterval: Int, adobeTransform: Int): (Jpeg, Int) = {
     val maxH = sampH.max; val maxV = sampV.max
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
@@ -1576,15 +1646,14 @@ object JpegImage {
       }
       my += 1
     }
-    // padding to the byte boundary must be 1-bits (T.81 F.1.2.3)
-    if (accBits > 0) {
-      val pad = (acc & ((1 << accBits) - 1))
-      require(pad == (1 << accBits) - 1,
-        s"non-1 padding bits at end of scan ($accBits bits)")
-    }
+    // T.81 F.1.2.3 pads the scan to the byte boundary with 1-bits, but
+    // real encoders (round-19 corpus probe: 11 scanner-produced DCT
+    // streams) pad with 0-bits; libjpeg and the JDK never check. Every
+    // MCU has decoded by this point, so the padding carries no data —
+    // tolerate either convention.
 
     val px = composePixels(planes, planeW, sampH, sampV, width, height,
-      nComp)
+      nComp, adobeTransform)
     (Jpeg(width, height, nComp, px), off)
   }
 }

@@ -696,11 +696,9 @@ object TiffImage {
         case 1 => val v = to8(samp(k, 0)); (v << 16) | (v << 8) | v
         case 2 => (to8(samp(k, 0)) << 16) | (to8(samp(k, 1)) << 8) |
           to8(samp(k, 2))
-        case 5 =>
-          val kk = 255 - samp(k, 3)
-          ((((255 - samp(k, 0)) * kk) / 255) << 16) |
-            ((((255 - samp(k, 1)) * kk) / 255) << 8) |
-            (((255 - samp(k, 2)) * kk) / 255)
+        case 5 => // CMYK: the ONE multiplicative copy (JpegImage's)
+          JpegImage.cmykToRgb(samp(k, 0), samp(k, 1), samp(k, 2),
+            samp(k, 3))
         case 6 => // native YCbCr: the ONE Rec.601 transform (JPEG's)
           JpegImage.yccToRgb(samp(k, 0), samp(k, 1), samp(k, 2))
         case _ => colorMap(samp(k, 0))

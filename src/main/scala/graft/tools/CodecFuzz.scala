@@ -1123,16 +1123,21 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      val arm = rnd.nextInt(8)
+      val arm = rnd.nextInt(14) // round 19: 14 arms incl. JBIG2/YCCK
       val (w, h) =
-        if (arm == 3) (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
+        if (arm == 3 || arm == 13)
+          (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
         else (1 + rnd.nextInt(37), 1 + rnd.nextInt(19))
       val px = arm match {
-        case 0 | 1 => Array.fill(w * h) {
+        case 0 | 1 | 8 | 10 => Array.fill(w * h) {
           val c = rnd.nextInt(256); (c << 16) | (c << 8) | c
         }
+        case 11 => Array.fill(w * h) {
+          val c = rnd.nextInt(16) * 17; (c << 16) | (c << 8) | c
+        }
         case 7 => Array.fill(w * h)(rnd.nextInt() & 0xffffff)
-        case 3 => // block-constant bilevel: the exact DCT aperture
+        case 9 => Array.fill(w * h)(rnd.nextInt() & 0xc0c0c0)
+        case 3 | 13 => // block-constant bilevel: the exact DCT aperture
           val cols = (w + 7) / 8
           val cells = Array.fill(cols * ((h + 7) / 8))(rnd.nextBoolean())
           Array.tabulate(w * h) { i =>

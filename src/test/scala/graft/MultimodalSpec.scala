@@ -203,12 +203,15 @@ class MultimodalSpec extends SparkSuite {
 
   test("q176 fixture coverage: every filter arm and container knob occurs") {
     import graft.operators.Multimodal
-    val knobs = for (v <- 0 to 3; p <- 0 to 3)
-      yield Multimodal.q176PageKnobs(v, p)
-    assert(knobs.map(_._1).toSet == (0 to 7).toSet, "filter arms")
+    val knobs = for (v <- 0 to 3; p <- 0 to 3; cb <- Seq(false, true))
+      yield Multimodal.q176PageKnobs(v, p, cb)
+    assert(knobs.map(_._1).toSet == (0 to 13).toSet,
+      "all FOURTEEN filter arms (round 19: CMYK, Indexed, ICC, 4-bit, " +
+        "JBIG2, Adobe YCCK joined the rotation)")
     assert(knobs.map(_._2).toSet == Set(false, true), "array form")
     assert(knobs.map(_._3).toSet == Set(false, true), "BlackIs1")
     // BlackIs1 only binds on CCITT arms — both values must occur THERE
+    // (via the canon bit: each arm sits on ~1 grid cell now)
     for (arm <- Seq(4, 5, 6)) {
       val b1s = knobs.filter(_._1 == arm).map(_._3).toSet
       assert(b1s == Set(false, true), s"CCITT arm $arm BlackIs1 coverage")

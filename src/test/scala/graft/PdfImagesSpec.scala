@@ -47,12 +47,13 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("every filter arm round-trips exactly") {
-    for (arm <- 0 to 7) {
+    for (arm <- 0 to 13) {
       val (w, h) = (24, 16)
       val px = arm match {
-        case 2 | 4 | 5 | 6 => bilevelPage(w, h, arm)
-        case 3 => bilevelPage(w, h, arm) // block-constant: exact DCT
+        case 2 | 4 | 5 | 6 | 11 | 12 => bilevelPage(w, h, arm)
+        case 3 | 13 => bilevelPage(w, h, arm) // block-constant: exact DCT
         case 7 => rgbPage(w, h, arm)
+        case 9 => rgbPage(w, h, arm).map(_ & 0xc0c0c0) // <= 64 colors
         case _ => grayPage(w, h, arm)
       }
       val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, arm)))
@@ -91,16 +92,17 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("multi-page mixed-arm document extracts every page in order") {
-    val pages = (0 to 7).map { arm =>
+    val pages = (0 to 13).map { arm =>
       val px = arm match {
-        case 0 | 1 => grayPage(16, 16, arm + 10)
+        case 0 | 1 | 8 | 10 => grayPage(16, 16, arm + 10)
         case 7 => rgbPage(16, 16, 3)
+        case 9 => rgbPage(16, 16, 5).map(_ & 0xc0c0c0)
         case _ => bilevelPage(16, 16, arm + 20)
       }
       PageEnc(16, 16, px, arm)
     }
     val imgs = PdfImages.extract(PdfImages.encodePdf(pages))
-    assert(imgs.length == 8)
+    assert(imgs.length == 14)
     pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
       assertPixels(img, 16, 16, p.pixels, s"page $i")
     }
