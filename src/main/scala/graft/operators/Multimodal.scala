@@ -3565,9 +3565,13 @@ object Multimodal {
     * the CANON bit so each arm still meets both values across
     * documents. */
   private[graft] def q176PageKnobs(v: Int, p: Int,
-      canonBit: Boolean): (Int, Boolean, Boolean) =
+      canonBit: Boolean): (Int, Boolean, Boolean, Int) =
     ((v * 4 + p) % 14, (v + p) % 2 == 0,
-      canonBit ^ ((v + p) % 3 == 0))
+      canonBit ^ ((v + p) % 3 == 0),
+      // the /Rotate axis (round 19): a sideways-stored page with the
+      // compensating page rotation must normalize back to the upright
+      // hash — v+2p decouples it from the arm walk (v*4+p)
+      Seq(0, 90, 180, 270)((v + 2 * p) % 4))
 
   /** q176 fixture: doc_id = canon·4 + v — four PDF "re-scans" of the
     * same canonical multi-page document. Canonical page content is
@@ -3603,8 +3607,9 @@ object Multimodal {
         val c = if ((mix(canon * 7919 + p * 101 + cell) & 1) == 0) 0 else 255
         (c << 16) | (c << 8) | c
       }
-      val (arm, asArr, b1) = q176PageKnobs(v, p, canon % 2 == 0)
-      PdfImages.PageEnc(w, h, px, arm, filterAsArray = asArr, blackIs1 = b1)
+      val (arm, asArr, b1, rot) = q176PageKnobs(v, p, canon % 2 == 0)
+      PdfImages.PageEnc(w, h, px, arm, filterAsArray = asArr,
+        blackIs1 = b1, rotate = rot)
     }
     PdfImages.extract(PdfImages.encodePdf(pages))
       .map(img => uprightAhash64(img.width, img.height, img.pixels))

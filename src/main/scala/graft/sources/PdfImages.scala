@@ -75,7 +75,8 @@ object PdfImages {
     * compensating `/Decode [1 0]` so decoded pixels are IDENTICAL
     * either way — a pure container axis. */
   final case class PageEnc(width: Int, height: Int, pixels: Array[Int],
-      filter: Int, filterAsArray: Boolean = false, blackIs1: Boolean = false)
+      filter: Int, filterAsArray: Boolean = false, blackIs1: Boolean = false,
+      rotate: Int = 0)
 
   private val MaxInflatedBytes = 64 << 20
 
@@ -104,11 +105,13 @@ object PdfImages {
     val objs = objectStreams(whole)
     val index: Map[Int, (String, String)] =
       objs.map { case (num, d, p) => num -> (d, p) }.toMap
+    val rotates = pageRotations(objs, index)
     val imgs = Seq.newBuilder[Img]
     val rejects = Seq.newBuilder[String]
     objs.foreach { case (num, dict, payload) =>
       if (ImageSubtype.findFirstIn(dict).isDefined) {
-        try imgs += decodeImageObject(dict, payload, index)
+        try imgs += upright(decodeImageObject(dict, payload, index),
+          rotates.getOrElse(num, 0))
         catch { case e: IllegalArgumentException =>
           rejects += s"image object $num: ${e.getMessage}"
         }
@@ -116,6 +119,63 @@ object PdfImages {
     }
     (imgs.result(), rejects.result())
   }
+
+  private val PageRotate = """/Rotate\s+(-?\d{1,6})""".r
+  private val XObjRef = """/\w+\s+(\d{1,7})\s+\d+\s+R""".r
+  private val ResourcesRef = """/Resources\s+(\d{1,7})\s+\d+\s+R""".r
+  private val XObjDict = """(?s)/XObject\s*<<(.{0,1000}?)>>""".r
+
+  /** Image object number → the /Rotate of the page that draws it
+    * (ISO 32000-1 §7.7.3.3: clockwise display rotation in multiples
+    * of 90). A scanner that stored the page sideways and compensated
+    * with /Rotate must not split the near-dup hash set — the TIFF
+    * tag-274 posture applied to the PDF container. Resources may be
+    * inline or one indirect hop. */
+  private def pageRotations(objs: Seq[(Int, String, String)],
+      index: Map[Int, (String, String)]): Map[Int, Int] = {
+    val out = scala.collection.mutable.HashMap[Int, Int]()
+    objs.foreach { case (_, body, _) =>
+      if (body.contains("/Type") && body.contains("/Page") &&
+          !body.contains("/Pages")) {
+        val rot0 = PageRotate.findFirstMatchIn(body)
+          .map(_.group(1).toInt).getOrElse(0)
+        val rot = ((rot0 % 360) + 360) % 360
+        if (rot != 0) {
+          require(rot % 90 == 0, s"page /Rotate $rot0 not a right angle")
+          val resBody = ResourcesRef.findFirstMatchIn(body)
+            .flatMap(m => index.get(m.group(1).toInt).map(_._1))
+            .getOrElse(body)
+          for (xm <- XObjDict.findFirstMatchIn(resBody);
+               rm <- XObjRef.findAllMatchIn(xm.group(1)))
+            out.getOrElseUpdate(rm.group(1).toInt, rot): Unit
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Rotate a decoded image to the upright display face through the
+    * ONE orientation mapping (EXIF's — /Rotate 90/180/270 are
+    * orientations 6/3/8). */
+  private def upright(img: Img, rot: Int): Img =
+    if (rot == 0) img
+    else {
+      val o = rot match { case 90 => 6; case 180 => 3; case _ => 8 }
+      val (nw, nh) =
+        if (rot == 180) (img.width, img.height) else (img.height, img.width)
+      val out = new Array[Int](nw * nh)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val (sx, sy) = JpegImage.exifSource(o, x, y, img.width, img.height)
+          out(y * nw + x) = img.pixels(sy * img.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      Img(nw, nh, out)
+    }
 
   /** Short descriptors (filter/colorspace/bpc) for the images
     * [[extractWithRejects]] successfully decodes, in the same order —
@@ -542,9 +602,21 @@ object PdfImages {
     obj(s"<< /Type /Pages /Kids [${
       (0 until n).map(i => s"${firstObj(i)} 0 R").mkString(" ")
     }] /Count $n >>")
-    pages.zipWithIndex.foreach { case (p, i) =>
+    pages.zipWithIndex.foreach { case (p0, i) =>
+      // `rotate` stores the image SIDEWAYS and compensates with the
+      // page's /Rotate (the scanner shape): stored = upright through
+      // the ONE orientation mapping (90/180/270 CW display = EXIF
+      // orientations 6/3/8)
+      val p = if (p0.rotate == 0) p0 else {
+        require(Set(90, 180, 270)(p0.rotate), s"rotate ${p0.rotate}")
+        val o = p0.rotate match { case 90 => 6; case 180 => 3; case _ => 8 }
+        val (sw, sh, stored) =
+          JpegImage.exifStore(o, p0.width, p0.height, p0.pixels)
+        p0.copy(width = sw, height = sh, pixels = stored)
+      }
       val po = firstObj(i)
       obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.width} ${p.height}]" +
+        (if (p.rotate != 0) s" /Rotate ${p.rotate}" else "") +
         s" /Resources << /XObject << /Im0 ${po + 2} 0 R >> >>" +
         s" /Contents ${po + 1} 0 R >>")
       streamObj("", // the stream-but-not-image decoy the walk must skip

@@ -1150,7 +1150,8 @@ object CodecFuzz {
         }
       }
       graft.sources.PdfImages.PageEnc(w, h, px, arm,
-        filterAsArray = rnd.nextBoolean(), blackIs1 = rnd.nextBoolean())
+        filterAsArray = rnd.nextBoolean(), blackIs1 = rnd.nextBoolean(),
+        rotate = Seq(0, 90, 180, 270)(rnd.nextInt(4)))
     }
     for (i <- 0 until 30) {
       val pages = Seq.fill(1 + rnd.nextInt(3))(randImagePage())

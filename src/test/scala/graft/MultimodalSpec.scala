@@ -216,6 +216,11 @@ class MultimodalSpec extends SparkSuite {
       val b1s = knobs.filter(_._1 == arm).map(_._3).toSet
       assert(b1s == Set(false, true), s"CCITT arm $arm BlackIs1 coverage")
     }
+    // the /Rotate axis: every right angle occurs, on several arms
+    assert(knobs.map(_._4).toSet == Set(0, 90, 180, 270), "rotations")
+    for (r <- Seq(90, 180, 270))
+      assert(knobs.filter(_._4 == r).map(_._1).toSet.size >= 3,
+        s"rotation $r locked to too few arms")
   }
 
   test("q177 fixture: audio re-encodes collapse, documents and windows separate") {

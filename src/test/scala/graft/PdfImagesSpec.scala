@@ -108,6 +108,28 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("page /Rotate normalizes to the upright face across arms") {
+    // the scanner shape: the image is STORED sideways and the page
+    // carries the compensating clockwise display rotation — extraction
+    // must return the upright pixels (the TIFF tag-274 posture)
+    val (w, h) = (24, 16) // non-square so a missed transpose is loud
+    for (rot <- Seq(0, 90, 180, 270); arm <- Seq(1, 4, 12)) {
+      val px = bilevelPage(w, h, rot + arm)
+      val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, arm, rotate = rot)))
+      if (rot != 0)
+        assert(new String(pdf, "ISO-8859-1").contains(s"/Rotate $rot"))
+      assertPixels(PdfImages.extract(pdf).head, w, h, px,
+        s"rot=$rot arm=$arm")
+    }
+    // a negative/mod-360 rotation value normalizes like a reader would
+    val px = bilevelPage(w, h, 5)
+    val pdf = new String(PdfImages.encodePdf(
+      Seq(PageEnc(w, h, px, 1, rotate = 90))), "ISO-8859-1")
+    val neg = pdf.replace("/Rotate 90", "/Rotate -270") // same display
+    assertPixels(PdfImages.extract(neg.getBytes("ISO-8859-1")).head,
+      w, h, px, "rot=-270")
+  }
+
   test("a PDF with text streams but no images yields an empty set") {
     val textPdf = ("%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n" +
       "BT /F1 12 Tf 72 712 Td (Hello world) Tj ET\nstream-free\nendstream\nendobj\n" +
