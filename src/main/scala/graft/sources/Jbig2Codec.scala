@@ -17,13 +17,15 @@ package graft.sources
   *    them (no file header), page information (§7.4.8) and immediate
   *    generic region (§7.4.6) segments.
   *
-  * Scope (named rejects for the rest): GBTEMPLATE 1–3, TPGDON, MMR
-  * generic coding, symbol/text/halftone/refinement segments, unknown
-  * data length. The encoder half writes the same minimal profile and
-  * is the generator for round-trip specs, fuzz and the q176 arm —
-  * decode correctness is additionally pinned on the real corpus
-  * (scanned pages must come out majority-white with the spec's
-  * 1-equals-black convention).
+  * Beyond the corpus profile, GBTEMPLATE 1-3 and TPGDON (typical
+  * prediction — the long-blank-run shortcut scanner encoders lean on)
+  * are supported with encoder mirrors. Scope (named rejects for the
+  * rest): MMR generic coding, symbol/text/halftone/refinement
+  * segments, unknown data length. The encoder half writes the same
+  * minimal profile and is the generator for round-trip specs, fuzz
+  * and the q176 arm — decode correctness is additionally pinned on
+  * the real corpus (scanned pages must come out majority-white with
+  * the spec's 1-equals-black convention).
   *
   * Decoded output: one byte per pixel, 1 = black, 0 = white (the
   * CCITT plane convention, so PDF-side sample mapping is shared).
@@ -205,72 +207,120 @@ object Jbig2Codec {
 
   // ------------------------------------- generic region (template 0)
 
-  /** Nominal template-0 AT pixel positions (§6.2.5.3). */
-  private val NominalAt: Array[(Int, Int)] =
-    Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+  /** Nominal AT pixel positions per template (§6.2.5.3): template 0
+    * has four, templates 1-3 have one. */
+  private val NominalAt: Array[Array[(Int, Int)]] = Array(
+    Array((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    Array((3, -1)), Array((2, -1)), Array((2, -1)))
 
-  /** The 12 fixed template-0 context pixels (§6.2.5.7 figure); the 4
-    * AT pixels complete the 16. The context label is built over the
-    * template SORTED by (y, x), MSB first — the ordering every
-    * conforming implementation derives from the figure, and it makes
-    * non-nominal AT positions work with no special cases. */
-  private val FixedTemplate0: Array[(Int, Int)] = Array(
-    (-1, -2), (0, -2), (1, -2),
-    (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
-    (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+  /** The fixed context pixels per GBTEMPLATE (§6.2.5.7 figures 8-11);
+    * the AT pixels complete each template (16/13/10/10 total). The
+    * context label is built over the template SORTED by (y, x), MSB
+    * first — the ordering every conforming implementation derives from
+    * the figures, and it makes non-nominal AT positions work with no
+    * special cases. */
+  private val FixedTemplates: Array[Array[(Int, Int)]] = Array(
+    Array((-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    Array((-1, -2), (0, -2), (1, -2), (2, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+      (-3, 0), (-2, 0), (-1, 0)),
+    Array((-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (-2, 0), (-1, 0)),
+    Array((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0)))
 
-  private def sortedTemplate(at: Array[(Int, Int)]): Array[(Int, Int)] = {
-    require(at.length == 4, s"template 0 needs 4 AT pixels, got ${at.length}")
-    (FixedTemplate0 ++ at).sortBy { case (x, y) => (y, x) }
+  /** SLTP (typical prediction) pseudo-pixel contexts per template
+    * (§6.2.5.7: 0x9B25, 0x0795, 0x00E5, 0x0195). */
+  private val SltpCx: Array[Int] = Array(0x9b25, 0x0795, 0x00e5, 0x0195)
+
+  private def sortedTemplate(tmplId: Int,
+      at: Array[(Int, Int)]): Array[(Int, Int)] = {
+    require(tmplId >= 0 && tmplId <= 3, s"GBTEMPLATE $tmplId")
+    require(at.length == NominalAt(tmplId).length,
+      s"template $tmplId needs ${NominalAt(tmplId).length} AT pixels, " +
+        s"got ${at.length}")
+    (FixedTemplates(tmplId) ++ at).sortBy { case (x, y) => (y, x) }
   }
 
-  /** Decode a template-0 arithmetic generic region into a 1-byte-per-
-    * pixel plane (1 = black). */
+  /** Decode an arithmetic generic region into a 1-byte-per-pixel
+    * plane (1 = black). TPGDON (§6.2.5.6): an SLTP decision per row
+    * under the template's pseudo-pixel context toggles LTP; while LTP
+    * holds the row copies the one above. */
   private def decodeGeneric(data: Array[Byte], off: Int, len: Int,
-      w: Int, h: Int, at: Array[(Int, Int)]): Array[Byte] = {
-    val tmpl = sortedTemplate(at)
+      w: Int, h: Int, tmplId: Int, at: Array[(Int, Int)],
+      tpgdon: Boolean): Array[Byte] = {
+    val tmpl = sortedTemplate(tmplId, at)
     val mq = new MqDecoder(data, off, len, 1 << 16)
     val out = new Array[Byte](w * h)
     def px(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0) 0 else out(y * w + x) & 1
+    var ltp = false
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        var cx = 0
-        var t = 0
-        while (t < tmpl.length) {
-          cx = (cx << 1) | px(x + tmpl(t)._1, y + tmpl(t)._2)
-          t += 1
+      if (tpgdon && mq.decode(SltpCx(tmplId)) == 1) ltp = !ltp
+      if (ltp) {
+        var x = 0
+        while (x < w) { out(y * w + x) = px(x, y - 1).toByte; x += 1 }
+      } else {
+        var x = 0
+        while (x < w) {
+          var cx = 0
+          var t = 0
+          while (t < tmpl.length) {
+            cx = (cx << 1) | px(x + tmpl(t)._1, y + tmpl(t)._2)
+            t += 1
+          }
+          out(y * w + x) = mq.decode(cx).toByte
+          x += 1
         }
-        out(y * w + x) = mq.decode(cx).toByte
-        x += 1
       }
       y += 1
     }
     out
   }
 
-  /** Encode a plane as a template-0 arithmetic generic region — the
-    * decoder's exact mirror. */
+  /** Encode a plane as an arithmetic generic region — the decoder's
+    * exact mirror. Under TPGDON the encoder emits an SLTP decision per
+    * row (typical = identical to the previous row) and skips typical
+    * rows entirely, exactly what scanner encoders do for the long
+    * blank runs of a page. */
   private def encodeGeneric(plane: Array[Byte], w: Int, h: Int,
-      at: Array[(Int, Int)]): Array[Byte] = {
-    val tmpl = sortedTemplate(at)
+      tmplId: Int, at: Array[(Int, Int)], tpgdon: Boolean): Array[Byte] = {
+    val tmpl = sortedTemplate(tmplId, at)
     val mq = new MqEncoder(1 << 16)
     def px(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0) 0 else plane(y * w + x) & 1
-    var y = 0
-    while (y < h) {
+    def rowTypical(y: Int): Boolean = {
       var x = 0
       while (x < w) {
-        var cx = 0
-        var t = 0
-        while (t < tmpl.length) {
-          cx = (cx << 1) | px(x + tmpl(t)._1, y + tmpl(t)._2)
-          t += 1
-        }
-        mq.encode(cx, plane(y * w + x) & 1)
+        if (px(x, y) != px(x, y - 1)) return false
         x += 1
+      }
+      true
+    }
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      val typ = tpgdon && rowTypical(y)
+      if (tpgdon) {
+        mq.encode(SltpCx(tmplId), if (typ != ltp) 1 else 0)
+        ltp = typ
+      }
+      if (!typ) {
+        var x = 0
+        while (x < w) {
+          var cx = 0
+          var t = 0
+          while (t < tmpl.length) {
+            cx = (cx << 1) | px(x + tmpl(t)._1, y + tmpl(t)._2)
+            t += 1
+          }
+          mq.encode(cx, plane(y * w + x) & 1)
+          x += 1
+        }
       }
       y += 1
     }
@@ -324,14 +374,16 @@ object Jbig2Codec {
               s"${width}x$height page (sub-regions unsupported)")
           val gflags = data(j + 17) & 0xff
           require((gflags & 1) == 0, "MMR generic coding unsupported")
-          require(((gflags >> 1) & 3) == 0,
-            s"GBTEMPLATE ${(gflags >> 1) & 3} unsupported (only 0)")
-          require(((gflags >> 3) & 1) == 0, "TPGDON unsupported")
-          val at = Array.tabulate(4)(k =>
+          val tmplId = (gflags >> 1) & 3
+          val tpgdon = ((gflags >> 3) & 1) == 1
+          val nAt = if (tmplId == 0) 4 else 1
+          val at = Array.tabulate(nAt)(k =>
             (data(j + 18 + 2 * k).toInt, data(j + 19 + 2 * k).toInt))
           require(out == null, "multiple generic regions unsupported")
-          out = decodeGeneric(data, j + 26, (dataLen - 26).toInt,
-            width, height, at)
+          val bodyOff = j + 18 + 2 * nAt
+          out = decodeGeneric(data, bodyOff.toInt,
+            (j + dataLen - bodyOff).toInt, width, height, tmplId, at,
+            tpgdon)
         case 49 | 50 | 51 => () // end-of-page/stripe/file
         case t => throw new IllegalArgumentException(
           s"JBIG2 segment type $t unsupported (minimal scanned profile)")
@@ -345,9 +397,11 @@ object Jbig2Codec {
   /** Encode a plane (1 = black) as a PDF-embeddable JBIG2 stream of
     * the same minimal profile the corpus uses: page info + one
     * immediate generic region, template 0, nominal AT. */
-  def encode(plane: Array[Byte], width: Int, height: Int): Array[Byte] = {
+  def encode(plane: Array[Byte], width: Int, height: Int,
+      template: Int = 0, tpgdon: Boolean = false): Array[Byte] = {
     require(plane.length == width * height, "plane size")
-    val body = encodeGeneric(plane, width, height, NominalAt)
+    val at = NominalAt(template)
+    val body = encodeGeneric(plane, width, height, template, at, tpgdon)
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w32(v: Long): Unit = {
@@ -360,11 +414,11 @@ object Jbig2Codec {
     w32(width); w32(height); w32(0xffffffffL /* X res unknown */)
     w32(0xffffffffL); w8(0 /* page flags */); w8(0); w8(0) // striping off
     // segment 1: immediate generic region (type 38)
-    val segLen = 18 + 8 + body.length
+    val segLen = 18 + 2 * at.length + body.length
     w32(1); w8(38); w8(0); w8(1); w32(segLen.toLong)
     w32(width); w32(height); w32(0); w32(0); w8(0 /* external comb OR */)
-    w8(0 /* flags: arith, template 0, no TPGDON */)
-    NominalAt.foreach { case (x, y) => w8(x); w8(y) }
+    w8((template << 1) | (if (tpgdon) 8 else 0)) // arith generic flags
+    at.foreach { case (x, y) => w8(x); w8(y) }
     out.write(body)
     out.toByteArray
   }

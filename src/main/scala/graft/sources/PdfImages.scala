@@ -403,9 +403,17 @@ object PdfImages {
         return Img(w, h, j.pixels)
       case Some("CCITTFaxDecode") => decodeCcitt(dict, payload, w, h)
       case Some("JBIG2Decode") =>
-        require(!dict.contains("/JBIG2Globals"),
-          "JBIG2Globals (symbol dictionaries) unsupported")
-        val bw = Jbig2Codec.decode(payload, w, h) // 1 = black (T.88)
+        // /JBIG2Globals: shared segments in a separate stream that
+        // logically PRECEDE the page's own (ISO 32000-1 7.4.7) —
+        // resolve and prepend; segment-type gating stays Jbig2Codec's
+        val globals = """/JBIG2Globals\s+(\d{1,7})\s+\d+\s+R""".r
+          .findFirstMatchIn(dict)
+          .flatMap(m => index.get(m.group(1).toInt))
+          .map { case (gd, gp) =>
+            val raw = gp.getBytes(ISO_8859_1)
+            if (gd.contains("/FlateDecode")) inflateStrict(raw) else raw
+          }.getOrElse(Array.empty[Byte])
+        val bw = Jbig2Codec.decode(globals ++ payload, w, h) // 1 = black
         val (d0, d1) = DecodeArr.findFirstMatchIn(dict)
           .map(m => (m.group(1).toDouble, m.group(2).toDouble))
           .getOrElse((0.0, 1.0))

@@ -1115,6 +1115,32 @@ object CodecFuzz {
       }
     }
 
+    // ---------------------------------------------------------- JBIG2
+    // round 19: the T.88 minimal profile — MQ round-trips across
+    // templates and TPGDON, and mutations through the segment walk
+    // (header fields, MQ body) reject by name or decode to a sound
+    // plane (the MQ decoder is total over w*h decisions by
+    // construction; headers are bounds-checked)
+    for (i <- 0 until 40) {
+      import graft.sources.Jbig2Codec
+      val w = 1 + rnd.nextInt(50); val h = 1 + rnd.nextInt(30)
+      val plane = Array.fill(w * h)(
+        (if (rnd.nextInt(4) == 0) 1 else 0).toByte)
+      val tmpl = rnd.nextInt(4)
+      val tp = rnd.nextBoolean()
+      val good = Jbig2Codec.encode(plane, w, h, template = tmpl,
+        tpgdon = tp)
+      check(s"jbig2_roundtrip_$i") {
+        require(Jbig2Codec.decode(good, w, h).sameElements(plane),
+          s"tmpl=$tmpl tpgdon=$tp")
+      }
+      val bad = mutate(good)
+      mutationCase(s"jbig2_mutation_$i",
+        () => Jbig2Codec.decode(bad, w, h)) { plane2 =>
+        plane2.length == w * h && plane2.forall(b => b == 0 || b == 1)
+      }
+    }
+
     // ------------------------------------------------------ PDF images
     // q176's container: embedded image XObjects across the eight filter
     // arms. Round-trips at random geometries (the width-residue lesson:

@@ -41,6 +41,37 @@ class Jbig2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("templates 1-3 and TPGDON round-trip across content classes") {
+    for {
+      tmpl <- 0 to 3
+      tpgdon <- Seq(false, true)
+      kind <- 0 to 2
+    } {
+      val (w, h) = (41, 23)
+      val plane = Array.tabulate(w * h) { i =>
+        (kind match {
+          case 0 => (mix(tmpl * 77 + i) & 1).toInt
+          case 1 => if (i / w % 5 == 0) (mix(i) & 1).toInt else 0 // runs
+          case _ => if ((mix(i / w * 3) & 1) == 1) 1 else 0 // row bands
+        }).toByte
+      }
+      val enc = Jbig2Codec.encode(plane, w, h, template = tmpl,
+        tpgdon = tpgdon)
+      assert(Jbig2Codec.decode(enc, w, h).sameElements(plane),
+        s"tmpl=$tmpl tpgdon=$tpgdon kind=$kind")
+    }
+    // TPGDON earns its keep on typical content: a page of long
+    // identical-row runs must compress markedly better with it
+    val (w, h) = (128, 64)
+    val page = Array.tabulate(w * h)(i =>
+      if (i / w >= 30 && i / w <= 33) 1 else 0).map(_.toByte)
+    val plain = Jbig2Codec.encode(page, w, h)
+    val tp = Jbig2Codec.encode(page, w, h, tpgdon = true)
+    assert(Jbig2Codec.decode(tp, w, h).sameElements(page))
+    assert(tp.length < plain.length,
+      s"TPGDON (${tp.length} B) not smaller than plain (${plain.length} B)")
+  }
+
   test("long MPS runs drive the Qe state ladder to its floor and back") {
     // a mostly-white page with one black row in the middle: thousands
     // of consecutive MPS decisions push the per-context state to the
