@@ -3764,6 +3764,118 @@ object Multimodal {
   def q177AudioNearDup(s: SparkSession, dir: String): DataFrame =
     audioNearDupOf(Tables.documents(s, dir))
 
+  /** q178 — PDF QUARANTINE (round 19): q176's quarantine twin, the
+    * house pattern every media lane carries (q144 PNG / q149 GIF /
+    * q152 JPEG / q154 WAV / q168 TIFF). Each fixture document is a
+    * TWO-page PDF whose second page is surgically broken into one of
+    * five named reject classes — a JBIG2 symbol-dictionary segment,
+    * an unsupported filter, a geometry lie, a zeroed Flate payload, an
+    * unknown colorspace — while the FIRST page stays decodable, so the
+    * query also grades [[graft.sources.PdfImages.extractWithRejects]]'
+    * per-image fault isolation: every document, including the broken
+    * classes, must still contribute its good page's pixels. The
+    * analytic oracle states per-class file counts and decoded-pixel
+    * sums; a misclassified reason, a leaked exception, or an isolation
+    * failure (the broken page hiding the good one) hash-mismatches. */
+  def q178PdfQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val triage = udf { (id: Long) =>
+      import graft.sources.PdfImages
+      import graft.sources.PdfImages.PageEnc
+      import java.nio.charset.StandardCharsets.ISO_8859_1
+      val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+      val cls = (id % 6).toInt
+      def mix(m: Long): Long = {
+        var z = m * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 32)
+        z
+      }
+      val goodPx = Array.tabulate(w * h) { i =>
+        val c = (mix(id * 31 + i) & 0xff).toInt; (c << 16) | (c << 8) | c
+      }
+      def bilevel(w2: Int, h2: Int) = Array.tabulate(w2 * h2) { i =>
+        val c = if ((mix(id * 97 + i) & 1) == 0) 0 else 255
+        (c << 16) | (c << 8) | c
+      }
+      val good = PageEnc(w, h, goodPx, 1) // Flate gray, always decodable
+      val pdf: Array[Byte] = cls match {
+        case 0 => // clean: two decodable pages
+          PdfImages.encodePdf(Seq(good, PageEnc(w, h, goodPx, 3)))
+        case 1 => // second page JBIG2 with its page-info segment
+          // re-typed to 0 (symbol dictionary — out of scope)
+          val b = PdfImages.encodePdf(Seq(good,
+            PageEnc(w, h, bilevel(w, h), 12)))
+          // the embedded stream opens with segment 0 / type 48 /
+          // page 1 / length 19 — an 11-byte signature
+          val sig = Array[Byte](0, 0, 0, 0, 48, 0, 1, 0, 0, 0, 19)
+          val at = b.indexOfSlice(sig)
+          require(at > 0, "fixture: JBIG2 page-info signature not found")
+          b(at + 4) = 0
+          b
+        case 2 => // unsupported filter on the second page
+          val s0 = new String(PdfImages.encodePdf(Seq(good,
+            PageEnc(w, h, goodPx, 1))), ISO_8859_1)
+          val at = s0.lastIndexOf("/Filter /FlateDecode")
+          (s0.substring(0, at) + "/Filter /LZWDecode" +
+            s0.substring(at + "/Filter /FlateDecode".length))
+            .getBytes(ISO_8859_1)
+        case 3 => // geometry lie: widen the second page's /Width
+          val w2 = w + 2
+          val s0 = new String(PdfImages.encodePdf(Seq(good,
+            PageEnc(w2, h, Array.fill(w2 * h)(0x808080), 1))),
+            ISO_8859_1)
+          s0.replace(s"/Width $w2", s"/Width ${w2 + 1}")
+            .getBytes(ISO_8859_1)
+        case 4 => // zeroed Flate payload on the second page
+          val brokenPx = bilevel(w, h)
+          val b = PdfImages.encodePdf(Seq(good, PageEnc(w, h, brokenPx, 1)))
+          val payload = PdfImages.pagePayloadForFixture(
+            PageEnc(w, h, brokenPx, 1))
+          val at = b.indexOfSlice(payload)
+          require(at > 0, "fixture: broken payload not found")
+          java.util.Arrays.fill(b, at, at + payload.length, 0.toByte)
+          b
+        case _ => // unknown colorspace on the second (RGB) page
+          val s0 = new String(PdfImages.encodePdf(Seq(good,
+            PageEnc(w, h, goodPx, 7))), ISO_8859_1)
+          s0.replace("/DeviceRGB", "/DeviceNNN").getBytes(ISO_8859_1)
+      }
+      val (imgs, rejects) = PdfImages.extractWithRejects(pdf)
+      val reason =
+        if (rejects.isEmpty) "decoded"
+        else {
+          val m = rejects.head
+          if (m.contains("segment type")) "foreign_segment"
+          else if (m.contains("unsupported image filter"))
+            "unsupported_filter"
+          else if (m.contains("raster payload")) "geometry_mismatch"
+          else if (m.contains("Flate")) "bad_flate"
+          else if (m.contains("colorspace")) "bad_colorspace"
+          else "other"
+        }
+      (reason, imgs.map(_.pixels.length.toLong).sum)
+    }
+    Tables.documents(s, dir)
+      .select(triage($"doc_id").as("t"))
+      .groupBy($"t._1".as("reason"))
+      .agg(count(lit(1)).as("n_files"), sum($"t._2").as("sum_pixels"))
+      .orderBy($"reason")
+  }
+
+  val q178Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS cls, 8 + doc_id % 5 AS w,
+      |                  6 + doc_id % 4 AS h FROM documents)
+      |SELECT CASE cls WHEN 0 THEN 'decoded' WHEN 1 THEN 'foreign_segment'
+      |            WHEN 2 THEN 'unsupported_filter'
+      |            WHEN 3 THEN 'geometry_mismatch'
+      |            WHEN 4 THEN 'bad_flate'
+      |            ELSE 'bad_colorspace' END AS reason,
+      |       CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum((CASE WHEN cls = 0 THEN 2 ELSE 1 END) * w * h)
+      |         AS BIGINT) AS sum_pixels
+      |FROM d GROUP BY 1 ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
     "q129_audio_decode" -> q129AudioDecode _,
@@ -3805,7 +3917,8 @@ object Multimodal {
     "q174_ms_adpcm_decode" -> q174MsAdpcmDecode _,
     "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _,
     "q176_scanned_pdf_neardup" -> q176ScannedPdfNearDup _,
-    "q177_audio_neardup" -> q177AudioNearDup _)
+    "q177_audio_neardup" -> q177AudioNearDup _,
+    "q178_pdf_quarantine" -> q178PdfQuarantine _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3861,5 +3974,6 @@ object Multimodal {
     "q176_scanned_pdf_neardup" -> q171Oracle,
     // q171's oracle again: the audio lane shares the window-count
     // formula (2 + canon % 3) and the same analytic collapse truth
-    "q177_audio_neardup" -> q171Oracle)
+    "q177_audio_neardup" -> q171Oracle,
+    "q178_pdf_quarantine" -> q178Oracle)
 }

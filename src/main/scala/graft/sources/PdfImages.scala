@@ -652,6 +652,12 @@ object PdfImages {
     out.toByteArray
   }
 
+  /** The exact encoded payload bytes of a page — lets the q178
+    * quarantine fixture locate (and surgically corrupt) one image's
+    * payload inside a multi-page file without fragile offset math. */
+  private[graft] def pagePayloadForFixture(p: PageEnc): Array[Byte] =
+    imagePayload(p)
+
   private def filterOf(p: PageEnc): String = p.filter match {
     case 0 => "" case 1 | 2 | 7 | 8 | 9 | 10 | 11 => "FlateDecode"
     case 3 | 13 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
