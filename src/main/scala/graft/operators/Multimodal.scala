@@ -2659,16 +2659,22 @@ object Multimodal {
   private[graft] def q164Knobs(id: Long):
       (Int, Int, Boolean, Boolean, Boolean, Boolean, (Int, Int)) = {
     val m = (id % 3).toInt
+    val lay = ((id / 3) % 6).toInt
     val deep = id % 5 == 0 && m != 2
     val cmyk = m == 1 && !deep && id % 7 == 3
-    val plan2 = m == 1 && (id / 18) % 3 == 1
     // round-19 axis: a slice of the GRAY class stores as NATIVE YCbCr
     // (photometric 6 outside JPEG) — gray content is the exact
     // aperture (Y = c, Cb = Cr = 128 survive subsampling and both
     // roundings), so the analytic oracle needs zero edits (6th use)
     val ycc = m == 0 && !deep && (id / 2) % 7 == 4
+    // round 20 completes the layout matrix: a sub-slice of the ycc
+    // documents stores PLANAR (separate subsampled chroma planes) —
+    // strips only (arms 2/5 are tiled; tiled planar ycc is a named
+    // reject on both halves), zero oracle edits (7th use)
+    val plan2 = (m == 1 && (id / 18) % 3 == 1) ||
+      (ycc && (id / 8) % 2 == 1 && lay != 2 && lay != 5)
     val sub = Seq((1, 1), (2, 1), (2, 2))(((id / 4) % 3).toInt)
-    (m, ((id / 3) % 6).toInt, deep, cmyk, plan2, ycc, sub)
+    (m, lay, deep, cmyk, plan2, ycc, sub)
   }
 
   private[graft] def tiffStatsOf(docs: DataFrame): DataFrame = {
@@ -3566,11 +3572,17 @@ object Multimodal {
     * documents. */
   private[graft] def q176PageKnobs(v: Int, p: Int,
       canonBit: Boolean): (Int, Boolean, Boolean, Int) =
-    ((v * 4 + p) % 14, (v + p) % 2 == 0,
+    // the arm walk covers all TWENTY filter arms (round 20: JBIG2
+    // symbol/text, JBIG2 MMR, TIFF-predictor Flate, PNG-predictor
+    // Flate, inline BI/ID/EI, 4:2:2 DCT joined): v*4+p spans 0..15,
+    // and the canon bit's +11 shift reaches 16..19 while keeping both
+    // BlackIs1 values on every CCITT arm (4,5,6 pair with 13,14,15 —
+    // same (v+p)%3 parity, opposite canon bit)
+    (((v * 4 + p + (if (canonBit) 11 else 0)) % 20), (v + p) % 2 == 0,
       canonBit ^ ((v + p) % 3 == 0),
       // the /Rotate axis (round 19): a sideways-stored page with the
       // compensating page rotation must normalize back to the upright
-      // hash — v+2p decouples it from the arm walk (v*4+p)
+      // hash — v+2p decouples it from the arm walk
       Seq(0, 90, 180, 270)((v + 2 * p) % 4))
 
   /** q176 fixture: doc_id = canon·4 + v — four PDF "re-scans" of the
@@ -3768,9 +3780,11 @@ object Multimodal {
     * house pattern every media lane carries (q144 PNG / q149 GIF /
     * q152 JPEG / q154 WAV / q168 TIFF). Each fixture document is a
     * TWO-page PDF whose second page is surgically broken into one of
-    * five named reject classes — a JBIG2 symbol-dictionary segment,
-    * an unsupported filter, a geometry lie, a zeroed Flate payload, an
-    * unknown colorspace — while the FIRST page stays decodable, so the
+    * six named reject classes — a JBIG2 halftone segment (round 20:
+    * symbol dictionaries decode now, so the class retargeted), an
+    * unsupported filter, a geometry lie, a zeroed Flate payload, an
+    * unknown colorspace, an unsupported INLINE-image filter (round
+    * 20) — while the FIRST page stays decodable, so the
     * query also grades [[graft.sources.PdfImages.extractWithRejects]]'
     * per-image fault isolation: every document, including the broken
     * classes, must still contribute its good page's pixels. The
@@ -3784,7 +3798,7 @@ object Multimodal {
       import graft.sources.PdfImages.PageEnc
       import java.nio.charset.StandardCharsets.ISO_8859_1
       val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
-      val cls = (id % 6).toInt
+      val cls = (id % 7).toInt
       def mix(m: Long): Long = {
         var z = m * 0x9E3779B97F4A7C15L
         z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
@@ -3803,7 +3817,9 @@ object Multimodal {
         case 0 => // clean: two decodable pages
           PdfImages.encodePdf(Seq(good, PageEnc(w, h, goodPx, 3)))
         case 1 => // second page JBIG2 with its page-info segment
-          // re-typed to 0 (symbol dictionary — out of scope)
+          // re-typed to 22 (immediate halftone region — out of scope;
+          // round 20 lifted symbol dictionaries INTO scope, so the
+          // quarantine class retargets onto the next reject tier)
           val b = PdfImages.encodePdf(Seq(good,
             PageEnc(w, h, bilevel(w, h), 12)))
           // the embedded stream opens with segment 0 / type 48 /
@@ -3811,7 +3827,7 @@ object Multimodal {
           val sig = Array[Byte](0, 0, 0, 0, 48, 0, 1, 0, 0, 0, 19)
           val at = b.indexOfSlice(sig)
           require(at > 0, "fixture: JBIG2 page-info signature not found")
-          b(at + 4) = 0
+          b(at + 4) = 22
           b
         case 2 => // unsupported filter on the second page
           val s0 = new String(PdfImages.encodePdf(Seq(good,
@@ -3836,10 +3852,16 @@ object Multimodal {
           require(at > 0, "fixture: broken payload not found")
           java.util.Arrays.fill(b, at, at + payload.length, 0.toByte)
           b
-        case _ => // unknown colorspace on the second (RGB) page
+        case 5 => // unknown colorspace on the second (RGB) page
           val s0 = new String(PdfImages.encodePdf(Seq(good,
             PageEnc(w, h, goodPx, 7))), ISO_8859_1)
           s0.replace("/DeviceRGB", "/DeviceNNN").getBytes(ISO_8859_1)
+        case _ => // unsupported INLINE filter (round 20): the second
+          // page's BI/ID/EI frame claims ASCIIHex — a named reject
+          // through the inline walk, and the XObject page must survive
+          val s0 = new String(PdfImages.encodePdf(Seq(good,
+            PageEnc(w, h, goodPx, 18))), ISO_8859_1)
+          s0.replace("/F /Fl ID", "/F /AHx ID").getBytes(ISO_8859_1)
       }
       val (imgs, rejects) = PdfImages.extractWithRejects(pdf)
       val reason =
@@ -3847,6 +3869,7 @@ object Multimodal {
         else {
           val m = rejects.head
           if (m.contains("segment type")) "foreign_segment"
+          else if (m.contains("inline image filter")) "inline_filter"
           else if (m.contains("unsupported image filter"))
             "unsupported_filter"
           else if (m.contains("raster payload")) "geometry_mismatch"
@@ -3864,17 +3887,126 @@ object Multimodal {
   }
 
   val q178Oracle: String =
-    """WITH d AS (SELECT doc_id, doc_id % 6 AS cls, 8 + doc_id % 5 AS w,
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS cls, 8 + doc_id % 5 AS w,
       |                  6 + doc_id % 4 AS h FROM documents)
       |SELECT CASE cls WHEN 0 THEN 'decoded' WHEN 1 THEN 'foreign_segment'
       |            WHEN 2 THEN 'unsupported_filter'
       |            WHEN 3 THEN 'geometry_mismatch'
       |            WHEN 4 THEN 'bad_flate'
-      |            ELSE 'bad_colorspace' END AS reason,
+      |            WHEN 5 THEN 'bad_colorspace'
+      |            ELSE 'inline_filter' END AS reason,
       |       CAST(count(*) AS BIGINT) AS n_files,
       |       CAST(sum((CASE WHEN cls = 0 THEN 2 ELSE 1 END) * w * h)
       |         AS BIGINT) AS sum_pixels
       |FROM d GROUP BY 1 ORDER BY reason""".stripMargin
+
+  /** q179 fixture: doc_id = canon·4 + v — the SAME canonical multi-page
+    * document re-published in TWO CONTAINERS: v ∈ {0, 2} as multi-page
+    * TIFF (CCITT/packed arms over the chain walk), v ∈ {1, 3} as PDF
+    * (image XObjects and inline frames across the filter arms). Page
+    * content is bilevel block-constant ≥64×64 (legal for every arm of
+    * BOTH containers at once — the q176 aperture), derived from
+    * (canon, page) only, so all four re-encodes decode to IDENTICAL
+    * upright pages and hash equally across container boundaries. */
+  private[graft] def q179Hashes(id: Long): Array[Long] = {
+    import graft.sources.{JpegImage, PdfImages, TiffImage}
+    val canon = id / 4
+    val v = (id % 4).toInt
+    def mix(m: Long): Long = {
+      var z = m * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 32)
+      z
+    }
+    val np = (2 + canon % 3).toInt
+    val pages = (0 until np).map { p =>
+      val w = 64 + 8 * math.floorMod(mix(canon * 863 + p * 41), 3).toInt
+      val h = 64 + 8 * math.floorMod(mix(canon * 907 + p * 53), 2).toInt
+      val cols = w / 8
+      val px = Array.tabulate(w * h) { i =>
+        val cell = (i % w) / 8 + ((i / w) / 8) * cols
+        val c = if ((mix(canon * 6971 + p * 127 + cell) & 1) == 0) 0 else 255
+        (c << 16) | (c << 8) | c
+      }
+      (w, h, px)
+    }
+    val face: Seq[(Int, Int, Array[Int])] =
+      if (v % 2 == 0) { // TIFF container
+        val tpages = pages.zipWithIndex.map { case ((w, h, px), p) =>
+          val o = 1 + (v + p * 3) % 8
+          val (sw, sh, stored) = JpegImage.exifStore(o, w, h, px)
+          TiffImage.Page(sw, sh, stored,
+            photometric = (v / 2 + p) % 2, bits = 1,
+            compression = Seq(4, 2, 3, 1, 8, 32773)((v / 2 * 3 + p) % 6),
+            t4TwoD = p % 2 == 1,
+            rowsPerStrip = 1 + (v + p) % 3,
+            orientation = o)
+        }
+        TiffImage.parsePages(
+          TiffImage.encodePages(tpages, bigEndian = v == 0))
+          .map(t => (t.width, t.height, t.pixels))
+      } else { // PDF container
+        val pdfPages = pages.zipWithIndex.map { case ((w, h, px), p) =>
+          PdfImages.PageEnc(w, h, px,
+            Seq(2, 4, 12, 14, 3, 15, 6, 19)((v / 2 * 4 + p) % 8),
+            filterAsArray = (v + p) % 2 == 0,
+            rotate = Seq(0, 90, 180, 270)((v + 2 * p) % 4))
+        }
+        PdfImages.extract(PdfImages.encodePdf(pdfPages))
+          .map(img => (img.width, img.height, img.pixels))
+      }
+    face.map { case (w, h, px) => uprightAhash64(w, h, px) }.toArray
+  }
+
+  /** q179's hash core in the frame-set shape — the kernel's FIFTH
+    * instantiation. */
+  private[graft] def crossHashFrame(docs: DataFrame): DataFrame =
+    frameSetHashFrame(docs, udf { (id: Long) => q179Hashes(id) })
+
+  /** The full q179 pipeline as a frame core, shared with its scale
+    * probe. */
+  private[graft] def crossNearDupOf(docs: DataFrame): DataFrame = {
+    val fh = crossHashFrame(docs).cache()
+    try graft.tools.Checkpoints.tracked(
+      animScore(Dedup.cappedBandCandidates(animBands(fh)), fh)
+        .filter(col("sim") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("sim"),
+          (expr("doc_a div 4") === expr("doc_b div 4")).as("same_canon"),
+          ((col("doc_a") % 2) =!= (col("doc_b") % 2))
+            .as("cross_container"))
+        .orderBy(col("doc_a"), col("doc_b")))._1
+    finally fh.unpersist(blocking = false)
+  }
+
+  /** q179 — CROSS-CONTAINER near-dup (round 20): the four frame-set
+    * lanes share ONE hash convention (per-page upright aHash) but
+    * never joined ACROSS containers — yet a real 100 TB corpus mixes
+    * formats: the same scanned document circulates as a multi-page
+    * TIFF and as a PDF. This lane pairs them: one hash frame spanning
+    * both containers (the decode arm branches per document; the hash,
+    * banding, and Jaccard kernels are the SHARED copies), so a
+    * TIFF↔PDF re-publication lands in the same full-hash bucket and
+    * survives at sim 1.0. The analytic oracle states every intra-canon
+    * pair with its cross_container flag — a defect in EITHER
+    * container's decode, the orientation mapping, hashing or the join
+    * splits a cross pair loudly.
+    *
+    * Scale shape: identical to q166/q171/q176/q177 (decode task-local,
+    * only (doc_id, 8-byte hash) rows shuffle, capped band join) — the
+    * cross-container union costs NOTHING extra because the lanes
+    * already shared the hash space; only the fixture proves it. */
+  def q179CrossContainerNearDup(s: SparkSession, dir: String): DataFrame =
+    crossNearDupOf(Tables.documents(s, dir))
+
+  val q179Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS canon FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(2 + a.canon % 3 AS BIGINT) AS n_common,
+      |       round(CAST(1 AS DOUBLE), 6) AS sim,
+      |       TRUE AS same_canon,
+      |       (a.doc_id % 2 != b.doc_id % 2) AS cross_container
+      |FROM d a JOIN d b ON a.canon = b.canon AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_multimodal_pipeline" -> q37MultimodalPipeline _,
@@ -3918,7 +4050,8 @@ object Multimodal {
     "q175_jpeg_tiff_decode" -> q175JpegTiffDecode _,
     "q176_scanned_pdf_neardup" -> q176ScannedPdfNearDup _,
     "q177_audio_neardup" -> q177AudioNearDup _,
-    "q178_pdf_quarantine" -> q178PdfQuarantine _)
+    "q178_pdf_quarantine" -> q178PdfQuarantine _,
+    "q179_cross_container_neardup" -> q179CrossContainerNearDup _)
 
   val oracle: Map[String, String] = Map(
     "q37_multimodal_pipeline" -> q37Oracle,
@@ -3975,5 +4108,6 @@ object Multimodal {
     // q171's oracle again: the audio lane shares the window-count
     // formula (2 + canon % 3) and the same analytic collapse truth
     "q177_audio_neardup" -> q171Oracle,
-    "q178_pdf_quarantine" -> q178Oracle)
+    "q178_pdf_quarantine" -> q178Oracle,
+    "q179_cross_container_neardup" -> q179Oracle)
 }

@@ -13,9 +13,9 @@ package graft.sources
   * baseline-only decoder quarantines); arithmetic coding,
   * hierarchical and lossless modes reject with named errors; 8-bit
   * precision; 1 component (grayscale) or 3 components (YCbCr) at
-  * 4:4:4 or 4:2:0 (the two layouts real encoders emit; other
-  * sampling grids reject by name).
-  * 4:2:0 chroma upsamples by REPLICATION — T.81 leaves the filter
+  * 4:4:4, 4:2:0 or 4:2:2 (round 20 — the common camera/scanner
+  * 2x1 factor; other sampling grids reject by name).
+  * Subsampled chroma upsamples by REPLICATION — T.81 leaves the filter
   * implementation-defined, so the choice is documented rather than
   * hidden, and the exactness aperture below sidesteps it entirely
   * (constant chroma upsamples identically under any filter); restart
@@ -199,25 +199,32 @@ object JpegImage {
     * entropy-ordered, never in what the coefficients are.
     * @return (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) */
   private def buildPlanes(width: Int, height: Int, pixels: Array[Int],
-      grayscale: Boolean, subsample: Boolean, adobeYcck: Boolean = false):
+      grayscale: Boolean, subsample: Boolean, adobeYcck: Boolean = false,
+      subsample422: Boolean = false):
       (Int, Array[Int], Array[Int], Int, Int,
         Array[Array[Double]], Array[Int]) = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"bad dims ${width}x$height")
     require(pixels.length == width * height,
       s"${pixels.length} pixels for ${width}x$height")
-    require(!(grayscale && subsample), "grayscale has no chroma to subsample")
-    require(!(adobeYcck && (grayscale || subsample)),
+    require(!(grayscale && (subsample || subsample422)),
+      "grayscale has no chroma to subsample")
+    require(!(adobeYcck && (grayscale || subsample || subsample422)),
       "adobeYcck is its own 4-component 4:4:4 mode")
+    require(!(subsample && subsample422), "pick ONE subsampling grid")
     val nComp = if (adobeYcck) 4 else if (grayscale) 1 else 3
     // sampling factors per component: 4:4:4 = all 1x1; 4:2:0 = luma
-    // 2x2, chroma 1x1 (per-MCU: 4 Y blocks + Cb + Cr)
-    val sampH = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
-    val sampV = sampH
-    val maxS = sampH(0)
-    val mcusX = (width + 8 * maxS - 1) / (8 * maxS)
-    val mcusY = (height + 8 * maxS - 1) / (8 * maxS)
-    val alignW = mcusX * 8 * maxS; val alignH = mcusY * 8 * maxS
+    // 2x2, chroma 1x1 (per-MCU: 4 Y blocks + Cb + Cr); 4:2:2 = luma
+    // 2x1, chroma 1x1 (2 Y blocks + Cb + Cr, chroma halved
+    // horizontally only — the common camera/scanner factor)
+    val sampH =
+      if (subsample || subsample422) Array(2, 1, 1)
+      else Array.fill(nComp)(1)
+    val sampV = if (subsample) Array(2, 1, 1) else Array.fill(nComp)(1)
+    val maxH = sampH(0); val maxV = sampV(0)
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val alignW = mcusX * 8 * maxH; val alignH = mcusY * 8 * maxV
 
     // full-resolution YCbCr (or gray), level-shifted, edge-replicated
     // to the MCU-aligned grid
@@ -251,25 +258,33 @@ object JpegImage {
       }
       y += 1
     }
-    // per-component planes at their own resolution (chroma averaged
-    // 2x2 when subsampling — exact for block-constant chroma)
+    // per-component planes at their own resolution (chroma box-averaged
+    // by the per-axis factor — 2x2 for 4:2:0, 2x1 for 4:2:2; exact for
+    // block-constant chroma)
     val planeW = Array.tabulate(nComp)(c => mcusX * 8 * sampH(c))
     val planes = Array.tabulate(nComp) { c =>
-      val pw = planeW(c); val ph = mcusY * 8 * sampV(c)
-      if (sampH(c) == maxS) {
-        require(pw == alignW, "full-res plane grid")
+      val fx = maxH / sampH(c); val fy = maxV / sampV(c)
+      if (fx == 1 && fy == 1) {
+        require(planeW(c) == alignW, "full-res plane grid")
         full(c)
       } else {
+        val pw = planeW(c); val ph = mcusY * 8 * sampV(c)
         val out = new Array[Double](pw * ph)
         var yy = 0
         while (yy < ph) {
           var xx = 0
           while (xx < pw) {
-            out(yy * pw + xx) = 0.25 * (
-              full(c)((2 * yy) * alignW + 2 * xx) +
-              full(c)((2 * yy) * alignW + 2 * xx + 1) +
-              full(c)((2 * yy + 1) * alignW + 2 * xx) +
-              full(c)((2 * yy + 1) * alignW + 2 * xx + 1))
+            var s = 0.0
+            var dy = 0
+            while (dy < fy) {
+              var dx = 0
+              while (dx < fx) {
+                s += full(c)((fy * yy + dy) * alignW + fx * xx + dx)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(yy * pw + xx) = s / (fx * fy)
             xx += 1
           }
           yy += 1
@@ -316,13 +331,15 @@ object JpegImage {
       quant: Array[Int] = Array.fill(64)(8),
       restartInterval: Int = 0,
       subsample: Boolean = false,
-      adobeYcck: Boolean = false): Array[Byte] = {
+      adobeYcck: Boolean = false,
+      subsample422: Boolean = false): Array[Byte] = {
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 entries in 1..255")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     val (nComp, sampH, sampV, mcusX, mcusY, planes, planeW) =
-      buildPlanes(width, height, pixels, grayscale, subsample, adobeYcck)
+      buildPlanes(width, height, pixels, grayscale, subsample, adobeYcck,
+        subsample422)
 
     val dcT = encTable(DcSpec); val acT = encTable(AcSpec)
     val out = new java.io.ByteArrayOutputStream()
@@ -1354,10 +1371,16 @@ object JpegImage {
             compQ(c) = tq
           }
           require(compIds.distinct.length == nComp, "duplicate component id")
-          // the two layouts real encoders emit: 4:4:4 (all 1x1) and
-          // 4:2:0 (luma 2x2, chroma 1x1); anything else rejects by name
+          // the layouts real encoders emit: 4:4:4 (all 1x1), 4:2:0
+          // (luma 2x2, chroma 1x1) and — round 20 — 4:2:2 (luma 2x1,
+          // the common camera/scanner factor); anything else rejects
+          // by name. The scan walk and the replication upsampler are
+          // generic over (h, v), so the gate names the REVIEWED grids
+          // rather than any structural limit.
           val all444 = compSamp.forall(_ == 0x11)
           val is420 = nComp == 3 && compSamp(0) == 0x22 &&
+            compSamp(1) == 0x11 && compSamp(2) == 0x11
+          val is422 = nComp == 3 && compSamp(0) == 0x21 &&
             compSamp(1) == 0x11 && compSamp(2) == 0x11
           // YCCK's 4:2:0 twin: luma AND K full-resolution (2x2),
           // chroma subsampled — the Photoshop CMYK layout (round-19
@@ -1365,9 +1388,9 @@ object JpegImage {
           val is420Ycck = nComp == 4 && compSamp(0) == 0x22 &&
             compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
             compSamp(3) == 0x22
-          require(all444 || is420 || is420Ycck,
+          require(all444 || is420 || is422 || is420Ycck,
             s"subsampling ${compSamp.map(v => f"0x$v%02x").mkString("/")} " +
-              "unsupported (only 4:4:4 and 4:2:0)")
+              "unsupported (only 4:4:4, 4:2:0 and 4:2:2)")
           if (progressive) {
             sampHArr = compSamp.map(_ >> 4)
             sampVArr = compSamp.map(_ & 0x0f)

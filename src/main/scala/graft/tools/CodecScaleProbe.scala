@@ -35,7 +35,8 @@ object CodecScaleProbe {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val lane = args.drop(1).headOption.getOrElse("png")
     require(Set("png", "gif", "jpeg", "gifanim", "oriented", "animdup",
-      "tiff", "docdup", "ccitt", "jpegtiff", "pdfdup", "audiodup")(lane),
+      "tiff", "docdup", "ccitt", "jpegtiff", "pdfdup", "audiodup",
+      "crossdup")(lane),
       s"unknown lane $lane")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,6 +139,14 @@ object CodecScaleProbe {
     def audioDupKernel(docs: DataFrame): Long =
       Multimodal.audioNearDupOf(docs.select($"doc_id")).count()
 
+    // the cross-container lane measures q179's full graded pipeline
+    // (TIFF-or-PDF decode per doc -> page hashes -> ONE shared hash
+    // space -> capped band join -> page-set Jaccard); figure =
+    // surviving pairs (6 per canon — 4 of them cross-container — at
+    // every scale)
+    def crossDupKernel(docs: DataFrame): Long =
+      Multimodal.crossNearDupOf(docs.select($"doc_id")).count()
+
     // the CCITT lane measures q172's graded kernel (bilevel synth →
     // CCITT/packed encode across the 7-compression matrix → dispatch
     // decode → stats)
@@ -171,6 +180,7 @@ object CodecScaleProbe {
         case "docdup" => docDupKernel(docs)
         case "pdfdup" => pdfDupKernel(docs)
         case "audiodup" => audioDupKernel(docs)
+        case "crossdup" => crossDupKernel(docs)
         case "ccitt" => ccittKernel(docs)
         case "jpegtiff" => jpegTiffKernel(docs)
         case "tiff" => tiffKernel(docs)

@@ -92,29 +92,126 @@ class Jbig2CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Jbig2Codec.decode(java.util.Arrays.copyOf(good, 5), 8, 8)
     }
-    // geometry contradiction: dict says 9 wide, region says 8
+    // a region NARROWER than the page is legal (composites at its
+    // (x, y); uncovered columns stay white) — the round-20 page-
+    // composite model
+    val wide = Jbig2Codec.decode(good, 9, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(wide(y * 9 + x) == plane(y * 8 + x), s"($x,$y)")
+    for (y <- 0 until 8) assert(wide(y * 9 + 8) == 0, s"pad col row $y")
+    // ...but a region overrunning the page is a geometry lie
     val e = intercept[IllegalArgumentException] {
-      Jbig2Codec.decode(good, 9, 8)
+      Jbig2Codec.decode(good, 7, 8)
     }
-    assert(e.getMessage.contains("does not fill"))
-    // symbol-dictionary segment type is a named reject
+    assert(e.getMessage.contains("overruns"))
+    // halftone-region segment type stays a named reject
     val bad = good.clone()
-    bad(4) = 0 // segment type 48 -> 0 (symbol dictionary)
+    bad(4) = 22 // segment type 48 -> 22 (immediate halftone region)
     val e2 = intercept[IllegalArgumentException] {
       Jbig2Codec.decode(bad, 8, 8)
     }
-    assert(e2.getMessage.contains("unsupported"))
-    // MMR flag in the generic region flags
-    val good2 = Jbig2Codec.encode(plane, 8, 8)
-    // generic flags byte: segment 2 header is 11 bytes after the
-    // page-info segment (11 header + 19 payload); region data starts
-    // after its own 11-byte header; flags at +17+... locate by
-    // construction: 30 (page seg) + 11 (region header) + 17 = byte 58
-    val flagsAt = 30 + 11 + 17
-    good2(flagsAt) = (good2(flagsAt) | 1).toByte
-    val e3 = intercept[IllegalArgumentException] {
-      Jbig2Codec.decode(good2, 8, 8)
+    assert(e2.getMessage.contains("segment type 22 unsupported"))
+  }
+
+  test("MMR generic regions round-trip through the T.6 core") {
+    for {
+      (w, h) <- Seq((8, 8), (17, 9), (64, 48), (33, 21), (1, 5))
+      kind <- 0 to 2
+    } {
+      val plane = Array.tabulate(w * h) { i =>
+        (kind match {
+          case 0 => (mix(w * 131 + i) & 1).toInt // noise
+          case 1 => if ((mix(i * 5 + h) & 7) == 0) 1 else 0 // sparse
+          case _ => if ((i % w) / 4 % 2 == 0) 1 else 0 // stripes
+        }).toByte
+      }
+      val enc = Jbig2Codec.encodeMmr(plane, w, h)
+      assert(Jbig2Codec.decode(enc, w, h).sameElements(plane),
+        s"mmr ${w}x$h kind=$kind")
     }
-    assert(e3.getMessage.contains("MMR"))
+  }
+
+  test("symbol/text profile round-trips with symbol reuse") {
+    // a "text page": a small glyph alphabet stamped repeatedly — the
+    // encoder must deduplicate repeated tiles into dictionary symbols
+    // and the text region must reassemble the exact plane
+    val (w, h) = (64, 40)
+    val plane = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      val glyph = mix((x / 8).toLong * 31 + (y / 8) * 7) & 3 // 4 glyphs
+      val (gx, gy) = (x % 8, y % 8)
+      (glyph match {
+        case 0 => if (gx == gy) 1 else 0
+        case 1 => if (gx == 0 || gy == 0) 1 else 0
+        case 2 => if ((gx + gy) % 3 == 0) 1 else 0
+        case _ => 0
+      }).toByte
+    }
+    val enc = Jbig2Codec.encodeSymbolText(plane, w, h,
+      Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
+    assert(Jbig2Codec.decode(enc, w, h).sameElements(plane))
+    // symbol reuse must make the text coding far smaller than the
+    // generic coding of the same page is allowed to be dumb about
+    val generic = Jbig2Codec.encode(plane, w, h)
+    assert(enc.length < generic.length + 200,
+      s"text ${enc.length} B vs generic ${generic.length} B")
+  }
+
+  test("symbol/text knob matrix: corners x transposed x strips x offset") {
+    val (w, h) = (40, 28)
+    val plane = Array.tabulate(w * h)(i =>
+      (if ((mix(i * 13L) & 3) == 0) 1 else 0).toByte)
+    for {
+      corner <- 0 to 3
+      transposed <- Seq(false, true)
+      logStrips <- Seq(0, 2)
+      ds <- Seq(0, -3, 5)
+      (tw, th) <- Seq((8, 8), (7, 5), (16, 9))
+    } {
+      val cfg = Jbig2Codec.SymTextCfg(tileW = tw, tileH = th,
+        refCorner = corner, transposed = transposed,
+        logStrips = logStrips, dsOffset = ds)
+      val enc = Jbig2Codec.encodeSymbolText(plane, w, h, cfg)
+      assert(Jbig2Codec.decode(enc, w, h).sameElements(plane),
+        s"corner=$corner transposed=$transposed logStrips=$logStrips " +
+          s"ds=$ds tile=${tw}x$th")
+    }
+  }
+
+  test("symbol/text round-trips across templates and edge tile shapes") {
+    for {
+      tmpl <- 0 to 3
+      (w, h) <- Seq((9, 7), (31, 17), (1, 1), (5, 40))
+    } {
+      val plane = Array.tabulate(w * h)(i =>
+        (if ((mix(i * 7L + tmpl * 997 + w) & 1) == 0) 1 else 0).toByte)
+      val enc = Jbig2Codec.encodeSymbolText(plane, w, h,
+        Jbig2Codec.SymTextCfg(tileW = 6, tileH = 6, template = tmpl))
+      assert(Jbig2Codec.decode(enc, w, h).sameElements(plane),
+        s"tmpl=$tmpl ${w}x$h")
+    }
+  }
+
+  test("symbol/text named rejects: huffman, refinement, halftone flags") {
+    val (w, h) = (16, 16)
+    val plane = Array.tabulate(w * h)(i => (i % 2).toByte)
+    val good = Jbig2Codec.encodeSymbolText(plane, w, h,
+      Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
+    // the symbol dictionary payload starts after the page-info segment
+    // (11-byte header + 19-byte payload) and its own 11-byte header;
+    // its first two bytes are the dictionary flags
+    val dictFlagsAt = 30 + 11
+    val huff = good.clone()
+    huff(dictFlagsAt + 1) = (huff(dictFlagsAt + 1) | 1).toByte // SDHUFF
+    val e1 = intercept[IllegalArgumentException] {
+      Jbig2Codec.decode(huff, w, h)
+    }
+    assert(e1.getMessage.contains("SDHUFF"))
+    val refagg = good.clone()
+    refagg(dictFlagsAt + 1) = (refagg(dictFlagsAt + 1) | 2).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      Jbig2Codec.decode(refagg, w, h)
+    }
+    assert(e2.getMessage.contains("SDREFAGG"))
   }
 }

@@ -81,6 +81,53 @@ class JpegImageSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 subsampling: 16-wide-constant content is EXACT") {
+    // 2x1 chroma subsampling (round 20): tiles constant across 16
+    // columns and 8 rows keep each chroma block constant, so the
+    // horizontal average is exact and replication reproduces it —
+    // including at non-multiple dims (edge replication stays
+    // tile-constant)
+    for ((w, h) <- Seq((16, 8), (48, 24), (33, 9), (16, 50), (15, 7))) {
+      val px = Array.tabulate(w * h) { i =>
+        val v = (((i % w) / 16) * 57 + ((i / w) / 8) * 91 + 13) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+      for (rst <- Seq(0, 2)) {
+        val j = JpegImage.parse(JpegImage.encode(w, h, px,
+          restartInterval = rst, subsample422 = true))
+        assert(j.width == w && j.height == h && j.channels == 3)
+        for (k <- 0 until w * h)
+          assert(j.pixels(k) == (0xff000000 | px(k)),
+            s"4:2:2 mismatch at $k (${w}x$h rst=$rst)")
+      }
+    }
+  }
+
+  test("4:2:2 with neutral chroma: ImageIO parity on the luma path") {
+    // the cross-decoder pin for the 0x21 grid: gradient gray keeps
+    // Cb=Cr exactly 128, so upsampling-filter differences vanish and
+    // the JDK decoder must agree within IDCT tolerance
+    val rnd = new scala.util.Random(522)
+    for (t <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val px = Array.tabulate(w * h) { i =>
+        val v = ((i % w) * 5 + (i / w) * 7 + t * 11) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+      val bytes = JpegImage.encode(w, h, px, subsample422 = true,
+        restartInterval = if (t % 2 == 0) 3 else 0)
+      val ours = JpegImage.parse(bytes)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w; sh <- Seq(16, 8, 0))
+        maxErr = math.max(maxErr,
+          math.abs(((ours.pixels(y * w + x) >> sh) & 0xff) -
+            ((img.getRGB(x, y) >> sh) & 0xff)))
+      assert(maxErr <= 2, s"4:2:2 ImageIO disagrees by $maxErr (t=$t)")
+    }
+  }
+
   test("4:2:0 with neutral chroma: ImageIO parity on the luma path") {
     // gradient luma with R=G=B content keeps Cb=Cr exactly 128, so the
     // two decoders' different (implementation-defined) upsampling

@@ -205,9 +205,10 @@ class MultimodalSpec extends SparkSuite {
     import graft.operators.Multimodal
     val knobs = for (v <- 0 to 3; p <- 0 to 3; cb <- Seq(false, true))
       yield Multimodal.q176PageKnobs(v, p, cb)
-    assert(knobs.map(_._1).toSet == (0 to 13).toSet,
-      "all FOURTEEN filter arms (round 19: CMYK, Indexed, ICC, 4-bit, " +
-        "JBIG2, Adobe YCCK joined the rotation)")
+    assert(knobs.map(_._1).toSet == (0 to 19).toSet,
+      "all TWENTY filter arms (round 20: JBIG2 symbol/text, JBIG2 " +
+        "MMR, TIFF-predictor Flate, PNG-predictor Flate, inline " +
+        "BI/ID/EI, 4:2:2 DCT joined)")
     assert(knobs.map(_._2).toSet == Set(false, true), "array form")
     assert(knobs.map(_._3).toSet == Set(false, true), "BlackIs1")
     // BlackIs1 only binds on CCITT arms — both values must occur THERE
@@ -221,6 +222,27 @@ class MultimodalSpec extends SparkSuite {
     for (r <- Seq(90, 180, 270))
       assert(knobs.filter(_._4 == r).map(_._1).toSet.size >= 3,
         s"rotation $r locked to too few arms")
+  }
+
+  test("q179 fixture: TIFF and PDF re-encodes collapse ACROSS containers") {
+    import graft.operators.Multimodal
+    // collapse half (also stated by the oracle): the same canonical
+    // document re-published as multi-page TIFF (v=0,2) and as PDF
+    // (v=1,3) extracts to ONE page-hash sequence — the cross-container
+    // claim, graded at the hash level
+    for (canon <- 0L until 30L) {
+      val sigs = (0 until 4).map(v => Multimodal
+        .q179Hashes(canon * 4 + v).toSeq)
+      assert(sigs.distinct.size == 1, s"canon $canon containers split")
+      assert(sigs.head.distinct.size == sigs.head.size,
+        s"canon $canon has colliding page hashes")
+    }
+    // separation half across the 100x probe id range
+    val sample = ((0L until 30L) ++ (100000L until 100030L) ++
+      (0L until 125000L by 997L)).distinct
+    val all = sample.flatMap(c => Multimodal.q179Hashes(c * 4))
+    assert(all.distinct.size == all.size,
+      "cross-canon page-hash collision in the q179 fixture")
   }
 
   test("q177 fixture: audio re-encodes collapse, documents and windows separate") {
@@ -286,6 +308,15 @@ class MultimodalSpec extends SparkSuite {
       "ycc must rotate through all six layout arms")
     assert(knobs.filter(_._6).map(_._7).toSet ==
       Set((1, 1), (2, 1), (2, 2)), "ycc subsampling coverage")
+    // planar native YCbCr (round 20): the cross occurs, spans all four
+    // STRIP arms (2/5 are tiled — a named reject for planar ycc) and
+    // every subsampling value
+    val planYcc = knobs.filter(k => k._6 && k._5)
+    assert(planYcc.nonEmpty, "planar-ycc cross absent")
+    assert(planYcc.map(_._2).toSet == Set(0, 1, 3, 4),
+      s"planar-ycc strip arms: ${planYcc.map(_._2).toSet}")
+    assert(planYcc.map(_._7).toSet == Set((1, 1), (2, 1), (2, 2)),
+      "planar-ycc subsampling coverage")
   }
 
   test("q171 fixture coverage: every encoding knob value occurs") {

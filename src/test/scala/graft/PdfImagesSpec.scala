@@ -47,12 +47,13 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("every filter arm round-trips exactly") {
-    for (arm <- 0 to 13) {
+    for (arm <- 0 to 19) {
       val (w, h) = (24, 16)
       val px = arm match {
-        case 2 | 4 | 5 | 6 | 11 | 12 => bilevelPage(w, h, arm)
-        case 3 | 13 => bilevelPage(w, h, arm) // block-constant: exact DCT
-        case 7 => rgbPage(w, h, arm)
+        case 2 | 4 | 5 | 6 | 11 | 12 | 14 | 15 => bilevelPage(w, h, arm)
+        // block-constant: the exact DCT aperture (gray, YCCK, 4:2:2)
+        case 3 | 13 | 19 => bilevelPage(w, h, arm)
+        case 7 | 16 => rgbPage(w, h, arm)
         case 9 => rgbPage(w, h, arm).map(_ & 0xc0c0c0) // <= 64 colors
         case _ => grayPage(w, h, arm)
       }
@@ -92,20 +93,123 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("multi-page mixed-arm document extracts every page in order") {
-    val pages = (0 to 13).map { arm =>
+    val pages = (0 to 19).map { arm =>
       val px = arm match {
-        case 0 | 1 | 8 | 10 => grayPage(16, 16, arm + 10)
-        case 7 => rgbPage(16, 16, 3)
+        case 0 | 1 | 8 | 10 | 17 | 18 => grayPage(16, 16, arm + 10)
+        case 7 | 16 => rgbPage(16, 16, 3)
         case 9 => rgbPage(16, 16, 5).map(_ & 0xc0c0c0)
         case _ => bilevelPage(16, 16, arm + 20)
       }
       PageEnc(16, 16, px, arm)
     }
     val imgs = PdfImages.extract(PdfImages.encodePdf(pages))
-    assert(imgs.length == 14)
+    assert(imgs.length == 20)
     pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
       assertPixels(img, 16, 16, p.pixels, s"page $i")
     }
+  }
+
+  test("predictor arms: width sweep, ignored-predictor guard, named rejects") {
+    // widths crossing the bpp/row boundary both for TIFF differencing
+    // (arm 16, RGB) and the PNG per-row filters (arm 17, gray)
+    for (w <- Seq(1, 2, 9, 23); arm <- Seq(16, 17)) {
+      val h = 7
+      val px = if (arm == 16) rgbPage(w, h, w + arm) else grayPage(w, h, w)
+      val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, arm)))
+      assertPixels(PdfImages.extract(pdf).head, w, h, px, s"arm=$arm w=$w")
+    }
+    // the r19 advisor hole: a TIFF-predicted stream whose /Predictor
+    // entry is DROPPED is length-preserving — decode must differ from
+    // the true pixels only because the predictor was applied (i.e. the
+    // engine does not ignore /Predictor)
+    val (w, h) = (16, 8)
+    val px = rgbPage(w, h, 3)
+    val s = new String(PdfImages.encodePdf(Seq(PageEnc(w, h, px, 16))),
+      "ISO-8859-1")
+    val dropped = s.replace("/Predictor 2 ", "")
+    val raw = PdfImages.extract(dropped.getBytes("ISO-8859-1")).head
+    assert(!raw.pixels.sameElements(
+      PdfImages.extract(s.getBytes("ISO-8859-1")).head.pixels),
+      "predictor had no effect — /Predictor is being ignored")
+    // unsupported predictor value is a named reject
+    val bad = s.replace("/Predictor 2 ", "/Predictor 3 ")
+    val e = intercept[IllegalArgumentException] {
+      PdfImages.extract(bad.getBytes("ISO-8859-1"))
+    }
+    assert(e.getMessage.contains("/Predictor 3"))
+    // a predictor /Columns lie is a named reject, not silent garbage
+    val lied = s.replace(s"/Columns $w", s"/Columns ${w + 1}")
+    val e2 = intercept[IllegalArgumentException] {
+      PdfImages.extract(lied.getBytes("ISO-8859-1"))
+    }
+    assert(e2.getMessage.contains("/Columns"))
+  }
+
+  test("inline images: rotation, multi-frame streams, false positives, rejects") {
+    // the inline arm under the /Rotate axis (rotation resolves via
+    // /Contents, not /XObject)
+    for (rot <- Seq(0, 90, 180, 270)) {
+      val (w, h) = (24, 16)
+      val px = grayPage(w, h, rot + 5)
+      val pdf = PdfImages.encodePdf(Seq(PageEnc(w, h, px, 18, rotate = rot)))
+      assertPixels(PdfImages.extract(pdf).head, w, h, px, s"inline rot=$rot")
+    }
+    // a binary stream containing the letters "BI" must not be read as
+    // an inline image (frame validation: /W //H must parse)
+    val decoy = ("%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n" +
+      "xx BI not an image EI\nendstream\nendobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(PdfImages.extract(decoy).isEmpty)
+    // two inline images in ONE content stream both extract, in order
+    val (w, h) = (8, 8)
+    val px1 = grayPage(w, h, 1); val px2 = grayPage(w, h, 2)
+    def flate(px: Array[Int]): String = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(px.map(p => (p & 0xff).toByte)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      new String(out.toByteArray, "ISO-8859-1")
+    }
+    val content = s"q BI /W $w /H $h /BPC 8 /CS /G /F /Fl ID\n${flate(px1)}" +
+      s"\nEI Q q BI /W $w /H $h /BPC 8 /CS /G /F /Fl ID\n${flate(px2)}\nEI Q"
+    val doc = (s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\n" +
+      s"stream\n$content\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val two = PdfImages.extract(doc)
+    assert(two.length == 2)
+    assertPixels(two(0), w, h, px1, "inline 1")
+    assertPixels(two(1), w, h, px2, "inline 2")
+    // named rejects with per-image isolation: an unsupported inline
+    // filter on page 2 must not hide page 1's XObject image
+    val goodPx = grayPage(w, h, 3)
+    val s0 = new String(PdfImages.encodePdf(Seq(
+      PageEnc(w, h, goodPx, 1), PageEnc(w, h, grayPage(w, h, 4), 18))),
+      "ISO-8859-1")
+    val badFilter = s0.replace("/F /Fl ID", "/F /AHx ID")
+    val (okImgs, rejects) = PdfImages.extractWithRejects(
+      badFilter.getBytes("ISO-8859-1"))
+    assert(okImgs.length == 1 && rejects.length == 1)
+    assert(rejects.head.contains("unsupported inline image filter /AHx"))
+    assertPixels(okImgs.head, w, h, goodPx, "surviving XObject page")
+    // a missing EI terminator is a named reject, not silent garbage
+    val noEi = s0.replace("\nEI Q", "\nXX Q")
+    val (_, rej2) = PdfImages.extractWithRejects(noEi.getBytes("ISO-8859-1"))
+    assert(rej2.exists(_.contains("not terminated by EI")), rej2.toString)
+  }
+
+  test("a non-right-angle /Rotate quarantines per image, not per document") {
+    // page 1 rotated 45 degrees (occurs in the wild), page 2 clean:
+    // the clean page must still extract (the S9 isolation contract)
+    val px1 = grayPage(8, 8, 1); val px2 = grayPage(8, 8, 2)
+    val pdf = new String(PdfImages.encodePdf(Seq(
+      PageEnc(8, 8, px1, 1, rotate = 90), PageEnc(8, 8, px2, 1))),
+      "ISO-8859-1")
+    val bent = pdf.replace("/Rotate 90", "/Rotate 45")
+    val (imgs, rejects) = PdfImages.extractWithRejects(
+      bent.getBytes("ISO-8859-1"))
+    assert(rejects.length == 1 && rejects.head.contains("not a right angle"))
+    assert(imgs.length == 1)
+    assertPixels(imgs.head, 8, 8, px2, "surviving page")
   }
 
   test("page /Rotate normalizes to the upright face across arms") {

@@ -1208,6 +1208,56 @@ class TiffImageSpec extends AnyFunSuite {
     }
   }
 
+  test("planar native YCbCr: the last layout cross round-trips (round 20)") {
+    // photometric 6 x PlanarConfiguration 2: full-resolution Y strips,
+    // then SUBSAMPLED chroma plane strips (TIFF 6.0 §21 + §14) — gray
+    // content keeps chroma at 128 so the box average is exact
+    for {
+      big <- Seq(false, true)
+      sub <- Seq((1, 1), (2, 1), (1, 2), (2, 2))
+      comp <- Seq(1, 5, 8, 32773)
+      rps <- Seq(0, 3, 4)
+      (w, h) <- Seq((19, 13), (16, 16), (1, 7))
+    } {
+      val gray = Array.tabulate(w * h) { i =>
+        val c = (i * 41 + comp) % 256; (c << 16) | (c << 8) | c
+      }
+      val t = TiffImage.parse(TiffImage.encode(w, h, gray, photometric = 6,
+        bigEndian = big, compression = comp, rowsPerStrip = rps,
+        planar2 = true, yccSub = sub))
+      assert(t.width == w && t.height == h && t.photometric == 6)
+      assert(t.pixels.toSeq == gray.toSeq,
+        s"planar-ycc big=$big sub=$sub comp=$comp rps=$rps ${w}x$h")
+    }
+    // colored content: one forward + one inverse rounding at (1,1)
+    val (w, h) = (17, 11)
+    val rnd = new scala.util.Random(91)
+    val px = Array.fill(w * h)(rnd.nextInt() & 0xffffff)
+    val t = TiffImage.parse(TiffImage.encode(w, h, px, photometric = 6,
+      compression = 8, rowsPerStrip = 4, planar2 = true, yccSub = (1, 1)))
+    for (k <- 0 until w * h; sh <- Seq(16, 8, 0)) {
+      val a = (t.pixels(k) >> sh) & 0xff; val b = (px(k) >> sh) & 0xff
+      assert(math.abs(a - b) <= 2, s"px $k shift $sh: $a vs $b")
+    }
+    // chunky and planar encodings of the same page decode IDENTICALLY
+    // (the q164 layout-independence claim on the new cross)
+    val gray = Array.tabulate(w * h)(i => { val c = (i * 13) % 256
+      (c << 16) | (c << 8) | c })
+    val chunky = TiffImage.parse(TiffImage.encode(w, h, gray,
+      photometric = 6, compression = 5, rowsPerStrip = 4, yccSub = (2, 2)))
+    val planar = TiffImage.parse(TiffImage.encode(w, h, gray,
+      photometric = 6, compression = 5, rowsPerStrip = 4,
+      planar2 = true, yccSub = (2, 2)))
+    assert(chunky.pixels.toSeq == planar.pixels.toSeq,
+      "chunky vs planar native-YCbCr decode split")
+    // tiled planar ycc is a named reject on BOTH halves
+    val e = intercept[IllegalArgumentException] {
+      TiffImage.encode(16, 16, gray.take(256), photometric = 6,
+        compression = 1, tileSize = 16, planar2 = true)
+    }
+    assert(e.getMessage.contains("tiled planar"))
+  }
+
   test("native YCbCr: colored content round-trips within the rounding budget") {
     // one forward rounding (encode) + one inverse rounding (decode):
     // subsampling (1,1) keeps chroma unaveraged, so the budget is tight
