@@ -3572,13 +3572,14 @@ object Multimodal {
     * documents. */
   private[graft] def q176PageKnobs(v: Int, p: Int,
       canonBit: Boolean): (Int, Boolean, Boolean, Int) =
-    // the arm walk covers all TWENTY filter arms (round 20: JBIG2
-    // symbol/text, JBIG2 MMR, TIFF-predictor Flate, PNG-predictor
-    // Flate, inline BI/ID/EI, 4:2:2 DCT joined): v*4+p spans 0..15,
-    // and the canon bit's +11 shift reaches 16..19 while keeping both
-    // BlackIs1 values on every CCITT arm (4,5,6 pair with 13,14,15 —
-    // same (v+p)%3 parity, opposite canon bit)
-    (((v * 4 + p + (if (canonBit) 11 else 0)) % 20), (v + p) % 2 == 0,
+    // the arm walk covers all TWENTY-FOUR filter arms (round 20:
+    // JBIG2 symbol/text, JBIG2 MMR, TIFF/PNG-predictor Flate, inline
+    // BI/ID/EI, 4:2:2 DCT, LZW, RunLength, and the ASCII85+Flate /
+    // ASCIIHex+CCITT chains joined): v*4+p spans 0..15, and the canon
+    // bit's +15 shift reaches 16..23 while keeping both BlackIs1
+    // values on every CCITT arm (4,5,6 pair with 13,14,15 — same
+    // (v+p)%3 parity, opposite canon bit)
+    (((v * 4 + p + (if (canonBit) 15 else 0)) % 24), (v + p) % 2 == 0,
       canonBit ^ ((v + p) % 3 == 0),
       // the /Rotate axis (round 19): a sideways-stored page with the
       // compensating page rotation must normalize back to the upright
@@ -3623,7 +3624,11 @@ object Multimodal {
       PdfImages.PageEnc(w, h, px, arm, filterAsArray = asArr,
         blackIs1 = b1, rotate = rot)
     }
-    PdfImages.extract(PdfImages.encodePdf(pages))
+    // the ObjStm axis (round 20): a slice of the corpus packs its
+    // auxiliary colorspace objects into a PDF 1.5 object stream — a
+    // pure container knob, zero oracle edits
+    PdfImages.extract(PdfImages.encodePdf(pages,
+      objStm = (canon + v) % 3 == 0))
       .map(img => uprightAhash64(img.width, img.height, img.pixels))
       .toArray
   }
@@ -3829,11 +3834,12 @@ object Multimodal {
           require(at > 0, "fixture: JBIG2 page-info signature not found")
           b(at + 4) = 22
           b
-        case 2 => // unsupported filter on the second page
+        case 2 => // unsupported filter on the second page (round 20:
+          // LZW decodes now, so the class retargets onto JPEG2000)
           val s0 = new String(PdfImages.encodePdf(Seq(good,
             PageEnc(w, h, goodPx, 1))), ISO_8859_1)
           val at = s0.lastIndexOf("/Filter /FlateDecode")
-          (s0.substring(0, at) + "/Filter /LZWDecode" +
+          (s0.substring(0, at) + "/Filter /JPXDecode " +
             s0.substring(at + "/Filter /FlateDecode".length))
             .getBytes(ISO_8859_1)
         case 3 => // geometry lie: widen the second page's /Width
@@ -3857,11 +3863,11 @@ object Multimodal {
             PageEnc(w, h, goodPx, 7))), ISO_8859_1)
           s0.replace("/DeviceRGB", "/DeviceNNN").getBytes(ISO_8859_1)
         case _ => // unsupported INLINE filter (round 20): the second
-          // page's BI/ID/EI frame claims ASCIIHex — a named reject
+          // page's BI/ID/EI frame claims inline DCT — a named reject
           // through the inline walk, and the XObject page must survive
           val s0 = new String(PdfImages.encodePdf(Seq(good,
             PageEnc(w, h, goodPx, 18))), ISO_8859_1)
-          s0.replace("/F /Fl ID", "/F /AHx ID").getBytes(ISO_8859_1)
+          s0.replace("/F /Fl ID", "/F /DCT ID").getBytes(ISO_8859_1)
       }
       val (imgs, rejects) = PdfImages.extractWithRejects(pdf)
       val reason =

@@ -75,7 +75,12 @@ object PdfImages {
     * Average/Paeth), 18 = INLINE image (BI/ID/EI in the content
     * stream, abbreviated keys, /Fl — no image XObject at all),
     * 19 = color 4:2:2 DCTDecode (2x1 chroma subsampling, the common
-    * camera/scanner factor; gray content keeps it exact).
+    * camera/scanner factor; gray content keeps it exact), 20 = LZW
+    * gray (PDF §7.4.4 = the TIFF algorithm, EarlyChange 1),
+    * 21 = RunLength gray, 22 = the chained transport shape
+    * `[/ASCII85Decode /FlateDecode]`, 23 = `[/ASCIIHexDecode
+    * /CCITTFaxDecode]` with the parallel null-padded /DecodeParms
+    * array.
     *
     * `filterAsArray` writes `/Filter [/X]` + `/DecodeParms [<<…>>]`
     * (the array singleton form, §7.4) instead of the name form;
@@ -379,6 +384,25 @@ object PdfImages {
           }
           (out.toByteArray, dataStart + (raw.length - inf.getRemaining))
         } finally inf.end()
+      // the other byte filters all SELF-DELIMIT (LZW's EOD code, RL's
+      // 128 byte, AHx's '>', A85's '~>'), so the EI scan stays exact
+      case Some("/LZW") | Some("/LZWDecode") =>
+        val raw = text.substring(dataStart).getBytes(ISO_8859_1)
+        val early = intAfter(pseudo, "/EarlyChange") != 0 // default 1
+        val (d, used) = lzwDecodePdf(raw, 0, early)
+        (d, dataStart + used)
+      case Some("/RL") | Some("/RunLengthDecode") =>
+        val raw = text.substring(dataStart).getBytes(ISO_8859_1)
+        val (d, used) = runLengthDecode(raw, 0)
+        (d, dataStart + used)
+      case Some("/AHx") | Some("/ASCIIHexDecode") =>
+        val raw = text.substring(dataStart).getBytes(ISO_8859_1)
+        val (d, used) = asciiHexDecode(raw, 0)
+        (d, dataStart + used)
+      case Some("/A85") | Some("/ASCII85Decode") =>
+        val raw = text.substring(dataStart).getBytes(ISO_8859_1)
+        val (d, used) = ascii85Decode(raw, 0)
+        (d, dataStart + used)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported inline image filter $other")
     }
@@ -546,7 +570,40 @@ object PdfImages {
         pos = if (after < 0) whole.length else after + "endstream".length
       }
     }
-    out.result()
+    val scanned = out.result()
+    // PDF 1.5 object streams (§7.5.7): non-stream objects packed into
+    // a compressed stream — INVISIBLE to the raw header scan, yet
+    // modern writers put exactly the objects resolution needs there
+    // (colorspace arrays, page dicts). Expand each /ObjStm into plain
+    // entries: N pairs of "objnum offset" before /First, bodies after.
+    // A malformed ObjStm contributes nothing — its objects stay
+    // missing and reject BY NAME at their use sites, never silently.
+    val packed = scanned.flatMap { case (_, dict, payload) =>
+      if (!dict.contains("/ObjStm")) Nil
+      else try {
+        val n = intAfter(dict, "/N")
+        val first = intAfter(dict, "/First")
+        require(n > 0 && n <= 100000 && first > 0, "ObjStm header")
+        val raw = payload.getBytes(ISO_8859_1)
+        val body = new String(
+          if (dict.contains("/FlateDecode")) inflateStrict(raw) else raw,
+          ISO_8859_1)
+        require(first <= body.length, "ObjStm /First beyond stream")
+        val nums = body.substring(0, first).trim.split("\\s+")
+          .filter(_.nonEmpty)
+        require(nums.length >= 2 * n, "ObjStm pair table short")
+        (0 until n).map { k =>
+          val objNum = nums(2 * k).toInt
+          val off = first + nums(2 * k + 1).toInt
+          val end = if (k + 1 < n) first + nums(2 * k + 3).toInt
+            else body.length
+          require(off >= first && off <= end && end <= body.length,
+            "ObjStm offsets out of order")
+          (objNum, body.substring(off, end), "")
+        }
+      } catch { case _: Exception => Nil }
+    }
+    scanned ++ packed
   }
 
   private def atEndstream(whole: String, at: Int): Boolean = {
@@ -669,12 +726,26 @@ object PdfImages {
     require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
       s"bad image geometry ${w}x$h")
     val bpc = math.max(intAfter(dict, "/BitsPerComponent"), 1)
-    val filter = FilterName.findFirstMatchIn(dict).map(_.group(1))
-    val payload = payloadS.getBytes(ISO_8859_1)
+    // the FULL filter chain (§7.4): any run of byte-to-byte filters
+    // (ASCIIHex/ASCII85/RunLength/Flate/LZW, applied in order) with an
+    // optional image codec LAST — `[/ASCII85Decode /DCTDecode]` is a
+    // real producer shape
+    val chain = filterChain(dict)
+    val codecs = Set("DCTDecode", "CCITTFaxDecode", "JBIG2Decode")
+    val (pre, terminal) =
+      if (chain.nonEmpty && codecs(chain.last)) (chain.init, chain.last)
+      else (chain, "")
+    pre.find(codecs) .foreach { f =>
+      throw new IllegalArgumentException(
+        s"image codec /$f must be the last /Filter entry")
+    }
+    val parms = parmsText(dict, index)
+    var payload = payloadS.getBytes(ISO_8859_1)
+    pre.foreach { f => payload = byteFilter(f, payload, parms) }
     // CCITT and DCT carry their own sample semantics; the raster arms
     // need the resolved colorspace
-    val pixels: Array[Int] = filter match {
-      case Some("DCTDecode") =>
+    val pixels: Array[Int] = terminal match {
+      case "DCTDecode" =>
         // real producers pad a few bytes past EOI inside the stated
         // /Length (round-19 corpus probe); trim a SHORT tail after the
         // last FFD9 so the strict JPEG parser sees a clean stream
@@ -693,9 +764,8 @@ object PdfImages {
         require(j.width == w && j.height == h,
           s"DCT geometry ${j.width}x${j.height} != dict ${w}x$h")
         return Img(w, h, j.pixels)
-      case Some("CCITTFaxDecode") =>
-        decodeCcitt(parmsText(dict, index), payload, w, h)
-      case Some("JBIG2Decode") =>
+      case "CCITTFaxDecode" => decodeCcitt(parms, payload, w, h)
+      case "JBIG2Decode" =>
         // /JBIG2Globals: shared segments in a separate stream that
         // logically PRECEDE the page's own (ISO 32000-1 7.4.7) —
         // resolve and prepend; segment-type gating stays Jbig2Codec's
@@ -717,15 +787,10 @@ object PdfImages {
           val g = math.round((if (sample == 0) d0 else d1) * 255).toInt
           0xff000000 | (g << 16) | (g << 8) | g
         }
-      case Some("FlateDecode") =>
+      case _ =>
         val cs = resolveColorSpace(dict, index)
-        rasterPixels(unpredict(inflateStrict(payload), parmsText(dict,
-          index), w, bpc, cs.comps), w, h, bpc, cs, dict)
-      case None =>
-        rasterPixels(payload, w, h, bpc,
-          resolveColorSpace(dict, index), dict)
-      case Some(f) =>
-        throw new IllegalArgumentException(s"unsupported image filter /$f")
+        rasterPixels(unpredict(payload, parms, w, bpc, cs.comps),
+          w, h, bpc, cs, dict)
     }
     Img(w, h, pixels)
   }
@@ -850,6 +915,203 @@ object PdfImages {
     out
   }
 
+  // ------------------------------------------------- byte filters
+
+  private val FilterArrRe = """(?s)/Filter\s*\[(.{0,200}?)\]""".r
+  private val NameTok = """/([A-Za-z0-9]+)""".r
+
+  /** The full /Filter chain (ISO 32000-1 §7.4: a single name or an
+    * array applied in order) — the round-19 single-name read dropped
+    * every filter after the first, so a real `[/ASCII85Decode
+    * /FlateDecode]` stream could never decode. */
+  private def filterChain(dict: String): Seq[String] =
+    FilterArrRe.findFirstMatchIn(dict) match {
+      case Some(m) => NameTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None =>
+        FilterName.findFirstMatchIn(dict).map(_.group(1)).toSeq
+    }
+
+  /** PDF LZWDecode (§7.4.4): the TIFF algorithm (MSB-first codes,
+    * Clear 256, EOD 257, 12-bit cap) with the /EarlyChange knob —
+    * 1 (default) widens one entry early exactly like [[TiffImage
+    * .lzwDecode]], 0 widens at the table-full boundary. Output grows
+    * to EOD (a PDF stream states no raster size at this layer);
+    * returns (decoded bytes, code-stream bytes consumed) so inline
+    * images can find their EI terminator. */
+  private[graft] def lzwDecodePdf(data: Array[Byte], off: Int,
+      earlyChange: Boolean): (Array[Byte], Int) = {
+    val out = new ByteArrayOutputStream(1024)
+    var bitPos = 0L
+    val endBit = (data.length - off) * 8L
+    var width = 9
+    def nextCode(): Int = {
+      require(bitPos + width <= endBit, "LZW stream ends mid-code (no EOD)")
+      var v = 0
+      var b = 0
+      while (b < width) {
+        val bit = bitPos + b
+        v = (v << 1) |
+          ((data(off + (bit >> 3).toInt) >> (7 - (bit & 7).toInt)) & 1)
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = 258
+    def expand(code: Int): Array[Byte] = {
+      var n = 0
+      var c = code
+      while (c >= 256) { n += 1; c = prefix(c) }
+      val s = new Array[Byte](n + 1)
+      c = code
+      var j = n
+      while (j > 0) { s(j) = append(c); c = prefix(c); j -= 1 }
+      s(0) = c.toByte
+      s
+    }
+    var old = -1
+    var done = false
+    while (!done) {
+      val code = nextCode()
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; old = -1 }
+      else {
+        require(next < 4096, "LZW table overflow without Clear")
+        require(out.size() < MaxInflatedBytes, "LZW output over cap")
+        if (old < 0) {
+          require(code < 256, s"first code after Clear is $code (not a root)")
+          out.write(code)
+          old = code
+        } else {
+          require(code <= next, s"LZW code $code beyond table ($next)")
+          val s =
+            if (code < next) expand(code)
+            else { val p = expand(old); p :+ p(0) } // KwKwK
+          out.write(s, 0, s.length)
+          prefix(next) = old; append(next) = s(0)
+          next += 1
+          val bump = if (earlyChange) (1 << width) - 1 else (1 << width)
+          if (next == bump && width < 12) width += 1
+          old = code
+        }
+      }
+    }
+    (out.toByteArray, ((bitPos + 7) / 8).toInt)
+  }
+
+  /** RunLengthDecode (§7.4.5): n in 0..127 copies n+1 literals,
+    * 129..255 repeats the next byte 257−n times, 128 = EOD. Returns
+    * (decoded bytes, encoded bytes consumed incl. the EOD byte). */
+  private[graft] def runLengthDecode(data: Array[Byte],
+      off: Int): (Array[Byte], Int) = {
+    val out = new ByteArrayOutputStream(256)
+    var i = off
+    var done = false
+    while (!done) {
+      require(i < data.length, "RunLength stream ends without EOD")
+      val n = data(i) & 0xff
+      i += 1
+      if (n == 128) done = true
+      else if (n < 128) {
+        require(i + n + 1 <= data.length, "RunLength literal run truncated")
+        out.write(data, i, n + 1)
+        i += n + 1
+      } else {
+        require(i < data.length, "RunLength repeat run truncated")
+        var k = 257 - n
+        while (k > 0) { out.write(data(i)); k -= 1 }
+        i += 1
+      }
+      require(out.size() <= MaxInflatedBytes, "RunLength output over cap")
+    }
+    (out.toByteArray, i - off)
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex digit pairs, whitespace ignored,
+    * `>` EOD (an odd final digit pads with 0). Returns (bytes,
+    * consumed incl. the EOD). */
+  private[graft] def asciiHexDecode(data: Array[Byte],
+      off: Int): (Array[Byte], Int) = {
+    val out = new ByteArrayOutputStream(256)
+    var i = off
+    var hi = -1
+    var done = false
+    while (!done) {
+      require(i < data.length, "ASCIIHex stream ends without '>'")
+      val c = (data(i) & 0xff).toChar
+      i += 1
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        done = true
+      } else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        require(d >= 0, s"ASCIIHex: bad digit '$c'")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+    }
+    (out.toByteArray, i - off)
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups c1..c5 ('!'..'u') encode
+    * 4 bytes big-endian; 'z' = four zero bytes; a partial final group
+    * of n chars yields n−1 bytes; `~>` EOD. */
+  private[graft] def ascii85Decode(data: Array[Byte],
+      off: Int): (Array[Byte], Int) = {
+    val out = new ByteArrayOutputStream(256)
+    var i = off
+    val grp = new Array[Int](5)
+    var gn = 0
+    def flush(n: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      require(v <= 0xffffffffL, "ASCII85 group out of range")
+      var b = 0
+      while (b < n - 1) { out.write(((v >> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+    }
+    var done = false
+    while (!done) {
+      require(i < data.length, "ASCII85 stream ends without '~>'")
+      val c = (data(i) & 0xff).toChar
+      i += 1
+      if (c == '~') {
+        require(i < data.length && data(i) == '>',
+          "ASCII85: '~' not followed by '>'")
+        i += 1
+        require(gn != 1, "ASCII85: lone trailing character")
+        if (gn > 0) flush(gn)
+        done = true
+      } else if (c == 'z') {
+        require(gn == 0, "ASCII85: 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        require(c >= '!' && c <= 'u', s"ASCII85: bad character '$c'")
+        grp(gn) = c - '!'
+        gn += 1
+        if (gn == 5) { flush(5); gn = 0 }
+      }
+      require(out.size() <= MaxInflatedBytes, "ASCII85 output over cap")
+    }
+    (out.toByteArray, i - off)
+  }
+
+  /** Apply one non-terminal (byte-to-byte) filter; full-stream form
+    * for XObject chains. */
+  private def byteFilter(name: String, data: Array[Byte],
+      parms: String): Array[Byte] = name match {
+    case "FlateDecode" | "Fl" => inflateStrict(data)
+    case "LZWDecode" | "LZW" =>
+      val early = intAfter(parms, "/EarlyChange") != 0 // default 1
+      lzwDecodePdf(data, 0, early)._1
+    case "RunLengthDecode" | "RL" => runLengthDecode(data, 0)._1
+    case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data, 0)._1
+    case "ASCII85Decode" | "A85" => ascii85Decode(data, 0)._1
+    case other =>
+      throw new IllegalArgumentException(s"unsupported image filter /$other")
+  }
+
   private val ParmsRef = """/DecodeParms\s+(\d{1,7})\s+\d+\s+R""".r
 
   /** The text the filter parameters are read from: the image dict
@@ -966,15 +1228,24 @@ object PdfImages {
   /** Encode one image per page into a structurally real PDF (header,
     * catalog, page tree, content stream per page, image XObjects,
     * xref, trailer). Deterministic: the same pages yield the same
-    * bytes. */
-  def encodePdf(pages: Seq[PageEnc]): Array[Byte] = {
+    * bytes. With `objStm` the plain auxiliary objects (arm 9/10's
+    * indirect colorspace arrays) travel inside a PDF 1.5 object
+    * stream (§7.5.7) instead of as regular objects — the modern-writer
+    * shape the raw header scan alone cannot see. */
+  def encodePdf(pages: Seq[PageEnc], objStm: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    val deferred = scala.collection.mutable.ArrayBuffer[(Int, String)]()
     def bytes(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     def obj(body: String): Unit = {
       offsets += out.size()
       bytes(s"${offsets.length} 0 obj\n$body\nendobj\n")
     }
+    // reserves the object NUMBER in place (the page-group numbering
+    // math must not shift) but packs the body into the trailing ObjStm
+    def objAux(body: String): Unit =
+      if (!objStm) obj(body)
+      else { offsets += out.size(); deferred += ((offsets.length, body)) }
     def streamObj(dict: String, payload: Array[Byte]): Unit = {
       offsets += out.size()
       bytes(s"${offsets.length} 0 obj\n<< $dict /Length ${payload.length} >>\nstream\n")
@@ -1031,15 +1302,25 @@ object PdfImages {
       p.filter match {
         case 9 => // Indexed palette behind TWO indirections
           val (pal, _) = paletteOf(p)
-          obj(s"[ /Indexed /DeviceRGB ${pal.length - 1} ${po + 4} 0 R ]")
+          objAux(s"[ /Indexed /DeviceRGB ${pal.length - 1} ${po + 4} 0 R ]")
           streamObj("/Filter /FlateDecode", deflate(pal.flatMap(c =>
             Array(((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte,
               (c & 0xff).toByte))))
         case 10 => // ICCBased gray: /N is all the consumer reads
-          obj(s"[ /ICCBased ${po + 4} 0 R ]")
+          objAux(s"[ /ICCBased ${po + 4} 0 R ]")
           streamObj("/N 1", "fixture-icc-gray".getBytes(ISO_8859_1))
         case _ => ()
       }
+    }
+    if (deferred.nonEmpty) {
+      val bodies = deferred.map(_._2)
+      val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+      val header = deferred.zip(offs)
+        .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+      streamObj(s"/Type /ObjStm /N ${deferred.length} " +
+        s"/First ${header.length} /Filter /FlateDecode",
+        deflate((header + bodies.mkString("\n") + "\n")
+          .getBytes(ISO_8859_1)))
     }
     val xrefAt = out.size()
     bytes(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
@@ -1061,7 +1342,68 @@ object PdfImages {
     case 3 | 13 | 19 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
     case 12 | 14 | 15 => "JBIG2Decode"
     case 18 => "" // inline (BI/ID/EI): the filter lives in the frame
+    case 20 => "LZWDecode"
+    case 21 => "RunLengthDecode"
+    case 22 | 23 => "" // filter CHAINS — imageDict writes the array
     case f => throw new IllegalArgumentException(s"filter arm $f")
+  }
+
+  private[graft] def runLengthEncode(d: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(d.length / 2 + 16)
+    var i = 0
+    while (i < d.length) {
+      var j = i + 1
+      while (j < d.length && d(j) == d(i) && j - i < 128) j += 1
+      if (j - i >= 2) { out.write(257 - (j - i)); out.write(d(i)); i = j }
+      else {
+        var k = i + 1
+        while (k < d.length && k - i < 128 &&
+          !(k + 1 < d.length && d(k + 1) == d(k))) k += 1
+        out.write(k - i - 1)
+        out.write(d, i, k - i)
+        i = k
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  private[graft] def asciiHexEncode(d: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(d.length * 2 + d.length / 32 + 2)
+    var i = 0
+    while (i < d.length) {
+      sb.append(f"${d(i) & 0xff}%02x")
+      if (i % 32 == 31) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private[graft] def ascii85Encode(d: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(d.length * 5 / 4 + d.length / 60 + 4)
+    var i = 0
+    while (i < d.length) {
+      val n = math.min(4, d.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < n) d(i + k) & 0xffL else 0L)
+        k += 1
+      }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val digits = new Array[Char](5)
+        var j = 4
+        var r = v
+        while (j >= 0) { digits(j) = ('!' + (r % 85)).toChar; r /= 85; j -= 1 }
+        sb.appendAll(digits, 0, n + 1)
+      }
+      if (sb.length % 64 < 5) sb.append('\n')
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
   }
 
   /** Distinct colors of the page in first-occurrence order (the arm-9
@@ -1077,7 +1419,7 @@ object PdfImages {
 
   private def imageDict(p: PageEnc, csObj: Int): String = {
     val bpc = p.filter match {
-      case 2 | 4 | 5 | 6 | 12 | 14 | 15 => 1
+      case 2 | 4 | 5 | 6 | 12 | 14 | 15 | 23 => 1
       case 11 => 4
       case _ => 8
     }
@@ -1088,10 +1430,19 @@ object PdfImages {
       case _ => "/DeviceGray"
     }
     val f = filterOf(p)
-    val filterPart =
-      if (f.isEmpty) ""
-      else if (p.filterAsArray) s" /Filter [ /$f ]" else s" /Filter /$f"
+    val filterPart = p.filter match {
+      // real filter CHAINS (§7.4): an ASCII transport stage ahead of
+      // the byte/codec stage — always the array form
+      case 22 => " /Filter [ /ASCII85Decode /FlateDecode ]"
+      case 23 => " /Filter [ /ASCIIHexDecode /CCITTFaxDecode ]"
+      case _ =>
+        if (f.isEmpty) ""
+        else if (p.filterAsArray) s" /Filter [ /$f ]" else s" /Filter /$f"
+    }
     val parms = p.filter match {
+      case 23 => // parms array parallel to the chain: null for AHx
+        s" /DecodeParms [ null << /K -1 /Columns ${p.width}" +
+          s" /Rows ${p.height} >> ]"
       case 4 | 5 | 6 =>
         val k = p.filter match { case 4 => -1; case 5 => 4; case 6 => 0 }
         val d = s"<< /K $k /Columns ${p.width} /Rows ${p.height}" +
@@ -1169,6 +1520,11 @@ object PdfImages {
         Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
       case 15 => Jbig2Codec.encodeMmr(bilevel, p.width, p.height)
       case 18 => deflate(gray8) // inline /Fl gray (framed by encodePdf)
+      case 20 => TiffImage.lzwEncode(gray8) // PDF LZW = TIFF's, EC 1
+      case 21 => runLengthEncode(gray8)
+      case 22 => ascii85Encode(deflate(gray8)) // chained transport
+      case 23 => asciiHexEncode(CcittCodec.encode(bilevel,
+        p.width, p.height, 4))
       case 19 => // color 4:2:2 DCT — gray content keeps chroma exactly
         // zero, so the 2x1-subsampled planes round-trip bit-exactly
         // through the block-constant aperture

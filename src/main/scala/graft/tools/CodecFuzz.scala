@@ -1176,15 +1176,15 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      // round 20: 20 arms incl. JBIG2 symbol/text, MMR, predictors,
-      // inline BI/ID/EI, 4:2:2 DCT
-      val arm = rnd.nextInt(20)
+      // round 20: 24 arms incl. JBIG2 symbol/text, MMR, predictors,
+      // inline BI/ID/EI, 4:2:2 DCT, LZW/RunLength, ASCII chains
+      val arm = rnd.nextInt(24)
       val (w, h) =
         if (arm == 3 || arm == 13 || arm == 19)
           (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
         else (1 + rnd.nextInt(37), 1 + rnd.nextInt(19))
       val px = arm match {
-        case 0 | 1 | 8 | 10 | 17 | 18 => Array.fill(w * h) {
+        case 0 | 1 | 8 | 10 | 17 | 18 | 20 | 21 | 22 => Array.fill(w * h) {
           val c = rnd.nextInt(256); (c << 16) | (c << 8) | c
         }
         case 11 => Array.fill(w * h) {
@@ -1212,7 +1212,7 @@ object CodecFuzz {
       val pages = Seq.fill(1 + rnd.nextInt(3))(randImagePage())
       check(s"pdfimg_roundtrip_$i") {
         val imgs = graft.sources.PdfImages.extract(
-          graft.sources.PdfImages.encodePdf(pages))
+          graft.sources.PdfImages.encodePdf(pages, rnd.nextBoolean()))
         require(imgs.length == pages.length, "image count")
         pages.zip(imgs).foreach { case (p, img) =>
           require(img.width == p.width && img.height == p.height, "dims")
@@ -1224,7 +1224,7 @@ object CodecFuzz {
     }
     for (i <- 0 until 80) {
       val good = graft.sources.PdfImages.encodePdf(
-        Seq.fill(1 + rnd.nextInt(2))(randImagePage()))
+        Seq.fill(1 + rnd.nextInt(2))(randImagePage()), rnd.nextBoolean())
       val bad = mutate(good)
       mutationCase(s"pdfimg_mutation_$i",
         () => graft.sources.PdfImages.extract(bad)) { imgs =>

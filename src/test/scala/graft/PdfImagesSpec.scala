@@ -47,10 +47,11 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("every filter arm round-trips exactly") {
-    for (arm <- 0 to 19) {
+    for (arm <- 0 to 23) {
       val (w, h) = (24, 16)
       val px = arm match {
-        case 2 | 4 | 5 | 6 | 11 | 12 | 14 | 15 => bilevelPage(w, h, arm)
+        case 2 | 4 | 5 | 6 | 11 | 12 | 14 | 15 | 23 =>
+          bilevelPage(w, h, arm)
         // block-constant: the exact DCT aperture (gray, YCCK, 4:2:2)
         case 3 | 13 | 19 => bilevelPage(w, h, arm)
         case 7 | 16 => rgbPage(w, h, arm)
@@ -93,19 +94,24 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("multi-page mixed-arm document extracts every page in order") {
-    val pages = (0 to 19).map { arm =>
-      val px = arm match {
-        case 0 | 1 | 8 | 10 | 17 | 18 => grayPage(16, 16, arm + 10)
-        case 7 | 16 => rgbPage(16, 16, 3)
-        case 9 => rgbPage(16, 16, 5).map(_ & 0xc0c0c0)
-        case _ => bilevelPage(16, 16, arm + 20)
+    for (objStm <- Seq(false, true)) {
+      val pages = (0 to 23).map { arm =>
+        val px = arm match {
+          case 0 | 1 | 8 | 10 | 17 | 18 | 20 | 21 | 22 =>
+            grayPage(16, 16, arm + 10)
+          case 7 | 16 => rgbPage(16, 16, 3)
+          case 9 => rgbPage(16, 16, 5).map(_ & 0xc0c0c0)
+          case _ => bilevelPage(16, 16, arm + 20)
+        }
+        PageEnc(16, 16, px, arm)
       }
-      PageEnc(16, 16, px, arm)
-    }
-    val imgs = PdfImages.extract(PdfImages.encodePdf(pages))
-    assert(imgs.length == 20)
-    pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
-      assertPixels(img, 16, 16, p.pixels, s"page $i")
+      // the ObjStm axis: arm 9/10's indirect colorspace objects travel
+      // inside a PDF 1.5 object stream — resolution must be identical
+      val imgs = PdfImages.extract(PdfImages.encodePdf(pages, objStm))
+      assert(imgs.length == 24, s"objStm=$objStm")
+      pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
+        assertPixels(img, 16, 16, p.pixels, s"page $i objStm=$objStm")
+      }
     }
   }
 
@@ -185,11 +191,11 @@ class PdfImagesSpec extends AnyFunSuite {
     val s0 = new String(PdfImages.encodePdf(Seq(
       PageEnc(w, h, goodPx, 1), PageEnc(w, h, grayPage(w, h, 4), 18))),
       "ISO-8859-1")
-    val badFilter = s0.replace("/F /Fl ID", "/F /AHx ID")
+    val badFilter = s0.replace("/F /Fl ID", "/F /DCT ID")
     val (okImgs, rejects) = PdfImages.extractWithRejects(
       badFilter.getBytes("ISO-8859-1"))
     assert(okImgs.length == 1 && rejects.length == 1)
-    assert(rejects.head.contains("unsupported inline image filter /AHx"))
+    assert(rejects.head.contains("unsupported inline image filter /DCT"))
     assertPixels(okImgs.head, w, h, goodPx, "surviving XObject page")
     // a missing EI terminator is a named reject, not silent garbage
     val noEi = s0.replace("\nEI Q", "\nXX Q")
@@ -245,10 +251,11 @@ class PdfImagesSpec extends AnyFunSuite {
     val px = grayPage(8, 8, 1)
     val pdf = PdfImages.encodePdf(Seq(PageEnc(8, 8, px, 1)))
     val s = new String(pdf, "ISO-8859-1")
-    // unsupported filter name
-    val lzw = s.replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+    // unsupported filter name (round 20: LZW decodes now — JPEG2000
+    // is the named-reject representative)
+    val jpx = s.replace("/Filter /FlateDecode", "/Filter /JPXDecode ")
     val e1 = intercept[IllegalArgumentException] {
-      PdfImages.extract(lzw.getBytes("ISO-8859-1"))
+      PdfImages.extract(jpx.getBytes("ISO-8859-1"))
     }
     assert(e1.getMessage.contains("unsupported image filter"))
     // dict geometry no longer matches the payload raster
