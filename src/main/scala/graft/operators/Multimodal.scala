@@ -3572,14 +3572,14 @@ object Multimodal {
     * documents. */
   private[graft] def q176PageKnobs(v: Int, p: Int,
       canonBit: Boolean): (Int, Boolean, Boolean, Int) =
-    // the arm walk covers all TWENTY-FOUR filter arms (round 20:
-    // JBIG2 symbol/text, JBIG2 MMR, TIFF/PNG-predictor Flate, inline
-    // BI/ID/EI, 4:2:2 DCT, LZW, RunLength, and the ASCII85+Flate /
-    // ASCIIHex+CCITT chains joined): v*4+p spans 0..15, and the canon
-    // bit's +15 shift reaches 16..23 while keeping both BlackIs1
-    // values on every CCITT arm (4,5,6 pair with 13,14,15 — same
-    // (v+p)%3 parity, opposite canon bit)
-    (((v * 4 + p + (if (canonBit) 15 else 0)) % 24), (v + p) % 2 == 0,
+    // the arm walk covers all TWENTY-FIVE filter arms (round 20:
+    // JBIG2 symbol/text, JBIG2 MMR, JBIG2 refinement, TIFF/PNG-
+    // predictor Flate, inline BI/ID/EI, 4:2:2 DCT, LZW, RunLength,
+    // and the ASCII85+Flate / ASCIIHex+CCITT chains joined): v*4+p
+    // spans 0..15, and the canon bit's +16 shift reaches 16..24 while
+    // keeping both BlackIs1 values on every CCITT arm (4,5,6 pair
+    // with 13,14,15 — same (v+p)%3 parity, opposite canon bit)
+    (((v * 4 + p + (if (canonBit) 16 else 0)) % 25), (v + p) % 2 == 0,
       canonBit ^ ((v + p) % 3 == 0),
       // the /Rotate axis (round 19): a sideways-stored page with the
       // compensating page rotation must normalize back to the upright

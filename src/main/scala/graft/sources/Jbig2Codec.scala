@@ -457,6 +457,108 @@ object Jbig2Codec {
     enc.flush()
   }
 
+  // ------------------------------------- generic refinement (§6.3)
+
+  /** Refinement templates (§6.3.5.3): pixels read from the CODING
+    * (current) plane and from the REFERENCE plane at the same
+    * coordinates. Template 0 additionally carries one adaptive pixel
+    * in each plane (13 context bits total); template 1 is fixed
+    * (10 bits). The enumeration below matches what the open decoders
+    * derive from figures 12/14; within this codec the context label
+    * is assembled over each plane's template sorted by (y, x),
+    * coding plane first, MSB first — the encoder mirrors it exactly,
+    * and no refinement stream exists in the reference corpus to pin
+    * a foreign enumeration against. */
+  private val RefCoding: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0)),
+    Array((-1, -1), (0, -1), (1, -1), (-1, 0)))
+  private val RefReference: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+      (1, 1)),
+    Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
+  /** Nominal refinement AT pixels (template 0): A1 in the coding
+    * plane (causal), A2 in the reference plane (unconstrained). */
+  private val NominalRefAt: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+
+  private def refTemplates(tmplId: Int, at: Array[(Int, Int)]):
+      (Array[(Int, Int)], Array[(Int, Int)]) = {
+    require(tmplId == 0 || tmplId == 1, s"GRTEMPLATE $tmplId")
+    if (tmplId == 0) {
+      require(at.length == 2, "refinement template 0 needs 2 AT pixels")
+      // the coding-plane AT must be causal for the same reason as in
+      // generic regions; the reference plane is fully decoded already
+      require(at(0)._2 < 0 || (at(0)._2 == 0 && at(0)._1 < 0),
+        s"non-causal refinement AT pixel ${at(0)}")
+      ((RefCoding(0) :+ at(0)).sortBy { case (x, y) => (y, x) },
+        (RefReference(0) :+ at(1)).sortBy { case (x, y) => (y, x) })
+    } else
+      (RefCoding(1).sortBy { case (x, y) => (y, x) },
+        RefReference(1).sortBy { case (x, y) => (y, x) })
+  }
+
+  /** Decode a generic refinement region (§6.3.5.3, arithmetic, TPGRON
+    * off): each pixel's context reads the causal neighborhood of the
+    * plane being decoded AND the 3x3 neighborhood of the reference
+    * plane (out-of-range reference pixels read 0). */
+  private def decodeRefinementWith(mq: MqDecoder, gr: Ctx, w: Int,
+      h: Int, ref: (Int, Int) => Int, tmplId: Int,
+      at: Array[(Int, Int)]): Array[Byte] = {
+    val (ct, rt) = refTemplates(tmplId, at)
+    val out = new Array[Byte](w * h)
+    def px(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0) 0 else out(y * w + x) & 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var cx = 0
+        var t = 0
+        while (t < ct.length) {
+          cx = (cx << 1) | px(x + ct(t)._1, y + ct(t)._2)
+          t += 1
+        }
+        t = 0
+        while (t < rt.length) {
+          cx = (cx << 1) | ref(x + rt(t)._1, y + rt(t)._2)
+          t += 1
+        }
+        out(y * w + x) = mq.decode(gr, cx).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The refinement decoder's exact encoder mirror. */
+  private def encodeRefinementWith(enc: MqEncoder, gr: Ctx,
+      plane: Array[Byte], w: Int, h: Int, ref: (Int, Int) => Int,
+      tmplId: Int, at: Array[(Int, Int)]): Unit = {
+    val (ct, rt) = refTemplates(tmplId, at)
+    def px(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0) 0 else plane(y * w + x) & 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var cx = 0
+        var t = 0
+        while (t < ct.length) {
+          cx = (cx << 1) | px(x + ct(t)._1, y + ct(t)._2)
+          t += 1
+        }
+        t = 0
+        while (t < rt.length) {
+          cx = (cx << 1) | ref(x + rt(t)._1, y + rt(t)._2)
+          t += 1
+        }
+        enc.encode(gr, cx, plane(y * w + x) & 1)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   // --------------------------------------------- symbol dictionary
 
   /** One dictionary symbol: a small bilevel bitmap (1 = black). */
@@ -805,10 +907,33 @@ object Jbig2Codec {
                 at, tpgdon)
             }
           composite(plane, rw, rh, rx, ry, comb)
+        case 42 | 43 => // immediate (lossless) generic refinement region
+          // (§6.3): with no referred intermediate region, the REFERENCE
+          // is the page buffer under the region's own rectangle
+          // (§7.4.7.2) — the touch-up pass lossy scanner encoders emit
+          // after a first generic approximation
+          require(dataLen >= 18, "refinement region segment too short")
+          val (rw, rh, rx, ry, comb) = regionInfo(j, dataLen)
+          val rflags = data(j + 17) & 0xff
+          val tmplId = rflags & 1
+          require(((rflags >> 1) & 1) == 0,
+            "TPGRON (refinement typical prediction) unsupported")
+          val nAt = if (tmplId == 0) 2 else 0
+          require(dataLen >= 18 + 2 * nAt, "refinement AT pixels truncated")
+          val at = Array.tabulate(nAt)(k =>
+            (data(j + 18 + 2 * k).toInt, data(j + 19 + 2 * k).toInt))
+          val bodyOff = j + 18 + 2 * nAt
+          def ref(x: Int, y: Int): Int =
+            if (x < 0 || x >= rw || y < 0 || y >= rh) 0
+            else page((ry + y) * width + rx + x) & 1
+          val plane = decodeRefinementWith(
+            new MqDecoder(data, bodyOff, end - bodyOff), new Ctx(1 << 13),
+            rw, rh, ref, tmplId, at)
+          composite(plane, rw, rh, rx, ry, comb)
         case 49 | 50 | 51 => () // end-of-page/stripe/file
         case t => throw new IllegalArgumentException(
           s"JBIG2 segment type $t unsupported " +
-            "(generic/symbol/text profile)")
+            "(generic/symbol/text/refinement profile)")
       }
       i = end
     }
@@ -884,6 +1009,45 @@ object Jbig2Codec {
     seg.w8(1) // generic flags: MMR
     seg.raw(body)
     w.segment(1, 38, Nil, 1, seg.result())
+    w.result()
+  }
+
+  /** Encode a plane as a first generic APPROXIMATION plus a generic
+    * refinement region that corrects it to the exact plane — the
+    * lossy-then-lossless touch-up shape (§6.3): page info + generic
+    * region (the base, composited OR onto the blank page) + immediate
+    * refinement region (type 42) whose reference is the page buffer
+    * and whose REPLACE composition lands the refined plane. Decode of
+    * the stream equals `plane` exactly regardless of how rough the
+    * base is. */
+  def encodeRefined(base: Array[Byte], plane: Array[Byte], width: Int,
+      height: Int, template: Int = 0): Array[Byte] = {
+    require(base.length == width * height && plane.length == base.length,
+      "plane size")
+    val w = new SegWriter
+    w.segment(0, 48, Nil, 1, pageInfoPayload(width, height))
+    val baseSeg = new SegWriter
+    baseSeg.w32(width); baseSeg.w32(height); baseSeg.w32(0); baseSeg.w32(0)
+    baseSeg.w8(0) // external combination OR onto the blank page
+    baseSeg.w8(0) // arith generic flags: template 0
+    NominalAt(0).foreach { case (x, y) => baseSeg.w8(x); baseSeg.w8(y) }
+    baseSeg.raw(encodeGeneric(base, width, height, 0, NominalAt(0),
+      tpgdon = false))
+    w.segment(1, 38, Nil, 1, baseSeg.result())
+    val enc = new MqEncoder
+    def ref(x: Int, y: Int): Int =
+      if (x < 0 || x >= width || y < 0 || y >= height) 0
+      else base(y * width + x) & 1
+    val at = if (template == 0) NominalRefAt else Array.empty[(Int, Int)]
+    encodeRefinementWith(enc, new Ctx(1 << 13), plane, width, height,
+      ref, template, at)
+    val refSeg = new SegWriter
+    refSeg.w32(width); refSeg.w32(height); refSeg.w32(0); refSeg.w32(0)
+    refSeg.w8(4) // external combination REPLACE (refinement may clear)
+    refSeg.w8(template) // refinement flags: template, TPGRON off
+    at.foreach { case (x, y) => refSeg.w8(x); refSeg.w8(y) }
+    refSeg.raw(enc.flush())
+    w.segment(2, 42, Nil, 1, refSeg.result())
     w.result()
   }
 

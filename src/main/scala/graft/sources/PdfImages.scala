@@ -80,7 +80,9 @@ object PdfImages {
     * 21 = RunLength gray, 22 = the chained transport shape
     * `[/ASCII85Decode /FlateDecode]`, 23 = `[/ASCIIHexDecode
     * /CCITTFaxDecode]` with the parallel null-padded /DecodeParms
-    * array.
+    * array, 24 = JBIG2 refinement (a deliberately damaged generic
+    * base corrected by a generic refinement region — the
+    * lossy-then-lossless scanner shape; decodes to the exact plane).
     *
     * `filterAsArray` writes `/Filter [/X]` + `/DecodeParms [<<…>>]`
     * (the array singleton form, §7.4) instead of the name form;
@@ -1340,7 +1342,7 @@ object PdfImages {
     case 0 => ""
     case 1 | 2 | 7 | 8 | 9 | 10 | 11 | 16 | 17 => "FlateDecode"
     case 3 | 13 | 19 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
-    case 12 | 14 | 15 => "JBIG2Decode"
+    case 12 | 14 | 15 | 24 => "JBIG2Decode"
     case 18 => "" // inline (BI/ID/EI): the filter lives in the frame
     case 20 => "LZWDecode"
     case 21 => "RunLengthDecode"
@@ -1419,7 +1421,7 @@ object PdfImages {
 
   private def imageDict(p: PageEnc, csObj: Int): String = {
     val bpc = p.filter match {
-      case 2 | 4 | 5 | 6 | 12 | 14 | 15 | 23 => 1
+      case 2 | 4 | 5 | 6 | 12 | 14 | 15 | 23 | 24 => 1
       case 11 => 4
       case _ => 8
     }
@@ -1519,6 +1521,19 @@ object PdfImages {
       case 14 => Jbig2Codec.encodeSymbolText(bilevel, p.width, p.height,
         Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
       case 15 => Jbig2Codec.encodeMmr(bilevel, p.width, p.height)
+      case 24 => // refinement: a damaged base corrected to the exact
+        // plane (deterministic damage so the payload is reproducible)
+        val bw = bilevel
+        val base = bw.clone()
+        var k = 0
+        while (k < base.length) {
+          var z = (k * 2654435761L + p.width * 31) * 0x9E3779B97F4A7C15L
+          z ^= (z >>> 32)
+          if ((z & 7) == 0) base(k) = (1 - base(k)).toByte
+          k += 1
+        }
+        Jbig2Codec.encodeRefined(base, bw, p.width, p.height,
+          template = p.width % 2)
       case 18 => deflate(gray8) // inline /Fl gray (framed by encodePdf)
       case 20 => TiffImage.lzwEncode(gray8) // PDF LZW = TIFF's, EC 1
       case 21 => runLengthEncode(gray8)

@@ -1149,14 +1149,20 @@ object CodecFuzz {
       val w = 1 + rnd.nextInt(50); val h = 1 + rnd.nextInt(30)
       val plane = Array.fill(w * h)(
         (if (rnd.nextInt(3) == 0) 1 else 0).toByte)
-      val good = if (rnd.nextBoolean()) {
-        val cfg = Jbig2Codec.SymTextCfg(
-          tileW = 1 + rnd.nextInt(12), tileH = 1 + rnd.nextInt(12),
-          refCorner = rnd.nextInt(4), transposed = rnd.nextBoolean(),
-          logStrips = rnd.nextInt(4), dsOffset = rnd.nextInt(32) - 16,
-          template = rnd.nextInt(4))
-        Jbig2Codec.encodeSymbolText(plane, w, h, cfg)
-      } else Jbig2Codec.encodeMmr(plane, w, h)
+      val good = rnd.nextInt(3) match {
+        case 0 =>
+          val cfg = Jbig2Codec.SymTextCfg(
+            tileW = 1 + rnd.nextInt(12), tileH = 1 + rnd.nextInt(12),
+            refCorner = rnd.nextInt(4), transposed = rnd.nextBoolean(),
+            logStrips = rnd.nextInt(4), dsOffset = rnd.nextInt(32) - 16,
+            template = rnd.nextInt(4))
+          Jbig2Codec.encodeSymbolText(plane, w, h, cfg)
+        case 1 => Jbig2Codec.encodeMmr(plane, w, h)
+        case _ => // refinement: decode must equal the REFINED plane
+          val base = plane.map(b =>
+            (if (rnd.nextInt(8) == 0) 1 - b else b.toInt).toByte)
+          Jbig2Codec.encodeRefined(base, plane, w, h, rnd.nextInt(2))
+      }
       check(s"jbig2_symtext_roundtrip_$i") {
         require(Jbig2Codec.decode(good, w, h).sameElements(plane),
           s"${w}x$h")
@@ -1176,9 +1182,9 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      // round 20: 24 arms incl. JBIG2 symbol/text, MMR, predictors,
-      // inline BI/ID/EI, 4:2:2 DCT, LZW/RunLength, ASCII chains
-      val arm = rnd.nextInt(24)
+      // round 20: 25 arms incl. JBIG2 symbol/text, MMR, refinement,
+      // predictors, inline BI/ID/EI, 4:2:2 DCT, LZW/RL, ASCII chains
+      val arm = rnd.nextInt(25)
       val (w, h) =
         if (arm == 3 || arm == 13 || arm == 19)
           (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))

@@ -192,6 +192,50 @@ class Jbig2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("refinement regions: rough base + refinement decode to the exact plane") {
+    // the lossy-then-lossless touch-up shape: the base approximation
+    // can be arbitrarily wrong — decode must equal the REFINED plane
+    for {
+      tmpl <- 0 to 1
+      (w, h) <- Seq((8, 8), (19, 13), (64, 40), (1, 6))
+      damage <- Seq(0, 1, 3)
+    } {
+      val plane = Array.tabulate(w * h)(i =>
+        (if ((mix(i * 11L + w * 7 + tmpl) & 3) == 0) 1 else 0).toByte)
+      val base = plane.clone()
+      var k = 0
+      while (k < w * h) { // flip a damage-dependent subset
+        if (damage > 0 && (mix(k * 13L + damage) & 7) < damage)
+          base(k) = (1 - base(k)).toByte
+        k += 1
+      }
+      val enc = Jbig2Codec.encodeRefined(base, plane, w, h, tmpl)
+      assert(Jbig2Codec.decode(enc, w, h).sameElements(plane),
+        s"tmpl=$tmpl ${w}x$h damage=$damage")
+    }
+    // a refinement stream is SMALLER than a from-scratch recode when
+    // the base is already close (the reason the shape exists)
+    val (w, h) = (128, 64)
+    val plane = Array.tabulate(w * h)(i =>
+      (if ((mix(i * 3L) & 15) == 0) 1 else 0).toByte)
+    val near = plane.clone(); near(w * 5 + 7) = (1 - near(w * 5 + 7)).toByte
+    val refined = Jbig2Codec.encodeRefined(near, plane, w, h)
+    assert(Jbig2Codec.decode(refined, w, h).sameElements(plane))
+    // TPGRON stays a named reject: the refinement segment's flags
+    // byte sits at region-info+17 of segment 2 — located via the
+    // base segment's stated data length (u32 at offset 30+7)
+    val baseLen = (((refined(37) & 0xffL) << 24) |
+      ((refined(38) & 0xffL) << 16) | ((refined(39) & 0xffL) << 8) |
+      (refined(40) & 0xffL)).toInt
+    val refFlagsAt = 30 + 11 + baseLen + 11 + 17
+    val bad = refined.clone()
+    bad(refFlagsAt) = (bad(refFlagsAt) | 2).toByte // TPGRON bit
+    val e = intercept[IllegalArgumentException] {
+      Jbig2Codec.decode(bad, w, h)
+    }
+    assert(e.getMessage.contains("TPGRON"))
+  }
+
   test("symbol/text named rejects: huffman, refinement, halftone flags") {
     val (w, h) = (16, 16)
     val plane = Array.tabulate(w * h)(i => (i % 2).toByte)

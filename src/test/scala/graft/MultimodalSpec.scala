@@ -205,11 +205,11 @@ class MultimodalSpec extends SparkSuite {
     import graft.operators.Multimodal
     val knobs = for (v <- 0 to 3; p <- 0 to 3; cb <- Seq(false, true))
       yield Multimodal.q176PageKnobs(v, p, cb)
-    assert(knobs.map(_._1).toSet == (0 to 23).toSet,
-      "all TWENTY-FOUR filter arms (round 20: JBIG2 symbol/text, " +
-        "JBIG2 MMR, TIFF/PNG-predictor Flate, inline BI/ID/EI, 4:2:2 " +
-        "DCT, LZW, RunLength, ASCII85+Flate and ASCIIHex+CCITT " +
-        "chains joined)")
+    assert(knobs.map(_._1).toSet == (0 to 24).toSet,
+      "all TWENTY-FIVE filter arms (round 20: JBIG2 symbol/text, " +
+        "JBIG2 MMR, JBIG2 refinement, TIFF/PNG-predictor Flate, " +
+        "inline BI/ID/EI, 4:2:2 DCT, LZW, RunLength, ASCII85+Flate " +
+        "and ASCIIHex+CCITT chains joined)")
     assert(knobs.map(_._2).toSet == Set(false, true), "array form")
     assert(knobs.map(_._3).toSet == Set(false, true), "BlackIs1")
     // BlackIs1 only binds on CCITT arms — both values must occur THERE
