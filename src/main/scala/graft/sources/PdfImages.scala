@@ -82,7 +82,9 @@ object PdfImages {
     * /CCITTFaxDecode]` with the parallel null-padded /DecodeParms
     * array, 24 = JBIG2 refinement (a deliberately damaged generic
     * base corrected by a generic refinement region — the
-    * lossy-then-lossless scanner shape; decodes to the exact plane).
+    * lossy-then-lossless scanner shape; decodes to the exact plane),
+    * 25 = INLINE CCITT G4 stencil mask (/IM true /F /CCF — the real
+    * scanner mask shape; spec/fuzz arm, outside the q176 walk).
     *
     * `filterAsArray` writes `/Filter [/X]` + `/DecodeParms [<<…>>]`
     * (the array singleton form, §7.4) instead of the name form;
@@ -405,6 +407,33 @@ object PdfImages {
         val raw = text.substring(dataStart).getBytes(ISO_8859_1)
         val (d, used) = ascii85Decode(raw, 0)
         (d, dataStart + used)
+      case Some("/CCF") | Some("/CCITTFaxDecode") =>
+        // CCITT data does NOT self-delimit (the G4/MH shapes PDFs
+        // carry have no in-band EOD): candidate whitespace-delimited
+        // EI operators are arbitrated by the STRICT decoder — the
+        // stated geometry must land exactly, so a chance " EI " inside
+        // the coded bytes decodes as garbage, rejects, and the scan
+        // moves to the next candidate; running out of candidates is
+        // the named unterminated reject
+        var at = dataStart
+        var found: (Array[Int], Int) = null
+        while (found == null) {
+          val ei = text.indexOf("EI", at)
+          require(ei > dataStart, "inline image data not terminated by EI")
+          val delimR = ei + 2 >= text.length ||
+            isPdfDelim(text.charAt(ei + 2))
+          if (delimR && isPdfDelim(text.charAt(ei - 1))) {
+            var end = ei
+            while (end > dataStart && (text.charAt(end - 1) == ' ' ||
+              text.charAt(end - 1) == '\r' || text.charAt(end - 1) == '\n'))
+              end -= 1
+            try found = (decodeCcitt(pseudo,
+              text.substring(dataStart, end).getBytes(ISO_8859_1), w, h),
+              ei + 2)
+            catch { case _: IllegalArgumentException => at = ei + 2 }
+          } else at = ei + 2
+        }
+        return (Img(w, h, found._1), found._2)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported inline image filter $other")
     }
@@ -1283,14 +1312,17 @@ object PdfImages {
         (if (p.rotate != 0) s" /Rotate ${p.rotate}" else "") +
         s" /Resources << /XObject << /Im0 ${po + 2} 0 R >> >>" +
         s" /Contents ${po + 1} 0 R >>")
-      if (p.filter == 18) {
-        // arm 18: the image travels INLINE in the content stream
-        // (BI … ID … EI, §8.9.7, abbreviated keys + /Fl) — the page
-        // still references the (unused) decoy object so the object
-        // layout stays identical across arms
-        val head = (s"q ${p.width} 0 0 ${p.height} 0 0 cm " +
-          s"BI /W ${p.width} /H ${p.height} /BPC 8 /CS /G /F /Fl ID\n")
-          .getBytes(ISO_8859_1)
+      if (p.filter == 18 || p.filter == 25) {
+        // arms 18/25: the image travels INLINE in the content stream
+        // (BI … ID … EI, §8.9.7, abbreviated keys) — the page still
+        // references the (unused) decoy object so the object layout
+        // stays identical across arms. Arm 25 is the real scanner
+        // mask shape: 1-bit /IM stencil under /CCF with its /DP dict.
+        val head = (s"q ${p.width} 0 0 ${p.height} 0 0 cm " + (p.filter match {
+          case 18 => s"BI /W ${p.width} /H ${p.height} /BPC 8 /CS /G /F /Fl ID\n"
+          case _ => s"BI /W ${p.width} /H ${p.height} /BPC 1 /IM true /F /CCF" +
+            s" /DP << /K -1 /Columns ${p.width} /Rows ${p.height} >> ID\n"
+        })).getBytes(ISO_8859_1)
         streamObj("", head ++ imagePayload(p) ++
           "\nEI Q".getBytes(ISO_8859_1))
         streamObj("", // the stream-but-not-image decoy the walk must skip
@@ -1343,7 +1375,7 @@ object PdfImages {
     case 1 | 2 | 7 | 8 | 9 | 10 | 11 | 16 | 17 => "FlateDecode"
     case 3 | 13 | 19 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
     case 12 | 14 | 15 | 24 => "JBIG2Decode"
-    case 18 => "" // inline (BI/ID/EI): the filter lives in the frame
+    case 18 | 25 => "" // inline (BI/ID/EI): the filter lives in the frame
     case 20 => "LZWDecode"
     case 21 => "RunLengthDecode"
     case 22 | 23 => "" // filter CHAINS — imageDict writes the array
@@ -1535,6 +1567,7 @@ object PdfImages {
         Jbig2Codec.encodeRefined(base, bw, p.width, p.height,
           template = p.width % 2)
       case 18 => deflate(gray8) // inline /Fl gray (framed by encodePdf)
+      case 25 => CcittCodec.encode(bilevel, p.width, p.height, 4)
       case 20 => TiffImage.lzwEncode(gray8) // PDF LZW = TIFF's, EC 1
       case 21 => runLengthEncode(gray8)
       case 22 => ascii85Encode(deflate(gray8)) // chained transport

@@ -1182,9 +1182,9 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      // round 20: 25 arms incl. JBIG2 symbol/text, MMR, refinement,
-      // predictors, inline BI/ID/EI, 4:2:2 DCT, LZW/RL, ASCII chains
-      val arm = rnd.nextInt(25)
+      // round 20: 26 arms incl. JBIG2 symbol/text, MMR, refinement,
+      // predictors, inline /Fl + /CCF, 4:2:2 DCT, LZW/RL, ASCII chains
+      val arm = rnd.nextInt(26)
       val (w, h) =
         if (arm == 3 || arm == 13 || arm == 19)
           (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
