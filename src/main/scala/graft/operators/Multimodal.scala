@@ -3785,11 +3785,12 @@ object Multimodal {
     * house pattern every media lane carries (q144 PNG / q149 GIF /
     * q152 JPEG / q154 WAV / q168 TIFF). Each fixture document is a
     * TWO-page PDF whose second page is surgically broken into one of
-    * six named reject classes — a JBIG2 halftone segment (round 20:
-    * symbol dictionaries decode now, so the class retargeted), an
-    * unsupported filter, a geometry lie, a zeroed Flate payload, an
-    * unknown colorspace, an unsupported INLINE-image filter (round
-    * 20) — while the FIRST page stays decodable, so the
+    * six named reject classes — a JBIG2 intermediate-region segment
+    * (round 20: symbol/text/refinement/halftone all decode now, so
+    * the class retargeted twice), an unsupported filter (/JPXDecode),
+    * a geometry lie, a zeroed Flate payload, an unknown colorspace,
+    * an unsupported INLINE-image filter (round 20) — while the FIRST
+    * page stays decodable, so the
     * query also grades [[graft.sources.PdfImages.extractWithRejects]]'
     * per-image fault isolation: every document, including the broken
     * classes, must still contribute its good page's pixels. The
@@ -3822,9 +3823,11 @@ object Multimodal {
         case 0 => // clean: two decodable pages
           PdfImages.encodePdf(Seq(good, PageEnc(w, h, goodPx, 3)))
         case 1 => // second page JBIG2 with its page-info segment
-          // re-typed to 22 (immediate halftone region — out of scope;
-          // round 20 lifted symbol dictionaries INTO scope, so the
-          // quarantine class retargets onto the next reject tier)
+          // re-typed to 4 (INTERMEDIATE text region — out of scope;
+          // round 20 lifted symbol/text/refinement/halftone segments
+          // INTO scope, so the quarantine class retargets onto the
+          // intermediate-region tier, which needs retained auxiliary
+          // buffers no PDF stream uses)
           val b = PdfImages.encodePdf(Seq(good,
             PageEnc(w, h, bilevel(w, h), 12)))
           // the embedded stream opens with segment 0 / type 48 /
@@ -3832,7 +3835,7 @@ object Multimodal {
           val sig = Array[Byte](0, 0, 0, 0, 48, 0, 1, 0, 0, 0, 19)
           val at = b.indexOfSlice(sig)
           require(at > 0, "fixture: JBIG2 page-info signature not found")
-          b(at + 4) = 22
+          b(at + 4) = 4
           b
         case 2 => // unsupported filter on the second page (round 20:
           // LZW decodes now, so the class retargets onto JPEG2000)

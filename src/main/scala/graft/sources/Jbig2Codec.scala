@@ -29,14 +29,21 @@ package graft.sources
   *    immediate generic/text regions OR onto the page at their stated
   *    (x, y), so multi-region striped files decode.
   *
-  * Scope (named rejects): huffman-coded symbol dictionaries and text
-  * regions (SDHUFF/SBHUFF), refinement/aggregate coding (SDREFAGG,
-  * SBREFINE, segment types 40-43), halftone regions (types 16-23),
-  * intermediate regions (36, 4), unknown data length. The encoder
-  * half is the generator for round-trip specs, fuzz and the q176
-  * arms; generic-region decode correctness is additionally pinned on
-  * the real corpus (scanned pages decode majority-white under the
-  * spec's 1-equals-black convention).
+  *  - generic refinement regions (§6.3, templates 0-1, page-buffer
+  *    reference — the lossy-then-lossless touch-up pass);
+  *  - pattern dictionaries (§6.7: ONE wide collective generic region)
+  *    and halftone regions (§6.6 + Annex C.5: Gray-coded bitplanes
+  *    over a shared coder, patterns stamped on the 1/256-pixel grid).
+  *
+  * Scope (named rejects): huffman-coded variants (SDHUFF/SBHUFF/MMR
+  * pattern dicts/MMR halftones), refinement INSIDE symbol/text coding
+  * (SDREFAGG, SBREFINE), TPGRON, HENABLESKIP, intermediate regions
+  * (types 4/20/36/40 — they need retained auxiliary buffers no
+  * embedded PDF stream uses), unknown data length. The encoder half
+  * is the generator for round-trip specs, fuzz and the q176 arms;
+  * generic-region decode correctness is additionally pinned on the
+  * real corpus (scanned pages decode majority-white under the spec's
+  * 1-equals-black convention).
   *
   * Decoded output: one byte per pixel, 1 = black, 0 = white (the
   * CCITT plane convention, so PDF-side sample mapping is shared).
@@ -559,6 +566,145 @@ object Jbig2Codec {
     }
   }
 
+  // ---------------------------------- pattern dictionary / halftone
+
+  /** §6.7.5: a pattern dictionary's patterns are decoded as ONE wide
+    * generic region of (GRAYMAX+1)·HDPW x HDPH — adjacent patterns
+    * supply each other's context — with A1 = (−HDPW, 0) keying each
+    * pattern's left neighbor (the spec's fixed AT set). Pattern k is
+    * the HDPW-wide column slice at k·HDPW. */
+  private def decodePatternDict(data: Array[Byte], off: Int,
+      len: Int): IndexedSeq[Sym] = {
+    require(len >= 7, "pattern dictionary segment too short")
+    val flags = data(off) & 0xff
+    require((flags & 1) == 0, "MMR pattern dictionary unsupported")
+    val tmplId = (flags >> 1) & 3
+    val hdpw = data(off + 1) & 0xff
+    val hdph = data(off + 2) & 0xff
+    val grayMax = u32(data, off + 3).toInt
+    require(hdpw > 0 && hdph > 0, s"pattern size ${hdpw}x$hdph")
+    require(grayMax >= 0 && grayMax <= 255, s"GRAYMAX $grayMax")
+    val cw = (grayMax + 1) * hdpw
+    require(cw.toLong * hdph <= MaxSymPixels, "pattern dictionary over cap")
+    val collective = decodeGeneric(data, off + 7, len - 7, cw, hdph,
+      tmplId, patternAt(tmplId, hdpw), tpgdon = false)
+    (0 to grayMax).map { k =>
+      val bits = new Array[Byte](hdpw * hdph)
+      var y = 0
+      while (y < hdph) {
+        var x = 0
+        while (x < hdpw) {
+          bits(y * hdpw + x) = collective(y * cw + k * hdpw + x)
+          x += 1
+        }
+        y += 1
+      }
+      Sym(hdpw, hdph, bits)
+    }
+  }
+
+  /** §6.7.5's fixed AT set for the collective pattern bitmap. */
+  private def patternAt(tmplId: Int, hdpw: Int): Array[(Int, Int)] =
+    Array[(Int, Int)]((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+      .take(if (tmplId == 0) 4 else 1)
+
+  private def encodePatternDictBody(patterns: IndexedSeq[Sym],
+      tmplId: Int): Array[Byte] = {
+    val hdpw = patterns.head.w; val hdph = patterns.head.h
+    val cw = patterns.length * hdpw
+    val collective = new Array[Byte](cw * hdph)
+    patterns.zipWithIndex.foreach { case (p, k) =>
+      var y = 0
+      while (y < hdph) {
+        var x = 0
+        while (x < hdpw) {
+          collective(y * cw + k * hdpw + x) = p.bits(y * hdpw + x)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    encodeGeneric(collective, cw, hdph, tmplId, patternAt(tmplId, hdpw),
+      tpgdon = false)
+  }
+
+  /** §6.6.5 + Annex C.5 halftone region decode: an HGW x HGH grid of
+    * gray values arrives as Gray-coded BITPLANES, MSB first, each
+    * plane a generic region over ONE shared coder + GB context
+    * (b_msb = g_msb; b_j = g_j XOR b_(j+1)); cell (m, n) then stamps
+    * patterns(value) at the grid position
+    * x = (HGX + m·HRY + n·HRX) >> 8, y = (HGY + m·HRX − n·HRY) >> 8
+    * (the rotatable 1/256-pixel grid), OR-composited and clipped. */
+  private def decodeHalftone(data: Array[Byte], off: Int, len: Int,
+      patterns: IndexedSeq[Sym], rw: Int, rh: Int): Array[Byte] = {
+    require(len >= 21, "halftone region segment too short")
+    require(patterns.nonEmpty, "halftone region with no referred patterns")
+    val flags = data(off) & 0xff
+    require((flags & 1) == 0, "MMR halftone region unsupported")
+    val tmplId = (flags >> 1) & 3
+    require(((flags >> 3) & 1) == 0, "HENABLESKIP unsupported")
+    val hcomb = (flags >> 4) & 7
+    require(hcomb == 0, s"halftone HCOMBOP $hcomb unsupported (OR only)")
+    val defPix = ((flags >> 7) & 1).toByte
+    val hgw = u32(data, off + 1).toInt
+    val hgh = u32(data, off + 5).toInt
+    val hgx = u32(data, off + 9).toInt // signed
+    val hgy = u32(data, off + 13).toInt
+    val hrx = u16(data, off + 17)
+    val hry = u16(data, off + 19)
+    require(hgw > 0 && hgh > 0 && hgw.toLong * hgh <= (1L << 24),
+      s"halftone grid ${hgw}x$hgh")
+    val bits = symCodeLen(patterns.length)
+    val mq = new MqDecoder(data, off + 21, len - 21)
+    val gb = new Ctx(1 << 16)
+    val gray = new Array[Int](hgw * hgh)
+    val lastBit = new Array[Byte](hgw * hgh)
+    var j = bits - 1
+    while (j >= 0) {
+      val plane = decodeGenericWith(mq, gb, hgw, hgh, tmplId,
+        NominalAt(tmplId), tpgdon = false)
+      var k = 0
+      while (k < gray.length) {
+        val b = (plane(k) ^ lastBit(k)) & 1
+        gray(k) = (gray(k) << 1) | b
+        lastBit(k) = b.toByte
+        k += 1
+      }
+      j -= 1
+    }
+    val out = new Array[Byte](rw * rh)
+    if (defPix == 1) java.util.Arrays.fill(out, 1.toByte)
+    var m = 0
+    while (m < hgh) {
+      var n = 0
+      while (n < hgw) {
+        val v = gray(m * hgw + n)
+        require(v < patterns.length,
+          s"gray value $v beyond the ${patterns.length}-pattern dictionary")
+        val pat = patterns(v)
+        val x0 = (hgx + m * hry + n * hrx) >> 8
+        val y0 = (hgy + m * hrx - n * hry) >> 8
+        var py = 0
+        while (py < pat.h) {
+          val y = y0 + py
+          if (y >= 0 && y < rh) {
+            var px = 0
+            while (px < pat.w) {
+              val x = x0 + px
+              if (x >= 0 && x < rw && pat.bits(py * pat.w + px) == 1)
+                out(y * rw + x) = 1
+              px += 1
+            }
+          }
+          py += 1
+        }
+        n += 1
+      }
+      m += 1
+    }
+    out
+  }
+
   // --------------------------------------------- symbol dictionary
 
   /** One dictionary symbol: a small bilevel bitmap (1 = black). */
@@ -794,6 +940,7 @@ object Jbig2Codec {
       s"bad JBIG2 geometry ${width}x$height")
     val page = new Array[Byte](width * height)
     val dicts = scala.collection.mutable.HashMap[Long, IndexedSeq[Sym]]()
+    val patDicts = scala.collection.mutable.HashMap[Long, IndexedSeq[Sym]]()
     var sawRegion = false
 
     /** Region segment info (§7.4.1): geometry + external combination
@@ -879,6 +1026,14 @@ object Jbig2Codec {
           val inSyms = refs.flatMap(r =>
             dicts.getOrElse(r, IndexedSeq.empty)).toIndexedSeq
           dicts(segNum) = decodeSymbolDict(data, j, dataLen.toInt, inSyms)
+        case 16 => // pattern dictionary
+          patDicts(segNum) = decodePatternDict(data, j, dataLen.toInt)
+        case 22 | 23 => // immediate (lossless) halftone region
+          val (rw, rh, rx, ry, comb) = regionInfo(j, dataLen)
+          val pats = refs.flatMap(r =>
+            patDicts.getOrElse(r, IndexedSeq.empty)).toIndexedSeq
+          composite(decodeHalftone(data, j + 17, end - (j + 17), pats,
+            rw, rh), rw, rh, rx, ry, comb)
         case 6 | 7 => // immediate (lossless) text region
           val (rw, rh, rx, ry, comb) = regionInfo(j, dataLen)
           val syms = refs.flatMap(r =>
@@ -933,7 +1088,7 @@ object Jbig2Codec {
         case 49 | 50 | 51 => () // end-of-page/stripe/file
         case t => throw new IllegalArgumentException(
           s"JBIG2 segment type $t unsupported " +
-            "(generic/symbol/text/refinement profile)")
+            "(generic/symbol/text/refinement/halftone profile)")
       }
       i = end
     }
@@ -1048,6 +1203,65 @@ object Jbig2Codec {
     at.foreach { case (x, y) => refSeg.w8(x); refSeg.w8(y) }
     refSeg.raw(enc.flush())
     w.segment(2, 42, Nil, 1, refSeg.result())
+    w.result()
+  }
+
+  /** Encode a grid of pattern indices as the halftone profile (§6.6 +
+    * §6.7): page info + pattern dictionary (the patterns must share
+    * ONE square geometry so the axis-aligned grid tiles exactly) +
+    * an immediate halftone region whose Gray-coded bitplanes carry
+    * `grays` and whose grid vector is (256·side, 0). Decode stamps
+    * patterns(grays(m·gw+n)) at (n·side, m·side) — a plane of
+    * gw·side x gh·side pixels. */
+  def encodeHalftone(grays: Array[Int], gw: Int, gh: Int,
+      patterns: IndexedSeq[(Int, Int, Array[Byte])],
+      template: Int = 0): Array[Byte] = {
+    require(gw > 0 && gh > 0 && grays.length == gw * gh, "grid size")
+    require(patterns.nonEmpty && patterns.length <= 256, "pattern count")
+    val side = patterns.head._1
+    require(patterns.forall(p => p._1 == side && p._2 == side &&
+      p._3.length == side * side),
+      "patterns must share one square geometry")
+    require(grays.forall(v => v >= 0 && v < patterns.length), "gray range")
+    val pats = patterns.map { case (w2, h2, bits) => Sym(w2, h2, bits) }
+      .toIndexedSeq
+    val width = gw * side; val height = gh * side
+    val w = new SegWriter
+    w.segment(0, 48, Nil, 1, pageInfoPayload(width, height))
+    val dict = new SegWriter
+    dict.w8(template << 1) // arith, HDTEMPLATE
+    dict.w8(side); dict.w8(side)
+    dict.w32((patterns.length - 1).toLong) // GRAYMAX
+    dict.raw(encodePatternDictBody(pats, template))
+    w.segment(1, 16, Nil, 1, dict.result())
+    // Gray-code the planes (g_msb = b_msb; g_j = b_j XOR b_(j+1)) and
+    // encode them MSB-first over one shared coder + context
+    val bits = symCodeLen(patterns.length)
+    val enc = new MqEncoder
+    val gb = new Ctx(1 << 16)
+    var j = bits - 1
+    while (j >= 0) {
+      val plane = new Array[Byte](gw * gh)
+      var k = 0
+      while (k < plane.length) {
+        val bj = (grays(k) >> j) & 1
+        val bj1 = if (j == bits - 1) 0 else (grays(k) >> (j + 1)) & 1
+        plane(k) = (bj ^ bj1).toByte
+        k += 1
+      }
+      encodeGenericWith(enc, gb, plane, gw, gh, template,
+        NominalAt(template), tpgdon = false)
+      j -= 1
+    }
+    val ht = new SegWriter
+    ht.w32(width); ht.w32(height); ht.w32(0); ht.w32(0)
+    ht.w8(0) // external combination OR
+    ht.w8(template << 1) // halftone flags: arith, no skip, OR, defpix 0
+    ht.w32(gw.toLong); ht.w32(gh.toLong)
+    ht.w32(0); ht.w32(0) // HGX, HGY
+    ht.w16(256 * side); ht.w16(0) // grid vector: axis-aligned tiling
+    ht.raw(if (bits == 0) Array.empty[Byte] else enc.flush())
+    w.segment(2, 22, Seq(1L), 1, ht.result())
     w.result()
   }
 

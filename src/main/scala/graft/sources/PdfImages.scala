@@ -84,7 +84,9 @@ object PdfImages {
     * base corrected by a generic refinement region — the
     * lossy-then-lossless scanner shape; decodes to the exact plane),
     * 25 = INLINE CCITT G4 stencil mask (/IM true /F /CCF — the real
-    * scanner mask shape; spec/fuzz arm, outside the q176 walk).
+    * scanner mask shape; spec/fuzz arm, outside the q176 walk),
+    * 26 = JBIG2 HALFTONE (pattern dictionary + Gray-coded grid over
+    * the page's 8x8 cells; spec/fuzz arm, dims must be 8-multiples).
     *
     * `filterAsArray` writes `/Filter [/X]` + `/DecodeParms [<<…>>]`
     * (the array singleton form, §7.4) instead of the name form;
@@ -1374,7 +1376,7 @@ object PdfImages {
     case 0 => ""
     case 1 | 2 | 7 | 8 | 9 | 10 | 11 | 16 | 17 => "FlateDecode"
     case 3 | 13 | 19 => "DCTDecode" case 4 | 5 | 6 => "CCITTFaxDecode"
-    case 12 | 14 | 15 | 24 => "JBIG2Decode"
+    case 12 | 14 | 15 | 24 | 26 => "JBIG2Decode"
     case 18 | 25 => "" // inline (BI/ID/EI): the filter lives in the frame
     case 20 => "LZWDecode"
     case 21 => "RunLengthDecode"
@@ -1453,7 +1455,7 @@ object PdfImages {
 
   private def imageDict(p: PageEnc, csObj: Int): String = {
     val bpc = p.filter match {
-      case 2 | 4 | 5 | 6 | 12 | 14 | 15 | 23 | 24 => 1
+      case 2 | 4 | 5 | 6 | 12 | 14 | 15 | 23 | 24 | 26 => 1
       case 11 => 4
       case _ => 8
     }
@@ -1568,6 +1570,29 @@ object PdfImages {
           template = p.width % 2)
       case 18 => deflate(gray8) // inline /Fl gray (framed by encodePdf)
       case 25 => CcittCodec.encode(bilevel, p.width, p.height, 4)
+      case 26 => // JBIG2 halftone over the 8x8 cell grid: the two flat
+        // patterns (all-white, all-black) and one gray bit per cell
+        require(p.width % 8 == 0 && p.height % 8 == 0,
+          s"halftone arm needs 8-multiple dims, got ${p.width}x${p.height}")
+        val bw = bilevel
+        val gw = p.width / 8; val gh = p.height / 8
+        val grays = Array.tabulate(gw * gh) { c =>
+          val v = bw((c / gw * 8) * p.width + (c % gw) * 8)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              require(bw((c / gw * 8 + y) * p.width + (c % gw) * 8 + x) == v,
+                "halftone arm needs cell-constant content")
+              x += 1
+            }
+            y += 1
+          }
+          v.toInt
+        }
+        Jbig2Codec.encodeHalftone(grays, gw, gh, IndexedSeq(
+          (8, 8, Array.fill(64)(0.toByte)),
+          (8, 8, Array.fill(64)(1.toByte))))
       case 20 => TiffImage.lzwEncode(gray8) // PDF LZW = TIFF's, EC 1
       case 21 => runLengthEncode(gray8)
       case 22 => ascii85Encode(deflate(gray8)) // chained transport

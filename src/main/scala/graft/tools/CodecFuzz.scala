@@ -1182,11 +1182,12 @@ object CodecFuzz {
     // and dead-region flips (header, trailer) that must leave the
     // extraction EXACTLY equal.
     def randImagePage(): graft.sources.PdfImages.PageEnc = {
-      // round 20: 26 arms incl. JBIG2 symbol/text, MMR, refinement,
-      // predictors, inline /Fl + /CCF, 4:2:2 DCT, LZW/RL, ASCII chains
-      val arm = rnd.nextInt(26)
+      // round 20: 27 arms incl. JBIG2 symbol/text, MMR, refinement,
+      // halftone, predictors, inline /Fl + /CCF, 4:2:2 DCT, LZW/RL,
+      // ASCII chains
+      val arm = rnd.nextInt(27)
       val (w, h) =
-        if (arm == 3 || arm == 13 || arm == 19)
+        if (arm == 3 || arm == 13 || arm == 19 || arm == 26)
           (8 * (1 + rnd.nextInt(5)), 8 * (1 + rnd.nextInt(4)))
         else (1 + rnd.nextInt(37), 1 + rnd.nextInt(19))
       val px = arm match {
@@ -1198,7 +1199,8 @@ object CodecFuzz {
         }
         case 7 | 16 => Array.fill(w * h)(rnd.nextInt() & 0xffffff)
         case 9 => Array.fill(w * h)(rnd.nextInt() & 0xc0c0c0)
-        case 3 | 13 | 19 => // block-constant bilevel: the exact DCT aperture
+        case 3 | 13 | 19 | 26 => // block-constant bilevel (DCT aperture
+          // and the halftone arm's cell-constant grid)
           val cols = (w + 7) / 8
           val cells = Array.fill(cols * ((h + 7) / 8))(rnd.nextBoolean())
           Array.tabulate(w * h) { i =>

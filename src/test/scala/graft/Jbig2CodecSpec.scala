@@ -104,13 +104,14 @@ class Jbig2CodecSpec extends AnyFunSuite {
       Jbig2Codec.decode(good, 7, 8)
     }
     assert(e.getMessage.contains("overruns"))
-    // halftone-region segment type stays a named reject
+    // intermediate-region segment types stay named rejects (they need
+    // retained auxiliary buffers no embedded PDF stream uses)
     val bad = good.clone()
-    bad(4) = 22 // segment type 48 -> 22 (immediate halftone region)
+    bad(4) = 4 // segment type 48 -> 4 (intermediate text region)
     val e2 = intercept[IllegalArgumentException] {
       Jbig2Codec.decode(bad, 8, 8)
     }
-    assert(e2.getMessage.contains("segment type 22 unsupported"))
+    assert(e2.getMessage.contains("segment type 4 unsupported"))
   }
 
   test("MMR generic regions round-trip through the T.6 core") {
@@ -234,6 +235,56 @@ class Jbig2CodecSpec extends AnyFunSuite {
       Jbig2Codec.decode(bad, w, h)
     }
     assert(e.getMessage.contains("TPGRON"))
+  }
+
+  test("halftone regions: pattern dictionary + Gray-coded planes stamp exactly") {
+    // the halftone profile: a pattern dictionary (one WIDE collective
+    // generic region, pattern k at column k·side) + a grid of
+    // Gray-coded values stamping patterns on the axis-aligned grid
+    for {
+      tmpl <- 0 to 3
+      nPats <- Seq(1, 2, 3, 5, 8)
+      (gw, gh) <- Seq((4, 3), (8, 8), (1, 1))
+      side <- Seq(4, 8)
+    } {
+      val patterns = (0 until nPats).map { k =>
+        (side, side, Array.tabulate(side * side)(i =>
+          (if ((mix(k * 131L + i) & 3) == 0) 1 else 0).toByte))
+      }
+      val grays = Array.tabulate(gw * gh)(i =>
+        (mix(i * 7L + nPats) % nPats).toInt.abs)
+      val enc = Jbig2Codec.encodeHalftone(grays, gw, gh, patterns, tmpl)
+      val got = Jbig2Codec.decode(enc, gw * side, gh * side)
+      // expected: stamp locally
+      val want = new Array[Byte](gw * side * gh * side)
+      for (m <- 0 until gh; n <- 0 until gw; py <- 0 until side;
+           px <- 0 until side)
+        want((m * side + py) * (gw * side) + n * side + px) =
+          patterns(grays(m * gw + n))._3(py * side + px)
+      assert(got.sameElements(want),
+        s"tmpl=$tmpl nPats=$nPats grid=${gw}x$gh side=$side")
+    }
+    // named rejects: MMR halftone, skip-enabled halftone
+    val patterns = IndexedSeq((4, 4, Array.fill(16)(1.toByte)))
+    val good = Jbig2Codec.encodeHalftone(Array.fill(4)(0), 2, 2, patterns)
+    // halftone flags byte: page(30) + pattern-dict segment (11 header
+    // + stated length) + region header 11 + region info 17
+    val dictLen = (((good(37) & 0xffL) << 24) |
+      ((good(38) & 0xffL) << 16) | ((good(39) & 0xffL) << 8) |
+      (good(40) & 0xffL)).toInt
+    val hflagsAt = 30 + 11 + dictLen + 12 + 17 // +12: header has 1 ref
+    val mmr = good.clone()
+    mmr(hflagsAt) = (mmr(hflagsAt) | 1).toByte
+    val e = intercept[IllegalArgumentException] {
+      Jbig2Codec.decode(mmr, 8, 8)
+    }
+    assert(e.getMessage.contains("MMR halftone"))
+    val skip = good.clone()
+    skip(hflagsAt) = (skip(hflagsAt) | 8).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      Jbig2Codec.decode(skip, 8, 8)
+    }
+    assert(e2.getMessage.contains("HENABLESKIP"))
   }
 
   test("symbol/text named rejects: huffman, refinement, halftone flags") {

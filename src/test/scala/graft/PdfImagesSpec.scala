@@ -47,10 +47,10 @@ class PdfImagesSpec extends AnyFunSuite {
   }
 
   test("every filter arm round-trips exactly") {
-    for (arm <- 0 to 25) {
+    for (arm <- 0 to 26) {
       val (w, h) = (24, 16)
       val px = arm match {
-        case 2 | 4 | 5 | 6 | 11 | 12 | 14 | 15 | 23 | 24 | 25 =>
+        case 2 | 4 | 5 | 6 | 11 | 12 | 14 | 15 | 23 | 24 | 25 | 26 =>
           bilevelPage(w, h, arm)
         // block-constant: the exact DCT aperture (gray, YCCK, 4:2:2)
         case 3 | 13 | 19 => bilevelPage(w, h, arm)
@@ -95,7 +95,7 @@ class PdfImagesSpec extends AnyFunSuite {
 
   test("multi-page mixed-arm document extracts every page in order") {
     for (objStm <- Seq(false, true)) {
-      val pages = (0 to 25).map { arm =>
+      val pages = (0 to 26).map { arm =>
         val px = arm match {
           case 0 | 1 | 8 | 10 | 17 | 18 | 20 | 21 | 22 =>
             grayPage(16, 16, arm + 10)
@@ -108,7 +108,7 @@ class PdfImagesSpec extends AnyFunSuite {
       // the ObjStm axis: arm 9/10's indirect colorspace objects travel
       // inside a PDF 1.5 object stream — resolution must be identical
       val imgs = PdfImages.extract(PdfImages.encodePdf(pages, objStm))
-      assert(imgs.length == 26, s"objStm=$objStm")
+      assert(imgs.length == 27, s"objStm=$objStm")
       pages.zip(imgs).zipWithIndex.foreach { case ((p, img), i) =>
         assertPixels(img, 16, 16, p.pixels, s"page $i objStm=$objStm")
       }
