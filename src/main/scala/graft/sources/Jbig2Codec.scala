@@ -35,9 +35,15 @@ package graft.sources
   *    and halftone regions (§6.6 + Annex C.5: Gray-coded bitplanes
   *    over a shared coder, patterns stamped on the 1/256-pixel grid).
   *
+  * Refinement also runs INSIDE symbol/text coding (round 20): SDREFAGG
+  * dictionaries with one aggregate instance per symbol (§6.5.8.2.2 —
+  * a glyph variant coded as a touch-up of its representative) and
+  * per-instance text refinement (RI/RDW/RDH/RDX/RDY, §6.4.5 step
+  * 3c(v)).
+  *
   * Scope (named rejects): huffman-coded variants (SDHUFF/SBHUFF/MMR
-  * pattern dicts/MMR halftones), refinement INSIDE symbol/text coding
-  * (SDREFAGG, SBREFINE), TPGRON, HENABLESKIP, intermediate regions
+  * pattern dicts/MMR halftones), aggregates of more than one instance
+  * (REFAGGNINST > 1), TPGRON, HENABLESKIP, intermediate regions
   * (types 4/20/36/40 — they need retained auxiliary buffers no
   * embedded PDF stream uses), unknown data length. The encoder half
   * is the generator for round-trip specs, fuzz and the q176 arms;
@@ -714,25 +720,37 @@ object Jbig2Codec {
   private val MaxSymPixels = 1L << 26
 
   /** §6.5.5 arithmetic symbol-dictionary decode: height classes via
-    * IADH deltas, widths via IADW until OOB, each bitmap a generic
-    * region over the ONE shared GB context, then IAEX export runs over
-    * input (referred-dictionary) + new symbols. SDHUFF and SDREFAGG
-    * are named rejects (huffman/refinement out of scope). */
+    * IADH deltas, widths via IADW until OOB, each bitmap either a
+    * generic region over the ONE shared GB context or — under
+    * SDREFAGG with one aggregate instance (§6.5.8.2.2) — a REFINEMENT
+    * of an already-decoded symbol selected by IAID and shifted by
+    * IARDX/IARDY (the lossy-text-encoder shape: a glyph variant coded
+    * as a touch-up of its representative). Then IAEX export runs over
+    * input (referred-dictionary) + new symbols. SDHUFF and aggregates
+    * of more than one instance are named rejects. */
   private def decodeSymbolDict(data: Array[Byte], off: Int, len: Int,
       inSyms: IndexedSeq[Sym]): IndexedSeq[Sym] = {
     require(len >= 12, "symbol dictionary segment too short")
     val flags = u16(data, off)
     require((flags & 1) == 0,
       "huffman symbol dictionary (SDHUFF) unsupported")
-    require(((flags >> 1) & 1) == 0,
-      "refinement/aggregate symbol dictionary (SDREFAGG) unsupported")
+    val refAgg = ((flags >> 1) & 1) == 1
     val tmplId = (flags >> 10) & 3
+    val rTmplId = (flags >> 12) & 1
     var p = off + 2
     val nAt = if (tmplId == 0) 4 else 1
     require(len >= 2 + 2 * nAt + 8, "symbol dictionary header truncated")
     val at = Array.tabulate(nAt)(k =>
       (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt))
     p += 2 * nAt
+    val rAt: Array[(Int, Int)] =
+      if (refAgg && rTmplId == 0) {
+        require(off + len - p >= 4, "SDRAT truncated")
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array.empty
     val numEx = u32(data, p).toInt
     val numNew = u32(data, p + 4).toInt
     p += 8
@@ -742,13 +760,19 @@ object Jbig2Codec {
     val mq = new MqDecoder(data, p, off + len - p)
     val iadh = new Ctx(512); val iadw = new Ctx(512)
     val iaex = new Ctx(512)
+    val iaai = new Ctx(512)
+    val iardx = new Ctx(512); val iardy = new Ctx(512)
+    val codeLen = symCodeLen(inSyms.length + numNew)
+    val iaid = new Ctx(1 << (codeLen + 1))
     val gb = new Ctx(1 << 16)
+    val gr = new Ctx(1 << 13)
     val newSyms = scala.collection.mutable.ArrayBuffer[Sym]()
+    def oob(what: String): Nothing =
+      throw new IllegalArgumentException(s"unexpected OOB decoding $what")
     var hcHeight = 0
     var totalPx = 0L
     while (newSyms.length < numNew) {
-      val dh = decodeInt(mq, iadh).getOrElse(
-        throw new IllegalArgumentException("OOB height-class delta"))
+      val dh = decodeInt(mq, iadh).getOrElse(oob("height-class delta"))
       hcHeight += dh
       require(hcHeight > 0 && hcHeight <= MaxSymDim,
         s"symbol height $hcHeight")
@@ -765,9 +789,30 @@ object Jbig2Codec {
               "height classes deliver more symbols than SDNUMNEWSYMS")
             totalPx += symWidth.toLong * hcHeight
             require(totalPx <= MaxSymPixels, "symbol dictionary over cap")
-            newSyms += Sym(symWidth, hcHeight,
-              decodeGenericWith(mq, gb, symWidth, hcHeight, tmplId, at,
-                tpgdon = false))
+            newSyms += (if (!refAgg)
+              Sym(symWidth, hcHeight,
+                decodeGenericWith(mq, gb, symWidth, hcHeight, tmplId, at,
+                  tpgdon = false))
+            else {
+              val nInst = decodeInt(mq, iaai).getOrElse(oob("REFAGGNINST"))
+              require(nInst == 1,
+                s"aggregate symbol coding (REFAGGNINST $nInst) unsupported")
+              val id = decodeIaid(mq, iaid, codeLen)
+              val avail = inSyms ++ newSyms
+              require(id >= 0 && id < avail.length,
+                s"refinement symbol id $id of ${avail.length}")
+              val rdx = decodeInt(mq, iardx).getOrElse(oob("RDX"))
+              val rdy = decodeInt(mq, iardy).getOrElse(oob("RDY"))
+              val refSym = avail(id)
+              def ref(x: Int, y: Int): Int = {
+                val sx = x - rdx; val sy = y - rdy
+                if (sx < 0 || sx >= refSym.w || sy < 0 || sy >= refSym.h) 0
+                else refSym.bits(sy * refSym.w + sx) & 1
+              }
+              Sym(symWidth, hcHeight,
+                decodeRefinementWith(mq, gr, symWidth, hcHeight, ref,
+                  rTmplId, rAt))
+            })
         }
       }
     }
@@ -827,6 +872,52 @@ object Jbig2Codec {
     enc.flush()
   }
 
+  /** SDREFAGG dictionary body (§6.5.8.2.2, one aggregate instance per
+    * symbol): the decoder's mirror — every symbol is a refinement of
+    * an already-available symbol (here: an imported representative
+    * from a referred dictionary, selected by `refIdOf` into the
+    * in-symbols id space, unshifted). Exports skip the `nIn` imports
+    * and export the new symbols. */
+  private def encodeRefAggDictBody(syms: IndexedSeq[Sym],
+      refIdOf: Int => Int, refSymOf: Int => Sym, nIn: Int,
+      rTmplId: Int): Array[Byte] = {
+    val enc = new MqEncoder
+    val iadh = new Ctx(512); val iadw = new Ctx(512)
+    val iaex = new Ctx(512); val iaai = new Ctx(512)
+    val iardx = new Ctx(512); val iardy = new Ctx(512)
+    val codeLen = symCodeLen(nIn + syms.length)
+    val iaid = new Ctx(1 << (codeLen + 1))
+    val gr = new Ctx(1 << 13)
+    val rAt = if (rTmplId == 0) NominalRefAt else Array.empty[(Int, Int)]
+    var hcHeight = 0
+    var i = 0
+    while (i < syms.length) {
+      val h = syms(i).h
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < syms.length && syms(i).h == h) {
+        encodeInt(enc, iadw, Some(syms(i).w - symWidth))
+        symWidth = syms(i).w
+        encodeInt(enc, iaai, Some(1)) // REFAGGNINST
+        encodeIaid(enc, iaid, codeLen, refIdOf(i))
+        encodeInt(enc, iardx, Some(0))
+        encodeInt(enc, iardy, Some(0))
+        val rs = refSymOf(i)
+        def ref(x: Int, y: Int): Int =
+          if (x < 0 || x >= rs.w || y < 0 || y >= rs.h) 0
+          else rs.bits(y * rs.w + x) & 1
+        encodeRefinementWith(enc, gr, syms(i).bits, syms(i).w, h, ref,
+          rTmplId, rAt)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // end of height class
+    }
+    encodeInt(enc, iaex, Some(nIn)) // skip the imports
+    encodeInt(enc, iaex, Some(syms.length)) // export the new symbols
+    enc.flush()
+  }
+
   // --------------------------------------------------- text region
 
   /** §6.4.5 arithmetic text-region decode. The strip walk (IADT),
@@ -845,7 +936,7 @@ object Jbig2Codec {
     require(syms.nonEmpty, "text region with no referred symbols")
     val flags = u16(data, off)
     require((flags & 1) == 0, "huffman text region (SBHUFF) unsupported")
-    require(((flags >> 1) & 1) == 0, "text region refinement unsupported")
+    val refine = ((flags >> 1) & 1) == 1
     val strips = 1 << ((flags >> 2) & 3)
     val refCorner = (flags >> 4) & 3
     val transposed = ((flags >> 6) & 1) == 1
@@ -854,12 +945,27 @@ object Jbig2Codec {
     val defPixel = ((flags >> 9) & 1).toByte
     var dsOffset = (flags >> 10) & 0x1f
     if (dsOffset > 15) dsOffset -= 32 // 5-bit signed
-    val nInst = u32(data, off + 2)
+    val rTmplId = (flags >> 15) & 1
+    var p = off + 2
+    val rAt: Array[(Int, Int)] =
+      if (refine && rTmplId == 0) {
+        require(len >= 10, "SBRAT truncated")
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array.empty
+    val nInst = u32(data, p)
+    p += 4
     require(nInst <= (1L << 22), s"SBNUMINSTANCES $nInst")
     val codeLen = symCodeLen(syms.length)
-    val mq = new MqDecoder(data, off + 6, len - 6)
+    val mq = new MqDecoder(data, p, off + len - p)
     val iadt = new Ctx(512); val iafs = new Ctx(512)
     val iads = new Ctx(512); val iait = new Ctx(512)
+    val iari = new Ctx(512)
+    val iardw = new Ctx(512); val iardh = new Ctx(512)
+    val iardx = new Ctx(512); val iardy = new Ctx(512)
+    val gr = new Ctx(1 << 13)
     val iaid = new Ctx(1 << (codeLen + 1))
     val out = new Array[Byte](rw * rh)
     if (defPixel == 1) java.util.Arrays.fill(out, 1.toByte)
@@ -890,7 +996,31 @@ object Jbig2Codec {
           val id = decodeIaid(mq, iaid, codeLen)
           require(id >= 0 && id < syms.length,
             s"symbol id $id of ${syms.length}")
-          val sym = syms(id)
+          val sym0 = syms(id)
+          // §6.4.5 step 3c(v): under SBREFINE, each instance may
+          // REFINE its dictionary symbol — RDW/RDH resize it, RDX/RDY
+          // shift the reference (GRREFERENCEDX = ⌊RDW/2⌋ + RDX), and
+          // the refined bitmap is what gets placed
+          val sym =
+            if (!refine || decodeInt(mq, iari).getOrElse(oob("RI")) == 0)
+              sym0
+            else {
+              val rdw = decodeInt(mq, iardw).getOrElse(oob("RDW"))
+              val rdh = decodeInt(mq, iardh).getOrElse(oob("RDH"))
+              val rdx = decodeInt(mq, iardx).getOrElse(oob("RDX"))
+              val rdy = decodeInt(mq, iardy).getOrElse(oob("RDY"))
+              val wi = sym0.w + rdw; val hi = sym0.h + rdh
+              require(wi > 0 && wi <= MaxSymDim && hi > 0 &&
+                hi <= MaxSymDim, s"refined symbol ${wi}x$hi")
+              val gdx = (rdw >> 1) + rdx; val gdy = (rdh >> 1) + rdy
+              def ref(x: Int, y: Int): Int = {
+                val sx = x - gdx; val sy = y - gdy
+                if (sx < 0 || sx >= sym0.w || sy < 0 || sy >= sym0.h) 0
+                else sym0.bits(sy * sym0.w + sx) & 1
+              }
+              Sym(wi, hi, decodeRefinementWith(mq, gr, wi, hi, ref,
+                rTmplId, rAt))
+            }
           val (left, top) =
             if (!transposed)
               (curs, if ((refCorner & 1) == 1) ti else ti - sym.h + 1)
@@ -1271,14 +1401,24 @@ object Jbig2Codec {
     * TRANSPOSED, LOGSBSTRIPS, SBDSOFFSET, symbol-bitmap template. */
   final case class SymTextCfg(tileW: Int = 16, tileH: Int = 16,
       refCorner: Int = 1, transposed: Boolean = false, logStrips: Int = 0,
-      dsOffset: Int = 0, template: Int = 0)
+      dsOffset: Int = 0, template: Int = 0,
+      refineText: Boolean = false, refineDict: Boolean = false,
+      refTemplate: Int = 0)
 
   /** Encode a plane as the symbol/text profile real scanner JBIG2 is
     * dominantly coded in: the plane is tiled, distinct tiles become
     * dictionary symbols (symbol REUSE across repeated tiles, exactly
     * like a text encoder's glyph dictionary), and one immediate text
     * region places an instance per tile. Exact round-trip for any
-    * plane; the generator for specs, fuzz and the q176 arm. */
+    * plane; the generator for specs, fuzz and the q176 arm.
+    *
+    * The two refinement modes mirror how lossy text encoders spend
+    * bits (§6.5.8.2 / §6.4.5): `refineDict` keeps only one
+    * REPRESENTATIVE glyph per tile geometry in a first dictionary and
+    * codes every distinct tile as an SDREFAGG refinement of its
+    * representative in a second; `refineText` keeps only the
+    * representatives and refines PER INSTANCE (RI = 1 wherever the
+    * tile differs). Either way decode reproduces the exact plane. */
   def encodeSymbolText(plane: Array[Byte], width: Int, height: Int,
       cfg: SymTextCfg = SymTextCfg()): Array[Byte] = {
     require(plane.length == width * height, "plane size")
@@ -1318,31 +1458,64 @@ object Jbig2Codec {
       }
       ty += th
     }
-    // dictionary order = decode order: height classes ascending, widths
-    // ascending within a class; remap tile ids onto that order
-    val order = bitmaps.zipWithIndex.sortBy { case (s, i) => (s.h, s.w, i) }
+    // geometry REPRESENTATIVES (first tile of each distinct (w, h)) —
+    // the refinement modes code variants as touch-ups of these
+    val repListIdx =
+      scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
+    bitmaps.foreach { s =>
+      repListIdx.getOrElseUpdate((s.w, s.h), repListIdx.size): Unit
+    }
+    val reps = repListIdx.map { case ((rw, rh), _) =>
+      bitmaps.find(s => s.w == rw && s.h == rh).get
+    }.toIndexedSeq
+
+    // the TEXT-facing dictionary (decode order: height classes
+    // ascending) and each tile's id within it: plain mode carries
+    // every distinct tile; refineText carries only the
+    // representatives (differing tiles refine per instance);
+    // refineDict routes tile ids into dictionary B below
+    val baseList: IndexedSeq[Sym] =
+      if (cfg.refineText && !cfg.refineDict) reps
+      else bitmaps.toIndexedSeq
+    val order = baseList.zipWithIndex.sortBy { case (s, i) => (s.h, s.w, i) }
     val dictSyms = order.map(_._1).toIndexedSeq
-    val remap = new Array[Int](bitmaps.length)
+    val remap = new Array[Int](baseList.length)
     order.zipWithIndex.foreach { case ((_, old), nw) => remap(old) = nw }
+    def textIdOf(tileId: Int): Int =
+      if (cfg.refineText && !cfg.refineDict)
+        remap(repListIdx((bitmaps(tileId).w, bitmaps(tileId).h)))
+      else remap(tileId)
+    // representatives in THEIR dictionary-A decode order (refineDict)
+    val orderA = reps.zipWithIndex.sortBy { case (s, i) => (s.h, s.w, i) }
+    val remapA = new Array[Int](reps.length)
+    orderA.zipWithIndex.foreach { case ((_, old), nw) => remapA(old) = nw }
 
     val strips = 1 << cfg.logStrips
     // per-instance anchors under the configured corner/transposition
-    // (the decoder's closed-form placement inverted)
+    // (the decoder's closed-form placement inverted). The placed
+    // bitmap is always the tile's ACTUAL content (refineText refines
+    // to it), so anchors use the tile geometry.
     val inst = tiles.map { case (id0, tx, ty2) =>
-      val id = remap(id0)
-      val s = dictSyms(id)
+      val s = bitmaps(id0)
       val (tAnchor, cursLeft, extent) =
         if (!cfg.transposed)
           (if ((cfg.refCorner & 1) == 1) ty2 else ty2 + s.h - 1, tx, s.w)
         else
           (if (cfg.refCorner <= 1) tx else tx + s.w - 1, ty2, s.h)
       (tAnchor / strips, tAnchor - (tAnchor / strips) * strips, cursLeft,
-        extent, id)
+        extent, id0)
     }.sortBy { case (strip, _, left, _, _) => (strip, left) }
 
+    val refineInstances = cfg.refineText && !cfg.refineDict
     val enc = new MqEncoder
     val iadt = new Ctx(512); val iafs = new Ctx(512)
     val iads = new Ctx(512); val iait = new Ctx(512)
+    val iari = new Ctx(512)
+    val iardw = new Ctx(512); val iardh = new Ctx(512)
+    val iardx = new Ctx(512); val iardy = new Ctx(512)
+    val gr = new Ctx(1 << 13)
+    val rAt =
+      if (cfg.refTemplate == 0) NominalRefAt else Array.empty[(Int, Int)]
     val codeLen = symCodeLen(dictSyms.length)
     val iaid = new Ctx(1 << (codeLen + 1))
     encodeInt(enc, iadt, Some(0)) // initial STRIPT = 0
@@ -1356,14 +1529,30 @@ object Jbig2Codec {
       var prevRight = 0
       var first = true
       while (k < inst.length && inst(k)._1 == strip) {
-        val (_, curt, left, extent, id) = inst(k)
+        val (_, curt, left, extent, tileId) = inst(k)
         if (first) {
           encodeInt(enc, iafs, Some(left - firsts))
           firsts = left
           first = false
         } else encodeInt(enc, iads, Some(left - prevRight - cfg.dsOffset))
         if (strips > 1) encodeInt(enc, iait, Some(curt))
-        encodeIaid(enc, iaid, codeLen, id)
+        encodeIaid(enc, iaid, codeLen, textIdOf(tileId))
+        if (refineInstances) {
+          val actual = bitmaps(tileId)
+          val rep = dictSyms(textIdOf(tileId))
+          if (actual.bits.sameElements(rep.bits))
+            encodeInt(enc, iari, Some(0))
+          else {
+            encodeInt(enc, iari, Some(1))
+            encodeInt(enc, iardw, Some(0)); encodeInt(enc, iardh, Some(0))
+            encodeInt(enc, iardx, Some(0)); encodeInt(enc, iardy, Some(0))
+            def ref(x: Int, y: Int): Int =
+              if (x < 0 || x >= rep.w || y < 0 || y >= rep.h) 0
+              else rep.bits(y * rep.w + x) & 1
+            encodeRefinementWith(enc, gr, actual.bits, actual.w, actual.h,
+              ref, cfg.refTemplate, rAt)
+          }
+        }
         prevRight = left + extent - 1
         k += 1
       }
@@ -1373,23 +1562,63 @@ object Jbig2Codec {
 
     val w = new SegWriter
     w.segment(0, 48, Nil, 1, pageInfoPayload(width, height))
-    val dict = new SegWriter
-    dict.w16(cfg.template << 10) // arith, no refinement
-    NominalAt(cfg.template).foreach { case (x, y) =>
-      dict.w8(x); dict.w8(y)
+    def dictFlags(refAgg: Boolean): Int =
+      (cfg.template << 10) | (if (refAgg) 2 else 0) |
+        (cfg.refTemplate << 12)
+    def writeDictHeader(seg: SegWriter, refAgg: Boolean,
+        nEx: Int, nNew: Int): Unit = {
+      seg.w16(dictFlags(refAgg))
+      NominalAt(cfg.template).foreach { case (x, y) =>
+        seg.w8(x); seg.w8(y)
+      }
+      if (refAgg && cfg.refTemplate == 0)
+        NominalRefAt.foreach { case (x, y) => seg.w8(x); seg.w8(y) }
+      seg.w32(nEx.toLong); seg.w32(nNew.toLong)
     }
-    dict.w32(dictSyms.length.toLong) // SDNUMEXSYMS
-    dict.w32(dictSyms.length.toLong) // SDNUMNEWSYMS
-    dict.raw(encodeSymbolDictBody(dictSyms, cfg.template))
-    w.segment(1, 0, Nil, 1, dict.result())
+    val textSegRefs: Seq[Long] =
+      if (!cfg.refineDict) {
+        val dict = new SegWriter
+        writeDictHeader(dict, refAgg = false, dictSyms.length,
+          dictSyms.length)
+        dict.raw(encodeSymbolDictBody(dictSyms, cfg.template))
+        w.segment(1, 0, Nil, 1, dict.result())
+        Seq(1L)
+      } else {
+        // dictionary A: the representatives, generically coded
+        val dictA = new SegWriter
+        val aSyms = orderA.map(_._1).toIndexedSeq
+        writeDictHeader(dictA, refAgg = false, aSyms.length, aSyms.length)
+        dictA.raw(encodeSymbolDictBody(aSyms, cfg.template))
+        w.segment(1, 0, Nil, 1, dictA.result())
+        // dictionary B: every distinct tile as an SDREFAGG refinement
+        // of its geometry representative imported from A
+        val dictB = new SegWriter
+        writeDictHeader(dictB, refAgg = true, dictSyms.length,
+          dictSyms.length)
+        def repOfSorted(i: Int): Sym = {
+          val s = dictSyms(i)
+          reps(repListIdx((s.w, s.h)))
+        }
+        dictB.raw(encodeRefAggDictBody(dictSyms,
+          i => remapA(repListIdx((dictSyms(i).w, dictSyms(i).h))),
+          repOfSorted, aSyms.length, cfg.refTemplate))
+        w.segment(2, 0, Seq(1L), 1, dictB.result())
+        Seq(2L)
+      }
     val text = new SegWriter
     text.w32(width); text.w32(height); text.w32(0); text.w32(0)
     text.w8(0) // external combination OR
     text.w16((cfg.logStrips << 2) | (cfg.refCorner << 4) |
-      (if (cfg.transposed) 1 << 6 else 0) | ((cfg.dsOffset & 0x1f) << 10))
+      (if (cfg.transposed) 1 << 6 else 0) |
+      ((cfg.dsOffset & 0x1f) << 10) |
+      (if (refineInstances) 2 else 0) |
+      (if (refineInstances) cfg.refTemplate << 15 else 0))
+    if (refineInstances && cfg.refTemplate == 0)
+      rAt.foreach { case (x, y) => text.w8(x); text.w8(y) }
     text.w32(inst.length.toLong) // SBNUMINSTANCES
     text.raw(textBody)
-    w.segment(2, 6, Seq(1L), 1, text.result())
+    w.segment(if (cfg.refineDict) 3 else 2, 6, textSegRefs, 1,
+      text.result())
     w.result()
   }
 }

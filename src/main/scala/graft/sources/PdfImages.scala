@@ -1552,8 +1552,13 @@ object PdfImages {
       case 9 => deflate(paletteOf(p)._2.map(_.toByte))
       case 10 => deflate(p.pixels.map(px => (px & 0xff).toByte))
       case 12 => Jbig2Codec.encode(bilevel, p.width, p.height)
-      case 14 => Jbig2Codec.encodeSymbolText(bilevel, p.width, p.height,
-        Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8))
+      case 14 => // symbol/text JBIG2, rotating through the plain,
+        // per-instance-refinement (RI) and SDREFAGG dictionary shapes
+        // by page geometry — decoded pixels are identical either way
+        Jbig2Codec.encodeSymbolText(bilevel, p.width, p.height,
+          Jbig2Codec.SymTextCfg(tileW = 8, tileH = 8,
+            refineText = (p.width + p.height) % 3 == 1,
+            refineDict = (p.width + p.height) % 3 == 2))
       case 15 => Jbig2Codec.encodeMmr(bilevel, p.width, p.height)
       case 24 => // refinement: a damaged base corrected to the exact
         // plane (deterministic damage so the payload is reproducible)

@@ -1151,11 +1151,16 @@ object CodecFuzz {
         (if (rnd.nextInt(3) == 0) 1 else 0).toByte)
       val good = rnd.nextInt(3) match {
         case 0 =>
+          // the symbol/text family, incl. (round 20) SDREFAGG
+          // dictionaries and per-instance RI refinement
+          val refMode = rnd.nextInt(3)
           val cfg = Jbig2Codec.SymTextCfg(
             tileW = 1 + rnd.nextInt(12), tileH = 1 + rnd.nextInt(12),
             refCorner = rnd.nextInt(4), transposed = rnd.nextBoolean(),
             logStrips = rnd.nextInt(4), dsOffset = rnd.nextInt(32) - 16,
-            template = rnd.nextInt(4))
+            template = rnd.nextInt(4),
+            refineText = refMode == 1, refineDict = refMode == 2,
+            refTemplate = rnd.nextInt(2))
           Jbig2Codec.encodeSymbolText(plane, w, h, cfg)
         case 1 => Jbig2Codec.encodeMmr(plane, w, h)
         case _ => // refinement: decode must equal the REFINED plane
