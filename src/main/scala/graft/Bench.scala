@@ -90,6 +90,14 @@ object Bench {
       // mid-size (tens of MB) shuffle keeps enough partitions to use the
       // cores instead of serializing on a single reducer
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // round 21: let AQE apply inside CACHED plan compilation too
+      // (default false) — without it every .cache() materializes its
+      // subplan at the full static shuffle width (tiny cached partitions
+      // locally, and at cluster scale a cached frame whose width ignores
+      // its actual bytes), and the two AQE knobs above never reach the
+      // suite's cache-heavy kernels (q108/q165/q94's iteration caches)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // static conf — see methodology note above
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")

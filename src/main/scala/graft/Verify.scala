@@ -19,6 +19,9 @@ object Verify {
       // mid-size (tens of MB) shuffle keeps enough partitions to use the
       // cores instead of serializing on a single reducer
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // round 21: AQE inside cached-plan compilation (see Bench.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

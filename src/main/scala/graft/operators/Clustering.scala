@@ -53,10 +53,16 @@ object Clustering {
     * iteration-1 cluster. */
   def q86KmeansQuantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions.dot_product_long
+    // self-dot attached once: every per-centroid distance below is then
+    // self + Σc² − 2·dot with ONE codegen'd primitive loop instead of an
+    // interpreted aggregate(zip_with(...)) HOF — identical int64s by the
+    // binomial identity in exact integer arithmetic (round 21, guide §4)
     val qv = Tables.embeddings(s, dir)
       .select($"vec_id",
         expr("transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT))")
           .as("q"))
+      .withColumn("self", dot_product_long($"q", $"q"))
 
     // Assignment is a PURE PROJECTION against centroid literals — the
     // MLlib k-means shape: model state (k·64 longs) lives on the driver
@@ -68,11 +74,11 @@ object Clustering {
       array_min(array(dists.map { case (cid, d) =>
         struct(d.as("d"), lit(cid).as("cid")) }: _*)).getField("cid")
     def sqDist(c: Seq[Long]): Column =
-      aggregate(
-        zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      $"self" + lit(c.iterator.map(x => x * x).sum) -
+        lit(2L) * dot_product_long($"q", typedLit(c))
 
-    val c0: Seq[(Int, Seq[Long])] = qv.filter($"vec_id" < K).collect()
+    val c0: Seq[(Int, Seq[Long])] = qv.filter($"vec_id" < K)
+      .select($"vec_id", $"q").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .sortBy(_._1).toSeq
     val assign1 = qv.withColumn("cid1",
@@ -93,12 +99,14 @@ object Clustering {
 
     // iteration-2 distance to the mean centroid (sv/cnt per dim) in the
     // integer-numerator form Σ(v·cnt − sv)²/cnt²: exact int64 numerator,
-    // one deterministic double division
+    // one deterministic double division. Expanded to cnt²·Σv² −
+    // 2cnt·Σ(v·sv) + Σsv² (the same exact int64 by the binomial
+    // identity; same documented overflow domain) so the per-row term is
+    // one codegen'd dot instead of an interpreted HOF (round 21)
     def sqDist2(sv: Seq[Long], cnt: Long): Column =
-      aggregate(
-        zip_with($"q", typedLit(sv),
-          (v, sd) => (v * lit(cnt) - sd) * (v * lit(cnt) - sd)),
-        lit(0L), (acc, x) => acc + x)
+      ($"self" * lit(cnt * cnt) -
+        lit(2L * cnt) * dot_product_long($"q", typedLit(sv)) +
+        lit(sv.iterator.map(x => x * x).sum))
         .cast("double") / lit(cnt * cnt)
 
     val assign2 = assign1.withColumn("cid2",
@@ -162,18 +170,23 @@ object Clustering {
     def argmin(dists: Seq[(Int, Column)]): Column =
       array_min(array(dists.map { case (cid, d) =>
         struct(d.as("d"), lit(cid).as("cid")) }: _*)).getField("cid")
+    // self + Σc² − 2·dot against centroid literals — identical int64s to
+    // the aggregate(zip_with(...)) it replaces, one codegen'd loop per
+    // (row, centroid) (round 21; the q86 rewrite, same identity)
+    import graft.functions.VectorFunctions.dot_product_long
     def sqDist(c: Seq[Long]): Column =
-      aggregate(
-        zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      $"self" + lit(c.iterator.map(x => x * x).sum) -
+        lit(2L) * dot_product_long($"q", typedLit(c))
 
     // seeds: the K smallest doc_ids' vectors (deterministic init; K·64
     // longs of driver-held model state — the q86 pattern)
     val c0: Seq[(Int, Seq[Long])] = vecs0.filter($"doc_id" < K).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .sortBy(_._1).toSeq
-    val assign1 = vecs0.withColumn("cid1",
-      argmin(c0.map { case (cid, c) => cid -> sqDist(c) }))
+    val assign1 = vecs0
+      .withColumn("self", dot_product_long($"q", $"q"))
+      .withColumn("cid1",
+        argmin(c0.map { case (cid, c) => cid -> sqDist(c) }))
 
     // Lloyd update: k×64 integer partial sums after map-side combine —
     // the only corpus-sized reduction; mean = truncated integer division.

@@ -419,9 +419,14 @@ object Dedup {
     // up to 4× (bucket sizing + anti-join + both join sides) — cache the
     // tiny frame so the signature aggregation runs once
     val wide = minhashWideFromHashes(hashed).cache()
-    // cached: consumed by the sizing count AND the truth join below
+    // cached: consumed by the count aggregate AND the truth join below
     val cands = cappedBandCandidates(lshBands(wide)).cache()
-    val nCand = cands.count() // bounded scalar (capped candidate set)
+    // candidate count as a 1-row aggregate riding the final plan
+    // (round 21): the former cands.count() was a separate BLOCKING
+    // driver action serializing a whole job before the eval could even
+    // plan; as a broadcast 1-row cross join (the q118/q123 bounds
+    // pattern) it shares the cands cache and the scheduler overlaps it
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
     // ground truth below the operating threshold too (0.05 floor), so
     // precision at low t is measured, not assumed
     val truth = jaccardPairsFromHashes(hashed, sizedPairPar(s, dir),
@@ -439,14 +444,15 @@ object Dedup {
         "stack(4, " + ts.map { case (t, pct) =>
           s"CAST($t AS DOUBLE), truth$pct, hit$pct" }.mkString(", ") +
         ") AS (threshold, n_truth, n_hit)"))
+      .crossJoin(broadcast(nCand))
       .select($"threshold",
         coalesce($"n_truth", lit(0L)).as("n_truth"),
         coalesce($"n_hit", lit(0L)).as("n_hit"),
-        lit(nCand).as("n_candidates"),
+        $"n_candidates",
         round(coalesce($"n_hit", lit(0L)) /
           greatest($"n_truth", lit(1L)).cast("double"), 6).as("recall"),
         round(coalesce($"n_hit", lit(0L)) /
-          lit(math.max(nCand, 1L)).cast("double"), 6).as("precision"))
+          greatest($"n_candidates", lit(1L)).cast("double"), 6).as("precision"))
       .orderBy($"threshold")
   }
 
@@ -653,8 +659,9 @@ object Dedup {
     import graft.functions.VectorFunctions.dot_product
     val e = Tables.load(s, dir, "embeddings")
       // one small fixture file = one partition; spread so the O(N²) dot
-      // kernel uses every core (a real table arrives multi-partition)
-      .repartition(s.sparkContext.defaultParallelism)
+      // kernel uses every core (a real table arrives multi-partition).
+      // Size-adaptive width (round 21): see Similarity.emb
+      .repartition(Tables.fanoutParallelism(s, dir, "embeddings"))
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrmb"))

@@ -3010,7 +3010,14 @@ object Multimodal {
       // Spreading the 8-byte ids first costs one trivial shuffle and
       // makes decode parallelism independent of input file layout; at
       // real scale it also levels decode skew across executors.
-      .repartition(col("doc_id"))
+      // The width is EXPLICIT (round 21): with AQE now applied inside
+      // cached plans, a width-less keyed repartition would be coalesced
+      // by BYTES — and 8-byte ids coalesce to one partition, serializing
+      // the decode again (measured: q176 1.45 s → 10.3 s). Decode work
+      // scales with rows, not bytes, so the full core count is the right
+      // width at any corpus size.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), explode(hashesOf(col("doc_id"))).as("fhash"))
       .distinct()
 

@@ -130,7 +130,8 @@ object Search {
     val kw = bm25(Tables.documents(s, dir), Seq("join", "hash", "vector"))
       .cache()
     val e = Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      // size-adaptive spread (round 21): see Similarity.emb
+      .repartition(Tables.fanoutParallelism(s, dir, "embeddings"))
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
     val qv = e.filter($"vec_id" === 0)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+import graft.functions.VectorFunctions.{cosine_sim, dot_product, dot_product_long}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor similarity search over the embedding
@@ -35,34 +35,43 @@ object Similarity {
   private[graft] val MaxBroadcastBatch = 4096L
 
   /** `broadcast()` with the tiny-side contract enforced at runtime:
-    * probe `limit(cap+1).count()` — the limit short-circuits, so the
-    * guard does O(cap) work however large the side is (a plain count
-    * would scan the full corpus to report a number we only need to know
-    * exceeds the cap) — then abort or broadcast. Shared by every
-    * brute-force / ANN / mining scorer whose broadcast side has no
-    * structural bound (no limit/aggregate) in its plan — the runtime
-    * half of the PlanQualitySpec join fence. */
+    * collect `limit(cap+1)` — the limit short-circuits, so the guard
+    * does O(cap) work however large the side is — then abort or
+    * broadcast the COLLECTED rows as a driver local relation. Shared by
+    * every brute-force / ANN / mining scorer whose broadcast side has
+    * no structural bound (no limit/aggregate) in its plan — the runtime
+    * half of the PlanQualitySpec join fence.
+    *
+    * ONE evaluation of the side (round 21, guide §1/§2.4): the earlier
+    * form ran `limit(cap+1).count()` as its own guard job and the
+    * BroadcastExchange then RE-computed the same subplan inside the
+    * consuming query — every centroid/query/probe frame was evaluated
+    * twice per use. Collecting the guard probe keeps the rows (≤ cap+1
+    * by the pushed-down limit, so driver-bounded by construction), the
+    * broadcast side becomes a LocalTableScan — the fence's "local-table"
+    * evidence class, a stronger structural bound than the former
+    * GlobalLimit — and the consuming plan no longer carries (or
+    * re-optimizes) the side's subtree at all. */
   private[graft] def boundedBroadcast(df: DataFrame, what: String): DataFrame = {
-    val n = df.limit(MaxBroadcastBatch.toInt + 1).count()
-    require(n <= MaxBroadcastBatch,
+    val rows = df.limit(MaxBroadcastBatch.toInt + 1).collect()
+    require(rows.length <= MaxBroadcastBatch,
       s"$what broadcast side (>$MaxBroadcastBatch rows) exceeds the " +
         s"tiny-broadcast contract ($MaxBroadcastBatch); chunk into bounded batches")
-    // the require proved n ≤ cap, so this limit keeps every row — its
-    // purpose is the PLAN: a GlobalLimit node rides into the broadcast
-    // side, giving the runtime-capped lane the same "limit" STRUCTURAL
-    // evidence the fence demands of every other NLJ (review find: a
-    // refactor that swapped boundedBroadcast for plain broadcast used
-    // to pass the fence on set membership alone; now the evidence scan
-    // itself fails it)
-    broadcast(df.limit(MaxBroadcastBatch.toInt))
+    broadcast(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
   }
 
   private[graft] def emb(s: SparkSession, d: String): DataFrame =
     // the fixture is one small file -> one partition -> pair joins would
     // run single-task; spread rows across the executor slots (a real
-    // embeddings table arrives multi-partition and skips this)
+    // embeddings table arrives multi-partition and skips this). Width is
+    // SIZE-ADAPTIVE (round 21, guide §2.5): the pair/scoring kernels
+    // amplify work ~|query batch|× per row, so fanoutParallelism sizes
+    // the spread to the input bytes — a KB fixture gets a handful of
+    // partitions instead of core-count tasks of a dozen rows each, a
+    // TB-scale table still saturates defaultParallelism.
     Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.fanoutParallelism(s, d, "embeddings"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
@@ -478,17 +487,19 @@ object Similarity {
   def q125PqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pq = q96PqAnn(s, dir).select($"q_id", $"vec_id", lit(1L).as("hit"))
-    val qv = Tables.embeddings(s, dir).select($"vec_id",
-      expr("transform(embedding, e -> CAST(floor(e * 1000.0) AS BIGINT) + 1000L)")
-        .as("q"))
+    // self-dot attached once per side: the per-pair distance is then
+    // self + qself − 2·dot with ONE codegen'd primitive loop per pair —
+    // identical int64s to the interpreted aggregate(zip_with(...)) form
+    // it replaces (round 21; see pqSqDistVia)
+    val qv = pqQuantized(Tables.embeddings(s, dir))
+      .withColumn("self", dot_product_long($"q", $"q"))
     val qs = qv.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"q".as("qq"))
+      .select($"vec_id".as("q_id"), $"q".as("qq"), $"self".as("qself"))
     val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
     val exact = qv
       .join(boundedBroadcast(qs, "q125 query"), $"vec_id" =!= $"q_id")
-      .withColumn("d", expr(
-        """aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)),
-          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("d",
+        $"self" + $"qself" - lit(2L) * dot_product_long($"q", $"qq"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id")
@@ -584,14 +595,14 @@ object Similarity {
       .filter($"mx" > 0)
       .withColumn("q", transform($"v",
         x => floor(x * (lit(127.0) / $"mx") + lit(0.5)).cast("long")))
-      .withColumn("self", expr(
-        "aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      // codegen'd self-dot (round 21): same left-to-right int64 fold as
+      // the interpreted aggregate() it replaces
+      .withColumn("self", dot_product_long($"q", $"q"))
       .select($"vec_id", $"q", $"self")
     val qs = quant.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"q".as("qq"), $"self".as("qself"))
     val scored = quant.join(boundedBroadcast(qs, "q79 query"), $"vec_id" =!= $"q_id")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"))
+      .withColumn("dot", dot_product_long($"q", $"qq"))
       .withColumn("acos",
         $"dot" / (sqrt($"self".cast("double")) * sqrt($"qself".cast("double"))))
     val w = Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id".asc)
@@ -782,6 +793,19 @@ object Similarity {
 
   private def pqSub(c: Column, sp: Int): Column =
     slice(c, sp * PqSubDim + 1, PqSubDim)
+  /** Σ(a−b)² against a codebook literal as an interpreted HOF pair.
+    * DELIBERATELY not the codegen'd dot-product form (round 21,
+    * measured): the train/encode projections instantiate this K×M = 64
+    * times, and 64 inlined primitive loops pushed the generated
+    * doConsume/addToSorter methods past the JVM's ~8 KB JIT threshold
+    * ("Generated method too long to be JIT compiled", 21-23 KB) — the
+    * whole fused stage then ran in the bytecode INTERPRETER and q96 went
+    * 1.9 s → 14 s. A CodegenFallback HOF keeps the generated method
+    * small (one eval() call per distance), so the surrounding loop stays
+    * JIT-compiled; per-row HOF cost over 16 elements is µs. The
+    * one-dot-per-PAIR sites (exact ground truth in q125/q165, q79,
+    * q86/q100's 8-centroid argmins) DO use dot_product_long — few call
+    * sites, small methods, measured faster. */
   private def pqSqDistLit(v: Column, cent: Seq[Long]): Column =
     aggregate(zip_with(v, typedLit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
@@ -854,15 +878,9 @@ object Similarity {
     * adds. `queries` carries (q_id, q). */
   private[graft] def pqAdcReport(codes: DataFrame, queries: DataFrame,
       model: PqModel): DataFrame = {
-    val withTabs = (0 until PqM).foldLeft(queries) { (df, sp) =>
-      val cmap = model.codebooks(sp).toMap
-      df.withColumn(s"t$sp", array((0 until PqK).map { cid =>
-        cmap.get(cid) match {
-          case Some(c) => pqSqDistLit(pqSub(col("q"), sp), c)
-          case None => lit(0L)
-        }
-      }: _*))
-    }.drop("q")
+    // ONE copy of the table build (round 21 — this was a verbatim inline
+    // twin of [[pqQueryTables]])
+    val withTabs = pqQueryTables(queries, model)
     val scored = codes
       .join(boundedBroadcast(withTabs, "pq query"),
         col("vec_id") =!= col("q_id"))
@@ -886,16 +904,50 @@ object Similarity {
     * and the IVF-composed lane (q159) build query tables through ONE
     * copy. */
   private[graft] def pqQueryTables(queries: DataFrame,
-      model: PqModel): DataFrame =
-    (0 until PqM).foldLeft(queries) { (df, sp) =>
-      val cmap = model.codebooks(sp).toMap
-      df.withColumn(s"t$sp", array((0 until PqK).map { cid =>
-        cmap.get(cid) match {
-          case Some(c) => pqSqDistLit(pqSub(col("q"), sp), c)
-          case None => lit(0L)
+      model: PqModel): DataFrame = {
+    // Round 21: the tables are computed ON THE DRIVER from the collected
+    // query batch. The batch is bounded by the tiny-broadcast contract
+    // (≤ MaxBroadcastBatch rows — the same guard boundedBroadcast
+    // applies) and the codebooks are already driver model state, so this
+    // is the q87-histogram class of bounded driver compute; what it
+    // removes is a 4×16-entry Catalyst projection (64 per-centroid
+    // distance expressions per row) that the old form planned, codegen'd
+    // and evaluated inside the guard/broadcast collect — measured 10.3 s
+    // of a 12.2 s q96 run in the per-job probe. Arithmetic is the same
+    // exact int64 Σ(a−b)², looped in Scala.
+    val s = queries.sparkSession
+    val rows = queries.limit(MaxBroadcastBatch.toInt + 1).collect()
+    require(rows.length <= MaxBroadcastBatch,
+      s"pq query-table batch (>$MaxBroadcastBatch rows) exceeds the " +
+        s"tiny-broadcast contract ($MaxBroadcastBatch); chunk into bounded batches")
+    val out: Seq[org.apache.spark.sql.Row] = rows.toSeq.map { r =>
+      val qid = r.getLong(r.fieldIndex("q_id"))
+      val q = r.getSeq[Long](r.fieldIndex("q"))
+      val tabs = (0 until PqM).map { sp =>
+        val sub = q.slice(sp * PqSubDim, (sp + 1) * PqSubDim)
+        val cmap = model.codebooks(sp).toMap
+        (0 until PqK).map { cid =>
+          cmap.get(cid) match {
+            case Some(c) =>
+              var d = 0L; var i = 0
+              while (i < PqSubDim) {
+                val x = sub(i) - c(i); d += x * x; i += 1
+              }
+              d
+            case None => 0L // no candidate carries a missing cid's code
+          }
         }
-      }: _*))
-    }.drop("q")
+      }
+      org.apache.spark.sql.Row(qid, tabs(0), tabs(1), tabs(2), tabs(3))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(StructField("q_id", LongType, nullable = false) +:
+      (0 until PqM).map(sp =>
+        StructField(s"t$sp", ArrayType(LongType, containsNull = false),
+          nullable = false)))
+    s.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
 
   /** Candidate ADC distance: 4 table lookups + 3 adds (ONE copy). */
   private[graft] def pqAdcDistance: Column =
@@ -1185,15 +1237,16 @@ object Similarity {
         .select($"q_id", $"vec_id", lit(p).as("np"))
     }
     val adcTop = adcTopAt(1).union(adcTopAt(2)).union(adcTopAt(4))
-    // exact integer-L2 top-5 (q125's ground-truth kernel)
-    val qs = qv.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"q".as("qq"))
+    // exact integer-L2 top-5 (q125's ground-truth kernel: self + qself −
+    // 2·dot, one codegen'd loop per pair — identical int64s, round 21)
+    val qvs = qv.withColumn("self", dot_product_long($"q", $"q"))
+    val qs = qvs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"q".as("qq"), $"self".as("qself"))
     val wTrue = Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
-    val exact = qv
+    val exact = qvs
       .join(boundedBroadcast(qs, "q165 query"), $"vec_id" =!= $"q_id")
-      .withColumn("d", expr(
-        """aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)),
-          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("d",
+        $"self" + $"qself" - lit(2L) * dot_product_long($"q", $"qq"))
       .withColumn("rnk", row_number().over(wTrue))
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id")

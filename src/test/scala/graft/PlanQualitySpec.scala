@@ -268,6 +268,9 @@ class PlanQualitySpec extends SparkSuite {
     "q111_dsir_importance", "q112_ngram_novelty",
     // q128's NLJs are q36's (n_docs, avgdl) 1-row-aggregate cross joins
     "q128_search_eval",
+    // q108's NLJ is the candidate-count 1-row aggregate riding the
+    // final plan (round 21 — replaced the blocking cands.count())
+    "q108_lsh_evaluation",
     // q118's only NLJs are 1-row-aggregate cross joins (total tokens +
     // the (rem, source) pool riding a 1-row broadcast — the q112 bounds
     // pattern); both carry one-row-agg structural evidence
@@ -369,7 +372,8 @@ class PlanQualitySpec extends SparkSuite {
       val deg = be.groupBy($"src").agg(count(lit(1)).as("deg"))
       val nodes = deg.select($"src".as("node"), $"deg")
       val r0 = nodes.select($"node", lit(1000000L).as("r"))
-      val stepB = graft.operators.Graphs.contributionStep(be, nodes, r0)
+      val edB = graft.operators.Graphs.edgesWithDeg(be, deg)
+      val stepB = graft.operators.Graphs.contributionStep(edB, r0)
       val pB = stepB.queryExecution.executedPlan.toString
       // the edge lane reads the bucketed layout...
       assert(pB.contains("Bucketed: true") ||
@@ -380,9 +384,10 @@ class PlanQualitySpec extends SparkSuite {
       assert(exB <= 2, s"bucketed step has $exB exchanges:\n" + pB.take(1500))
       // the SAME step over the unbucketed edge list shuffles more (the
       // edge-side join exchange the layout exists to delete)
-      val nodesU = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .select($"src".as("node"), $"deg")
-      val stepU = graft.operators.Graphs.contributionStep(edges, nodesU,
+      val degU = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nodesU = degU.select($"src".as("node"), $"deg")
+      val stepU = graft.operators.Graphs.contributionStep(
+        graft.operators.Graphs.edgesWithDeg(edges, degU),
         nodesU.select($"node", lit(1000000L).as("r")))
       val exU = "Exchange hashpartitioning".r
         .findAllIn(stepU.queryExecution.executedPlan.toString).length
