@@ -1143,7 +1143,12 @@ object Dedup {
     val pairPar = sizedPairPar(s, dir)
     val d = docs(s, dir)
     val src = d.select($"doc_id", $"source")
-    val mem = shingleIdsWithDup(d.repartition(par)).distinct()
+    // ONE distinct (round 21): the former per-doc (doc_id, sh64)
+    // distinct before the join was subsumed by the (source, sh64)
+    // distinct after it — same set out, one less full shuffle of the
+    // shingle stream (the multiplicity the join now carries is folded
+    // by the surviving distinct's map-side partial dedup)
+    val mem = shingleIdsWithDup(d.repartition(par))
       .join(src, Seq("doc_id"))
       .select($"source", $"sh64").distinct()
     val sizes = mem.groupBy($"source").agg(count(lit(1)).as("n"))
