@@ -403,9 +403,9 @@ object Dedup {
     * single-pass discipline; previously the candidate and truth sides
     * each ran the full shingle pipeline). The eval joins the two sides
     * on the pair key and reduces to 4 rows in one conditional-sum
-    * aggregate (stack unpivots). The candidate count is a bounded
-    * driver scalar (one count() over the capped candidate set — same
-    * class as q87's histogram collect). */
+    * aggregate (stack unpivots). The candidate count rides the final
+    * plan as a broadcast 1-row aggregate over the capped candidate set
+    * (round 21 — formerly a blocking driver count()). */
   def q108LshEvaluation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val par = Tables.fanoutParallelism(s, dir, "documents")
