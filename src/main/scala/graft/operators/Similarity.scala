@@ -1228,15 +1228,27 @@ object Similarity {
       .withColumn("adist", pqAdcDistance)
       .select($"q_id", $"vec_id", $"pr", $"adist")
       .cache()
-    def adcTopAt(p: Int): DataFrame = {
-      val w = Window.partitionBy($"q_id")
-        .orderBy($"adist".asc, $"vec_id".asc)
-      cand.filter($"pr" <= p)
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 5)
-        .select($"q_id", $"vec_id", lit(p).as("np"))
-    }
-    val adcTop = adcTopAt(1).union(adcTopAt(2)).union(adcTopAt(4))
+    // ALL three probe depths ranked in ONE window pass (round 21): the
+    // former per-depth row_number windows sorted the same cached
+    // candidate frame three times. Probe sets are nested and
+    // (q_id, vec_id) is unique in `cand` (a vector lives in one cell),
+    // so (adist, vec_id) totally orders each q_id partition and a
+    // pr≤p-guarded running count over that order IS the row_number
+    // within the depth-p subset — one sort, three conditional sums.
+    val wRun = Window.partitionBy($"q_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runRank(p: Int): Column =
+      sum(when($"pr" <= p, 1L).otherwise(0L)).over(wRun)
+    val adcTop = cand
+      .withColumn("rnk1", runRank(1))
+      .withColumn("rnk2", runRank(2))
+      .withColumn("rnk4", runRank(4))
+      .select($"q_id", $"vec_id", explode(array(
+        when($"pr" <= 1 && $"rnk1" <= 5, 1),
+        when($"pr" <= 2 && $"rnk2" <= 5, 2),
+        when($"pr" <= 4 && $"rnk4" <= 5, 4))).as("np"))
+      .filter($"np".isNotNull)
     // exact integer-L2 top-5 (q125's ground-truth kernel: self + qself −
     // 2·dot, one codegen'd loop per pair — identical int64s, round 21)
     val qvs = qv.withColumn("self", dot_product_long($"q", $"q"))
