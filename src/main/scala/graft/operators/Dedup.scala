@@ -143,16 +143,21 @@ object Dedup {
       par, maxDf, minJaccard)
 
   /** i<j in-task pair expansion over a sorted array column — the ONE
-    * copy of the kernel the Jaccard doc-pair stage and q117's
-    * source-pair stage both explode (review find: the HOF was
-    * duplicated verbatim modulo field names, so a fix to the expansion
-    * had to be made twice). */
-  private def pairExpansion(arr: String, aField: String,
-      bField: String): Column =
-    expr(
-      s"""flatten(transform($arr, (x, i) ->
-         |  transform(slice($arr, i + 2, size($arr)),
-         |            y -> struct(x AS $aField, y AS $bField))))""".stripMargin)
+    * copy of the kernel the Jaccard doc-pair stage, q117's source-pair
+    * stage and q109's supplier-pair stage all ride (review find: the
+    * expansion was once duplicated verbatim modulo field names, so a
+    * fix had to be made twice). Round 22: two chained codegen Generates
+    * (posexplode + explode(slice)) replace the interpreted
+    * flatten(transform(slice(...)))-HOF struct build — same pair
+    * multiset, several× less per-pair CPU (no per-pair
+    * GenericInternalRow, no nested-array materialization; the slice
+    * copies are plain long-array copies inside whole-stage codegen). */
+  private[graft] def expandPairs(df: DataFrame, arr: String,
+      aField: String, bField: String): DataFrame =
+    df.select(col(arr), posexplode(col(arr)).as(Seq("__pi", aField)))
+      .select(col(aField),
+        explode(slice(col(arr), col("__pi") + lit(2), size(col(arr))))
+          .as(bField))
 
   private def jaccardPairsFromIds(ids: DataFrame, par: Int,
       maxDf: Int, minJaccard: Double): DataFrame = {
@@ -171,29 +176,44 @@ object Dedup {
     // then ×4 pair fan-out), so partition by WORK, not by input size: the
     // single small fixture file would otherwise run the whole map side in
     // one task (fanoutParallelism sizes the map fan-out to the input and
-    // saturates the cluster on a real table). The pair stage filters to
-    // multi-doc groups FIRST and only then repartitions: the pair-stage
-    // shuffle moves the colliding groups (a few % of shingles), never the
-    // whole grouped table — at 100 TB that is the difference between
-    // re-shuffling the full distinct-shingle set and re-shuffling only
-    // the collision set. (No cache: AQE exchange reuse shares the
-    // grouped aggregation between the pair and size branches; measured
-    // faster than cache+repartition-everything by ~2× at local[32].)
+    // saturates the cluster on a real table).
+    // Round 22 (guide §2.3/§2.4, R22PairBench decomposition — the same
+    // three findings as q109's kernel):
+    //  (a) the shingle stream is shuffled RAW by sh64 via an explicit
+    //      REPARTITION_BY_NUM exchange instead of feeding a map-side
+    //      partial collect_set: intra-doc duplicate shingles are ~0 in
+    //      real text (sf0.1: 260 K raw vs 260 K distinct), so the
+    //      partial's per-task object maps reduced nothing, and the
+    //      explicit width keeps the grouped stage wide under AQE so the
+    //      pair expansion can ride it IN-STAGE (the former round-robin
+    //      spread exchange is gone — one less shuffle of the collision
+    //      set);
+    //  (b) the i<j expansion is two chained codegen Generates
+    //      (posexplode + explode(slice)) instead of the interpreted
+    //      flatten(transform(slice)) HOF struct build;
+    //  (c) pairs are hash-clustered before counting — a colliding
+    //      pair's copies are scattered across every expansion task, so
+    //      the pre-exchange partial count built near-full per-task hash
+    //      maps for little reduction; clustered, partial+final fold
+    //      in-stage. `par` (the state-bounding expansionShuffleWidth)
+    //      sizes both explicit exchanges.
+    // Same grouped sets, same pair multiset, same counts — oracle
+    // hashes unchanged (re-proven at sf0.001/0.01/0.1).
+    // (No cache: AQE exchange reuse shares the repartitioned shingle
+    // stream between the pair and size branches; measured faster than
+    // cache+repartition-everything by ~2× at local[32].)
     // the df cap applies BEFORE both branches: a stop-shingle neither
     // expands into pairs nor counts toward any document's set size
     val grouped = ids
+      .repartition(par, $"sh64")
       .groupBy($"sh64").agg(array_sort(collect_set($"doc_id")).as("ds"))
       .filter(size($"ds") <= maxDf)
       .select($"ds")
     val sizes = grouped.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // i<j expansion via codegen'd HOFs: measured head-to-head against a
-    // custom pair Generator (round 2) — indistinguishable, so the
-    // built-in composition stays per the custom-operator ladder
-    val pairs = grouped.filter(size($"ds") > 1)
-      .repartition(par)
-      .select(explode(pairExpansion("ds", "doc_a", "doc_b")).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
+    val pairs = expandPairs(grouped.filter(size($"ds") > 1),
+        "ds", "doc_a", "doc_b")
+      .repartition(par, $"doc_a", $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
@@ -1147,17 +1167,26 @@ object Dedup {
     // distinct before the join was subsumed by the (source, sh64)
     // distinct after it — same set out, one less full shuffle of the
     // shingle stream (the multiplicity the join now carries is folded
-    // by the surviving distinct's map-side partial dedup)
+    // by the surviving distinct's map-side partial dedup).
+    // Round 22: the distinct rides an explicit sh64-keyed exchange —
+    // HashPartitioning(sh64) satisfies the (source, sh64) clustering
+    // the distinct needs (sh64 ⊆ the grouping keys), so dedup, the
+    // per-shingle collect_set AND the i<j expansion all run in the ONE
+    // post-exchange stage (formerly: distinct exchange + group exchange
+    // + round-robin spread exchange). The explicit REPARTITION_BY_NUM
+    // width keeps the stage wide under AQE (the q109/jaccard kernel
+    // treatment; same set out, oracle hash unchanged).
     val mem = shingleIdsWithDup(d.repartition(par))
       .join(src, Seq("doc_id"))
-      .select($"source", $"sh64").distinct()
+      .select($"source", $"sh64")
+      .repartition(pairPar, $"sh64")
+      .distinct()
     val sizes = mem.groupBy($"source").agg(count(lit(1)).as("n"))
-    val inter = mem.groupBy($"sh64")
+    val groupedSrc = mem.groupBy($"sh64")
       .agg(array_sort(collect_set($"source")).as("ss"))
       .filter(size($"ss") > 1)
-      .repartition(pairPar)
-      .select(explode(pairExpansion("ss", "src_a", "src_b")).as("p"))
-      .select($"p.src_a", $"p.src_b")
+    val inter = expandPairs(groupedSrc, "ss", "src_a", "src_b")
+      .repartition(pairPar, $"src_a", $"src_b")
       .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))),

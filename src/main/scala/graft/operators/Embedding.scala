@@ -529,7 +529,7 @@ object Embedding {
         min(when($"cum" >= expr("(19 * nd + 19) div 20"), $"n_chars"))
           .as("hi"))
       .select($"lang", $"lo", $"hi")
-    s1.join(rk2, Seq("doc_id"), "left")
+    val report = s1.join(rk2, Seq("doc_id"), "left")
       .join(broadcast(bounds), Seq("lang"), "left")
       .withColumn("drop_reason",
         when($"is_dup", "dup")
@@ -540,6 +540,13 @@ object Embedding {
       .groupBy($"source", $"drop_reason")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("char_mass"))
       .orderBy($"source", $"drop_reason")
+    // Materialize the bounded rollup (sources × 5 reasons) and RELEASE
+    // the |docs|-row verdict cache before returning (advice r21: a
+    // library caller must not inherit a leaked cached frame; the q94
+    // collect-then-unpersist discipline).
+    val rows = report.collect()
+    s1.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   val q127Oracle: String =

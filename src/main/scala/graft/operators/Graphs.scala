@@ -262,24 +262,37 @@ object Graphs {
 
   def q109CooccurrenceGraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the pair explode amplifies each grouped row ~|ss|²/2× — partition
-    // by WORK before it (the jaccardPairs discipline): AQE would
-    // otherwise coalesce the byte-small grouped frame to one task and
-    // run the whole quadratic expansion single-threaded (measured 8.3 s
-    // → ~1 s at sf0.1)
+    // Round 22 (guide §2.3/§2.4, measured 1.55 → 0.85–1.15 s in the
+    // R22PairBench decomposition):
+    //  (a) the raw (partkey, suppkey) stream is shuffled ONCE by
+    //      partkey instead of feeding a map-side partial collect_set:
+    //      a pair's ~7 global copies are spread across ALL map tasks,
+    //      so the partial hash maps reduced little at any scale while
+    //      costing a per-task object map over every group (grouped
+    //      stage alone: 0.73 → 0.41 s). The shuffle rows are 16 B.
+    //  (b) the explicit-width keyed repartition is REPARTITION_BY_NUM —
+    //      AQE cannot byte-coalesce it — so the quadratic i<j pair
+    //      expansion rides the SAME 32-wide stage (the former
+    //      round-robin spread exchange is gone).
+    //  (c) the expansion is [[Dedup.expandPairs]] — two chained codegen
+    //      Generates (posexplode + explode(slice)) instead of the
+    //      interpreted flatten(transform(slice))-HOF struct build
+    //      (8.7 M pairs at sf0.1: 24.4 task-seconds → ~6).
+    //  (d) pairs are hash-clustered BEFORE counting: a pair's ~17
+    //      copies were scattered over all tasks, so the pre-exchange
+    //      partial count reduced ~27% while building near-full hash
+    //      maps per task; clustered, partial+final fold in-stage.
+    // Same multiset of pairs, same counts — oracle hash unchanged.
     val par = Tables.fanoutParallelism(s, dir, "lineitem")
-    val pairs = Tables.lineitem(s, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
+    val grouped = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey")
+      .repartition(par, $"l_partkey")
       .groupBy($"l_partkey")
       .agg(array_sort(collect_set($"l_suppkey")).as("ss"))
       .filter(size($"ss") > 1 && size($"ss") <= MaxProjDf)
-      .repartition(par)
-      .select(explode(expr(
-        """flatten(transform(ss, (x, i) ->
-          |  transform(slice(ss, i + 2, size(ss)),
-          |            y -> struct(x AS s_a, y AS s_b))))""".stripMargin))
-        .as("p"))
-      .groupBy($"p.s_a".as("s_a"), $"p.s_b".as("s_b"))
+    val pairs = Dedup.expandPairs(grouped, "ss", "s_a", "s_b")
+      .repartition(par, $"s_a", $"s_b")
+      .groupBy($"s_a", $"s_b")
       .agg(count(lit(1)).as("shared_parts"))
     pairs
       .orderBy($"shared_parts".desc, $"s_a".asc, $"s_b".asc)

@@ -920,12 +920,15 @@ object Similarity {
     require(rows.length <= MaxBroadcastBatch,
       s"pq query-table batch (>$MaxBroadcastBatch rows) exceeds the " +
         s"tiny-broadcast contract ($MaxBroadcastBatch); chunk into bounded batches")
+    // per-subspace cid→centroid maps, built once for the whole batch
+    // (advice r21: these were rebuilt inside the per-row loop)
+    val cmaps = (0 until PqM).map(sp => model.codebooks(sp).toMap)
     val out: Seq[org.apache.spark.sql.Row] = rows.toSeq.map { r =>
       val qid = r.getLong(r.fieldIndex("q_id"))
       val q = r.getSeq[Long](r.fieldIndex("q"))
       val tabs = (0 until PqM).map { sp =>
         val sub = q.slice(sp * PqSubDim, (sp + 1) * PqSubDim)
-        val cmap = model.codebooks(sp).toMap
+        val cmap = cmaps(sp)
         (0 until PqK).map { cid =>
           cmap.get(cid) match {
             case Some(c) =>
@@ -938,7 +941,9 @@ object Similarity {
           }
         }
       }
-      org.apache.spark.sql.Row(qid, tabs(0), tabs(1), tabs(2), tabs(3))
+      // arity tracks PqM (advice r21: a hardcoded 4-slot Row would break
+      // silently against the PqM-derived schema below)
+      org.apache.spark.sql.Row.fromSeq(qid +: tabs)
     }
     import org.apache.spark.sql.types._
     val schema = StructType(StructField("q_id", LongType, nullable = false) +:

@@ -294,7 +294,9 @@ class PlanQualitySpec extends SparkSuite {
     // CAVEAT (ADVICE r8): queries with construction-TIME actions — q87's
     // bounded z-histogram collect, q86/q100's k·64 centroid collects,
     // q83's eager bloom build, q96's one-job codebook train, q102/q107's
-    // ≤256-row bucket-histogram collects, q108's candidate count() —
+    // ≤256-row bucket-histogram collects, and the round-21 collect
+    // sites (boundedBroadcast's guarded limit-collect, pqQueryTables'
+    // bounded batch collect, q94/q127's bounded-report materialization) —
     // run jobs BEFORE the returned DataFrame exists, so those pre-plan
     // jobs are invisible to this sweep (and to PlanAudit's main). Each
     // is bounded by construction and documented at its collect site; a
