@@ -69,11 +69,23 @@ object Analytics {
     * interchangeable for every per-file stat. */
   def q87ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Round 22 (the VERDICT-r21 "re-measure under cached-plan AQE" item):
+    // ONE z-keyed explicit-width shuffle, CACHED. The histogram branch
+    // and the rank window both need clustering by z; the explicit
+    // REPARTITION_BY_NUM width survives the cache (AQE cannot coalesce
+    // it), so the window pass reads the cached frame with NO exchange
+    // and NO second parquet scan+Morton recompute, and the sort runs at
+    // full width instead of the 2 byte-coalesced tasks the probe
+    // measured. The cache is |lineitem|×5 narrow ints (MEMORY_AND_DISK —
+    // spills, never OOMs, and this layout query materializes the table
+    // at scale anyway); released before returning (q127 discipline).
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
         ($"l_partkey" % 256).cast("int").as("x"),
         ($"l_orderkey" % 256).cast("int").as("y"))
       .withColumn("z", expr(zExpr("x", "y")))
+      .repartition(s.sparkContext.defaultParallelism, $"z")
+      .cache()
     val wz = Window.partitionBy($"z")
       .orderBy($"l_orderkey", $"l_linenumber", $"x", $"l_suppkey")
     val ranked = li.withColumn("rz", row_number().over(wz))
@@ -86,7 +98,7 @@ object Analytics {
     val offsets = hist.toSeq.map { r =>
       val o = (r.getInt(0), running); running += r.getLong(1); o
     }.toDF("z", "cum")
-    ranked.join(broadcast(offsets), Seq("z"))
+    val report = ranked.join(broadcast(offsets), Seq("z"))
       .withColumn("file_id",
         expr(s"cast(((cum + rz - 1) * 16) div ${math.max(n, 1L)} as int) + 1"))
       .groupBy($"file_id")
@@ -96,6 +108,9 @@ object Analytics {
       .withColumn("envelope_area",
         (($"max_x" - $"min_x" + 1) * ($"max_y" - $"min_y" + 1)).cast("long"))
       .orderBy($"file_id")
+    val rows = report.collect() // bounded: 16 file rows
+    li.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   val q87Oracle: String = {
@@ -272,11 +287,17 @@ object Analytics {
 
   def q130MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = transitionPairs(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    // Row total via a window over the types²-row count frame (round 22):
+    // the former groupBy(from)+join re-derived the whole scan→window→agg
+    // subtree for the rowTot side (two parquet scans, two user windows
+    // in the plan) and paid a broadcast build; sum(n) over
+    // (PARTITION BY from_type) is the identical row_n on the 25-row
+    // aggregate, one linear pipeline.
+    transitionPairs(s, dir)
       .groupBy($"from_type", $"to_type")
       .agg(count(lit(1)).as("n"))
-    val rowTot = pairs.groupBy($"from_type").agg(sum($"n").as("row_n"))
-    pairs.join(rowTot, Seq("from_type"))
+      .withColumn("row_n", sum($"n").over(Window.partitionBy($"from_type")))
       .select($"from_type", $"to_type", $"n",
         round($"n" / $"row_n".cast("double"), 6).as("p"))
       .orderBy($"from_type", $"to_type")
@@ -316,14 +337,24 @@ object Analytics {
       .select($"from_type", $"to_type",
         expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000")
           .as("gap_s"))
+    // Totals from the HISTOGRAM, not a second pass over gaps (round 22):
+    // the former tot = gaps.groupBy(from,to) re-derived the whole
+    // scan→user-window→proj subtree (two parquet scans + two windows in
+    // the plan) and joined it back; n = Σc and sum_gap = Σ gap·c over
+    // the pair's histogram rows are the same exact int64 values, and as
+    // whole-partition window sums they ride the cum window's exchange —
+    // one scan, one lead window, no join, 6 exchanges → 4 (incl. the
+    // 25-row sort). HashPartitioning(from,to) satisfies the final
+    // groupBy's clustering (subset), so no further exchange.
     val hist = gaps.groupBy($"from_type", $"to_type", $"gap_s")
       .agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum", sum($"c").over(
-      Window.partitionBy($"from_type", $"to_type").orderBy($"gap_s")
+    val wp = Window.partitionBy($"from_type", $"to_type")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(wp.orderBy($"gap_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = gaps.groupBy($"from_type", $"to_type")
-      .agg(count(lit(1)).as("n"), sum($"gap_s").as("sum_gap"))
-    cum.join(tot, Seq("from_type", "to_type"))
+      .withColumn("n", sum($"c").over(wp))
+      .withColumn("sum_gap", sum($"gap_s" * $"c").over(wp))
+    cum
       .groupBy($"from_type", $"to_type", $"n", $"sum_gap")
       .agg(
         min(when($"cum" >= expr("(n + 1) div 2"), $"gap_s"))
@@ -460,14 +491,17 @@ object Analytics {
       lit(1) + (metric > col(s"${t}_q25")).cast("int") +
         (metric > col(s"${t}_q50")).cast("int") +
         (metric > col(s"${t}_q75")).cast("int")
-    val tR = Quantiles.nearestRank(rfm, "rneg", qs)
-      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"r_$n") }: _*)
-    val tF = Quantiles.nearestRank(rfm, "f", qs)
-      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"f_$n") }: _*)
-    val tM = Quantiles.nearestRank(rfm, "m", qs)
-      .select(qs.map { case (n, _, _) => col(s"t_$n").as(s"m_$n") }: _*)
-    rfm.crossJoin(broadcast(tR)).crossJoin(broadcast(tF))
-      .crossJoin(broadcast(tM))
+    // ONE quantile pass for all three dimensions (round 22): the three
+    // separate nearestRank invocations each re-derived rfm and paid
+    // their own histogram exchange + cumsum window + pool broadcast +
+    // 1-row threshold frame (~15 AQE stages of driver planning); the
+    // fused kernel explodes (metric, value) once and emits all nine
+    // thresholds in one 1-row frame — identical values, same scores.
+    val tq = Quantiles.nearestRankMulti(rfm, Seq("rneg", "f", "m"), qs)
+      .select((for ((c, p) <- Seq(("rneg", "r"), ("f", "f"), ("m", "m"));
+                    (n, _, _) <- qs)
+        yield col(s"t_${c}_$n").as(s"${p}_$n")): _*)
+    rfm.crossJoin(broadcast(tq))
       .select($"user_id", $"m",
         score($"rneg", "r").as("r_score"),
         score($"f", "f").as("f_score"),

@@ -756,7 +756,12 @@ object Curation {
   def q111DsirImportance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = 64
-    val pb = bigramPairs(docs(s, dir), "doc_id", "lang")
+    // spread the bigram-hash map work (round 22): the per-bigram md5 is
+    // ~2.6 M hashes at sf0.1 and the single small parquet file otherwise
+    // hands it all to ONE scan task (the stage probe measured a 1.0 s
+    // single-task stage — the frameSetHashFrame lesson applied to text)
+    val par = Tables.fanoutParallelism(s, dir, "documents")
+    val pb = bigramPairs(docs(s, dir).repartition(par), "doc_id", "lang")
       .select($"doc_id", $"lang",
         (conv(substring(md5(concat_ws(" ", $"prev", $"cur")), 1, 15), 16, 10)
           .cast("long") % B).as("b"))
@@ -769,14 +774,19 @@ object Curation {
     val dbk = pb.groupBy($"doc_id", $"lang", $"b")
       .agg(count(lit(1)).as("n"))
       .cache()
-    val tgt = dbk.filter($"lang" === "en")
-      .groupBy($"b").agg(sum($"n").as("tc"))
-    val raw = dbk.groupBy($"b").agg(sum($"n").as("rc"))
-    val tot = tgt.agg((sum($"tc") + B).as("tt"))
-      .crossJoin(raw.agg((sum($"rc") + B).as("rt")))
+    // BOTH bucket models in ONE B-row aggregate (round 22): tgt and raw
+    // were separate passes over the cached dbk (plus a third for the
+    // totals), serialized as three ~0.3 s broadcast-build jobs; the
+    // target count is the same sum under a lang filter, so it rides the
+    // raw aggregation as a conditional sum (null ⟹ no target rows ⟹ the
+    // former left-join miss — identical coalesce-to-0 arithmetic), and
+    // the totals reduce from the B-row model, reusing its exchange.
+    val model = dbk.groupBy($"b").agg(sum($"n").as("rc"),
+      sum(when($"lang" === "en", $"n")).as("tc"))
+    val tot = model.agg((sum(coalesce($"tc", lit(0L))) + B).as("tt"),
+      (sum($"rc") + B).as("rt"))
     dbk
-      .join(broadcast(tgt), Seq("b"), "left")
-      .join(broadcast(raw), Seq("b"), "left")
+      .join(broadcast(model), Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("term", $"n" *
         (log((coalesce($"tc", lit(0L)) + lit(1.0)) / $"tt") -

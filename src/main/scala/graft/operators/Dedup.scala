@@ -1270,25 +1270,34 @@ object Dedup {
           .reduce(_ + _).as("sh"))
   }
 
-  /** Banding + capped candidate join + verify + histogram over a
-    * (doc_id, sh) signature frame — q120's kernel after signatures. */
+  /** Banding + capped candidate generation + verify + histogram over a
+    * (doc_id, sh) signature frame — q120's kernel after signatures.
+    *
+    * Round 22: the former cold-bucket SELF-JOIN (plus the hot-bucket
+    * broadcast anti-join both sides consumed) re-derived the signature
+    * pipeline four times in the plan and cost ~18 AQE stages of driver
+    * planning; candidates now come from the pair-expansion kernel —
+    * group the band rows by bucket, drop over-cap buckets with the SAME
+    * size test the hot list applied, and expand i<j (doc, sh) struct
+    * pairs IN-TASK ([[expandPairs]]; sort_array on the struct orders by
+    * the unique doc_id, so i<j ⟺ doc_a < doc_b). Same candidate set,
+    * same distinct, same histogram — oracle hash unchanged. */
   private[graft] def simhashHammingReport(sims: DataFrame): DataFrame = {
     val s = sims.sparkSession
     import s.implicits._
-    val bands = sims
+    val par = s.sparkContext.defaultParallelism
+    val buckets = sims
       .select($"doc_id", $"sh", explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("bv",
         expr("(sh div CAST(pow(256, b) AS BIGINT)) % 256"))
-    val hot = bands.groupBy($"b", $"bv").agg(count(lit(1)).as("df"))
-      .filter($"df" > SimhashBucketCap)
-    val cold = bands
-      .join(broadcast(hot.select($"b", $"bv")), Seq("b", "bv"), "left_anti")
-    val cand = cold.as("x")
-      .join(cold.as("y"),
-        $"x.b" === $"y.b" && $"x.bv" === $"y.bv" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        $"x.sh".as("sha"), $"y.sh".as("shb"))
+      .repartition(par, $"b", $"bv")
+      .groupBy($"b", $"bv")
+      .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= SimhashBucketCap)
+    val cand = expandPairs(buckets, "ds", "pa", "pb")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+        $"pa.sh".as("sha"), $"pb.sh".as("shb"))
+      .repartition(par, $"doc_a", $"doc_b")
       .distinct()
     cand
       .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))

@@ -33,24 +33,48 @@ object Quantiles {
     * (num/den)-quantile of `valueCol` (int64-castable). */
   def nearestRank(df: DataFrame, valueCol: String,
       qs: Seq[(String, Int, Int)]): DataFrame = {
-    val hist = df.select(col(valueCol).cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val multi = nearestRankMulti(df, Seq(valueCol), qs)
+    multi.select(qs.map { case (name, _, _) =>
+      col(s"t_${valueCol}_$name").as(s"t_$name") }: _*)
+  }
+
+  /** All of `valueCols`' thresholds in ONE decomposed pass (round 22 —
+    * q133 ran the kernel three times, once per RFM dimension, each with
+    * its own histogram exchange, cumsum window, pool broadcast and
+    * 1-row threshold frame): the metrics ride one exploded
+    * (metric, value) histogram, the cumsum window partitions by
+    * (metric, coarse-bucket), the single pool carries the metric id in
+    * its structs, and one aggregate emits `t_<col>_<name>` for every
+    * (col, q) pair. Per-metric thresholds are computed from per-metric
+    * filtered pool sums — value-identical to the single-column kernel
+    * (PropertySpec pins [[nearestRank]], now a wrapper over this). */
+  def nearestRankMulti(df: DataFrame, valueCols: Seq[String],
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    val entries = valueCols.zipWithIndex.map { case (c, mi) =>
+      struct(lit(mi).as("m"), col(c).cast("long").as("v"))
+    }
+    val hist = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.v").as("v"))
+      .groupBy(col("m"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("cb", expr("shiftright(v, 16)"))
     val local = hist.withColumn("lc", sum(col("c")).over(
-      Window.partitionBy(col("cb")).orderBy(col("v"))
+      Window.partitionBy(col("m"), col("cb")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val pool = hist.groupBy(col("cb")).agg(sum(col("c")).as("bc"))
-      .agg(collect_list(struct(col("cb"), col("bc"))).as("pool"),
-        sum(col("bc")).as("n"))
+    val pool = hist.groupBy(col("m"), col("cb")).agg(sum(col("c")).as("bc"))
+      .agg(collect_list(struct(col("m"), col("cb"), col("bc"))).as("pool"))
     val cum = local.crossJoin(broadcast(pool))
-      .withColumn("cum", col("lc") + expr(
-        """aggregate(filter(pool, a -> a.cb < cb),
+      .withColumn("n", expr(
+        """aggregate(filter(pool, a -> a.m = m),
           |  CAST(0 AS BIGINT), (acc, a) -> acc + a.bc)""".stripMargin))
-    val aggs = qs.map { case (name, num, den) =>
-      min(when(col("cum") >=
-        expr(s"($num * n + ${den - 1}) div $den"), col("v")))
-        .as(s"t_$name")
-    }
+      .withColumn("cum", col("lc") + expr(
+        """aggregate(filter(pool, a -> a.m = m AND a.cb < cb),
+          |  CAST(0 AS BIGINT), (acc, a) -> acc + a.bc)""".stripMargin))
+    val aggs = for {
+      (c, mi) <- valueCols.zipWithIndex
+      (name, num, den) <- qs
+    } yield min(when(col("m") === mi && col("cum") >=
+      expr(s"($num * n + ${den - 1}) div $den"), col("v")))
+      .as(s"t_${c}_$name")
     cum.agg(aggs.head, aggs.tail: _*)
   }
 }
