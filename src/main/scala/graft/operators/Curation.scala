@@ -405,7 +405,13 @@ object Curation {
   private[graft] def splitGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = substring(md5(concat(lit("split:"), $"doc_id")), 1, 1)
+    // spread the gram explode (round 22): the 5-gram expansion and the
+    // distinct's shuffle-write hashing of full gram strings otherwise
+    // run on the single scan task of the small parquet file (q83's
+    // probe: a 580 ms 1-task stage). Input-bytes-derived width; shared
+    // by q81/q83.
     docs(s, dir)
+      .repartition(Tables.fanoutParallelism(s, dir, "documents"))
       .withColumn("split",
         when(bucket.isin("c", "d"), "val")
           .when(bucket.isin("e", "f"), "test")

@@ -1025,6 +1025,10 @@ object Dedup {
     * rounded division. */
   def q112NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT widened beyond the 64 KB/task default (round 22 measured
+    // negative result): 16 KB/task (9→32 tasks) read consistently ~10%
+    // SLOWER in paired bench runs — the per-task fixed cost on the
+    // already-8×-efficient shingle stages outweighed the wall saving.
     val par = Tables.fanoutParallelism(s, dir, "documents")
     val sh = shingleIdsWithDup(docs(s, dir).repartition(par)).distinct()
     val owners = sh.groupBy($"sh64").agg(min($"doc_id").as("owner"))

@@ -34,14 +34,25 @@ object Relational {
     import s.implicits._
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    // row_number over (accepted-date desc, tiebreak) exactly like W1; the
-    // tiebreak (l_linenumber) makes the pick deterministic where the
-    // reference's string-date ordering was ambiguous (SURVEY.md §7.3).
-    val w = Window.partitionBy($"l_orderkey")
-      .orderBy($"l_shipdate".desc, $"l_linenumber".asc,
-        $"l_partkey".asc, $"l_suppkey".asc)
-    val latest = li.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).drop("rn")
+    // "latest child per parent" as a max_by AGGREGATE, not a row_number
+    // window (round 22, guide §2.3): the W1/QUALIFY pick under a total
+    // order is the argmax under the same order, so max_by over an
+    // ordering struct returns the identical row — but as a
+    // DeclarativeAggregate it map-side-combines on the scan (the shuffle
+    // carries ≤1 row per (mapper, orderkey)) and never sorts, where the
+    // window shape paid a full local sort before the partial
+    // WindowGroupLimit and a second sort after the exchange. The
+    // ordering struct mirrors W1's (accepted-date desc, tiebreak asc)
+    // chain exactly — DESC fields ride as-is, ASC tiebreaks negated —
+    // and the same chain that made row_number deterministic (SURVEY.md
+    // §7.3) makes this argmax unique. Oracle unchanged: hash-identical.
+    val latest = li.groupBy($"l_orderkey")
+      .agg(max_by(
+        struct($"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_shipdate"),
+        struct($"l_shipdate", (-$"l_linenumber").as("t1"),
+          (-$"l_partkey").as("t2"), (-$"l_suppkey").as("t3"))).as("r"))
+      .select($"l_orderkey", $"r.*")
     val processed = o.filter($"o_orderstatus" === "F").select($"o_orderkey")
     // left_anti = the reference's RIGHT JOIN + IS NULL (J3) without the
     // extra null-probe pass; broadcast is wrong here (both sides are

@@ -1245,10 +1245,13 @@ object Similarity {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def runRank(p: Int): Column =
       sum(when($"pr" <= p, 1L).otherwise(0L)).over(wRun)
+    // all three counts in ONE select: chained withColumn left a Project
+    // between consecutive Window ops, blocking CollapseWindow — three
+    // Window nodes each walking the sorted partition; one projection
+    // puts all three sums in a single Window node (round 22)
     val adcTop = cand
-      .withColumn("rnk1", runRank(1))
-      .withColumn("rnk2", runRank(2))
-      .withColumn("rnk4", runRank(4))
+      .select($"q_id", $"vec_id", $"pr",
+        runRank(1).as("rnk1"), runRank(2).as("rnk2"), runRank(4).as("rnk4"))
       .select($"q_id", $"vec_id", explode(array(
         when($"pr" <= 1 && $"rnk1" <= 5, 1),
         when($"pr" <= 2 && $"rnk2" <= 5, 2),

@@ -141,7 +141,13 @@ object Spans {
     * order-insensitive digest of the sorted fingerprint set. */
   def q85Winnowing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = docs(s, dir)
+    // spread the gram-hash map work (round 22): one md5 per gram over
+    // the whole corpus otherwise runs on the single scan task of the
+    // small parquet file — the probe measured a 645 ms 1-task stage
+    // (the q111 bigram-hash fix applied here; width is input-bytes-
+    // derived, not a local core-count constant)
+    val par = Tables.fanoutParallelism(s, dir, "documents", 16 << 10)
+    val grams = docs(s, dir).repartition(par)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8) // k + w - 1
       .select($"doc_id", size($"t").cast("long").as("n_tokens"), posexplode(expr(

@@ -1,0 +1,83 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-22 plan evidence for q165's CANDIDATE-RANKING STEP — the
+  * registered query materializes its 6-row report on the driver, so
+  * plans/r2x/q165_* show only a LocalTableScan and the round-21 claim
+  * ("three per-depth row_number windows → one running-count window")
+  * was not demonstrable from them (judge find, r21 §3). This dumps the
+  * two ranking shapes side by side over a candidate-shaped frame
+  * (q_id, vec_id, pr, adist) derived from parquet, exactly like
+  * R21StepPlans did for the PageRank contribution step: the BEFORE
+  * shape sorts the frame once per probe depth (three Sort+Window
+  * pairs), the shipped AFTER shape sorts once and ranks all three
+  * depths as pr-guarded running counts. */
+object R22StepPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // candidate-shaped frame: one row per (query, candidate) with a
+    // probe depth and an ADC distance — the columns the ranking step
+    // consumes; the plan shape is what matters, not the values
+    val cand = graft.sources.Tables.lineitem(spark, dir)
+      .select(($"l_orderkey" % 50).as("q_id"), $"l_partkey".as("vec_id"),
+        ($"l_linenumber" % 4 + 1).cast("int").as("pr"),
+        $"l_extendedprice".cast("long").as("adist"))
+
+    // BEFORE (r20 shape): one filtered row_number window per depth,
+    // three sorts of the candidate frame
+    val wTop = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    val oldTop = Seq(1, 2, 4).map { p =>
+      cand.filter($"pr" <= p)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id", lit(p).as("np"))
+    }.reduce(_ unionAll _)
+
+    // AFTER (shipped, round 21): ONE sorted pass — pr-guarded running
+    // counts are the within-depth row numbers because probe sets are
+    // nested and (q_id, vec_id) is unique
+    val wRun = Window.partitionBy($"q_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runRank(p: Int) = sum(when($"pr" <= p, 1L).otherwise(0L)).over(wRun)
+    val newTop = cand
+      .select($"q_id", $"vec_id", $"pr",
+        runRank(1).as("rnk1"), runRank(2).as("rnk2"), runRank(4).as("rnk4"))
+      .select($"q_id", $"vec_id", explode(array(
+        when($"pr" <= 1 && $"rnk1" <= 5, 1),
+        when($"pr" <= 2 && $"rnk2" <= 5, 2),
+        when($"pr" <= 4 && $"rnk4" <= 5, 4))).as("np"))
+      .filter($"np".isNotNull)
+
+    Files.createDirectories(Paths.get("plans/r22"))
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    Files.writeString(Paths.get("plans/r22/q165_rank_step_before.txt"),
+      "q165 candidate ranking, r20 form (one row_number window per " +
+        "probe depth — three Sort+Window passes over cand):\n\n" +
+        fmt(oldTop))
+    Files.writeString(Paths.get("plans/r22/q165_rank_step_after.txt"),
+      "q165 candidate ranking, shipped form (one running-count window " +
+        "— a single Sort+Window pass ranks all three depths):\n\n" +
+        fmt(newTop))
+    println("[stepplans] wrote q165_rank_step_{before,after}.txt")
+    println("[stepplans] before Window nodes: " +
+      "\\(one per depth\\); after: one — grep ') Window' the files")
+    spark.stop()
+  }
+}

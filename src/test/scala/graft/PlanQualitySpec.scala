@@ -91,19 +91,24 @@ class PlanQualitySpec extends SparkSuite {
       Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1995).count())
   }
 
-  test("q01 keeps the partial rank-limit pushdown below the window shuffle") {
+  test("q01 latest-pick map-side-combines below the shuffle, no window") {
+    // round 22: the W1/QUALIFY "latest child per parent" is an argmax
+    // aggregate (max_by over the W1 ordering struct), which must
+    // (a) never plan a Window — the window form paid a full local sort
+    //     before its partial WindowGroupLimit and a second one after
+    //     the exchange — and
+    // (b) keep a PARTIAL max_by below the l_orderkey exchange, so the
+    //     shuffle carries at most one row per (mapper, orderkey)
     val p = plan("q01_flagship_latest_anti")
-    // locate the Partial marker ON the WindowGroupLimit line itself —
-    // a ', Partial' elsewhere in the plan (e.g. a partial aggregate)
-    // must not satisfy this assertion
+    assert(!p.contains("Window"), p.take(900))
     val partial = p.linesIterator.scanLeft(0)(_ + _.length + 1)
       .zip(p.linesIterator.toSeq)
       .collectFirst { case (off, l)
-        if l.contains("WindowGroupLimit") && l.contains("Partial") => off }
+        if l.contains("Aggregate") && l.contains("partial_max_by") => off }
       .getOrElse(-1)
     val exchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
     assert(partial >= 0 && exchange >= 0 && partial > exchange,
-      s"partial WindowGroupLimit not below the exchange:\n${p.take(900)}")
+      s"partial max_by not below the exchange:\n${p.take(900)}")
   }
 
   test("q64 KMV sketch is a bounded aggregate, not a window sort") {
