@@ -300,14 +300,19 @@ object Embedding {
     * final rollup is sources×4 rows. All counts exact int64. */
   def q115CurationQuadrant(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir)
-    val canon = d.select($"doc_id", md5($"text").as("dg"))
-    val copies = canon
-      .join(canon.groupBy($"dg").agg(min($"doc_id").as("canon")), Seq("dg"))
-      .select($"doc_id", ($"doc_id" =!= $"canon").cast("int").as("is_copy"))
-    d.select($"doc_id", $"source", $"n_chars")
+    import org.apache.spark.sql.expressions.Window
+    // copy flag as a digest-partitioned window (round 22, the q127 s1
+    // shape): the old canon ⋈ groupBy(dg).min self-join md5-hashed the
+    // corpus twice and joined back on doc_id twice; doc_id ≠
+    // min(doc_id) OVER (PARTITION BY dg) is the same flag in the one
+    // pass, and the doc_id join against it was an inner join on the
+    // full key set — plain column addition. One scan, one join.
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars", md5($"text").as("dg"))
+      .withColumn("is_copy",
+        ($"doc_id" =!= min($"doc_id").over(Window.partitionBy($"dg")))
+          .cast("int"))
       .join(classifierScores(s, dir), Seq("doc_id"))
-      .join(copies, Seq("doc_id"))
       .groupBy($"source",
         when($"score" >= 0L, 1).otherwise(0).as("kept"), $"is_copy")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("char_mass"))
@@ -514,17 +519,26 @@ object Embedding {
       .join(classifierScores(s, dir), Seq("doc_id"), "left")
       .cache()
     val surv2 = s1.filter(!$"is_dup" && $"score" >= 0L)
-    val rk2 = surv2.withColumn("rk", row_number().over(
-        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
-      .select($"doc_id", $"rk")
+    // the rank window KEEPS surv2's columns (round 22): the old
+    // rk2 = select(doc_id, rk) was joined straight back to surv2 on the
+    // unique doc_id to build surv3 — a self-join that re-sorted both
+    // sides on doc_id for rows the window output already carried.
+    val rkFull = surv2.withColumn("rk", row_number().over(
+      Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
+    val rk2 = rkFull.select($"doc_id", $"rk")
     // nearest-rank p05/p95 bounds from stage-3 survivors (q116 recipe)
-    val surv3 = surv2.join(rk2, Seq("doc_id")).filter($"rk" <= DomainCap)
+    val surv3 = rkFull.filter($"rk" <= DomainCap)
     val hist = surv3.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum", sum($"c").over(
-      Window.partitionBy($"lang").orderBy($"n_chars")
+    // per-lang total as a whole-partition window sum riding the cumsum
+    // window's exchange (round 22, the q131 trick) — the old
+    // nl = hist.groupBy(lang) re-derived the hist subtree and joined it
+    // back on lang
+    val wLang = Window.partitionBy($"lang")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(wLang.orderBy($"n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val nl = hist.groupBy($"lang").agg(sum($"c").as("nd"))
-    val bounds = cum.join(nl, Seq("lang")).groupBy($"lang", $"nd")
+      .withColumn("nd", sum($"c").over(wLang))
+    val bounds = cum.groupBy($"lang", $"nd")
       .agg(min(when($"cum" >= expr("(nd + 19) div 20"), $"n_chars")).as("lo"),
         min(when($"cum" >= expr("(19 * nd + 19) div 20"), $"n_chars"))
           .as("hi"))
