@@ -418,10 +418,13 @@ object Analytics {
     import s.implicits._
     val pairs = transitionPairs(s, dir)
       .select($"user_id", $"from_type", $"to_type")
-    val model = pairs.groupBy($"from_type", $"to_type")
+    // row total as a window over the types²-row model (round 22 — the
+    // q130 shape: same row_n, no second aggregate, no join-back)
+    val p = pairs.groupBy($"from_type", $"to_type")
       .agg(count(lit(1)).as("n"))
-    val rowTot = model.groupBy($"from_type").agg(sum($"n").as("row_n"))
-    val p = model.join(rowTot, Seq("from_type"))
+      .withColumn("row_n",
+        sum($"n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"from_type")))
       .select($"from_type", $"to_type",
         ($"n" / $"row_n".cast("double")).as("p"))
     pairs.join(broadcast(p), Seq("from_type", "to_type"))
