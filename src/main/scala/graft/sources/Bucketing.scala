@@ -13,15 +13,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed external table at `path`. */
+  /** Write `df` as a bucketed external table at `path`.
+    *
+    * The input is repartitioned BY THE BUCKET KEY into exactly
+    * `buckets` partitions first (round 22, guide §6): repartition's
+    * HashPartitioning is the same murmur3-pmod the bucket writer
+    * applies, so each write task holds exactly one bucket's rows and
+    * emits ONE sorted file per bucket — instead of every input task
+    * writing its own copy of all N bucket files (q140's probe showed
+    * the whole layout write serialized on the 1–2 AQE-coalesced input
+    * partitions, 1.2 s single-task; and tasks×buckets small files is
+    * exactly the layout §6 warns about at scale). Table content,
+    * bucketing metadata and the downstream exchange-free scan plans
+    * are unchanged. */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      key: String, buckets: Int): Unit =
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .option("path", path)
-      .mode("overwrite")
-      .saveAsTable(table)
+      key: String, buckets: Int): Unit = {
+    // plannedWrite would insert ITS OWN exchange above ours, sized to
+    // the session shuffle width and then AQE-byte-coalesced back to 1
+    // task (observed: the explicit repartition fed a planned-write
+    // shuffle that collapsed to a single writer again). Scoped off for
+    // this write only (the q83 conf-snapshot pattern) so the writer
+    // consumes our key-aligned partitions directly.
+    val s = df.sparkSession
+    val pwKey = "spark.sql.optimizer.plannedWrite.enabled"
+    val prev = s.conf.get(pwKey)
+    try {
+      s.conf.set(pwKey, "false")
+      df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    } finally s.conf.set(pwKey, prev)
+  }
 
   /** Write `df` partitioned by `partCol` (hive-style directories) — the
     * layout that turns a date/key predicate into directory pruning and
