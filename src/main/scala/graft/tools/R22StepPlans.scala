@@ -76,6 +76,35 @@ object R22StepPlans {
         "— a single Sort+Window pass ranks all three depths):\n\n" +
         fmt(newTop))
     println("[stepplans] wrote q165_rank_step_{before,after}.txt")
+
+    // q87's shipped shape is ALSO driver-materialized (16-row report),
+    // so its registered after-plan is a LocalTableScan. The round-22
+    // claim — the rank window reads the explicit-width z-keyed CACHE
+    // with no Exchange and no second parquet scan — lives in the step
+    // plan of the window pass over the cached frame.
+    {
+      import graft.sources.Tables
+      val sc = spark.sparkContext
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
+          ($"l_partkey" % 256).cast("int").as("x"),
+          ($"l_orderkey" % 256).cast("int").as("y"))
+        .withColumn("z", expr(graft.operators.Analytics.zExpr("x", "y")))
+        .repartition(sc.defaultParallelism, $"z")
+        .cache()
+      try {
+        li.count() // materialize the cache as the query's first action does
+        val wz = Window.partitionBy($"z")
+          .orderBy($"l_orderkey", $"l_linenumber", $"x", $"l_suppkey")
+        val ranked = li.withColumn("rz", row_number().over(wz))
+        Files.writeString(Paths.get("plans/r22/q87_rank_step_after.txt"),
+          "q87 rank-window pass over the cached explicit-width z-keyed " +
+            "frame (round 22): InMemoryTableScan directly under the " +
+            "Window's Sort — no Exchange, no second parquet scan or " +
+            "Morton recompute:\n\n" + fmt(ranked))
+        println("[stepplans] wrote q87_rank_step_after.txt")
+      } finally li.unpersist()
+    }
     println("[stepplans] before Window nodes: " +
       "\\(one per depth\\); after: one — grep ') Window' the files")
     spark.stop()
